@@ -1,0 +1,747 @@
+"""Cypher AST -> PySpark DataFrame compiler.
+
+This module replaces the reference's entire plan/render/SQL stack
+(query_planner/logical_plan, analyzer/*, optimizer/*, render_plan/*,
+clickhouse_query_generator/*) with direct DataFrame construction:
+
+- graph pattern -> chain of equi inner joins node ⋈ edge ⋈ node
+  (the reference emits one CTE per entity + INNER JOINs,
+  analyzer/graph_join_inference.rs:236-755)
+- label/type inference for unlabeled pattern entities
+  (analyzer/schema_inference.rs:240-339)
+- either-direction hops -> UNION DISTINCT of both edge orientations
+  (analyzer/graph_traversal_planning.rs:524-616)
+- re-used aliases join on both endpoint keys
+  (analyzer/duplicate_scans_removing.rs:28-58 +
+  graph_join_inference.rs:251-256)
+- schema-invalid patterns -> constant-empty result with the correct
+  schema (query_planner/mod.rs:50-60: ``SELECT 1 WHERE 1=0``)
+- implicit GROUP BY of all non-aggregate projection items
+  (analyzer/group_by_building.rs:13-45)
+- anchor selection: the most-filtered alias seeds the join fold
+  (optimizer/anchor_node_selection.rs:38-78)
+
+Catalyst supplies what the reference hand-rolls: predicate pushdown
+(optimizer/filter_push_down.rs), column pruning
+(optimizer/projection_push_down.rs), constant folding, join ordering via
+AQE, and whole-stage codegen. We deliberately do NOT emit per-hop
+left-semi pruning joins (the reference's IN-subquery device,
+graph_traversal_planning.rs:819-843): with inner equi-joins Catalyst
+already prunes each hop to reachable ids during the join itself, and an
+extra leftsemi would double the shuffles at scale.
+
+Scale posture: all expressions stay JVM-side (no Python UDFs anywhere in
+this path); node tables flagged small in the session are broadcast; AQE
+handles skew/join re-planning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import GraphSchema, RelationshipSchema
+from ..errors import PlanError, UnsupportedError
+from ..parser import ast
+from .expressions import ExprCompiler, collect_aliases, contains_aggregate
+from .scope import NodeBinding, RelBinding, ScalarBinding, Scope, pcol
+
+MAX_VAR_HOPS = 10
+
+
+# --------------------------------------------------------------------------
+# Pattern entities (compiler-internal IR; replaces PlanCtx + GraphRel chains)
+# --------------------------------------------------------------------------
+
+@dataclass
+class NodeEntity:
+    alias: str
+    label: Optional[str]
+    properties: dict[str, ast.Expr] = field(default_factory=dict)
+    prebound: bool = False  # bound by an earlier WITH part
+
+
+@dataclass
+class RelEntity:
+    alias: str
+    type_name: Optional[str]
+    direction: str  # as written: 'out' | 'in' | 'either'
+    src: str  # left node alias (pattern order)
+    dst: str  # right node alias
+    properties: dict[str, ast.Expr] = field(default_factory=dict)
+    min_hops: int = 1
+    max_hops: int = 1
+    # filled by inference:
+    schema: Optional[RelationshipSchema] = None
+    orientation: Optional[str] = None  # 'fwd' (src=from), 'rev', 'both', 'invalid'
+
+
+@dataclass
+class Pattern:
+    nodes: dict[str, NodeEntity] = field(default_factory=dict)
+    rels: list[RelEntity] = field(default_factory=list)
+
+
+class QueryCompiler:
+    def __init__(
+        self,
+        catalog: GraphSchema,
+        load_table: Callable[[str], DataFrame],
+        broadcast_labels: Optional[set[str]] = None,
+        params: Optional[dict] = None,
+    ):
+        self.catalog = catalog
+        self.load_table = load_table
+        self.broadcast_labels = broadcast_labels or set()
+        self.params = params or {}
+        self._anon_counter = 0  # deterministic anonymous aliases
+        # (the reference uses random a<uuid10>, logical_plan/mod.rs:36-43)
+
+    # ------------------------------------------------------------------
+    def compile(self, query: ast.ReadQuery) -> DataFrame:
+        df: Optional[DataFrame] = None
+        scope = Scope()
+        for i, part in enumerate(query.parts):
+            is_final = i == len(query.parts) - 1
+            df, scope = self._compile_part(df, scope, part)
+            if is_final:
+                if query.return_clause is None:
+                    raise PlanError("query must end with RETURN")
+                df = self._project(
+                    df, scope, query.return_clause.items,
+                    distinct=query.return_clause.distinct,
+                    order_by=query.order_by, skip=query.skip,
+                    limit=query.limit, final=True,
+                )[0]
+        assert df is not None
+        return df
+
+    # ------------------------------------------------------------------
+    def _anon(self) -> str:
+        self._anon_counter += 1
+        return f"__anon{self._anon_counter}"
+
+    # ------------------------------------------------------------------
+    def _compile_part(
+        self, in_df: Optional[DataFrame], in_scope: Scope, part: ast.QueryPart
+    ):
+        scope = in_scope.copy()
+        df = in_df
+        if part.matches:
+            pattern = self._build_pattern(part.matches, scope)
+            self._infer(pattern)
+            df = self._assemble(df, scope, pattern, part)
+        if part.unwind is not None:
+            ec = ExprCompiler(scope, self.params)
+            arr = ec.compile(part.unwind.expr)
+            if df is None:
+                # UNWIND as the first clause: single-row seed.
+                from pyspark.sql import SparkSession
+                spark = SparkSession.getActiveSession()
+                df = spark.range(1).select(F.explode(arr).alias(part.unwind.alias))
+            else:
+                df = df.select("*", F.explode(arr).alias(part.unwind.alias))
+            scope.bind(ScalarBinding(part.unwind.alias))
+        if part.where is not None:
+            if df is None:
+                raise PlanError("WHERE without a preceding MATCH/WITH")
+            ec = ExprCompiler(scope, self.params)
+            df = df.filter(ec.compile(part.where))
+        if part.with_clause is not None:
+            if df is None:
+                raise PlanError("WITH without input rows")
+            df, scope = self._project(
+                df, scope, part.with_clause.items,
+                distinct=part.with_clause.distinct,
+                order_by=part.order_by, skip=part.skip, limit=part.limit,
+                final=False,
+            )
+        return df, scope
+
+    # ------------------------------------------------------------------
+    # Pattern construction + inference
+    # ------------------------------------------------------------------
+    def _build_pattern(self, matches: list[ast.MatchClause], scope: Scope) -> Pattern:
+        pattern = Pattern()
+        for mc in matches:
+            if mc.optional:
+                raise UnsupportedError(
+                    "OPTIONAL MATCH is not supported (reference parity: "
+                    "TODO at query_planner/mod.rs:49)"
+                )
+            clause_aliases: set[str] = set()
+            for pi, path in enumerate(mc.paths):
+                path_aliases: set[str] = set()
+                node_aliases: list[str] = []
+                for np in path.nodes:
+                    alias = np.alias or self._anon()
+                    node_aliases.append(alias)
+                    path_aliases.add(alias)
+                    existing = pattern.nodes.get(alias)
+                    if existing is None:
+                        prebound = isinstance(scope.get(alias), NodeBinding)
+                        label = np.label
+                        if prebound and label is None:
+                            label = scope.get(alias).label
+                        pattern.nodes[alias] = NodeEntity(
+                            alias=alias, label=label,
+                            properties=dict(np.properties), prebound=prebound,
+                        )
+                    else:
+                        if np.label is not None:
+                            if existing.label is not None and existing.label != np.label:
+                                raise PlanError(
+                                    f"alias '{alias}' bound to two labels: "
+                                    f"{existing.label} vs {np.label}"
+                                )
+                            existing.label = np.label
+                        existing.properties.update(np.properties)
+                for ri, rp in enumerate(path.rels):
+                    alias = rp.alias or self._anon()
+                    if any(r.alias == alias for r in pattern.rels):
+                        raise PlanError(
+                            f"relationship alias '{alias}' used more than once"
+                        )
+                    pattern.rels.append(RelEntity(
+                        alias=alias, type_name=rp.type_name,
+                        direction=rp.direction,
+                        src=node_aliases[ri], dst=node_aliases[ri + 1],
+                        properties=dict(rp.properties),
+                        min_hops=rp.min_hops,
+                        max_hops=min(rp.max_hops, MAX_VAR_HOPS),
+                    ))
+                # Comma-separated patterns in one MATCH must connect
+                # (reference errors on disconnected patterns,
+                # logical_plan/match_clause.rs:200-205). Separate MATCH
+                # clauses may cartesian-join (our upgrade).
+                if pi > 0 and not (clause_aliases & path_aliases):
+                    raise PlanError(
+                        "comma-separated patterns must share an alias"
+                    )
+                clause_aliases |= path_aliases
+        return pattern
+
+    def _infer(self, pattern: Pattern) -> None:
+        """Label/type inference + orientation validation
+        (analyzer/schema_inference.rs:240-339 +
+        analyzer/query_validation.rs:76-131)."""
+        changed = True
+        while changed:
+            changed = False
+            for rel in pattern.rels:
+                if rel.orientation is not None and rel.schema is not None:
+                    continue
+                src = pattern.nodes[rel.src]
+                dst = pattern.nodes[rel.dst]
+                if rel.type_name is not None:
+                    sch = self.catalog.relationship(rel.type_name)
+                else:
+                    cands = []
+                    for sch_ in self.catalog.relationships.values():
+                        if self._orient(sch_, rel.direction, src.label, dst.label):
+                            cands.append(sch_)
+                    if len(cands) != 1:
+                        if src.label is None or dst.label is None:
+                            continue  # wait for more labels
+                        raise PlanError(
+                            f"cannot infer relationship type between "
+                            f"({src.label}) and ({dst.label}): "
+                            f"{len(cands)} candidates"
+                        )
+                    sch = cands[0]
+                    rel.type_name = sch.type_name
+                    changed = True
+                rel.schema = sch
+                orientation = self._orient(sch, rel.direction, src.label, dst.label)
+                if orientation is None:
+                    rel.orientation = "invalid"
+                    # Invalid patterns still need labels for scan schemas;
+                    # claim the schema's own endpoints arbitrarily.
+                    if src.label is None:
+                        src.label = sch.from_node
+                        changed = True
+                    if dst.label is None:
+                        dst.label = sch.to_node
+                        changed = True
+                    continue
+                rel.orientation = orientation
+                want_src = sch.from_node if orientation in ("fwd", "both") else sch.to_node
+                want_dst = sch.to_node if orientation in ("fwd", "both") else sch.from_node
+                if src.label is None:
+                    src.label = want_src
+                    changed = True
+                if dst.label is None:
+                    dst.label = want_dst
+                    changed = True
+        for node in pattern.nodes.values():
+            if node.label is None:
+                if len(self.catalog.nodes) == 1:
+                    node.label = next(iter(self.catalog.nodes))
+                else:
+                    raise PlanError(
+                        f"cannot infer label for node '{node.alias}'"
+                    )
+
+    @staticmethod
+    def _orient(
+        sch: RelationshipSchema, direction: str,
+        src_label: Optional[str], dst_label: Optional[str],
+    ) -> Optional[str]:
+        """'fwd' if src=from/dst=to fits, 'rev' if mirrored, 'both' for
+        a valid undirected self-type hop, None if schema-invalid."""
+        fwd_ok = (src_label in (None, sch.from_node)) and (
+            dst_label in (None, sch.to_node))
+        rev_ok = (src_label in (None, sch.to_node)) and (
+            dst_label in (None, sch.from_node))
+        if direction == "out":
+            return "fwd" if fwd_ok else None
+        if direction == "in":
+            return "rev" if rev_ok else None
+        # either
+        if fwd_ok and rev_ok:
+            return "both"
+        if fwd_ok:
+            return "fwd"
+        if rev_ok:
+            return "rev"
+        return None
+
+    # ------------------------------------------------------------------
+    # DataFrame assembly
+    # ------------------------------------------------------------------
+    def _scan_node(self, node: NodeEntity, scope: Scope) -> DataFrame:
+        sch = self.catalog.node(node.label)
+        df = self.load_table(node.label)
+        raw_cols = list(df.columns)
+        df = df.select(
+            *[F.col(c).alias(pcol(node.alias, c)) for c in raw_cols]
+        )
+        scope.bind(NodeBinding(
+            alias=node.alias, label=node.label, id_column=sch.node_id,
+            columns=sch.column_names or raw_cols,
+        ))
+        if node.properties:
+            ec = ExprCompiler(scope, self.params)
+            for key, expr in node.properties.items():
+                # Inline {k: v} props are per-table equality filters
+                # (logical_plan/match_clause.rs:26-57).
+                df = df.filter(
+                    F.col(pcol(node.alias, key)) == ec.compile(expr)
+                )
+        if node.label in self.broadcast_labels:
+            df = F.broadcast(df)
+        return df
+
+    def _edge_df(self, rel: RelEntity, scope: Scope) -> DataFrame:
+        """Oriented edge DataFrame with columns
+        ``{alias}__from_id`` (matches rel.src), ``{alias}__to_id``
+        (matches rel.dst), plus renamed property columns."""
+        sch = rel.schema
+        raw = self.load_table(sch.type_name)
+        prop_cols = [
+            c for c in raw.columns
+            if c not in (sch.from_column, sch.to_column)
+        ]
+        a = rel.alias
+        src_name, dst_name = pcol(a, "from_id"), pcol(a, "to_id")
+
+        def oriented(src_col: str, dst_col: str) -> DataFrame:
+            sel = [F.col(src_col).alias(src_name), F.col(dst_col).alias(dst_name)]
+            sel += [F.col(c).alias(pcol(a, c)) for c in prop_cols]
+            return raw.select(*sel)
+
+        if rel.orientation == "invalid":
+            df = oriented(sch.from_column, sch.to_column).filter(F.lit(False))
+        elif rel.orientation == "fwd":
+            df = oriented(sch.from_column, sch.to_column)
+        elif rel.orientation == "rev":
+            df = oriented(sch.to_column, sch.from_column)
+        else:  # 'both' -> UNION DISTINCT of the two orientations
+            # (graph_traversal_planning.rs:524-616; note this collapses
+            # reciprocal edge pairs like the reference — documented
+            # divergence from Neo4j bag semantics).
+            df = oriented(sch.from_column, sch.to_column).union(
+                oriented(sch.to_column, sch.from_column)
+            ).distinct()
+        scope.bind(RelBinding(
+            alias=a, type_name=sch.type_name, columns=prop_cols,
+            src_pcol=src_name, dst_pcol=dst_name,
+        ))
+        if rel.properties:
+            ec = ExprCompiler(scope, self.params)
+            for key, expr in rel.properties.items():
+                df = df.filter(F.col(pcol(a, key)) == ec.compile(expr))
+        return df
+
+    def _var_length_df(self, rel: RelEntity) -> DataFrame:
+        """k-hop reachability pairs for ``-[:T*min..max]->``: union over k
+        of k-fold edge self-joins with pairwise edge-distinctness (Cypher
+        relationship-uniqueness). Extension — the reference has no
+        variable-length support (no ``..`` in path_pattern.rs)."""
+        if rel.properties:
+            raise UnsupportedError(
+                "properties on variable-length relationships"
+            )
+        sch = rel.schema
+        raw = self.load_table(sch.type_name)
+        if rel.orientation == "invalid":
+            base = raw.select(
+                F.col(sch.from_column).alias("src"),
+                F.col(sch.to_column).alias("dst"),
+            ).filter(F.lit(False))
+        elif rel.orientation == "rev":
+            base = raw.select(
+                F.col(sch.to_column).alias("src"),
+                F.col(sch.from_column).alias("dst"),
+            )
+        elif rel.orientation == "both":
+            base = raw.select(
+                F.col(sch.from_column).alias("src"),
+                F.col(sch.to_column).alias("dst"),
+            ).union(raw.select(
+                F.col(sch.to_column).alias("src"),
+                F.col(sch.from_column).alias("dst"),
+            )).distinct()
+        else:
+            base = raw.select(
+                F.col(sch.from_column).alias("src"),
+                F.col(sch.to_column).alias("dst"),
+            )
+        out: Optional[DataFrame] = None
+        for k in range(max(rel.min_hops, 1), rel.max_hops + 1):
+            step = base.select(
+                F.col("src").alias("e1_src"), F.col("dst").alias("e1_dst")
+            )
+            df_k = step
+            for s in range(2, k + 1):
+                nxt = base.select(
+                    F.col("src").alias(f"e{s}_src"),
+                    F.col("dst").alias(f"e{s}_dst"),
+                )
+                cond = F.col(f"e{s - 1}_dst") == F.col(f"e{s}_src")
+                df_k = df_k.join(nxt, cond, "inner")
+                # relationship-uniqueness: no edge repeated within a path
+                for p in range(1, s):
+                    df_k = df_k.filter(
+                        ~((F.col(f"e{p}_src") == F.col(f"e{s}_src"))
+                          & (F.col(f"e{p}_dst") == F.col(f"e{s}_dst")))
+                    )
+            df_k = df_k.select(
+                F.col("e1_src").alias("src"),
+                F.col(f"e{k}_dst").alias("dst"),
+            )
+            out = df_k if out is None else out.unionByName(df_k)
+        assert out is not None
+        return out.select(
+            F.col("src").alias(pcol(rel.alias, "from_id")),
+            F.col("dst").alias(pcol(rel.alias, "to_id")),
+        )
+
+    def _filter_score(self, pattern: Pattern, part: ast.QueryPart) -> dict[str, int]:
+        """Anchor heuristic: count per-alias filters (inline props + WHERE
+        conjuncts touching exactly one alias) —
+        optimizer/anchor_node_selection.rs:38-78."""
+        score = {a: len(n.properties) for a, n in pattern.nodes.items()}
+
+        def visit(e: ast.Expr):
+            if isinstance(e, ast.Binary) and e.op == "AND":
+                visit(e.left)
+                visit(e.right)
+                return
+            aliases: set[str] = set()
+            collect_aliases(e, aliases)
+            if len(aliases) == 1:
+                a = next(iter(aliases))
+                if a in score:
+                    score[a] = score.get(a, 0) + 1
+
+        if part.where is not None:
+            visit(part.where)
+        return score
+
+    def _assemble(
+        self, in_df: Optional[DataFrame], scope: Scope,
+        pattern: Pattern, part: ast.QueryPart,
+    ) -> DataFrame:
+        # components: list of (DataFrame, set-of-bound-aliases)
+        components: list[tuple[DataFrame, set[str]]] = []
+        if in_df is not None:
+            components.append((in_df, set(scope.bindings.keys())))
+
+        score = self._filter_score(pattern, part)
+        pending = list(pattern.rels)
+        # Anchor selection: start the fold at the hop touching the
+        # most-filtered alias (anchor_node_selection.rs:38-78).
+        if pending:
+            pending.sort(
+                key=lambda r: -max(score.get(r.src, 0), score.get(r.dst, 0))
+            )
+
+        def find_component(alias: str) -> Optional[int]:
+            for idx, (_, bound) in enumerate(components):
+                if alias in bound:
+                    return idx
+            return None
+
+        progress = True
+        while pending and progress:
+            progress = False
+            for rel in list(pending):
+                li = find_component(rel.src)
+                ri = find_component(rel.dst)
+                # Prefer hops that extend an existing component; defer
+                # fully-unbound hops until nothing else can run (keeps the
+                # fold connected from the anchor).
+                if li is None and ri is None and components and \
+                        len(pending) > 1 and any(
+                            find_component(r.src) is not None
+                            or find_component(r.dst) is not None
+                            for r in pending if r is not rel):
+                    continue
+                pending.remove(rel)
+                progress = True
+                self._apply_hop(rel, pattern, components, scope, find_component)
+                break
+        for rel in pending:  # leftovers (shouldn't happen)
+            self._apply_hop(rel, pattern, components, scope, find_component)
+
+        # Isolated nodes never touched by a hop.
+        for alias, node in pattern.nodes.items():
+            if find_component(alias) is None and not node.prebound:
+                components.append((self._scan_node(node, scope), {alias}))
+
+        if not components:
+            raise PlanError("empty MATCH pattern")
+        df, bound = components[0]
+        for other_df, other_bound in components[1:]:
+            df = df.crossJoin(other_df)
+            bound |= other_bound
+        return df
+
+    def _apply_hop(self, rel, pattern: Pattern, components, scope, find_component):
+        if rel.max_hops > 1:
+            edge = self._var_length_df(rel)
+            # Bind the alias so RETURN * ignores it gracefully? No: a
+            # var-length rel alias binds to a path list in Cypher, which we
+            # don't support — leave it unbound (referencing it errors).
+        else:
+            edge = self._edge_df(rel, scope)
+        src_key = F.col(pcol(rel.alias, "from_id"))
+        dst_key = F.col(pcol(rel.alias, "to_id"))
+
+        li = find_component(rel.src)
+        ri = find_component(rel.dst)
+        if li is not None and ri is not None:
+            if li == ri:
+                # cyclic pattern / re-used aliases: join the edge on both
+                # endpoint keys (graph_join_inference.rs:251-256,
+                # duplicate_scans_removing.rs:28-58).
+                df, bound = components[li]
+                lid = F.col(scope.get(rel.src).id_pcol)
+                rid = F.col(scope.get(rel.dst).id_pcol)
+                df = df.join(edge, (src_key == lid) & (dst_key == rid), "inner")
+                bound.add(rel.alias)
+                components[li] = (df, bound)
+            else:
+                ldf, lbound = components[li]
+                rdf, rbound = components[ri]
+                lid = F.col(scope.get(rel.src).id_pcol)
+                rid = F.col(scope.get(rel.dst).id_pcol)
+                df = ldf.join(edge, src_key == lid, "inner").join(
+                    rdf, dst_key == rid, "inner")
+                merged = lbound | rbound | {rel.alias}
+                for idx in sorted((li, ri), reverse=True):
+                    components.pop(idx)
+                components.append((df, merged))
+        elif li is not None:
+            df, bound = components[li]
+            lid = F.col(scope.get(rel.src).id_pcol)
+            right = self._scan_node(pattern.nodes[rel.dst], scope)
+            rid = F.col(scope.get(rel.dst).id_pcol)
+            df = df.join(edge, src_key == lid, "inner").join(
+                right, dst_key == rid, "inner")
+            bound |= {rel.alias, rel.dst}
+            components[li] = (df, bound)
+        elif ri is not None:
+            df, bound = components[ri]
+            rid = F.col(scope.get(rel.dst).id_pcol)
+            left = self._scan_node(pattern.nodes[rel.src], scope)
+            lid = F.col(scope.get(rel.src).id_pcol)
+            df = df.join(edge, dst_key == rid, "inner").join(
+                left, src_key == lid, "inner")
+            bound |= {rel.alias, rel.src}
+            components[ri] = (df, bound)
+        else:
+            ldf = self._scan_node(pattern.nodes[rel.src], scope)
+            lid = F.col(scope.get(rel.src).id_pcol)
+            right = self._scan_node(pattern.nodes[rel.dst], scope)
+            rid = F.col(scope.get(rel.dst).id_pcol)
+            df = ldf.join(edge, src_key == lid, "inner").join(
+                right, dst_key == rid, "inner")
+            components.append((df, {rel.src, rel.alias, rel.dst}))
+
+    # ------------------------------------------------------------------
+    # Projection (WITH / RETURN)
+    # ------------------------------------------------------------------
+    def _project(
+        self, df: DataFrame, scope: Scope, items: list[ast.ReturnItem],
+        distinct: bool, order_by: list[ast.OrderByItem],
+        skip: Optional[int], limit: Optional[int], final: bool,
+    ) -> tuple[DataFrame, Scope]:
+        ec = ExprCompiler(scope, self.params)
+
+        # RETURN * expansion (analyzer/projection_tagging.rs:31-68).
+        expanded: list[ast.ReturnItem] = []
+        for item in items:
+            if isinstance(item.expr, ast.Star):
+                for name in scope.bindings:
+                    expanded.append(ast.ReturnItem(ast.Variable(name)))
+            else:
+                expanded.append(item)
+
+        group_mode = any(contains_aggregate(it.expr) for it in expanded)
+
+        # Build (output_name, Column, is_agg, src_expr) tuples; bare
+        # node/rel variables expand to their property columns.
+        sel: list[tuple[str, Column, bool, object]] = []
+        new_scope = Scope()
+        for item in expanded:
+            e = item.expr
+            if isinstance(e, ast.Variable) and isinstance(
+                scope.get(e.name), (NodeBinding, RelBinding)
+            ):
+                b = scope.get(e.name)
+                out_alias = item.alias or e.name
+                if final:
+                    for c in b.columns:
+                        sel.append((
+                            f"{out_alias}.{c}",
+                            F.col(pcol(e.name, c)), False, None,
+                        ))
+                else:
+                    # WITH a [AS x]: carry the whole binding forward.
+                    for c in list(b.columns):
+                        sel.append((
+                            pcol(out_alias, c), F.col(pcol(e.name, c)),
+                            False, None,
+                        ))
+                    if isinstance(b, NodeBinding):
+                        new_scope.bind(NodeBinding(
+                            alias=out_alias, label=b.label,
+                            id_column=b.id_column, columns=list(b.columns),
+                        ))
+                    else:
+                        new_scope.bind(RelBinding(
+                            alias=out_alias, type_name=b.type_name,
+                            columns=list(b.columns),
+                            src_pcol=b.src_pcol, dst_pcol=b.dst_pcol,
+                        ))
+                        # src/dst pcols must be carried too
+                        sel.append((b.src_pcol, F.col(b.src_pcol), False, None))
+                        sel.append((b.dst_pcol, F.col(b.dst_pcol), False, None))
+                continue
+            name = item.alias or self._output_name(e, final)
+            col = ec.compile(e)
+            is_agg = contains_aggregate(e)
+            sel.append((name, col, is_agg, e))
+            if not final:
+                new_scope.bind(ScalarBinding(name))
+
+        if group_mode:
+            keys = [col.alias(name) for name, col, is_agg, _ in sel if not is_agg]
+            aggs = [col.alias(name) for name, col, is_agg, _ in sel if is_agg]
+            if keys:
+                out = df.groupBy(*keys).agg(*aggs)
+            else:
+                out = df.agg(*aggs)  # global aggregate
+                # (group_by_building.rs:30-41: all-agg projection -> no keys)
+            out = out.select(*[name for name, *_ in sel])
+        else:
+            out = df.select(*[col.alias(name) for name, col, _, _ in sel])
+
+        if distinct:
+            out = out.distinct()
+
+        out = self._order_page(
+            out, scope, sel, order_by, skip, limit, group_mode or distinct
+        )
+        return out, new_scope
+
+    def _output_name(self, e: ast.Expr, final: bool) -> str:
+        if isinstance(e, ast.PropertyAccess):
+            return f"{e.alias}.{e.key}" if final else e.key
+        if isinstance(e, ast.Variable):
+            return e.name
+        return expr_text(e)
+
+    def _order_page(
+        self, df: DataFrame, in_scope: Scope, sel, order_by,
+        skip: Optional[int], limit: Optional[int], output_only: bool,
+    ) -> DataFrame:
+        if order_by:
+            by_expr = {repr(e): name for name, _, _, e in sel if e is not None}
+            out_names = {name for name, *_ in sel}
+            cols = []
+            for ob in order_by:
+                e = ob.expr
+                if repr(e) in by_expr:
+                    c = F.col(by_expr[repr(e)])
+                elif isinstance(e, ast.Variable) and e.name in out_names:
+                    c = F.col(e.name)
+                elif isinstance(e, ast.PropertyAccess) and \
+                        f"{e.alias}.{e.key}" in out_names:
+                    c = F.col(f"{e.alias}.{e.key}")
+                else:
+                    if output_only:
+                        raise PlanError(
+                            "ORDER BY after aggregation/DISTINCT must "
+                            "reference returned items"
+                        )
+                    # Fall back to output-scope compilation (post-select
+                    # the prefixed columns are gone, so only output names
+                    # resolve; this handles e.g. ORDER BY count(*) when
+                    # count(*) was returned under an alias).
+                    ec = ExprCompiler(in_scope, self.params)
+                    c = ec.compile(e)
+                cols.append(c.asc() if ob.ascending else c.desc())
+            df = df.orderBy(*cols)
+        # ClickHouse `LIMIT skip, n` = offset-then-limit
+        # (to_sql_query.rs:25-33 -> Spark offset+limit).
+        if skip is not None:
+            df = df.offset(skip)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+
+def expr_text(e: ast.Expr) -> str:
+    """Stable textual name for an unaliased projection expression."""
+    if isinstance(e, ast.Literal):
+        return repr(e.value)
+    if isinstance(e, ast.Star):
+        return "*"
+    if isinstance(e, ast.Variable):
+        return e.name
+    if isinstance(e, ast.PropertyAccess):
+        return f"{e.alias}.{e.key}"
+    if isinstance(e, ast.Parameter):
+        return f"${e.name}"
+    if isinstance(e, ast.ListLiteral):
+        return "[" + ", ".join(expr_text(x) for x in e.items) + "]"
+    if isinstance(e, ast.FnCall):
+        inner = ", ".join(expr_text(a) for a in e.args)
+        if e.distinct:
+            inner = "DISTINCT " + inner
+        return f"{e.name}({inner})"
+    if isinstance(e, ast.Unary):
+        return f"{e.op} {expr_text(e.operand)}"
+    if isinstance(e, ast.Binary):
+        return f"{expr_text(e.left)} {e.op} {expr_text(e.right)}"
+    if isinstance(e, ast.IsNull):
+        return f"{expr_text(e.operand)} IS {'NOT ' if e.negated else ''}NULL"
+    if isinstance(e, ast.CaseExpr):
+        return "CASE"
+    return "expr"

@@ -1,0 +1,248 @@
+"""AST expression -> pyspark Column.
+
+Replaces the reference's LogicalExpr -> RenderExpr -> SQL-string path
+(query_planner/logical_expr/mod.rs:7-49, render_plan/render_expr.rs,
+clickhouse_query_generator/to_sql_query.rs:236-341) with direct Column
+construction; Catalyst then handles constant folding, predicate pushdown,
+and codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..errors import PlanError
+from ..parser import ast
+from . import functions as fns
+from .scope import NodeBinding, RelBinding, ScalarBinding, Scope, pcol
+
+
+class ExprCompiler:
+    def __init__(self, scope: Scope, params: Optional[dict] = None):
+        self.scope = scope
+        self.params = params or {}
+
+    # ------------------------------------------------------------------
+    def compile(self, e: ast.Expr) -> Column:
+        if isinstance(e, ast.Literal):
+            return F.lit(e.value)
+        if isinstance(e, ast.Parameter):
+            if e.name not in self.params:
+                raise PlanError(f"missing parameter ${e.name}")
+            return F.lit(self.params[e.name])
+        if isinstance(e, ast.Star):
+            # Only legal inside count(*); caller handles projection *.
+            return F.lit(1)
+        if isinstance(e, ast.Variable):
+            return self._variable(e.name)
+        if isinstance(e, ast.PropertyAccess):
+            return F.col(self.resolve_property(e.alias, e.key))
+        if isinstance(e, ast.ListLiteral):
+            return F.array(*[self.compile(x) for x in e.items])
+        if isinstance(e, ast.Unary):
+            return self._unary(e)
+        if isinstance(e, ast.Binary):
+            return self._binary(e)
+        if isinstance(e, ast.IsNull):
+            c = self.compile(e.operand)
+            return c.isNotNull() if e.negated else c.isNull()
+        if isinstance(e, ast.CaseExpr):
+            return self._case(e)
+        if isinstance(e, ast.FnCall):
+            return self._fn_call(e)
+        raise PlanError(f"cannot compile expression {e!r}")
+
+    # ------------------------------------------------------------------
+    def resolve_property(self, alias: str, key: str) -> str:
+        b = self.scope.get(alias)
+        if b is None:
+            raise PlanError(f"unknown alias '{alias}'")
+        if isinstance(b, (NodeBinding, RelBinding)):
+            if key not in b.columns:
+                raise PlanError(
+                    f"unknown property '{key}' on '{alias}' "
+                    f"(columns: {', '.join(b.columns)})"
+                )
+            return pcol(alias, key)
+        raise PlanError(f"'{alias}' is not a node/relationship; "
+                        f"cannot access property '{key}'")
+
+    def _variable(self, name: str) -> Column:
+        b = self.scope.get(name)
+        if b is None:
+            raise PlanError(f"unknown variable '{name}'")
+        if isinstance(b, ScalarBinding):
+            return F.col(name)
+        if isinstance(b, NodeBinding):
+            # Node used as a value: resolves to its id (Cypher node
+            # identity; also what count(a) should count).
+            return F.col(b.id_pcol)
+        if isinstance(b, RelBinding):
+            return F.col(b.src_pcol)
+        raise PlanError(f"cannot use '{name}' as a value")
+
+    def _unary(self, e: ast.Unary) -> Column:
+        c = self.compile(e.operand)
+        if e.op == "NOT":
+            return ~c
+        if e.op == "-":
+            return -c
+        if e.op == "DISTINCT":
+            return c  # handled by aggregate callers
+        raise PlanError(f"unknown unary op {e.op}")
+
+    def _binary(self, e: ast.Binary) -> Column:
+        op = e.op
+        if op == "IN" or op == "NOT_IN":
+            left = self.compile(e.left)
+            if isinstance(e.right, ast.ListLiteral):
+                vals = []
+                for item in e.right.items:
+                    if isinstance(item, ast.Literal):
+                        vals.append(item.value)
+                    elif isinstance(item, ast.Parameter):
+                        vals.append(self.params.get(item.name))
+                    else:
+                        # Non-literal list: fall back to array_contains.
+                        arr = self.compile(e.right)
+                        c = F.array_contains(arr, left)
+                        return ~c if op == "NOT_IN" else c
+                c = left.isin(vals)
+            else:
+                c = F.array_contains(self.compile(e.right), left)
+            return ~c if op == "NOT_IN" else c
+        l, r = self.compile(e.left), self.compile(e.right)
+        if op == "+":
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            return l / r
+        if op == "%":
+            return l % r
+        if op == "^":
+            return F.pow(l, r)
+        if op == "=":
+            return l == r
+        if op == "<>":
+            return l != r
+        if op == "<":
+            return l < r
+        if op == ">":
+            return l > r
+        if op == "<=":
+            return l <= r
+        if op == ">=":
+            return l >= r
+        if op == "AND":
+            return l & r
+        if op == "OR":
+            return l | r
+        if op == "XOR":
+            return l.cast("boolean") != r.cast("boolean")
+        if op == "STARTS_WITH":
+            return l.startswith(r)
+        if op == "ENDS_WITH":
+            return l.endswith(r)
+        if op == "CONTAINS":
+            return l.contains(r)
+        if op == "REGEX":
+            return l.rlike(r)
+        raise PlanError(f"unknown binary op {op}")
+
+    def _case(self, e: ast.CaseExpr) -> Column:
+        col = None
+        operand = self.compile(e.operand) if e.operand is not None else None
+        for cond_ast, val_ast in e.whens:
+            cond = self.compile(cond_ast)
+            if operand is not None:
+                cond = operand == cond
+            val = self.compile(val_ast)
+            col = F.when(cond, val) if col is None else col.when(cond, val)
+        if col is None:
+            raise PlanError("CASE requires at least one WHEN")
+        if e.else_ is not None:
+            col = col.otherwise(self.compile(e.else_))
+        return col
+
+    def _fn_call(self, e: ast.FnCall) -> Column:
+        name = e.name.lower()
+        # Graph-introspection functions need the scope, not just columns.
+        if name == "id" and len(e.args) == 1 and isinstance(e.args[0], ast.Variable):
+            return self._variable(e.args[0].name)
+        if name == "labels" and len(e.args) == 1 and isinstance(e.args[0], ast.Variable):
+            b = self.scope.get(e.args[0].name)
+            if isinstance(b, NodeBinding):
+                return F.array(F.lit(b.label))
+            raise PlanError("labels() requires a node variable")
+        if name == "type" and len(e.args) == 1 and isinstance(e.args[0], ast.Variable):
+            b = self.scope.get(e.args[0].name)
+            if isinstance(b, RelBinding):
+                return F.lit(b.type_name)
+            raise PlanError("type() requires a relationship variable")
+        args = [self.compile(a) for a in e.args]
+        if fns.is_aggregate(name):
+            if e.args and isinstance(e.args[0], ast.Star):
+                return fns.compile_aggregate("count", [], e.distinct)
+            return fns.compile_aggregate(name, args, e.distinct)
+        return fns.compile_scalar(name, args)
+
+
+def contains_aggregate(e: ast.Expr) -> bool:
+    """Aggregate detection for implicit GROUP BY
+    (analyzer/group_by_building.rs:13-45)."""
+    if isinstance(e, ast.FnCall):
+        if fns.is_aggregate(e.name):
+            return True
+        return any(contains_aggregate(a) for a in e.args)
+    if isinstance(e, ast.Unary):
+        return contains_aggregate(e.operand)
+    if isinstance(e, ast.Binary):
+        return contains_aggregate(e.left) or contains_aggregate(e.right)
+    if isinstance(e, ast.IsNull):
+        return contains_aggregate(e.operand)
+    if isinstance(e, ast.ListLiteral):
+        return any(contains_aggregate(x) for x in e.items)
+    if isinstance(e, ast.CaseExpr):
+        parts = [c for w in e.whens for c in w]
+        if e.else_ is not None:
+            parts.append(e.else_)
+        if e.operand is not None:
+            parts.append(e.operand)
+        return any(contains_aggregate(p) for p in parts)
+    return False
+
+
+def collect_aliases(e: ast.Expr, out: set[str]) -> None:
+    """All alias names referenced by an expression (used for single-table
+    filter classification, analyzer/filter_tagging.rs:97-185)."""
+    if isinstance(e, ast.Variable):
+        out.add(e.name)
+    elif isinstance(e, ast.PropertyAccess):
+        out.add(e.alias)
+    elif isinstance(e, ast.Unary):
+        collect_aliases(e.operand, out)
+    elif isinstance(e, ast.Binary):
+        collect_aliases(e.left, out)
+        collect_aliases(e.right, out)
+    elif isinstance(e, ast.IsNull):
+        collect_aliases(e.operand, out)
+    elif isinstance(e, ast.ListLiteral):
+        for x in e.items:
+            collect_aliases(x, out)
+    elif isinstance(e, ast.FnCall):
+        for a in e.args:
+            collect_aliases(a, out)
+    elif isinstance(e, ast.CaseExpr):
+        for c, v in e.whens:
+            collect_aliases(c, out)
+            collect_aliases(v, out)
+        if e.else_ is not None:
+            collect_aliases(e.else_, out)
+        if e.operand is not None:
+            collect_aliases(e.operand, out)

@@ -1,0 +1,135 @@
+"""Scalar & aggregate function catalog.
+
+The reference passes *any* ``name(args)`` through to ClickHouse by name with
+no validation (open_cypher_parser/expression.rs:234-252, render
+to_sql_query.rs:279-287). We keep the same pass-through posture Spark-side:
+a curated map translates Cypher/ClickHouse spellings to
+``pyspark.sql.functions`` builders, and unknown names fall back to
+``F.call_function(name, ...)`` so every Spark SQL builtin works — the same
+failure mode (runtime error on a truly unknown function) as the reference.
+
+Aggregates are classified by name exactly like the reference's five
+(logical_expr/mod.rs:253-268: count, min, max, avg, sum) plus Spark-native
+extensions (collect, stddev, ...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Reference's aggregate set (logical_expr/mod.rs:253-268) + extensions.
+AGGREGATE_FNS = {
+    "count", "min", "max", "avg", "sum",
+    # extensions (not in the reference)
+    "collect", "collect_list", "collect_set", "stddev", "stddev_pop",
+    "variance", "var_pop", "percentilecont", "percentile_approx",
+    "first", "last_agg", "any_value", "count_if", "median",
+}
+
+
+def is_aggregate(name: str) -> bool:
+    return name.lower() in AGGREGATE_FNS
+
+
+def compile_aggregate(name: str, args: list[Column], distinct: bool) -> Column:
+    n = name.lower()
+    if n == "count":
+        if not args:  # count(*) parsed as Star -> handled by caller as lit(1)
+            return F.count(F.lit(1))
+        if distinct:
+            return F.count_distinct(*args)
+        return F.count(args[0])
+    if distinct and n == "sum":
+        return F.sum_distinct(args[0])
+    if distinct and n in ("collect", "collect_list", "collect_set"):
+        return F.collect_set(args[0])
+    builders = {
+        "min": F.min, "max": F.max, "avg": F.avg, "sum": F.sum,
+        "collect": F.collect_list, "collect_list": F.collect_list,
+        "collect_set": F.collect_set, "stddev": F.stddev,
+        "stddev_pop": F.stddev_pop, "variance": F.variance,
+        "var_pop": F.var_pop, "first": F.first, "any_value": F.any_value,
+        "count_if": F.count_if, "median": F.median,
+        "percentile_approx": lambda c: F.percentile_approx(c, 0.5),
+    }
+    if n in builders:
+        return builders[n](*args) if n != "percentile_approx" else builders[n](args[0])
+    return F.call_function(n, *args)
+
+
+def _substring(args: list[Column]) -> Column:
+    # Cypher substring(s, start[, len]) is 0-based; Spark substring is 1-based.
+    s, start = args[0], args[1]
+    if len(args) >= 3:
+        return s.substr(start + F.lit(1), args[2])
+    return s.substr(start + F.lit(1), F.length(s))
+
+
+# Cypher / ClickHouse spelling -> Column builder.
+SCALAR_FNS = {
+    # string
+    "toupper": lambda a: F.upper(a[0]),
+    "upper": lambda a: F.upper(a[0]),
+    "tolower": lambda a: F.lower(a[0]),
+    "lower": lambda a: F.lower(a[0]),
+    "length": lambda a: F.length(a[0]),
+    "char_length": lambda a: F.length(a[0]),
+    "size": lambda a: F.size(a[0]),
+    "trim": lambda a: F.trim(a[0]),
+    "ltrim": lambda a: F.ltrim(a[0]),
+    "rtrim": lambda a: F.rtrim(a[0]),
+    "reverse": lambda a: F.reverse(a[0]),
+    "replace": lambda a: F.replace(a[0], a[1], a[2]),
+    "split": lambda a: F.split(a[0], a[1]),
+    "substring": _substring,
+    "left": lambda a: a[0].substr(F.lit(1), a[1]),
+    "right": lambda a: F.call_function("right", a[0], a[1]),
+    "concat": lambda a: F.concat(*a),
+    "concat_ws": lambda a: F.call_function("concat_ws", *a),
+    # casts
+    "tostring": lambda a: a[0].cast("string"),
+    "tointeger": lambda a: a[0].cast("bigint"),
+    "toint": lambda a: a[0].cast("bigint"),
+    "tofloat": lambda a: a[0].cast("double"),
+    "toboolean": lambda a: a[0].cast("boolean"),
+    # numeric
+    "abs": lambda a: F.abs(a[0]),
+    "ceil": lambda a: F.ceil(a[0]),
+    "ceiling": lambda a: F.ceil(a[0]),
+    "floor": lambda a: F.floor(a[0]),
+    "round": lambda a: F.round(*a),
+    "sqrt": lambda a: F.sqrt(a[0]),
+    "exp": lambda a: F.exp(a[0]),
+    "log": lambda a: F.log(a[0]),
+    "log10": lambda a: F.log10(a[0]),
+    "sign": lambda a: F.signum(a[0]),
+    "pow": lambda a: F.pow(a[0], a[1]),
+    "power": lambda a: F.pow(a[0], a[1]),
+    "pi": lambda a: F.lit(3.141592653589793),
+    "rand": lambda a: F.rand(),
+    # null handling / conditionals
+    "coalesce": lambda a: F.coalesce(*a),
+    "nullif": lambda a: F.nullif(a[0], a[1]),
+    "ifnull": lambda a: F.coalesce(a[0], a[1]),
+    # lists
+    "head": lambda a: F.element_at(a[0], 1),
+    "last": lambda a: F.element_at(a[0], -1),
+    "range": lambda a: F.sequence(*a),
+    "__index": lambda a: F.element_at(a[0], a[1] + F.lit(1)),  # 0-based [i]
+    # temporal (ClickHouse-ish spellings)
+    "toyear": lambda a: F.year(a[0]),
+    "year": lambda a: F.year(a[0]),
+    "month": lambda a: F.month(a[0]),
+    "day": lambda a: F.dayofmonth(a[0]),
+    "todate": lambda a: a[0].cast("date"),
+}
+
+
+def compile_scalar(name: str, args: list[Column]) -> Column:
+    n = name.lower()
+    if n in SCALAR_FNS:
+        return SCALAR_FNS[n](args)
+    # Pass-through to any Spark SQL builtin (parity with the reference's
+    # ClickHouse pass-through; unknown names raise at analysis time).
+    return F.call_function(n, *args)

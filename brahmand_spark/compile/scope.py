@@ -1,0 +1,66 @@
+"""Name-resolution scope: alias -> binding.
+
+Plays the role of the reference's PlanCtx alias map
+(query_planner/plan_ctx/mod.rs:11-21,125-128: alias -> TableCtx{label,
+properties, filters, projections, is_rel}), adapted to DataFrame
+compilation: every entity's columns are physically renamed to
+``{alias}__{column}`` at scan time so joins and expressions are
+unambiguous without SQL-style table qualifiers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+SEP = "__"  # alias/column separator in physical names
+
+
+def pcol(alias: str, column: str) -> str:
+    """Physical (prefixed) column name for alias.column."""
+    return f"{alias}{SEP}{column}"
+
+
+@dataclass
+class NodeBinding:
+    alias: str
+    label: str
+    id_column: str  # logical id column name (unprefixed)
+    columns: list[str]  # logical column names
+
+    @property
+    def id_pcol(self) -> str:
+        return pcol(self.alias, self.id_column)
+
+
+@dataclass
+class RelBinding:
+    alias: str
+    type_name: str
+    columns: list[str]  # property columns (logical names)
+    src_pcol: str = ""  # physical src-id column after orientation
+    dst_pcol: str = ""
+
+
+@dataclass
+class ScalarBinding:
+    """A plain output column introduced by WITH/UNWIND (named by itself)."""
+
+    alias: str
+
+
+Binding = Union[NodeBinding, RelBinding, ScalarBinding]
+
+
+@dataclass
+class Scope:
+    bindings: dict[str, Binding] = field(default_factory=dict)
+
+    def bind(self, b: Binding) -> None:
+        self.bindings[b.alias] = b
+
+    def get(self, alias: str) -> Optional[Binding]:
+        return self.bindings.get(alias)
+
+    def copy(self) -> "Scope":
+        return Scope(dict(self.bindings))

@@ -1,0 +1,113 @@
+"""TPC-H-ish property graph over the driver-provided parquet tables.
+
+Implements FIXTURES.md §B: node labels map 1:1 to the parquet tables;
+relationship tables are *derived FK views* (select + rename) so no data is
+modified. The derived edge views use the reference's physical naming
+convention ``from_{FromLabel}`` / ``to_{ToLabel}`` (ddl_query.rs:259-261).
+
+``Lineitem`` gets a synthetic node id ``li_id = l_orderkey * 10 +
+l_linenumber`` (l_linenumber is 1..7 in TPC-H, so this is injective).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import GraphSchema, NodeSchema, RelationshipSchema
+from ..io import configure, read_parquet
+from ..session import GraphSession
+
+NODE_TABLES = {
+    # label: (parquet file, node id column)
+    "Region": ("region", "r_regionkey"),
+    "Nation": ("nation", "n_nationkey"),
+    "Customer": ("customer", "c_custkey"),
+    "Supplier": ("supplier", "s_suppkey"),
+    "Part": ("part", "p_partkey"),
+    "Order": ("orders", "o_orderkey"),
+    "Lineitem": ("lineitem", "li_id"),
+    "Event": ("events", "event_id"),
+    "Document": ("documents", "doc_id"),
+    "Embedding": ("embeddings", "vec_id"),
+}
+
+# Small dimension tables worth broadcasting in every join
+# (at sf1000 these are still tiny relative to facts).
+BROADCAST = {"Region", "Nation", "Supplier"}
+
+
+def lineitem_with_id(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "li_id", (F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber"))
+        .cast("bigint")
+    )
+
+
+def build_session(spark: SparkSession, sf_dir: str) -> GraphSession:
+    configure(spark)
+    schema = GraphSchema()
+    dfs: dict[str, DataFrame] = {}
+    for label, (fname, id_col) in NODE_TABLES.items():
+        df = read_parquet(spark, f"{sf_dir}/{fname}.parquet")
+        if label == "Lineitem":
+            df = lineitem_with_id(df)
+        dfs[label] = df
+        schema.add_node(NodeSchema(
+            label=label, table_name=label, node_id=id_col,
+            column_names=list(df.columns), primary_keys=[id_col],
+        ))
+
+    li = dfs["Lineitem"]
+
+    def edge(name, from_label, to_label, df):
+        from_col = f"from_{from_label}"
+        to_col = f"to_{to_label}"
+        prop_cols = [c for c in df.columns if c not in (from_col, to_col)]
+        schema.add_relationship(RelationshipSchema(
+            type_name=name, table_name=name,
+            from_node=from_label, to_node=to_label,
+            from_column=from_col, to_column=to_col,
+            column_names=prop_cols,
+        ))
+        return name, df
+
+    edges = dict([
+        edge("IN_REGION", "Nation", "Region", dfs["Nation"].select(
+            F.col("n_nationkey").cast("bigint").alias("from_Nation"),
+            F.col("n_regionkey").cast("bigint").alias("to_Region"),
+        )),
+        edge("CUST_IN", "Customer", "Nation", dfs["Customer"].select(
+            F.col("c_custkey").alias("from_Customer"),
+            F.col("c_nationkey").cast("bigint").alias("to_Nation"),
+        )),
+        edge("SUPP_IN", "Supplier", "Nation", dfs["Supplier"].select(
+            F.col("s_suppkey").alias("from_Supplier"),
+            F.col("s_nationkey").cast("bigint").alias("to_Nation"),
+        )),
+        edge("PLACED", "Customer", "Order", dfs["Order"].select(
+            F.col("o_custkey").alias("from_Customer"),
+            F.col("o_orderkey").alias("to_Order"),
+        )),
+        edge("HAS_LINE", "Order", "Lineitem", li.select(
+            F.col("l_orderkey").alias("from_Order"),
+            F.col("li_id").alias("to_Lineitem"),
+            F.col("l_linenumber"),
+        )),
+        edge("OF_PART", "Lineitem", "Part", li.select(
+            F.col("li_id").alias("from_Lineitem"),
+            F.col("l_partkey").alias("to_Part"),
+            F.col("l_quantity"), F.col("l_extendedprice"),
+        )),
+        edge("SUPPLIED_BY", "Lineitem", "Supplier", li.select(
+            F.col("li_id").alias("from_Lineitem"),
+            F.col("l_suppkey").alias("to_Supplier"),
+        )),
+    ])
+
+    session = GraphSession(spark, schema=schema, broadcast_labels=set(BROADCAST))
+    for label, df in dfs.items():
+        session.register_table(label, df)
+    for name, df in edges.items():
+        session.register_table(name, df)
+    return session

@@ -1,0 +1,269 @@
+"""openCypher AST.
+
+Mirrors the reference AST (/root/reference/brahmand/src/open_cypher_parser/
+ast.rs:5-359): node/rel patterns with direction (ast.rs:140-186), literal
+kinds (ast.rs:197-204), operator applications (ast.rs:206-231), clause
+structs. Two deliberate upgrades over the reference:
+
+- A query is a list of ``QueryPart`` so WITH acts as a real pipeline
+  boundary (the reference parses WITH but never plans it,
+  logical_plan/plan_builder.rs:16-48).
+- Variable-length relationships ``*min..max`` carry (min_hops, max_hops)
+  (the reference has no ``..`` handling in path_pattern.rs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+
+# --------------------------------------------------------------------------
+# Expressions
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Literal:
+    """Integer / Float / Boolean / String / Null (ast.rs:197-204)."""
+
+    value: object  # int | float | bool | str | None
+
+
+@dataclass(frozen=True)
+class Star:
+    """``*`` in RETURN or count(*) (ast.rs Star variant)."""
+
+
+@dataclass(frozen=True)
+class Variable:
+    """Bare alias reference, e.g. ``a`` (TableAlias in the reference)."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class PropertyAccess:
+    """``a.name`` (logical_expr PropertyAccess)."""
+
+    alias: str
+    key: str
+
+
+@dataclass(frozen=True)
+class Parameter:
+    """``$name`` (expression.rs:300-306)."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class ListLiteral:
+    items: tuple  # tuple[Expr, ...]
+
+
+@dataclass(frozen=True)
+class FnCall:
+    """Function call; aggregate-vs-scalar classified later by name
+    (logical_expr/mod.rs:253-268)."""
+
+    name: str
+    args: tuple  # tuple[Expr, ...]
+    distinct: bool = False  # count(DISTINCT x)
+
+
+@dataclass(frozen=True)
+class Unary:
+    op: str  # 'NOT' | '-' | '+' | 'DISTINCT'
+    operand: "Expr"
+
+
+@dataclass(frozen=True)
+class Binary:
+    op: str  # + - * / % ^ = <> < > <= >= AND OR IN NOT_IN
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass(frozen=True)
+class IsNull:
+    operand: "Expr"
+    negated: bool = False  # True -> IS NOT NULL
+
+
+@dataclass(frozen=True)
+class CaseExpr:
+    """CASE WHEN ... THEN ... [ELSE ...] END (extension; the reference
+    commented CASE out of its AST, ast.rs:306-312)."""
+
+    whens: tuple  # tuple[tuple[Expr, Expr], ...]
+    else_: Optional["Expr"] = None
+    operand: Optional["Expr"] = None  # CASE <operand> WHEN v THEN ...
+
+
+Expr = Union[
+    Literal, Star, Variable, PropertyAccess, Parameter, ListLiteral,
+    FnCall, Unary, Binary, IsNull, CaseExpr,
+]
+
+
+# --------------------------------------------------------------------------
+# Patterns (ast.rs:140-186)
+# --------------------------------------------------------------------------
+
+@dataclass
+class NodePattern:
+    alias: Optional[str]
+    label: Optional[str]
+    properties: dict[str, Expr] = field(default_factory=dict)
+
+
+@dataclass
+class RelPattern:
+    alias: Optional[str]
+    type_name: Optional[str]
+    direction: str  # 'out' | 'in' | 'either' (ast.rs:173-186)
+    properties: dict[str, Expr] = field(default_factory=dict)
+    min_hops: int = 1  # variable-length extension: -[*1..3]->
+    max_hops: int = 1
+
+
+@dataclass
+class PathPattern:
+    """Alternating nodes and rels: n0 r0 n1 r1 n2 ... (path_pattern.rs:27-100)."""
+
+    nodes: list[NodePattern]
+    rels: list[RelPattern]
+
+
+# --------------------------------------------------------------------------
+# Clauses
+# --------------------------------------------------------------------------
+
+@dataclass
+class MatchClause:
+    paths: list[PathPattern]
+    optional: bool = False  # OPTIONAL MATCH (extension; ref TODO at query_planner/mod.rs:49)
+
+
+@dataclass
+class ReturnItem:
+    expr: Expr
+    alias: Optional[str] = None
+
+
+@dataclass
+class ReturnClause:
+    items: list[ReturnItem]
+    distinct: bool = False
+
+
+@dataclass
+class WithClause:
+    items: list[ReturnItem]
+    distinct: bool = False
+
+
+@dataclass
+class OrderByItem:
+    expr: Expr
+    ascending: bool = True
+
+
+@dataclass
+class UnwindClause:
+    """UNWIND <list-expr> AS alias (extension; not in the reference)."""
+
+    expr: Expr
+    alias: str
+
+
+@dataclass
+class QueryPart:
+    """One pipeline segment: MATCH* [UNWIND] [WHERE] ending in WITH or RETURN."""
+
+    matches: list[MatchClause] = field(default_factory=list)
+    unwind: Optional[UnwindClause] = None
+    where: Optional[Expr] = None
+    with_clause: Optional[WithClause] = None
+    # ORDER BY/SKIP/LIMIT attached to a WITH boundary (openCypher allows it)
+    order_by: list[OrderByItem] = field(default_factory=list)
+    skip: Optional[int] = None
+    limit: Optional[int] = None
+
+
+@dataclass
+class ReadQuery:
+    parts: list[QueryPart]
+    return_clause: Optional[ReturnClause] = None
+    order_by: list[OrderByItem] = field(default_factory=list)
+    skip: Optional[int] = None
+    limit: Optional[int] = None
+
+
+# --------------------------------------------------------------------------
+# DDL (create_node_table_clause.rs / create_rel_table_clause.rs)
+# --------------------------------------------------------------------------
+
+@dataclass
+class ColumnDef:
+    name: str
+    dtype: str
+    default: Optional[Expr] = None
+
+
+@dataclass
+class CreateNodeTable:
+    name: str
+    columns: list[ColumnDef]
+    primary_keys: list[str]
+    node_id: Optional[str]  # exactly one required at DDL validation
+
+
+@dataclass
+class CreateRelTable:
+    name: str
+    from_node: str
+    to_node: str
+    columns: list[ColumnDef]
+    adj_index: bool = False
+
+
+# Parsed-but-unsupported write clauses (parity with the reference, which
+# parses these and then routes them to an UnsupportedDDLQuery error,
+# ddl_query.rs:339-352 + server/handlers.rs:65-76).
+
+@dataclass
+class CreateDataClause:
+    paths: list[PathPattern]
+
+
+@dataclass
+class SetClause:
+    assignments: list[tuple]  # [(PropertyAccess, Expr)]
+
+
+@dataclass
+class RemoveClause:
+    targets: list[PropertyAccess]
+
+
+@dataclass
+class DeleteClause:
+    aliases: list[str]
+    detach: bool = False
+
+
+@dataclass
+class WriteQuery:
+    """Write statement: parsed for parity, rejected at plan time."""
+
+    match_clauses: list[MatchClause] = field(default_factory=list)
+    where: Optional[Expr] = None
+    create: Optional[CreateDataClause] = None
+    set_clause: Optional[SetClause] = None
+    remove: Optional[RemoveClause] = None
+    delete: Optional[DeleteClause] = None
+    return_clause: Optional[ReturnClause] = None
+
+
+Statement = Union[ReadQuery, CreateNodeTable, CreateRelTable, WriteQuery]

@@ -1,0 +1,627 @@
+"""Recursive-descent parser for the openCypher subset.
+
+Clause surface matches the reference parser (open_cypher_parser/mod.rs:35-94):
+MATCH / WHERE / WITH / RETURN / ORDER BY / SKIP / LIMIT plus both CREATE
+TABLE DDL forms, and parse-only CREATE/SET/REMOVE/DELETE write clauses.
+Operator precedence follows expression.rs:102-223 (postfix -> unary NOT ->
+binary -> AND -> OR), extended with standard arithmetic tiers.
+
+Upgrades over the reference: WITH pipelines are retained in the AST (the
+reference drops them at planning), UNWIND, CASE, OPTIONAL MATCH, string
+predicates (STARTS WITH / ENDS WITH / CONTAINS), variable-length rels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..errors import ParseError
+from . import ast
+from .lexer import Token, tokenize
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.tokens = tokenize(text)
+        self.i = 0
+
+    # -- token helpers -----------------------------------------------------
+    def peek(self, ahead: int = 0) -> Token:
+        return self.tokens[min(self.i + ahead, len(self.tokens) - 1)]
+
+    def next(self) -> Token:
+        tok = self.tokens[self.i]
+        if tok.kind != "EOF":
+            self.i += 1
+        return tok
+
+    def at_kw(self, *kws: str) -> bool:
+        tok = self.peek()
+        return tok.kind == "KEYWORD" and tok.value in kws
+
+    def at_op(self, *ops: str) -> bool:
+        tok = self.peek()
+        return tok.kind == "OP" and tok.value in ops
+
+    def eat_kw(self, kw: str) -> Token:
+        if not self.at_kw(kw):
+            self.error(f"expected {kw}")
+        return self.next()
+
+    def eat_op(self, op: str) -> Token:
+        if not self.at_op(op):
+            self.error(f"expected '{op}'")
+        return self.next()
+
+    def try_kw(self, *kws: str) -> bool:
+        if self.at_kw(*kws):
+            self.next()
+            return True
+        return False
+
+    def try_op(self, op: str) -> bool:
+        if self.at_op(op):
+            self.next()
+            return True
+        return False
+
+    def ident(self) -> str:
+        tok = self.peek()
+        # Allow non-reserved use of soft keywords as identifiers where
+        # unambiguous (e.g. a column named `key`).
+        if tok.kind == "IDENT":
+            return self.next().value
+        if tok.kind == "KEYWORD" and tok.value in {
+            "NODE", "REL", "TABLE", "KEY", "FROM", "TO", "ALL", "END",
+            "ORDER", "BY", "SKIP", "LIMIT", "SET", "DEFAULT", "CASE",
+        }:
+            # Soft keywords: usable as labels/aliases where an identifier
+            # is demanded (e.g. a node label named `Order`). Original
+            # casing comes from the source text.
+            self.next()
+            return self.text[tok.pos:tok.pos + len(tok.value)]
+        self.error("expected identifier")
+
+    def error(self, msg: str):
+        tok = self.peek()
+        got = tok.value or "<eof>"
+        raise ParseError(f"{msg}, got {got!r}", tok.pos, self.text)
+
+    # -- entry -------------------------------------------------------------
+    def parse_statement(self) -> ast.Statement:
+        stmt = self._parse_statement_inner()
+        self.try_op(";")
+        if self.peek().kind != "EOF":
+            self.error("unexpected trailing input")
+        return stmt
+
+    def _parse_statement_inner(self) -> ast.Statement:
+        if self.at_kw("CREATE"):
+            nxt = self.peek(1)
+            if nxt.kind == "KEYWORD" and nxt.value == "NODE":
+                return self.parse_create_node_table()
+            if nxt.kind == "KEYWORD" and nxt.value == "REL":
+                return self.parse_create_rel_table()
+            return self.parse_write_query()
+        if self.at_kw("MATCH", "OPTIONAL", "UNWIND", "WITH"):
+            # Peek ahead: a MATCH followed by SET/DELETE/REMOVE/CREATE is a
+            # write query (query_planner/mod.rs:21-31 classification).
+            if self._scan_is_write():
+                return self.parse_write_query()
+            return self.parse_read_query()
+        self.error("expected MATCH, UNWIND, WITH, or CREATE")
+
+    def _scan_is_write(self) -> bool:
+        depth = 0
+        for tok in self.tokens[self.i:]:
+            if tok.kind == "OP" and tok.value in "([{":
+                depth += 1
+            elif tok.kind == "OP" and tok.value in ")]}":
+                depth -= 1
+            elif tok.kind == "KEYWORD" and depth == 0 and tok.value in {
+                "SET", "REMOVE", "DELETE", "DETACH", "CREATE",
+            }:
+                return True
+        return False
+
+    # -- read query --------------------------------------------------------
+    def parse_read_query(self) -> ast.ReadQuery:
+        parts: list[ast.QueryPart] = []
+        cur = ast.QueryPart()
+        query = ast.ReadQuery(parts=parts)
+        while True:
+            if self.at_kw("MATCH") or (
+                self.at_kw("OPTIONAL") and self.peek(1).value == "MATCH"
+            ):
+                cur.matches.append(self.parse_match())
+            elif self.at_kw("UNWIND"):
+                if cur.unwind is not None:
+                    # Start a new part so each part has at most one UNWIND.
+                    parts.append(cur)
+                    cur = ast.QueryPart()
+                self.next()
+                expr = self.parse_expr()
+                self.eat_kw("AS")
+                cur.unwind = ast.UnwindClause(expr=expr, alias=self.ident())
+            elif self.at_kw("WHERE"):
+                self.next()
+                pred = self.parse_expr()
+                cur.where = (
+                    pred if cur.where is None
+                    else ast.Binary("AND", cur.where, pred)
+                )
+            elif self.at_kw("WITH"):
+                self.next()
+                distinct = self.try_kw("DISTINCT")
+                items = self.parse_return_items()
+                cur.with_clause = ast.WithClause(items=items, distinct=distinct)
+                cur.order_by, cur.skip, cur.limit = self.parse_modifiers()
+                parts.append(cur)
+                cur = ast.QueryPart()
+            elif self.at_kw("RETURN"):
+                self.next()
+                distinct = self.try_kw("DISTINCT")
+                items = self.parse_return_items()
+                query.return_clause = ast.ReturnClause(items, distinct=distinct)
+                query.order_by, query.skip, query.limit = self.parse_modifiers()
+                parts.append(cur)
+                return query
+            else:
+                self.error("expected MATCH, UNWIND, WHERE, WITH, or RETURN")
+
+    def parse_modifiers(self):
+        order_by: list[ast.OrderByItem] = []
+        skip = limit = None
+        if self.try_kw("ORDER"):
+            self.eat_kw("BY")
+            while True:
+                expr = self.parse_expr()
+                asc = True
+                if self.try_kw("DESC") or self.try_kw("DESCENDING"):
+                    asc = False
+                else:
+                    self.try_kw("ASC") or self.try_kw("ASCENDING")
+                order_by.append(ast.OrderByItem(expr, asc))
+                if not self.try_op(","):
+                    break
+        if self.try_kw("SKIP"):
+            skip = self.int_literal()
+        if self.try_kw("LIMIT"):
+            limit = self.int_literal()
+        return order_by, skip, limit
+
+    def int_literal(self) -> int:
+        tok = self.peek()
+        if tok.kind != "INT":
+            self.error("expected integer literal")
+        self.next()
+        return int(tok.value)
+
+    def parse_return_items(self) -> list[ast.ReturnItem]:
+        items = []
+        while True:
+            if self.at_op("*"):
+                self.next()
+                items.append(ast.ReturnItem(ast.Star()))
+            else:
+                expr = self.parse_expr()
+                alias = self.ident() if self.try_kw("AS") else None
+                items.append(ast.ReturnItem(expr, alias))
+            if not self.try_op(","):
+                return items
+
+    # -- patterns ----------------------------------------------------------
+    def parse_match(self) -> ast.MatchClause:
+        optional = self.try_kw("OPTIONAL")
+        self.eat_kw("MATCH")
+        paths = [self.parse_path()]
+        while self.try_op(","):
+            paths.append(self.parse_path())
+        return ast.MatchClause(paths=paths, optional=optional)
+
+    def parse_path(self) -> ast.PathPattern:
+        # Path variable `p = (...)` unsupported (parity with reference).
+        nodes = [self.parse_node_pattern()]
+        rels: list[ast.RelPattern] = []
+        while self.at_op("-", "<"):
+            rels.append(self.parse_rel_pattern())
+            nodes.append(self.parse_node_pattern())
+        return ast.PathPattern(nodes=nodes, rels=rels)
+
+    def parse_node_pattern(self) -> ast.NodePattern:
+        self.eat_op("(")
+        alias = None
+        label = None
+        props: dict[str, ast.Expr] = {}
+        if self.peek().kind == "IDENT":
+            alias = self.ident()
+        if self.try_op(":"):
+            label = self.ident()
+        if self.at_op("{"):
+            props = self.parse_property_map()
+        self.eat_op(")")
+        return ast.NodePattern(alias=alias, label=label, properties=props)
+
+    def parse_rel_pattern(self) -> ast.RelPattern:
+        leading_in = self.try_op("<")
+        self.eat_op("-")
+        alias = None
+        type_name = None
+        props: dict[str, ast.Expr] = {}
+        min_hops = max_hops = 1
+        if self.try_op("["):
+            if self.peek().kind == "IDENT" and not self.at_op(":"):
+                alias = self.ident()
+            if self.try_op(":"):
+                type_name = self.ident()
+            if self.try_op("*"):
+                min_hops, max_hops = 1, 10  # default bound for unbounded *
+                if self.peek().kind == "INT":
+                    min_hops = self.int_literal()
+                    max_hops = min_hops
+                if self.try_op(".."):
+                    max_hops = (
+                        self.int_literal() if self.peek().kind == "INT" else 10
+                    )
+            if self.at_op("{"):
+                props = self.parse_property_map()
+            self.eat_op("]")
+        self.eat_op("-")
+        trailing_out = self.try_op(">")
+        if leading_in and trailing_out:
+            direction = "either"
+        elif leading_in:
+            direction = "in"
+        elif trailing_out:
+            direction = "out"
+        else:
+            direction = "either"
+        return ast.RelPattern(
+            alias=alias, type_name=type_name, direction=direction,
+            properties=props, min_hops=min_hops, max_hops=max_hops,
+        )
+
+    def parse_property_map(self) -> dict[str, ast.Expr]:
+        self.eat_op("{")
+        props: dict[str, ast.Expr] = {}
+        if not self.at_op("}"):
+            while True:
+                key = self.ident()
+                self.eat_op(":")
+                props[key] = self.parse_expr()
+                if not self.try_op(","):
+                    break
+        self.eat_op("}")
+        return props
+
+    # -- expressions (precedence per expression.rs:102-223) ----------------
+    def parse_expr(self) -> ast.Expr:
+        return self.parse_or()
+
+    def parse_or(self) -> ast.Expr:
+        left = self.parse_xor()
+        while self.at_kw("OR"):
+            self.next()
+            left = ast.Binary("OR", left, self.parse_xor())
+        return left
+
+    def parse_xor(self) -> ast.Expr:
+        left = self.parse_and()
+        while self.at_kw("XOR"):
+            self.next()
+            left = ast.Binary("XOR", left, self.parse_and())
+        return left
+
+    def parse_and(self) -> ast.Expr:
+        left = self.parse_not()
+        while self.at_kw("AND"):
+            self.next()
+            left = ast.Binary("AND", left, self.parse_not())
+        return left
+
+    def parse_not(self) -> ast.Expr:
+        if self.at_kw("NOT"):
+            self.next()
+            return ast.Unary("NOT", self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> ast.Expr:
+        left = self.parse_additive()
+        while True:
+            if self.at_op("=", "<>", "!=", "<", ">", "<=", ">="):
+                op = self.next().value
+                if op == "!=":
+                    op = "<>"
+                left = ast.Binary(op, left, self.parse_additive())
+            elif self.at_kw("IN"):
+                self.next()
+                left = ast.Binary("IN", left, self.parse_additive())
+            elif self.at_kw("NOT") and self.peek(1).value == "IN":
+                self.next(); self.next()
+                left = ast.Binary("NOT_IN", left, self.parse_additive())
+            elif self.at_kw("IS"):
+                self.next()
+                negated = self.try_kw("NOT")
+                self.eat_kw("NULL")
+                left = ast.IsNull(left, negated=negated)
+            elif self.at_kw("STARTS"):
+                self.next(); self.eat_kw("WITH")
+                left = ast.Binary("STARTS_WITH", left, self.parse_additive())
+            elif self.at_kw("ENDS"):
+                self.next(); self.eat_kw("WITH")
+                left = ast.Binary("ENDS_WITH", left, self.parse_additive())
+            elif self.at_kw("CONTAINS"):
+                self.next()
+                left = ast.Binary("CONTAINS", left, self.parse_additive())
+            elif self.at_op("=~"):
+                self.next()
+                left = ast.Binary("REGEX", left, self.parse_additive())
+            else:
+                return left
+
+    def parse_additive(self) -> ast.Expr:
+        left = self.parse_multiplicative()
+        while self.at_op("+", "-"):
+            op = self.next().value
+            left = ast.Binary(op, left, self.parse_multiplicative())
+        return left
+
+    def parse_multiplicative(self) -> ast.Expr:
+        left = self.parse_power()
+        while self.at_op("*", "/", "%"):
+            op = self.next().value
+            left = ast.Binary(op, left, self.parse_power())
+        return left
+
+    def parse_power(self) -> ast.Expr:
+        base = self.parse_unary()
+        if self.at_op("^"):  # right-associative
+            self.next()
+            return ast.Binary("^", base, self.parse_power())
+        return base
+
+    def parse_unary(self) -> ast.Expr:
+        if self.at_op("-"):
+            self.next()
+            return ast.Unary("-", self.parse_unary())
+        if self.at_op("+"):
+            self.next()
+            return self.parse_unary()
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> ast.Expr:
+        expr = self.parse_primary()
+        while True:
+            if self.at_op(".") :
+                self.next()
+                key = self.ident()
+                if isinstance(expr, ast.Variable):
+                    expr = ast.PropertyAccess(alias=expr.name, key=key)
+                else:
+                    self.error("property access requires a variable base")
+            elif self.at_op("["):
+                # list index: desugar to element_at(list, idx+1) later
+                self.next()
+                idx = self.parse_expr()
+                self.eat_op("]")
+                expr = ast.FnCall("__index", (expr, idx))
+            else:
+                return expr
+
+    def parse_primary(self) -> ast.Expr:
+        tok = self.peek()
+        if tok.kind == "INT":
+            self.next()
+            return ast.Literal(int(tok.value))
+        if tok.kind == "FLOAT":
+            self.next()
+            return ast.Literal(float(tok.value))
+        if tok.kind == "STRING":
+            self.next()
+            return ast.Literal(tok.value)
+        if self.at_kw("TRUE"):
+            self.next()
+            return ast.Literal(True)
+        if self.at_kw("FALSE"):
+            self.next()
+            return ast.Literal(False)
+        if self.at_kw("NULL"):
+            self.next()
+            return ast.Literal(None)
+        if self.at_kw("CASE"):
+            return self.parse_case()
+        if self.at_op("$"):
+            self.next()
+            return ast.Parameter(self.ident())
+        if self.at_op("["):
+            self.next()
+            items = []
+            if not self.at_op("]"):
+                while True:
+                    items.append(self.parse_expr())
+                    if not self.try_op(","):
+                        break
+            self.eat_op("]")
+            return ast.ListLiteral(tuple(items))
+        if self.at_op("("):
+            self.next()
+            expr = self.parse_expr()
+            self.eat_op(")")
+            return expr
+        if tok.kind == "IDENT" or (
+            tok.kind == "KEYWORD" and tok.value in {"END", "ALL", "KEY"}
+        ):
+            name = self.ident()
+            if self.at_op("("):
+                return self.parse_fn_call(name)
+            return ast.Variable(name)
+        self.error("expected expression")
+
+    def parse_fn_call(self, name: str) -> ast.Expr:
+        self.eat_op("(")
+        distinct = self.try_kw("DISTINCT")
+        args: list[ast.Expr] = []
+        if self.at_op("*"):
+            self.next()
+            args.append(ast.Star())
+        elif not self.at_op(")"):
+            while True:
+                args.append(self.parse_expr())
+                if not self.try_op(","):
+                    break
+        self.eat_op(")")
+        return ast.FnCall(name=name, args=tuple(args), distinct=distinct)
+
+    def parse_case(self) -> ast.Expr:
+        self.eat_kw("CASE")
+        operand = None
+        if not self.at_kw("WHEN"):
+            operand = self.parse_expr()
+        whens = []
+        while self.try_kw("WHEN"):
+            cond = self.parse_expr()
+            self.eat_kw("THEN")
+            whens.append((cond, self.parse_expr()))
+        else_ = self.parse_expr() if self.try_kw("ELSE") else None
+        self.eat_kw("END")
+        return ast.CaseExpr(whens=tuple(whens), else_=else_, operand=operand)
+
+    # -- DDL ---------------------------------------------------------------
+    def parse_create_node_table(self) -> ast.CreateNodeTable:
+        """CREATE NODE TABLE Name (col Type [DEFAULT lit], ...,
+        PRIMARY KEY(a[,b]), NODE ID(col))
+        — create_node_table_clause.rs:1-157."""
+        self.eat_kw("CREATE"); self.eat_kw("NODE"); self.eat_kw("TABLE")
+        name = self.ident()
+        self.eat_op("(")
+        columns: list[ast.ColumnDef] = []
+        primary_keys: list[str] = []
+        node_id: Optional[str] = None
+        while True:
+            if self.at_kw("PRIMARY"):
+                self.next(); self.eat_kw("KEY"); self.eat_op("(")
+                while True:
+                    primary_keys.append(self.ident())
+                    if not self.try_op(","):
+                        break
+                self.eat_op(")")
+            elif self.at_kw("NODE"):
+                self.next()
+                tok = self.peek()
+                if tok.kind == "IDENT" and tok.value.upper() == "ID":
+                    self.next()
+                else:
+                    self.error("expected ID after NODE")
+                self.eat_op("(")
+                node_id = self.ident()
+                self.eat_op(")")
+            else:
+                col = self.ident()
+                dtype = self.ident()
+                default = None
+                if self.try_kw("DEFAULT"):
+                    default = self.parse_primary()
+                columns.append(ast.ColumnDef(col, dtype, default))
+            if not self.try_op(","):
+                break
+        self.eat_op(")")
+        return ast.CreateNodeTable(
+            name=name, columns=columns, primary_keys=primary_keys,
+            node_id=node_id,
+        )
+
+    def parse_create_rel_table(self) -> ast.CreateRelTable:
+        """CREATE REL TABLE T FROM A TO B (col Type, ..., ADJ INDEX(true))
+        — create_rel_table_clause.rs:1-167."""
+        self.eat_kw("CREATE"); self.eat_kw("REL"); self.eat_kw("TABLE")
+        name = self.ident()
+        self.eat_kw("FROM")
+        from_node = self.ident()
+        self.eat_kw("TO")
+        to_node = self.ident()
+        columns: list[ast.ColumnDef] = []
+        adj_index = False
+        if self.try_op("("):
+            if not self.at_op(")"):
+                while True:
+                    tok = self.peek()
+                    if tok.kind == "IDENT" and tok.value.upper() == "ADJ":
+                        self.next()
+                        tok2 = self.next()
+                        if tok2.value.upper() != "INDEX":
+                            self.error("expected INDEX after ADJ")
+                        self.eat_op("(")
+                        adj_index = self.next().value == "TRUE"
+                        self.eat_op(")")
+                    else:
+                        col = self.ident()
+                        dtype = self.ident()
+                        default = None
+                        if self.try_kw("DEFAULT"):
+                            default = self.parse_primary()
+                        columns.append(ast.ColumnDef(col, dtype, default))
+                    if not self.try_op(","):
+                        break
+            self.eat_op(")")
+        return ast.CreateRelTable(
+            name=name, from_node=from_node, to_node=to_node,
+            columns=columns, adj_index=adj_index,
+        )
+
+    # -- write queries (parse-only parity) ----------------------------------
+    def parse_write_query(self) -> ast.WriteQuery:
+        wq = ast.WriteQuery()
+        while True:
+            if self.at_kw("MATCH") or (
+                self.at_kw("OPTIONAL") and self.peek(1).value == "MATCH"
+            ):
+                wq.match_clauses.append(self.parse_match())
+            elif self.at_kw("WHERE"):
+                self.next()
+                wq.where = self.parse_expr()
+            elif self.at_kw("CREATE"):
+                self.next()
+                paths = [self.parse_path()]
+                while self.try_op(","):
+                    paths.append(self.parse_path())
+                wq.create = ast.CreateDataClause(paths=paths)
+            elif self.at_kw("SET"):
+                self.next()
+                assignments = []
+                while True:
+                    target = self.parse_postfix()
+                    self.eat_op("=")
+                    assignments.append((target, self.parse_expr()))
+                    if not self.try_op(","):
+                        break
+                wq.set_clause = ast.SetClause(assignments=assignments)
+            elif self.at_kw("REMOVE"):
+                self.next()
+                targets = []
+                while True:
+                    targets.append(self.parse_postfix())
+                    if not self.try_op(","):
+                        break
+                wq.remove = ast.RemoveClause(targets=targets)
+            elif self.at_kw("DELETE") or self.at_kw("DETACH"):
+                detach = self.try_kw("DETACH")
+                self.eat_kw("DELETE")
+                aliases = [self.ident()]
+                while self.try_op(","):
+                    aliases.append(self.ident())
+                wq.delete = ast.DeleteClause(aliases=aliases, detach=detach)
+            elif self.at_kw("RETURN"):
+                self.next()
+                distinct = self.try_kw("DISTINCT")
+                wq.return_clause = ast.ReturnClause(
+                    self.parse_return_items(), distinct=distinct
+                )
+            else:
+                return wq
+
+
+def parse(text: str) -> ast.Statement:
+    """Parse one Cypher statement (reference: parse_query,
+    open_cypher_parser/mod.rs:96-105)."""
+    return Parser(text).parse_statement()

@@ -1,0 +1,108 @@
+"""Public API: ``GraphSession(spark).execute(cypher) -> DataFrame``.
+
+Plays the role of the reference's HTTP server handler chain
+(server/handlers.rs:26-89: parse -> classify -> plan -> SQL -> execute),
+minus the transport: here execution means returning a lazily-evaluated
+Spark DataFrame; the caller collects/writes it.
+
+Query classification mirrors query_planner/mod.rs:21-31 (Ddl / Write /
+Read); write queries parse but are rejected exactly like the reference's
+UnsupportedDDLQuery routing (ddl_query.rs:339-352, handlers.rs:65-76).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import ddl
+from .catalog import GraphSchema
+from .compile.compiler import QueryCompiler
+from .errors import CatalogError, UnsupportedError
+from .parser import ast
+from .parser.parser import parse
+
+
+class GraphSession:
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema: Optional[GraphSchema] = None,
+        catalog_path: Optional[str] = None,
+        broadcast_labels: Optional[set[str]] = None,
+    ):
+        self.spark = spark
+        self.catalog_path = catalog_path
+        if schema is not None:
+            self.schema = schema
+        elif catalog_path is not None and os.path.exists(catalog_path):
+            self.schema = GraphSchema.load(catalog_path)
+        else:
+            self.schema = GraphSchema()
+        # name -> DataFrame registered directly (e.g. derived FK edge views)
+        self.tables: dict[str, DataFrame] = {}
+        # Labels whose tables are known-small -> broadcast-join hint.
+        self.broadcast_labels = set(broadcast_labels or ())
+
+    # -- table registration -------------------------------------------------
+    def register_table(self, name: str, table: Union[DataFrame, str]) -> None:
+        """Bind a label/type's ``table_name`` to data: a DataFrame, a
+        parquet path, or an existing Spark view name."""
+        if isinstance(table, str):
+            table = self._load_path_or_view(table)
+        self.tables[name] = table
+
+    def _load_path_or_view(self, name: str) -> DataFrame:
+        if os.path.exists(name) or name.endswith(".parquet"):
+            return self.spark.read.parquet(name)
+        return self.spark.table(name)
+
+    def _load_for_label(self, label: str) -> DataFrame:
+        """Table loader handed to the compiler: label or rel type -> DF."""
+        if label in self.schema.nodes:
+            table_name = self.schema.nodes[label].table_name
+        elif label in self.schema.relationships:
+            table_name = self.schema.relationships[label].table_name
+        else:
+            raise CatalogError(f"unknown label '{label}'")
+        if table_name in self.tables:
+            return self.tables[table_name]
+        if label in self.tables:
+            return self.tables[label]
+        return self._load_path_or_view(table_name)
+
+    # -- execution ----------------------------------------------------------
+    def execute(
+        self, cypher: str, params: Optional[dict] = None
+    ) -> DataFrame:
+        stmt = parse(cypher)
+        if isinstance(stmt, ast.ReadQuery):
+            compiler = QueryCompiler(
+                self.schema, self._load_for_label,
+                broadcast_labels=self.broadcast_labels, params=params,
+            )
+            return compiler.compile(stmt)
+        if isinstance(stmt, (ast.CreateNodeTable, ast.CreateRelTable)):
+            return ddl.apply(self, stmt)
+        if isinstance(stmt, ast.WriteQuery):
+            raise UnsupportedError(
+                "write queries (CREATE/SET/REMOVE/DELETE) are parsed but "
+                "not executable — reference parity with UnsupportedDDLQuery "
+                "(clickhouse_query_generator/ddl_query.rs:339-352)"
+            )
+        raise UnsupportedError(f"unsupported statement {type(stmt).__name__}")
+
+    def explain(self, cypher: str, mode: str = "formatted") -> None:
+        self.execute(cypher).explain(mode)
+
+    def sql(self, query: str) -> DataFrame:
+        """Escape hatch: plain Spark SQL over registered tables."""
+        for name, df in self.tables.items():
+            df.createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
+    def _persist_catalog(self) -> None:
+        if self.catalog_path:
+            self.schema.save(self.catalog_path)

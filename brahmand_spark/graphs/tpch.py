@@ -38,9 +38,23 @@ BROADCAST = {"Region", "Nation", "Supplier"}
 
 
 def lineitem_with_id(df: DataFrame) -> DataFrame:
+    """Synthetic injective Lineitem node id.
+
+    (l_orderkey, l_linenumber) is NOT unique in the driver-generated data,
+    so we number rows within each order (total order over all columns for
+    determinism) and pack: ``li_id = l_orderkey * 1000 + seq``. The window
+    is partitioned by l_orderkey — a key-shuffle, not a global sort, so it
+    scales (a global row_number would serialize on one partition).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy(
+        *[F.col(c) for c in df.columns if c != "l_orderkey"]
+    )
     return df.withColumn(
-        "li_id", (F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber"))
-        .cast("bigint")
+        "li_id",
+        (F.col("l_orderkey") * F.lit(1000) + F.row_number().over(w))
+        .cast("bigint"),
     )
 
 

@@ -1,0 +1,283 @@
+"""End-to-end: Cypher over the TPC-H property graph vs DuckDB oracle SQL
+on the same parquet files (FIXTURES.md §B oracle protocol, checklist §A
+re-expressed on graph B)."""
+
+import pytest
+
+from brahmand_spark.errors import PlanError
+
+from .helpers import assert_same
+
+
+def q(tpch, cypher, **params):
+    return tpch.execute(cypher, params=params or None)
+
+
+class TestSingleHop:
+    def test_filter_projection(self, tpch, duck):
+        # checklist #1: single hop, filter, projection
+        assert_same(
+            q(tpch, """MATCH (c:Customer)-[:PLACED]->(o:Order)
+                       WHERE o.o_totalprice > 200000
+                       RETURN c.c_name AS name, o.o_totalprice AS price"""),
+            duck.sql("""SELECT c.c_name AS name, o.o_totalprice AS price
+                        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                        WHERE o.o_totalprice > 200000"""),
+        )
+
+    def test_inline_properties(self, tpch, duck):
+        # checklist #2: inline {k: v} properties
+        assert_same(
+            q(tpch, """MATCH (c:Customer {c_mktsegment: 'BUILDING'})-[:PLACED]->(o:Order {o_orderstatus: 'F'})
+                       RETURN c.c_name AS name, o.o_orderkey AS okey"""),
+            duck.sql("""SELECT c.c_name AS name, o.o_orderkey AS okey
+                        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                        WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'F'"""),
+        )
+
+    def test_label_inference(self, tpch, duck):
+        # checklist #3: unlabeled endpoint inferred from rel schema
+        assert_same(
+            q(tpch, "MATCH (n:Nation)-[:IN_REGION]->(b) RETURN b.r_name AS region, n.n_name AS nation"),
+            duck.sql("""SELECT r.r_name AS region, n.n_name AS nation
+                        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"""),
+        )
+
+    def test_rel_property_access(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH (o:Order)-[h:HAS_LINE]->(l:Lineitem)
+                       WHERE h.l_linenumber = 1 AND l.l_quantity > 45
+                       RETURN o.o_orderkey AS okey, l.l_extendedprice AS price"""),
+            duck.sql("""SELECT l_orderkey AS okey, l_extendedprice AS price
+                        FROM lineitem WHERE l_linenumber = 1 AND l_quantity > 45"""),
+        )
+
+
+class TestMultiHop:
+    def test_two_hop(self, tpch, duck):
+        # checklist #4: multi-hop with endpoint filter
+        assert_same(
+            q(tpch, """MATCH (c:Customer)-[:CUST_IN]->(n:Nation)-[:IN_REGION]->(r:Region)
+                       WHERE r.r_name = 'ASIA'
+                       RETURN n.n_name AS nation, count(*) AS customers"""),
+            duck.sql("""SELECT n.n_name AS nation, count(*) AS customers
+                        FROM customer c
+                        JOIN nation n ON c.c_nationkey = n.n_nationkey
+                        JOIN region r ON n.n_regionkey = r.r_regionkey
+                        WHERE r.r_name = 'ASIA' GROUP BY n.n_name"""),
+        )
+
+    def test_three_hop(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH (c:Customer)-[:PLACED]->(o:Order)-[:HAS_LINE]->(l:Lineitem)-[:OF_PART]->(p:Part)
+                       WHERE p.p_size > 40 AND o.o_orderstatus = 'O'
+                       RETURN c.c_name AS name, p.p_name AS part, l.l_quantity AS qty"""),
+            duck.sql("""SELECT c.c_name AS name, p.p_name AS part, l.l_quantity AS qty
+                        FROM customer c
+                        JOIN orders o ON o.o_custkey = c.c_custkey
+                        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                        JOIN part p ON p.p_partkey = l.l_partkey
+                        WHERE p.p_size > 40 AND o.o_orderstatus = 'O'"""),
+        )
+
+    def test_shared_alias_cyclic(self, tpch, duck):
+        # checklist #6: cyclic pattern — lineitems of an order supplied by
+        # a supplier in the same nation as the ordering customer.
+        assert_same(
+            q(tpch, """MATCH (c:Customer)-[:CUST_IN]->(n:Nation), (s:Supplier)-[:SUPP_IN]->(n)
+                       RETURN n.n_name AS nation, count(*) AS pairs"""),
+            duck.sql("""SELECT n.n_name AS nation, count(*) AS pairs
+                        FROM customer c
+                        JOIN nation n ON c.c_nationkey = n.n_nationkey
+                        JOIN supplier s ON s.s_nationkey = n.n_nationkey
+                        GROUP BY n.n_name"""),
+        )
+
+    def test_incoming_direction(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH (o:Order)<-[:PLACED]-(c:Customer)
+                       WHERE c.c_acctbal < 0
+                       RETURN c.c_name AS name, count(*) AS orders"""),
+            duck.sql("""SELECT c.c_name AS name, count(*) AS orders
+                        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                        WHERE c.c_acctbal < 0 GROUP BY c.c_name"""),
+        )
+
+
+class TestAggregates:
+    def test_implicit_group_by(self, tpch, duck):
+        # checklist #7: mixed agg/non-agg -> implicit GROUP BY
+        assert_same(
+            q(tpch, """MATCH (c:Customer)-[:PLACED]->(o:Order)
+                       RETURN c.c_mktsegment AS seg, count(*) AS n,
+                              round(avg(o.o_totalprice), 2) AS avg_price,
+                              min(o.o_orderkey) AS first_order"""),
+            duck.sql("""SELECT c.c_mktsegment AS seg, count(*) AS n,
+                               round(avg(o.o_totalprice), 2) AS avg_price,
+                               min(o.o_orderkey) AS first_order
+                        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                        GROUP BY c.c_mktsegment"""),
+        )
+
+    def test_global_aggregate(self, tpch, duck):
+        # checklist #8
+        assert_same(
+            q(tpch, "MATCH (c:Customer) RETURN count(*) AS n"),
+            duck.sql("SELECT count(*) AS n FROM customer"),
+        )
+
+    def test_count_distinct(self, tpch, duck):
+        # checklist #9
+        assert_same(
+            q(tpch, """MATCH (c:Customer)-[:PLACED]->(o:Order)
+                       RETURN count(DISTINCT c.c_custkey) AS buyers"""),
+            duck.sql("""SELECT count(DISTINCT o_custkey) AS buyers FROM orders"""),
+        )
+
+    def test_sum_min_max(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH (o:Order)-[:HAS_LINE]->(l:Lineitem)
+                       RETURN o.o_orderstatus AS status,
+                              round(sum(l.l_quantity), 1) AS total_qty,
+                              max(l.l_extendedprice) AS max_price,
+                              min(l.l_discount) AS min_disc"""),
+            duck.sql("""SELECT o.o_orderstatus AS status,
+                               round(sum(l.l_quantity), 1) AS total_qty,
+                               max(l.l_extendedprice) AS max_price,
+                               min(l.l_discount) AS min_disc
+                        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                        GROUP BY o.o_orderstatus"""),
+        )
+
+
+class TestModifiers:
+    def test_order_skip_limit(self, tpch, duck):
+        # checklist #10 (unique sort keys -> deterministic pagination)
+        assert_same(
+            q(tpch, """MATCH (c:Customer) RETURN c.c_name AS name, c.c_acctbal AS bal
+                       ORDER BY bal DESC, name ASC SKIP 5 LIMIT 10"""),
+            duck.sql("""SELECT c_name AS name, c_acctbal AS bal FROM customer
+                        ORDER BY bal DESC, name ASC LIMIT 10 OFFSET 5"""),
+        )
+
+    def test_where_operators(self, tpch, duck):
+        # checklist #11: AND/OR/IN/comparison mix
+        assert_same(
+            q(tpch, """MATCH (c:Customer)
+                       WHERE (c.c_acctbal >= 1000 AND c.c_acctbal <= 5000)
+                          OR c.c_mktsegment IN ['MACHINERY', 'HOUSEHOLD']
+                       RETURN c.c_name AS name"""),
+            duck.sql("""SELECT c_name AS name FROM customer
+                        WHERE (c_acctbal >= 1000 AND c_acctbal <= 5000)
+                           OR c_mktsegment IN ('MACHINERY', 'HOUSEHOLD')"""),
+        )
+
+    def test_null_and_arith(self, tpch, duck):
+        # checklist #12
+        assert_same(
+            q(tpch, """MATCH (c:Customer) WHERE c.c_name IS NOT NULL
+                       RETURN c.c_acctbal + 1 AS bal1, c.c_acctbal * 2 - 10 AS bal2"""),
+            duck.sql("""SELECT c_acctbal + 1 AS bal1, c_acctbal * 2 - 10 AS bal2
+                        FROM customer WHERE c_name IS NOT NULL"""),
+        )
+
+    def test_return_star(self, tpch):
+        # checklist #13: RETURN * expansion over all bound aliases
+        df = q(tpch, "MATCH (r:Region)-[i:IN_REGION]-(n:Nation) RETURN * LIMIT 5")
+        assert any(c.startswith("r.") for c in df.columns)
+        assert any(c.startswith("n.") for c in df.columns)
+        assert df.count() == 5
+
+    def test_distinct_rows(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH (c:Customer)-[:PLACED]->(o:Order)
+                       RETURN DISTINCT c.c_mktsegment AS seg"""),
+            duck.sql("""SELECT DISTINCT c_mktsegment AS seg
+                        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey"""),
+        )
+
+
+class TestEdgeCases:
+    def test_invalid_direction_empty(self, tpch):
+        # checklist #14: schema-invalid pattern -> empty result, not error
+        df = q(tpch, "MATCH (o:Order)-[:PLACED]->(c:Customer) RETURN c.c_name AS name")
+        assert df.count() == 0
+        assert df.columns == ["name"]
+
+    def test_disconnected_comma_patterns_error(self, tpch):
+        with pytest.raises(PlanError):
+            q(tpch, "MATCH (a:Customer), (b:Supplier) RETURN a.c_name")
+
+    def test_either_direction(self, tpch, duck):
+        # undirected hop, distinct endpoint labels -> resolves to the only
+        # valid orientation
+        assert_same(
+            q(tpch, """MATCH (n:Nation)-[:IN_REGION]-(r:Region)
+                       RETURN r.r_name AS region, count(*) AS nations"""),
+            duck.sql("""SELECT r.r_name AS region, count(*) AS nations
+                        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+                        GROUP BY r.r_name"""),
+        )
+
+    def test_parameters(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH (c:Customer) WHERE c.c_mktsegment = $seg
+                       RETURN count(*) AS n""", seg="BUILDING"),
+            duck.sql("""SELECT count(*) AS n FROM customer
+                        WHERE c_mktsegment = 'BUILDING'"""),
+        )
+
+    def test_scalar_functions(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH (c:Customer)
+                       RETURN toUpper(c.c_mktsegment) AS seg_u,
+                              substring(c.c_name, 0, 8) AS name8,
+                              abs(c.c_acctbal) AS mag"""),
+            duck.sql("""SELECT upper(c_mktsegment) AS seg_u,
+                               substring(c_name, 1, 8) AS name8,
+                               abs(c_acctbal) AS mag FROM customer"""),
+        )
+
+
+class TestWithPipeline:
+    def test_with_filter(self, tpch, duck):
+        # WITH as projection + HAVING-style filter (reference gap, M6)
+        assert_same(
+            q(tpch, """MATCH (c:Customer)-[:PLACED]->(o:Order)
+                       WITH c.c_name AS name, count(*) AS n
+                       WHERE n >= 12 RETURN name, n"""),
+            duck.sql("""SELECT c.c_name AS name, count(*) AS n
+                        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                        GROUP BY c.c_name HAVING count(*) >= 12"""),
+        )
+
+    def test_with_rebind_match(self, tpch, duck):
+        # WITH carries a node binding into a second MATCH
+        assert_same(
+            q(tpch, """MATCH (c:Customer)-[:PLACED]->(o:Order)
+                       WHERE o.o_totalprice > 300000
+                       WITH DISTINCT c
+                       MATCH (c)-[:CUST_IN]->(n:Nation)
+                       RETURN n.n_name AS nation, count(*) AS big_spenders"""),
+            duck.sql("""SELECT n.n_name AS nation, count(*) AS big_spenders
+                        FROM (SELECT DISTINCT c.* FROM customer c
+                              JOIN orders o ON o.o_custkey = c.c_custkey
+                              WHERE o.o_totalprice > 300000) c
+                        JOIN nation n ON c.c_nationkey = n.n_nationkey
+                        GROUP BY n.n_name"""),
+        )
+
+    def test_unwind(self, tpch, duck):
+        assert_same(
+            q(tpch, "UNWIND [1, 2, 3] AS x RETURN x * 10 AS y"),
+            duck.sql("SELECT x * 10 AS y FROM (VALUES (1), (2), (3)) t(x)"),
+        )
+
+    def test_var_length(self, tpch, duck):
+        # 1..2 hops Customer->Order is 1-hop only (no Order->Order edges);
+        # sanity: same as direct.
+        assert_same(
+            q(tpch, """MATCH (c:Customer)-[:PLACED*1..1]->(o:Order)
+                       RETURN count(*) AS n"""),
+            duck.sql("SELECT count(*) AS n FROM orders"),
+        )

@@ -1,0 +1,212 @@
+"""Parser unit tests — modeled on the reference's 83 inline parser tests
+(open_cypher_parser/*: full-query test mod.rs:119-253, expression
+precedence expression.rs:354-548, clause tests per file)."""
+
+import pytest
+
+from brahmand_spark.errors import ParseError
+from brahmand_spark.parser import ast, parse
+
+
+def rq(text):
+    stmt = parse(text)
+    assert isinstance(stmt, ast.ReadQuery)
+    return stmt
+
+
+class TestMatch:
+    def test_single_node(self):
+        q = rq("MATCH (a:Person) RETURN a.name")
+        [part] = q.parts
+        [mc] = part.matches
+        [path] = mc.paths
+        assert path.nodes[0].alias == "a"
+        assert path.nodes[0].label == "Person"
+        assert path.rels == []
+
+    def test_anonymous_node(self):
+        q = rq("MATCH (:Person)-[:FOLLOWS]->() RETURN count(*)")
+        [path] = q.parts[0].matches[0].paths
+        assert path.nodes[0].alias is None
+        assert path.nodes[1].alias is None
+        assert path.nodes[1].label is None
+
+    def test_full_pattern(self):
+        q = rq("MATCH (a:Person {name: 'x'})-[f:FOLLOWS {since: 2020}]->(b) RETURN b")
+        [path] = q.parts[0].matches[0].paths
+        a, b = path.nodes
+        [f] = path.rels
+        assert a.properties == {"name": ast.Literal("x")}
+        assert f.alias == "f" and f.type_name == "FOLLOWS"
+        assert f.direction == "out"
+        assert f.properties == {"since": ast.Literal(2020)}
+
+    def test_directions(self):
+        for text, d in [
+            ("-[r:T]->", "out"), ("<-[r:T]-", "in"), ("-[r:T]-", "either"),
+        ]:
+            q = rq(f"MATCH (a){text}(b) RETURN a")
+            assert q.parts[0].matches[0].paths[0].rels[0].direction == d
+
+    def test_multi_hop_chain(self):
+        q = rq("MATCH (a)-[:X]->(b)-[:Y]->(c) RETURN a")
+        [path] = q.parts[0].matches[0].paths
+        assert len(path.nodes) == 3
+        assert [r.type_name for r in path.rels] == ["X", "Y"]
+
+    def test_comma_separated_paths(self):
+        q = rq("MATCH (a)-[:X]->(b), (a)-[:Y]->(c) RETURN a")
+        assert len(q.parts[0].matches[0].paths) == 2
+
+    def test_var_length(self):
+        q = rq("MATCH (a)-[:X*1..3]->(b) RETURN a")
+        [r] = q.parts[0].matches[0].paths[0].rels
+        assert (r.min_hops, r.max_hops) == (1, 3)
+
+    def test_order_label_is_soft_keyword(self):
+        q = rq("MATCH (o:Order) RETURN o.o_orderkey")
+        assert q.parts[0].matches[0].paths[0].nodes[0].label == "Order"
+
+
+class TestExpressions:
+    def where(self, text):
+        return rq(f"MATCH (a) WHERE {text} RETURN a").parts[0].where
+
+    def test_precedence_and_or(self):
+        e = self.where("a.x = 1 OR a.y = 2 AND a.z = 3")
+        assert isinstance(e, ast.Binary) and e.op == "OR"
+        assert e.right.op == "AND"
+
+    def test_precedence_arithmetic(self):
+        e = self.where("a.x + 2 * 3 = 7")
+        assert e.op == "="
+        assert e.left.op == "+"
+        assert e.left.right.op == "*"
+
+    def test_power_right_assoc(self):
+        e = self.where("a.x ^ 2 ^ 3 > 0")
+        assert e.left.op == "^"
+        assert e.left.right.op == "^"  # 2^(3) nested under right
+
+    def test_not(self):
+        e = self.where("NOT a.x = 1")
+        assert isinstance(e, ast.Unary) and e.op == "NOT"
+
+    def test_in_list(self):
+        e = self.where("a.name IN ['x', 'y']")
+        assert e.op == "IN"
+        assert isinstance(e.right, ast.ListLiteral)
+
+    def test_not_in(self):
+        e = self.where("a.name NOT IN ['x']")
+        assert e.op == "NOT_IN"
+
+    def test_is_null(self):
+        e = self.where("a.name IS NULL")
+        assert isinstance(e, ast.IsNull) and not e.negated
+        e = self.where("a.name IS NOT NULL")
+        assert e.negated
+
+    def test_string_predicates(self):
+        assert self.where("a.s STARTS WITH 'x'").op == "STARTS_WITH"
+        assert self.where("a.s ENDS WITH 'x'").op == "ENDS_WITH"
+        assert self.where("a.s CONTAINS 'x'").op == "CONTAINS"
+
+    def test_parameter(self):
+        e = self.where("a.name = $who")
+        assert e.right == ast.Parameter("who")
+
+    def test_literals(self):
+        assert self.where("a.x = 1.5").right == ast.Literal(1.5)
+        assert self.where("a.x = true").right == ast.Literal(True)
+        assert self.where("a.x = null").right == ast.Literal(None)
+        assert self.where("a.x = 'it\\'s'").right == ast.Literal("it's")
+
+    def test_function_call(self):
+        e = self.where("toUpper(a.name) = 'X'")
+        assert e.left == ast.FnCall("toUpper", (ast.PropertyAccess("a", "name"),))
+
+    def test_case(self):
+        e = self.where("CASE WHEN a.x > 1 THEN true ELSE false END")
+        assert isinstance(e, ast.CaseExpr)
+
+
+class TestReturn:
+    def test_aliases(self):
+        q = rq("MATCH (a) RETURN a.name AS n, count(*) AS c")
+        items = q.return_clause.items
+        assert items[0].alias == "n"
+        assert items[1].expr == ast.FnCall("count", (ast.Star(),))
+
+    def test_star(self):
+        q = rq("MATCH (a) RETURN *")
+        assert isinstance(q.return_clause.items[0].expr, ast.Star)
+
+    def test_distinct(self):
+        q = rq("MATCH (a) RETURN DISTINCT a.name")
+        assert q.return_clause.distinct
+
+    def test_count_distinct(self):
+        q = rq("MATCH (a) RETURN count(DISTINCT a.name)")
+        fn = q.return_clause.items[0].expr
+        assert fn.distinct
+
+    def test_order_skip_limit(self):
+        q = rq("MATCH (a) RETURN a.name ORDER BY a.age DESC, a.name SKIP 5 LIMIT 10")
+        assert [o.ascending for o in q.order_by] == [False, True]
+        assert q.skip == 5 and q.limit == 10
+
+
+class TestWith:
+    def test_with_pipeline(self):
+        q = rq("MATCH (a:P) WITH a.name AS n, count(*) AS c WHERE c > 2 RETURN n")
+        assert len(q.parts) == 2
+        assert q.parts[0].with_clause is not None
+        assert q.parts[1].where is not None
+
+    def test_with_order_limit(self):
+        q = rq("MATCH (a:P) WITH a ORDER BY a.x LIMIT 3 MATCH (a)-[:F]->(b) RETURN b")
+        assert q.parts[0].limit == 3
+        assert len(q.parts[1].matches) == 1
+
+    def test_unwind(self):
+        q = rq("UNWIND [1,2,3] AS x RETURN x")
+        assert q.parts[0].unwind.alias == "x"
+
+
+class TestDDL:
+    def test_create_node_table(self):
+        s = parse("CREATE NODE TABLE User (id UInt64, name String DEFAULT 'x', "
+                  "PRIMARY KEY (id), NODE ID (id))")
+        assert isinstance(s, ast.CreateNodeTable)
+        assert s.name == "User" and s.node_id == "id"
+        assert s.primary_keys == ["id"]
+        assert s.columns[1].default == ast.Literal("x")
+
+    def test_create_rel_table(self):
+        s = parse("CREATE REL TABLE Follows FROM User TO User (since Int64, ADJ INDEX(true))")
+        assert isinstance(s, ast.CreateRelTable)
+        assert (s.from_node, s.to_node) == ("User", "User")
+        assert s.adj_index
+
+    def test_write_query_classified(self):
+        s = parse("MATCH (a:P) SET a.x = 1")
+        assert isinstance(s, ast.WriteQuery)
+        s = parse("MATCH (a:P) DETACH DELETE a")
+        assert s.delete.detach
+        s = parse("CREATE (a:P {x: 1})")
+        assert isinstance(s, ast.WriteQuery) and s.create is not None
+
+
+class TestErrors:
+    def test_unterminated(self):
+        with pytest.raises(ParseError):
+            parse("MATCH (a RETURN a")
+
+    def test_trailing_garbage(self):
+        with pytest.raises(ParseError):
+            parse("MATCH (a) RETURN a extra")
+
+    def test_bad_string(self):
+        with pytest.raises(ParseError):
+            parse("MATCH (a) WHERE a.x = 'oops RETURN a")

@@ -1,0 +1,139 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Extensions beyond the reference surface (SURVEY.md §2.8): language-ID,
+quality scoring, token counting, document fingerprinting. Every operator
+is a pure ``DataFrame -> DataFrame`` transform built from JVM-side
+``pyspark.sql.functions`` only — no Python UDFs — so they stay inside
+whole-stage codegen and scale linearly with executors (narrow, per-row
+transforms: no shuffle at all).
+
+Each operator has an exact ANSI-SQL equivalent (see
+``__spark_entry__.oracle_sql``) so results hash-match a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic stopword marker sets for the language-ID heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "los", "las", "es", "y"],
+}
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by",
+]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization with empty-string removal (matches DuckDB
+    ``list_filter(string_split_regex(text,'\\s+'), x -> x <> '')``)."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate (a char-class
+    regex count approximating byte-pair segmentation: runs of letters,
+    digits, or single punctuation)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(t)).alias("n_tokens"),
+        F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+        .alias("n_subwords"),
+        F.length(t).alias("n_chars_computed"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality features + composite score:
+    length, mean token length, punctuation ratio, stopword ratio,
+    alpha ratio. Integer counts + rounded ratios -> engine-portable."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_alpha = n_chars - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))
+    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(EN_STOPWORDS)))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    mean_tok_len = F.round(
+        (n_chars - n_tokens + 1).cast("double") / safe_tokens, 4
+    )
+    punct_ratio = F.round(n_punct.cast("double") / safe_chars, 4)
+    alpha_ratio = F.round(n_alpha.cast("double") / safe_chars, 4)
+    stop_ratio = F.round(n_stop.cast("double") / safe_tokens, 4)
+    score = F.round(
+        F.when(n_tokens < 5, F.lit(0.0)).otherwise(
+            0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2
+            * F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+        ), 4,
+    )
+    return df.select(
+        F.col(id_col), n_chars.alias("n_chars_c"),
+        n_tokens.alias("n_tokens"), mean_tok_len.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"), alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"), score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """N-gram/stopword heuristic language ID: count marker-word hits per
+    language; argmax with deterministic tie-break (marker count desc,
+    then language code asc); 'und' when nothing matches."""
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def marker_count(markers: list[str]) -> Column:
+        # NB: the filter lambda must take exactly one parameter — PySpark
+        # treats a second parameter (even defaulted) as the index arg.
+        return F.size(F.filter(toks, lambda x: x.isin(markers)))
+
+    counts = {
+        lang: marker_count(markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # struct-max trick: max over (count, reverse-alphabetic lang) structs
+    pairs = F.array(*[
+        F.struct(
+            counts[lang].alias("n"),
+            F.lit(-i).alias("prio"),  # earlier langs win ties
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(sorted(LANG_MARKERS))
+    ])
+    best = F.array_max(pairs)
+    return df.select(
+        F.col(id_col),
+        F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+        .alias("pred_lang"),
+        best["n"].alias("marker_hits"),
+    )
+
+
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Polynomial rolling-hash fingerprint over characters:
+    ``h = (h * 31 + ascii(c)) mod 1e9+7``. Pure fold with JVM
+    ``aggregate`` — identical arithmetic is expressible in DuckDB via
+    ``list_reduce``, so values match across engines (unlike xxhash64).
+    Intermediate values stay < 2^35 — no ANSI overflow."""
+    chars = F.split(F.col(text_col), "")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(FP_BASE) + F.ascii(c)) % F.lit(FP_MOD),
+    )
+    return df.select(F.col(id_col), h.alias("fingerprint"))

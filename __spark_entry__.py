@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship Cypher query on sf0.001.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (the
+openCypher surface compiled to DataFrames) plus the scale extensions
+(dedup / similarity / text analysis / windowed events).
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for each; queries
+whose semantics are hash-based (minhash/simhash/LSH) are rows-only by
+design and have no oracle entry.
+
+Every aggregate/computed column is aliased identically in the Cypher/
+DataFrame code and the SQL so the driver's column-sorted value-hash
+comparison lines up.
 """
 
 from __future__ import annotations
@@ -12,27 +18,569 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SESSIONS: dict = {}
+
+
+def _tpch(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _SESSIONS:
+        from brahmand_spark.graphs.tpch import build_session
+
+        _SESSIONS[key] = build_session(spark, sf_dir)
+    return _SESSIONS[key]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brahmand_spark.io import read_parquet
+
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brahmand_spark.io import read_parquet
+
+    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+
+
+_DIMS: dict[str, int] = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding dimensionality (probed once per dataset; used to unroll
+    vector math into codegen-friendly expressions)."""
+    if sf_dir not in _DIMS:
+        row = _embeddings(spark, sf_dir).select(
+            F.size("embedding").alias("d")
+        ).first()
+        _DIMS[sf_dir] = int(row["d"]) if row else 0
+    return _DIMS[sf_dir]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brahmand_spark.io import read_parquet
+
+    return read_parquet(spark, f"{sf_dir}/events.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 2-hop graph traversal + implicit GROUP BY on sf0.001."""
+    s = _tpch(spark, "/root/testdata/sf0.001")
+    return s.execute(
+        """MATCH (c:Customer)-[:CUST_IN]->(n:Nation)-[:IN_REGION]->(r:Region)
+           RETURN r.r_name AS region, count(*) AS customers,
+                  round(avg(c.c_acctbal), 2) AS avg_bal
+           ORDER BY region"""
+    )
+
+
+# --------------------------------------------------------------------------
+# Cypher queries over the TPC-H property graph (SURVEY §2 surface)
+# --------------------------------------------------------------------------
+
+_CYPHER: dict[str, str] = {
+    # §2.1 MATCH + WHERE + RETURN (single hop, filter, projection)
+    "match_filter_project": """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)
+        WHERE o.o_totalprice > 200000
+        RETURN c.c_name AS name, o.o_totalprice AS price""",
+    # inline {k: v} properties (per-table equality filters)
+    "inline_properties": """
+        MATCH (c:Customer {c_mktsegment: 'BUILDING'})-[:PLACED]->(o:Order {o_orderstatus: 'F'})
+        RETURN c.c_name AS name, o.o_orderkey AS okey""",
+    # label inference: unlabeled right endpoint
+    "label_inference": """
+        MATCH (n:Nation)-[:IN_REGION]->(b)
+        RETURN b.r_name AS region, n.n_name AS nation""",
+    # relationship-type inference: no type on the hop (unique rel between labels)
+    "rel_type_inference": """
+        MATCH (c:Customer)-[]->(o:Order)
+        RETURN count(*) AS n""",
+    # relationship property access
+    "rel_property_access": """
+        MATCH (o:Order)-[h:HAS_LINE]->(l:Lineitem)
+        WHERE h.l_linenumber = 1 AND l.l_quantity > 45
+        RETURN o.o_orderkey AS okey, l.l_extendedprice AS price""",
+    # multi-hop chain (3 hops)
+    "multi_hop": """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)-[:HAS_LINE]->(l:Lineitem)-[:OF_PART]->(p:Part)
+        WHERE p.p_size > 40 AND o.o_orderstatus = 'O'
+        RETURN c.c_name AS name, p.p_name AS part, l.l_quantity AS qty""",
+    # incoming direction
+    "incoming_direction": """
+        MATCH (o:Order)<-[:PLACED]-(c:Customer)
+        WHERE c.c_acctbal < 0
+        RETURN c.c_name AS name, count(*) AS orders""",
+    # either-direction hop (resolves to the only valid orientation)
+    "either_direction": """
+        MATCH (n:Nation)-[:IN_REGION]-(r:Region)
+        RETURN r.r_name AS region, count(*) AS nations""",
+    # comma-separated patterns sharing an alias (duplicate-scan handling)
+    "shared_alias_patterns": """
+        MATCH (c:Customer)-[:CUST_IN]->(n:Nation), (s:Supplier)-[:SUPP_IN]->(n)
+        RETURN n.n_name AS nation, count(*) AS pairs""",
+    # implicit GROUP BY of non-aggregate items
+    "implicit_group_by": """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)
+        RETURN c.c_mktsegment AS seg, count(*) AS n,
+               round(avg(o.o_totalprice), 2) AS avg_price,
+               min(o.o_orderkey) AS first_order""",
+    # global aggregate (no keys)
+    "global_aggregate": """
+        MATCH (c:Customer) RETURN count(*) AS n""",
+    # count(DISTINCT x)
+    "count_distinct": """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)
+        RETURN count(DISTINCT c.c_custkey) AS buyers""",
+    # the reference's five aggregates together
+    "aggregates_five": """
+        MATCH (o:Order)-[:HAS_LINE]->(l:Lineitem)
+        RETURN o.o_orderstatus AS status, count(*) AS n,
+               round(sum(l.l_quantity), 1) AS total_qty,
+               max(l.l_extendedprice) AS max_price,
+               min(l.l_discount) AS min_disc,
+               round(avg(l.l_tax), 4) AS avg_tax""",
+    # ORDER BY + SKIP + LIMIT (total order -> deterministic pagination)
+    "order_skip_limit": """
+        MATCH (c:Customer)
+        RETURN c.c_name AS name, c.c_acctbal AS bal
+        ORDER BY bal DESC, name ASC SKIP 5 LIMIT 10""",
+    # boolean operators + IN list
+    "where_operators": """
+        MATCH (c:Customer)
+        WHERE (c.c_acctbal >= 1000 AND c.c_acctbal <= 5000)
+           OR c.c_mktsegment IN ['MACHINERY', 'HOUSEHOLD']
+        RETURN c.c_name AS name""",
+    # IS NULL / IS NOT NULL + arithmetic operators
+    "null_and_arithmetic": """
+        MATCH (c:Customer) WHERE c.c_name IS NOT NULL
+        RETURN c.c_acctbal + 1 AS bal1, c.c_acctbal * 2 - 10 AS bal2,
+               c.c_custkey % 10 AS bucket""",
+    # RETURN DISTINCT
+    "return_distinct": """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)
+        RETURN DISTINCT c.c_mktsegment AS seg""",
+    # scalar function pass-through (toUpper/substring/abs)
+    "scalar_functions": """
+        MATCH (c:Customer)
+        RETURN toUpper(c.c_mktsegment) AS seg_u,
+               substring(c.c_name, 0, 8) AS name8,
+               abs(c.c_acctbal) AS mag""",
+    # string predicates (extension over reference)
+    "string_predicates": """
+        MATCH (p:Part)
+        WHERE p.p_name STARTS WITH 'part' AND p.p_type CONTAINS 'a'
+        RETURN count(*) AS n""",
+    # CASE expression (extension; commented out of the reference AST)
+    "case_expression": """
+        MATCH (c:Customer)
+        RETURN CASE WHEN c.c_acctbal < 0 THEN 'neg'
+                    WHEN c.c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS bal_class,
+               count(*) AS n""",
+    # WITH pipeline: aggregate then filter (HAVING semantics)
+    "with_having": """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)
+        WITH c.c_name AS name, count(*) AS n
+        WHERE n >= 12 RETURN name, n""",
+    # WITH rebinding a node for a second MATCH
+    "with_rebind_match": """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)
+        WHERE o.o_totalprice > 300000
+        WITH DISTINCT c
+        MATCH (c)-[:CUST_IN]->(n:Nation)
+        RETURN n.n_name AS nation, count(*) AS big_spenders""",
+    # UNWIND (extension)
+    "unwind": """
+        UNWIND [1, 2, 3, 4, 5] AS x
+        RETURN x * 10 AS y, x % 2 AS parity""",
+    # schema-invalid pattern -> constant-empty result (reference parity)
+    "invalid_direction_empty": """
+        MATCH (o:Order)-[:PLACED]->(c:Customer)
+        RETURN c.c_name AS name""",
+    # variable-length hop (extension; *1..1 degenerate = plain hop)
+    "var_length_single": """
+        MATCH (c:Customer)-[:PLACED*1..1]->(o:Order)
+        RETURN count(*) AS n""",
+}
+
+_CYPHER_ORACLES: dict[str, str] = {
+    "match_filter_project": """
+        SELECT c.c_name AS name, o.o_totalprice AS price
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > 200000""",
+    "inline_properties": """
+        SELECT c.c_name AS name, o.o_orderkey AS okey
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'F'""",
+    "label_inference": """
+        SELECT r.r_name AS region, n.n_name AS nation
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""",
+    "rel_type_inference": """
+        SELECT count(*) AS n FROM orders""",
+    "rel_property_access": """
+        SELECT l_orderkey AS okey, l_extendedprice AS price
+        FROM lineitem WHERE l_linenumber = 1 AND l_quantity > 45""",
+    "multi_hop": """
+        SELECT c.c_name AS name, p.p_name AS part, l.l_quantity AS qty
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size > 40 AND o.o_orderstatus = 'O'""",
+    "incoming_direction": """
+        SELECT c.c_name AS name, count(*) AS orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal < 0 GROUP BY c.c_name""",
+    "either_direction": """
+        SELECT r.r_name AS region, count(*) AS nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name""",
+    "shared_alias_patterns": """
+        SELECT n.n_name AS nation, count(*) AS pairs
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name""",
+    "implicit_group_by": """
+        SELECT c.c_mktsegment AS seg, count(*) AS n,
+               round(avg(o.o_totalprice), 2) AS avg_price,
+               min(o.o_orderkey) AS first_order
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment""",
+    "global_aggregate": "SELECT count(*) AS n FROM customer",
+    "count_distinct": """
+        SELECT count(DISTINCT o_custkey) AS buyers FROM orders""",
+    "aggregates_five": """
+        SELECT o.o_orderstatus AS status, count(*) AS n,
+               round(sum(l.l_quantity), 1) AS total_qty,
+               max(l.l_extendedprice) AS max_price,
+               min(l.l_discount) AS min_disc,
+               round(avg(l.l_tax), 4) AS avg_tax
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus""",
+    "order_skip_limit": """
+        SELECT c_name AS name, c_acctbal AS bal FROM customer
+        ORDER BY bal DESC, name ASC LIMIT 10 OFFSET 5""",
+    "where_operators": """
+        SELECT c_name AS name FROM customer
+        WHERE (c_acctbal >= 1000 AND c_acctbal <= 5000)
+           OR c_mktsegment IN ('MACHINERY', 'HOUSEHOLD')""",
+    "null_and_arithmetic": """
+        SELECT c_acctbal + 1 AS bal1, c_acctbal * 2 - 10 AS bal2,
+               c_custkey % 10 AS bucket
+        FROM customer WHERE c_name IS NOT NULL""",
+    "return_distinct": """
+        SELECT DISTINCT c.c_mktsegment AS seg
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey""",
+    "scalar_functions": """
+        SELECT upper(c_mktsegment) AS seg_u, substring(c_name, 1, 8) AS name8,
+               abs(c_acctbal) AS mag FROM customer""",
+    "string_predicates": """
+        SELECT count(*) AS n FROM part
+        WHERE p_name LIKE 'part%' AND p_type LIKE '%a%'""",
+    "case_expression": """
+        SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS bal_class, count(*) AS n
+        FROM customer GROUP BY 1""",
+    "with_having": """
+        SELECT c.c_name AS name, count(*) AS n
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_name HAVING count(*) >= 12""",
+    "with_rebind_match": """
+        SELECT n.n_name AS nation, count(*) AS big_spenders
+        FROM (SELECT DISTINCT c.* FROM customer c
+              JOIN orders o ON o.o_custkey = c.c_custkey
+              WHERE o.o_totalprice > 300000) c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name""",
+    "unwind": """
+        SELECT x * 10 AS y, x % 2 AS parity
+        FROM (VALUES (1), (2), (3), (4), (5)) t(x)""",
+    "invalid_direction_empty": """
+        SELECT c_name AS name FROM customer WHERE 1 = 0""",
+    "var_length_single": "SELECT count(*) AS n FROM orders",
+}
+
+
+# --------------------------------------------------------------------------
+# Scale-extension queries (dedup / similarity / text / events)
+# --------------------------------------------------------------------------
+
+def _q_dedup_exact(spark, sf_dir):
+    from brahmand_spark.ops.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir), ["text"]).select(
+        "canonical_id", "n_copies"
+    )
+
+
+def _q_dedup_exact_keep(spark, sf_dir):
+    from brahmand_spark.ops.dedup import dedup_exact
+
+    kept = dedup_exact(_docs(spark, sf_dir), ["text"])
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from brahmand_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.8
+    )
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from brahmand_spark.ops.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _docs(spark, sf_dir), n=3, num_hashes=64, bands=16
+    ).filter(F.col("est_jaccard") >= 0.5)
+
+
+def _q_simhash(spark, sf_dir):
+    from brahmand_spark.ops.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from brahmand_spark.ops.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _embeddings(spark, sf_dir), threshold=0.4
+    )
+
+
+def _q_ann_topk(spark, sf_dir):
+    from brahmand_spark.ops.similarity import cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=10)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from brahmand_spark.ops.similarity import hyperplane_lsh_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return hyperplane_lsh_topk(
+        emb, queries, k=10, dim=_emb_dim(spark, sf_dir)
+    )
+
+
+def _q_token_count(spark, sf_dir):
+    from brahmand_spark.ops.text import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from brahmand_spark.ops.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_langid(spark, sf_dir):
+    from brahmand_spark.ops.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from brahmand_spark.ops.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_events_window(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+def _q_events_top_users(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return agg.orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    ).limit(20)
+
+
+_EXTENSIONS: dict[str, Callable] = {
+    "dedup_exact": _q_dedup_exact,
+    "dedup_exact_keep": _q_dedup_exact_keep,
+    "dedup_ngram_jaccard": _q_ngram_jaccard,
+    "dedup_minhash_lsh": _q_minhash_lsh,
+    "dedup_simhash": _q_simhash,
+    "dedup_embedding_cosine": _q_embedding_near_dup,
+    "ann_cosine_topk": _q_ann_topk,
+    "ann_lsh_topk": _q_ann_lsh_topk,
+    "text_token_count": _q_token_count,
+    "text_quality_score": _q_quality,
+    "text_lang_id": _q_langid,
+    "text_fingerprint": _q_fingerprint,
+    "events_window_agg": _q_events_window,
+    "events_top_users": _q_events_top_users,
+}
+
+_EXTENSION_ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        FROM documents GROUP BY text HAVING count(*) > 1""",
+    "dedup_exact_keep": """
+        SELECT count(*) AS n_kept FROM (
+            SELECT min(doc_id) FROM documents GROUP BY text)""",
+    "dedup_ngram_jaccard": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+            FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(t) - 1),
+                       i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+            FROM toks),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8""",
+    "dedup_embedding_cosine": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(
+                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(
+                  a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""",
+    "ann_cosine_topk": """
+        WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                   round(list_cosine_similarity(
+                       c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, corpus_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 10""",
+    "text_token_count": r"""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                   AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                   AS n_subwords,
+               length(text) AS n_chars_computed
+        FROM documents""",
+    "text_quality_score": r"""
+        WITH base AS (
+            SELECT doc_id, length(text) AS n_chars,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t,
+                   length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                   length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha
+            FROM documents),
+        feat AS (
+            SELECT doc_id, n_chars, len(t) AS n_tokens, n_punct, n_alpha,
+                   len(list_filter(t, x -> lower(x) IN
+                       ('the','a','an','and','or','of','to','in','is','it',
+                        'for','on','with','as','at','by'))) AS n_stop
+            FROM base)
+        SELECT doc_id, n_chars AS n_chars_c, n_tokens,
+               round((n_chars - n_tokens + 1) * 1.0 / greatest(n_tokens, 1), 4) AS mean_token_len,
+               round(n_punct * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
+               round(n_alpha * 1.0 / greatest(n_chars, 1), 4) AS alpha_ratio,
+               round(n_stop * 1.0 / greatest(n_tokens, 1), 4) AS stopword_ratio,
+               round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+                   0.4 * round(n_stop * 1.0 / greatest(n_tokens, 1), 4)
+                 + 0.4 * round(n_alpha * 1.0 / greatest(n_chars, 1), 4)
+                 + 0.2 * least(n_tokens / 100.0, 1.0) END, 4) AS quality
+        FROM feat""",
+    "text_lang_id": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '') AS t
+            FROM documents),
+        hits AS (
+            SELECT doc_id,
+                   len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS n_de,
+                   len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS n_en,
+                   len(list_filter(t, x -> x IN ('el','los','las','es','y'))) AS n_es,
+                   len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS n_fr
+            FROM toks)
+        SELECT doc_id,
+               CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+                    WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+                    WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+                    WHEN n_es >= n_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang,
+               greatest(n_de, n_en, n_es, n_fr) AS marker_hits
+        FROM hits""",
+    "text_fingerprint": """
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(string_split(text, ''), c -> ascii(c))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        FROM documents""",
+    "events_window_agg": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2""",
+    "events_top_users": """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY user_id
+        ORDER BY n_events DESC, user_id ASC LIMIT 20""",
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: hash-family-specific
+    # (xxhash64 + seeded permutations/hyperplanes) — not expressible in
+    # portable SQL; driver records rows-only checks for these.
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def make_cypher(c: str) -> Callable[[SparkSession, str], DataFrame]:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _tpch(spark, sf_dir).execute(c)
+
+        return run
+
+    for name, cypher in _CYPHER.items():
+        out[name] = make_cypher(cypher)
+    out.update(_EXTENSIONS)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = dict(_CYPHER_ORACLES)
+    out.update(_EXTENSION_ORACLES)
+    return out

@@ -12,11 +12,13 @@ Extensions beyond the reference surface, designed 100 TB-first:
   arithmetic is modular (< 2^62) to survive Spark 4 ANSI overflow checks.
 - SimHash: 64-bit sign-of-weighted-votes fingerprint; near-dup = small
   Hamming distance, found via band-equality join (pigeonhole).
-- Embedding near-dup: cosine over `array<float>` with JVM zip_with/
-  aggregate (no UDF); brute-force pair join at test scale, LSH random
-  hyperplanes at 100 TB (see similarity.py).
+- Embedding near-dup: broadcast-GEMM via Arrow-batched mapInPandas
+  (numpy matrix multiply per partition — the one place vectorized
+  Python beats JVM expressions), with a pure-DataFrame fallback;
+  LSH random hyperplanes bucket first at 100 TB (see similarity.py).
 
-Everything is a pure DataFrame transform; nothing collects to the driver.
+Every operator is a pure DataFrame transform; only the deliberately
+broadcast small side of the GEMM path touches the driver.
 """
 
 from __future__ import annotations
@@ -67,11 +69,13 @@ def shingles(col: Column, n: int = 3) -> Column:
     slice a token array at every offset)."""
     toks = tokens(col)
     k = F.size(toks) - F.lit(n - 1)
+    # NB: sequence(1, 0) would yield a DESCENDING [1, 0] in Spark —
+    # short texts must map to an empty shingle set explicitly.
+    offsets = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+        F.transform(offsets, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )
 
 
@@ -134,29 +138,31 @@ def minhash_signatures(
     n: int = 3, num_hashes: int = 64, seed: int = 42,
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of
-    ((a_i * h(s) + b_i) mod p), h = xxhash64 folded non-negative.
-    Narrow transform — no shuffle; all arithmetic stays < 2^62 so Spark
-    ANSI mode never overflows."""
-    sh = shingles(F.col(text_col), n)
+    ((a_i * h(s) + b_i) mod p), h = xxhash64 folded into [0, p).
 
-    def min_perm(a: int, b: int) -> Column:
-        # xxhash64 folded non-negative < 2^32 so a*h + b < 2^62 (ANSI-safe).
-        # One-parameter lambda only: PySpark treats a second (even
-        # defaulted) parameter as the element-index argument.
-        return F.array_min(
-            F.transform(
-                sh,
-                lambda s: F.pmod(
-                    F.lit(a) * F.pmod(F.xxhash64(s), F.lit(HASH_P)) + F.lit(b),
-                    F.lit(HASH_P),
-                ),
-            )
-        )
+    Shape: explode distinct shingles -> hash once per shingle -> k MIN
+    aggregates in one hash aggregate. Everything stays in whole-stage
+    codegen (higher-order array lambdas are interpreted per element and
+    ~10× slower); one shuffle on the doc id with map-side partial mins.
+    All values stay < 2^62, safe under Spark ANSI overflow checks.
 
-    sig = F.array(*[
-        min_perm(a, b) for (a, b) in _perm_params(num_hashes, seed)
+    Docs with no shingles (fewer than n tokens) yield no row."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("s"),
+    ).withColumn("h", F.pmod(F.xxhash64("s"), F.lit(HASH_P)))
+    perms = _perm_params(num_hashes, seed)
+    agg = ex.groupBy("id").agg(*[
+        F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(HASH_P))
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(perms)
     ])
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+    return agg.select(
+        "id",
+        F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+        .alias("signature"),
+    )
 
 
 def minhash_lsh_candidates(
@@ -221,37 +227,34 @@ SIMHASH_BITS = 64
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """64-bit SimHash: per-token xxhash64; each bit position votes
-    +1/-1; fingerprint bit = sign of the vote sum. Pure
-    aggregate/zip_with fold — JVM-side, no shuffle."""
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    zero = F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS)
-    def bit_votes(h):
-        # bit positions unrolled as constants (shiftright needs int numBits)
-        return F.array(*[
-            F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1).cast("bigint"),
-            ).otherwise(F.lit(-1).cast("bigint"))
-            for i in range(SIMHASH_BITS)
-        ])
+    +1/-1; fingerprint bit = sign of the vote sum.
 
-    votes = F.aggregate(
-        hashes,
-        zero,
-        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda x, y: x + y),
-    )
-    # Reassemble bits -> 4 × 16-bit chunk values (avoids 2^63 sign issues
-    # and doubles as the Hamming-band key set).
-    chunks = F.array(*[
-        F.aggregate(
-            F.slice(votes, c * 16 + 1, 16),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
-        )
-        for c in range(4)
+    Shape: explode distinct tokens -> one hash per row -> 64 conditional
+    SUMs in a single hash aggregate (fully codegen'd, map-side partial
+    agg, one shuffle on the doc id) -- ~10x faster than a per-row
+    higher-order fold, same single-shuffle profile at 100 TB.
+    Output: 4 x 16-bit chunk values (doubles as the Hamming band key)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = tok.groupBy("id").agg(*[
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
     ])
-    return df.select(F.col(id_col).alias("id"), chunks.alias("simhash"))
+    chunk_cols = []
+    for c in range(4):
+        chunk = F.lit(0).cast("bigint")
+        for i in range(16):
+            bit = F.when(F.col(f"b{c * 16 + i}") > 0, 1).otherwise(0)
+            chunk = chunk * 2 + bit
+        chunk_cols.append(chunk)
+    return votes.select("id", F.array(*chunk_cols).alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -296,43 +299,79 @@ def simhash_near_pairs(
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
-
-
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95,
+    threshold: float = 0.95, dim: int | None = None,
+    method: str = "gemm",
 ) -> DataFrame:
     """Cosine-similar pairs (id_a < id_b, cosine >= threshold).
-    Brute-force O(n²) pair join — correct baseline for verification; the
-    100 TB path buckets by random-hyperplane LSH first
-    (similarity.hyperplane_lsh_pairs) and verifies with this cosine.
+
+    ``method='gemm'`` (default): broadcast the (small) normalized matrix
+    and score each corpus partition against it with one BLAS matrix
+    multiply inside Arrow-batched ``mapInPandas`` — the canonical Spark
+    pattern for dense all-pairs scoring. Scales to a broadcast side of
+    ~1M vectors; beyond that, LSH-bucket first
+    (similarity.hyperplane_lsh_topk's bucketing) or tile the broadcast.
+
+    ``method='builtin'``: pure DataFrame pair join with higher-order-
+    function dot products — no Python anywhere, but interpreted lambda
+    evaluation makes it ~30× slower; kept as the UDF-free baseline.
     """
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    v = v.withColumn("nrm", _norm(F.col("v")))
-    a = v.alias("a")
-    b = v.alias("b")
-    cos = F.round(
-        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
-        6,
-    )
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            cos.alias("cosine"),
+    if method == "builtin":
+        from .similarity import dot as _dot
+        from .similarity import norm as _norm
+
+        v = df.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         )
-        .filter(F.col("cosine") >= threshold)
+        v = v.withColumn("nrm", _norm(F.col("v"), dim))
+        a = v.alias("a")
+        b = v.alias("b")
+        cos = F.round(
+            _dot(F.col("a.v"), F.col("b.v"), dim)
+            / (F.col("a.nrm") * F.col("b.nrm")),
+            6,
+        )
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                cos.alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    import numpy as np
+
+    spark = df.sparkSession
+    side = df.select(id_col, vec_col).toPandas()
+    ids = side[id_col].to_numpy()
+    M = np.vstack(side[vec_col].to_numpy()).astype("float64")
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_m = spark.sparkContext.broadcast(M)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            S = np.round(X @ b_m.value.T, 6)
+            xi = pdf[id_col].to_numpy()
+            ii, jj = np.nonzero(S >= threshold)
+            id_a = xi[ii]
+            id_b = b_ids.value[jj]
+            keep = id_a < id_b
+            yield pd.DataFrame({
+                "id_a": id_a[keep].astype("int64"),
+                "id_b": id_b[keep].astype("int64"),
+                "cosine": S[ii, jj][keep],
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        score, schema="id_a bigint, id_b bigint, cosine double"
     )

@@ -22,7 +22,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Vector dot product. With a known ``dim`` the sum is unrolled into
+    plain ``element_at`` expressions — these stay inside whole-stage
+    codegen, ~10× faster than the higher-order ``aggregate`` path (HOF
+    lambdas are interpreted per element). Left-to-right addition order
+    matches a sequential fold, so values agree with the HOF path and
+    with DuckDB's list_cosine_similarity."""
+    if dim is not None:
+        out = F.element_at(a, 1) * F.element_at(b, 1)
+        for i in range(2, dim + 1):
+            out = out + F.element_at(a, i) * F.element_at(b, i)
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -30,8 +41,8 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
 def _as_double(col: Column) -> Column:
@@ -42,23 +53,25 @@ def cosine_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
     query_id_col: str = "vec_id", query_vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine similarity.
     Ties broken by corpus id (deterministic). Queries are broadcast;
     the corpus is scanned once with no shuffle before the final
-    per-query top-k."""
+    per-query top-k. Pass ``dim`` to unroll the dot product into
+    codegen-friendly expressions."""
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm(F.col("cv"), dim))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(query_vec_col)).alias("qv"),
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm(F.col("qv"), dim))
     scored = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
     scored = scored.withColumn(
         "cosine",
-        F.round(dot(F.col("cv"), F.col("qv"))
+        F.round(dot(F.col("cv"), F.col("qv"), dim)
                 / (F.col("cn") * F.col("qn")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -79,10 +92,15 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: one sign bit per plane."""
+    """Random-hyperplane LSH bucket id: one sign bit per plane.
+    Plane dot products unroll fully (plane values are literals)."""
     bits = [
         F.when(
-            dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, 1
+            sum(
+                (F.element_at(vec, i + 1) * F.lit(x)
+                 for i, x in enumerate(plane)),
+                start=F.lit(0.0),
+            ) >= 0, 1
         ).otherwise(0)
         for plane in planes
     ]
@@ -96,6 +114,7 @@ def hyperplane_lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
     dim: int = 64, n_planes: int = 4, seed: int = 42,
+    unroll: bool = False,
 ) -> DataFrame:
     """Approximate top-k: compare only within the query's LSH bucket.
     2^n_planes buckets; the bucket assignment is a narrow projection on
@@ -103,18 +122,19 @@ def hyperplane_lsh_topk(
     neighbors across bucket boundaries are missed (tunable via
     n_planes; union several seeds for multi-table recall)."""
     planes = _hyperplanes(dim, n_planes, seed)
+    d = dim if unroll else None
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         _as_double(F.col(vec_col)).alias("cv"),
     )
     c = c.withColumn("bucket", lsh_bucket(F.col("cv"), planes))
-    c = c.withColumn("cn", norm(F.col("cv")))
+    c = c.withColumn("cn", norm(F.col("cv"), d))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
     )
     q = q.withColumn("bucket", lsh_bucket(F.col("qv"), planes))
-    q = q.withColumn("qn", norm(F.col("qv")))
+    q = q.withColumn("qn", norm(F.col("qv"), d))
     scored = c.alias("c").join(
         F.broadcast(q.alias("q")),
         (F.col("c.bucket") == F.col("q.bucket"))
@@ -122,7 +142,7 @@ def hyperplane_lsh_topk(
     )
     scored = scored.withColumn(
         "cosine",
-        F.round(dot(F.col("cv"), F.col("qv"))
+        F.round(dot(F.col("cv"), F.col("qv"), d)
                 / (F.col("cn") * F.col("qn")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(

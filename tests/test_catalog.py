@@ -1,0 +1,89 @@
+"""Catalog + DDL unit tests (reference semantics:
+graph_schema.rs round-trip, endpoint validation graph_catalog.rs:101-125,
+node-id validation ddl_query.rs:79-92)."""
+
+import pytest
+
+from brahmand_spark.catalog import GraphSchema, NodeSchema, RelationshipSchema
+from brahmand_spark.errors import CatalogError
+
+
+def sample_schema():
+    g = GraphSchema()
+    g.add_node(NodeSchema("Person", "person_tbl", "id", ["id", "name", "age"]))
+    g.add_node(NodeSchema("Company", "company_tbl", "id", ["id", "name"]))
+    g.add_relationship(RelationshipSchema(
+        "WORKS_AT", "works_tbl", "Person", "Company",
+        "from_Person", "to_Company", ["position"],
+    ))
+    return g
+
+
+class TestCatalog:
+    def test_roundtrip(self, tmp_path):
+        g = sample_schema()
+        p = str(tmp_path / "catalog.json")
+        g.save(p)
+        g2 = GraphSchema.load(p)
+        assert g2.to_json() == g.to_json()
+        assert g2.version == g.version
+
+    def test_version_increments(self):
+        g = GraphSchema()
+        assert g.version == 0
+        g.add_node(NodeSchema("A", "a", "id"))
+        assert g.version == 1
+        g.add_node(NodeSchema("B", "b", "id"))
+        g.add_relationship(RelationshipSchema(
+            "R", "r", "A", "B", "from_A", "to_B"))
+        assert g.version == 3
+
+    def test_missing_endpoint_rejected(self):
+        g = GraphSchema()
+        g.add_node(NodeSchema("A", "a", "id"))
+        with pytest.raises(CatalogError, match="missing node table"):
+            g.add_relationship(RelationshipSchema(
+                "R", "r", "A", "Nope", "from_A", "to_Nope"))
+
+    def test_duplicate_rejected(self):
+        g = sample_schema()
+        with pytest.raises(CatalogError):
+            g.add_node(NodeSchema("Person", "x", "id"))
+
+    def test_rels_between(self):
+        g = sample_schema()
+        assert [r.type_name for r in g.rels_between("Person", "Company")] == ["WORKS_AT"]
+        assert g.rels_between("Company", "Person") == []
+        assert [r.type_name for r in g.rels_between(None, "Company")] == ["WORKS_AT"]
+
+
+class TestDDLSession:
+    def test_node_id_dtype_enforced(self, spark):
+        from brahmand_spark import GraphSession
+
+        s = GraphSession(spark)
+        with pytest.raises(CatalogError, match="Int64/UInt64"):
+            s.execute("CREATE NODE TABLE T (id String, NODE ID (id))")
+
+    def test_node_id_required(self, spark):
+        from brahmand_spark import GraphSession
+
+        s = GraphSession(spark)
+        with pytest.raises(CatalogError, match="NODE ID"):
+            s.execute("CREATE NODE TABLE T (id Int64, PRIMARY KEY (id))")
+
+    def test_rel_before_nodes_rejected(self, spark):
+        from brahmand_spark import GraphSession
+
+        s = GraphSession(spark)
+        with pytest.raises(CatalogError, match="missing node table"):
+            s.execute("CREATE REL TABLE R FROM A TO B (x Int64)")
+
+    def test_ddl_then_query_empty_table(self, spark):
+        from brahmand_spark import GraphSession
+
+        s = GraphSession(spark)
+        s.execute("CREATE NODE TABLE City (id Int64, name String, NODE ID (id))")
+        out = s.execute("MATCH (c:City) RETURN c.name AS name")
+        assert out.count() == 0
+        assert out.columns == ["name"]

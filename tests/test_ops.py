@@ -1,0 +1,262 @@
+"""Extension-operator tests vs DuckDB oracles on sf0.001 (plus invariants
+for the hash-family ops that have no portable oracle)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from .conftest import SF_SMOKE
+from .helpers import assert_same
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from brahmand_spark.io import read_parquet
+
+    return read_parquet(spark, f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from brahmand_spark.io import read_parquet
+
+    return read_parquet(spark, f"{SF_SMOKE}/embeddings.parquet")
+
+
+class TestText:
+    def test_token_count(self, docs, duck):
+        from brahmand_spark.ops.text import token_count
+
+        assert_same(
+            token_count(docs),
+            duck.sql(r"""
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '')) AS n_tokens,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+                       length(text) AS n_chars_computed
+                FROM documents"""),
+        )
+
+    def test_fingerprint(self, docs, duck):
+        from brahmand_spark.ops.text import fingerprint
+
+        assert_same(
+            fingerprint(docs),
+            duck.sql("""
+                SELECT doc_id,
+                       list_reduce(list_prepend(0::BIGINT,
+                           list_transform(string_split(text, ''),
+                                          c -> ascii(c))),
+                           (acc, c) -> (acc * 31 + c) % 1000000007)
+                       AS fingerprint
+                FROM documents"""),
+        )
+
+    def test_lang_id_deterministic(self, docs):
+        from brahmand_spark.ops.text import lang_id
+
+        out = lang_id(docs).toPandas()
+        assert len(out) == docs.count()
+        assert set(out.pred_lang.unique()) <= {"en", "fr", "de", "es", "und"}
+
+
+class TestDedup:
+    def test_exact_on_synthetic(self, spark):
+        from brahmand_spark.ops.dedup import dedup_exact, exact_duplicates
+
+        df = spark.createDataFrame(
+            [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa"), (5, "cc")],
+            "doc_id long, text string",
+        )
+        groups = exact_duplicates(df, ["text"]).toPandas()
+        assert len(groups) == 1
+        assert groups.iloc[0].canonical_id == 1
+        assert groups.iloc[0].n_copies == 3
+        kept = dedup_exact(df, ["text"])
+        assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 5]
+
+    def test_jaccard_identical_docs(self, spark):
+        from brahmand_spark.ops.dedup import ngram_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+            "doc_id long, text string",
+        )
+        pairs = ngram_jaccard_pairs(df, n=2, threshold=0.5).collect()
+        assert len(pairs) == 1
+        assert (pairs[0].id_a, pairs[0].id_b) == (1, 2)
+        assert pairs[0].jaccard == 1.0
+
+    def test_jaccard_short_text_no_shingles(self, spark):
+        from brahmand_spark.ops.dedup import shingles
+
+        df = spark.createDataFrame([("a b",)], "text string")
+        out = df.select(shingles(F.col("text"), 3).alias("s")).first()
+        assert out.s == []
+
+    def test_minhash_identical_docs_agree(self, spark):
+        from brahmand_spark.ops.dedup import minhash_lsh_candidates
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumps over the lazy dog"),
+             (3, "entirely different words compose this sentence here")],
+            "doc_id long, text string",
+        )
+        pairs = minhash_lsh_candidates(df, n=2).collect()
+        assert any(
+            (p.id_a, p.id_b, p.est_jaccard) == (1, 2, 1.0) for p in pairs
+        )
+        assert not any(
+            {p.id_a, p.id_b} == {1, 3} and p.est_jaccard > 0.5 for p in pairs
+        )
+
+    def test_minhash_recall_vs_exact(self, docs):
+        """LSH candidates must recover the clearly-similar exact pairs
+        (jaccard >= 0.9 with 16 bands of 4 -> detection prob ~1)."""
+        from brahmand_spark.ops.dedup import (
+            minhash_lsh_candidates, ngram_jaccard_pairs,
+        )
+
+        exact = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
+        }
+        cands = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(docs, n=3).collect()
+        }
+        missed = exact - cands
+        assert len(missed) <= max(1, len(exact) // 10), (
+            f"LSH missed {len(missed)}/{len(exact)} high-sim pairs"
+        )
+
+    def test_simhash_identical_docs(self, spark):
+        from brahmand_spark.ops.dedup import simhash_near_pairs
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+             (3, "unrelated totally different content words")],
+            "doc_id long, text string",
+        )
+        pairs = simhash_near_pairs(df, max_hamming=0).collect()
+        assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+    def test_embedding_near_dup_vs_oracle(self, emb, duck):
+        from brahmand_spark.ops.dedup import embedding_near_dup_pairs
+
+        assert_same(
+            embedding_near_dup_pairs(emb, threshold=0.4),
+            duck.sql("""
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_cosine_similarity(
+                           a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                       AS cosine
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(
+                          a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                      >= 0.4"""),
+        )
+
+    def test_gemm_matches_builtin(self, emb):
+        from brahmand_spark.ops.dedup import embedding_near_dup_pairs
+
+        gemm = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in embedding_near_dup_pairs(emb, threshold=0.35).collect()
+        }
+        builtin = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in embedding_near_dup_pairs(
+                emb, threshold=0.35, method="builtin").collect()
+        }
+        assert gemm == builtin
+
+
+class TestSimilarity:
+    def test_topk_vs_oracle(self, emb, duck):
+        from brahmand_spark.ops.similarity import cosine_topk
+
+        assert_same(
+            cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5),
+            duck.sql("""
+                WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+                scored AS (
+                    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                           round(list_cosine_similarity(
+                               c.embedding::DOUBLE[], q.embedding::DOUBLE[]),
+                               6) AS cosine
+                    FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
+                ranked AS (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, corpus_id)
+                    AS rank FROM scored)
+                SELECT query_id, corpus_id, cosine, rank
+                FROM ranked WHERE rank <= 5"""),
+        )
+
+    def test_lsh_subset_of_exact_score(self, emb):
+        """Every LSH hit's cosine must equal the exact cosine (it is the
+        same scoring, just bucket-restricted)."""
+        from brahmand_spark.ops.similarity import (
+            cosine_topk, hyperplane_lsh_topk,
+        )
+
+        q = emb.filter(F.col("vec_id") < 3)
+        exact = {
+            (r.query_id, r.corpus_id): r.cosine
+            for r in cosine_topk(emb, q, k=50).collect()
+        }
+        for r in hyperplane_lsh_topk(emb, q, k=5).collect():
+            key = (r.query_id, r.corpus_id)
+            if key in exact:
+                assert exact[key] == r.cosine
+
+
+class TestMultimodal:
+    def test_metadata_sniffing(self, spark):
+        from brahmand_spark.ops.multimodal import attach_image_metadata
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x89PNG\r\n" + b"x" * 10)),
+             (2, bytearray(b"\xff\xd8\xff" + b"y" * 10)),
+             (3, bytearray(b"GIF8" + b"z" * 10)),
+             (4, bytearray(b"????"))],
+            "id long, content binary",
+        )
+        out = {r.id: r.format for r in attach_image_metadata(df).collect()}
+        assert out == {1: "png", 2: "jpeg", 3: "gif", 4: "unknown"}
+
+    def test_decode_stub_raises_without_fake(self, spark):
+        from brahmand_spark.ops.multimodal import decode_image_features
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x89PNG"))], "id long, content binary"
+        )
+        with pytest.raises(Exception):
+            decode_image_features(df).collect()
+
+    def test_decode_fake_deterministic(self, spark):
+        from brahmand_spark.ops.multimodal import decode_image_features
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x89PNGxyz")), (2, bytearray(b"\xff\xd8\xe4\xba\x8c"))],
+            "id long, content binary",
+        )
+        a = decode_image_features(df, deterministic_fake=True).collect()
+        b = decode_image_features(df, deterministic_fake=True).collect()
+        assert sorted(map(str, a)) == sorted(map(str, b))
+        assert all(len(r.feature) == 8 for r in a)
+
+    def test_frame_sample_plan(self, spark):
+        from brahmand_spark.ops.multimodal import frame_sample_plan
+
+        df = spark.createDataFrame(
+            [(7, 4.0), (8, 0.5)], "id long, duration_s double"
+        )
+        rows = frame_sample_plan(df, fps=0.5).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.id, []).append(r.sample_ts)
+        assert sorted(by_id[7]) == [0.0, 2.0]
+        assert by_id[8] == [0.0]

@@ -414,6 +414,20 @@ def _q_events_window(spark, sf_dir):
     )
 
 
+def _q_events_sessionize(spark, sf_dir):
+    from brahmand_spark.streaming import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap="30 minutes")
+
+
+def _q_events_sliding(spark, sf_dir):
+    from brahmand_spark.streaming import sliding_counts
+
+    return sliding_counts(
+        _events(spark, sf_dir), window="1 hour", slide="30 minutes"
+    )
+
+
 def _q_events_top_users(spark, sf_dir):
     ev = _events(spark, sf_dir)
     agg = ev.groupBy("user_id").agg(
@@ -439,6 +453,8 @@ _EXTENSIONS: dict[str, Callable] = {
     "text_lang_id": _q_langid,
     "text_fingerprint": _q_fingerprint,
     "events_window_agg": _q_events_window,
+    "events_sessionize": _q_events_sessionize,
+    "events_sliding_counts": _q_events_sliding,
     "events_top_users": _q_events_top_users,
 }
 
@@ -554,6 +570,29 @@ _EXTENSION_ORACLES: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2""",
+    "events_sessionize": """
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        numbered AS (
+            SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM numbered GROUP BY user_id, sid""",
+    "events_sliding_counts": """
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                   - (k * INTERVAL '30 minutes') AS window_start,
+               event_type, count(*) AS n
+        FROM events, (VALUES (0), (1)) t(k)
+        GROUP BY 1, 2""",
     "events_top_users": """
         SELECT user_id, count(*) AS n_events,
                round(sum(value), 2) AS total_value

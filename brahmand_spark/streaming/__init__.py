@@ -1,0 +1,9 @@
+from .windows import (
+    read_event_stream, sessionize, sliding_counts, streaming_dedup,
+    tumbling_agg,
+)
+
+__all__ = [
+    "read_event_stream", "tumbling_agg", "sliding_counts", "sessionize",
+    "streaming_dedup",
+]

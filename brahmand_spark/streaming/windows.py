@@ -1,0 +1,122 @@
+"""Structured Streaming operators over event tables.
+
+Extension beyond the reference surface (SURVEY.md §2.8: the reference has
+no streaming of any kind). Every transform here is written against the
+unified DataFrame API so the SAME function works on a batch DataFrame
+(used by the DuckDB-oracle correctness gate) and on a
+``spark.readStream`` source (used in production with watermarks).
+
+Scale posture: watermarks bound state; tumbling/sliding windows use
+Spark's native windowed hash aggregation (map-side partial agg, one
+shuffle on (window, keys)); session windows use the built-in
+``session_window`` (state-store backed under streaming).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: Optional[str] = None,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """File-source stream over a parquet directory (the streaming
+    counterpart of io.read_parquet)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts",
+                   delay: str = "10 minutes") -> DataFrame:
+    """Bound state for late data (no-op on batch DataFrames).
+    Watermarks require TIMESTAMP (with local tz); NTZ event times are
+    cast — wall-clock values are preserved."""
+    if df.isStreaming:
+        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def tumbling_agg(
+    df: DataFrame, ts_col: str = "ts", keys: tuple[str, ...] = ("event_type",),
+    window: str = "1 hour", value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window count + sum per key. Works identically on batch
+    (oracle: GROUP BY date_trunc) and streaming (watermarked state)."""
+    df = with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys, "n", "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame, ts_col: str = "ts", keys: tuple[str, ...] = ("event_type",),
+    window: str = "1 hour", slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding (hopping) window counts — each event lands in
+    window/slide buckets."""
+    df = with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window, slide).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"), *keys, "n",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame, ts_col: str = "ts", key: str = "user_id",
+    gap: str = "30 minutes", watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows: activity runs per key separated by >= gap.
+    Uses the built-in ``session_window`` (merging state windows under
+    streaming; a sort-based merge under batch)."""
+    df = with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    df: DataFrame, keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts", watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event dedup within the watermark horizon
+    (``dropDuplicates`` is state-store backed on streams; plain distinct
+    on batch)."""
+    df = with_watermark(df, ts_col, watermark)
+    if df.isStreaming:
+        return df.dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))

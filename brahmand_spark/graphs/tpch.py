@@ -58,14 +58,41 @@ def lineitem_with_id(df: DataFrame) -> DataFrame:
     )
 
 
+def _lineitem_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the id-stamped lineitem once per dataset (to a scratch dir)
+    and read it back. Without this every query touching Lineitem re-runs
+    the row_number window (shuffle + sort) once per pattern entity; with
+    it, Lineitem scans are plain parquet with full filter/column
+    pushdown. Falls back to on-the-fly derivation if scratch space is
+    unavailable."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"brahmand_li_{key}.parquet")
+    try:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            df = lineitem_with_id(
+                read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+            )
+            df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    except Exception:
+        return lineitem_with_id(
+            read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+        )
+
+
 def build_session(spark: SparkSession, sf_dir: str) -> GraphSession:
     configure(spark)
     schema = GraphSchema()
     dfs: dict[str, DataFrame] = {}
     for label, (fname, id_col) in NODE_TABLES.items():
-        df = read_parquet(spark, f"{sf_dir}/{fname}.parquet")
         if label == "Lineitem":
-            df = lineitem_with_id(df)
+            df = _lineitem_materialized(spark, sf_dir)
+        else:
+            df = read_parquet(spark, f"{sf_dir}/{fname}.parquet")
         dfs[label] = df
         schema.add_node(NodeSchema(
             label=label, table_name=label, node_id=id_col,

@@ -203,6 +203,12 @@ _CYPHER: dict[str, str] = {
     "var_length_single": """
         MATCH (c:Customer)-[:PLACED*1..1]->(o:Order)
         RETURN count(*) AS n""",
+    # OPTIONAL MATCH (extension; the reference has only a TODO)
+    "optional_match": """
+        MATCH (c:Customer)
+        OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
+        WHERE o.o_totalprice > 300000
+        RETURN c.c_name AS name, count(o) AS n_big""",
 }
 
 _CYPHER_ORACLES: dict[str, str] = {
@@ -302,6 +308,12 @@ _CYPHER_ORACLES: dict[str, str] = {
     "invalid_direction_empty": """
         SELECT c_name AS name FROM customer WHERE 1 = 0""",
     "var_length_single": "SELECT count(*) AS n FROM orders",
+    "optional_match": """
+        SELECT c.c_name AS name, count(o.o_orderkey) AS n_big
+        FROM customer c
+        LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_name""",
 }
 
 

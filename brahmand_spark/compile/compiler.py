@@ -130,10 +130,14 @@ class QueryCompiler:
     ):
         scope = in_scope.copy()
         df = in_df
-        if part.matches:
-            pattern = self._build_pattern(part.matches, scope)
+        required = [m for m in part.matches if not m.optional]
+        optionals = [m for m in part.matches if m.optional]
+        if required:
+            pattern = self._build_pattern(required, scope)
             self._infer(pattern)
             df = self._assemble(df, scope, pattern, part)
+        for mc in optionals:
+            df = self._apply_optional(df, scope, mc)
         if part.unwind is not None:
             ec = ExprCompiler(scope, self.params)
             arr = ec.compile(part.unwind.expr)
@@ -164,14 +168,73 @@ class QueryCompiler:
     # ------------------------------------------------------------------
     # Pattern construction + inference
     # ------------------------------------------------------------------
+    def _apply_optional(
+        self, df: Optional[DataFrame], scope: Scope, mc: ast.MatchClause
+    ) -> DataFrame:
+        """OPTIONAL MATCH -> left outer join of the optional pattern's
+        sub-assembly (extension; the reference only has a TODO,
+        query_planner/mod.rs:49).
+
+        The optional pattern is compiled as an independent assembly —
+        aliases already bound outside ("anchors") are re-scanned inside
+        it, reduced to their id as the join key, and the main rows are
+        left-joined on those ids; new aliases' columns become NULL where
+        nothing matched. A WHERE attached to the OPTIONAL MATCH filters
+        inside the join (Cypher semantics)."""
+        sub_scope = Scope()
+        inner = ast.MatchClause(paths=mc.paths, optional=False)
+        pattern = self._build_pattern([inner], scope)
+        anchors = [
+            a for a, node in pattern.nodes.items()
+            if isinstance(scope.get(a), NodeBinding)
+        ]
+        for node in pattern.nodes.values():
+            node.prebound = False  # anchors are re-scanned in the sub-plan
+        self._infer(pattern)
+        sub_part = ast.QueryPart()
+        sub_df = self._assemble(None, sub_scope, pattern, sub_part)
+        if mc.where is not None:
+            ec = ExprCompiler(sub_scope, self.params)
+            sub_df = sub_df.filter(ec.compile(mc.where))
+
+        key_cols = []
+        conds = []
+        for a in anchors:
+            outer_b = scope.get(a)
+            inner_b = sub_scope.get(a)
+            key = f"__optk_{a}"
+            key_cols.append(F.col(inner_b.id_pcol).alias(key))
+            conds.append(F.col(outer_b.id_pcol) == F.col(key))
+        new_aliases = [a for a in pattern.nodes if a not in anchors]
+        new_aliases += [r.alias for r in pattern.rels]
+        carry = []
+        for a in new_aliases:
+            b = sub_scope.get(a)
+            if b is None:
+                continue  # var-length rels have no binding
+            if isinstance(b, NodeBinding):
+                carry += [pcol(a, c) for c in b.columns]
+            elif isinstance(b, RelBinding):
+                carry += [b.src_pcol, b.dst_pcol]
+                carry += [pcol(a, c) for c in b.columns]
+            scope.bind(b)
+        sub_sel = sub_df.select(*key_cols, *carry)
+        cond = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            cond = cond & c
+        if df is None:
+            # OPTIONAL MATCH as the first clause: single seed row so an
+            # empty optional still yields one all-NULL row.
+            from pyspark.sql import SparkSession
+            df = SparkSession.getActiveSession().range(1).drop("id")
+        out = df.join(sub_sel, cond, "left")
+        for a in anchors:
+            out = out.drop(f"__optk_{a}")
+        return out
+
     def _build_pattern(self, matches: list[ast.MatchClause], scope: Scope) -> Pattern:
         pattern = Pattern()
         for mc in matches:
-            if mc.optional:
-                raise UnsupportedError(
-                    "OPTIONAL MATCH is not supported (reference parity: "
-                    "TODO at query_planner/mod.rs:49)"
-                )
             clause_aliases: set[str] = set()
             for pi, path in enumerate(mc.paths):
                 path_aliases: set[str] = set()

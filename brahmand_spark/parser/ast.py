@@ -143,6 +143,9 @@ class PathPattern:
 class MatchClause:
     paths: list[PathPattern]
     optional: bool = False  # OPTIONAL MATCH (extension; ref TODO at query_planner/mod.rs:49)
+    # WHERE directly following an OPTIONAL MATCH binds to it (filters
+    # inside the left join), not to the whole part.
+    where: Optional["Expr"] = None
 
 
 @dataclass

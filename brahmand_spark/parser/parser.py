@@ -147,10 +147,17 @@ class Parser:
             elif self.at_kw("WHERE"):
                 self.next()
                 pred = self.parse_expr()
-                cur.where = (
-                    pred if cur.where is None
-                    else ast.Binary("AND", cur.where, pred)
-                )
+                # WHERE directly after an OPTIONAL MATCH filters the
+                # optional pattern (Cypher semantics); otherwise it's a
+                # part-level filter (equivalent for inner matches).
+                if cur.matches and cur.matches[-1].optional \
+                        and cur.matches[-1].where is None:
+                    cur.matches[-1].where = pred
+                else:
+                    cur.where = (
+                        pred if cur.where is None
+                        else ast.Binary("AND", cur.where, pred)
+                    )
             elif self.at_kw("WITH"):
                 self.next()
                 distinct = self.try_kw("DISTINCT")

@@ -209,6 +209,22 @@ _CYPHER: dict[str, str] = {
         OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
         WHERE o.o_totalprice > 300000
         RETURN c.c_name AS name, count(o) AS n_big""",
+    # variable-length 2..3 hops over a self-relationship
+    "var_length_multi": """
+        MATCH (a:Customer)-[:NEXT_CUST*2..3]->(b:Customer)
+        WHERE a.c_custkey <= 100
+        RETURN a.c_custkey AS src, b.c_custkey AS dst""",
+    # undirected same-label hop (UNION DISTINCT of both orientations,
+    # graph_traversal_planning.rs:524-616)
+    "either_same_label": """
+        MATCH (a:Customer)-[:NEXT_CUST]-(b:Customer)
+        WHERE a.c_custkey <= 10
+        RETURN a.c_custkey AS src, b.c_custkey AS dst""",
+    # Cypher-level UNION / UNION ALL (extension)
+    "union_distinct": """
+        MATCH (c:Customer) WHERE c.c_acctbal > 9000 RETURN c.c_name AS name
+        UNION
+        MATCH (s:Supplier) RETURN s.s_name AS name""",
 }
 
 _CYPHER_ORACLES: dict[str, str] = {
@@ -314,6 +330,20 @@ _CYPHER_ORACLES: dict[str, str] = {
         LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
           ON o.o_custkey = c.c_custkey
         GROUP BY c.c_name""",
+    "var_length_multi": """
+        SELECT a.c_custkey AS src, b.c_custkey AS dst
+        FROM customer a JOIN customer b
+          ON b.c_custkey - a.c_custkey IN (2, 3)
+        WHERE a.c_custkey <= 100""",
+    "either_same_label": """
+        SELECT a.c_custkey AS src, b.c_custkey AS dst
+        FROM customer a JOIN customer b
+          ON abs(b.c_custkey - a.c_custkey) = 1
+        WHERE a.c_custkey <= 10""",
+    "union_distinct": """
+        SELECT c_name AS name FROM customer WHERE c_acctbal > 9000
+        UNION
+        SELECT s_name AS name FROM supplier""",
 }
 
 

@@ -117,6 +117,18 @@ class QueryCompiler:
                     limit=query.limit, final=True,
                 )[0]
         assert df is not None
+        # Cypher-level UNION [ALL] (extension; openCypher requires equal
+        # column names across arms — unionByName enforces it).
+        for sub_query, distinct in query.unions:
+            arm = self.compile(sub_query)
+            if set(arm.columns) != set(df.columns):
+                raise PlanError(
+                    "UNION arms must return the same column names: "
+                    f"{sorted(df.columns)} vs {sorted(arm.columns)}"
+                )
+            df = df.unionByName(arm)
+            if distinct:
+                df = df.distinct()
         return df
 
     # ------------------------------------------------------------------

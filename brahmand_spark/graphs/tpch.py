@@ -144,6 +144,17 @@ def build_session(spark: SparkSession, sf_dir: str) -> GraphSession:
             F.col("li_id").alias("from_Lineitem"),
             F.col("l_suppkey").alias("to_Supplier"),
         )),
+        # Self-relationship (Customer -> next Customer by key) so
+        # same-label features — either-direction UNION DISTINCT and
+        # variable-length paths — have a real exercise surface.
+        edge("NEXT_CUST", "Customer", "Customer", dfs["Customer"].select(
+            F.col("c_custkey").alias("from_Customer"),
+            (F.col("c_custkey") + F.lit(1)).alias("to_Customer"),
+        ).join(
+            dfs["Customer"].select(
+                F.col("c_custkey").alias("to_Customer")),
+            "to_Customer", "leftsemi",
+        )),
     ])
 
     session = GraphSession(spark, schema=schema, broadcast_labels=set(BROADCAST))

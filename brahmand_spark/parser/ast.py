@@ -201,6 +201,10 @@ class ReadQuery:
     order_by: list[OrderByItem] = field(default_factory=list)
     skip: Optional[int] = None
     limit: Optional[int] = None
+    # Cypher-level UNION chain (extension; the reference only uses Union
+    # internally for either-direction traversals, SURVEY §2.6):
+    # [(query, distinct), ...] appended to this one.
+    unions: list[tuple] = field(default_factory=list)
 
 
 # --------------------------------------------------------------------------

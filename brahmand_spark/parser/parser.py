@@ -173,6 +173,12 @@ class Parser:
                 query.return_clause = ast.ReturnClause(items, distinct=distinct)
                 query.order_by, query.skip, query.limit = self.parse_modifiers()
                 parts.append(cur)
+                while self.at_kw("UNION"):
+                    self.next()
+                    union_all = self.try_kw("ALL")
+                    query.unions.append(
+                        (self.parse_read_query(), not union_all)
+                    )
                 return query
             else:
                 self.error("expected MATCH, UNWIND, WHERE, WITH, or RETURN")

@@ -210,3 +210,21 @@ class TestErrors:
     def test_bad_string(self):
         with pytest.raises(ParseError):
             parse("MATCH (a) WHERE a.x = 'oops RETURN a")
+
+
+class TestUnion:
+    def test_union_chain(self):
+        q = rq("MATCH (a:P) RETURN a.name AS n UNION MATCH (b:Q) RETURN b.name AS n "
+               "UNION ALL MATCH (c:R) RETURN c.name AS n")
+        assert len(q.unions) == 1  # nested right-assoc chain
+        sub, distinct = q.unions[0]
+        assert distinct is True
+        assert len(sub.unions) == 1
+        assert sub.unions[0][1] is False  # UNION ALL
+
+    def test_optional_match_where_attaches(self):
+        q = rq("MATCH (a:P) OPTIONAL MATCH (a)-[:F]->(b) WHERE b.x > 1 RETURN a")
+        [part] = q.parts
+        assert part.where is None
+        assert part.matches[1].optional
+        assert part.matches[1].where is not None

@@ -81,29 +81,75 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n: int = 3, threshold: float = 0.8,
+    n: int = 3, threshold: float = 0.8, method: str = "prefix",
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via shingle inverted index:
-    explode distinct shingles -> self-join on shingle (one shuffle on the
-    shingle key) -> per-pair intersection count -> |A∪B| = |A|+|B|-|A∩B|.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """Exact Jaccard-similar pairs (id_a < id_b, jaccard >= threshold).
 
-    Scale note: worst case is quadratic in the largest posting list; at
-    100 TB run this only on minhash_lsh_candidates output (same schema).
+    ``method='prefix'`` (default): AllPairs/PPJoin prefix filtering —
+    shingles are globally ordered by (frequency, shingle); a doc's
+    *prefix* is its ``|A| - ceil(t·|A|) + 1`` rarest shingles. For any
+    pair with jaccard >= t, the globally-smallest common shingle lies in
+    BOTH prefixes (else enough of one side misses the intersection to
+    violate t), so joining prefix-to-prefix is complete. Candidates are
+    then verified with exact intersection counts. Rare-shingle posting
+    lists are short, so the candidate join is orders of magnitude
+    smaller than the full inverted-index join.
+
+    ``method='allpairs'``: full shingle inverted-index self-join — the
+    brute-force baseline the prefix path is verified against.
+
+    Scale note: at 100 TB, run either on minhash_lsh_candidates output.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+
+    if method == "prefix":
+        from pyspark.sql import Window
+
+        freq = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("__freq")
+        )
+        w = Window.partitionBy("id").orderBy("__freq", "shingle")
+        ranked = (
+            sh.join(freq, "shingle")
+            .withColumn("__rank", F.row_number().over(w))
+        )
+        ranked = ranked.join(sizes, "id").withColumn(
+            "__prefix_len",
+            F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1,
+        )
+        prefix = ranked.filter(F.col("__rank") <= F.col("__prefix_len")) \
+            .select("id", "shingle")
+        cand = (
+            prefix.alias("a").join(
+                prefix.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        inter = (
+            cand
+            .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"), "shingle"),
+                  ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -260,3 +260,21 @@ class TestMultimodal:
             by_id.setdefault(r.id, []).append(r.sample_ts)
         assert sorted(by_id[7]) == [0.0, 2.0]
         assert by_id[8] == [0.0]
+
+
+class TestJaccardPrefix:
+    def test_prefix_matches_allpairs(self, docs):
+        from brahmand_spark.ops.dedup import ngram_jaccard_pairs
+
+        for t in (0.5, 0.8):
+            pre = {
+                (r.id_a, r.id_b, r.jaccard)
+                for r in ngram_jaccard_pairs(
+                    docs, n=3, threshold=t, method="prefix").collect()
+            }
+            full = {
+                (r.id_a, r.id_b, r.jaccard)
+                for r in ngram_jaccard_pairs(
+                    docs, n=3, threshold=t, method="allpairs").collect()
+            }
+            assert pre == full, f"threshold {t}: prefix={len(pre)} full={len(full)}"

@@ -481,6 +481,55 @@ def _q_events_top_users(spark, sf_dir):
     ).limit(20)
 
 
+def _nation_pairs(spark, sf_dir):
+    """Undirected nation-nation edges (same region) for algo queries."""
+    nation = _tpch(spark, sf_dir).tables["Nation"]
+    a = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("src"),
+        F.col("n_regionkey").alias("r"),
+    )
+    b = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("dst"),
+        F.col("n_regionkey").alias("r"),
+    )
+    return a.join(b, "r").filter(F.col("src") < F.col("dst")).select("src", "dst")
+
+
+def _q_graph_bfs(spark, sf_dir):
+    from brahmand_spark.ops.algos import bfs_distances
+
+    s = _tpch(spark, sf_dir)
+    edges = s.tables["NEXT_CUST"].select(
+        F.col("from_Customer").alias("src"), F.col("to_Customer").alias("dst")
+    )
+    sources = spark.createDataFrame([(0,)], "id long")
+    return bfs_distances(edges, sources, max_hops=6)
+
+
+def _q_graph_components(spark, sf_dir):
+    from brahmand_spark.ops.algos import connected_components
+
+    return connected_components(_nation_pairs(spark, sf_dir))
+
+
+def _q_graph_triangles(spark, sf_dir):
+    from brahmand_spark.ops.algos import triangle_count
+
+    return triangle_count(_nation_pairs(spark, sf_dir))
+
+
+def _q_graph_pagerank(spark, sf_dir):
+    from brahmand_spark.ops.algos import pagerank
+
+    s = _tpch(spark, sf_dir)
+    edges = s.tables["SUPP_IN"].select(
+        F.col("from_Supplier").alias("src"),
+        (F.col("to_Nation") + F.lit(1_000_000)).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=5)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
 _EXTENSIONS: dict[str, Callable] = {
     "dedup_exact": _q_dedup_exact,
     "dedup_exact_keep": _q_dedup_exact_keep,
@@ -498,6 +547,10 @@ _EXTENSIONS: dict[str, Callable] = {
     "events_sessionize": _q_events_sessionize,
     "events_sliding_counts": _q_events_sliding,
     "events_top_users": _q_events_top_users,
+    "graph_bfs": _q_graph_bfs,
+    "graph_components": _q_graph_components,
+    "graph_triangles": _q_graph_triangles,
+    "graph_pagerank": _q_graph_pagerank,
 }
 
 _EXTENSION_ORACLES: dict[str, str] = {
@@ -640,9 +693,24 @@ _EXTENSION_ORACLES: dict[str, str] = {
                round(sum(value), 2) AS total_value
         FROM events GROUP BY user_id
         ORDER BY n_events DESC, user_id ASC LIMIT 20""",
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: hash-family-specific
-    # (xxhash64 + seeded permutations/hyperplanes) — not expressible in
-    # portable SQL; driver records rows-only checks for these.
+    "graph_bfs": """
+        SELECT c_custkey AS id, c_custkey::INT AS distance
+        FROM customer WHERE c_custkey <= 6""",
+    "graph_components": """
+        SELECT n_nationkey::BIGINT AS id,
+               min(n_nationkey::BIGINT) OVER (PARTITION BY n_regionkey)
+                   AS component
+        FROM nation""",
+    "graph_triangles": """
+        WITH sizes AS (
+            SELECT n_nationkey, count(*) OVER (PARTITION BY n_regionkey) AS k
+            FROM nation)
+        SELECT n_nationkey::BIGINT AS id,
+               ((k - 1) * (k - 2) / 2)::BIGINT AS triangles
+        FROM sizes WHERE k >= 3""",
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / graph_pagerank:
+    # hash-family- or iteration-specific — not expressible in portable
+    # SQL; driver records rows-only checks for these.
 }
 
 

@@ -1,0 +1,188 @@
+"""Iterative graph algorithms as DataFrame-join loops.
+
+The driver's north star names "GraphX for graph analytics"; GraphX is a
+Scala-only RDD API with no PySpark binding, and its Pregel loop is
+exactly an iterated join-aggregate: messages = vertices ⋈ edges,
+new state = groupBy(dst).agg(...). These implementations express that
+loop directly in the DataFrame API so Catalyst/Tungsten run each
+superstep, and scale the way GraphX does (hash-partitioned by vertex id,
+one shuffle per superstep).
+
+Scale notes common to all loops:
+- Each iteration's result is ``localCheckpoint``-ed (configurable off):
+  iterative lineage otherwise grows unboundedly and re-executes from
+  scratch at every action — the classic iterative-Spark failure mode.
+- Convergence checks (`.isEmpty()` on a changed-set) are one cheap job
+  per iteration; fixed-iteration loops skip them.
+- Edge DataFrames are reused across supersteps — persist() them before
+  calling if they are derived (not a raw parquet scan).
+
+All file:line references are to /root/reference for the query-surface
+parity modules; this module is a pure extension (the reference has no
+graph algorithms at all — SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ckpt(df: DataFrame, enabled: bool) -> DataFrame:
+    return df.localCheckpoint(eager=True) if enabled else df
+
+
+def pagerank(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    iterations: int = 10, damping: float = 0.85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge list.
+
+    Dangling vertices (no out-edges) redistribute uniformly; ranks sum
+    to the vertex count (GraphX convention: initial rank 1.0 each).
+    Returns (id, rank). One shuffle per iteration (groupBy dst) plus a
+    broadcast of the scalar dangling mass.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    vertices = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    vertices = _ckpt(vertices, checkpoint)
+    n = vertices.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = vertices.select("id", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(out_deg, ranks["id"] == out_deg["src"], "inner")
+            .join(e, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("recv"))
+        )
+        # mass of dangling vertices, redistributed uniformly
+        dangling = (
+            ranks.join(out_deg, ranks["id"] == out_deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        base = (1.0 - damping) + damping * dangling / n
+        ranks = (
+            vertices.join(contribs, "id", "left")
+            .select(
+                "id",
+                (F.lit(base)
+                 + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+        )
+        ranks = _ckpt(ranks, checkpoint)
+    return ranks
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_iterations: int = 20, checkpoint: bool = True,
+) -> DataFrame:
+    """Undirected connected components by min-label propagation
+    (HashMin): every vertex repeatedly adopts the smallest component id
+    among itself and its neighbors until no label changes. Returns
+    (id, component). Iterations are bounded by the graph diameter
+    (HashMin converges in O(diameter) supersteps; for web-scale graphs
+    use the large-star/small-star variant which converges in
+    O(log n) — noted as future work)."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = _ckpt(und.distinct(), checkpoint)
+    labels = und.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    labels = _ckpt(labels, checkpoint)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            labels.join(und, labels["id"] == und["a"], "inner")
+            .select(F.col("b").alias("id"), "component")
+            .groupBy("id")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        new_labels = _ckpt(new_labels, checkpoint)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels
+
+
+def bfs_distances(
+    edges: DataFrame, sources: DataFrame,
+    src: str = "src", dst: str = "dst", id_col: str = "id",
+    max_hops: int = 10, checkpoint: bool = True,
+) -> DataFrame:
+    """Multi-source BFS: shortest hop-distance from any source vertex.
+    Returns (id, distance). Frontier-based: each superstep expands only
+    newly-reached vertices (the frontier), so total work is O(edges
+    touched), not O(V × hops)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    visited = sources.select(
+        F.col(id_col).alias("id"), F.lit(0).alias("distance")
+    ).distinct()
+    visited = _ckpt(visited, checkpoint)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        neighbors = (
+            frontier.join(e, frontier["id"] == e["src"], "inner")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new_frontier = (
+            neighbors.join(visited, "id", "left_anti")
+            .select("id", F.lit(hop).alias("distance"))
+        )
+        new_frontier = _ckpt(new_frontier, checkpoint)
+        if new_frontier.isEmpty():
+            break
+        visited = _ckpt(visited.unionByName(new_frontier), checkpoint)
+        frontier = new_frontier
+    return visited
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Per-vertex triangle counts on the undirected simple graph.
+    Canonical-orientation join (each undirected edge kept as a<b) so
+    every triangle is materialized exactly once; two shuffles."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    canon = und.filter(F.col("a") < F.col("b")).distinct()
+    # wedges a<b<c from edges (a,b) and (b,c); close with (a,c)
+    ab = canon.alias("ab")
+    bc = canon.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("bc")
+    wedges = ab.join(bc, "b")
+    tri = wedges.join(
+        canon.select(F.col("a").alias("a"), F.col("b").alias("c")),
+        ["a", "c"],
+    ).select("a", "b", "c")
+    per_vertex = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return per_vertex

@@ -718,6 +718,13 @@ class QueryCompiler:
                         sel.append((b.src_pcol, F.col(b.src_pcol), False, None))
                         sel.append((b.dst_pcol, F.col(b.dst_pcol), False, None))
                 continue
+            if not final and item.alias is None and not isinstance(
+                e, ast.Variable
+            ):
+                raise PlanError(
+                    "expressions in WITH must be aliased "
+                    f"(add AS <name> to {expr_text(e)!r})"
+                )
             name = item.alias or self._output_name(e, final)
             col = ec.compile(e)
             is_agg = contains_aggregate(e)

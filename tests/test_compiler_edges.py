@@ -1,0 +1,153 @@
+"""Compiler edge cases: scoping across WITH chains, ORDER BY resolution
+modes, collect/UNWIND round-trips, alias handling."""
+
+import pytest
+
+from brahmand_spark.errors import PlanError
+
+from .helpers import assert_same
+
+
+class TestWithChains:
+    def test_three_part_pipeline(self, tpch, duck):
+        assert_same(
+            tpch.execute("""
+                MATCH (c:Customer)-[:PLACED]->(o:Order)
+                WITH c.c_mktsegment AS seg, count(*) AS n
+                WITH seg, n WHERE n > 100
+                RETURN seg, n"""),
+            duck.sql("""
+                SELECT c_mktsegment AS seg, count(*) AS n
+                FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY 1 HAVING count(*) > 100"""),
+        )
+
+    def test_with_alias_rename_node(self, tpch, duck):
+        # WITH c AS x renames the whole node binding
+        assert_same(
+            tpch.execute("""
+                MATCH (c:Customer) WHERE c.c_acctbal > 9000
+                WITH c AS x
+                MATCH (x)-[:CUST_IN]->(n:Nation)
+                RETURN x.c_name AS name, n.n_name AS nation"""),
+            duck.sql("""
+                SELECT c.c_name AS name, n.n_name AS nation
+                FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+                WHERE c.c_acctbal > 9000"""),
+        )
+
+    def test_collect_then_unwind(self, tpch, duck):
+        assert_same(
+            tpch.execute("""
+                MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+                WITH r.r_name AS region, collect(n.n_name) AS nations
+                UNWIND nations AS nation
+                RETURN region, nation"""),
+            duck.sql("""
+                SELECT r.r_name AS region, n.n_name AS nation
+                FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"""),
+        )
+
+    def test_with_order_limit_midquery(self, tpch, duck):
+        # top-3 customers by balance, then their nations
+        assert_same(
+            tpch.execute("""
+                MATCH (c:Customer)
+                WITH c ORDER BY c.c_acctbal DESC, c.c_custkey ASC LIMIT 3
+                MATCH (c)-[:CUST_IN]->(n:Nation)
+                RETURN c.c_name AS name, n.n_name AS nation"""),
+            duck.sql("""
+                SELECT c.c_name AS name, n.n_name AS nation
+                FROM (SELECT * FROM customer
+                      ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 3) c
+                JOIN nation n ON n.n_nationkey = c.c_nationkey"""),
+        )
+
+
+class TestOrderResolution:
+    def test_order_by_output_alias_after_agg(self, tpch, duck):
+        assert_same(
+            tpch.execute("""
+                MATCH (c:Customer)
+                RETURN c.c_mktsegment AS seg, count(*) AS n
+                ORDER BY n DESC, seg ASC LIMIT 3"""),
+            duck.sql("""
+                SELECT c_mktsegment AS seg, count(*) AS n FROM customer
+                GROUP BY 1 ORDER BY n DESC, seg ASC LIMIT 3"""),
+        )
+
+    def test_order_by_agg_expression_ast_match(self, tpch, duck):
+        # ORDER BY count(*) resolves to the projected aggregate by AST match
+        assert_same(
+            tpch.execute("""
+                MATCH (c:Customer)
+                RETURN c.c_mktsegment AS seg, count(*) AS n
+                ORDER BY count(*) DESC, c.c_mktsegment ASC LIMIT 2"""),
+            duck.sql("""
+                SELECT c_mktsegment AS seg, count(*) AS n FROM customer
+                GROUP BY 1 ORDER BY count(*) DESC, c_mktsegment ASC LIMIT 2"""),
+        )
+
+    def test_order_by_unprojected_column(self, tpch, duck):
+        # sorting by a column that is NOT returned (non-agg query)
+        assert_same(
+            tpch.execute("""
+                MATCH (c:Customer)
+                RETURN c.c_name AS name
+                ORDER BY c.c_acctbal DESC, c.c_custkey ASC LIMIT 5"""),
+            duck.sql("""
+                SELECT c_name AS name FROM customer
+                ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 5"""),
+        )
+
+    def test_order_by_unprojected_after_agg_errors(self, tpch):
+        with pytest.raises(PlanError):
+            tpch.execute("""
+                MATCH (c:Customer)
+                RETURN c.c_mktsegment AS seg, count(*) AS n
+                ORDER BY c.c_acctbal""").collect()
+
+
+class TestProjectionEdges:
+    def test_bare_node_return_expands(self, tpch):
+        df = tpch.execute("MATCH (r:Region) RETURN r")
+        assert sorted(df.columns) == ["r.r_name", "r.r_regionkey"]
+
+    def test_duplicate_output_names_allowed(self, tpch):
+        df = tpch.execute(
+            "MATCH (r:Region) RETURN r.r_name AS x, r.r_regionkey AS x LIMIT 1"
+        )
+        assert df.columns == ["x", "x"]
+
+    def test_expression_projection_requires_alias_in_with(self, tpch):
+        with pytest.raises(PlanError):
+            tpch.execute(
+                "MATCH (c:Customer) WITH c.c_acctbal + 1 RETURN count(*) AS n"
+            )
+
+    def test_rel_variable_expansion(self, tpch):
+        df = tpch.execute(
+            "MATCH (o:Order)-[h:HAS_LINE]->(l:Lineitem) RETURN h LIMIT 2"
+        )
+        assert df.columns == ["h.l_linenumber"]
+
+    def test_xor_operator(self, tpch, duck):
+        assert_same(
+            tpch.execute("""
+                MATCH (c:Customer)
+                WHERE (c.c_acctbal > 5000) XOR (c.c_mktsegment = 'BUILDING')
+                RETURN count(*) AS n"""),
+            duck.sql("""
+                SELECT count(*) AS n FROM customer
+                WHERE (c_acctbal > 5000) != (c_mktsegment = 'BUILDING')"""),
+        )
+
+    def test_list_index_and_functions(self, tpch, duck):
+        assert_same(
+            tpch.execute("""
+                UNWIND [[1,2,3],[4,5,6]] AS xs
+                RETURN xs[0] AS first_el, size(xs) AS sz, head(xs) AS h"""),
+            duck.sql("""
+                SELECT xs[1] AS first_el, len(xs) AS sz, xs[1] AS h
+                FROM (VALUES ([1,2,3]), ([4,5,6])) t(xs)"""),
+        )

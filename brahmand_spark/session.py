@@ -106,3 +106,18 @@ class GraphSession:
     def _persist_catalog(self) -> None:
         if self.catalog_path:
             self.schema.save(self.catalog_path)
+
+    def refresh_catalog(self) -> bool:
+        """Reload the catalog from ``catalog_path`` if another writer has
+        advanced its version — the reference re-polls its ClickHouse-stored
+        catalog every 60 s for multi-instance deployments
+        (server/graph_catalog.rs:178-219). Returns True if reloaded.
+        Call this from a timer (or before each query) in multi-writer
+        setups; single-process sessions never need it."""
+        if not self.catalog_path or not os.path.exists(self.catalog_path):
+            return False
+        fresh = GraphSchema.load(self.catalog_path)
+        if fresh.version > self.schema.version:
+            self.schema = fresh
+            return True
+        return False

@@ -495,6 +495,19 @@ def _nation_pairs(spark, sf_dir):
     return a.join(b, "r").filter(F.col("src") < F.col("dst")).select("src", "dst")
 
 
+def _q_adjacency_traversal(spark, sf_dir):
+    """Grouped-adjacency hop (the reference's bitmap-index traversal
+    analogue, ddl_query.rs:290-311 + arrayJoin expansion)."""
+    from brahmand_spark.ops.adjacency import build_adjacency, expand
+
+    s = _tpch(spark, sf_dir)
+    adj = build_adjacency(s.tables["PLACED"], "from_Customer", "to_Order")
+    frontier = s.tables["Customer"].select("c_custkey").filter(
+        F.col("c_custkey") <= 100
+    )
+    return expand(adj, frontier, "c_custkey")
+
+
 def _q_graph_bfs(spark, sf_dir):
     from brahmand_spark.ops.algos import bfs_distances
 
@@ -547,6 +560,7 @@ _EXTENSIONS: dict[str, Callable] = {
     "events_sessionize": _q_events_sessionize,
     "events_sliding_counts": _q_events_sliding,
     "events_top_users": _q_events_top_users,
+    "adjacency_traversal": _q_adjacency_traversal,
     "graph_bfs": _q_graph_bfs,
     "graph_components": _q_graph_components,
     "graph_triangles": _q_graph_triangles,
@@ -693,6 +707,9 @@ _EXTENSION_ORACLES: dict[str, str] = {
                round(sum(value), 2) AS total_value
         FROM events GROUP BY user_id
         ORDER BY n_events DESC, user_id ASC LIMIT 20""",
+    "adjacency_traversal": """
+        SELECT o_custkey AS src, o_orderkey AS dst
+        FROM orders WHERE o_custkey <= 100""",
     "graph_bfs": """
         SELECT c_custkey AS id, c_custkey::INT AS distance
         FROM customer WHERE c_custkey <= 6""",

@@ -110,6 +110,10 @@ class QueryCompiler:
             if is_final:
                 if query.return_clause is None:
                     raise PlanError("query must end with RETURN")
+                if df is None:
+                    # `RETURN <expr>` with no reading clause: one seed row.
+                    from pyspark.sql import SparkSession
+                    df = SparkSession.getActiveSession().range(1).drop("id")
                 df = self._project(
                     df, scope, query.return_clause.items,
                     distinct=query.return_clause.distinct,

@@ -104,13 +104,13 @@ class Parser:
             if nxt.kind == "KEYWORD" and nxt.value == "REL":
                 return self.parse_create_rel_table()
             return self.parse_write_query()
-        if self.at_kw("MATCH", "OPTIONAL", "UNWIND", "WITH"):
+        if self.at_kw("MATCH", "OPTIONAL", "UNWIND", "WITH", "RETURN"):
             # Peek ahead: a MATCH followed by SET/DELETE/REMOVE/CREATE is a
             # write query (query_planner/mod.rs:21-31 classification).
             if self._scan_is_write():
                 return self.parse_write_query()
             return self.parse_read_query()
-        self.error("expected MATCH, UNWIND, WITH, or CREATE")
+        self.error("expected MATCH, UNWIND, WITH, RETURN, or CREATE")
 
     def _scan_is_write(self) -> bool:
         depth = 0

@@ -151,3 +151,36 @@ class TestProjectionEdges:
                 SELECT xs[1] AS first_el, len(xs) AS sz, xs[1] AS h
                 FROM (VALUES ([1,2,3]), ([4,5,6])) t(xs)"""),
         )
+
+
+class TestStandaloneReturn:
+    def test_return_without_match(self, tpch, duck):
+        assert_same(
+            tpch.execute("RETURN 1 + 2 AS x, 'hi' AS s"),
+            duck.sql("SELECT 1 + 2 AS x, 'hi' AS s"),
+        )
+
+    def test_with_star_carries_all(self, tpch, duck):
+        assert_same(
+            tpch.execute("""
+                MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+                WITH * WHERE r.r_name = 'ASIA'
+                RETURN n.n_name AS nation"""),
+            duck.sql("""
+                SELECT n.n_name AS nation
+                FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'ASIA'"""),
+        )
+
+    def test_with_agg_order_limit(self, tpch, duck):
+        assert_same(
+            tpch.execute("""
+                MATCH (c:Customer)-[:PLACED]->(o:Order)
+                WITH c.c_name AS name, count(*) AS n
+                ORDER BY n DESC, name ASC LIMIT 5
+                RETURN name, n"""),
+            duck.sql("""
+                SELECT c_name AS name, count(*) AS n
+                FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY 1 ORDER BY n DESC, name ASC LIMIT 5"""),
+        )

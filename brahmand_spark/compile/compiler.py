@@ -74,9 +74,11 @@ class RelEntity:
     properties: dict[str, ast.Expr] = field(default_factory=dict)
     min_hops: int = 1
     max_hops: int = 1
+    alt_types: tuple = ()  # multi-type -[:X|Y]-> extension
     # filled by inference:
     schema: Optional[RelationshipSchema] = None
     orientation: Optional[str] = None  # 'fwd' (src=from), 'rev', 'both', 'invalid'
+    alt_resolved: list = field(default_factory=list)  # [(schema, orientation)]
 
 
 @dataclass
@@ -291,6 +293,7 @@ class QueryCompiler:
                         properties=dict(rp.properties),
                         min_hops=rp.min_hops,
                         max_hops=min(rp.max_hops, MAX_VAR_HOPS),
+                        alt_types=tuple(rp.alt_types),
                     ))
                 # Comma-separated patterns in one MATCH must connect
                 # (reference errors on disconnected patterns,
@@ -355,6 +358,31 @@ class QueryCompiler:
                 if dst.label is None:
                     dst.label = want_dst
                     changed = True
+        # Multi-type arms (-[:X|Y]->): each extra type contributes its own
+        # (schema, orientation) arm; schema-incompatible arms match zero
+        # relationships and are dropped.
+        for rel in pattern.rels:
+            if rel.alt_types and not rel.alt_resolved:
+                src = pattern.nodes[rel.src]
+                dst = pattern.nodes[rel.dst]
+                for t in rel.alt_types:
+                    sch2 = self.catalog.relationship(t)
+                    o2 = self._orient(sch2, rel.direction,
+                                      src.label, dst.label)
+                    if o2 is None:
+                        # This arm cannot connect the endpoints AT these
+                        # labels. Distinguish "matches zero rows" (labels
+                        # pinned by the user) from "would need a
+                        # different node table" (labels inferred from the
+                        # first type) — the latter is unsupported.
+                        raise PlanError(
+                            f"multi-type relationship arm '{t}' connects "
+                            f"{sch2.from_node}->{sch2.to_node}, which "
+                            f"does not fit ({src.label})-({dst.label}); "
+                            "write the arms as separate MATCHes with "
+                            "UNION instead"
+                        )
+                    rel.alt_resolved.append((sch2, o2))
         for node in pattern.nodes.values():
             if node.label is None:
                 if len(self.catalog.nodes) == 1:
@@ -426,6 +454,43 @@ class QueryCompiler:
         ]
         a = rel.alias
         src_name, dst_name = pcol(a, "from_id"), pcol(a, "to_id")
+
+        if rel.alt_resolved:
+            # Multi-type hop: bag-union of each arm's oriented id pairs.
+            # Properties are type-specific -> not accessible on the union.
+            if rel.properties:
+                raise UnsupportedError(
+                    "properties on a multi-type relationship pattern"
+                )
+
+            def arm(sch_a, orient_a) -> DataFrame:
+                raw_a = self.load_table(sch_a.type_name)
+                fwd = raw_a.select(
+                    F.col(sch_a.from_column).alias(src_name),
+                    F.col(sch_a.to_column).alias(dst_name),
+                )
+                rev = raw_a.select(
+                    F.col(sch_a.to_column).alias(src_name),
+                    F.col(sch_a.from_column).alias(dst_name),
+                )
+                if orient_a == "fwd":
+                    return fwd
+                if orient_a == "rev":
+                    return rev
+                return fwd.union(rev).distinct()
+
+            arms = []
+            if rel.orientation != "invalid":
+                arms.append(arm(sch, rel.orientation))
+            arms += [arm(s, o) for s, o in rel.alt_resolved]
+            df = arms[0]
+            for other in arms[1:]:
+                df = df.unionByName(other)
+            scope.bind(RelBinding(
+                alias=a, type_name=sch.type_name, columns=[],
+                src_pcol=src_name, dst_pcol=dst_name,
+            ))
+            return df
 
         def oriented(src_col: str, dst_col: str) -> DataFrame:
             sel = [F.col(src_col).alias(src_name), F.col(dst_col).alias(dst_name)]

@@ -155,6 +155,16 @@ def build_session(spark: SparkSession, sf_dir: str) -> GraphSession:
                 F.col("c_custkey").alias("to_Customer")),
             "to_Customer", "leftsemi",
         )),
+        # Reverse chain — gives multi-type patterns (-[:NEXT_CUST|
+        # PREV_CUST]->) a same-endpoints exercise surface.
+        edge("PREV_CUST", "Customer", "Customer", dfs["Customer"].select(
+            F.col("c_custkey").alias("from_Customer"),
+            (F.col("c_custkey") - F.lit(1)).alias("to_Customer"),
+        ).join(
+            dfs["Customer"].select(
+                F.col("c_custkey").alias("to_Customer")),
+            "to_Customer", "leftsemi",
+        )),
     ])
 
     session = GraphSession(spark, schema=schema, broadcast_labels=set(BROADCAST))

@@ -125,6 +125,9 @@ class RelPattern:
     properties: dict[str, Expr] = field(default_factory=dict)
     min_hops: int = 1  # variable-length extension: -[*1..3]->
     max_hops: int = 1
+    # multi-type extension -[:X|Y]-> ; type_name holds the first type,
+    # alt_types the rest (empty for single-type patterns).
+    alt_types: tuple = ()
 
 
 @dataclass

@@ -261,6 +261,7 @@ class Parser:
         self.eat_op("-")
         alias = None
         type_name = None
+        alt_types: list[str] = []
         props: dict[str, ast.Expr] = {}
         min_hops = max_hops = 1
         if self.try_op("["):
@@ -268,6 +269,9 @@ class Parser:
                 alias = self.ident()
             if self.try_op(":"):
                 type_name = self.ident()
+                while self.try_op("|"):  # multi-type -[:X|Y]->
+                    self.try_op(":")  # tolerate legacy |:Y form
+                    alt_types.append(self.ident())
             if self.try_op("*"):
                 min_hops, max_hops = 1, 10  # default bound for unbounded *
                 if self.peek().kind == "INT":
@@ -293,6 +297,7 @@ class Parser:
         return ast.RelPattern(
             alias=alias, type_name=type_name, direction=direction,
             properties=props, min_hops=min_hops, max_hops=max_hops,
+            alt_types=tuple(alt_types),
         )
 
     def parse_property_map(self) -> dict[str, ast.Expr]:

@@ -184,3 +184,41 @@ class TestStandaloneReturn:
                 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
                 GROUP BY 1 ORDER BY n DESC, name ASC LIMIT 5"""),
         )
+
+
+class TestMultiTypeRel:
+    def test_multi_type_union(self, tpch, duck):
+        # chain neighbors over both directions-as-types (bag union)
+        assert_same(
+            tpch.execute("""
+                MATCH (a:Customer)-[:NEXT_CUST|PREV_CUST]->(b:Customer)
+                WHERE a.c_custkey <= 10
+                RETURN a.c_custkey AS src, b.c_custkey AS dst"""),
+            duck.sql("""
+                SELECT a.c_custkey AS src, b.c_custkey AS dst
+                FROM customer a JOIN customer b
+                  ON abs(b.c_custkey - a.c_custkey) = 1
+                WHERE a.c_custkey <= 10"""),
+        )
+
+    def test_multi_type_parse(self):
+        from brahmand_spark.parser import parse
+
+        q = parse("MATCH (a)-[r:X|Y|Z]->(b) RETURN a")
+        rel = q.parts[0].matches[0].paths[0].rels[0]
+        assert rel.type_name == "X"
+        assert rel.alt_types == ("Y", "Z")
+
+    def test_multi_type_props_rejected(self, tpch):
+        from brahmand_spark.errors import UnsupportedError
+
+        with pytest.raises(UnsupportedError):
+            tpch.execute(
+                "MATCH (a:Customer)-[r:NEXT_CUST|PREV_CUST {x: 1}]->(b) RETURN a"
+            )
+
+    def test_multi_type_mismatched_endpoints_rejected(self, tpch):
+        with pytest.raises(PlanError, match="separate MATCHes"):
+            tpch.execute(
+                "MATCH (n:Nation)<-[:CUST_IN|SUPP_IN]-(x) RETURN n"
+            )

@@ -2,6 +2,7 @@
 Structured Streaming run (availableNow trigger -> memory sink) proving
 the same transform works on a stream."""
 
+import pyspark.sql.functions as F
 import pytest
 
 from .conftest import SF_SMOKE
@@ -139,3 +140,40 @@ class TestAdjacency:
         stats = degree_stats(adj).first()
         assert stats.n_edges == tpch.tables["PLACED"].count()
         assert stats.max_degree >= stats.avg_degree
+
+
+class TestIncrementalAdjacency:
+    def test_stream_maintained_equals_batch(self, spark, tpch, tmp_path):
+        """Stream the PLACED edges in file chunks into a maintained
+        adjacency table; the final table must equal the batch-built one."""
+        from brahmand_spark.ops.adjacency import (
+            build_adjacency, maintain_adjacency_stream,
+        )
+
+        edges = tpch.tables["PLACED"]
+        src_dir = str(tmp_path / "edge_stream")
+        adj_path = str(tmp_path / "adj")
+        ckpt = str(tmp_path / "ckpt")
+        edges.repartition(6).write.mode("overwrite").parquet(src_dir)
+
+        stream = (
+            spark.readStream.schema(edges.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+        )
+        q = maintain_adjacency_stream(
+            stream, adj_path, "from_Customer", "to_Order", ckpt,
+            num_buckets=8,
+        )
+        q.awaitTermination(180)
+
+        got = (
+            spark.read.parquet(adj_path)
+            .select("src", F.explode("neighbors").alias("dst"))
+        )
+        want = (
+            build_adjacency(edges, "from_Customer", "to_Order")
+            .select("src", F.explode("neighbors").alias("dst"))
+        )
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))

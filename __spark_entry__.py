@@ -495,6 +495,22 @@ def _nation_pairs(spark, sf_dir):
     return a.join(b, "r").filter(F.col("src") < F.col("dst")).select("src", "dst")
 
 
+def _q_skew_two_phase_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation (salt then merge) — must equal a
+    plain GROUP BY."""
+    from brahmand_spark.io import read_parquet
+    from brahmand_spark.ops.skew import two_phase_agg
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    out = two_phase_agg(
+        li, ["l_returnflag"], {"n": "count", "qty": "sum:l_quantity"},
+        factor=8,
+    )
+    return out.select(
+        "l_returnflag", "n", F.round("qty", 1).alias("total_qty")
+    )
+
+
 def _q_adjacency_traversal(spark, sf_dir):
     """Grouped-adjacency hop (the reference's bitmap-index traversal
     analogue, ddl_query.rs:290-311 + arrayJoin expansion)."""
@@ -560,6 +576,7 @@ _EXTENSIONS: dict[str, Callable] = {
     "events_sessionize": _q_events_sessionize,
     "events_sliding_counts": _q_events_sliding,
     "events_top_users": _q_events_top_users,
+    "skew_two_phase_agg": _q_skew_two_phase_agg,
     "adjacency_traversal": _q_adjacency_traversal,
     "graph_bfs": _q_graph_bfs,
     "graph_components": _q_graph_components,
@@ -707,6 +724,10 @@ _EXTENSION_ORACLES: dict[str, str] = {
                round(sum(value), 2) AS total_value
         FROM events GROUP BY user_id
         ORDER BY n_events DESC, user_id ASC LIMIT 20""",
+    "skew_two_phase_agg": """
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_quantity), 1) AS total_qty
+        FROM lineitem GROUP BY l_returnflag""",
     "adjacency_traversal": """
         SELECT o_custkey AS src, o_orderkey AS dst
         FROM orders WHERE o_custkey <= 100""",

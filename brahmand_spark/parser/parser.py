@@ -120,8 +120,10 @@ class Parser:
             elif tok.kind == "OP" and tok.value in ")]}":
                 depth -= 1
             elif tok.kind == "KEYWORD" and depth == 0 and tok.value in {
-                "SET", "REMOVE", "DELETE", "DETACH", "CREATE",
+                "SET", "REMOVE", "DETACH", "CREATE",
             }:
+                return True
+            elif tok.kind == "KEYWORD" and depth == 0 and tok.value == "DELETE":
                 return True
         return False
 
@@ -598,6 +600,12 @@ class Parser:
             elif self.at_kw("WHERE"):
                 self.next()
                 wq.where = self.parse_expr()
+            elif self.at_kw("WITH"):
+                # parsed for parity (the whole write query is rejected at
+                # execution, like the reference's UnsupportedDDLQuery)
+                self.next()
+                self.try_kw("DISTINCT")
+                self.parse_return_items()
             elif self.at_kw("CREATE"):
                 self.next()
                 paths = [self.parse_path()]
@@ -635,6 +643,7 @@ class Parser:
                 wq.return_clause = ast.ReturnClause(
                     self.parse_return_items(), distinct=distinct
                 )
+                self.parse_modifiers()  # parsed, discarded (write parity)
             else:
                 return wq
 

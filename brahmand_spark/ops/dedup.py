@@ -132,6 +132,19 @@ def ngram_jaccard_pairs(
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
+        # size-ratio filter: jaccard >= t forces t <= |A|/|B| <= 1/t
+        cand = (
+            cand
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("n_sh").alias("__na")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("n_sh").alias("__nb")), "id_b")
+            .filter(
+                (F.col("__na") >= F.lit(threshold) * F.col("__nb"))
+                & (F.col("__nb") >= F.lit(threshold) * F.col("__na"))
+            )
+            .select("id_a", "id_b")
+        )
         inter = (
             cand
             .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
@@ -225,8 +238,11 @@ def minhash_lsh_candidates(
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # The pair join shuffles ids only — the 64-element signatures
+    # (512 B/row) are joined back onto the (far smaller) candidate set
+    # afterwards instead of riding through the bucket shuffle twice.
     banded = sigs.select(
-        "id", "signature",
+        "id",
         F.posexplode(
             F.array(*[
                 F.xxhash64(
@@ -245,12 +261,15 @@ def minhash_lsh_candidates(
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = pairs.join(
+        sigs.select(F.col("id").alias("id_a"),
+                    F.col("signature").alias("sig_a")), "id_a"
+    ).join(
+        sigs.select(F.col("id").alias("id_b"),
+                    F.col("signature").alias("sig_b")), "id_b"
     )
     est = F.round(
         F.size(

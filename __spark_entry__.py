@@ -34,14 +34,19 @@ def _tpch(spark: SparkSession, sf_dir: str):
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from brahmand_spark.io import read_parquet
+    from brahmand_spark.ops.dedup import _spread
 
-    return read_parquet(spark, f"{sf_dir}/documents.parquet")
+    # A real corpus scan has thousands of splits; the test file has one.
+    # Spreading to the session's parallelism mirrors that, so the
+    # per-row text/hash compute uses every core instead of one.
+    return _spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from brahmand_spark.io import read_parquet
+    from brahmand_spark.ops.dedup import _spread
 
-    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return _spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet"))
 
 
 _DIMS: dict[str, int] = {}

@@ -33,6 +33,20 @@ from .text import tokens
 HASH_P = 2_147_483_647
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the session's parallelism.
+
+    Small inputs arrive as one parquet split, which would serialize the
+    per-row shingle/hash compute (interpreted higher-order functions) on
+    a single core. At 100 TB the scan already has thousands of splits
+    and this is a no-op; the round-robin shuffle it adds on small inputs
+    moves only the raw (id, text) rows."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -100,10 +114,15 @@ def ngram_jaccard_pairs(
 
     Scale note: at 100 TB, run either on minhash_lsh_candidates output.
     """
-    sh = df.select(
+    # The shingle table feeds four join branches (frequency ranking,
+    # prefix join, and both sides of the verification join); persist it
+    # so the explode chain runs once instead of per-branch — at 100 TB
+    # recomputing a full-corpus explode 4x is the dominant cost, and
+    # MEMORY_AND_DISK spills gracefully.
+    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    ).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if method == "prefix":
@@ -206,7 +225,7 @@ def minhash_signatures(
     All values stay < 2^62, safe under Spark ANSI overflow checks.
 
     Docs with no shingles (fewer than n tokens) yield no row."""
-    ex = df.select(
+    ex = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("s"),
     ).withColumn("h", F.pmod(F.xxhash64("s"), F.lit(HASH_P)))
@@ -237,7 +256,12 @@ def minhash_lsh_candidates(
     hashing so the join is skew-resistant; AQE splits stragglers.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # Signatures feed the banding explode plus both sides of the
+    # signature-join; persist so the shingle->min-hash aggregation runs
+    # once, not three times.
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, seed
+    ).persist()
     # The pair join shuffles ids only — the 64-element signatures
     # (512 B/row) are joined back onto the (far smaller) candidate set
     # afterwards instead of riding through the bucket shuffle twice.
@@ -299,7 +323,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     agg, one shuffle on the doc id) -- ~10x faster than a per-row
     higher-order fold, same single-shuffle profile at 100 TB.
     Output: 4 x 16-bit chunk values (doubles as the Hamming band key)."""
-    tok = df.select(
+    tok = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
     ).withColumn("h", F.xxhash64("t"))
@@ -331,7 +355,9 @@ def simhash_near_pairs(
     4-way chunk-equality join finds all such pairs; then exact Hamming
     distance filters. (max_hamming beyond 48 would need fewer/larger
     bands; default keeps recall for distance ≤ 3 exact.)"""
-    sh = simhash(df, id_col, text_col)
+    # Fingerprints feed both sides of the chunk-equality self-join;
+    # persist so the token-vote aggregation runs once.
+    sh = simhash(df, id_col, text_col).persist()
     banded = sh.select(
         "id", "simhash",
         F.posexplode("simhash").alias("chunk_pos", "chunk_val"),

@@ -419,6 +419,26 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    from brahmand_spark.ops.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, queries, k=10, n_cells=16, nprobe=4,
+        dim=_emb_dim(spark, sf_dir),
+    )
+
+
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    from brahmand_spark.ops.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _embeddings(spark, sf_dir), threshold=0.4, method="lsh",
+        dim=_emb_dim(spark, sf_dir),
+    )
+
+
 def _q_token_count(spark, sf_dir):
     from brahmand_spark.ops.text import token_count
 
@@ -573,6 +593,8 @@ _EXTENSIONS: dict[str, Callable] = {
     "dedup_embedding_cosine": _q_embedding_near_dup,
     "ann_cosine_topk": _q_ann_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
+    "ann_ivf_topk": _q_ann_ivf_topk,
+    "dedup_embedding_lsh": _q_dedup_embedding_lsh,
     "text_token_count": _q_token_count,
     "text_quality_score": _q_quality,
     "text_lang_id": _q_langid,
@@ -751,9 +773,10 @@ _EXTENSION_ORACLES: dict[str, str] = {
         SELECT n_nationkey::BIGINT AS id,
                ((k - 1) * (k - 2) / 2)::BIGINT AS triangles
         FROM sizes WHERE k >= 3""",
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / graph_pagerank:
-    # hash-family- or iteration-specific — not expressible in portable
-    # SQL; driver records rows-only checks for these.
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / ann_ivf_topk /
+    # dedup_embedding_lsh / graph_pagerank: hash-family-, centroid- or
+    # iteration-specific — not expressible in portable SQL; driver
+    # records rows-only checks for these.
 }
 
 

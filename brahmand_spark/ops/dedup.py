@@ -393,7 +393,8 @@ def simhash_near_pairs(
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, dim: int | None = None,
-    method: str = "gemm",
+    method: str = "gemm", n_planes: int = 6, n_tables: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Cosine-similar pairs (id_a < id_b, cosine >= threshold).
 
@@ -407,7 +408,91 @@ def embedding_near_dup_pairs(
     ``method='builtin'``: pure DataFrame pair join with higher-order-
     function dot products — no Python anywhere, but interpreted lambda
     evaluation makes it ~30× slower; kept as the UDF-free baseline.
+
+    ``method='lsh'``: the no-broadcast 100 TB path — multi-table
+    random-hyperplane LSH. Each of ``n_tables`` seeded tables buckets
+    every vector by ``n_planes`` sign bits; candidate pairs share a
+    bucket in ANY table (a pair within angle θ survives one table with
+    P = (1-θ/π)^n_planes, so T tables give recall 1-(1-P)^T — defaults
+    give ≈0.99 at cosine 0.95, ≈0.55 at 0.4; more planes shrink the
+    candidate set, more tables raise recall); exact cosine then
+    filters. The pair join shuffles ids only — vectors are joined back
+    onto the (far smaller) deduped candidate set. No driver collect, no
+    broadcast: scales to arbitrarily large corpora.
     """
+    if method == "lsh":
+        from .similarity import _hyperplanes, dot as _dot
+        from .similarity import norm as _norm
+
+        d = dim
+        probe_dim = dim
+        if probe_dim is None:
+            row = df.select(F.size(vec_col).alias("d")).first()
+            probe_dim = int(row["d"]) if row else 0
+        v = df.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        # One bucket id per table, offset so tables never collide.
+        # The plane matrix rides along as a literal array and the sign
+        # bits fold via higher-order functions: unrolling
+        # tables*planes*dim multiply-adds into expressions would blow up
+        # janino codegen (OOM compiling thousands of nested Adds), and
+        # this is a narrow per-row corpus projection where interpreted
+        # evaluation is cheap.
+        tables_lit = F.array(*[
+            F.array(*[
+                F.array(*[F.lit(float(x)) for x in plane])
+                for plane in _hyperplanes(probe_dim, n_planes, seed + t)
+            ])
+            for t in range(n_tables)
+        ])
+
+        def _plane_dot(plane):
+            return F.aggregate(
+                F.zip_with(plane, F.col("v"), lambda p, x: p * x),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+
+        buckets = F.transform(
+            tables_lit,
+            lambda planes, t: F.aggregate(
+                planes,
+                F.lit(0),
+                lambda acc, p: acc * 2
+                + F.when(_plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)),
+            ) + t * F.lit(1 << n_planes),
+        )
+        # Both sides of the pair join are the full corpus — never
+        # broadcast-able at scale. The hint pins a shuffled hash join on
+        # the bucket key (Catalyst's size estimate on small inputs would
+        # otherwise pick broadcast).
+        banded = v.select("id", F.explode(buckets).alias("bucket")) \
+            .hint("shuffle_hash")
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = (
+            a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        vn = v.withColumn("nrm", _norm(F.col("v"), d))
+        cand = cand.join(
+            vn.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                      F.col("nrm").alias("na")), "id_a"
+        ).join(
+            vn.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                      F.col("nrm").alias("nb")), "id_b"
+        )
+        cos = F.round(
+            _dot(F.col("va"), F.col("vb"), d) / (F.col("na") * F.col("nb")), 6
+        )
+        return (
+            cand.select("id_a", "id_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+
     if method == "builtin":
         from .similarity import dot as _dot
         from .similarity import norm as _norm

@@ -212,6 +212,71 @@ class TestSimilarity:
             if key in exact:
                 assert exact[key] == r.cosine
 
+    def test_ivf_recall_vs_exact(self, emb):
+        """IVF with nprobe=4/16 must recover most exact top-5 neighbors,
+        and every hit's cosine must equal the exact score."""
+        from brahmand_spark.ops.similarity import cosine_topk, ivf_topk
+
+        q = emb.filter(F.col("vec_id") < 5)
+        exact_rows = cosine_topk(emb, q, k=5).collect()
+        exact = {(r.query_id, r.corpus_id): r.cosine for r in exact_rows}
+        ivf_rows = ivf_topk(emb, q, k=5, n_cells=16, nprobe=4).collect()
+        hits = 0
+        for r in ivf_rows:
+            key = (r.query_id, r.corpus_id)
+            if key in exact:
+                hits += 1
+                assert exact[key] == r.cosine
+        assert hits >= len(exact) // 2, (
+            f"IVF recall too low: {hits}/{len(exact)}"
+        )
+
+    def test_ivf_full_probe_is_exact(self, emb):
+        """nprobe == n_cells probes every cell -> identical to brute
+        force (the IVF join covers all pairs)."""
+        from brahmand_spark.ops.similarity import cosine_topk, ivf_topk
+
+        q = emb.filter(F.col("vec_id") < 3)
+        exact = sorted(
+            (r.query_id, r.corpus_id, r.cosine, r.rank)
+            for r in cosine_topk(emb, q, k=5).collect()
+        )
+        full = sorted(
+            (r.query_id, r.corpus_id, r.cosine, r.rank)
+            for r in ivf_topk(emb, q, k=5, n_cells=8, nprobe=8).collect()
+        )
+        assert full == exact
+
+    def test_ivf_deterministic_centroids(self, emb):
+        from brahmand_spark.ops.similarity import train_ivf_centroids
+
+        c1 = train_ivf_centroids(emb, n_cells=8)
+        c2 = train_ivf_centroids(emb, n_cells=8)
+        assert c1 == c2
+
+    def test_embedding_lsh_subset_of_exact(self, emb):
+        """LSH near-dup pairs are a subset of the exact (builtin/gemm)
+        pairs with identical cosine values, and must recover the bulk
+        of them at a high threshold."""
+        from brahmand_spark.ops.dedup import embedding_near_dup_pairs
+
+        exact = {
+            (r.id_a, r.id_b): r.cosine
+            for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b): r.cosine
+            for r in embedding_near_dup_pairs(
+                emb, threshold=0.4, method="lsh"
+            ).collect()
+        }
+        assert set(lsh) <= set(exact)
+        for key, cos in lsh.items():
+            assert abs(exact[key] - cos) < 1e-9
+        assert len(lsh) >= len(exact) // 4, (
+            f"LSH near-dup recall too low: {len(lsh)}/{len(exact)}"
+        )
+
 
 class TestMultimodal:
     def test_metadata_sniffing(self, spark):

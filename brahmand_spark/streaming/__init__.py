@@ -1,3 +1,4 @@
+from .stateful import running_user_stats, running_user_stats_batch
 from .windows import (
     read_event_stream, sessionize, sliding_counts, streaming_dedup,
     tumbling_agg,
@@ -5,5 +6,5 @@ from .windows import (
 
 __all__ = [
     "read_event_stream", "tumbling_agg", "sliding_counts", "sessionize",
-    "streaming_dedup",
+    "streaming_dedup", "running_user_stats", "running_user_stats_batch",
 ]

@@ -108,6 +108,76 @@ class TestRealStream:
         assert canon(got) == canon(want)
 
 
+class TestStatefulOperator:
+    def test_running_stats_state_carries_across_batches(
+        self, spark, events, tmp_path
+    ):
+        """applyInPandasWithState per-user running totals: drive the
+        stream as several single-file micro-batches and check (a) state
+        accumulates across batches (some user is emitted more than once
+        with growing counts), (b) the final emission per user equals
+        the batch aggregate."""
+        from brahmand_spark.streaming import (
+            read_event_stream, running_user_stats,
+        )
+
+        src = str(tmp_path / "stateful_src")
+        ckpt = str(tmp_path / "stateful_ckpt")
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        out = running_user_stats(stream)
+        q = (
+            out.writeStream.format("memory").queryName("stateful_test")
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql("SELECT * FROM stateful_test").toPandas()
+
+        # (a) multi-batch state carry: at least one user emitted in
+        # several micro-batches, counts strictly increasing
+        multi = got.groupby("user_id").size()
+        assert (multi > 1).any(), "expected users spanning micro-batches"
+        for _, grp in got.groupby("user_id"):
+            ns = sorted(grp["n_events"])
+            assert ns == sorted(set(ns)), "running count must grow"
+
+        # (b) final state == batch aggregate (tz-independent: compare
+        # epoch micros computed the same pandas way on both sides)
+        final = got.loc[got.groupby("user_id")["n_events"].idxmax()]
+        pdf = events.toPandas()
+        want = pdf.groupby("user_id").agg(
+            n_events=("value", "size"), total_value=("value", "sum"),
+            first_us=("ts", "min"), last_us=("ts", "max"),
+        ).reset_index()
+        want["total_value"] = want["total_value"].round(6)
+        want["first_us"] = want["first_us"].astype("int64") // 1000
+        want["last_us"] = want["last_us"].astype("int64") // 1000
+        g = final.sort_values("user_id").reset_index(drop=True)
+        w = want.sort_values("user_id").reset_index(drop=True)
+        assert list(g["user_id"]) == list(w["user_id"])
+        assert list(g["n_events"]) == list(w["n_events"])
+        assert all(abs(a - b) < 1e-6
+                   for a, b in zip(g["total_value"], w["total_value"]))
+        assert list(g["first_us"]) == list(w["first_us"])
+        assert list(g["last_us"]) == list(w["last_us"])
+
+    def test_batch_equivalent_matches_stream_final(self, events):
+        """The documented batch oracle produces the same n/total as the
+        pandas ground truth (micros checked separately above)."""
+        from brahmand_spark.streaming import running_user_stats_batch
+
+        got = running_user_stats_batch(events).toPandas()
+        pdf = events.toPandas()
+        want = pdf.groupby("user_id")["value"].agg(["size", "sum"])
+        g = got.sort_values("user_id").reset_index(drop=True)
+        assert list(g["n_events"]) == list(want["size"])
+        assert all(
+            abs(a - round(b, 6)) < 1e-6
+            for a, b in zip(g["total_value"], want["sum"])
+        )
+
+
 class TestAdjacency:
     def test_build_and_expand(self, spark, tpch):
         from brahmand_spark.ops.adjacency import build_adjacency, expand

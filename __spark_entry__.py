@@ -219,6 +219,17 @@ _CYPHER: dict[str, str] = {
         MATCH (a:Customer)-[:NEXT_CUST*2..3]->(b:Customer)
         WHERE a.c_custkey <= 100
         RETURN a.c_custkey AS src, b.c_custkey AS dst""",
+    # path variables + introspection functions (extension; SURVEY §2.1
+    # lists them as unsupported in the reference)
+    "path_variable": """
+        MATCH p = (c:Customer)-[:CUST_IN]->(n:Nation)-[:IN_REGION]->(r:Region)
+        WHERE r.r_name = 'ASIA'
+        RETURN c.c_custkey AS cust, length(p) AS hops,
+               size(nodes(p)) AS n_nodes""",
+    "path_var_length_hops": """
+        MATCH p = (a:Customer)-[:NEXT_CUST*1..2]->(b:Customer)
+        WHERE a.c_custkey <= 100
+        RETURN a.c_custkey AS src, b.c_custkey AS dst, length(p) AS hops""",
     # undirected same-label hop (UNION DISTINCT of both orientations,
     # graph_traversal_planning.rs:524-616)
     "either_same_label": """
@@ -339,6 +350,18 @@ _CYPHER_ORACLES: dict[str, str] = {
         SELECT a.c_custkey AS src, b.c_custkey AS dst
         FROM customer a JOIN customer b
           ON b.c_custkey - a.c_custkey IN (2, 3)
+        WHERE a.c_custkey <= 100""",
+    "path_variable": """
+        SELECT c.c_custkey AS cust, 2::INT AS hops, 3::INT AS n_nodes
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'""",
+    "path_var_length_hops": """
+        SELECT a.c_custkey AS src, b.c_custkey AS dst,
+               (b.c_custkey - a.c_custkey)::INT AS hops
+        FROM customer a JOIN customer b
+          ON b.c_custkey - a.c_custkey IN (1, 2)
         WHERE a.c_custkey <= 100""",
     "either_same_label": """
         SELECT a.c_custkey AS src, b.c_custkey AS dst

@@ -47,7 +47,9 @@ from ..catalog import GraphSchema, RelationshipSchema
 from ..errors import PlanError, UnsupportedError
 from ..parser import ast
 from .expressions import ExprCompiler, collect_aliases, contains_aggregate
-from .scope import NodeBinding, RelBinding, ScalarBinding, Scope, pcol
+from .scope import (
+    NodeBinding, PathBinding, RelBinding, ScalarBinding, Scope, pcol,
+)
 
 MAX_VAR_HOPS = 10
 
@@ -85,6 +87,10 @@ class RelEntity:
 class Pattern:
     nodes: dict[str, NodeEntity] = field(default_factory=dict)
     rels: list[RelEntity] = field(default_factory=list)
+    # path variable -> (node aliases, rel aliases) in pattern order
+    path_vars: dict[str, tuple[list[str], list[str]]] = field(
+        default_factory=dict
+    )
 
 
 class QueryCompiler:
@@ -154,6 +160,17 @@ class QueryCompiler:
             pattern = self._build_pattern(required, scope)
             self._infer(pattern)
             df = self._assemble(df, scope, pattern, part)
+            for var, (nodes, rels) in pattern.path_vars.items():
+                hops = []
+                for r in pattern.rels:
+                    if r.alias in rels:
+                        hops.append(
+                            pcol(r.alias, "hops") if r.max_hops > 1 else None
+                        )
+                scope.bind(PathBinding(
+                    alias=var, node_aliases=nodes, rel_aliases=rels,
+                    rel_hops=hops,
+                ))
         for mc in optionals:
             df = self._apply_optional(df, scope, mc)
         if part.unwind is not None:
@@ -202,6 +219,10 @@ class QueryCompiler:
         sub_scope = Scope()
         inner = ast.MatchClause(paths=mc.paths, optional=False)
         pattern = self._build_pattern([inner], scope)
+        if pattern.path_vars:
+            raise PlanError(
+                "path variables on OPTIONAL MATCH are not supported"
+            )
         anchors = [
             a for a, node in pattern.nodes.items()
             if isinstance(scope.get(a), NodeBinding)
@@ -257,6 +278,7 @@ class QueryCompiler:
             for pi, path in enumerate(mc.paths):
                 path_aliases: set[str] = set()
                 node_aliases: list[str] = []
+                rel_aliases: list[str] = []
                 for np in path.nodes:
                     alias = np.alias or self._anon()
                     node_aliases.append(alias)
@@ -282,6 +304,7 @@ class QueryCompiler:
                         existing.properties.update(np.properties)
                 for ri, rp in enumerate(path.rels):
                     alias = rp.alias or self._anon()
+                    rel_aliases.append(alias)
                     if any(r.alias == alias for r in pattern.rels):
                         raise PlanError(
                             f"relationship alias '{alias}' used more than once"
@@ -304,6 +327,18 @@ class QueryCompiler:
                         "comma-separated patterns must share an alias"
                     )
                 clause_aliases |= path_aliases
+                if path.var is not None:
+                    if (path.var in pattern.nodes
+                            or any(r.alias == path.var for r in pattern.rels)
+                            or path.var in pattern.path_vars
+                            or scope.get(path.var) is not None):
+                        raise PlanError(
+                            f"path variable '{path.var}' collides with an "
+                            "existing alias"
+                        )
+                    pattern.path_vars[path.var] = (
+                        list(node_aliases), list(rel_aliases)
+                    )
         return pattern
 
     def _infer(self, pattern: Pattern) -> None:
@@ -576,12 +611,14 @@ class QueryCompiler:
             df_k = df_k.select(
                 F.col("e1_src").alias("src"),
                 F.col(f"e{k}_dst").alias("dst"),
+                F.lit(k).alias("hops"),  # actual hop count for length(p)
             )
             out = df_k if out is None else out.unionByName(df_k)
         assert out is not None
         return out.select(
             F.col("src").alias(pcol(rel.alias, "from_id")),
             F.col("dst").alias(pcol(rel.alias, "to_id")),
+            F.col("hops").alias(pcol(rel.alias, "hops")),
         )
 
     def _filter_score(self, pattern: Pattern, part: ast.QueryPart) -> dict[str, int]:
@@ -754,6 +791,18 @@ class QueryCompiler:
         new_scope = Scope()
         for item in expanded:
             e = item.expr
+            if isinstance(e, ast.Variable) and isinstance(
+                scope.get(e.name), PathBinding
+            ):
+                # Bare path variable: project as the ordered node-id
+                # array (the relational rendering of a Cypher path);
+                # downstream of a WITH it becomes a plain array scalar.
+                name = item.alias or e.name
+                col = ec.compile(e)
+                sel.append((name, col, False, e))
+                if not final:
+                    new_scope.bind(ScalarBinding(name))
+                continue
             if isinstance(e, ast.Variable) and isinstance(
                 scope.get(e.name), (NodeBinding, RelBinding)
             ):

@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 from ..errors import PlanError
 from ..parser import ast
 from . import functions as fns
-from .scope import NodeBinding, RelBinding, ScalarBinding, Scope, pcol
+from .scope import (
+    NodeBinding, PathBinding, RelBinding, ScalarBinding, Scope, pcol,
+)
 
 
 class ExprCompiler:
@@ -82,7 +84,53 @@ class ExprCompiler:
             return F.col(b.id_pcol)
         if isinstance(b, RelBinding):
             return F.col(b.src_pcol)
+        if isinstance(b, PathBinding):
+            return self._path_nodes(b)
         raise PlanError(f"cannot use '{name}' as a value")
+
+    # -- path introspection (extension: reference has no path vars) ----
+    def _path_nodes(self, b: PathBinding) -> Column:
+        """nodes(p): ordered array of the path's node identities (ids —
+        the relational rendering of Cypher node objects)."""
+        ids = []
+        for a in b.node_aliases:
+            nb = self.scope.get(a)
+            if not isinstance(nb, NodeBinding):
+                raise PlanError(
+                    f"path variable '{b.alias}' references unbound "
+                    f"node alias '{a}'"
+                )
+            ids.append(F.col(nb.id_pcol))
+        return F.array(*ids)
+
+    def _path_rels(self, b: PathBinding) -> Column:
+        """relationships(p): array of (src, dst) id structs, one per
+        single-hop relationship (variable-length segments don't expose
+        per-edge identities — reject to avoid silently wrong output)."""
+        out = []
+        for a, hops in zip(b.rel_aliases, b.rel_hops):
+            if hops is not None:
+                raise PlanError(
+                    "relationships() on a path with a variable-length "
+                    "segment is not supported"
+                )
+            rb = self.scope.get(a)
+            if isinstance(rb, RelBinding):
+                src, dst = rb.src_pcol, rb.dst_pcol
+            else:
+                src, dst = pcol(a, "from_id"), pcol(a, "to_id")
+            out.append(F.struct(
+                F.col(src).alias("src"), F.col(dst).alias("dst")
+            ))
+        return F.array(*out)
+
+    def _path_length(self, b: PathBinding) -> Column:
+        """length(p): number of relationships; variable-length segments
+        contribute their actual per-row hop count."""
+        total: Column = F.lit(0)
+        for hops in b.rel_hops:
+            total = total + (F.lit(1) if hops is None else F.col(hops))
+        return total
 
     def _unary(self, e: ast.Unary) -> Column:
         c = self.compile(e.operand)
@@ -185,6 +233,18 @@ class ExprCompiler:
             if isinstance(b, RelBinding):
                 return F.lit(b.type_name)
             raise PlanError("type() requires a relationship variable")
+        if (name in ("nodes", "relationships", "length")
+                and len(e.args) == 1
+                and isinstance(e.args[0], ast.Variable)
+                and isinstance(self.scope.get(e.args[0].name), PathBinding)):
+            b = self.scope.get(e.args[0].name)
+            if name == "nodes":
+                return self._path_nodes(b)
+            if name == "relationships":
+                return self._path_rels(b)
+            return self._path_length(b)
+        if name == "nodes" or name == "relationships":
+            raise PlanError(f"{name}() requires a path variable")
         args = [self.compile(a) for a in e.args]
         if fns.is_aggregate(name):
             if e.args and isinstance(e.args[0], ast.Star):

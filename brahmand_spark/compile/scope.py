@@ -49,7 +49,21 @@ class ScalarBinding:
     alias: str
 
 
-Binding = Union[NodeBinding, RelBinding, ScalarBinding]
+@dataclass
+class PathBinding:
+    """A path variable ``p = (a)-[r]->(b)`` (extension).
+
+    ``rel_hops[i]`` is None for a single-hop relationship (contributes 1
+    to length(p)) or the physical hops-column name for a variable-length
+    one."""
+
+    alias: str
+    node_aliases: list[str]
+    rel_aliases: list[str]
+    rel_hops: list[Optional[str]]
+
+
+Binding = Union[NodeBinding, RelBinding, ScalarBinding, PathBinding]
 
 
 @dataclass

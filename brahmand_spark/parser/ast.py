@@ -132,10 +132,14 @@ class RelPattern:
 
 @dataclass
 class PathPattern:
-    """Alternating nodes and rels: n0 r0 n1 r1 n2 ... (path_pattern.rs:27-100)."""
+    """Alternating nodes and rels: n0 r0 n1 r1 n2 ... (path_pattern.rs:27-100).
+
+    ``var`` holds the path variable of ``p = (a)-[]->(b)`` (extension —
+    the reference has no path variables, SURVEY §2.1)."""
 
     nodes: list[NodePattern]
     rels: list[RelPattern]
+    var: Optional[str] = None
 
 
 # --------------------------------------------------------------------------

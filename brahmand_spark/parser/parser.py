@@ -236,13 +236,18 @@ class Parser:
         return ast.MatchClause(paths=paths, optional=optional)
 
     def parse_path(self) -> ast.PathPattern:
-        # Path variable `p = (...)` unsupported (parity with reference).
+        # Path variable `p = (...)` (extension; the reference has none).
+        var = None
+        if (self.peek().kind == "IDENT"
+                and self.peek(1).kind == "OP" and self.peek(1).value == "="):
+            var = self.ident()
+            self.eat_op("=")
         nodes = [self.parse_node_pattern()]
         rels: list[ast.RelPattern] = []
         while self.at_op("-", "<"):
             rels.append(self.parse_rel_pattern())
             nodes.append(self.parse_node_pattern())
-        return ast.PathPattern(nodes=nodes, rels=rels)
+        return ast.PathPattern(nodes=nodes, rels=rels, var=var)
 
     def parse_node_pattern(self) -> ast.NodePattern:
         self.eat_op("(")

@@ -281,3 +281,83 @@ class TestWithPipeline:
                        RETURN count(*) AS n"""),
             duck.sql("SELECT count(*) AS n FROM orders"),
         )
+
+
+class TestPathVariables:
+    """Path variables p = (...) + length/nodes/relationships
+    (extension; SURVEY §2.1 lists them as unsupported in the
+    reference)."""
+
+    def test_fixed_path_length_and_nodes(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH p = (c:Customer)-[:CUST_IN]->(n:Nation)-[:IN_REGION]->(r:Region)
+                       WHERE r.r_name = 'ASIA'
+                       RETURN c.c_custkey AS cust, length(p) AS hops,
+                              size(nodes(p)) AS n_nodes"""),
+            duck.sql("""SELECT c.c_custkey AS cust, 2::INT AS hops,
+                               3::INT AS n_nodes
+                        FROM customer c
+                        JOIN nation n ON c.c_nationkey = n.n_nationkey
+                        JOIN region r ON n.n_regionkey = r.r_regionkey
+                        WHERE r.r_name = 'ASIA'"""),
+        )
+
+    def test_nodes_array_values(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH p = (n:Nation)-[:IN_REGION]->(r:Region)
+                       RETURN nodes(p) AS ids"""),
+            duck.sql("""SELECT [n.n_nationkey, r.r_regionkey] AS ids
+                        FROM nation n
+                        JOIN region r ON n.n_regionkey = r.r_regionkey"""),
+        )
+
+    def test_var_length_path_hops(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH p = (a:Customer)-[:NEXT_CUST*1..2]->(b:Customer)
+                       WHERE a.c_custkey <= 100
+                       RETURN a.c_custkey AS src, b.c_custkey AS dst,
+                              length(p) AS hops"""),
+            duck.sql("""SELECT a.c_custkey AS src, b.c_custkey AS dst,
+                               (b.c_custkey - a.c_custkey)::INT AS hops
+                        FROM customer a JOIN customer b
+                          ON b.c_custkey - a.c_custkey IN (1, 2)
+                        WHERE a.c_custkey <= 100"""),
+        )
+
+    def test_relationships_fixed_path(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH p = (n:Nation)-[:IN_REGION]->(r:Region)
+                       WHERE r.r_name = 'EUROPE'
+                       RETURN n.n_name AS nation, size(relationships(p)) AS n_rels"""),
+            duck.sql("""SELECT n.n_name AS nation, 1::INT AS n_rels
+                        FROM nation n
+                        JOIN region r ON n.n_regionkey = r.r_regionkey
+                        WHERE r.r_name = 'EUROPE'"""),
+        )
+
+    def test_with_carries_path_as_array(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH p = (n:Nation)-[:IN_REGION]->(r:Region)
+                       WITH p, r.r_name AS region
+                       RETURN region, size(p) AS n ORDER BY region"""),
+            duck.sql("""SELECT r.r_name AS region, 2::INT AS n
+                        FROM nation n
+                        JOIN region r ON n.n_regionkey = r.r_regionkey
+                        ORDER BY region"""),
+        )
+
+    def test_relationships_rejects_var_length_segment(self, tpch):
+        with pytest.raises(PlanError, match="variable-length"):
+            q(tpch, """MATCH p = (a:Customer)-[:NEXT_CUST*1..2]->(b:Customer)
+                       RETURN relationships(p) AS rels""").collect()
+
+    def test_path_var_collision_rejected(self, tpch):
+        with pytest.raises(PlanError, match="collides"):
+            q(tpch, """MATCH n = (n:Nation)-[:IN_REGION]->(r:Region)
+                       RETURN length(n) AS hops""").collect()
+
+    def test_path_var_on_optional_match_rejected(self, tpch):
+        with pytest.raises(PlanError, match="OPTIONAL"):
+            q(tpch, """MATCH (c:Customer)
+                       OPTIONAL MATCH p = (c)-[:PLACED]->(o:Order)
+                       RETURN count(*) AS n""").collect()

@@ -67,6 +67,16 @@ class TestMatch:
         q = rq("MATCH (o:Order) RETURN o.o_orderkey")
         assert q.parts[0].matches[0].paths[0].nodes[0].label == "Order"
 
+    def test_path_variable(self):
+        q = rq("MATCH p = (a:X)-[:R]->(b) RETURN length(p)")
+        path = q.parts[0].matches[0].paths[0]
+        assert path.var == "p"
+        assert [n.alias for n in path.nodes] == ["a", "b"]
+
+    def test_path_without_variable_has_none(self):
+        q = rq("MATCH (a:X)-[:R]->(b) RETURN a")
+        assert q.parts[0].matches[0].paths[0].var is None
+
 
 class TestExpressions:
     def where(self, text):

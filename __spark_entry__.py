@@ -230,6 +230,11 @@ _CYPHER: dict[str, str] = {
         MATCH p = (a:Customer)-[:NEXT_CUST*1..2]->(b:Customer)
         WHERE a.c_custkey <= 100
         RETURN a.c_custkey AS src, b.c_custkey AS dst, length(p) AS hops""",
+    # shortestPath via frontier BFS (extension)
+    "shortest_path": """
+        MATCH p = shortestPath((a:Customer)-[:NEXT_CUST*..3]->(b:Customer))
+        WHERE a.c_custkey <= 50
+        RETURN a.c_custkey AS src, b.c_custkey AS dst, length(p) AS dist""",
     # undirected same-label hop (UNION DISTINCT of both orientations,
     # graph_traversal_planning.rs:524-616)
     "either_same_label": """
@@ -363,6 +368,12 @@ _CYPHER_ORACLES: dict[str, str] = {
         FROM customer a JOIN customer b
           ON b.c_custkey - a.c_custkey IN (1, 2)
         WHERE a.c_custkey <= 100""",
+    "shortest_path": """
+        SELECT a.c_custkey AS src, b.c_custkey AS dst,
+               (b.c_custkey - a.c_custkey)::INT AS dist
+        FROM customer a JOIN customer b
+          ON b.c_custkey - a.c_custkey IN (1, 2, 3)
+        WHERE a.c_custkey <= 50""",
     "either_same_label": """
         SELECT a.c_custkey AS src, b.c_custkey AS dst
         FROM customer a JOIN customer b

@@ -77,6 +77,7 @@ class RelEntity:
     min_hops: int = 1
     max_hops: int = 1
     alt_types: tuple = ()  # multi-type -[:X|Y]-> extension
+    shortest: bool = False  # inside shortestPath(...) (extension)
     # filled by inference:
     schema: Optional[RelationshipSchema] = None
     orientation: Optional[str] = None  # 'fwd' (src=from), 'rev', 'both', 'invalid'
@@ -302,6 +303,11 @@ class QueryCompiler:
                                 )
                             existing.label = np.label
                         existing.properties.update(np.properties)
+                if path.shortest is not None and len(path.rels) != 1:
+                    raise PlanError(
+                        "shortestPath() takes a single-relationship "
+                        "pattern (a)-[:T*..k]->(b)"
+                    )
                 for ri, rp in enumerate(path.rels):
                     alias = rp.alias or self._anon()
                     rel_aliases.append(alias)
@@ -317,6 +323,7 @@ class QueryCompiler:
                         min_hops=rp.min_hops,
                         max_hops=min(rp.max_hops, MAX_VAR_HOPS),
                         alt_types=tuple(rp.alt_types),
+                        shortest=path.shortest is not None,
                     ))
                 # Comma-separated patterns in one MATCH must connect
                 # (reference errors on disconnected patterns,
@@ -555,6 +562,90 @@ class QueryCompiler:
                 df = df.filter(F.col(pcol(a, key)) == ec.compile(expr))
         return df
 
+    def _oriented_pairs(self, rel: RelEntity) -> DataFrame:
+        """Oriented (src, dst) id pairs for one relationship schema —
+        the traversal base for variable-length and shortest-path hops."""
+        sch = rel.schema
+        raw = self.load_table(sch.type_name)
+        if rel.orientation == "invalid":
+            return raw.select(
+                F.col(sch.from_column).alias("src"),
+                F.col(sch.to_column).alias("dst"),
+            ).filter(F.lit(False))
+        if rel.orientation == "rev":
+            return raw.select(
+                F.col(sch.to_column).alias("src"),
+                F.col(sch.from_column).alias("dst"),
+            )
+        if rel.orientation == "both":
+            return raw.select(
+                F.col(sch.from_column).alias("src"),
+                F.col(sch.to_column).alias("dst"),
+            ).union(raw.select(
+                F.col(sch.to_column).alias("src"),
+                F.col(sch.from_column).alias("dst"),
+            )).distinct()
+        return raw.select(
+            F.col(sch.from_column).alias("src"),
+            F.col(sch.to_column).alias("dst"),
+        )
+
+    def _shortest_path_df(self, rel: RelEntity) -> DataFrame:
+        """(src, dst, hops) pairs where hops is the SHORTEST directed
+        distance <= max_hops — frontier BFS as iterative join-antijoin
+        (the Pregel superstep expressed relationally; same shape as
+        ops/algos.bfs_distances but per-source). Each level joins the
+        frontier to the edge list, drops already-reached (root, node)
+        pairs, and localCheckpoints to truncate lineage.
+
+        shortestPath/allShortestPaths both compile here: we return the
+        per-pair minimum distance, not materialized path objects, so
+        the two coincide (documented divergence from Neo4j, which
+        enumerates tied paths for allShortestPaths).
+
+        Scale: level-synchronous BFS — k bounded shuffles on the node
+        id; the reached set grows monotonically and is the natural
+        candidate for bucketed storage at 100 TB."""
+        if rel.properties:
+            raise UnsupportedError(
+                "properties on shortestPath relationships"
+            )
+        base = self._oriented_pairs(rel).persist()
+        frontier = base.select(
+            F.col("src").alias("root"), F.col("dst").alias("node"),
+            F.lit(1).alias("hops"),
+        ).dropDuplicates(["root", "node"]).localCheckpoint()
+        reached = frontier
+        for k in range(2, rel.max_hops + 1):
+            if frontier.isEmpty():
+                break
+            frontier = (
+                frontier.join(
+                    base, frontier["node"] == base["src"], "inner"
+                )
+                .select(
+                    F.col("root"), base["dst"].alias("node"),
+                    F.lit(k).alias("hops"),
+                )
+                .dropDuplicates(["root", "node"])
+                .join(reached.select("root", "node"),
+                      ["root", "node"], "left_anti")
+                .localCheckpoint()
+            )
+            reached = reached.unionByName(frontier)
+        # root == node pairs are excluded: the legal a==b shortest path
+        # is the zero-length one (outside min_hops >= 1), while any
+        # hops >= 2 self-walk found by BFS reuses an edge back-and-forth
+        # — illegal under Cypher relationship-uniqueness.
+        return reached.filter(
+            (F.col("hops") >= F.lit(rel.min_hops))
+            & (F.col("root") != F.col("node"))
+        ).select(
+            F.col("root").alias(pcol(rel.alias, "from_id")),
+            F.col("node").alias(pcol(rel.alias, "to_id")),
+            F.col("hops").alias(pcol(rel.alias, "hops")),
+        )
+
     def _var_length_df(self, rel: RelEntity) -> DataFrame:
         """k-hop reachability pairs for ``-[:T*min..max]->``: union over k
         of k-fold edge self-joins with pairwise edge-distinctness (Cypher
@@ -564,31 +655,7 @@ class QueryCompiler:
             raise UnsupportedError(
                 "properties on variable-length relationships"
             )
-        sch = rel.schema
-        raw = self.load_table(sch.type_name)
-        if rel.orientation == "invalid":
-            base = raw.select(
-                F.col(sch.from_column).alias("src"),
-                F.col(sch.to_column).alias("dst"),
-            ).filter(F.lit(False))
-        elif rel.orientation == "rev":
-            base = raw.select(
-                F.col(sch.to_column).alias("src"),
-                F.col(sch.from_column).alias("dst"),
-            )
-        elif rel.orientation == "both":
-            base = raw.select(
-                F.col(sch.from_column).alias("src"),
-                F.col(sch.to_column).alias("dst"),
-            ).union(raw.select(
-                F.col(sch.to_column).alias("src"),
-                F.col(sch.from_column).alias("dst"),
-            )).distinct()
-        else:
-            base = raw.select(
-                F.col(sch.from_column).alias("src"),
-                F.col(sch.to_column).alias("dst"),
-            )
+        base = self._oriented_pairs(rel)
         out: Optional[DataFrame] = None
         for k in range(max(rel.min_hops, 1), rel.max_hops + 1):
             step = base.select(
@@ -703,7 +770,9 @@ class QueryCompiler:
         return df
 
     def _apply_hop(self, rel, pattern: Pattern, components, scope, find_component):
-        if rel.max_hops > 1:
+        if rel.shortest and rel.max_hops > 1:
+            edge = self._shortest_path_df(rel)
+        elif rel.max_hops > 1:
             edge = self._var_length_df(rel)
             # Bind the alias so RETURN * ignores it gracefully? No: a
             # var-length rel alias binds to a path list in Cypher, which we

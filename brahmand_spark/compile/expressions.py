@@ -91,7 +91,15 @@ class ExprCompiler:
     # -- path introspection (extension: reference has no path vars) ----
     def _path_nodes(self, b: PathBinding) -> Column:
         """nodes(p): ordered array of the path's node identities (ids —
-        the relational rendering of Cypher node objects)."""
+        the relational rendering of Cypher node objects). Rejected when
+        a segment is variable-length/shortest: intermediate nodes are
+        not materialized, and an endpoints-only array would be silently
+        wrong."""
+        if any(h is not None for h in b.rel_hops):
+            raise PlanError(
+                "nodes() on a path with a variable-length segment is "
+                "not supported (intermediate nodes are not materialized)"
+            )
         ids = []
         for a in b.node_aliases:
             nb = self.scope.get(a)

@@ -135,11 +135,14 @@ class PathPattern:
     """Alternating nodes and rels: n0 r0 n1 r1 n2 ... (path_pattern.rs:27-100).
 
     ``var`` holds the path variable of ``p = (a)-[]->(b)`` (extension —
-    the reference has no path variables, SURVEY §2.1)."""
+    the reference has no path variables, SURVEY §2.1). ``shortest`` is
+    'single'/'all' for shortestPath(...)/allShortestPaths(...) wrappers
+    (extension)."""
 
     nodes: list[NodePattern]
     rels: list[RelPattern]
     var: Optional[str] = None
+    shortest: Optional[str] = None
 
 
 # --------------------------------------------------------------------------

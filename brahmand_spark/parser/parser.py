@@ -242,12 +242,26 @@ class Parser:
                 and self.peek(1).kind == "OP" and self.peek(1).value == "="):
             var = self.ident()
             self.eat_op("=")
+        # shortestPath((a)-[:T*..k]->(b)) / allShortestPaths(...)
+        shortest = None
+        if (self.peek().kind == "IDENT"
+                and self.peek().value.lower() in (
+                    "shortestpath", "allshortestpaths")
+                and self.peek(1).kind == "OP" and self.peek(1).value == "("):
+            shortest = ("single"
+                        if self.next().value.lower() == "shortestpath"
+                        else "all")
+            self.eat_op("(")
         nodes = [self.parse_node_pattern()]
         rels: list[ast.RelPattern] = []
         while self.at_op("-", "<"):
             rels.append(self.parse_rel_pattern())
             nodes.append(self.parse_node_pattern())
-        return ast.PathPattern(nodes=nodes, rels=rels, var=var)
+        if shortest is not None:
+            self.eat_op(")")
+        return ast.PathPattern(
+            nodes=nodes, rels=rels, var=var, shortest=shortest
+        )
 
     def parse_node_pattern(self) -> ast.NodePattern:
         self.eat_op("(")

@@ -361,3 +361,45 @@ class TestPathVariables:
             q(tpch, """MATCH (c:Customer)
                        OPTIONAL MATCH p = (c)-[:PLACED]->(o:Order)
                        RETURN count(*) AS n""").collect()
+
+
+class TestShortestPath:
+    """shortestPath()/allShortestPaths() via frontier BFS (extension).
+    NEXT_CUST is the +1 chain on c_custkey, so directed shortest
+    distance == key difference; either-direction == |difference|."""
+
+    def test_directed_shortest(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH p = shortestPath((a:Customer)-[:NEXT_CUST*..3]->(b:Customer))
+                       WHERE a.c_custkey <= 50
+                       RETURN a.c_custkey AS src, b.c_custkey AS dst,
+                              length(p) AS dist"""),
+            duck.sql("""SELECT a.c_custkey AS src, b.c_custkey AS dst,
+                               (b.c_custkey - a.c_custkey)::INT AS dist
+                        FROM customer a JOIN customer b
+                          ON b.c_custkey - a.c_custkey IN (1, 2, 3)
+                        WHERE a.c_custkey <= 50"""),
+        )
+
+    def test_either_direction_minimality(self, tpch, duck):
+        """|b - a| is the shortest undirected distance on the chain —
+        longer back-and-forth walks must not surface."""
+        assert_same(
+            q(tpch, """MATCH p = allShortestPaths((a:Customer)-[:NEXT_CUST*..3]-(b:Customer))
+                       WHERE a.c_custkey = 20
+                       RETURN b.c_custkey AS dst, length(p) AS dist"""),
+            duck.sql("""SELECT b.c_custkey AS dst,
+                               abs(b.c_custkey - 20)::INT AS dist
+                        FROM customer b
+                        WHERE abs(b.c_custkey - 20) BETWEEN 1 AND 3"""),
+        )
+
+    def test_shortest_multi_rel_rejected(self, tpch):
+        with pytest.raises(PlanError, match="single-relationship"):
+            q(tpch, """MATCH p = shortestPath((a:Customer)-[:PLACED]->(o:Order)-[:HAS_LINE]->(l:Lineitem))
+                       RETURN count(*) AS n""").collect()
+
+    def test_nodes_rejected_on_shortest(self, tpch):
+        with pytest.raises(PlanError, match="variable-length"):
+            q(tpch, """MATCH p = shortestPath((a:Customer)-[:NEXT_CUST*..2]->(b:Customer))
+                       RETURN nodes(p) AS ids""").collect()

@@ -99,89 +99,97 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (id_a < id_b, jaccard >= threshold).
 
-    ``method='prefix'`` (default): AllPairs/PPJoin prefix filtering —
-    shingles are globally ordered by (frequency, shingle); a doc's
-    *prefix* is its ``|A| - ceil(t·|A|) + 1`` rarest shingles. For any
-    pair with jaccard >= t, the globally-smallest common shingle lies in
-    BOTH prefixes (else enough of one side misses the intersection to
-    violate t), so joining prefix-to-prefix is complete. Candidates are
-    then verified with exact intersection counts. Rare-shingle posting
-    lists are short, so the candidate join is orders of magnitude
-    smaller than the full inverted-index join.
+    ``method='prefix'`` (default): AllPairs/PPJoin prefix filtering.
+    Prefix filtering is complete for ANY fixed total order on shingles:
+    for a pair with jaccard >= t, the globally-smallest common shingle
+    lies in BOTH docs' ``|A| - ceil(t·|A|) + 1``-element prefixes (else
+    enough of one side misses the intersection to violate t). We order
+    shingles by xxhash64 — a uniform pseudo-random order that needs no
+    corpus-wide frequency table, so the prefix is a narrow per-doc
+    sort+slice instead of a join+window over the inverted index — and
+    then work with the 8-byte hashes everywhere: the candidate join key
+    is a long, and verification intersects sorted long arrays instead of
+    fat string arrays (~3× less data through every exchange; exact
+    modulo 64-bit collisions, i.e. exact in practice).
+    No broadcast hints: at 100 TB neither side fits the driver, and AQE
+    picks broadcast automatically when the candidate set is small.
 
     ``method='allpairs'``: full shingle inverted-index self-join — the
     brute-force baseline the prefix path is verified against.
 
     Scale note: at 100 TB, run either on minhash_lsh_candidates output.
     """
-    # The shingle table feeds four join branches (frequency ranking,
-    # prefix join, and both sides of the verification join); persist it
-    # so the explode chain runs once instead of per-branch — at 100 TB
-    # recomputing a full-corpus explode 4x is the dominant cost, and
-    # MEMORY_AND_DISK spills gracefully.
+    if method == "prefix":
+        # Per-doc sorted-hash-array table: built narrow (no shuffle),
+        # feeds the prefix explode AND both verification branches —
+        # persist so the shingling runs once. MEMORY_AND_DISK spills.
+        arr = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col).alias("id"),
+            F.array_sort(
+                F.transform(shingles(F.col(text_col), n),
+                            lambda s: F.xxhash64(s))
+            ).alias("__h"),
+        ).withColumn("n_sh", F.size("__h")).filter(F.col("n_sh") > 0) \
+            .persist()
+        plen = (
+            F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        ).cast("int")
+        prefix = arr.select(
+            "id", "n_sh",
+            F.explode(F.slice("__h", F.lit(1), plen)).alias("hs"),
+        )
+        a = prefix.alias("a")
+        b = prefix.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.hs") == F.col("b.hs"))
+                & (F.col("a.id") < F.col("b.id"))
+                # size-ratio bound: jaccard >= t forces t <= |A|/|B| <= 1/t
+                & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
+                & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        verified = (
+            cand
+            .join(arr.select(F.col("id").alias("id_a"),
+                             F.col("__h").alias("__va"),
+                             F.col("n_sh").alias("n_a")), "id_a")
+            .join(arr.select(F.col("id").alias("id_b"),
+                             F.col("__h").alias("__vb"),
+                             F.col("n_sh").alias("n_b")), "id_b")
+            .withColumn(
+                "n_inter",
+                F.size(F.array_intersect("__va", "__vb")),
+            )
+        )
+        return (
+            verified.withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     ).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-
-    if method == "prefix":
-        from pyspark.sql import Window
-
-        freq = sh.groupBy("shingle").agg(
-            F.count(F.lit(1)).alias("__freq")
-        )
-        w = Window.partitionBy("id").orderBy("__freq", "shingle")
-        ranked = (
-            sh.join(freq, "shingle")
-            .withColumn("__rank", F.row_number().over(w))
-        )
-        ranked = ranked.join(sizes, "id").withColumn(
-            "__prefix_len",
-            F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1,
-        )
-        prefix = ranked.filter(F.col("__rank") <= F.col("__prefix_len")) \
-            .select("id", "shingle")
-        cand = (
-            prefix.alias("a").join(
-                prefix.alias("b"),
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        # size-ratio filter: jaccard >= t forces t <= |A|/|B| <= 1/t
-        cand = (
-            cand
-            .join(sizes.select(F.col("id").alias("id_a"),
-                               F.col("n_sh").alias("__na")), "id_a")
-            .join(sizes.select(F.col("id").alias("id_b"),
-                               F.col("n_sh").alias("__nb")), "id_b")
-            .filter(
-                (F.col("__na") >= F.lit(threshold) * F.col("__nb"))
-                & (F.col("__nb") >= F.lit(threshold) * F.col("__na"))
-            )
-            .select("id_a", "id_b")
-        )
-        inter = (
-            cand
-            .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-            .join(sh.select(F.col("id").alias("id_b"), "shingle"),
-                  ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
-    else:
-        a = sh.alias("a")
-        b = sh.alias("b")
-        inter = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
-
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -246,6 +246,21 @@ _CYPHER: dict[str, str] = {
         MATCH (c:Customer) WHERE c.c_acctbal > 9000 RETURN c.c_name AS name
         UNION
         MATCH (s:Supplier) RETURN s.s_name AS name""",
+    # Pattern predicates (extension): WHERE (a)-[:T]->(b) -> leftsemi,
+    # NOT ... -> leftanti; anchors reduce to id semi-join keys.
+    "pattern_predicate_exists": """
+        MATCH (c:Customer)
+        WHERE (c)-[:PLACED]->({o_orderstatus: 'F'}) AND c.c_acctbal > 9000
+        RETURN c.c_name AS name""",
+    "pattern_predicate_not": """
+        MATCH (c:Customer)
+        WHERE NOT exists((c)-[:PLACED]->({o_orderstatus: 'F'}))
+        RETURN count(*) AS n""",
+    "pattern_predicate_two_anchors": """
+        MATCH (c:Customer) MATCH (n:Nation)
+        WHERE (c)-[:CUST_IN]->(n) AND n.n_name = 'NATION_7'
+              AND c.c_acctbal > 9000
+        RETURN c.c_name AS name, n.n_name AS nation""",
 }
 
 _CYPHER_ORACLES: dict[str, str] = {
@@ -383,6 +398,22 @@ _CYPHER_ORACLES: dict[str, str] = {
         SELECT c_name AS name FROM customer WHERE c_acctbal > 9000
         UNION
         SELECT s_name AS name FROM supplier""",
+    "pattern_predicate_exists": """
+        SELECT c.c_name AS name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+          AND c.c_acctbal > 9000""",
+    "pattern_predicate_not": """
+        SELECT count(*) AS n FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')""",
+    "pattern_predicate_two_anchors": """
+        SELECT c.c_name AS name, n.n_name AS nation
+        FROM customer c, nation n
+        WHERE c.c_nationkey = n.n_nationkey
+          AND n.n_name = 'NATION_7' AND c.c_acctbal > 9000""",
 }
 
 

@@ -188,8 +188,12 @@ class QueryCompiler:
         if part.where is not None:
             if df is None:
                 raise PlanError("WHERE without a preceding MATCH/WITH")
-            ec = ExprCompiler(scope, self.params)
-            df = df.filter(ec.compile(part.where))
+            residual, pattern_preds = _split_pattern_predicates(part.where)
+            for path, negated in pattern_preds:
+                df = self._apply_pattern_predicate(df, scope, path, negated)
+            if residual is not None:
+                ec = ExprCompiler(scope, self.params)
+                df = df.filter(ec.compile(residual))
         if part.with_clause is not None:
             if df is None:
                 raise PlanError("WITH without input rows")
@@ -271,6 +275,52 @@ class QueryCompiler:
         for a in anchors:
             out = out.drop(f"__optk_{a}")
         return out
+
+    def _apply_pattern_predicate(
+        self, df: DataFrame, scope: Scope, path: ast.PathPattern,
+        negated: bool,
+    ) -> DataFrame:
+        """WHERE (a)-[:T]->(b) -> leftsemi join; NOT -> leftanti
+        (extension; the reference has no pattern predicates).
+
+        The predicate pattern is compiled as an independent assembly;
+        aliases bound outside ("anchors") are re-scanned inside it and
+        reduced to their id columns, which become the semi-join keys —
+        the same per-hop IN-subquery shape the reference uses for
+        traversal pruning (graph_traversal_planning.rs:819-843), surfaced
+        as user syntax. New aliases inside the predicate are existential:
+        they never add columns or multiply rows."""
+        sub_scope = Scope()
+        inner = ast.MatchClause(paths=[path], optional=False)
+        pattern = self._build_pattern([inner], scope)
+        anchors = [
+            a for a in pattern.nodes
+            if isinstance(scope.get(a), NodeBinding)
+        ]
+        if not anchors:
+            raise PlanError(
+                "pattern predicate must reference at least one bound "
+                "node alias"
+            )
+        for node in pattern.nodes.values():
+            node.prebound = False  # anchors are re-scanned in the sub-plan
+        self._infer(pattern)
+        sub_df = self._assemble(None, sub_scope, pattern, ast.QueryPart())
+        key_cols = []
+        conds = []
+        for a in anchors:
+            outer_b = scope.get(a)
+            inner_b = sub_scope.get(a)
+            key = f"__ppk_{a}"
+            key_cols.append(F.col(inner_b.id_pcol).alias(key))
+            conds.append(F.col(outer_b.id_pcol) == F.col(key))
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        return df.join(
+            sub_df.select(*key_cols), cond,
+            "left_anti" if negated else "left_semi",
+        )
 
     def _build_pattern(self, matches: list[ast.MatchClause], scope: Scope) -> Pattern:
         pattern = Pattern()
@@ -984,6 +1034,30 @@ class QueryCompiler:
         if limit is not None:
             df = df.limit(limit)
         return df
+
+
+def _split_pattern_predicates(expr: ast.Expr):
+    """Split a WHERE tree into (residual boolean expr | None, list of
+    (PathPattern, negated)). Pattern predicates are recognized at
+    top-level AND conjuncts only — under OR/XOR or other operators they
+    raise in the expression compiler with a clear message."""
+    if isinstance(expr, ast.PatternPredicate):
+        return None, [(expr.path, False)]
+    if isinstance(expr, ast.Unary) and expr.op == "NOT" and isinstance(
+        expr.operand, ast.PatternPredicate
+    ):
+        return None, [(expr.operand.path, True)]
+    if isinstance(expr, ast.Binary) and expr.op == "AND":
+        lres, lpreds = _split_pattern_predicates(expr.left)
+        rres, rpreds = _split_pattern_predicates(expr.right)
+        if lres is None:
+            residual = rres
+        elif rres is None:
+            residual = lres
+        else:
+            residual = ast.Binary("AND", lres, rres)
+        return residual, lpreds + rpreds
+    return expr, []
 
 
 def expr_text(e: ast.Expr) -> str:

@@ -55,6 +55,11 @@ class ExprCompiler:
             return self._case(e)
         if isinstance(e, ast.FnCall):
             return self._fn_call(e)
+        if isinstance(e, ast.PatternPredicate):
+            raise PlanError(
+                "pattern predicates are only supported as top-level WHERE "
+                "conjuncts (optionally under NOT)"
+            )
         raise PlanError(f"cannot compile expression {e!r}")
 
     # ------------------------------------------------------------------
@@ -314,3 +319,7 @@ def collect_aliases(e: ast.Expr, out: set[str]) -> None:
             collect_aliases(e.else_, out)
         if e.operand is not None:
             collect_aliases(e.operand, out)
+    elif isinstance(e, ast.PatternPredicate):
+        for np in e.path.nodes:
+            if np.alias is not None:
+                out.add(np.alias)

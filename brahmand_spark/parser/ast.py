@@ -100,9 +100,18 @@ class CaseExpr:
     operand: Optional["Expr"] = None  # CASE <operand> WHEN v THEN ...
 
 
+@dataclass(frozen=True)
+class PatternPredicate:
+    """Existential pattern predicate in WHERE (extension; not in the
+    reference): ``WHERE (a)-[:T]->(b)`` / ``WHERE exists((a)-[:T]->())``.
+    Compiles to a leftsemi join (leftanti under NOT)."""
+
+    path: object  # PathPattern
+
+
 Expr = Union[
     Literal, Star, Variable, PropertyAccess, Parameter, ListLiteral,
-    FnCall, Unary, Binary, IsNull, CaseExpr,
+    FnCall, Unary, Binary, IsNull, CaseExpr, PatternPredicate,
 ]
 
 

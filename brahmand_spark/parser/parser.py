@@ -484,6 +484,18 @@ class Parser:
             self.eat_op("]")
             return ast.ListLiteral(tuple(items))
         if self.at_op("("):
+            # Ambiguity: `(expr)` vs a pattern predicate `(a)-[:T]->(b)`
+            # (extension). Try the pattern parse with backtracking; only
+            # a path with >= 1 relationship counts (a bare `(a)` is a
+            # parenthesized variable).
+            save = self.i
+            try:
+                path = self.parse_path()
+                if path.rels and path.var is None and path.shortest is None:
+                    return ast.PatternPredicate(path)
+            except ParseError:
+                pass
+            self.i = save
             self.next()
             expr = self.parse_expr()
             self.eat_op(")")
@@ -493,6 +505,19 @@ class Parser:
         ):
             name = self.ident()
             if self.at_op("("):
+                if name.lower() == "exists":
+                    # exists((a)-[:T]->(b)) — pattern form; falls back to
+                    # a normal call if the payload isn't a pattern.
+                    save = self.i
+                    try:
+                        self.next()  # (
+                        path = self.parse_path()
+                        if path.rels:
+                            self.eat_op(")")
+                            return ast.PatternPredicate(path)
+                    except ParseError:
+                        pass
+                    self.i = save
                 return self.parse_fn_call(name)
             return ast.Variable(name)
         self.error("expected expression")

@@ -403,3 +403,90 @@ class TestShortestPath:
         with pytest.raises(PlanError, match="variable-length"):
             q(tpch, """MATCH p = shortestPath((a:Customer)-[:NEXT_CUST*..2]->(b:Customer))
                        RETURN nodes(p) AS ids""").collect()
+
+
+class TestPatternPredicates:
+    """WHERE (a)-[:T]->(b) / exists(...) -> leftsemi; NOT -> leftanti
+    (extension beyond the reference surface)."""
+
+    def test_exists_bare(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH (c:Customer)
+                       WHERE (c)-[:PLACED]->({o_orderstatus: 'F'})
+                             AND c.c_acctbal > 5000
+                       RETURN c.c_name AS name"""),
+            duck.sql("""SELECT c.c_name AS name FROM customer c
+                        WHERE EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_custkey = c.c_custkey
+                                        AND o.o_orderstatus = 'F')
+                          AND c.c_acctbal > 5000"""),
+        )
+
+    def test_not_exists_fn(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH (c:Customer)
+                       WHERE NOT exists((c)-[:PLACED]->({o_orderstatus: 'F'}))
+                       RETURN count(*) AS n"""),
+            duck.sql("""SELECT count(*) AS n FROM customer c
+                        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                          WHERE o.o_custkey = c.c_custkey
+                                            AND o.o_orderstatus = 'F')"""),
+        )
+
+    def test_two_anchors(self, tpch, duck):
+        # both endpoints bound outside -> semi-join on both id keys
+        assert_same(
+            q(tpch, """MATCH (c:Customer) MATCH (n:Nation)
+                       WHERE (c)-[:CUST_IN]->(n) AND n.n_nationkey < 5
+                       RETURN c.c_name AS name, n.n_name AS nation"""),
+            duck.sql("""SELECT c.c_name AS name, n.n_name AS nation
+                        FROM customer c, nation n
+                        WHERE c.c_nationkey = n.n_nationkey
+                          AND n.n_nationkey < 5"""),
+        )
+
+    def test_multi_hop_predicate(self, tpch, duck):
+        # the existential pattern may itself be a chain
+        assert_same(
+            q(tpch, """MATCH (c:Customer)
+                       WHERE (c)-[:PLACED]->()-[:HAS_LINE]->({l_linenumber: 6})
+                       RETURN count(*) AS n"""),
+            duck.sql("""SELECT count(*) AS n FROM customer c
+                        WHERE EXISTS (SELECT 1 FROM orders o
+                                      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                                      WHERE o.o_custkey = c.c_custkey
+                                        AND l.l_linenumber = 6)"""),
+        )
+
+    def test_predicate_does_not_multiply_rows(self, tpch, duck):
+        # a customer with many 'F' orders still yields one row
+        assert_same(
+            q(tpch, """MATCH (c:Customer)
+                       WHERE (c)-[:PLACED]->({o_orderstatus: 'F'})
+                       RETURN count(*) AS n"""),
+            duck.sql("""SELECT count(*) AS n FROM customer c
+                        WHERE EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_custkey = c.c_custkey
+                                        AND o.o_orderstatus = 'F')"""),
+        )
+
+    def test_unbound_predicate_errors(self, tpch):
+        with pytest.raises(PlanError, match="bound"):
+            q(tpch, """MATCH (c:Customer)
+                       WHERE (x:Supplier)-[:SUPP_IN]->(y:Nation)
+                       RETURN count(*) AS n""")
+
+    def test_pattern_under_or_errors(self, tpch):
+        with pytest.raises(PlanError, match="conjunct"):
+            q(tpch, """MATCH (c:Customer)
+                       WHERE (c)-[:PLACED]->() OR c.c_acctbal > 0
+                       RETURN count(*) AS n""")
+
+    def test_parenthesized_expr_still_works(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH (c:Customer)
+                       WHERE (c.c_acctbal + 100) > 9999
+                       RETURN count(*) AS n"""),
+            duck.sql("""SELECT count(*) AS n FROM customer
+                        WHERE (c_acctbal + 100) > 9999"""),
+        )

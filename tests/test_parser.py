@@ -238,3 +238,47 @@ class TestUnion:
         assert part.where is None
         assert part.matches[1].optional
         assert part.matches[1].where is not None
+
+
+class TestPatternPredicates:
+    def test_bare_pattern_in_where(self):
+        q = rq("MATCH (a:P) WHERE (a)-[:F]->(b) RETURN a.name")
+        [part] = q.parts
+        assert isinstance(part.where, ast.PatternPredicate)
+        assert len(part.where.path.rels) == 1
+
+    def test_exists_fn_form(self):
+        q = rq("MATCH (a:P) WHERE exists((a)-[:F]->()) RETURN a.name")
+        [part] = q.parts
+        assert isinstance(part.where, ast.PatternPredicate)
+
+    def test_not_pattern(self):
+        q = rq("MATCH (a:P) WHERE NOT (a)-[:F]->() RETURN a.name")
+        [part] = q.parts
+        assert isinstance(part.where, ast.Unary)
+        assert part.where.op == "NOT"
+        assert isinstance(part.where.operand, ast.PatternPredicate)
+
+    def test_conjunction_with_plain_filter(self):
+        q = rq("MATCH (a:P) WHERE (a)-[:F]->(b) AND a.x > 1 RETURN a.name")
+        [part] = q.parts
+        assert isinstance(part.where, ast.Binary)
+        assert part.where.op == "AND"
+        assert isinstance(part.where.left, ast.PatternPredicate)
+
+    def test_parenthesized_expr_not_pattern(self):
+        q = rq("MATCH (a:P) WHERE (a.x + 1) > 2 RETURN a.name")
+        [part] = q.parts
+        assert isinstance(part.where, ast.Binary)
+        assert part.where.op == ">"
+
+    def test_parenthesized_variable_not_pattern(self):
+        q = rq("MATCH (a:P) WHERE (a.x) > 2 RETURN a.name")
+        [part] = q.parts
+        assert part.where.op == ">"
+
+    def test_exists_non_pattern_falls_back_to_fn(self):
+        q = rq("MATCH (a:P) RETURN exists(a.x) AS e")
+        item = q.return_clause.items[0]
+        assert isinstance(item.expr, ast.FnCall)
+        assert item.expr.name.lower() == "exists"

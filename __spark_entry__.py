@@ -261,6 +261,21 @@ _CYPHER: dict[str, str] = {
         WHERE (c)-[:CUST_IN]->(n) AND n.n_name = 'NATION_7'
               AND c.c_acctbal > 9000
         RETURN c.c_name AS name, n.n_name AS nation""",
+    # List comprehensions / quantifiers / reduce (extension) — all
+    # JVM-side higher-order functions (filter/transform/exists/forall/
+    # aggregate), no Python in the row path.
+    "list_comprehension": """
+        MATCH (c:Customer)
+        WHERE c.c_custkey <= 100
+        RETURN c.c_name AS name,
+               [x IN [1,2,3,4] WHERE x % 2 = 0 | x * c.c_custkey] AS evens""",
+    "list_reduce_quantifiers": """
+        MATCH (n:Nation)<-[:CUST_IN]-(c:Customer)
+        WITH n.n_name AS nation, collect(c.c_custkey) AS keys
+        RETURN nation,
+               reduce(acc = 0, k IN keys | acc + k) AS total,
+               any(k IN keys WHERE k % 10 = 0) AS has_round
+        ORDER BY nation""",
 }
 
 _CYPHER_ORACLES: dict[str, str] = {
@@ -414,6 +429,17 @@ _CYPHER_ORACLES: dict[str, str] = {
         FROM customer c, nation n
         WHERE c.c_nationkey = n.n_nationkey
           AND n.n_name = 'NATION_7' AND c.c_acctbal > 9000""",
+    "list_comprehension": """
+        SELECT c_name AS name,
+               list_transform(list_filter([1,2,3,4], x -> x % 2 = 0),
+                              x -> x * c_custkey) AS evens
+        FROM customer WHERE c_custkey <= 100""",
+    "list_reduce_quantifiers": """
+        SELECT n.n_name AS nation,
+               sum(c.c_custkey) AS total,
+               bool_or(c.c_custkey % 10 = 0) AS has_round
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY nation""",
 }
 
 

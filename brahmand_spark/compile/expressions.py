@@ -26,6 +26,9 @@ class ExprCompiler:
     def __init__(self, scope: Scope, params: Optional[dict] = None):
         self.scope = scope
         self.params = params or {}
+        # Lambda variables of list comprehensions / quantifiers / reduce
+        # currently in scope (innermost shadows).
+        self._lambda_vars: dict[str, Column] = {}
 
     # ------------------------------------------------------------------
     def compile(self, e: ast.Expr) -> Column:
@@ -55,6 +58,52 @@ class ExprCompiler:
             return self._case(e)
         if isinstance(e, ast.FnCall):
             return self._fn_call(e)
+        if isinstance(e, ast.ListComprehension):
+            lst = self.compile(e.source)
+            if e.where is not None:
+                lst = F.filter(
+                    lst, lambda x: self._in_lambda({e.var: x}, e.where)
+                )
+            if e.map is not None:
+                lst = F.transform(
+                    lst, lambda x: self._in_lambda({e.var: x}, e.map)
+                )
+            return lst
+        if isinstance(e, ast.Quantifier):
+            lst = self.compile(e.source)
+
+            def pred(x: Column) -> Column:
+                return self._in_lambda({e.var: x}, e.where)
+
+            if e.kind == "any":
+                return F.exists(lst, pred)
+            if e.kind == "all":
+                return F.forall(lst, pred)
+            if e.kind == "none":
+                return ~F.exists(lst, pred)
+            return F.size(F.filter(lst, pred)) == 1  # single
+        if isinstance(e, ast.Reduce):
+            lst = self.compile(e.source)
+            init = self.compile(e.init)
+            # Spark's aggregate() requires the zero type to equal the
+            # merge type. Cypher integers are 64-bit and floats are
+            # doubles, so widening literal inits matches Cypher typing
+            # and makes common accumulators (0, 0.0) line up with
+            # bigint/double merge expressions. Non-literal inits pass
+            # through; a mismatch needs an explicitly typed init.
+            if isinstance(e.init, ast.Literal) and not isinstance(
+                e.init.value, bool
+            ):
+                if isinstance(e.init.value, int):
+                    init = init.cast("bigint")
+                elif isinstance(e.init.value, float):
+                    init = init.cast("double")
+            return F.aggregate(
+                lst, init,
+                lambda acc, x: self._in_lambda(
+                    {e.acc: acc, e.var: x}, e.expr
+                ),
+            )
         if isinstance(e, ast.PatternPredicate):
             raise PlanError(
                 "pattern predicates are only supported as top-level WHERE "
@@ -77,7 +126,23 @@ class ExprCompiler:
         raise PlanError(f"'{alias}' is not a node/relationship; "
                         f"cannot access property '{key}'")
 
+    def _in_lambda(self, bindings: dict[str, Column], expr: ast.Expr) -> Column:
+        """Compile ``expr`` with lambda variables bound (restores any
+        shadowed outer bindings afterward)."""
+        saved = {k: self._lambda_vars.get(k) for k in bindings}
+        self._lambda_vars.update(bindings)
+        try:
+            return self.compile(expr)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    del self._lambda_vars[k]
+                else:
+                    self._lambda_vars[k] = v
+
     def _variable(self, name: str) -> Column:
+        if name in self._lambda_vars:
+            return self._lambda_vars[name]
         b = self.scope.get(name)
         if b is None:
             raise PlanError(f"unknown variable '{name}'")
@@ -288,6 +353,14 @@ def contains_aggregate(e: ast.Expr) -> bool:
         if e.operand is not None:
             parts.append(e.operand)
         return any(contains_aggregate(p) for p in parts)
+    if isinstance(e, ast.ListComprehension):
+        parts = [e.source] + [x for x in (e.where, e.map) if x is not None]
+        return any(contains_aggregate(p) for p in parts)
+    if isinstance(e, ast.Quantifier):
+        return contains_aggregate(e.source) or contains_aggregate(e.where)
+    if isinstance(e, ast.Reduce):
+        return any(contains_aggregate(p)
+                   for p in (e.source, e.init, e.expr))
     return False
 
 
@@ -323,3 +396,17 @@ def collect_aliases(e: ast.Expr, out: set[str]) -> None:
         for np in e.path.nodes:
             if np.alias is not None:
                 out.add(np.alias)
+    elif isinstance(e, ast.ListComprehension):
+        for x in (e.source, e.where, e.map):
+            if x is not None:
+                collect_aliases(x, out)
+        out.discard(e.var)  # lambda-local
+    elif isinstance(e, ast.Quantifier):
+        collect_aliases(e.source, out)
+        collect_aliases(e.where, out)
+        out.discard(e.var)
+    elif isinstance(e, ast.Reduce):
+        for x in (e.source, e.init, e.expr):
+            collect_aliases(x, out)
+        out.discard(e.var)
+        out.discard(e.acc)

@@ -101,6 +101,38 @@ class CaseExpr:
 
 
 @dataclass(frozen=True)
+class ListComprehension:
+    """``[x IN source WHERE pred | out]`` (extension; not in the
+    reference). Filter and map parts are each optional."""
+
+    var: str
+    source: "Expr"
+    where: Optional["Expr"] = None
+    map: Optional["Expr"] = None
+
+
+@dataclass(frozen=True)
+class Quantifier:
+    """``any/all/none/single(x IN source WHERE pred)`` (extension)."""
+
+    kind: str  # 'any' | 'all' | 'none' | 'single'
+    var: str
+    source: "Expr"
+    where: "Expr"
+
+
+@dataclass(frozen=True)
+class Reduce:
+    """``reduce(acc = init, x IN source | expr)`` (extension)."""
+
+    acc: str
+    init: "Expr"
+    var: str
+    source: "Expr"
+    expr: "Expr"
+
+
+@dataclass(frozen=True)
 class PatternPredicate:
     """Existential pattern predicate in WHERE (extension; not in the
     reference): ``WHERE (a)-[:T]->(b)`` / ``WHERE exists((a)-[:T]->())``.
@@ -112,6 +144,7 @@ class PatternPredicate:
 Expr = Union[
     Literal, Star, Variable, PropertyAccess, Parameter, ListLiteral,
     FnCall, Unary, Binary, IsNull, CaseExpr, PatternPredicate,
+    ListComprehension, Quantifier, Reduce,
 ]
 
 

@@ -475,6 +475,19 @@ class Parser:
             return ast.Parameter(self.ident())
         if self.at_op("["):
             self.next()
+            # List comprehension `[x IN source ...]` vs list literal.
+            if (self.peek().kind == "IDENT"
+                    and self.peek(1).kind == "KEYWORD"
+                    and self.peek(1).value == "IN"):
+                var = self.ident()
+                self.next()  # IN
+                source = self.parse_expr()
+                where = self.parse_expr() if self.try_kw("WHERE") else None
+                mapper = self.parse_expr() if self.try_op("|") else None
+                self.eat_op("]")
+                return ast.ListComprehension(
+                    var=var, source=source, where=where, map=mapper
+                )
             items = []
             if not self.at_op("]"):
                 while True:
@@ -505,6 +518,44 @@ class Parser:
         ):
             name = self.ident()
             if self.at_op("("):
+                low = name.lower()
+                if low in ("any", "all", "none", "single") and (
+                    self.peek(1).kind == "IDENT"
+                    and self.peek(2).kind == "KEYWORD"
+                    and self.peek(2).value == "IN"
+                ):
+                    # any/all/none/single(x IN source WHERE pred)
+                    self.next()  # (
+                    var = self.ident()
+                    self.next()  # IN
+                    source = self.parse_expr()
+                    self.eat_kw("WHERE")
+                    pred = self.parse_expr()
+                    self.eat_op(")")
+                    return ast.Quantifier(
+                        kind=low, var=var, source=source, where=pred
+                    )
+                if low == "reduce" and (
+                    self.peek(1).kind == "IDENT"
+                    and self.peek(2).kind == "OP"
+                    and self.peek(2).value == "="
+                ):
+                    # reduce(acc = init, x IN source | expr)
+                    self.next()  # (
+                    acc = self.ident()
+                    self.eat_op("=")
+                    init = self.parse_expr()
+                    self.eat_op(",")
+                    var = self.ident()
+                    if not self.try_kw("IN"):
+                        self.error("expected IN in reduce()")
+                    source = self.parse_expr()
+                    self.eat_op("|")
+                    expr = self.parse_expr()
+                    self.eat_op(")")
+                    return ast.Reduce(
+                        acc=acc, init=init, var=var, source=source, expr=expr
+                    )
                 if name.lower() == "exists":
                     # exists((a)-[:T]->(b)) — pattern form; falls back to
                     # a normal call if the payload isn't a pattern.

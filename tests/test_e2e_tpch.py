@@ -490,3 +490,65 @@ class TestPatternPredicates:
             duck.sql("""SELECT count(*) AS n FROM customer
                         WHERE (c_acctbal + 100) > 9999"""),
         )
+
+
+class TestListComprehensions:
+    """[x IN l WHERE p | m], any/all/none/single, reduce — compiled to
+    filter/transform/exists/forall/aggregate (extension)."""
+
+    def test_comprehension_with_column_capture(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH (c:Customer) WHERE c.c_custkey <= 50
+                       RETURN c.c_custkey AS k,
+                              [x IN [1,2,3,4] WHERE x % 2 = 0 | x * c.c_custkey] AS evens"""),
+            duck.sql("""SELECT c_custkey AS k,
+                               list_transform(list_filter([1,2,3,4], x -> x % 2 = 0),
+                                              x -> x * c_custkey) AS evens
+                        FROM customer WHERE c_custkey <= 50"""),
+        )
+
+    def test_reduce_over_collect(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH (n:Nation)<-[:CUST_IN]-(c:Customer)
+                       WITH n.n_name AS nation, collect(c.c_custkey) AS keys
+                       RETURN nation,
+                              reduce(acc = 0, k IN keys | acc + k) AS total"""),
+            duck.sql("""SELECT n.n_name AS nation, sum(c.c_custkey) AS total
+                        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+                        GROUP BY n.n_name"""),
+        )
+
+    def test_quantifiers(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH (n:Nation)<-[:CUST_IN]-(c:Customer)
+                       WITH n.n_name AS nation, collect(c.c_acctbal) AS bals
+                       RETURN nation,
+                              any(b IN bals WHERE b < 0) AS has_neg,
+                              all(b IN bals WHERE b > -1000) AS all_ok,
+                              none(b IN bals WHERE b > 99999) AS none_huge"""),
+            duck.sql("""SELECT n.n_name AS nation,
+                               bool_or(c.c_acctbal < 0) AS has_neg,
+                               bool_and(c.c_acctbal > -1000) AS all_ok,
+                               NOT bool_or(c.c_acctbal > 99999) AS none_huge
+                        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+                        GROUP BY n.n_name"""),
+        )
+
+    def test_single_quantifier(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH (c:Customer) WHERE c.c_custkey <= 20
+                       RETURN c.c_custkey AS k,
+                              single(x IN [1, 2, 3] WHERE x = c.c_custkey) AS uniq"""),
+            duck.sql("""SELECT c_custkey AS k,
+                               len(list_filter([1,2,3], x -> x = c_custkey)) = 1 AS uniq
+                        FROM customer WHERE c_custkey <= 20"""),
+        )
+
+    def test_float_reduce(self, tpch, duck):
+        assert_same(
+            q(tpch, """MATCH (c:Customer) WHERE c.c_custkey <= 10
+                       RETURN c.c_custkey AS k,
+                              round(reduce(acc = 0.0, x IN [1.5, 2.5] | acc + x * c.c_acctbal), 2) AS s"""),
+            duck.sql("""SELECT c_custkey AS k, round(4.0 * c_acctbal, 2) AS s
+                        FROM customer WHERE c_custkey <= 10"""),
+        )

@@ -282,3 +282,48 @@ class TestPatternPredicates:
         item = q.return_clause.items[0]
         assert isinstance(item.expr, ast.FnCall)
         assert item.expr.name.lower() == "exists"
+
+
+class TestListComprehensions:
+    def test_comprehension_full(self):
+        q = rq("MATCH (a:P) RETURN [x IN a.xs WHERE x > 1 | x * 2] AS ys")
+        e = q.return_clause.items[0].expr
+        assert isinstance(e, ast.ListComprehension)
+        assert e.var == "x"
+        assert e.where is not None and e.map is not None
+
+    def test_comprehension_filter_only(self):
+        e = rq("MATCH (a:P) RETURN [x IN a.xs WHERE x > 1] AS ys") \
+            .return_clause.items[0].expr
+        assert isinstance(e, ast.ListComprehension)
+        assert e.map is None
+
+    def test_comprehension_map_only(self):
+        e = rq("MATCH (a:P) RETURN [x IN a.xs | x * 2] AS ys") \
+            .return_clause.items[0].expr
+        assert isinstance(e, ast.ListComprehension)
+        assert e.where is None
+
+    def test_list_literal_still_works(self):
+        e = rq("MATCH (a:P) RETURN [1, 2, 3] AS xs") \
+            .return_clause.items[0].expr
+        assert isinstance(e, ast.ListLiteral)
+
+    def test_quantifiers(self):
+        for kind in ("any", "all", "none", "single"):
+            e = rq(f"MATCH (a:P) WHERE {kind}(x IN a.xs WHERE x > 0) RETURN a.name") \
+                .parts[0].where
+            assert isinstance(e, ast.Quantifier)
+            assert e.kind == kind
+
+    def test_reduce(self):
+        e = rq("MATCH (a:P) RETURN reduce(acc = 0, x IN a.xs | acc + x) AS s") \
+            .return_clause.items[0].expr
+        assert isinstance(e, ast.Reduce)
+        assert e.acc == "acc" and e.var == "x"
+
+    def test_all_keyword_fn_still_parses(self):
+        # `all` is also the UNION ALL keyword; quantifier wins on (x IN
+        e = rq("MATCH (a:P) WHERE all(x IN [1] WHERE x = 1) RETURN a.name") \
+            .parts[0].where
+        assert isinstance(e, ast.Quantifier)

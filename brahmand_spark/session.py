@@ -32,9 +32,13 @@ class GraphSession:
         schema: Optional[GraphSchema] = None,
         catalog_path: Optional[str] = None,
         broadcast_labels: Optional[set[str]] = None,
+        allow_writes: bool = False,
     ):
         self.spark = spark
         self.catalog_path = catalog_path
+        # Default False = reference parity (writes parse but reject);
+        # True enables the executable write path (writes.py, extension).
+        self.allow_writes = allow_writes
         if schema is not None:
             self.schema = schema
         elif catalog_path is not None and os.path.exists(catalog_path):
@@ -87,10 +91,15 @@ class GraphSession:
         if isinstance(stmt, (ast.CreateNodeTable, ast.CreateRelTable)):
             return ddl.apply(self, stmt)
         if isinstance(stmt, ast.WriteQuery):
+            if self.allow_writes:
+                from .writes import apply_write
+
+                return apply_write(self, stmt, params)
             raise UnsupportedError(
                 "write queries (CREATE/SET/REMOVE/DELETE) are parsed but "
                 "not executable — reference parity with UnsupportedDDLQuery "
-                "(clickhouse_query_generator/ddl_query.rs:339-352)"
+                "(clickhouse_query_generator/ddl_query.rs:339-352); pass "
+                "GraphSession(allow_writes=True) to enable the write path"
             )
         raise UnsupportedError(f"unsupported statement {type(stmt).__name__}")
 

@@ -1,0 +1,294 @@
+"""Executable write path: CREATE / SET / REMOVE / DELETE (extension).
+
+The reference parses write clauses and rejects them at execution
+(ddl_query.rs:339-352, server/handlers.rs:65-76); we keep that rejection
+as the default for parity and offer ``GraphSession(allow_writes=True)``
+as an upgrade. Writes are expressed as DataFrame transforms over the
+session's registered tables:
+
+- CREATE        -> per-match-row projection appended with unionByName
+- SET / REMOVE  -> left join on matched ids + conditional withColumn
+- DELETE        -> left_anti join on matched ids (DETACH also anti-joins
+                   every incident relationship table)
+
+Each mutated table is ``localCheckpoint``-ed eagerly: the write becomes
+a materialized snapshot, so later reads don't re-run the update plan and
+repeated writes don't stack lineage. At cluster scale the same shape
+writes to a table format (parquet/Delta overwrite or MERGE) instead of
+executor memory — the join/anti-join plans are identical.
+
+Divergences from Neo4j, documented: plain DELETE does not verify the
+node has no incident relationships (use DETACH DELETE); RETURN after a
+write is not supported; SET values may reference only the target alias.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .compile.compiler import QueryCompiler
+from .compile.expressions import ExprCompiler, collect_aliases
+from .compile.scope import NodeBinding, RelBinding, Scope, pcol
+from .errors import PlanError, UnsupportedError
+from .parser import ast
+
+
+def apply_write(session, wq: ast.WriteQuery, params=None) -> DataFrame:
+    compiler = QueryCompiler(
+        session.schema, session._load_for_label,
+        broadcast_labels=session.broadcast_labels, params=params,
+    )
+    df = None
+    scope = Scope()
+    if wq.match_clauses:
+        part = ast.QueryPart(matches=wq.match_clauses, where=wq.where)
+        df, scope = compiler._compile_part(None, Scope(), part)
+    if wq.return_clause is not None:
+        raise UnsupportedError("RETURN after a write is not supported")
+
+    stats = {
+        "nodes_created": 0, "relationships_created": 0,
+        "properties_set": 0, "nodes_deleted": 0, "relationships_deleted": 0,
+    }
+    if wq.create is not None:
+        _apply_create(session, df, scope, wq.create, params, stats)
+    if wq.set_clause is not None:
+        for target, value in wq.set_clause.assignments:
+            _apply_set(session, df, scope, target, value, params, stats)
+    if wq.remove is not None:
+        for target in wq.remove.targets:
+            _apply_set(session, df, scope, target, ast.Literal(None),
+                       params, stats, removing=True)
+    if wq.delete is not None:
+        _apply_delete(session, df, scope, wq.delete, stats)
+
+    return session.spark.createDataFrame(
+        [tuple(stats.values())],
+        ", ".join(f"{k} bigint" for k in stats),
+    )
+
+
+# ----------------------------------------------------------------------
+def _store(session, table_name: str, df: DataFrame) -> DataFrame:
+    """Snapshot the mutated table (see module docstring) and register."""
+    out = df.localCheckpoint(eager=True)
+    session.tables[table_name] = out
+    return out
+
+
+def _align_append(table: DataFrame, rows: DataFrame) -> DataFrame:
+    """unionByName with literal columns cast to the table's dtypes."""
+    target = {f.name: f.dataType for f in table.schema.fields}
+    rows = rows.select(*[
+        F.col(c).cast(target[c]) if c in target else F.col(c)
+        for c in rows.columns
+    ])
+    return table.unionByName(rows, allowMissingColumns=True)
+
+
+# ----------------------------------------------------------------------
+def _apply_create(session, df, scope, create, params, stats) -> None:
+    spark = session.spark
+    base = df if df is not None else spark.range(1).drop("id")
+    for path in create.paths:
+        if path.var is not None or path.shortest is not None:
+            raise UnsupportedError(
+                "path variables / shortestPath in CREATE"
+            )
+        ec = ExprCompiler(scope, params)
+        # id expression per node position (bound alias -> its id column;
+        # new node -> its id property expression, evaluated per match row)
+        id_exprs: list = []
+        for np in path.nodes:
+            b = scope.get(np.alias) if np.alias else None
+            if isinstance(b, NodeBinding):
+                if np.properties or (np.label and np.label != b.label):
+                    raise PlanError(
+                        f"CREATE on bound alias '{np.alias}' cannot "
+                        "restate label/properties"
+                    )
+                id_exprs.append(F.col(b.id_pcol))
+                continue
+            if np.label is None:
+                raise PlanError("CREATE node needs a label")
+            sch = session.schema.node(np.label)
+            if sch.node_id not in np.properties:
+                raise PlanError(
+                    f"CREATE (:{np.label}) must set the node id "
+                    f"property '{sch.node_id}'"
+                )
+            cols = [
+                ec.compile(v).alias(k) for k, v in np.properties.items()
+            ]
+            rows = base.select(*cols)
+            table = session._load_for_label(np.label)
+            new_cols = [c for c in rows.columns if c not in table.columns]
+            updated = _store(
+                session, sch.table_name, _align_append(table, rows)
+            )
+            if new_cols:
+                sch.column_names = list(sch.column_names) + new_cols
+                session._persist_catalog()
+            stats["nodes_created"] += rows.count()
+            # Later rels in this path address the new node by its id
+            # expression (per match row).
+            id_exprs.append(ec.compile(np.properties[sch.node_id]))
+            _ = updated
+        for i, rp in enumerate(path.rels):
+            if rp.type_name is None:
+                raise PlanError("CREATE relationship needs a type")
+            if rp.direction not in ("out", "in"):
+                raise PlanError(
+                    "CREATE relationship needs a direction (-> or <-)"
+                )
+            if rp.max_hops > 1 or rp.alt_types:
+                raise UnsupportedError(
+                    "variable-length / multi-type in CREATE"
+                )
+            rsch = session.schema.relationship(rp.type_name)
+
+            def node_label(np):
+                b = scope.get(np.alias) if np.alias else None
+                return b.label if isinstance(b, NodeBinding) else np.label
+
+            src_e, dst_e = id_exprs[i], id_exprs[i + 1]
+            src_l, dst_l = node_label(path.nodes[i]), node_label(path.nodes[i + 1])
+            if rp.direction == "in":
+                src_e, dst_e = dst_e, src_e
+                src_l, dst_l = dst_l, src_l
+            if (src_l, dst_l) != (rsch.from_node, rsch.to_node):
+                raise PlanError(
+                    f"CREATE -[:{rp.type_name}]- connects "
+                    f"{rsch.from_node}->{rsch.to_node}, "
+                    f"got {src_l}->{dst_l}"
+                )
+            sel = [src_e.alias(rsch.from_column),
+                   dst_e.alias(rsch.to_column)]
+            sel += [ec.compile(v).alias(k)
+                    for k, v in rp.properties.items()]
+            rows = base.select(*sel)
+            table = session._load_for_label(rp.type_name)
+            _store(session, rsch.table_name, _align_append(table, rows))
+            stats["relationships_created"] += rows.count()
+
+
+# ----------------------------------------------------------------------
+def _apply_set(session, df, scope, target, value, params, stats,
+               removing: bool = False) -> None:
+    if df is None:
+        raise PlanError("SET/REMOVE requires a MATCH")
+    if not isinstance(target, ast.PropertyAccess):
+        raise UnsupportedError(
+            "SET/REMOVE target must be alias.property"
+        )
+    b = scope.get(target.alias)
+    if not isinstance(b, NodeBinding):
+        raise UnsupportedError(
+            "SET/REMOVE is supported on node properties "
+            "(relationship properties not yet)"
+        )
+    refs: set[str] = set()
+    collect_aliases(value, refs)
+    if refs - {target.alias}:
+        raise UnsupportedError(
+            "SET value may only reference the target alias "
+            f"(found {sorted(refs - {target.alias})})"
+        )
+    sch = session.schema.node(b.label)
+    table = session._load_for_label(b.label)
+    matched = df.select(F.col(b.id_pcol).alias("__wid")).distinct()
+    n_matched = matched.count()
+
+    a = target.alias
+    prefixed = table.select(
+        *[F.col(c).alias(pcol(a, c)) for c in table.columns]
+    )
+    joined = prefixed.join(
+        matched, F.col(pcol(a, sch.node_id)) == F.col("__wid"), "left",
+    )
+    sub = Scope()
+    sub.bind(NodeBinding(
+        alias=a, label=b.label, id_column=sch.node_id,
+        columns=list(table.columns),
+    ))
+    val_col = ExprCompiler(sub, params).compile(value)
+    is_new = target.key not in table.columns
+    old = F.lit(None) if is_new else F.col(pcol(a, target.key))
+    updated = joined.withColumn(
+        pcol(a, target.key),
+        F.when(F.col("__wid").isNotNull(), val_col).otherwise(old),
+    )
+    out_cols = list(table.columns) + ([target.key] if is_new else [])
+    back = updated.select(
+        *[F.col(pcol(a, c)).alias(c) for c in out_cols]
+    )
+    _store(session, sch.table_name, back)
+    if is_new and not removing:
+        sch.column_names = list(sch.column_names) + [target.key]
+        session._persist_catalog()
+    stats["properties_set"] += n_matched
+
+
+# ----------------------------------------------------------------------
+def _apply_delete(session, df, scope, delete, stats) -> None:
+    if df is None:
+        raise PlanError("DELETE requires a MATCH")
+    for alias in delete.aliases:
+        b = scope.get(alias)
+        if isinstance(b, NodeBinding):
+            _delete_nodes(session, df, b, delete.detach, stats)
+        elif isinstance(b, RelBinding):
+            _delete_rels(session, df, b, stats)
+        else:
+            raise PlanError(f"cannot DELETE '{alias}'")
+
+
+def _delete_nodes(session, df, b: NodeBinding, detach: bool, stats) -> None:
+    sch = session.schema.node(b.label)
+    ids = df.select(F.col(b.id_pcol).alias("__wid")).distinct()
+    n = ids.count()
+    table = session._load_for_label(b.label)
+    kept = table.join(
+        ids, F.col(sch.node_id) == F.col("__wid"), "left_anti"
+    )
+    _store(session, sch.table_name, kept)
+    stats["nodes_deleted"] += n
+    if not detach:
+        # Divergence from Neo4j (which errors on attached nodes):
+        # incident edges are left in place unless DETACH is given.
+        return
+    for rsch in session.schema.relationships.values():
+        for endpoint, col in (
+            (rsch.from_node, rsch.from_column),
+            (rsch.to_node, rsch.to_column),
+        ):
+            if endpoint != b.label:
+                continue
+            edges = session._load_for_label(rsch.type_name)
+            before = edges.count()
+            kept_e = edges.join(
+                ids, F.col(col) == F.col("__wid"), "left_anti"
+            )
+            out = _store(session, rsch.table_name, kept_e)
+            stats["relationships_deleted"] += before - out.count()
+
+
+def _delete_rels(session, df, b: RelBinding, stats) -> None:
+    rsch = session.schema.relationship(b.type_name)
+    pairs = df.select(
+        F.col(b.src_pcol).alias("__wsrc"), F.col(b.dst_pcol).alias("__wdst")
+    ).distinct()
+    edges = session._load_for_label(b.type_name)
+    before = edges.count()
+    # Deletes every edge sharing a matched (from, to) pair — parallel
+    # edges between the same endpoints are indistinguishable here
+    # (edge-list model has no edge identity; documented divergence).
+    kept = edges.join(
+        pairs,
+        (F.col(rsch.from_column) == F.col("__wsrc"))
+        & (F.col(rsch.to_column) == F.col("__wdst")),
+        "left_anti",
+    )
+    out = _store(session, rsch.table_name, kept)
+    stats["relationships_deleted"] += before - out.count()

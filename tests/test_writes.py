@@ -1,0 +1,174 @@
+"""Executable write path (extension; the reference rejects writes at
+execution, ddl_query.rs:339-352). DDL-built in-memory graph mutated via
+CREATE / SET / REMOVE / DELETE Cypher, verified by reading back."""
+
+import pytest
+
+from brahmand_spark.errors import PlanError, UnsupportedError
+from brahmand_spark.session import GraphSession
+
+
+@pytest.fixture()
+def wsession(spark):
+    s = GraphSession(spark, allow_writes=True)
+    s.execute("""CREATE NODE TABLE Person (id Int64, name String,
+                 age Int64, PRIMARY KEY(id), NODE ID(id))""")
+    s.execute("""CREATE NODE TABLE City (id Int64, name String,
+                 PRIMARY KEY(id), NODE ID(id))""")
+    s.execute("CREATE REL TABLE LIVES_IN FROM Person TO City (since Int64)")
+    s.execute("CREATE REL TABLE KNOWS FROM Person TO Person ()")
+    return s
+
+
+def rows(session, cypher):
+    return {tuple(r) for r in session.execute(cypher).collect()}
+
+
+class TestCreate:
+    def test_create_node(self, wsession):
+        out = wsession.execute(
+            "CREATE (p:Person {id: 1, name: 'Ada', age: 36})"
+        ).collect()[0]
+        assert out["nodes_created"] == 1
+        assert rows(wsession, "MATCH (p:Person) RETURN p.name AS n, p.age AS a") \
+            == {("Ada", 36)}
+
+    def test_create_path_with_rel(self, wsession):
+        wsession.execute(
+            """CREATE (p:Person {id: 1, name: 'Ada', age: 36})
+               -[:LIVES_IN {since: 2020}]->(c:City {id: 10, name: 'London'})"""
+        )
+        assert rows(wsession, """MATCH (p:Person)-[r:LIVES_IN]->(c:City)
+                                 RETURN p.name AS p, c.name AS c, r.since AS s""") \
+            == {("Ada", "London", 2020)}
+
+    def test_create_rel_between_matched(self, wsession):
+        wsession.execute("CREATE (p:Person {id: 1, name: 'Ada', age: 36})")
+        wsession.execute("CREATE (p:Person {id: 2, name: 'Bob', age: 30})")
+        out = wsession.execute(
+            """MATCH (a:Person {name: 'Ada'}) MATCH (b:Person {name: 'Bob'})
+               CREATE (a)-[:KNOWS]->(b)"""
+        ).collect()[0]
+        assert out["relationships_created"] == 1
+        assert rows(wsession, """MATCH (a:Person)-[:KNOWS]->(b:Person)
+                                 RETURN a.name AS a, b.name AS b""") \
+            == {("Ada", "Bob")}
+
+    def test_create_per_match_row(self, wsession):
+        for i in range(3):
+            wsession.execute(
+                f"CREATE (p:Person {{id: {i}, name: 'P{i}', age: {20 + i}}})"
+            )
+        # one City per matched Person, id derived from the match row
+        out = wsession.execute(
+            """MATCH (p:Person)
+               CREATE (c:City {id: p.id + 100, name: 'home'})"""
+        ).collect()[0]
+        assert out["nodes_created"] == 3
+        assert rows(wsession, "MATCH (c:City) RETURN c.id AS i") \
+            == {(100,), (101,), (102,)}
+
+    def test_create_incoming_direction(self, wsession):
+        wsession.execute(
+            """CREATE (c:City {id: 1, name: 'Rome'})
+               <-[:LIVES_IN {since: 1999}]-(p:Person {id: 7, name: 'Eve', age: 20})"""
+        )
+        assert rows(wsession, """MATCH (p:Person)-[:LIVES_IN]->(c:City)
+                                 RETURN p.name AS p, c.name AS c""") \
+            == {("Eve", "Rome")}
+
+    def test_create_wrong_endpoints_errors(self, wsession):
+        with pytest.raises(PlanError, match="connects"):
+            wsession.execute(
+                """CREATE (c:City {id: 1, name: 'X'})
+                   -[:LIVES_IN]->(p:Person {id: 2, name: 'Y', age: 1})"""
+            )
+
+    def test_create_requires_node_id(self, wsession):
+        with pytest.raises(PlanError, match="node id"):
+            wsession.execute("CREATE (p:Person {name: 'NoId'})")
+
+
+class TestSetRemoveDelete:
+    @pytest.fixture(autouse=True)
+    def seed(self, wsession):
+        for i, (name, age) in enumerate(
+            [("Ada", 36), ("Bob", 30), ("Cam", 41)]
+        ):
+            wsession.execute(
+                f"CREATE (p:Person {{id: {i}, name: '{name}', age: {age}}})"
+            )
+        wsession.execute("CREATE (c:City {id: 100, name: 'London'})")
+        wsession.execute(
+            """MATCH (p:Person) MATCH (c:City)
+               WHERE p.name = 'Ada' AND c.id = 100
+               CREATE (p)-[:LIVES_IN {since: 2020}]->(c)"""
+        )
+
+    def test_set_property(self, wsession):
+        out = wsession.execute(
+            "MATCH (p:Person) WHERE p.name = 'Bob' SET p.age = p.age + 1"
+        ).collect()[0]
+        assert out["properties_set"] == 1
+        assert rows(wsession, "MATCH (p:Person) RETURN p.name AS n, p.age AS a") \
+            == {("Ada", 36), ("Bob", 31), ("Cam", 41)}
+
+    def test_set_new_column(self, wsession):
+        wsession.execute("MATCH (p:Person) SET p.vip = true")
+        assert rows(wsession, "MATCH (p:Person) RETURN p.name AS n, p.vip AS v") \
+            == {("Ada", True), ("Bob", True), ("Cam", True)}
+
+    def test_remove_property(self, wsession):
+        wsession.execute("MATCH (p:Person) WHERE p.name = 'Cam' REMOVE p.age")
+        assert rows(wsession, "MATCH (p:Person) RETURN p.name AS n, p.age AS a") \
+            == {("Ada", 36), ("Bob", 30), ("Cam", None)}
+
+    def test_delete_node(self, wsession):
+        out = wsession.execute(
+            "MATCH (p:Person) WHERE p.name = 'Bob' DELETE p"
+        ).collect()[0]
+        assert out["nodes_deleted"] == 1
+        assert rows(wsession, "MATCH (p:Person) RETURN p.name AS n") \
+            == {("Ada",), ("Cam",)}
+
+    def test_detach_delete_removes_edges(self, wsession):
+        out = wsession.execute(
+            "MATCH (p:Person) WHERE p.name = 'Ada' DETACH DELETE p"
+        ).collect()[0]
+        assert out["nodes_deleted"] == 1
+        assert out["relationships_deleted"] == 1
+        assert wsession.execute(
+            "MATCH (p:Person)-[:LIVES_IN]->(c:City) RETURN count(*) AS n"
+        ).collect()[0]["n"] == 0
+
+    def test_delete_relationship(self, wsession):
+        out = wsession.execute(
+            "MATCH (p:Person)-[r:LIVES_IN]->(c:City) DELETE r"
+        ).collect()[0]
+        assert out["relationships_deleted"] == 1
+        # endpoints survive
+        assert wsession.execute(
+            "MATCH (p:Person) RETURN count(*) AS n"
+        ).collect()[0]["n"] == 3
+
+    def test_set_cross_alias_value_errors(self, wsession):
+        with pytest.raises(UnsupportedError, match="target alias"):
+            wsession.execute(
+                """MATCH (p:Person) MATCH (c:City)
+                   WHERE c.id = 100 SET p.age = c.id"""
+            )
+
+
+class TestWriteGating:
+    def test_rejected_without_flag(self, spark):
+        s = GraphSession(spark)
+        s.execute("""CREATE NODE TABLE Person (id Int64, name String,
+                     PRIMARY KEY(id), NODE ID(id))""")
+        with pytest.raises(UnsupportedError, match="allow_writes"):
+            s.execute("CREATE (p:Person {id: 1, name: 'X'})")
+
+    def test_return_after_write_errors(self, wsession):
+        with pytest.raises(UnsupportedError, match="RETURN after a write"):
+            wsession.execute(
+                "CREATE (p:Person {id: 9, name: 'Z', age: 1}) RETURN p.name"
+            )

@@ -297,6 +297,16 @@ class CreateDataClause:
 
 
 @dataclass
+class MergeClause:
+    """MERGE <path> [ON CREATE SET ...] [ON MATCH SET ...] (extension;
+    the reference has no MERGE at all)."""
+
+    path: PathPattern
+    on_create: list[tuple] = field(default_factory=list)  # [(PropertyAccess, Expr)]
+    on_match: list[tuple] = field(default_factory=list)
+
+
+@dataclass
 class SetClause:
     assignments: list[tuple]  # [(PropertyAccess, Expr)]
 
@@ -318,6 +328,7 @@ class WriteQuery:
 
     match_clauses: list[MatchClause] = field(default_factory=list)
     where: Optional[Expr] = None
+    merges: list[MergeClause] = field(default_factory=list)
     create: Optional[CreateDataClause] = None
     set_clause: Optional[SetClause] = None
     remove: Optional[RemoveClause] = None

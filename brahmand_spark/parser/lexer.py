@@ -17,7 +17,8 @@ KEYWORDS = {
     "OR", "NOT", "XOR", "IN", "IS", "NULL", "TRUE", "FALSE", "AS", "CREATE",
     "NODE", "REL", "TABLE", "FROM", "TO", "PRIMARY", "KEY", "DEFAULT",
     "SET", "REMOVE", "DELETE", "DETACH", "UNION", "ALL", "UNWIND", "CASE",
-    "WHEN", "THEN", "ELSE", "END", "STARTS", "ENDS", "CONTAINS",
+    "WHEN", "THEN", "ELSE", "END", "STARTS", "ENDS", "CONTAINS", "MERGE",
+    "ON",
 }
 
 # Multi-char operators first (longest match wins).

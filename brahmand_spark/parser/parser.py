@@ -104,6 +104,8 @@ class Parser:
             if nxt.kind == "KEYWORD" and nxt.value == "REL":
                 return self.parse_create_rel_table()
             return self.parse_write_query()
+        if self.at_kw("MERGE"):
+            return self.parse_write_query()
         if self.at_kw("MATCH", "OPTIONAL", "UNWIND", "WITH", "RETURN"):
             # Peek ahead: a MATCH followed by SET/DELETE/REMOVE/CREATE is a
             # write query (query_planner/mod.rs:21-31 classification).
@@ -120,7 +122,7 @@ class Parser:
             elif tok.kind == "OP" and tok.value in ")]}":
                 depth -= 1
             elif tok.kind == "KEYWORD" and depth == 0 and tok.value in {
-                "SET", "REMOVE", "DETACH", "CREATE",
+                "SET", "REMOVE", "DETACH", "CREATE", "MERGE",
             }:
                 return True
             elif tok.kind == "KEYWORD" and depth == 0 and tok.value == "DELETE":
@@ -707,6 +709,25 @@ class Parser:
                 while self.try_op(","):
                     paths.append(self.parse_path())
                 wq.create = ast.CreateDataClause(paths=paths)
+            elif self.at_kw("MERGE"):
+                self.next()
+                mc = ast.MergeClause(path=self.parse_path())
+                while self.at_kw("ON"):
+                    self.next()
+                    if self.try_kw("CREATE"):
+                        target = mc.on_create
+                    elif self.try_kw("MATCH"):
+                        target = mc.on_match
+                    else:
+                        self.error("expected CREATE or MATCH after ON")
+                    self.eat_kw("SET")
+                    while True:
+                        t = self.parse_postfix()
+                        self.eat_op("=")
+                        target.append((t, self.parse_expr()))
+                        if not self.try_op(","):
+                            break
+                wq.merges.append(mc)
             elif self.at_kw("SET"):
                 self.next()
                 assignments = []

@@ -51,6 +51,8 @@ def apply_write(session, wq: ast.WriteQuery, params=None) -> DataFrame:
         "nodes_created": 0, "relationships_created": 0,
         "properties_set": 0, "nodes_deleted": 0, "relationships_deleted": 0,
     }
+    for mc in wq.merges:
+        _apply_merge(session, df, scope, mc, params, stats)
     if wq.create is not None:
         _apply_create(session, df, scope, wq.create, params, stats)
     if wq.set_clause is not None:
@@ -171,6 +173,133 @@ def _apply_create(session, df, scope, create, params, stats) -> None:
             table = session._load_for_label(rp.type_name)
             _store(session, rsch.table_name, _align_append(table, rows))
             stats["relationships_created"] += rows.count()
+
+
+# ----------------------------------------------------------------------
+def _apply_merge(session, df, scope, mc, params, stats) -> None:
+    """MERGE = match-or-create, idempotent by construction:
+
+    - node form ``MERGE (n:L {props})``: the wanted (per-match-row,
+      deduplicated) prop tuples anti-join the node table on ALL given
+      props; only missing tuples are appended. ON CREATE SET / ON MATCH
+      SET then run as ordinary SET over the created / pre-existing ids.
+    - relationship form ``MERGE (a)-[:T]->(b)`` (endpoints bound):
+      wanted (from, to[, props]) tuples anti-join the edge table;
+      missing ones are appended.
+
+    The anti-join is the scale shape of upsert — at 100 TB the same plan
+    drives a Delta/Iceberg MERGE INTO instead of unionByName."""
+    path = mc.path
+    if path.var is not None or path.shortest is not None:
+        raise UnsupportedError("path variables / shortestPath in MERGE")
+    spark = session.spark
+    base = df if df is not None else spark.range(1).drop("id")
+    ec = ExprCompiler(scope, params)
+
+    if not path.rels:
+        np = path.nodes[0]
+        if np.alias and scope.get(np.alias) is not None:
+            raise PlanError(
+                f"MERGE on already-bound alias '{np.alias}'"
+            )
+        if np.label is None or not np.properties:
+            raise PlanError("MERGE node needs a label and properties")
+        sch = session.schema.node(np.label)
+        if sch.node_id not in np.properties:
+            raise PlanError(
+                f"MERGE (:{np.label}) must include the node id "
+                f"property '{sch.node_id}'"
+            )
+        want = base.select(*[
+            ec.compile(v).alias(k) for k, v in np.properties.items()
+        ]).distinct()
+        table = session._load_for_label(np.label)
+        on = [want[k].eqNullSafe(table[k]) for k in np.properties]
+        cond = on[0]
+        for c in on[1:]:
+            cond = cond & c
+        # snapshot so created ids stay stable for ON CREATE SET
+        created = want.join(table, cond, "left_anti") \
+            .localCheckpoint(eager=True)
+        n_created = created.count()
+        if n_created:
+            _store(session, sch.table_name,
+                   _align_append(table, created))
+        stats["nodes_created"] += n_created
+
+        def run_sets(assignments, ids_df):
+            mini = Scope()
+            mini.bind(NodeBinding(
+                alias=np.alias or "__m", label=np.label,
+                id_column=sch.node_id, columns=list(sch.column_names),
+            ))
+            a = np.alias or "__m"
+            mdf = ids_df.select(F.col(sch.node_id).alias(pcol(a, sch.node_id)))
+            for target, value in assignments:
+                if isinstance(target, ast.PropertyAccess) and \
+                        target.alias != a:
+                    raise PlanError(
+                        f"ON SET target must be '{a}'"
+                    )
+                _apply_set(session, mdf, mini, target, value, params, stats)
+
+        if mc.on_create and n_created:
+            run_sets(mc.on_create, created.select(sch.node_id))
+        if mc.on_match:
+            existing = want.join(table, cond, "left_semi")
+            run_sets(mc.on_match, existing.select(
+                F.col(sch.node_id)))
+        return
+
+    if len(path.rels) != 1:
+        raise UnsupportedError("MERGE supports one relationship per path")
+    rp = path.rels[0]
+    if mc.on_create or mc.on_match:
+        raise UnsupportedError(
+            "ON CREATE/ON MATCH SET on relationship MERGE"
+        )
+    if rp.type_name is None or rp.direction not in ("out", "in"):
+        raise PlanError("MERGE relationship needs a type and direction")
+    if rp.max_hops > 1 or rp.alt_types:
+        raise UnsupportedError("variable-length / multi-type in MERGE")
+    ends = []
+    for np in path.nodes:
+        b = scope.get(np.alias) if np.alias else None
+        if not isinstance(b, NodeBinding):
+            raise UnsupportedError(
+                "MERGE relationship endpoints must be bound by MATCH"
+            )
+        if np.properties:
+            raise PlanError(
+                f"MERGE cannot restate properties on bound '{np.alias}'"
+            )
+        ends.append(b)
+    rsch = session.schema.relationship(rp.type_name)
+    src_b, dst_b = ends
+    src_l, dst_l = src_b.label, dst_b.label
+    if rp.direction == "in":
+        src_b, dst_b = dst_b, src_b
+        src_l, dst_l = dst_l, src_l
+    if (src_l, dst_l) != (rsch.from_node, rsch.to_node):
+        raise PlanError(
+            f"MERGE -[:{rp.type_name}]- connects "
+            f"{rsch.from_node}->{rsch.to_node}, got {src_l}->{dst_l}"
+        )
+    sel = [F.col(src_b.id_pcol).alias(rsch.from_column),
+           F.col(dst_b.id_pcol).alias(rsch.to_column)]
+    sel += [ec.compile(v).alias(k) for k, v in rp.properties.items()]
+    want = base.select(*sel).distinct()
+    edges = session._load_for_label(rp.type_name)
+    keys = [rsch.from_column, rsch.to_column] + list(rp.properties)
+    on = [want[k].eqNullSafe(edges[k]) for k in keys]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    missing = want.join(edges, cond, "left_anti").localCheckpoint(eager=True)
+    n_created = missing.count()
+    if n_created:
+        _store(session, rsch.table_name, _align_append(edges, missing))
+    stats["relationships_created"] += n_created
 
 
 # ----------------------------------------------------------------------

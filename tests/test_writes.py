@@ -172,3 +172,77 @@ class TestWriteGating:
             wsession.execute(
                 "CREATE (p:Person {id: 9, name: 'Z', age: 1}) RETURN p.name"
             )
+
+
+class TestMerge:
+    @pytest.fixture(autouse=True)
+    def seed(self, wsession):
+        wsession.execute("CREATE (p:Person {id: 1, name: 'Ada', age: 36})")
+        wsession.execute("CREATE (c:City {id: 100, name: 'London'})")
+
+    def test_merge_existing_node_noop(self, wsession):
+        out = wsession.execute(
+            "MERGE (p:Person {id: 1, name: 'Ada', age: 36})"
+        ).collect()[0]
+        assert out["nodes_created"] == 0
+        assert wsession.execute(
+            "MATCH (p:Person) RETURN count(*) AS n").collect()[0]["n"] == 1
+
+    def test_merge_creates_missing_node(self, wsession):
+        out = wsession.execute(
+            "MERGE (p:Person {id: 2, name: 'Bob', age: 30})"
+        ).collect()[0]
+        assert out["nodes_created"] == 1
+        assert rows(wsession, "MATCH (p:Person) RETURN p.name AS n") \
+            == {("Ada",), ("Bob",)}
+
+    def test_merge_is_idempotent(self, wsession):
+        for _ in range(3):
+            wsession.execute("MERGE (p:Person {id: 5, name: 'Eve', age: 1})")
+        assert wsession.execute(
+            "MATCH (p:Person) WHERE p.name = 'Eve' RETURN count(*) AS n"
+        ).collect()[0]["n"] == 1
+
+    def test_merge_on_create_on_match(self, wsession):
+        wsession.execute(
+            """MERGE (p:Person {id: 9, name: 'New', age: 0})
+               ON CREATE SET p.age = 99"""
+        )
+        assert rows(wsession,
+                    "MATCH (p:Person) WHERE p.name = 'New' RETURN p.age AS a") \
+            == {(99,)}
+        wsession.execute(
+            """MERGE (p:Person {id: 9, name: 'New', age: 99})
+               ON CREATE SET p.age = 1 ON MATCH SET p.age = 50"""
+        )
+        assert rows(wsession,
+                    "MATCH (p:Person) WHERE p.name = 'New' RETURN p.age AS a") \
+            == {(50,)}
+
+    def test_merge_relationship(self, wsession):
+        merge = """MATCH (p:Person) MATCH (c:City)
+                   WHERE p.id = 1 AND c.id = 100
+                   MERGE (p)-[:LIVES_IN {since: 2020}]->(c)"""
+        out1 = wsession.execute(merge).collect()[0]
+        out2 = wsession.execute(merge).collect()[0]
+        assert out1["relationships_created"] == 1
+        assert out2["relationships_created"] == 0
+        assert wsession.execute(
+            "MATCH (p:Person)-[:LIVES_IN]->(c:City) RETURN count(*) AS n"
+        ).collect()[0]["n"] == 1
+
+    def test_merge_per_match_row(self, wsession):
+        wsession.execute("CREATE (p:Person {id: 2, name: 'Bob', age: 30})")
+        # one City per person id, merging twice creates once
+        m = """MATCH (p:Person)
+               MERGE (c:City {id: p.id + 200, name: 'gen'})"""
+        out1 = wsession.execute(m).collect()[0]
+        out2 = wsession.execute(m).collect()[0]
+        assert out1["nodes_created"] == 2
+        assert out2["nodes_created"] == 0
+
+    def test_merge_unbound_rel_endpoint_errors(self, wsession):
+        with pytest.raises(UnsupportedError, match="bound by MATCH"):
+            wsession.execute(
+                "MERGE (p:Person {id: 1})-[:LIVES_IN]->(c:City {id: 100})"
+            )

@@ -556,18 +556,17 @@ def _q_fingerprint(spark, sf_dir):
 
 def _q_events_window(spark, sf_dir):
     ev = _events(spark, sf_dir)
+    # Tumbling window = date_trunc on the key: same grouping as
+    # F.window("ts", "1 hour") but skips the window-struct expansion
+    # (~2x faster; for sliding windows see events_sliding_counts).
     return (
         ev.groupBy(
-            F.window("ts", "1 hour").alias("w"),
+            F.date_trunc("hour", "ts").alias("window_start"),
             F.col("event_type"),
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type", "n", "total_value",
         )
     )
 

@@ -563,17 +563,35 @@ def _q_skew_two_phase_agg(spark, sf_dir):
     )
 
 
-def _q_adjacency_traversal(spark, sf_dir):
-    """Grouped-adjacency hop (the reference's bitmap-index traversal
-    analogue, ddl_query.rs:290-311 + arrayJoin expansion)."""
-    from brahmand_spark.ops.adjacency import build_adjacency, expand
+_ADJ_SESSIONS: dict = {}
 
-    s = _tpch(spark, sf_dir)
-    adj = build_adjacency(s.tables["PLACED"], "from_Customer", "to_Order")
-    frontier = s.tables["Customer"].select("c_custkey").filter(
-        F.col("c_custkey") <= 100
+
+def _tpch_adj(spark, sf_dir):
+    """Separate session with PLACED's adjacency index materialized —
+    isolated so the main session's gate plans stay edge-list-based."""
+    key = (id(spark), sf_dir)
+    if key not in _ADJ_SESSIONS:
+        from brahmand_spark.graphs.tpch import build_session
+
+        s = build_session(spark, sf_dir)
+        s.build_adj_index("PLACED")
+        _ADJ_SESSIONS[key] = s
+    return _ADJ_SESSIONS[key]
+
+
+def _q_adjacency_traversal(spark, sf_dir):
+    """Planner-integrated grouped-adjacency hop: PLACED carries an
+    adjacency index, so the Cypher compiler routes the (filter-free,
+    unprojected) hop through the pre-grouped {rel}_outgoing table and
+    explodes neighbors — the reference's bitmap-index traversal
+    (ddl_query.rs:290-311 auto-build; query_validation.rs:103-124
+    eligibility; graph_traversal_planning.rs:678-807 arrayJoin
+    expansion)."""
+    return _tpch_adj(spark, sf_dir).execute(
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+           WHERE c.c_custkey <= 100
+           RETURN c.c_custkey AS src, o.o_orderkey AS dst"""
     )
-    return expand(adj, frontier, "c_custkey")
 
 
 def _q_graph_bfs(spark, sf_dir):

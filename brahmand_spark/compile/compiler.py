@@ -78,6 +78,7 @@ class RelEntity:
     max_hops: int = 1
     alt_types: tuple = ()  # multi-type -[:X|Y]-> extension
     shortest: bool = False  # inside shortestPath(...) (extension)
+    in_path_var: bool = False  # part of a p = (...) pattern
     # filled by inference:
     schema: Optional[RelationshipSchema] = None
     orientation: Optional[str] = None  # 'fwd' (src=from), 'rev', 'both', 'invalid'
@@ -101,16 +102,28 @@ class QueryCompiler:
         load_table: Callable[[str], DataFrame],
         broadcast_labels: Optional[set[str]] = None,
         params: Optional[dict] = None,
+        load_adjacency: Optional[
+            Callable[[str], Optional[DataFrame]]
+        ] = None,
     ):
         self.catalog = catalog
         self.load_table = load_table
         self.broadcast_labels = broadcast_labels or set()
         self.params = params or {}
+        # Resolver for materialized grouped-adjacency tables
+        # ({REL}_outgoing / {REL}_incoming); None -> always edge-list.
+        self.load_adjacency = load_adjacency
+        # Aliases referenced anywhere in the current query (filled per
+        # compile() call) — a rel alias in here forces the edge-list
+        # path, mirroring the reference's projection/filter tagging
+        # (projection_tagging.rs:198, filter_tagging.rs:153).
+        self._referenced: set[str] = set()
         self._anon_counter = 0  # deterministic anonymous aliases
         # (the reference uses random a<uuid10>, logical_plan/mod.rs:36-43)
 
     # ------------------------------------------------------------------
     def compile(self, query: ast.ReadQuery) -> DataFrame:
+        self._referenced = self._collect_referenced(query)
         df: Optional[DataFrame] = None
         scope = Scope()
         for i, part in enumerate(query.parts):
@@ -148,6 +161,50 @@ class QueryCompiler:
     def _anon(self) -> str:
         self._anon_counter += 1
         return f"__anon{self._anon_counter}"
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _collect_referenced(query: ast.ReadQuery) -> set[str]:
+        """Every alias referenced by any expression in the query (the
+        compiler-wide analogue of the reference's filter/projection
+        tagging passes). ``RETURN *`` adds the marker ``"*"`` — treat
+        everything as referenced."""
+        out: set[str] = set()
+
+        def expr(e) -> None:
+            if e is None:
+                return
+            if isinstance(e, ast.Star):
+                out.add("*")
+                return
+            collect_aliases(e, out)
+
+        for part in query.parts:
+            for mc in part.matches:
+                expr(mc.where)
+                for path in mc.paths:
+                    for np in path.nodes:
+                        for v in np.properties.values():
+                            expr(v)
+                    for rp in path.rels:
+                        for v in rp.properties.values():
+                            expr(v)
+            if part.unwind is not None:
+                expr(part.unwind.expr)
+            expr(part.where)
+            if part.with_clause is not None:
+                for it in part.with_clause.items:
+                    expr(it.expr)
+            for ob in part.order_by:
+                expr(ob.expr)
+        if query.return_clause is not None:
+            for it in query.return_clause.items:
+                expr(it.expr)
+        for ob in query.order_by:
+            expr(ob.expr)
+        for sub, _distinct in query.unions:
+            out |= QueryCompiler._collect_referenced(sub)
+        return out
 
     # ------------------------------------------------------------------
     def _compile_part(
@@ -374,6 +431,7 @@ class QueryCompiler:
                         max_hops=min(rp.max_hops, MAX_VAR_HOPS),
                         alt_types=tuple(rp.alt_types),
                         shortest=path.shortest is not None,
+                        in_path_var=path.var is not None,
                     ))
                 # Comma-separated patterns in one MATCH must connect
                 # (reference errors on disconnected patterns,
@@ -534,10 +592,76 @@ class QueryCompiler:
             df = F.broadcast(df)
         return df
 
+    def _adjacency_edge_df(
+        self, rel: RelEntity, scope: Scope
+    ) -> Optional[DataFrame]:
+        """Compile a hop through the materialized grouped-adjacency
+        tables instead of the edge list — the reference's bitmap-index
+        traversal (``arrayJoin(bitmapToArray(to_id))`` over
+        ``{REL}_outgoing`` / ``{REL}_incoming``,
+        graph_traversal_planning.rs:678-807).
+
+        Eligibility mirrors the reference's gate
+        (query_validation.rs:103-124 plus the edge-list tagging passes:
+        match_clause.rs:52, filter_tagging.rs:153, 174,
+        projection_tagging.rs:198): the rel is declared ``ADJ
+        INDEX(true)``, both direction tables are materialized, and the
+        hop carries no inline properties, no filters or projections on
+        the rel alias, no multi-type arms, and is a plain single hop.
+        Returns None when ineligible -> caller falls back to the edge
+        list.
+
+        Scale shape: the adjacency table has one row per source node
+        (pre-grouped at write time), so the hop is scan -> leftsemi/
+        equi-join on src -> ``explode(neighbors)`` — no edge-table
+        shuffle; written bucketed by src it co-partitions with the
+        frontier."""
+        sch = rel.schema
+        if (
+            self.load_adjacency is None
+            or not sch.adj_index
+            or rel.orientation == "invalid"
+            or rel.properties
+            or rel.alt_resolved or rel.alt_types
+            or rel.max_hops > 1 or rel.shortest or rel.in_path_var
+            or rel.alias in self._referenced
+            or "*" in self._referenced
+        ):
+            return None
+        outgoing = self.load_adjacency(f"{sch.type_name}_outgoing")
+        incoming = self.load_adjacency(f"{sch.type_name}_incoming")
+        if outgoing is None or incoming is None:
+            return None  # index declared but not materialized
+
+        a = rel.alias
+        src_name, dst_name = pcol(a, "from_id"), pcol(a, "to_id")
+
+        def expanded(adj: DataFrame) -> DataFrame:
+            return adj.select(
+                F.col("src").alias(src_name),
+                F.explode("neighbors").alias(dst_name),
+            )
+
+        if rel.orientation == "fwd":
+            df = expanded(outgoing)
+        elif rel.orientation == "rev":
+            df = expanded(incoming)
+        else:  # 'both': UNION DISTINCT of the two direction tables
+            # (graph_traversal_planning.rs:695-721)
+            df = expanded(outgoing).union(expanded(incoming)).distinct()
+        scope.bind(RelBinding(
+            alias=a, type_name=sch.type_name, columns=[],
+            src_pcol=src_name, dst_pcol=dst_name,
+        ))
+        return df
+
     def _edge_df(self, rel: RelEntity, scope: Scope) -> DataFrame:
         """Oriented edge DataFrame with columns
         ``{alias}__from_id`` (matches rel.src), ``{alias}__to_id``
         (matches rel.dst), plus renamed property columns."""
+        adj = self._adjacency_edge_df(rel, scope)
+        if adj is not None:
+            return adj
         sch = rel.schema
         raw = self.load_table(sch.type_name)
         prop_cols = [

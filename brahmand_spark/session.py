@@ -63,6 +63,39 @@ class GraphSession:
             return self.spark.read.parquet(name)
         return self.spark.table(name)
 
+    def build_adj_index(
+        self, type_name: str, path_prefix: Optional[str] = None,
+        persist: bool = True,
+    ) -> None:
+        """Materialize the grouped-adjacency direction tables for a
+        relationship and flip its ``adj_index`` flag, after which the
+        planner compiles eligible hops through them (the reference
+        builds the analogous bitmap tables at DDL time,
+        ddl_query.rs:290-311).
+
+        With ``path_prefix`` the tables are written as parquet
+        (``ops.adjacency.materialize_for_rel``); otherwise they are
+        registered as in-memory grouped DataFrames (persisted so the
+        groupBy runs once per session)."""
+        rel = self.schema.relationship(type_name)
+        if path_prefix is not None:
+            from .ops.adjacency import materialize_for_rel
+
+            materialize_for_rel(self, rel, path_prefix)
+        else:
+            from .ops.adjacency import build_adjacency
+
+            edges = self._load_for_label(type_name)
+            for direction, (s, d) in {
+                "outgoing": (rel.from_column, rel.to_column),
+                "incoming": (rel.to_column, rel.from_column),
+            }.items():
+                adj = build_adjacency(edges, s, d)
+                if persist:
+                    adj = adj.persist()
+                self.register_table(f"{type_name}_{direction}", adj)
+        rel.adj_index = True
+
     def _load_for_label(self, label: str) -> DataFrame:
         """Table loader handed to the compiler: label or rel type -> DF."""
         if label in self.schema.nodes:
@@ -86,6 +119,7 @@ class GraphSession:
             compiler = QueryCompiler(
                 self.schema, self._load_for_label,
                 broadcast_labels=self.broadcast_labels, params=params,
+                load_adjacency=self.tables.get,
             )
             return compiler.compile(stmt)
         if isinstance(stmt, (ast.CreateNodeTable, ast.CreateRelTable)):

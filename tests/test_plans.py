@@ -73,3 +73,99 @@ class TestCatalogRefresh:
         assert s2.refresh_catalog() is True
         assert "B" in s2.schema.nodes
         assert s2.refresh_catalog() is False
+
+
+class TestAdjacencyPlanner:
+    """Planner-integrated grouped-adjacency traversal (the reference's
+    bitmap-index path: query_validation.rs:103-124 eligibility +
+    graph_traversal_planning.rs:678-807 expansion)."""
+
+    QUERY = """MATCH (c:Customer)-[:PLACED]->(o:Order)
+               WHERE c.c_custkey <= 100
+               RETURN c.c_custkey AS src, o.o_orderkey AS dst"""
+
+    def _fresh(self, spark):
+        from brahmand_spark.graphs.tpch import build_session
+
+        from .conftest import SF_SMOKE
+
+        return build_session(spark, SF_SMOKE)
+
+    def test_adjacency_hop_equals_edge_list(self, spark, tpch):
+        expected = tpch.execute(self.QUERY)
+        s = self._fresh(spark)
+        s.build_adj_index("PLACED")
+        got = s.execute(self.QUERY)
+        assert physical_plan(got).count("Generate explode") == 1
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
+
+    def test_materialized_parquet_scan_in_plan(self, spark):
+        # NB: short scratch path — plan toString truncates Location
+        # strings at spark.sql.maxMetadataStringLength (100 chars).
+        import shutil
+        import tempfile
+
+        scratch = tempfile.mkdtemp(prefix="adj", dir="/tmp")
+        try:
+            s = self._fresh(spark)
+            s.build_adj_index("PLACED", path_prefix=scratch)
+            got = s.execute(self.QUERY)
+            plan = physical_plan(got)
+            assert "PLACED_outgoing.parquet" in plan
+            assert "Generate explode" in plan
+            # the frontier filter must reach the adjacency parquet scan
+            assert "LessThanOrEqual(src,100)" in plan
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_incoming_direction_uses_incoming_table(self, spark, tpch):
+        q = """MATCH (o:Order)<-[:PLACED]-(c:Customer)
+               WHERE c.c_acctbal < 0
+               RETURN c.c_name AS name, count(*) AS orders"""
+        s = self._fresh(spark)
+        s.build_adj_index("PLACED", path_prefix=None)
+        got = s.execute(q)
+        assert "Generate explode" in physical_plan(got)
+        expected = tpch.execute(q)
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
+
+    def test_either_direction_unions_both_tables(self, spark, tpch):
+        q = """MATCH (a:Customer)-[:NEXT_CUST]-(b:Customer)
+               WHERE a.c_custkey <= 10
+               RETURN a.c_custkey AS src, b.c_custkey AS dst"""
+        s = self._fresh(spark)
+        s.build_adj_index("NEXT_CUST")
+        got = s.execute(q)
+        assert physical_plan(got).count("Generate explode") == 2
+        expected = tpch.execute(q)
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
+
+    def test_rel_filter_falls_back_to_edge_list(self, spark):
+        s = self._fresh(spark)
+        s.build_adj_index("HAS_LINE")
+        got = s.execute("""
+            MATCH (o:Order)-[h:HAS_LINE]->(l:Lineitem)
+            WHERE h.l_linenumber = 1 RETURN count(*) AS n""")
+        assert "Generate explode" not in physical_plan(got)
+
+    def test_rel_projection_falls_back_to_edge_list(self, spark):
+        s = self._fresh(spark)
+        s.build_adj_index("HAS_LINE")
+        got = s.execute("""
+            MATCH (o:Order)-[h:HAS_LINE]->(l:Lineitem)
+            RETURN h.l_linenumber AS ln, count(*) AS n""")
+        assert "Generate explode" not in physical_plan(got)
+
+    def test_var_length_falls_back_to_edge_list(self, spark, tpch):
+        q = """MATCH (a:Customer)-[:NEXT_CUST*2..3]->(b:Customer)
+               WHERE a.c_custkey <= 100
+               RETURN a.c_custkey AS src, b.c_custkey AS dst"""
+        s = self._fresh(spark)
+        s.build_adj_index("NEXT_CUST")
+        got = s.execute(q)
+        expected = tpch.execute(q)
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0

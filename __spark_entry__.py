@@ -395,17 +395,28 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_minhash_lsh(spark, sf_dir):
+    # hash_fn='portable': the SQL-expressible polynomial base hash, so
+    # the ENTIRE signature->banding->estimate pipeline replays in the
+    # DuckDB oracle (hash-match gate instead of rows-only). The default
+    # xxhash64 path differs only in that base hash (pytest covers it).
     from brahmand_spark.ops.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
-        _docs(spark, sf_dir), n=3, num_hashes=64, bands=16
+        _docs(spark, sf_dir), n=3, num_hashes=64, bands=16,
+        hash_fn="portable",
     ).filter(F.col("est_jaccard") >= 0.5)
 
 
 def _q_simhash(spark, sf_dir):
+    # hash_fn='portable': 60-bit fingerprint from two polynomial char
+    # folds — SQL-expressible, so the full fingerprint/banding/Hamming
+    # pipeline replays in the DuckDB oracle. Default xxhash64 path is
+    # identical but for the base hash (pytest covers it).
     from brahmand_spark.ops.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_near_pairs(
+        _docs(spark, sf_dir), max_hamming=3, hash_fn="portable"
+    )
 
 
 def _q_embedding_near_dup(spark, sf_dir):
@@ -817,11 +828,275 @@ _EXTENSION_ORACLES: dict[str, str] = {
         SELECT n_nationkey::BIGINT AS id,
                ((k - 1) * (k - 2) / 2)::BIGINT AS triangles
         FROM sizes WHERE k >= 3""",
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / ann_ivf_topk /
-    # dedup_embedding_lsh / graph_pagerank: hash-family-, centroid- or
-    # iteration-specific — not expressible in portable SQL; driver
-    # records rows-only checks for these.
+    # dedup_simhash / ann_ivf_topk / graph_pagerank: hash-family-,
+    # centroid- or iteration-specific — not expressible in portable
+    # SQL; driver records rows-only checks for these.
+    # dedup_minhash_lsh / dedup_embedding_lsh / ann_lsh_topk get
+    # GENERATED oracles (below): their hash families are seeded modular
+    # arithmetic / literal hyperplanes, replayable in DuckDB.
 }
+
+
+def _sql_arr(xs) -> str:
+    """DuckDB double-array literal with full float precision."""
+    return "[" + ", ".join(repr(float(x)) for x in xs) + "]"
+
+
+def _minhash_lsh_oracle() -> str:
+    """Replay of ops/dedup.minhash_lsh_candidates(hash_fn='portable',
+    n=3, num_hashes=64, bands=16, seed=42) + est>=0.5: shingle ->
+    polynomial base hash -> 64 seeded permutation mins -> 16-band
+    bucket equality (disjunction of band conjuncts — same pair set as
+    the banded join) -> signature-agreement estimate."""
+    from brahmand_spark.ops.dedup import HASH_P, _perm_params
+
+    num_hashes, bands, rows = 64, 16, 4
+    perms = _perm_params(num_hashes, 42)
+    mins = ",\n                   ".join(
+        f"min(({a} * h + {b}) % {HASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_conds = "\n              OR ".join(
+        "(" + " AND ".join(
+            f"sa.m{b * rows + r} = sb.m{b * rows + r}" for r in range(rows)
+        ) + ")"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(sa.m{i} = sb.m{i})::INT" for i in range(num_hashes)
+    )
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+            FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(t) - 1),
+                       i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+            FROM toks),
+        hs AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(0::BIGINT,
+                           list_transform(string_split(shingle, ''),
+                                          c -> ascii(c))),
+                       (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+            FROM sh),
+        sig AS (SELECT doc_id, {mins}
+                FROM hs GROUP BY doc_id)
+        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+               round(({matches}) / 64.0, 6) AS est_jaccard
+        FROM sig sa JOIN sig sb
+          ON sa.doc_id < sb.doc_id AND ({band_conds})
+        WHERE round(({matches}) / 64.0, 6) >= 0.5"""
+
+
+def _embedding_lsh_oracle() -> str:
+    """Replay of ops/dedup.embedding_near_dup_pairs(method='lsh',
+    threshold=0.4, n_planes=6, n_tables=8, seed=42, dim=64): candidate
+    pairs share a sign-bit bucket in ANY of the 8 seeded hyperplane
+    tables; exact cosine (rounded 6) filters."""
+    from brahmand_spark.ops.similarity import _hyperplanes
+
+    n_planes, n_tables, seed, dim = 6, 8, 42, 64
+
+    def bucket(alias: str, planes) -> str:
+        return " + ".join(
+            f"(list_dot_product({alias}.v, {_sql_arr(p)}) >= 0)::INT"
+            f" * {1 << (n_planes - 1 - j)}"
+            for j, p in enumerate(planes)
+        )
+
+    table_conds = "\n              OR ".join(
+        f"({bucket('a', _hyperplanes(dim, n_planes, seed + t))})"
+        f" = ({bucket('b', _hyperplanes(dim, n_planes, seed + t))})"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM v a JOIN v b
+          ON a.vec_id < b.vec_id AND ({table_conds})
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4"""
+
+
+def _simhash_oracle() -> str:
+    """Replay of ops/dedup.simhash_near_pairs(max_hamming=3,
+    hash_fn='portable'): 60-bit fingerprint (two polynomial folds),
+    majority-vote bits, 4-chunk pigeonhole candidates, exact Hamming
+    <= 3."""
+    from brahmand_spark.ops.dedup import (
+        _MIX_A, _MIX_C, _POLY2_BASE, _POLY2_MOD, _chunk_widths,
+        SIMHASH_PORTABLE_BITS,
+    )
+
+    bits, n_chunks = SIMHASH_PORTABLE_BITS, 4
+
+    votes = ",\n                   ".join(
+        f"sum((h >> {i}) & 1) AS v{i}" for i in range(bits)
+    )
+    chunk_exprs = []
+    pos = 0
+    for ci, width in enumerate(_chunk_widths(bits, n_chunks)):
+        terms = " + ".join(
+            f"((2 * v{pos + i} > n)::BIGINT << {width - 1 - i})"
+            for i in range(width)
+        )
+        chunk_exprs.append(f"({terms}) AS c{ci}")
+        pos += width
+    chunks = ",\n                   ".join(chunk_exprs)
+    share = " OR ".join(f"a.c{c} = b.c{c}" for c in range(n_chunks))
+    ham = " + ".join(
+        f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(n_chunks)
+    )
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_filter(
+                       string_split_regex(text, '\s+'),
+                       x -> x <> ''))) AS t
+            FROM documents),
+        polys AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(0::BIGINT,
+                       list_transform(string_split(t, ''), c -> ascii(c))),
+                       (acc, c) -> (acc * 31 + c) % 1000000007) AS p1,
+                   list_reduce(list_prepend(0::BIGINT,
+                       list_transform(string_split(t, ''), c -> ascii(c))),
+                       (acc, c) -> (acc * {_POLY2_BASE} + c)
+                                   % {_POLY2_MOD}) AS p2
+            FROM toks),
+        mix1 AS (
+            SELECT doc_id,
+                   (p1 * {_MIX_A} + {_MIX_C}) % 1000000007 AS x1,
+                   (p2 * {_MIX_A} + {_MIX_C}) % {_POLY2_MOD} AS y1
+            FROM polys),
+        mix2 AS (
+            SELECT doc_id, xor(x1, x1 >> 15) AS x2,
+                   xor(y1, y1 >> 15) AS y2
+            FROM mix1),
+        hs AS (
+            SELECT doc_id,
+                   ((x2 * {_MIX_A} + {_MIX_C}) % 1000000007)
+                   * {1 << 30}
+                   + ((y2 * {_MIX_A} + {_MIX_C}) % {_POLY2_MOD}) AS h
+            FROM mix2),
+        votes AS (
+            SELECT doc_id, count(*) AS n,
+                   {votes}
+            FROM hs GROUP BY doc_id),
+        fp AS (
+            SELECT doc_id,
+                   {chunks}
+            FROM votes)
+        SELECT id_a, id_b, hamming FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ({ham})::INT AS hamming
+            FROM fp a JOIN fp b
+              ON a.doc_id < b.doc_id AND ({share}))
+        WHERE hamming <= 3"""
+
+
+def _ann_ivf_oracle() -> str:
+    """Replay of ops/similarity.ivf_topk(k=10, n_cells=16, nprobe=4,
+    dim=64, seed=42) over queries vec_id < 10.
+
+    The coarse quantizer is deterministic (seeded k-means over the
+    lowest-10k-id sample), so the oracle derives bit-identical centroid
+    literals by running the same ``_kmeans`` on the same sample — read
+    from the sf0.01 parquet the driver grades against (oracle_sql() has
+    no sf parameter; correctness always runs at sf0.01). Cell
+    assignment is argmax of (v·c - |c|²/2) with first-win ties, probes
+    are the 4 best cells per query, exact cosine re-ranks."""
+    import duckdb
+    import numpy as np
+
+    from brahmand_spark.ops.similarity import _kmeans
+
+    con = duckdb.connect()
+    sample = con.execute(
+        "SELECT embedding::DOUBLE[] AS v FROM "
+        "'/root/testdata/sf0.01/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 10000"
+    ).df()
+    X = np.vstack(sample["v"].to_numpy()).astype("float64")
+    cents = _kmeans(X, 16, 10, 42)
+    scores = "[" + ",\n                   ".join(
+        f"list_dot_product(v, {_sql_arr(c)})"
+        f" - {repr(sum(x * x for x in c) / 2.0)}"
+        for c in cents
+    ) + "]"
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sc AS (
+            SELECT vec_id, v,
+                   {scores} AS scores
+            FROM v),
+        corp AS (
+            SELECT vec_id AS corpus_id, v AS cv,
+                   list_position(scores, list_max(scores)) - 1 AS cell
+            FROM sc),
+        qprobe AS (
+            SELECT query_id, qv, cell FROM (
+                SELECT q.vec_id AS query_id, q.v AS qv, u.cell,
+                       q.scores[u.cell + 1] AS s,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY q.scores[u.cell + 1] DESC,
+                                    u.cell ASC) AS rn
+                FROM sc q, (SELECT unnest(range(16)) AS cell) u
+                WHERE q.vec_id < 10)
+            WHERE rn <= 4),
+        scored AS (
+            SELECT q.query_id, c.corpus_id,
+                   round(list_cosine_similarity(c.cv, q.qv), 6) AS cosine
+            FROM corp c JOIN qprobe q
+              ON c.cell = q.cell AND c.corpus_id <> q.query_id),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, corpus_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, corpus_id, cosine, rank
+        FROM ranked WHERE rank <= 10"""
+
+
+def _ann_lsh_oracle() -> str:
+    """Replay of ops/similarity.hyperplane_lsh_topk(k=10, dim=64,
+    n_planes=4, seed=42) over queries vec_id < 10: same-bucket
+    candidates, exact cosine re-rank, row_number <= 10."""
+    from brahmand_spark.ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 4, 42)
+
+    def bucket(alias: str) -> str:
+        return " + ".join(
+            f"(list_dot_product({alias}.v, {_sql_arr(p)}) >= 0)::INT"
+            f" * {1 << (len(planes) - 1 - j)}"
+            for j, p in enumerate(planes)
+        )
+
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                   round(list_cosine_similarity(c.v, q.v), 6) AS cosine
+            FROM v c JOIN v q
+              ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+             AND ({bucket('c')}) = ({bucket('q')})),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, corpus_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, corpus_id, cosine, rank
+        FROM ranked WHERE rank <= 10"""
 
 
 _PLAN_MEMO: dict = {}
@@ -864,4 +1139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = dict(_CYPHER_ORACLES)
     out.update(_EXTENSION_ORACLES)
+    out["dedup_minhash_lsh"] = _minhash_lsh_oracle()
+    out["dedup_simhash"] = _simhash_oracle()
+    out["dedup_embedding_lsh"] = _embedding_lsh_oracle()
+    out["ann_lsh_topk"] = _ann_lsh_oracle()
+    try:
+        out["ann_ivf_topk"] = _ann_ivf_oracle()
+    except Exception:
+        pass  # sample parquet unavailable -> rows-only fallback
     return out

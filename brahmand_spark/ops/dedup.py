@@ -222,9 +222,18 @@ def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, num_hashes: int = 64, seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of
-    ((a_i * h(s) + b_i) mod p), h = xxhash64 folded into [0, p).
+    ((a_i * h(s) + b_i) mod p), h = the base shingle hash folded into
+    [0, p).
+
+    ``hash_fn='xxhash64'`` (default): JVM xxhash64 — the production
+    path, fully codegen'd. ``hash_fn='portable'``: character-fold
+    polynomial hash (ops/text.poly_hash) whose identical arithmetic is
+    expressible in ANSI SQL — the permutation/banding pipeline is
+    unchanged, so a DuckDB oracle can replay the whole computation
+    bit-for-bit (the correctness gate for this operator family).
 
     Shape: explode distinct shingles -> hash once per shingle -> k MIN
     aggregates in one hash aggregate. Everything stays in whole-stage
@@ -233,10 +242,16 @@ def minhash_signatures(
     All values stay < 2^62, safe under Spark ANSI overflow checks.
 
     Docs with no shingles (fewer than n tokens) yield no row."""
+    if hash_fn == "portable":
+        from .text import poly_hash
+
+        base = poly_hash(F.col("s"))  # already < 1e9+7 < HASH_P
+    else:
+        base = F.pmod(F.xxhash64("s"), F.lit(HASH_P))
     ex = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("s"),
-    ).withColumn("h", F.pmod(F.xxhash64("s"), F.lit(HASH_P)))
+    ).withColumn("h", base)
     perms = _perm_params(num_hashes, seed)
     agg = ex.groupBy("id").agg(*[
         F.min(
@@ -254,6 +269,7 @@ def minhash_signatures(
 def minhash_lsh_candidates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, num_hashes: int = 64, bands: int = 16, seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding over MinHash signatures: split each signature into
     ``bands`` bands of ``num_hashes/bands`` rows, hash each band to a
@@ -262,29 +278,36 @@ def minhash_lsh_candidates(
 
     One shuffle on (band, bucket); bucket sizes are near-uniform under
     hashing so the join is skew-resistant; AQE splits stragglers.
+
+    ``hash_fn='portable'`` swaps the base shingle hash for the
+    SQL-expressible polynomial fold and joins bands on the raw
+    concatenated band values instead of their xxhash64 (identical pair
+    set — xxhash64 is a bijective relabeling of the join key here), so
+    the full candidate+estimate pipeline replays in a DuckDB oracle.
     """
     rows = num_hashes // bands
     # Signatures feed the banding explode plus both sides of the
     # signature-join; persist so the shingle->min-hash aggregation runs
     # once, not three times.
     sigs = minhash_signatures(
-        df, id_col, text_col, n, num_hashes, seed
+        df, id_col, text_col, n, num_hashes, seed, hash_fn
     ).persist()
+
+    def band_key(b: int):
+        joined = F.concat_ws(",", *[
+            F.element_at("signature", b * rows + r + 1)
+            for r in range(rows)
+        ])
+        # Default: fold the band to a long (narrower shuffle rows).
+        return joined if hash_fn == "portable" else F.xxhash64(joined)
+
     # The pair join shuffles ids only — the 64-element signatures
     # (512 B/row) are joined back onto the (far smaller) candidate set
     # afterwards instead of riding through the bucket shuffle twice.
     banded = sigs.select(
         "id",
         F.posexplode(
-            F.array(*[
-                F.xxhash64(
-                    F.concat_ws(",", *[
-                        F.element_at("signature", b * rows + r + 1)
-                        for r in range(rows)
-                    ])
-                )
-                for b in range(bands)
-            ])
+            F.array(*[band_key(b) for b in range(bands)])
         ).alias("band", "bucket"),
     )
     a = banded.alias("a")
@@ -319,53 +342,173 @@ def minhash_lsh_candidates(
 # --------------------------------------------------------------------------
 
 SIMHASH_BITS = 64
+# Portable-hash composition: h = mix(h31) * 2^30 + mix(h37) (two
+# independent polynomial folds, both < 2^30) -> 60 usable bits,
+# replayable in SQL. The mix step (h*a + c mod p — a bijection on
+# [0, p)) matters: short tokens never wrap the fold's modulus, so the
+# raw polynomial value is structured (top bits ~ first character) and
+# fingerprint bits would correlate across tokens.
+SIMHASH_PORTABLE_BITS = 60
+_POLY2_BASE = 37
+_POLY2_MOD = 1_073_741_789  # largest prime < 2^30
+_MIX_A = 747_796_405  # odd multiplier (PCG's LCG constant), < both mods
+_MIX_C = 2_891_336_453 % 1_000_000_007
+
+# Packed vote-sum layout: 3 vote counters per 64-bit aggregate at
+# 20-bit spacing. Field capacity 2^20 distinct tokens per doc; max
+# packed row value ~2^40, so the sum stays < 2^61 at capacity — safe
+# under ANSI overflow checks.
+_PACK_SPACING = 20
+_PACK_FIELDS = 3
+
+
+# Chunk values live in signed int64 built with positive arithmetic, so
+# a chunk can hold at most 48 bits (the 8-bit group assembly shifts by
+# up to width-8; 48 keeps every intermediate far below 2^63).
+_MAX_CHUNK_WIDTH = 48
+
+
+def _effective_chunks(bits: int, n_chunks: int) -> int:
+    """At least ``n_chunks``, and enough that no chunk exceeds the
+    int64-safe width. Extra chunks keep the pigeonhole argument intact:
+    with c >= max_hamming+1 chunks, <= max_hamming differing bits can
+    touch at most max_hamming chunks, so one chunk still matches."""
+    min_for_width = -(-bits // _MAX_CHUNK_WIDTH)  # ceil
+    return max(n_chunks, min_for_width)
+
+
+def _chunk_widths(bits: int, n_chunks: int) -> list[int]:
+    """Near-even chunk widths covering ``bits`` (earlier chunks take the
+    remainder)."""
+    n_chunks = _effective_chunks(bits, n_chunks)
+    base = bits // n_chunks
+    return [base + (1 if i < bits % n_chunks else 0)
+            for i in range(n_chunks)]
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: per-token xxhash64; each bit position votes
-    +1/-1; fingerprint bit = sign of the vote sum.
+            text_col: str = "text", n_chunks: int = 4,
+            hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash fingerprint: per-token hash; each bit position votes
+    +1/-1; fingerprint bit = sign of the vote sum. Output: ``n_chunks``
+    chunk values (the Hamming band keys for pigeonhole pairing).
 
-    Shape: explode distinct tokens -> one hash per row -> 64 conditional
-    SUMs in a single hash aggregate (fully codegen'd, map-side partial
-    agg, one shuffle on the doc id) -- ~10x faster than a per-row
-    higher-order fold, same single-shuffle profile at 100 TB.
-    Output: 4 x 16-bit chunk values (doubles as the Hamming band key)."""
+    ``hash_fn='xxhash64'`` (default): 64-bit JVM hash.
+    ``hash_fn='portable'``: 60 bits from two polynomial character folds
+    — identical arithmetic exists in ANSI SQL, so a DuckDB oracle can
+    replay the whole fingerprint (the correctness gate).
+
+    Shape: explode distinct tokens -> one hash per row -> PACKED vote
+    sums: 3 bit-counters per 64-bit SUM at 20-bit spacing (a bit's vote
+    count = popcount, so only the 0/1 sums are needed; +1/-1 votes are
+    recovered as ``2*count > n``). 64 bits need 22 SUM aggregates + a
+    COUNT instead of 64 conditional SUMs — one codegen'd hash
+    aggregate, map-side partial agg, one shuffle on the doc id.
+    Capacity: 2^20 distinct tokens per doc (far beyond real documents;
+    the explode is of array_distinct output)."""
+    bits = SIMHASH_PORTABLE_BITS if hash_fn == "portable" else SIMHASH_BITS
+    if hash_fn == "portable":
+        from .text import FP_MOD, poly_hash
+
+        def mix(col: Column, p: int) -> Column:
+            # affine -> xor-shift -> affine: the xor-shift breaks the
+            # difference-linearity of the polynomial fold (template
+            # token families like tok0001/tok0002 differ by a constant,
+            # which one affine pass would preserve bit-for-bit).
+            x1 = (col * F.lit(_MIX_A) + F.lit(_MIX_C)) % F.lit(p)
+            x2 = x1.bitwiseXOR(F.shiftright(x1, 15))
+            return (x2 * F.lit(_MIX_A) + F.lit(_MIX_C)) % F.lit(p)
+
+        h = (mix(poly_hash(F.col("t")), FP_MOD) * F.lit(1 << 30)
+             + mix(poly_hash(F.col("t"), _POLY2_BASE, _POLY2_MOD),
+                   _POLY2_MOD))
+    else:
+        h = F.xxhash64("t")
     tok = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
-    votes = tok.groupBy("id").agg(*[
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"b{i}")
-        for i in range(SIMHASH_BITS)
-    ])
-    chunk_cols = []
-    for c in range(4):
-        chunk = F.lit(0).cast("bigint")
-        for i in range(16):
-            bit = F.when(F.col(f"b{c * 16 + i}") > 0, 1).otherwise(0)
-            chunk = chunk * 2 + bit
-        chunk_cols.append(chunk)
-    return votes.select("id", F.array(*chunk_cols).alias("simhash"))
+    ).withColumn("h", h)
+
+    def bit(i: int) -> Column:
+        return F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+
+    n_words = (bits + _PACK_FIELDS - 1) // _PACK_FIELDS
+    packed = [
+        F.sum(sum(
+            (bit(w * _PACK_FIELDS + j) * F.lit(1 << (_PACK_SPACING * j))
+             for j in range(_PACK_FIELDS)
+             if w * _PACK_FIELDS + j < bits),
+            start=F.lit(0).cast("bigint"),
+        )).alias(f"w{w}")
+        for w in range(n_words)
+    ]
+    votes = tok.groupBy("id").agg(
+        *packed, F.count(F.lit(1)).alias("n")
+    )
+
+    def vote(i: int) -> Column:
+        w, j = divmod(i, _PACK_FIELDS)
+        return F.shiftright(
+            F.col(f"w{w}"), _PACK_SPACING * j
+        ).bitwiseAND(F.lit((1 << _PACK_SPACING) - 1))
+
+    # Staged shallow projections (votes -> majority bits -> 8-bit
+    # groups -> chunks): one wide chunk folded in a single expression
+    # (e.g. n_chunks=1 -> 60 nested ops) trips the analyzer's
+    # resolution iteration cap; every stage here is <= 8 ops deep.
+    bits_df = votes.select(
+        "id", *[
+            # majority vote: bit set iff set-count > half the tokens
+            F.when(vote(i) * 2 > F.col("n"), F.lit(1).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint")).alias(f"bit{i}")
+            for i in range(bits)
+        ]
+    )
+    n_chunks = _effective_chunks(bits, n_chunks)
+    widths = _chunk_widths(bits, n_chunks)
+    group_cols = []  # (name, chunk_idx, shift_within_chunk)
+    group_exprs = []
+    pos = 0
+    for ci, width in enumerate(widths):
+        for g0 in range(0, width, 8):
+            gw = min(8, width - g0)
+            expr = sum(
+                (F.col(f"bit{pos + g0 + i}") * F.lit(1 << (gw - 1 - i))
+                 for i in range(gw)),
+                start=F.lit(0).cast("bigint"),
+            )
+            name = f"g{ci}_{g0}"
+            group_cols.append((name, ci, width - g0 - gw))
+            group_exprs.append(expr.alias(name))
+        pos += width
+    grouped = bits_df.select("id", *group_exprs)
+    chunk_cols = [
+        sum(
+            (F.col(name) * F.lit(1 << shift)
+             for name, c, shift in group_cols if c == ci),
+            start=F.lit(0).cast("bigint"),
+        )
+        for ci in range(n_chunks)
+    ]
+    return grouped.select("id", F.array(*chunk_cols).alias("simhash"))
 
 
 def simhash_near_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    max_hamming: int = 16,
+    max_hamming: int = 3, hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: pigeonhole over the 4 16-bit chunks —
-    any pair within Hamming distance 3 shares ≥1 exact chunk, so a
-    4-way chunk-equality join finds all such pairs; then exact Hamming
-    distance filters. (max_hamming beyond 48 would need fewer/larger
-    bands; default keeps recall for distance ≤ 3 exact.)"""
+    """Near-dup pairs by SimHash: pigeonhole banding with ``max_hamming
+    + 1`` chunks — a pair within Hamming distance ``max_hamming`` must
+    agree on at least one chunk exactly, so the chunk-equality join is
+    COMPLETE for the requested bound (not just the first few
+    distances). Exact Hamming distance then filters. Larger bounds mean
+    narrower chunks and fatter candidate sets — inherent to pigeonhole
+    LSH, not an implementation limit."""
     # Fingerprints feed both sides of the chunk-equality self-join;
     # persist so the token-vote aggregation runs once.
-    sh = simhash(df, id_col, text_col).persist()
+    sh = simhash(
+        df, id_col, text_col, n_chunks=max_hamming + 1, hash_fn=hash_fn
+    ).persist()
     banded = sh.select(
         "id", "simhash",
         F.posexplode("simhash").alias("chunk_pos", "chunk_val"),

@@ -116,28 +116,13 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
-def train_ivf_centroids(
-    corpus: DataFrame, n_cells: int = 16,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-    sample_size: int = 10_000, iters: int = 10, seed: int = 42,
-) -> list[list[float]]:
-    """K-means coarse quantizer for an IVF index, trained on a
-    deterministic sample (lowest ``sample_size`` ids — ordered so the
-    result is reproducible across runs and partitionings).
-
-    Lloyd's iterations run on the driver in numpy: the sample is tiny
-    relative to the corpus (10k x dim doubles ≈ 5 MB), which is the
-    standard coarse-quantizer recipe — only the *assignment* of the full
-    corpus is distributed. Greedy farthest-point init (kmeans++ without
-    randomness) from a seeded start."""
+def _kmeans(X, n_cells: int, iters: int, seed: int) -> list[list[float]]:
+    """Deterministic Lloyd's k-means on a numpy sample: seeded start,
+    greedy farthest-point init (kmeans++ without randomness), fixed
+    iteration count. Shared by the index builder and the oracle
+    generator so both derive bit-identical centroids."""
     import numpy as np
 
-    sample = (
-        corpus.select(F.col(id_col).alias("id"),
-                      _as_double(F.col(vec_col)).alias("v"))
-        .orderBy("id").limit(sample_size).toPandas()
-    )
-    X = np.vstack(sample["v"].to_numpy()).astype("float64")
     rnd = random.Random(seed)
     first = rnd.randrange(len(X))
     centroids = [X[first]]
@@ -157,6 +142,30 @@ def train_ivf_centroids(
             if len(members):
                 C[j] = members.mean(axis=0)
     return [[float(x) for x in row] for row in C]
+
+
+def train_ivf_centroids(
+    corpus: DataFrame, n_cells: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    sample_size: int = 10_000, iters: int = 10, seed: int = 42,
+) -> list[list[float]]:
+    """K-means coarse quantizer for an IVF index, trained on a
+    deterministic sample (lowest ``sample_size`` ids — ordered so the
+    result is reproducible across runs and partitionings).
+
+    Lloyd's iterations run on the driver in numpy: the sample is tiny
+    relative to the corpus (10k x dim doubles ≈ 5 MB), which is the
+    standard coarse-quantizer recipe — only the *assignment* of the full
+    corpus is distributed."""
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(id_col).alias("id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+        .orderBy("id").limit(sample_size).toPandas()
+    )
+    X = np.vstack(sample["v"].to_numpy()).astype("float64")
+    return _kmeans(X, n_cells, iters, seed)
 
 
 def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:

@@ -123,17 +123,23 @@ FP_MOD = 1_000_000_007
 FP_BASE = 31
 
 
-def fingerprint(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """Polynomial rolling-hash fingerprint over characters:
-    ``h = (h * 31 + ascii(c)) mod 1e9+7``. Pure fold with JVM
+def poly_hash(col: Column, base: int = FP_BASE, mod: int = FP_MOD) -> Column:
+    """Polynomial rolling hash over characters:
+    ``h = (h * base + ascii(c)) mod m``. Pure fold with JVM
     ``aggregate`` — identical arithmetic is expressible in DuckDB via
     ``list_reduce``, so values match across engines (unlike xxhash64).
-    Intermediate values stay < 2^35 — no ANSI overflow."""
-    chars = F.split(F.col(text_col), "")
-    h = F.aggregate(
-        chars,
+    Intermediate values stay < mod * base + 255 — keep ``mod`` below
+    ~2^57 for ANSI-overflow safety."""
+    return F.aggregate(
+        F.split(col, ""),
         F.lit(0).cast("bigint"),
-        lambda acc, c: (acc * F.lit(FP_BASE) + F.ascii(c)) % F.lit(FP_MOD),
+        lambda acc, c: (acc * F.lit(base) + F.ascii(c)) % F.lit(mod),
     )
-    return df.select(F.col(id_col), h.alias("fingerprint"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Engine-portable document fingerprint (see ``poly_hash``)."""
+    return df.select(
+        F.col(id_col), poly_hash(F.col(text_col)).alias("fingerprint")
+    )

@@ -5,8 +5,9 @@
 openCypher surface compiled to DataFrames) plus the scale extensions
 (dedup / similarity / text analysis / multimodal / windowed events /
 graph algorithms). ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL
-for each; queries whose semantics are hash-family- or iteration-specific
-(simhash/ANN-LSH/IVF/pagerank) are rows-only by design.
+for each — including GENERATED oracles that replay the hash-family and
+iterative operators (minhash/simhash/hyperplane-LSH/IVF/pagerank) from
+the same seeded constants, so every registered gate is value-checked.
 
 The registry is capped at 50 names — the driver grades exactly the
 first 50, so every unique operator keeps a gate here and redundant
@@ -828,12 +829,11 @@ _EXTENSION_ORACLES: dict[str, str] = {
         SELECT n_nationkey::BIGINT AS id,
                ((k - 1) * (k - 2) / 2)::BIGINT AS triangles
         FROM sizes WHERE k >= 3""",
-    # dedup_simhash / ann_ivf_topk / graph_pagerank: hash-family-,
-    # centroid- or iteration-specific — not expressible in portable
-    # SQL; driver records rows-only checks for these.
-    # dedup_minhash_lsh / dedup_embedding_lsh / ann_lsh_topk get
-    # GENERATED oracles (below): their hash families are seeded modular
-    # arithmetic / literal hyperplanes, replayable in DuckDB.
+    # dedup_minhash_lsh / dedup_simhash / dedup_embedding_lsh /
+    # ann_lsh_topk / ann_ivf_topk / graph_pagerank get GENERATED
+    # oracles (below): seeded modular arithmetic, literal hyperplanes,
+    # sample-derived centroids and chained-CTE power iterations are all
+    # replayable in DuckDB.
 }
 
 
@@ -1066,6 +1066,46 @@ def _ann_ivf_oracle() -> str:
         FROM ranked WHERE rank <= 10"""
 
 
+def _pagerank_oracle() -> str:
+    """Replay of ops/algos.pagerank(iterations=5, damping=0.85) over
+    the SUPP_IN graph (supplier -> nation+1M): five chained CTE
+    iterations; the driver-collected dangling mass becomes a scalar
+    subquery per iteration. Float literals mirror Python's computed
+    values (1.0-0.85 != 0.15 exactly)."""
+    d = 0.85
+    iters = 5
+    parts = [
+        """e AS (SELECT s_suppkey::BIGINT AS src,
+                        (s_nationkey + 1000000)::BIGINT AS dst
+                 FROM supplier),
+        v AS (SELECT DISTINCT id FROM (
+                  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        nv AS (SELECT count(*)::DOUBLE AS n FROM v),
+        r0 AS (SELECT id, 1.0::DOUBLE AS rank FROM v)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+        dang{k} AS (
+            SELECT coalesce(sum(r.rank), 0.0) AS m
+            FROM r{k - 1} r LEFT JOIN outdeg o ON r.id = o.src
+            WHERE o.src IS NULL),
+        recv{k} AS (
+            SELECT e.dst AS id, sum(r.rank / o.deg) AS recv
+            FROM r{k - 1} r
+            JOIN outdeg o ON r.id = o.src
+            JOIN e ON e.src = r.id
+            GROUP BY e.dst),
+        r{k} AS (
+            SELECT v.id,
+                   ({1.0 - d!r} + {d!r} * (SELECT m FROM dang{k})
+                                 / (SELECT n FROM nv))
+                   + {d!r} * coalesce(c.recv, 0.0) AS rank
+            FROM v LEFT JOIN recv{k} c ON v.id = c.id)""")
+    return ("WITH " + ",".join(parts)
+            + f"\n        SELECT id, round(rank, 6) AS rank FROM r{iters}")
+
+
 def _ann_lsh_oracle() -> str:
     """Replay of ops/similarity.hyperplane_lsh_topk(k=10, dim=64,
     n_planes=4, seed=42) over queries vec_id < 10: same-bucket
@@ -1143,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_simhash"] = _simhash_oracle()
     out["dedup_embedding_lsh"] = _embedding_lsh_oracle()
     out["ann_lsh_topk"] = _ann_lsh_oracle()
+    out["graph_pagerank"] = _pagerank_oracle()
     try:
         out["ann_ivf_topk"] = _ann_ivf_oracle()
     except Exception:

@@ -18,7 +18,7 @@ from .helpers import assert_same
 
 SCALE_FREE_GENERATED = [
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
-    "ann_lsh_topk",
+    "ann_lsh_topk", "graph_pagerank",
 ]
 
 

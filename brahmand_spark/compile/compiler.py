@@ -51,7 +51,12 @@ from .scope import (
     NodeBinding, PathBinding, RelBinding, ScalarBinding, Scope, pcol,
 )
 
-MAX_VAR_HOPS = 10
+# Cost guard: a -[:T*1..k]-> hop enumerates k-fold self-joins, so the
+# plan (and at scale, the shuffle volume) grows with k. Above this
+# bound the compiler refuses with a clear error instead of silently
+# building a runaway plan; callers with a genuinely deep walk raise it
+# via GraphSession(max_var_hops=...) / QueryCompiler(max_var_hops=...).
+MAX_VAR_HOPS = 6
 
 
 # --------------------------------------------------------------------------
@@ -105,11 +110,13 @@ class QueryCompiler:
         load_adjacency: Optional[
             Callable[[str], Optional[DataFrame]]
         ] = None,
+        max_var_hops: int = MAX_VAR_HOPS,
     ):
         self.catalog = catalog
         self.load_table = load_table
         self.broadcast_labels = broadcast_labels or set()
         self.params = params or {}
+        self.max_var_hops = max_var_hops
         # Resolver for materialized grouped-adjacency tables
         # ({REL}_outgoing / {REL}_incoming); None -> always edge-list.
         self.load_adjacency = load_adjacency
@@ -422,13 +429,22 @@ class QueryCompiler:
                         raise PlanError(
                             f"relationship alias '{alias}' used more than once"
                         )
+                    if rp.max_hops > self.max_var_hops:
+                        raise PlanError(
+                            f"variable-length upper bound *..{rp.max_hops} "
+                            f"exceeds the cost guard ({self.max_var_hops}): "
+                            "each extra hop adds an edge self-join (and a "
+                            "shuffle at scale). Raise it explicitly with "
+                            "GraphSession(max_var_hops=...) if the walk is "
+                            "intentional"
+                        )
                     pattern.rels.append(RelEntity(
                         alias=alias, type_name=rp.type_name,
                         direction=rp.direction,
                         src=node_aliases[ri], dst=node_aliases[ri + 1],
                         properties=dict(rp.properties),
                         min_hops=rp.min_hops,
-                        max_hops=min(rp.max_hops, MAX_VAR_HOPS),
+                        max_hops=rp.max_hops,
                         alt_types=tuple(rp.alt_types),
                         shortest=path.shortest is not None,
                         in_path_var=path.var is not None,
@@ -862,11 +878,20 @@ class QueryCompiler:
             F.col("hops").alias(pcol(rel.alias, "hops")),
         )
 
-    def _filter_score(self, pattern: Pattern, part: ast.QueryPart) -> dict[str, int]:
-        """Anchor heuristic: count per-alias filters (inline props + WHERE
-        conjuncts touching exactly one alias) —
-        optimizer/anchor_node_selection.rs:38-78."""
+    def _filter_score(
+        self, pattern: Pattern, part: ast.QueryPart
+    ) -> tuple[dict[str, int], dict[str, bool]]:
+        """Anchor heuristic inputs: per-alias filter counts (inline
+    props + WHERE conjuncts touching exactly one alias) and whether
+    any of that alias's filters contains an OR — for both node AND
+    relationship aliases (the reference scores every table ctx,
+    optimizer/anchor_node_selection.rs:42-52, so a filtered rel can
+    anchor the fold: ``is_rel_anchor``)."""
         score = {a: len(n.properties) for a, n in pattern.nodes.items()}
+        has_or = {a: False for a in score}
+        for rel in pattern.rels:
+            score[rel.alias] = len(rel.properties)
+            has_or[rel.alias] = False
 
         def visit(e: ast.Expr):
             if isinstance(e, ast.Binary) and e.op == "AND":
@@ -879,10 +904,36 @@ class QueryCompiler:
                 a = next(iter(aliases))
                 if a in score:
                     score[a] = score.get(a, 0) + 1
+                    if _contains_or(e):
+                        has_or[a] = True
 
         if part.where is not None:
             visit(part.where)
-        return score
+        return score, has_or
+
+    def _select_anchor(
+        self, pattern: Pattern, part: ast.QueryPart
+    ) -> Optional[str]:
+        """The reference's find_anchor_node
+        (anchor_node_selection.rs:38-78): the alias with the most
+        filters wins; on a tie, the first candidate with an OR filter
+        (OR means the predicate is less selective per-branch, so the
+        planner prefers to scan it first rather than inherit it late);
+        otherwise the first candidate in pattern order. None when
+        nothing is filtered."""
+        score, has_or = self._filter_score(pattern, part)
+        best = max(score.values(), default=0)
+        if best == 0:
+            return None
+        # pattern order: nodes in appearance order, then rels
+        ordered = list(pattern.nodes) + [r.alias for r in pattern.rels]
+        candidates = [a for a in ordered if score.get(a) == best]
+        if len(candidates) == 1:
+            return candidates[0]
+        for a in candidates:
+            if has_or.get(a):
+                return a
+        return candidates[0]
 
     def _assemble(
         self, in_df: Optional[DataFrame], scope: Scope,
@@ -893,13 +944,21 @@ class QueryCompiler:
         if in_df is not None:
             components.append((in_df, set(scope.bindings.keys())))
 
-        score = self._filter_score(pattern, part)
+        score, _ = self._filter_score(pattern, part)
+        anchor = self._select_anchor(pattern, part)
         pending = list(pattern.rels)
-        # Anchor selection: start the fold at the hop touching the
-        # most-filtered alias (anchor_node_selection.rs:38-78).
+        # Anchor selection: hops touching the anchor alias run first
+        # (anchor_node_selection.rs:78-120 rearranges the traversal
+        # chain around it); the most-filtered-endpoint sort stays as
+        # the secondary order so later hops still prefer selective
+        # scans.
         if pending:
             pending.sort(
-                key=lambda r: -max(score.get(r.src, 0), score.get(r.dst, 0))
+                key=lambda r: (
+                    0 if anchor in (r.src, r.dst, r.alias) else 1,
+                    -max(score.get(r.src, 0), score.get(r.dst, 0),
+                         score.get(r.alias, 0)),
+                )
             )
 
         def find_component(alias: str) -> Optional[int]:
@@ -1158,6 +1217,31 @@ class QueryCompiler:
         if limit is not None:
             df = df.limit(limit)
         return df
+
+
+def _contains_or(e: ast.Expr) -> bool:
+    """Whether an expression tree contains an OR operator anywhere
+    (anchor_node_selection.rs:81-120 has_or_operator)."""
+    if isinstance(e, ast.Binary):
+        if e.op == "OR":
+            return True
+        return _contains_or(e.left) or _contains_or(e.right)
+    if isinstance(e, ast.Unary):
+        return _contains_or(e.operand)
+    if isinstance(e, ast.IsNull):
+        return _contains_or(e.operand)
+    if isinstance(e, ast.FnCall):
+        return any(_contains_or(a) for a in e.args)
+    if isinstance(e, ast.ListLiteral):
+        return any(_contains_or(x) for x in e.items)
+    if isinstance(e, ast.CaseExpr):
+        for c, v in e.whens:
+            if _contains_or(c) or _contains_or(v):
+                return True
+        if e.else_ is not None and _contains_or(e.else_):
+            return True
+        return e.operand is not None and _contains_or(e.operand)
+    return False
 
 
 def _split_pattern_predicates(expr: ast.Expr):

@@ -1,11 +1,12 @@
 """Multimodal column handling: images/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode step itself is STUBBED (this container has no image/audio
-libraries): ``decode_image``/``extract_audio_features`` raise
-``NotImplementedError`` unless ``deterministic_fake=True``, which swaps
-in a seeded, content-derived fake so the *Spark-side plumbing* — schema,
-Arrow batch shape, ``mapInPandas`` partition flow — is real and testable.
+The decode step runs a REAL image decode when Pillow is importable on
+the executors (optional dependency — width/height/luminance/histogram
+features); without it, ``deterministic_fake=True`` swaps in a seeded,
+content-derived fake so the *Spark-side plumbing* — schema, Arrow batch
+shape, ``mapInPandas`` partition flow — stays real and testable in
+minimal containers, and anything else raises ``NotImplementedError``.
 
 Scale posture: Arrow-batched ``mapInPandas`` (one Python worker per
 partition, vectorized transfer), metadata pushdown happens before decode
@@ -51,43 +52,84 @@ def attach_image_metadata(df: DataFrame, binary_col: str = "content") -> DataFra
     return df.withColumn("format", fmt).withColumn("n_bytes", F.length(b))
 
 
+def _pil_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
 def decode_image_features(
     df: DataFrame, id_col: str = "id", binary_col: str = "content",
     feature_dim: int = 8, deterministic_fake: bool = False,
 ) -> DataFrame:
     """Decode + feature-extract via Arrow-batched ``mapInPandas``.
 
-    Real decode is unavailable in this container -> NotImplementedError
-    unless ``deterministic_fake`` (features derived from a stable hash of
-    the bytes; same plumbing, fake math)."""
+    With Pillow installed the real decode runs on each executor:
+    width/height from the decoded image, mean luminance, and a
+    ``feature_dim``-bin grayscale histogram as the feature vector (a
+    stand-in for a model embedding; swap the per-image function for a
+    batched model call in production). Without Pillow ->
+    NotImplementedError unless ``deterministic_fake`` (features derived
+    from a stable hash of the bytes; same plumbing, fake math).
+
+    Decode failures (truncated/corrupt payloads) yield NULL metadata
+    rather than failing the partition — at 100 TB some corrupt blobs
+    are a certainty."""
 
     def decode(batches: Iterator["pandas.DataFrame"]):  # noqa: F821
         import hashlib
+        import io
 
         import numpy as np
         import pandas as pd
 
+        use_pil = not deterministic_fake and _pil_available()
+        if not deterministic_fake and not use_pil:
+            raise NotImplementedError(
+                "image decode requires Pillow (pip install Pillow); "
+                "pass deterministic_fake=True to exercise the pipeline "
+                "without it"
+            )
+        if use_pil:
+            from PIL import Image
+
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/opencv (not in container); "
-                    "pass deterministic_fake=True to exercise the pipeline"
-                )
             out = {
                 "id": pdf[id_col].astype("int64"),
                 "width": [], "height": [], "mean_luma": [], "feature": [],
             }
             for payload in pdf[binary_col]:
                 raw = bytes(payload) if payload is not None else b""
-                digest = hashlib.sha256(raw).digest()
-                out["width"].append(int.from_bytes(digest[0:2], "big") % 4096)
-                out["height"].append(int.from_bytes(digest[2:4], "big") % 4096)
-                out["mean_luma"].append(digest[4] / 255.0)
-                out["feature"].append(
-                    np.frombuffer(digest[8:8 + 4 * feature_dim],
-                                  dtype=np.uint8)[:feature_dim]
-                    .astype("float32") / 255.0
-                )
+                if use_pil:
+                    try:
+                        img = Image.open(io.BytesIO(raw)).convert("L")
+                        arr = np.asarray(img, dtype="float32")
+                        hist, _ = np.histogram(
+                            arr, bins=feature_dim, range=(0.0, 255.0)
+                        )
+                        out["width"].append(img.width)
+                        out["height"].append(img.height)
+                        out["mean_luma"].append(float(arr.mean()) / 255.0)
+                        out["feature"].append(
+                            (hist / max(arr.size, 1)).astype("float32")
+                        )
+                    except Exception:
+                        out["width"].append(None)
+                        out["height"].append(None)
+                        out["mean_luma"].append(None)
+                        out["feature"].append(None)
+                else:
+                    digest = hashlib.sha256(raw).digest()
+                    out["width"].append(
+                        int.from_bytes(digest[0:2], "big") % 4096)
+                    out["height"].append(
+                        int.from_bytes(digest[2:4], "big") % 4096)
+                    out["mean_luma"].append(digest[4] / 255.0)
+                    out["feature"].append(
+                        np.frombuffer(digest[8:8 + 4 * feature_dim],
+                                      dtype=np.uint8)[:feature_dim]
+                        .astype("float32") / 255.0
+                    )
             yield pd.DataFrame(out)
 
     return df.select(id_col, binary_col).mapInPandas(

@@ -33,9 +33,12 @@ class GraphSession:
         catalog_path: Optional[str] = None,
         broadcast_labels: Optional[set[str]] = None,
         allow_writes: bool = False,
+        max_var_hops: Optional[int] = None,
     ):
         self.spark = spark
         self.catalog_path = catalog_path
+        # None -> compiler default (compile.compiler.MAX_VAR_HOPS).
+        self.max_var_hops = max_var_hops
         # Default False = reference parity (writes parse but reject);
         # True enables the executable write path (writes.py, extension).
         self.allow_writes = allow_writes
@@ -116,10 +119,13 @@ class GraphSession:
     ) -> DataFrame:
         stmt = parse(cypher)
         if isinstance(stmt, ast.ReadQuery):
+            kwargs = {}
+            if self.max_var_hops is not None:
+                kwargs["max_var_hops"] = self.max_var_hops
             compiler = QueryCompiler(
                 self.schema, self._load_for_label,
                 broadcast_labels=self.broadcast_labels, params=params,
-                load_adjacency=self.tables.get,
+                load_adjacency=self.tables.get, **kwargs,
             )
             return compiler.compile(stmt)
         if isinstance(stmt, (ast.CreateNodeTable, ast.CreateRelTable)):

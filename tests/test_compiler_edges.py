@@ -222,3 +222,88 @@ class TestMultiTypeRel:
             tpch.execute(
                 "MATCH (n:Nation)<-[:CUST_IN|SUPP_IN]-(x) RETURN n"
             )
+
+
+class TestAnchorSelection:
+    """Mirrors the reference's anchor-selection unit tests
+    (anchor_node_selection.rs: most-filtered wins, OR tie-break,
+    rel-as-anchor, none-filtered -> None)."""
+
+    def _anchor(self, tpch, cypher):
+        from brahmand_spark.compile.compiler import QueryCompiler
+        from brahmand_spark.compile.scope import Scope
+        from brahmand_spark.parser.parser import parse
+
+        query = parse(cypher)
+        part = query.parts[0]
+        compiler = QueryCompiler(tpch.schema, tpch._load_for_label)
+        pattern = compiler._build_pattern(part.matches, Scope())
+        compiler._infer(pattern)
+        return compiler._select_anchor(pattern, part)
+
+    def test_most_filtered_alias_wins(self, tpch):
+        assert self._anchor(tpch, """
+            MATCH (a:Customer)-[:PLACED]->(b:Order)
+            WHERE a.c_acctbal > 0 AND a.c_custkey < 10
+              AND b.o_totalprice > 5
+            RETURN a.c_name AS n""") == "a"
+
+    def test_tie_broken_by_or_filter(self, tpch):
+        assert self._anchor(tpch, """
+            MATCH (a:Customer)-[:PLACED]->(b:Order)
+            WHERE a.c_acctbal > 0
+              AND (b.o_totalprice > 5 OR b.o_orderstatus = 'F')
+            RETURN a.c_name AS n""") == "b"
+
+    def test_tie_without_or_takes_first(self, tpch):
+        assert self._anchor(tpch, """
+            MATCH (a:Customer)-[:PLACED]->(b:Order)
+            WHERE a.c_acctbal > 0 AND b.o_totalprice > 5
+            RETURN a.c_name AS n""") == "a"
+
+    def test_inline_properties_count(self, tpch):
+        assert self._anchor(tpch, """
+            MATCH (a:Customer)-[:PLACED]->(b:Order {o_orderstatus: 'F'})
+            RETURN a.c_name AS n""") == "b"
+
+    def test_relationship_can_anchor(self, tpch):
+        assert self._anchor(tpch, """
+            MATCH (o:Order)-[r:HAS_LINE]->(l:Lineitem)
+            WHERE r.l_linenumber = 1
+            RETURN o.o_orderkey AS k""") == "r"
+
+    def test_no_filters_returns_none(self, tpch):
+        assert self._anchor(tpch, """
+            MATCH (a:Customer)-[:PLACED]->(b:Order)
+            RETURN a.c_name AS n""") is None
+
+
+class TestVarLengthCostGuard:
+    def test_deep_walk_refused_with_clear_error(self, tpch):
+        import pytest
+
+        from brahmand_spark.errors import PlanError
+
+        with pytest.raises(PlanError, match="cost guard"):
+            tpch.execute(
+                "MATCH (a:Customer)-[:NEXT_CUST*1..8]->(b:Customer) "
+                "RETURN count(*) AS n")
+
+    def test_guard_is_configurable(self, spark):
+        from brahmand_spark.graphs.tpch import build_session
+
+        from .conftest import SF_SMOKE
+
+        s = build_session(spark, SF_SMOKE)
+        s.max_var_hops = 8
+        df = s.execute(
+            "MATCH (a:Customer)-[:NEXT_CUST*7..8]->(b:Customer) "
+            "WHERE a.c_custkey <= 3 RETURN count(*) AS n")
+        assert df.collect()[0][0] > 0
+
+    def test_unbounded_star_gets_guard_bound(self, tpch):
+        # must compile (bounded to the guard), not error
+        df = tpch.execute(
+            "MATCH (a:Customer)-[:NEXT_CUST*..]->(b:Customer) "
+            "WHERE a.c_custkey = 1 RETURN count(*) AS n")
+        assert df.collect()[0][0] == 6

@@ -343,3 +343,39 @@ class TestJaccardPrefix:
                     docs, n=3, threshold=t, method="allpairs").collect()
             }
             assert pre == full, f"threshold {t}: prefix={len(pre)} full={len(full)}"
+
+
+class TestMultimodalRealDecode:
+    def test_pil_decode_when_available(self, spark):
+        """Real Pillow decode path: generate a tiny PNG in-process,
+        decode it through the mapInPandas pipeline, and check the
+        geometry/luma/histogram outputs. Skipped in containers without
+        Pillow (the fake path covers the plumbing there)."""
+        import pytest
+
+        from brahmand_spark.ops.multimodal import (
+            _pil_available, decode_image_features,
+        )
+
+        if not _pil_available():
+            pytest.skip("Pillow not installed")
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        buf = io.BytesIO()
+        arr = np.zeros((4, 6), dtype="uint8")
+        arr[:2, :] = 255  # top half white -> mean luma 0.5
+        Image.fromarray(arr, mode="L").save(buf, format="PNG")
+        good = buf.getvalue()
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"not an image"))],
+            "id long, content binary",
+        )
+        rows = {r.id: r for r in decode_image_features(
+            df, feature_dim=4).collect()}
+        assert (rows[1].width, rows[1].height) == (6, 4)
+        assert abs(rows[1].mean_luma - 0.5) < 1e-6
+        assert abs(sum(rows[1].feature) - 1.0) < 1e-6
+        assert rows[2].width is None  # corrupt payload -> NULLs

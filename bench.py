@@ -24,7 +24,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_QUERIES = [
     "match_filter_project",
     "multi_hop",
-    "implicit_group_by",
+    "adjacency_traversal",
     "aggregates_five",
     "count_distinct",
     "order_skip_limit",

@@ -169,3 +169,30 @@ class TestAdjacencyPlanner:
         expected = tpch.execute(q)
         assert got.exceptAll(expected).count() == 0
         assert expected.exceptAll(got).count() == 0
+
+
+class TestAdjacencyEquivalenceSweep:
+    """With EVERY relationship's adjacency index materialized, the whole
+    Cypher gate matrix must return identical results — the planner may
+    only ever swap the physical hop, never the semantics. Queries that
+    are ineligible (rel refs, var-length, paths) exercise the fallback
+    branch of the same decision."""
+
+    def test_all_cypher_gates_unchanged(self, spark, tpch):
+        import __spark_entry__ as entry
+
+        from brahmand_spark.graphs.tpch import build_session
+
+        from .conftest import SF_SMOKE
+
+        s = build_session(spark, SF_SMOKE)
+        for rel in list(s.schema.relationships):
+            s.build_adj_index(rel)
+        mismatches = []
+        for name, cypher in entry._CYPHER.items():
+            expected = tpch.execute(cypher)
+            got = s.execute(cypher)
+            if (got.exceptAll(expected).count()
+                    or expected.exceptAll(got).count()):
+                mismatches.append(name)
+        assert not mismatches, f"adjacency planner changed: {mismatches}"

@@ -136,10 +136,25 @@ def ngram_jaccard_pairs(
         ).cast("int")
         prefix = arr.select(
             "id", "n_sh",
-            F.explode(F.slice("__h", F.lit(1), plen)).alias("hs"),
+            F.posexplode(F.slice("__h", F.lit(1), plen))
+            .alias("pos", "hs"),  # pos is 0-based
         )
         a = prefix.alias("a")
         b = prefix.alias("b")
+        # PPJoin positional filter: jaccard >= t needs overlap
+        # alpha = ceil(t/(1+t) * (|A|+|B|)); matching at (0-based)
+        # positions i,j leaves at most 1 + min(|A|-i-1, |B|-j-1)
+        # common tokens, so pairs that cannot reach alpha are pruned
+        # BEFORE the candidate shuffle (complete for any global token
+        # order; the 1e-9 slack guards the float ceil boundary).
+        alpha = F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("a.n_sh") + F.col("b.n_sh")) - F.lit(1e-9)
+        )
+        remaining = F.lit(1) + F.least(
+            F.col("a.n_sh") - F.col("a.pos") - 1,
+            F.col("b.n_sh") - F.col("b.pos") - 1,
+        )
         cand = (
             a.join(
                 b,
@@ -147,7 +162,8 @@ def ngram_jaccard_pairs(
                 & (F.col("a.id") < F.col("b.id"))
                 # size-ratio bound: jaccard >= t forces t <= |A|/|B| <= 1/t
                 & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
-                & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh")),
+                & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
+                & (remaining >= alpha),
             )
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])

@@ -25,6 +25,13 @@ AGGREGATE_FNS = {
     "collect", "collect_list", "collect_set", "stddev", "stddev_pop",
     "variance", "var_pop", "percentilecont", "percentile_approx",
     "first", "last_agg", "any_value", "count_if", "median",
+    # sketch / statistical aggregates (classified here so they group;
+    # compiled via the call_function fallback — JVM-side, mergeable
+    # partial aggregates, the 100 TB substitute for exact distincts)
+    "approx_count_distinct", "approx_percentile", "percentile",
+    "hll_sketch_agg", "hll_union_agg", "mode", "bool_and", "bool_or",
+    "every", "some", "skewness", "kurtosis", "corr", "covar_pop",
+    "covar_samp", "bit_and", "bit_or", "bit_xor", "max_by", "min_by",
 }
 
 

@@ -307,3 +307,37 @@ class TestVarLengthCostGuard:
             "MATCH (a:Customer)-[:NEXT_CUST*..]->(b:Customer) "
             "WHERE a.c_custkey = 1 RETURN count(*) AS n")
         assert df.collect()[0][0] == 6
+
+
+class TestSketchAggregates:
+    """Sketch/statistical aggregates classify as aggregates (implicit
+    GROUP BY) and compile through the JVM fallback — the scale-path
+    substitute for exact distinct counts."""
+
+    def test_approx_count_distinct_groups(self, tpch, duck):
+        from .helpers import assert_same
+
+        df = tpch.execute("""
+            MATCH (c:Customer)-[:PLACED]->(o:Order)
+            RETURN c.c_mktsegment AS seg,
+                   approx_count_distinct(o.o_orderkey) AS approx_orders""")
+        rows = {r.seg: r.approx_orders for r in df.collect()}
+        exact = {
+            r[0]: r[1] for r in duck.sql("""
+                SELECT c_mktsegment, count(DISTINCT o_orderkey)
+                FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY 1""").fetchall()
+        }
+        assert set(rows) == set(exact)
+        for seg, approx in rows.items():
+            assert abs(approx - exact[seg]) / exact[seg] < 0.1
+
+    def test_max_by_and_bool_or(self, tpch):
+        df = tpch.execute("""
+            MATCH (c:Customer)
+            RETURN c.c_mktsegment AS seg,
+                   max_by(c.c_name, c.c_acctbal) AS richest,
+                   bool_or(c.c_acctbal < 0) AS any_negative""")
+        rows = df.collect()
+        assert len(rows) == 5
+        assert all(r.richest is not None for r in rows)

@@ -222,6 +222,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def cross_corpus_overlap(
+    train: DataFrame, eval_df: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    n: int = 8, min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-decontamination primitive: (train_id, eval_id,
+    n_shared) for every train/eval document pair sharing at least
+    ``min_shared`` distinct word ``n``-gram shingles — the standard
+    "flag training docs containing eval n-grams" check (n=8..13 word
+    grams in common practice).
+
+    Shape: both corpora explode to (id, shingle-hash) and meet in ONE
+    equi-join on the 8-byte hash — the eval side is tiny in practice
+    (benchmarks), so AQE broadcasts it and the train side never
+    shuffles. No UDFs; exact modulo 64-bit hash collisions."""
+    def sh(df: DataFrame, out: str) -> DataFrame:
+        return _spread(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col).alias(out),
+            F.explode(
+                F.transform(shingles(F.col(text_col), n),
+                            lambda s: F.xxhash64(s))
+            ).alias("hs"),
+        )
+
+    pairs = (
+        sh(train, "train_id").join(sh(eval_df, "eval_id"), "hs")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

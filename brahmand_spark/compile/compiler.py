@@ -69,6 +69,7 @@ class NodeEntity:
     label: Optional[str]
     properties: dict[str, ast.Expr] = field(default_factory=dict)
     prebound: bool = False  # bound by an earlier WITH part
+    in_path_var: bool = False  # member of a p = (...) pattern
 
 
 @dataclass
@@ -111,12 +112,23 @@ class QueryCompiler:
             Callable[[str], Optional[DataFrame]]
         ] = None,
         max_var_hops: int = MAX_VAR_HOPS,
+        assume_referential_integrity: bool = False,
     ):
         self.catalog = catalog
         self.load_table = load_table
         self.broadcast_labels = broadcast_labels or set()
         self.params = params or {}
         self.max_var_hops = max_var_hops
+        # FK-join elimination: when True, a hop endpoint whose node is
+        # never referenced (no properties, filters, projections, path
+        # membership) binds its id straight from the edge column
+        # instead of scanning + joining the node table — sound iff
+        # every edge endpoint exists in its node table. Off by default
+        # (the reference's inner joins silently drop dangling edges;
+        # this keeps them). Derived-FK graphs (edges projected from
+        # the node tables themselves, e.g. graphs/tpch) satisfy the
+        # premise by construction and turn it on.
+        self.integrity = assume_referential_integrity
         # Resolver for materialized grouped-adjacency tables
         # ({REL}_outgoing / {REL}_incoming); None -> always edge-list.
         self.load_adjacency = load_adjacency
@@ -125,12 +137,18 @@ class QueryCompiler:
         # path, mirroring the reference's projection/filter tagging
         # (projection_tagging.rs:198, filter_tagging.rs:153).
         self._referenced: set[str] = set()
+        # Finer grain for FK-join elimination: aliases referenced as
+        # bare variables (need their full binding) vs per-alias sets of
+        # accessed property keys (id-only access elides the node scan).
+        self._bare_refs: set[str] = set()
+        self._prop_refs: dict[str, set[str]] = {}
         self._anon_counter = 0  # deterministic anonymous aliases
         # (the reference uses random a<uuid10>, logical_plan/mod.rs:36-43)
 
     # ------------------------------------------------------------------
     def compile(self, query: ast.ReadQuery) -> DataFrame:
-        self._referenced = self._collect_referenced(query)
+        self._bare_refs, self._prop_refs = self._collect_refs(query)
+        self._referenced = self._bare_refs | set(self._prop_refs)
         df: Optional[DataFrame] = None
         scope = Scope()
         for i, part in enumerate(query.parts):
@@ -171,20 +189,71 @@ class QueryCompiler:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _collect_referenced(query: ast.ReadQuery) -> set[str]:
+    def _collect_refs(
+        query: ast.ReadQuery,
+    ) -> tuple[set[str], dict[str, set[str]]]:
         """Every alias referenced by any expression in the query (the
         compiler-wide analogue of the reference's filter/projection
-        tagging passes). ``RETURN *`` adds the marker ``"*"`` — treat
-        everything as referenced."""
-        out: set[str] = set()
+        tagging passes), split by kind: bare-variable references (need
+        the full binding) vs property accesses (per-alias key sets —
+        id-only access is satisfiable from an edge endpoint column).
+        ``RETURN *`` adds the bare marker ``"*"`` — everything is
+        referenced."""
+        bare: set[str] = set()
+        props: dict[str, set[str]] = {}
+
+        def item(it) -> None:
+            # item-level Star is RETURN/WITH * (everything referenced);
+            # Star inside an expression is count(*) (references nothing)
+            if isinstance(it.expr, ast.Star):
+                bare.add("*")
+            else:
+                expr(it.expr)
 
         def expr(e) -> None:
             if e is None:
                 return
             if isinstance(e, ast.Star):
-                out.add("*")
+                return  # count(*) — no alias referenced
+            if isinstance(e, ast.Variable):
+                bare.add(e.name)
                 return
-            collect_aliases(e, out)
+            if isinstance(e, ast.PropertyAccess):
+                props.setdefault(e.alias, set()).add(e.key)
+                return
+            if isinstance(e, ast.PatternPredicate):
+                # predicate anchors are joined on ids only
+                for np in e.path.nodes:
+                    if np.alias is not None:
+                        props.setdefault(np.alias, set())
+                    for v in np.properties.values():
+                        expr(v)
+                for rp in e.path.rels:
+                    for v in rp.properties.values():
+                        expr(v)
+                return
+            # generic recursion over expression dataclass fields
+            lambda_locals = []
+            if isinstance(e, (ast.ListComprehension, ast.Quantifier)):
+                lambda_locals = [e.var]
+            elif isinstance(e, ast.Reduce):
+                lambda_locals = [e.var, e.acc]
+            pre = {name: name in bare for name in lambda_locals}
+            for f in getattr(e, "__dataclass_fields__", {}):
+                v = getattr(e, f)
+                if isinstance(v, ast.Expr):
+                    expr(v)
+                elif isinstance(v, (list, tuple)):
+                    for x in v:
+                        if isinstance(x, ast.Expr):
+                            expr(x)
+                        elif isinstance(x, tuple):
+                            for y in x:
+                                if isinstance(y, ast.Expr):
+                                    expr(y)
+            for name in lambda_locals:
+                if not pre[name]:  # lambda-local, not an outer alias
+                    bare.discard(name)
 
         for part in query.parts:
             for mc in part.matches:
@@ -201,17 +270,20 @@ class QueryCompiler:
             expr(part.where)
             if part.with_clause is not None:
                 for it in part.with_clause.items:
-                    expr(it.expr)
+                    item(it)
             for ob in part.order_by:
                 expr(ob.expr)
         if query.return_clause is not None:
             for it in query.return_clause.items:
-                expr(it.expr)
+                item(it)
         for ob in query.order_by:
             expr(ob.expr)
         for sub, _distinct in query.unions:
-            out |= QueryCompiler._collect_referenced(sub)
-        return out
+            sub_bare, sub_props = QueryCompiler._collect_refs(sub)
+            bare |= sub_bare
+            for a, ks in sub_props.items():
+                props.setdefault(a, set()).update(ks)
+        return bare, props
 
     # ------------------------------------------------------------------
     def _compile_part(
@@ -321,7 +393,9 @@ class QueryCompiler:
             if b is None:
                 continue  # var-length rels have no binding
             if isinstance(b, NodeBinding):
-                carry += [pcol(a, c) for c in b.columns]
+                # elided endpoints have no property columns — carry the
+                # derived id column so the binding stays resolvable
+                carry += [pcol(a, c) for c in b.columns] or [b.id_pcol]
             elif isinstance(b, RelBinding):
                 carry += [b.src_pcol, b.dst_pcol]
                 carry += [pcol(a, c) for c in b.columns]
@@ -407,6 +481,7 @@ class QueryCompiler:
                         pattern.nodes[alias] = NodeEntity(
                             alias=alias, label=label,
                             properties=dict(np.properties), prebound=prebound,
+                            in_path_var=path.var is not None,
                         )
                     else:
                         if np.label is not None:
@@ -417,6 +492,7 @@ class QueryCompiler:
                                 )
                             existing.label = np.label
                         existing.properties.update(np.properties)
+                        existing.in_path_var |= path.var is not None
                 if path.shortest is not None and len(path.rels) != 1:
                     raise PlanError(
                         "shortestPath() takes a single-relationship "
@@ -1002,6 +1078,34 @@ class QueryCompiler:
             bound |= other_bound
         return df
 
+    def _elidable(self, node: NodeEntity) -> bool:
+        """FK-join elimination eligibility: the node contributes only
+        its id, which the edge endpoint column already carries. Id-only
+        property access (filters/projections on the node id) is
+        satisfiable from that derived column, so it does not block
+        elision — inline property maps and any other key do."""
+        if not self.integrity or node.prebound or node.in_path_var:
+            return False
+        if "*" in self._bare_refs or node.alias in self._bare_refs:
+            return False
+        node_id = self.catalog.node(node.label).node_id
+        accessed = self._prop_refs.get(node.alias, set())
+        return not node.properties and accessed <= {node_id}
+
+    def _bind_endpoint(
+        self, df: DataFrame, node: NodeEntity, endpoint_col: Column,
+        scope: Scope,
+    ) -> DataFrame:
+        """Bind an elided endpoint: its id column IS the edge endpoint
+        (no scan, no join). Later hops anchored on this alias join
+        against the derived id column exactly as if it were scanned."""
+        sch = self.catalog.node(node.label)
+        scope.bind(NodeBinding(
+            alias=node.alias, label=node.label, id_column=sch.node_id,
+            columns=[sch.node_id],  # the one column the edge provides
+        ))
+        return df.withColumn(pcol(node.alias, sch.node_id), endpoint_col)
+
     def _apply_hop(self, rel, pattern: Pattern, components, scope, find_component):
         if rel.shortest and rel.max_hops > 1:
             edge = self._shortest_path_df(rel)
@@ -1042,28 +1146,50 @@ class QueryCompiler:
         elif li is not None:
             df, bound = components[li]
             lid = F.col(scope.get(rel.src).id_pcol)
-            right = self._scan_node(pattern.nodes[rel.dst], scope)
-            rid = F.col(scope.get(rel.dst).id_pcol)
-            df = df.join(edge, src_key == lid, "inner").join(
-                right, dst_key == rid, "inner")
+            dst_node = pattern.nodes[rel.dst]
+            if self._elidable(dst_node):
+                df = self._bind_endpoint(
+                    df.join(edge, src_key == lid, "inner"),
+                    dst_node, dst_key, scope,
+                )
+            else:
+                right = self._scan_node(dst_node, scope)
+                rid = F.col(scope.get(rel.dst).id_pcol)
+                df = df.join(edge, src_key == lid, "inner").join(
+                    right, dst_key == rid, "inner")
             bound |= {rel.alias, rel.dst}
             components[li] = (df, bound)
         elif ri is not None:
             df, bound = components[ri]
             rid = F.col(scope.get(rel.dst).id_pcol)
-            left = self._scan_node(pattern.nodes[rel.src], scope)
-            lid = F.col(scope.get(rel.src).id_pcol)
-            df = df.join(edge, dst_key == rid, "inner").join(
-                left, src_key == lid, "inner")
+            src_node = pattern.nodes[rel.src]
+            if self._elidable(src_node):
+                df = self._bind_endpoint(
+                    df.join(edge, dst_key == rid, "inner"),
+                    src_node, src_key, scope,
+                )
+            else:
+                left = self._scan_node(src_node, scope)
+                lid = F.col(scope.get(rel.src).id_pcol)
+                df = df.join(edge, dst_key == rid, "inner").join(
+                    left, src_key == lid, "inner")
             bound |= {rel.alias, rel.src}
             components[ri] = (df, bound)
         else:
-            ldf = self._scan_node(pattern.nodes[rel.src], scope)
-            lid = F.col(scope.get(rel.src).id_pcol)
-            right = self._scan_node(pattern.nodes[rel.dst], scope)
-            rid = F.col(scope.get(rel.dst).id_pcol)
-            df = ldf.join(edge, src_key == lid, "inner").join(
-                right, dst_key == rid, "inner")
+            src_node = pattern.nodes[rel.src]
+            dst_node = pattern.nodes[rel.dst]
+            if self._elidable(src_node):
+                df = self._bind_endpoint(edge, src_node, src_key, scope)
+            else:
+                ldf = self._scan_node(src_node, scope)
+                lid = F.col(scope.get(rel.src).id_pcol)
+                df = ldf.join(edge, src_key == lid, "inner")
+            if self._elidable(dst_node):
+                df = self._bind_endpoint(df, dst_node, dst_key, scope)
+            else:
+                right = self._scan_node(dst_node, scope)
+                rid = F.col(scope.get(rel.dst).id_pcol)
+                df = df.join(right, dst_key == rid, "inner")
             components.append((df, {rel.src, rel.alias, rel.dst}))
 
     # ------------------------------------------------------------------

@@ -167,7 +167,14 @@ def build_session(spark: SparkSession, sf_dir: str) -> GraphSession:
         )),
     ])
 
-    session = GraphSession(spark, schema=schema, broadcast_labels=set(BROADCAST))
+    # Every edge table above is a projection of the node tables
+    # themselves (TPC-H FKs; NEXT_CUST/PREV_CUST leftsemi-filtered), so
+    # referential integrity holds by construction -> unreferenced hop
+    # endpoints skip their node-table join (FK-join elimination).
+    session = GraphSession(
+        spark, schema=schema, broadcast_labels=set(BROADCAST),
+        assume_referential_integrity=True,
+    )
     for label, df in dfs.items():
         session.register_table(label, df)
     for name, df in edges.items():

@@ -34,11 +34,16 @@ class GraphSession:
         broadcast_labels: Optional[set[str]] = None,
         allow_writes: bool = False,
         max_var_hops: Optional[int] = None,
+        assume_referential_integrity: bool = False,
     ):
         self.spark = spark
         self.catalog_path = catalog_path
         # None -> compiler default (compile.compiler.MAX_VAR_HOPS).
         self.max_var_hops = max_var_hops
+        # FK-join elimination for unreferenced hop endpoints — enable
+        # only when every edge endpoint provably exists in its node
+        # table (derived-FK graphs); see QueryCompiler docstring.
+        self.assume_referential_integrity = assume_referential_integrity
         # Default False = reference parity (writes parse but reject);
         # True enables the executable write path (writes.py, extension).
         self.allow_writes = allow_writes
@@ -125,7 +130,10 @@ class GraphSession:
             compiler = QueryCompiler(
                 self.schema, self._load_for_label,
                 broadcast_labels=self.broadcast_labels, params=params,
-                load_adjacency=self.tables.get, **kwargs,
+                load_adjacency=self.tables.get,
+                assume_referential_integrity=(
+                    self.assume_referential_integrity),
+                **kwargs,
             )
             return compiler.compile(stmt)
         if isinstance(stmt, (ast.CreateNodeTable, ast.CreateRelTable)):

@@ -196,3 +196,60 @@ class TestAdjacencyEquivalenceSweep:
                     or expected.exceptAll(got).count()):
                 mismatches.append(name)
         assert not mismatches, f"adjacency planner changed: {mismatches}"
+
+
+class TestEndpointElision:
+    """FK-join elimination: hop endpoints that contribute only their id
+    bind straight from the edge column — no node-table scan, no join.
+    Enabled for derived-FK graphs (graphs/tpch) where integrity holds
+    by construction; plain GraphSession keeps the reference's
+    dangling-edge-dropping inner joins."""
+
+    def test_unreferenced_endpoints_drop_scans(self, tpch):
+        df = tpch.execute(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN count(*) AS n")
+        plan = physical_plan(df)
+        assert "customer.parquet" not in plan
+        assert plan.count("Join") == 0  # pure edge-table aggregate
+
+    def test_id_only_access_elides(self, tpch):
+        df = tpch.execute("""
+            MATCH (c:Customer)-[:PLACED]->(o:Order)
+            WHERE c.c_custkey <= 100
+            RETURN c.c_custkey AS src, count(*) AS n""")
+        plan = formatted(df)
+        assert "customer.parquet" not in plan
+        # the id filter pushes into the edge scan instead
+        assert "LessThanOrEqual(o_custkey,100)" in plan
+
+    def test_any_other_property_keeps_scan(self, tpch):
+        df = tpch.execute("""
+            MATCH (c:Customer)-[:PLACED]->(o:Order)
+            RETURN c.c_name AS name, count(*) AS n""")
+        assert "customer.parquet" in physical_plan(df)
+
+    def test_disabled_without_integrity_flag(self, spark, tpch):
+        from brahmand_spark.session import GraphSession
+
+        s = GraphSession(spark, schema=tpch.schema)
+        s.tables = tpch.tables
+        df = s.execute(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN count(*) AS n")
+        assert "customer.parquet" in physical_plan(df)
+        # and results agree on clean data either way
+        assert df.collect() == tpch.execute(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN count(*) AS n"
+        ).collect()
+
+    def test_elided_alias_still_joinable_downstream(self, tpch, duck):
+        from .helpers import assert_same
+
+        # o is id-only in expressions but structurally reused by a
+        # second hop — the derived id column carries the join
+        q = """MATCH (c:Customer)-[:PLACED]->(o:Order)
+               MATCH (o)-[:HAS_LINE]->(l:Lineitem)
+               RETURN count(*) AS n, count(DISTINCT o.o_orderkey) AS orders"""
+        assert_same(tpch.execute(q), duck.sql(
+            """SELECT count(*) AS n,
+                      count(DISTINCT l_orderkey) AS orders
+               FROM lineitem"""))

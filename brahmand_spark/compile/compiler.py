@@ -142,6 +142,8 @@ class QueryCompiler:
         # accessed property keys (id-only access elides the node scan).
         self._bare_refs: set[str] = set()
         self._prop_refs: dict[str, set[str]] = {}
+        # aliases id-only by construction in the current sub-assembly
+        self._elide_override: set[str] = set()
         self._anon_counter = 0  # deterministic anonymous aliases
         # (the reference uses random a<uuid10>, logical_plan/mod.rs:36-43)
 
@@ -443,7 +445,15 @@ class QueryCompiler:
         for node in pattern.nodes.values():
             node.prebound = False  # anchors are re-scanned in the sub-plan
         self._infer(pattern)
-        sub_df = self._assemble(None, sub_scope, pattern, ast.QueryPart())
+        # Inside the predicate only anchor IDS matter (they become the
+        # semi-join keys), so anchors elide even when the outer query
+        # references their properties.
+        prev_override = self._elide_override
+        self._elide_override = prev_override | set(anchors)
+        try:
+            sub_df = self._assemble(None, sub_scope, pattern, ast.QueryPart())
+        finally:
+            self._elide_override = prev_override
         key_cols = []
         conds = []
         for a in anchors:
@@ -1086,6 +1096,11 @@ class QueryCompiler:
         elision — inline property maps and any other key do."""
         if not self.integrity or node.prebound or node.in_path_var:
             return False
+        if node.alias in self._elide_override:
+            # pattern-predicate anchors: the sub-assembly consumes only
+            # their id as the semi-join key, whatever the outer query
+            # references (property maps still block via node.properties)
+            return not node.properties
         if "*" in self._bare_refs or node.alias in self._bare_refs:
             return False
         node_id = self.catalog.node(node.label).node_id

@@ -38,6 +38,51 @@ def _nanos_columns(path: str) -> list[str]:
         return []
 
 
+_EXT_FORMATS = {
+    ".parquet": "parquet", ".csv": "csv", ".tsv": "csv", ".json": "json",
+    ".jsonl": "json", ".ndjson": "json", ".orc": "orc",
+}
+
+
+def read_source(
+    spark: SparkSession, source: str, fmt: str | None = None, **options
+) -> DataFrame:
+    """Load a table from any Spark-native file source (parquet / CSV /
+    JSON-lines / ORC, dispatched by extension or explicit ``fmt``) or
+    fall back to a registered Spark view/table name. Parquet goes
+    through ``read_parquet`` for the nanos-timestamp handling; CSV
+    defaults to header+inferSchema (pass options to override). All
+    formats keep Catalyst's pushdown/pruning where the source supports
+    it (parquet/ORC; CSV/JSON prune columns only)."""
+    if fmt is None:
+        for ext, f in _EXT_FORMATS.items():
+            if source.endswith(ext):
+                fmt = f
+                break
+    if fmt is None:
+        import os
+
+        if os.path.isdir(source):
+            fmt = "parquet"  # directory datasets default to parquet
+        else:
+            return spark.table(source)
+    if fmt == "parquet":
+        return read_parquet(spark, source)
+    reader = spark.read
+    if fmt == "csv":
+        opts = {"header": "true", "inferSchema": "true"}
+        if source.endswith(".tsv"):
+            opts["sep"] = "\t"
+        opts.update(options)
+        return reader.options(**opts).csv(source)
+    opts = dict(options)
+    if fmt == "json":
+        return reader.options(**opts).json(source)
+    if fmt == "orc":
+        return reader.options(**opts).orc(source)
+    return reader.format(fmt).options(**opts).load(source)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     nanos = _nanos_columns(path)
     if nanos and spark.conf.get(_NANOS_CONF, "false") != "true":

@@ -67,8 +67,10 @@ class GraphSession:
         self.tables[name] = table
 
     def _load_path_or_view(self, name: str) -> DataFrame:
-        if os.path.exists(name) or name.endswith(".parquet"):
-            return self.spark.read.parquet(name)
+        from .io import read_source
+
+        if os.path.exists(name) or "." in os.path.basename(name):
+            return read_source(self.spark, name)
         return self.spark.table(name)
 
     def build_adj_index(

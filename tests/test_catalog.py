@@ -87,3 +87,41 @@ class TestDDLSession:
         out = s.execute("MATCH (c:City) RETURN c.name AS name")
         assert out.count() == 0
         assert out.columns == ["name"]
+
+
+class TestFileSources:
+    """Node/rel tables can bind to any Spark-native file source —
+    the reference binds only ClickHouse tables; we dispatch by
+    extension (parquet keeps nanos handling, CSV defaults to
+    header+inferSchema, JSON-lines as-is)."""
+
+    def test_cypher_over_csv_and_jsonl(self, spark, tmp_path):
+        from brahmand_spark.catalog import (
+            GraphSchema, NodeSchema, RelationshipSchema,
+        )
+        from brahmand_spark.session import GraphSession
+
+        people = tmp_path / "people.csv"
+        people.write_text("p_id,name\n1,ada\n2,bob\n3,cyd\n")
+        knows = tmp_path / "knows.jsonl"
+        knows.write_text(
+            '{"from_Person": 1, "to_Person": 2}\n'
+            '{"from_Person": 2, "to_Person": 3}\n'
+        )
+        schema = GraphSchema()
+        schema.add_node(NodeSchema(
+            label="Person", table_name=str(people), node_id="p_id",
+            column_names=["p_id", "name"], primary_keys=["p_id"],
+        ))
+        schema.add_relationship(RelationshipSchema(
+            type_name="KNOWS", table_name=str(knows),
+            from_node="Person", to_node="Person",
+            from_column="from_Person", to_column="to_Person",
+        ))
+        s = GraphSession(spark, schema=schema)
+        rows = s.execute(
+            "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+            "RETURN a.name AS src, b.name AS dst ORDER BY src"
+        ).collect()
+        assert [(r.src, r.dst) for r in rows] == [("ada", "bob"),
+                                                  ("bob", "cyd")]

@@ -253,3 +253,27 @@ class TestEndpointElision:
             """SELECT count(*) AS n,
                       count(DISTINCT l_orderkey) AS orders
                FROM lineitem"""))
+
+
+def test_adjacency_plus_elision_is_scan_and_explode_only(spark):
+    """Composed fast path: adjacency index + id-only endpoints = the
+    whole hop is one pre-grouped table scan + explode, no joins at
+    all (the shape a 1000-executor traversal wants)."""
+    from brahmand_spark.graphs.tpch import build_session
+
+    from .conftest import SF_SMOKE
+
+    s = build_session(spark, SF_SMOKE)
+    s.build_adj_index("PLACED")
+    df = s.execute("""
+        MATCH (c:Customer)-[:PLACED]->(o:Order)
+        WHERE c.c_custkey <= 100
+        RETURN c.c_custkey AS src, o.o_orderkey AS dst""")
+    plan = physical_plan(df)
+    assert "Generate explode" in plan
+    assert plan.count("Join") == 0
+    # NB: the persisted adjacency's InMemoryRelation lineage still
+    # PRINTS its build recipe (orders scan) — what matters is that no
+    # node table participates in execution: no joins, no customer scan.
+    assert "customer.parquet" not in plan
+    assert df.count() > 0

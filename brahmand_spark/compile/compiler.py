@@ -838,6 +838,33 @@ class QueryCompiler:
                 df = df.filter(F.col(pcol(a, key)) == ec.compile(expr))
         return df
 
+    def _adjacency_pairs(self, rel: RelEntity) -> Optional[DataFrame]:
+        """Oriented (src, dst) pairs from the grouped-adjacency tables,
+        or None when unavailable. Note collect_set DEDUPS parallel
+        edges, so this is only sound for reachability-style consumers
+        (shortest-path BFS dedups per level anyway); variable-length
+        walks keep the edge list because Cypher counts parallel edges
+        as distinct relationships."""
+        sch = rel.schema
+        if (self.load_adjacency is None or not sch.adj_index
+                or rel.properties or rel.orientation == "invalid"):
+            return None
+        outgoing = self.load_adjacency(f"{sch.type_name}_outgoing")
+        incoming = self.load_adjacency(f"{sch.type_name}_incoming")
+        if outgoing is None or incoming is None:
+            return None
+
+        def expanded(adj: DataFrame) -> DataFrame:
+            return adj.select(
+                "src", F.explode("neighbors").alias("dst")
+            )
+
+        if rel.orientation == "fwd":
+            return expanded(outgoing)
+        if rel.orientation == "rev":
+            return expanded(incoming)
+        return expanded(outgoing).union(expanded(incoming)).distinct()
+
     def _oriented_pairs(self, rel: RelEntity) -> DataFrame:
         """Oriented (src, dst) id pairs for one relationship schema —
         the traversal base for variable-length and shortest-path hops."""
@@ -886,7 +913,11 @@ class QueryCompiler:
             raise UnsupportedError(
                 "properties on shortestPath relationships"
             )
-        base = self._oriented_pairs(rel).persist()
+        # BFS is reachability: the deduped grouped-adjacency table is
+        # semantically identical and skips the per-level edge shuffle.
+        base = self._adjacency_pairs(rel)
+        base = (base if base is not None
+                else self._oriented_pairs(rel)).persist()
         frontier = base.select(
             F.col("src").alias("root"), F.col("dst").alias("node"),
             F.lit(1).alias("hops"),

@@ -277,3 +277,19 @@ def test_adjacency_plus_elision_is_scan_and_explode_only(spark):
     # node table participates in execution: no joins, no customer scan.
     assert "customer.parquet" not in plan
     assert df.count() > 0
+
+
+def test_shortest_path_uses_adjacency_when_available(spark, tpch):
+    from brahmand_spark.graphs.tpch import build_session
+
+    from .conftest import SF_SMOKE
+
+    q = """MATCH p = shortestPath((a:Customer)-[:NEXT_CUST*..3]->(b:Customer))
+           WHERE a.c_custkey <= 50
+           RETURN a.c_custkey AS src, b.c_custkey AS dst, length(p) AS dist"""
+    s = build_session(spark, SF_SMOKE)
+    s.build_adj_index("NEXT_CUST")
+    got = s.execute(q)
+    expected = tpch.execute(q)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0

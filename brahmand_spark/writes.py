@@ -73,9 +73,19 @@ def apply_write(session, wq: ast.WriteQuery, params=None) -> DataFrame:
 
 # ----------------------------------------------------------------------
 def _store(session, table_name: str, df: DataFrame) -> DataFrame:
-    """Snapshot the mutated table (see module docstring) and register."""
+    """Snapshot the mutated table (see module docstring) and register.
+
+    Invalidates any grouped-adjacency materialization of a mutated
+    relationship: the planner requires both direction tables to take
+    the indexed path, so dropping them falls every hop back to the
+    (fresh) edge list until the user re-runs ``build_adj_index`` (or
+    the streaming maintenance catches up)."""
     out = df.localCheckpoint(eager=True)
     session.tables[table_name] = out
+    for rel in session.schema.relationships.values():
+        if table_name in (rel.type_name, rel.table_name):
+            session.tables.pop(f"{rel.type_name}_outgoing", None)
+            session.tables.pop(f"{rel.type_name}_incoming", None)
     return out
 
 

@@ -246,3 +246,27 @@ class TestMerge:
             wsession.execute(
                 "MERGE (p:Person {id: 1})-[:LIVES_IN]->(c:City {id: 100})"
             )
+
+
+class TestWriteInvalidatesAdjacency:
+    def test_edge_write_drops_stale_index(self, spark):
+        """A write to an indexed relationship must invalidate the
+        grouped-adjacency tables — otherwise the planner would keep
+        answering from a stale materialization."""
+        from brahmand_spark.session import GraphSession
+
+        s = GraphSession(spark, allow_writes=True)
+        s.execute("CREATE NODE TABLE P (id Int64, NODE ID (id))")
+        s.execute("CREATE REL TABLE F FROM P TO P (ADJ INDEX(true))")
+        s.execute("CREATE (:P {id: 1}), (:P {id: 2}), (:P {id: 3})")
+        s.execute(
+            "MATCH (a:P {id: 1}) MATCH (b:P {id: 2}) CREATE (a)-[:F]->(b)")
+        s.build_adj_index("F")
+        q = "MATCH (a:P)-[:F]->(b:P) RETURN a.id AS src, b.id AS dst"
+        assert [(r.src, r.dst) for r in s.execute(q).collect()] == [(1, 2)]
+        # write a second edge: the indexed hop must see it immediately
+        s.execute(
+            "MATCH (a:P {id: 2}) MATCH (b:P {id: 3}) CREATE (a)-[:F]->(b)")
+        got = sorted((r.src, r.dst) for r in s.execute(q).collect())
+        assert got == [(1, 2), (2, 3)]
+        assert "F_outgoing" not in s.tables  # stale tables dropped

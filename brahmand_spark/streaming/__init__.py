@@ -1,3 +1,4 @@
+from .dedup_stream import dedup_stream
 from .stateful import running_user_stats, running_user_stats_batch
 from .windows import (
     read_event_stream, sessionize, sliding_counts, streaming_dedup,
@@ -7,4 +8,5 @@ from .windows import (
 __all__ = [
     "read_event_stream", "tumbling_agg", "sliding_counts", "sessionize",
     "streaming_dedup", "running_user_stats", "running_user_stats_batch",
+    "dedup_stream",
 ]

@@ -1,0 +1,107 @@
+"""Incremental near-duplicate filtering for a document STREAM — the
+arriving-corpus counterpart of ``ops/dedup.minhash_lsh_candidates``.
+
+A 100 TB training corpus is not deduplicated once: new crawls arrive
+continuously and each batch must be checked against everything already
+accepted. The batch LSH pipeline recomputes signatures over the whole
+corpus; this operator keeps a persistent (band, bucket) store instead
+and processes each micro-batch incrementally:
+
+1. compute MinHash band buckets for the batch's documents (the same
+   seeded arithmetic as the batch operator),
+2. anti-join against the seen-bands store -> documents sharing ANY
+   band bucket with an accepted document are dropped as near-dups,
+3. within-batch collisions resolve to the lowest id,
+4. append the survivors' bands to the store (bucket-partitioned
+   parquet, like the adjacency maintenance layout).
+
+Work per batch is proportional to batch size, not corpus size: the
+store join is an equi-join on the 8-byte band hash (shuffle keyed by a
+near-uniform hash -> skew-resistant), and the store only ever appends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..ops.dedup import minhash_signatures
+
+
+def _band_buckets(
+    docs: DataFrame, id_col: str, text_col: str,
+    n: int, num_hashes: int, bands: int, seed: int,
+) -> DataFrame:
+    """(id, band, bucket) rows — one per document band (same banding as
+    ops/dedup.minhash_lsh_candidates)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
+    return sigs.select(
+        F.col("id"),
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at("signature", b * rows + r + 1)
+                    for r in range(rows)
+                ]))
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+
+
+def dedup_stream(
+    docs_stream: DataFrame, store_path: str, checkpoint_dir: str,
+    accepted_path: str, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, num_hashes: int = 64, bands: int = 16, seed: int = 42,
+):
+    """Start the incremental near-dup filter on a document stream.
+
+    Accepted (novel) documents append to ``accepted_path``; their band
+    buckets append to ``store_path``. Returns the StreamingQuery
+    (caller awaits/stops). Batch semantics match running the batch LSH
+    candidates against (store ∪ batch) and keeping non-colliding docs.
+    """
+    spark = docs_stream.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select(id_col, text_col)
+        bb = _band_buckets(
+            batch, id_col, text_col, n, num_hashes, bands, seed
+        ).persist()
+        try:
+            # (a) collide vs the persistent store
+            try:
+                seen = spark.read.parquet(store_path).select("band", "bucket")
+                hits = bb.join(seen, ["band", "bucket"], "leftsemi") \
+                    .select("id").distinct()
+            except Exception:  # first batch: no store yet
+                hits = bb.select("id").filter(F.lit(False))
+            # (b) within-batch collisions: keep the lowest id per bucket
+            first = bb.groupBy("band", "bucket").agg(F.min("id").alias("keep"))
+            batch_dups = (
+                bb.join(first, ["band", "bucket"])
+                .filter(F.col("id") != F.col("keep"))
+                .select("id").distinct()
+            )
+            dropped = hits.union(batch_dups).distinct()
+            survivors = batch.join(
+                dropped.withColumnRenamed("id", id_col), [id_col],
+                "left_anti",
+            )
+            survivors.write.mode("append").parquet(accepted_path)
+            bb.join(
+                dropped, bb["id"] == dropped["id"], "left_anti"
+            ).select("id", "band", "bucket") \
+                .write.mode("append").parquet(store_path)
+        finally:
+            bb.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -247,3 +247,44 @@ class TestIncrementalAdjacency:
         )
         assert sorted(map(tuple, got.collect())) == \
             sorted(map(tuple, want.collect()))
+
+
+class TestStreamingNearDup:
+    def test_incremental_minhash_filter(self, spark, tmp_path):
+        """Two-phase run: batch 1 accepts two distinct docs; batch 2
+        arrives later with a near-copy of an accepted doc (dropped via
+        the persistent band store), a within-batch duplicate pair
+        (lowest id kept), and a novel doc (accepted)."""
+        from brahmand_spark.streaming import dedup_stream
+
+        base = ("the quick brown fox jumps over the lazy dog while "
+                "seven wizards brew strong potions at midnight")
+        other = ("completely unrelated text about compilers and "
+                 "distributed query engines running vectorized plans "
+                 "over columnar storage with adaptive execution")
+        novel = ("fresh document content mentioning telescopes and "
+                 "galaxies spinning through intergalactic dust clouds "
+                 "far beyond the local supercluster boundary")
+        src = str(tmp_path / "in")
+        store = str(tmp_path / "bands")
+        ckpt = str(tmp_path / "ckpt")
+        accepted = str(tmp_path / "accepted")
+
+        def run_batch(rows):
+            spark.createDataFrame(rows, "doc_id long, text string") \
+                .coalesce(1).write.mode("append").parquet(src)
+            stream = (
+                spark.readStream
+                .schema("doc_id long, text string").parquet(src)
+            )
+            q = dedup_stream(stream, store, ckpt, accepted)
+            q.awaitTermination(180)
+
+        run_batch([(1, base), (2, other)])
+        got1 = {r.doc_id for r in spark.read.parquet(accepted).collect()}
+        assert got1 == {1, 2}
+
+        near = base.replace("midnight", "sunrise")  # high-jaccard copy
+        run_batch([(3, near), (4, novel), (5, novel)])
+        got2 = {r.doc_id for r in spark.read.parquet(accepted).collect()}
+        assert got2 == {1, 2, 4}  # 3 collides with 1; 5 loses to 4

@@ -49,8 +49,18 @@ def compile_aggregate(name: str, args: list[Column], distinct: bool) -> Column:
         return F.count(args[0])
     if distinct and n == "sum":
         return F.sum_distinct(args[0])
+    if distinct and n == "avg":
+        # Spark has no avg_distinct builder; the ratio is exact.
+        return F.sum_distinct(args[0]) / F.count_distinct(args[0])
     if distinct and n in ("collect", "collect_list", "collect_set"):
         return F.collect_set(args[0])
+    if distinct and n not in ("min", "max"):  # min/max: DISTINCT is a no-op
+        from ..errors import UnsupportedError
+
+        raise UnsupportedError(
+            f"DISTINCT is not supported for aggregate '{name}' "
+            "(supported: count, sum, avg, min, max, collect)"
+        )
     builders = {
         "min": F.min, "max": F.max, "avg": F.avg, "sum": F.sum,
         "collect": F.collect_list, "collect_list": F.collect_list,

@@ -341,3 +341,30 @@ class TestSketchAggregates:
         rows = df.collect()
         assert len(rows) == 5
         assert all(r.richest is not None for r in rows)
+
+
+class TestDistinctAggregates:
+    def test_avg_distinct_exact(self, tpch, duck):
+        from .helpers import assert_same
+
+        assert_same(
+            tpch.execute("""
+                MATCH (c:Customer)-[:PLACED]->(o:Order)
+                RETURN c.c_mktsegment AS seg,
+                       round(avg(DISTINCT o.o_totalprice), 2) AS avg_d"""),
+            duck.sql("""
+                SELECT c_mktsegment AS seg,
+                       round(avg(DISTINCT o_totalprice), 2) AS avg_d
+                FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY 1"""),
+        )
+
+    def test_unsupported_distinct_rejected(self, tpch):
+        import pytest
+
+        from brahmand_spark.errors import UnsupportedError
+
+        with pytest.raises(UnsupportedError, match="DISTINCT"):
+            tpch.execute(
+                "MATCH (c:Customer) "
+                "RETURN stddev(DISTINCT c.c_acctbal) AS s").collect()

@@ -1380,7 +1380,12 @@ class QueryCompiler:
                     # count(*) was returned under an alias).
                     ec = ExprCompiler(in_scope, self.params)
                     c = ec.compile(e)
-                cols.append(c.asc() if ob.ascending else c.desc())
+                # NULLS LAST in both directions — ClickHouse's (and
+                # DuckDB's) default; Spark's asc() would put them first.
+                cols.append(
+                    c.asc_nulls_last() if ob.ascending
+                    else c.desc_nulls_last()
+                )
             df = df.orderBy(*cols)
         # ClickHouse `LIMIT skip, n` = offset-then-limit
         # (to_sql_query.rs:25-33 -> Spark offset+limit).

@@ -368,3 +368,32 @@ class TestDistinctAggregates:
             tpch.execute(
                 "MATCH (c:Customer) "
                 "RETURN stddev(DISTINCT c.c_acctbal) AS s").collect()
+
+
+def test_order_by_nulls_last_both_directions(spark):
+    """ClickHouse/DuckDB sort NULLs last in both directions; Spark's
+    default asc() would page them first, changing SKIP/LIMIT results."""
+    from brahmand_spark.catalog import GraphSchema, NodeSchema
+    from brahmand_spark.session import GraphSession
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, None), (5, 20.0)],
+        "n_id long, v double",
+    )
+    schema = GraphSchema()
+    schema.add_node(NodeSchema(
+        label="N", table_name="N", node_id="n_id",
+        column_names=["n_id", "v"], primary_keys=["n_id"],
+    ))
+    s = GraphSession(spark, schema=schema)
+    s.register_table("N", df)
+    asc = [r.v for r in s.execute(
+        "MATCH (a:N) RETURN a.v AS v ORDER BY v ASC").collect()]
+    assert asc == [10.0, 20.0, 30.0, None, None]
+    desc = [r.v for r in s.execute(
+        "MATCH (a:N) RETURN a.v AS v ORDER BY v DESC").collect()]
+    assert desc == [30.0, 20.0, 10.0, None, None]
+    # pagination over the null tail picks the same rows as the oracle
+    limited = [r.v for r in s.execute(
+        "MATCH (a:N) RETURN a.v AS v ORDER BY v ASC LIMIT 3").collect()]
+    assert limited == [10.0, 20.0, 30.0]

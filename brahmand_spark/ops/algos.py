@@ -186,3 +186,58 @@ def triangle_count(
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
     return per_vertex
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_iterations: int = 5, checkpoint: bool = True,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (the GraphX
+    LabelPropagation parity algorithm): every vertex starts in its own
+    community and repeatedly adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label — fully deterministic,
+    unlike the randomized classic. Returns (id, community).
+
+    Shape per superstep: one join (labels onto edges) + one two-key
+    count aggregate + one argmax via the struct-max trick — two
+    shuffles, lineage truncated per iteration. Note synchronous LPA can
+    oscillate on bipartite structures; ``max_iterations`` bounds it
+    (GraphX ships the same caveat)."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = _ckpt(und.distinct(), checkpoint)
+    labels = und.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("community")
+    )
+    labels = _ckpt(labels, checkpoint)
+    for _ in range(max_iterations):
+        votes = (
+            labels.join(und, labels["id"] == und["a"], "inner")
+            .groupBy(F.col("b").alias("id"), F.col("community"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # argmax by (count desc, label asc): struct-max on (n, -label)
+        best = (
+            votes.groupBy("id")
+            .agg(F.max(F.struct(
+                F.col("n"), (-F.col("community")).alias("neg"),
+            )).alias("top"))
+            .select("id", (-F.col("top.neg")).alias("new_community"))
+        )
+        new_labels = (
+            labels.join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce("new_community", "community").alias("community"),
+            )
+        )
+        new_labels = _ckpt(new_labels, checkpoint)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.community") != F.col("o.community"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels

@@ -118,3 +118,34 @@ class TestTriangles:
             for r in triangle_count(edges_df(spark, pairs)).collect()
         }
         assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        """Two 4-cliques joined by one bridge edge: LPA must assign one
+        community per clique (labels converge to each clique's min id)."""
+        import itertools
+
+        from brahmand_spark.ops.algos import label_propagation
+
+        c1, c2 = [0, 1, 2, 3], [10, 11, 12, 13]
+        edges = (list(itertools.combinations(c1, 2))
+                 + list(itertools.combinations(c2, 2))
+                 + [(3, 10)])
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r.id: r.community
+               for r in label_propagation(df, max_iterations=8).collect()}
+        assert len({out[v] for v in c1}) == 1
+        assert len({out[v] for v in c2}) == 1
+        assert out[0] != out[10]
+
+    def test_single_clique_converges_to_one(self, spark):
+        import itertools
+
+        from brahmand_spark.ops.algos import label_propagation
+
+        df = spark.createDataFrame(
+            list(itertools.combinations(range(5), 2)), "src long, dst long")
+        out = {r.community
+               for r in label_propagation(df, max_iterations=8).collect()}
+        assert len(out) == 1

@@ -1,0 +1,88 @@
+"""End-to-end corpus curation: the composition the individual operators
+exist for — what a 100 TB training-data preparation job actually runs.
+
+Stages (each a pure DataFrame transform; nothing collects rows):
+
+1. language filter      (ops/text.lang_id — narrow, no shuffle)
+2. quality filter       (ops/text.quality_score — narrow)
+3. exact dedup          (ops/dedup.dedup_exact — one hash shuffle)
+4. near-dup removal     (minhash LSH candidates -> connected components
+                         over the candidate graph -> keep each
+                         cluster's min id; the CC step makes removal
+                         transitive, so A~B~C drops B and C even when
+                         A~C was never a candidate pair)
+5. deterministic split  (ops/sampling.deterministic_split)
+
+The near-dup candidate graph is tiny relative to the corpus (only
+colliding pairs), so the iterative CC runs on a skeleton — the standard
+industrial recipe. ``report`` triggers one count per stage boundary;
+skip it in production and observe counts from the sink instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .algos import connected_components
+from .dedup import dedup_exact, minhash_lsh_candidates
+from .sampling import deterministic_split
+from .text import lang_id, quality_score
+
+
+def near_dup_canonical_ids(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    est_threshold: float = 0.7, **lsh_kwargs,
+) -> DataFrame:
+    """Ids to DROP: for every near-duplicate cluster (connected
+    component of the LSH candidate graph at ``est_threshold``), every
+    member except the smallest id."""
+    pairs = minhash_lsh_candidates(
+        docs, id_col, text_col, **lsh_kwargs
+    ).filter(F.col("est_jaccard") >= est_threshold)
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
+    return (
+        comps.join(keep, "component")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select(F.col("id").alias(id_col))
+    )
+
+
+def curate(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    languages: tuple[str, ...] = ("en",), min_quality: float = 0.3,
+    est_threshold: float = 0.7,
+    splits: dict[str, float] | None = None,
+    report: bool = False, seed: int = 42,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run the full curation pipeline; returns (curated DataFrame with
+    a ``split`` column, stage-count report — empty unless ``report``)."""
+    counts: dict[str, int] = {}
+
+    def note(stage: str, df: DataFrame) -> DataFrame:
+        if report:
+            counts[stage] = df.count()
+        return df
+
+    note("input", docs)
+    lang = lang_id(docs, text_col, id_col).filter(
+        F.col("pred_lang").isin(list(languages))
+    ).select(id_col)
+    out = note("language", docs.join(lang, id_col, "leftsemi"))
+    qual = quality_score(out, text_col, id_col).filter(
+        F.col("quality") >= min_quality
+    ).select(id_col)
+    out = note("quality", out.join(qual, id_col, "leftsemi"))
+    out = note("exact_dedup", dedup_exact(out, [text_col], id_col))
+    drops = near_dup_canonical_ids(
+        out, id_col, text_col, est_threshold
+    )
+    out = note("near_dedup", out.join(drops, id_col, "left_anti"))
+    out = deterministic_split(
+        out, splits or {"train": 0.98, "val": 0.01, "test": 0.01},
+        id_col, seed,
+    )
+    return out, counts

@@ -1,0 +1,55 @@
+"""Corpus-curation pipeline composition tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+class TestCuratePipeline:
+    def test_stages_filter_monotonically(self, spark):
+        from brahmand_spark.ops.pipeline import curate
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        out, counts = curate(
+            docs, languages=("en", "de", "es", "fr"), min_quality=0.1,
+            report=True,
+        )
+        order = ["input", "language", "quality", "exact_dedup",
+                 "near_dedup"]
+        vals = [counts[s] for s in order]
+        assert vals == sorted(vals, reverse=True)
+        assert counts["near_dedup"] > 0
+        # every surviving row has a split assignment
+        assert out.filter(F.col("split").isNull()).count() == 0
+        assert out.count() == counts["near_dedup"]
+
+    def test_near_dup_removal_is_transitive(self, spark):
+        """A~B and B~C candidates but never A~C: the component step must
+        still drop both B and C."""
+        from brahmand_spark.ops.pipeline import near_dup_canonical_ids
+
+        base = ("one two three four five six seven eight nine ten "
+                "eleven twelve thirteen fourteen fifteen sixteen")
+        b = base.replace("five", "5")
+        c = b.replace("fifteen", "15")
+        far = ("totally different words about spark catalyst optimizer "
+               "plans and arrow columnar batches everywhere always")
+        docs = spark.createDataFrame(
+            [(1, base), (2, b), (3, c), (4, far)],
+            "doc_id long, text string",
+        )
+        drops = {r.doc_id for r in near_dup_canonical_ids(
+            docs, est_threshold=0.5).collect()}
+        assert drops == {2, 3}
+
+    def test_deterministic_across_runs(self, spark):
+        from brahmand_spark.ops.pipeline import curate
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        a, _ = curate(docs, languages=("en",), min_quality=0.1)
+        b, _ = curate(docs.repartition(13), languages=("en",),
+                      min_quality=0.1)
+        assert a.select("doc_id", "split").exceptAll(
+            b.select("doc_id", "split")).count() == 0

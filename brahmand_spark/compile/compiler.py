@@ -757,6 +757,196 @@ class QueryCompiler:
         ))
         return df
 
+    def _fusion_endpoint(
+        self, rel: RelEntity, pattern: Pattern,
+        find_component,
+    ) -> Optional[tuple[str, str]]:
+        """FK-edge fusion eligibility: when the relationship's backing
+        table IS one endpoint's node table (derived-FK graphs — the
+        edge "table" is just (fk, id) projected from the node table),
+        the hop needs no separate edge scan: the endpoint's node scan
+        carries the FK column. Returns (fused pattern alias, fk column
+        in that node table) or None.
+
+        The fused endpoint must be a plain fresh binding: not already
+        in a component (a second scan would duplicate its prefixed
+        columns), not prebound; the rel must be a plain single-type,
+        single-hop, directed hop whose alias is never referenced as a
+        bare variable (bare rel refs expand all rel columns)."""
+        sch = rel.schema
+        if (rel.alt_resolved or rel.alt_types or rel.max_hops > 1
+                or rel.shortest
+                or rel.orientation not in ("fwd", "rev")
+                or rel.alias in self._bare_refs
+                or "*" in self._bare_refs):
+            return None
+        to_node = self.catalog.node(sch.to_node)
+        from_node = self.catalog.node(sch.from_node)
+        # pattern-side aliases under this orientation
+        to_alias = rel.dst if rel.orientation == "fwd" else rel.src
+        from_alias = rel.src if rel.orientation == "fwd" else rel.dst
+
+        def fresh(alias: str) -> bool:
+            node = pattern.nodes[alias]
+            return find_component(alias) is None and not node.prebound
+
+        # to-flavor: edge table == to-node table, to_column == its id
+        if (sch.table_name == to_node.table_name
+                and sch.to_column == to_node.node_id
+                and fresh(to_alias)):
+            return to_alias, sch.from_column
+        # from-flavor: edge table == from-node table, from_column == id
+        if (sch.table_name == from_node.table_name
+                and sch.from_column == from_node.node_id
+                and fresh(from_alias)):
+            return from_alias, sch.to_column
+        return None
+
+    def _fused_edge_df(
+        self, rel: RelEntity, pattern: Pattern, scope: Scope,
+        fused_alias: str, fk_col: str,
+    ) -> DataFrame:
+        """Build the hop's "edge" as the fused endpoint's node scan:
+        the node columns come along (binding the endpoint), and the
+        oriented edge id columns are derived — from_id/to_id point at
+        the FK column and the node id according to which endpoint fused
+        and the hop orientation. Rel-property access resolves to the
+        node's own columns (they are the same physical columns)."""
+        node = pattern.nodes[fused_alias]
+        df = self._scan_node(node, scope)
+        a = rel.alias
+        nb = scope.get(fused_alias)
+        fk = F.col(pcol(fused_alias, fk_col))
+        own_id = F.col(nb.id_pcol)
+        # orientation decides which pattern side this endpoint is
+        fused_is_dst = fused_alias == rel.dst
+        src_col = own_id if not fused_is_dst else fk
+        dst_col = own_id if fused_is_dst else fk
+        # fused src: its id is from_id and the FK is to_id (from-flavor
+        # fwd) — and mirrored for every other combination; both reduce
+        # to: the fused side exposes its own id, the other side the FK.
+        df = df.withColumn(pcol(a, "from_id"), src_col)
+        df = df.withColumn(pcol(a, "to_id"), dst_col)
+        prop_cols = [
+            c for c in rel.schema.column_names
+            if c in self._prop_refs.get(a, set())
+        ]
+        for c in prop_cols:
+            df = df.withColumn(pcol(a, c), F.col(pcol(fused_alias, c)))
+        # only the materialized (accessed) props are advertised — the
+        # fused path never copies the rest (bare rel refs disable it)
+        scope.bind(RelBinding(
+            alias=a, type_name=rel.schema.type_name,
+            columns=prop_cols,
+            src_pcol=pcol(a, "from_id"), dst_pcol=pcol(a, "to_id"),
+        ))
+        if rel.properties:
+            ec = ExprCompiler(scope, self.params)
+            for key, expr in rel.properties.items():
+                df = df.filter(
+                    F.col(pcol(fused_alias, key)) == ec.compile(expr)
+                )
+        return df
+
+    def _virtual_edge(
+        self, rel: RelEntity, pattern: Pattern, find_component, scope: Scope,
+    ) -> Optional[tuple[str, str, str]]:
+        """The second FK-fusion flavor: the relationship's backing node
+        is ALREADY bound in a component, so its scan carries the FK
+        column and the hop needs no edge scan at all — just one join
+        (or a filter, for cycles) against the other endpoint. Returns
+        (bound backing alias, other endpoint alias, fk column) or
+        None."""
+        sch = rel.schema
+        if (rel.alt_resolved or rel.alt_types or rel.max_hops > 1
+                or rel.shortest
+                or rel.orientation not in ("fwd", "rev")
+                or rel.alias in self._bare_refs
+                or "*" in self._bare_refs):
+            return None
+        to_alias = rel.dst if rel.orientation == "fwd" else rel.src
+        from_alias = rel.src if rel.orientation == "fwd" else rel.dst
+        to_node = self.catalog.node(sch.to_node)
+        from_node = self.catalog.node(sch.from_node)
+
+        def bound_with(alias: str, label: str, fk: str) -> bool:
+            if find_component(alias) is None:
+                return False
+            b = scope.get(alias)
+            return (isinstance(b, NodeBinding) and b.label == label
+                    and fk in b.columns)
+
+        # from-flavor backing, from-endpoint bound -> FK to the to-side
+        if (sch.table_name == from_node.table_name
+                and sch.from_column == from_node.node_id
+                and bound_with(from_alias, sch.from_node, sch.to_column)):
+            return from_alias, to_alias, sch.to_column
+        # to-flavor backing, to-endpoint bound -> FK to the from-side
+        if (sch.table_name == to_node.table_name
+                and sch.to_column == to_node.node_id
+                and bound_with(to_alias, sch.to_node, sch.from_column)):
+            return to_alias, from_alias, sch.from_column
+        return None
+
+    def _apply_virtual_hop(
+        self, rel: RelEntity, pattern: Pattern, components, scope,
+        find_component, backing_alias: str, other_alias: str, fk: str,
+    ) -> None:
+        """Execute a hop whose edge is virtual (see _virtual_edge)."""
+        a = rel.alias
+        ci = find_component(backing_alias)
+        df, bound = components[ci]
+        bb = scope.get(backing_alias)
+        fk_col = F.col(pcol(backing_alias, fk))
+        own_id = F.col(bb.id_pcol)
+        backing_is_src = backing_alias == rel.src
+        df = df.withColumn(
+            pcol(a, "from_id"), own_id if backing_is_src else fk_col
+        ).withColumn(
+            pcol(a, "to_id"), fk_col if backing_is_src else own_id
+        )
+        v_prop_cols = [
+            c for c in rel.schema.column_names
+            if c in self._prop_refs.get(a, set())
+        ]
+        for c in v_prop_cols:
+            df = df.withColumn(pcol(a, c), F.col(pcol(backing_alias, c)))
+        scope.bind(RelBinding(
+            alias=a, type_name=rel.schema.type_name,
+            columns=v_prop_cols,
+            src_pcol=pcol(a, "from_id"), dst_pcol=pcol(a, "to_id"),
+        ))
+        if rel.properties:
+            ec = ExprCompiler(scope, self.params)
+            for key, expr in rel.properties.items():
+                df = df.filter(
+                    F.col(pcol(backing_alias, key)) == ec.compile(expr)
+                )
+        other_node = pattern.nodes[other_alias]
+        oi = find_component(other_alias)
+        if oi == ci:  # cycle: both endpoints already here -> filter
+            df = df.filter(fk_col == F.col(scope.get(other_alias).id_pcol))
+            bound.add(a)
+            components[ci] = (df, bound)
+        elif oi is not None:
+            odf, obound = components[oi]
+            oid = F.col(scope.get(other_alias).id_pcol)
+            df = df.join(odf, fk_col == oid, "inner")
+            merged = bound | obound | {a}
+            for idx in sorted((ci, oi), reverse=True):
+                components.pop(idx)
+            components.append((df, merged))
+        elif self._elidable(other_node):
+            df = self._bind_endpoint(df, other_node, fk_col, scope)
+            bound |= {a, other_alias}
+            components[ci] = (df, bound)
+        else:
+            other_df = self._scan_node(other_node, scope)
+            oid = F.col(scope.get(other_alias).id_pcol)
+            df = df.join(other_df, fk_col == oid, "inner")
+            bound |= {a, other_alias}
+            components[ci] = (df, bound)
+
     def _edge_df(self, rel: RelEntity, scope: Scope) -> DataFrame:
         """Oriented edge DataFrame with columns
         ``{alias}__from_id`` (matches rel.src), ``{alias}__to_id``
@@ -766,9 +956,13 @@ class QueryCompiler:
             return adj
         sch = rel.schema
         raw = self.load_table(sch.type_name)
+        # honor the declared rel-property surface: a node-table-backed
+        # relationship (FK fusion declaration) must not leak every node
+        # column as a rel property on the non-fused path
         prop_cols = [
-            c for c in raw.columns
+            c for c in (sch.column_names or raw.columns)
             if c not in (sch.from_column, sch.to_column)
+            and c in raw.columns
         ]
         a = rel.alias
         src_name, dst_name = pcol(a, "from_id"), pcol(a, "to_id")
@@ -1153,6 +1347,7 @@ class QueryCompiler:
         return df.withColumn(pcol(node.alias, sch.node_id), endpoint_col)
 
     def _apply_hop(self, rel, pattern: Pattern, components, scope, find_component):
+        fused: Optional[str] = None
         if rel.shortest and rel.max_hops > 1:
             edge = self._shortest_path_df(rel)
         elif rel.max_hops > 1:
@@ -1161,7 +1356,26 @@ class QueryCompiler:
             # var-length rel alias binds to a path list in Cypher, which we
             # don't support — leave it unbound (referencing it errors).
         else:
-            edge = self._edge_df(rel, scope)
+            # physical hop strategy: indexed adjacency > virtual FK
+            # edge (backing node already bound) > FK-edge fusion
+            # (backing node fresh) > plain edge-list join
+            edge = self._adjacency_edge_df(rel, scope)
+            if edge is None:
+                virt = self._virtual_edge(rel, pattern, find_component, scope)
+                if virt is not None:
+                    self._apply_virtual_hop(
+                        rel, pattern, components, scope, find_component,
+                        *virt,
+                    )
+                    return
+                fusion = self._fusion_endpoint(rel, pattern, find_component)
+                if fusion is not None:
+                    fused, fk_col = fusion
+                    edge = self._fused_edge_df(
+                        rel, pattern, scope, fused, fk_col
+                    )
+                else:
+                    edge = self._edge_df(rel, scope)
         src_key = F.col(pcol(rel.alias, "from_id"))
         dst_key = F.col(pcol(rel.alias, "to_id"))
 
@@ -1193,7 +1407,9 @@ class QueryCompiler:
             df, bound = components[li]
             lid = F.col(scope.get(rel.src).id_pcol)
             dst_node = pattern.nodes[rel.dst]
-            if self._elidable(dst_node):
+            if fused == rel.dst:  # dst rides inside the fused edge scan
+                df = df.join(edge, src_key == lid, "inner")
+            elif self._elidable(dst_node):
                 df = self._bind_endpoint(
                     df.join(edge, src_key == lid, "inner"),
                     dst_node, dst_key, scope,
@@ -1209,7 +1425,9 @@ class QueryCompiler:
             df, bound = components[ri]
             rid = F.col(scope.get(rel.dst).id_pcol)
             src_node = pattern.nodes[rel.src]
-            if self._elidable(src_node):
+            if fused == rel.src:  # src rides inside the fused edge scan
+                df = df.join(edge, dst_key == rid, "inner")
+            elif self._elidable(src_node):
                 df = self._bind_endpoint(
                     df.join(edge, dst_key == rid, "inner"),
                     src_node, src_key, scope,
@@ -1224,13 +1442,17 @@ class QueryCompiler:
         else:
             src_node = pattern.nodes[rel.src]
             dst_node = pattern.nodes[rel.dst]
-            if self._elidable(src_node):
+            if fused == rel.src:
+                df = edge  # src rides inside the fused edge scan
+            elif self._elidable(src_node):
                 df = self._bind_endpoint(edge, src_node, src_key, scope)
             else:
                 ldf = self._scan_node(src_node, scope)
                 lid = F.col(scope.get(rel.src).id_pcol)
                 df = ldf.join(edge, src_key == lid, "inner")
-            if self._elidable(dst_node):
+            if fused == rel.dst:
+                pass  # dst already inside the fused edge scan
+            elif self._elidable(dst_node):
                 df = self._bind_endpoint(df, dst_node, dst_key, scope)
             else:
                 right = self._scan_node(dst_node, scope)

@@ -101,7 +101,27 @@ def build_session(spark: SparkSession, sf_dir: str) -> GraphSession:
 
     li = dfs["Lineitem"]
 
-    def edge(name, from_label, to_label, df):
+    def edge(name, from_label, to_label, df, backing=None):
+        """Declare a relationship. With ``backing=(node_label,
+        from_col, to_col)`` the schema points at the NODE table that
+        physically holds both endpoint columns (the FK) — the compiler
+        then fuses eligible hops into a single join instead of
+        edge-scan + node-scan + two joins. The derived (from_X, to_X)
+        DataFrame is still registered under the rel name for direct
+        ops/API use."""
+        if backing is not None:
+            node_label, from_col, to_col = backing
+            prop_cols = [
+                c for c in df.columns
+                if c not in (f"from_{from_label}", f"to_{to_label}")
+            ]
+            schema.add_relationship(RelationshipSchema(
+                type_name=name, table_name=node_label,
+                from_node=from_label, to_node=to_label,
+                from_column=from_col, to_column=to_col,
+                column_names=prop_cols,
+            ))
+            return name, df
         from_col = f"from_{from_label}"
         to_col = f"to_{to_label}"
         prop_cols = [c for c in df.columns if c not in (from_col, to_col)]
@@ -114,36 +134,39 @@ def build_session(spark: SparkSession, sf_dir: str) -> GraphSession:
         return name, df
 
     edges = dict([
+        # FK-backed rels declare their backing node table so the
+        # compiler fuses hops into single joins (the edge "table" is a
+        # projection of the node table itself).
         edge("IN_REGION", "Nation", "Region", dfs["Nation"].select(
             F.col("n_nationkey").cast("bigint").alias("from_Nation"),
             F.col("n_regionkey").cast("bigint").alias("to_Region"),
-        )),
+        ), backing=("Nation", "n_nationkey", "n_regionkey")),
         edge("CUST_IN", "Customer", "Nation", dfs["Customer"].select(
             F.col("c_custkey").alias("from_Customer"),
             F.col("c_nationkey").cast("bigint").alias("to_Nation"),
-        )),
+        ), backing=("Customer", "c_custkey", "c_nationkey")),
         edge("SUPP_IN", "Supplier", "Nation", dfs["Supplier"].select(
             F.col("s_suppkey").alias("from_Supplier"),
             F.col("s_nationkey").cast("bigint").alias("to_Nation"),
-        )),
+        ), backing=("Supplier", "s_suppkey", "s_nationkey")),
         edge("PLACED", "Customer", "Order", dfs["Order"].select(
             F.col("o_custkey").alias("from_Customer"),
             F.col("o_orderkey").alias("to_Order"),
-        )),
+        ), backing=("Order", "o_custkey", "o_orderkey")),
         edge("HAS_LINE", "Order", "Lineitem", li.select(
             F.col("l_orderkey").alias("from_Order"),
             F.col("li_id").alias("to_Lineitem"),
             F.col("l_linenumber"),
-        )),
+        ), backing=("Lineitem", "l_orderkey", "li_id")),
         edge("OF_PART", "Lineitem", "Part", li.select(
             F.col("li_id").alias("from_Lineitem"),
             F.col("l_partkey").alias("to_Part"),
             F.col("l_quantity"), F.col("l_extendedprice"),
-        )),
+        ), backing=("Lineitem", "li_id", "l_partkey")),
         edge("SUPPLIED_BY", "Lineitem", "Supplier", li.select(
             F.col("li_id").alias("from_Lineitem"),
             F.col("l_suppkey").alias("to_Supplier"),
-        )),
+        ), backing=("Lineitem", "li_id", "l_suppkey")),
         # Self-relationship (Customer -> next Customer by key) so
         # same-label features — either-direction UNION DISTINCT and
         # variable-length paths — have a real exercise surface.

@@ -1584,12 +1584,13 @@ class QueryCompiler:
             for ob in order_by:
                 e = ob.expr
                 if repr(e) in by_expr:
-                    c = F.col(by_expr[repr(e)])
+                    c = F.col(f"`{by_expr[repr(e)]}`")
                 elif isinstance(e, ast.Variable) and e.name in out_names:
                     c = F.col(e.name)
                 elif isinstance(e, ast.PropertyAccess) and \
                         f"{e.alias}.{e.key}" in out_names:
-                    c = F.col(f"{e.alias}.{e.key}")
+                    # backticks: the output name contains a literal dot
+                    c = F.col(f"`{e.alias}.{e.key}`")
                 else:
                     if output_only:
                         raise PlanError(

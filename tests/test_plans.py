@@ -293,3 +293,55 @@ def test_shortest_path_uses_adjacency_when_available(spark, tpch):
     expected = tpch.execute(q)
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+class TestFkFusion:
+    """Node-table-backed relationships compile to single joins (edge
+    'tables' that are FK projections of a node table never scan
+    separately)."""
+
+    def _scans_joins(self, df):
+        import re
+
+        p = physical_plan(df)
+        return len(re.findall(r"FileScan parquet", p)), p.count("Join")
+
+    def test_three_hop_chain_is_relational_join_tree(self, tpch):
+        df = tpch.execute("""
+            MATCH (c:Customer)-[:PLACED]->(o:Order)-[:HAS_LINE]->(l:Lineitem)-[:OF_PART]->(p:Part)
+            WHERE p.p_size > 40 AND o.o_orderstatus = 'O'
+            RETURN c.c_name AS name, p.p_name AS part, l.l_quantity AS qty""")
+        scans, joins = self._scans_joins(df)
+        assert (scans, joins) == (4, 3)  # customer⋈orders⋈lineitem⋈part
+
+    def test_rel_property_hop_single_scan(self, tpch):
+        df = tpch.execute("""
+            MATCH (o:Order)-[h:HAS_LINE]->(l:Lineitem)
+            WHERE h.l_linenumber = 1 AND l.l_quantity > 45
+            RETURN o.o_orderkey AS okey, l.l_extendedprice AS price""")
+        scans, joins = self._scans_joins(df)
+        assert (scans, joins) == (1, 0)  # lineitem only; o elided
+
+    def test_bare_rel_reference_disables_fusion(self, tpch, duck):
+        from .helpers import assert_same
+
+        # RETURN h expands all rel property columns -> edge-list path
+        df = tpch.execute("""
+            MATCH (o:Order)-[h:HAS_LINE]->(l:Lineitem)
+            WHERE l.l_quantity > 49 RETURN h ORDER BY h.l_linenumber""")
+        assert_same(df, duck.sql("""
+            SELECT l_linenumber AS "h.l_linenumber" FROM lineitem
+            WHERE l_quantity > 49 ORDER BY 1"""))
+
+    def test_ddl_rels_keep_edge_list(self, spark):
+        from brahmand_spark.session import GraphSession
+
+        s = GraphSession(spark, allow_writes=True)
+        s.execute("CREATE NODE TABLE V (id Int64, NODE ID (id))")
+        s.execute("CREATE REL TABLE E FROM V TO V ()")
+        s.execute("CREATE (:V {id: 1}), (:V {id: 2})")
+        s.execute("MATCH (a:V {id: 1}) MATCH (b:V {id: 2}) "
+                  "CREATE (a)-[:E]->(b)")
+        rows = s.execute(
+            "MATCH (a:V)-[:E]->(b:V) RETURN a.id AS s, b.id AS d").collect()
+        assert [(r.s, r.d) for r in rows] == [(1, 2)]

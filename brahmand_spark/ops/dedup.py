@@ -558,9 +558,12 @@ def simhash_near_pairs(
     sh = simhash(
         df, id_col, text_col, n_chunks=max_hamming + 1, hash_fn=hash_fn
     ).persist()
+    # The pair join shuffles ids only — fingerprints are joined back
+    # onto the deduped candidate set afterwards instead of riding
+    # through the chunk-bucket shuffle on both sides (same shape as
+    # minhash_lsh_candidates).
     banded = sh.select(
-        "id", "simhash",
-        F.posexplode("simhash").alias("chunk_pos", "chunk_val"),
+        "id", F.posexplode("simhash").alias("chunk_pos", "chunk_val"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -568,11 +571,12 @@ def simhash_near_pairs(
         a.join(b, (F.col("a.chunk_pos") == F.col("b.chunk_pos"))
                & (F.col("a.chunk_val") == F.col("b.chunk_val"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(sh.select(F.col("id").alias("id_a"),
+                        F.col("simhash").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"),
+                        F.col("simhash").alias("sh_b")), "id_b")
     )
     ham = F.aggregate(
         F.zip_with("sh_a", "sh_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),

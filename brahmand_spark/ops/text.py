@@ -119,6 +119,39 @@ def lang_id(df: DataFrame, text_col: str = "text",
     )
 
 
+# (pattern, replacement) chain for PII scrubbing — deliberately simple,
+# deterministic regexes (emails, phone-ish number runs, IPv4, SSN-like)
+# so the transform is reproducible and expressible in any engine's
+# regexp_replace. Order matters: emails before phone-ish digit runs.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               out_col: str = "text_redacted") -> DataFrame:
+    """Scrub common PII shapes with a fixed regexp_replace chain — a
+    narrow JVM projection (no shuffle, no UDFs) that runs at scan speed.
+    Emits the redacted text plus a per-document replacement count (the
+    audit signal a curation pipeline thresholds on)."""
+    # count each pattern against the progressively-redacted text so an
+    # overlapping shape (an IPv4 is also phone-ish) counts once, under
+    # the pattern that actually redacted it
+    redacted = F.col(text_col)
+    n_hits = F.lit(0)
+    for pat, rep in PII_PATTERNS:
+        n_hits = n_hits + F.regexp_count(redacted, F.lit(pat))
+        redacted = F.regexp_replace(redacted, pat, rep)
+    return df.select(
+        F.col(id_col), redacted.alias(out_col),
+        n_hits.alias("n_pii_hits"),
+    )
+
+
 FP_MOD = 1_000_000_007
 FP_BASE = 31
 

@@ -379,3 +379,40 @@ class TestMultimodalRealDecode:
         assert abs(rows[1].mean_luma - 0.5) < 1e-6
         assert abs(sum(rows[1].feature) - 1.0) < 1e-6
         assert rows[2].width is None  # corrupt payload -> NULLs
+
+
+class TestPiiRedaction:
+    def test_shapes_scrubbed_and_counted(self, spark):
+        from brahmand_spark.ops.text import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail bob.smith+x@corp.example.org or call +1 (415) 555-0199 now"),
+             (2, "server at 10.0.42.7 leaked ssn 123-45-6789"),
+             (3, "perfectly clean text with number 42")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in redact_pii(df).collect()}
+        assert "<EMAIL>" in rows[1].text_redacted
+        assert "<PHONE>" in rows[1].text_redacted
+        assert "@" not in rows[1].text_redacted
+        assert rows[2].text_redacted == "server at <IP> leaked ssn <SSN>"
+        assert rows[3].text_redacted == "perfectly clean text with number 42"
+        assert rows[3].n_pii_hits == 0
+        assert rows[1].n_pii_hits >= 2 and rows[2].n_pii_hits == 2
+
+    def test_engine_parity_with_duckdb(self, spark, duck):
+        """The same regex chain replayed in DuckDB must match — the
+        patterns avoid engine-specific syntax on purpose."""
+        from brahmand_spark.ops.text import PII_PATTERNS, redact_pii
+
+        from .helpers import assert_same
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        got = redact_pii(docs).select("doc_id", "text_redacted")
+        inner = "text"
+        for pat, rep in PII_PATTERNS:
+            pat_sql = pat.replace("'", "''")
+            inner = f"regexp_replace({inner}, '{pat_sql}', '{rep}', 'g')"
+        assert_same(got, duck.sql(
+            f"SELECT doc_id, {inner} AS text_redacted FROM documents"))

@@ -56,10 +56,16 @@ def curate(
     languages: tuple[str, ...] = ("en",), min_quality: float = 0.3,
     est_threshold: float = 0.7,
     splits: dict[str, float] | None = None,
+    redact: bool = False, max_pii_hits: int | None = None,
     report: bool = False, seed: int = 42,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation pipeline; returns (curated DataFrame with
-    a ``split`` column, stage-count report — empty unless ``report``)."""
+    a ``split`` column, stage-count report — empty unless ``report``).
+
+    With ``redact=True`` the surviving text is PII-scrubbed (the text
+    column is REPLACED by the redacted version) and documents with more
+    than ``max_pii_hits`` replacements are dropped entirely (None keeps
+    all)."""
     counts: dict[str, int] = {}
 
     def note(stage: str, df: DataFrame) -> DataFrame:
@@ -81,6 +87,18 @@ def curate(
         out, id_col, text_col, est_threshold
     )
     out = note("near_dedup", out.join(drops, id_col, "left_anti"))
+    if redact:
+        from .text import redact_pii
+
+        red = redact_pii(out, text_col, id_col)
+        if max_pii_hits is not None:
+            red = red.filter(F.col("n_pii_hits") <= max_pii_hits)
+        out = note("pii", out.drop(text_col).join(
+            red.select(
+                id_col, F.col("text_redacted").alias(text_col)
+            ),
+            id_col,
+        ))
     out = deterministic_split(
         out, splits or {"train": 0.98, "val": 0.01, "test": 0.01},
         id_col, seed,

@@ -53,3 +53,22 @@ class TestCuratePipeline:
                       min_quality=0.1)
         assert a.select("doc_id", "split").exceptAll(
             b.select("doc_id", "split")).count() == 0
+
+
+def test_curate_with_redaction(spark):
+    from brahmand_spark.ops.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog met a@b.io for tea "
+             "and it is a fine long document with many common words"),
+         (2, "the slow green frog is in the pond and it is also a fine "
+             "long document with many stopwords in it for the filter")],
+        "doc_id long, text string",
+    )
+    out, counts = curate(
+        docs, languages=("en",), min_quality=0.0, redact=True,
+        report=True,
+    )
+    rows = {r.doc_id: r.text for r in out.collect()}
+    assert "<EMAIL>" in rows[1] and "@" not in rows[1]
+    assert counts["pii"] == 2

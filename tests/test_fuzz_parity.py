@@ -1,0 +1,112 @@
+"""Deterministic fuzz parity: random query specs rendered to BOTH
+Cypher (this engine) and SQL (DuckDB) from one source of truth, so any
+divergence is an engine-semantics bug, not a test artifact. Seeded —
+failures reproduce exactly; bump N_QUERIES locally for deeper sweeps.
+"""
+
+from __future__ import annotations
+
+import random
+
+from .helpers import assert_same
+
+NUM_COLS = ["c_acctbal", "c_custkey", "c_nationkey"]
+STR_COLS = ["c_name", "c_mktsegment"]
+SEGMENTS = ["BUILDING", "MACHINERY", "HOUSEHOLD", "AUTOMOBILE", "FURNITURE"]
+
+N_QUERIES = 40
+
+
+def _predicate(rnd: random.Random) -> tuple[str, str]:
+    """One comparison predicate as (cypher, sql)."""
+    kind = rnd.randrange(5)
+    if kind == 0:
+        col = rnd.choice(NUM_COLS)
+        op = rnd.choice(["<", "<=", ">", ">=", "=", "<>"])
+        val = rnd.choice([0, 100, 1000, 4999.5, 9000])
+        return f"c.{col} {op} {val}", f"{col} {op} {val}"
+    if kind == 1:
+        seg = rnd.sample(SEGMENTS, rnd.randrange(1, 3))
+        lst = ", ".join(f"'{s}'" for s in seg)
+        return (f"c.c_mktsegment IN [{lst}]",
+                f"c_mktsegment IN ({lst})")
+    if kind == 2:
+        col = rnd.choice(STR_COLS)
+        neg = "NOT " if rnd.random() < 0.3 else ""
+        return (f"c.{col} IS {neg}NULL", f"{col} IS {neg}NULL")
+    if kind == 3:
+        m = rnd.randrange(2, 7)
+        r = rnd.randrange(m)
+        return (f"c.c_custkey % {m} = {r}", f"c_custkey % {m} = {r}")
+    pre = rnd.choice(["Customer#00000", "Customer#000001"])
+    return (f"c.c_name STARTS WITH '{pre}'", f"c_name LIKE '{pre}%'")
+
+
+def _where(rnd: random.Random) -> tuple[str, str]:
+    n = rnd.randrange(1, 4)
+    parts = [_predicate(rnd) for _ in range(n)]
+    ops = [rnd.choice(["AND", "OR"]) for _ in range(n - 1)]
+    cy, sq = parts[0]
+    for (c2, s2), op in zip(parts[1:], ops):
+        cy = f"({cy}) {op} ({c2})"
+        sq = f"({sq}) {op} ({s2})"
+    return cy, sq
+
+
+def _agg_query(rnd: random.Random) -> tuple[str, str]:
+    cy_w, sq_w = _where(rnd)
+    aggs = rnd.sample(
+        [("count(*)", "count(*)"),
+         ("round(sum(c.c_acctbal), 2)", "round(sum(c_acctbal), 2)"),
+         ("round(avg(c.c_acctbal), 2)", "round(avg(c_acctbal), 2)"),
+         ("min(c.c_custkey)", "min(c_custkey)"),
+         ("max(c.c_name)", "max(c_name)"),
+         ("count(DISTINCT c.c_nationkey)", "count(DISTINCT c_nationkey)")],
+        rnd.randrange(1, 4),
+    )
+    cy_items = ", ".join(f"{a} AS x{i}" for i, (a, _) in enumerate(aggs))
+    sq_items = ", ".join(f"{b} AS x{i}" for i, (_, b) in enumerate(aggs))
+    if rnd.random() < 0.5:  # grouped
+        cy = (f"MATCH (c:Customer) WHERE {cy_w} "
+              f"RETURN c.c_mktsegment AS seg, {cy_items}")
+        sq = (f"SELECT c_mktsegment AS seg, {sq_items} "
+              f"FROM customer WHERE {sq_w} GROUP BY c_mktsegment")
+    else:
+        cy = f"MATCH (c:Customer) WHERE {cy_w} RETURN {cy_items}"
+        sq = f"SELECT {sq_items} FROM customer WHERE {sq_w}"
+    return cy, sq
+
+
+def _scan_query(rnd: random.Random) -> tuple[str, str]:
+    cy_w, sq_w = _where(rnd)
+    cols = rnd.sample(NUM_COLS + STR_COLS, rnd.randrange(1, 4))
+    cy_items = ", ".join(f"c.{c} AS {c}" for c in cols)
+    sq_items = ", ".join(cols)
+    order = ""
+    sq_order = ""
+    if rnd.random() < 0.6:
+        oc = rnd.choice(cols)
+        d = rnd.choice(["ASC", "DESC"])
+        lim = rnd.randrange(1, 50)
+        # total order via unique-ish tiebreak for stable pagination
+        order = f" ORDER BY {oc} {d}, c_custkey ASC LIMIT {lim}" \
+            if "c_custkey" in cols else f" ORDER BY {oc} {d}"
+        sq_order = (f" ORDER BY {oc} {d}, c_custkey ASC LIMIT {lim}"
+                    if "c_custkey" in cols else f" ORDER BY {oc} {d}")
+        if "LIMIT" not in order:
+            order, sq_order = "", ""  # unordered pagination is unstable
+    cy = f"MATCH (c:Customer) WHERE {cy_w} RETURN {cy_items}{order}"
+    sq = f"SELECT {sq_items} FROM customer WHERE {sq_w}{sq_order}"
+    return cy, sq
+
+
+def test_fuzz_parity(tpch, duck):
+    rnd = random.Random(20260813)
+    failures = []
+    for i in range(N_QUERIES):
+        cy, sq = (_agg_query if rnd.random() < 0.5 else _scan_query)(rnd)
+        try:
+            assert_same(tpch.execute(cy), duck.sql(sq))
+        except AssertionError as exc:
+            failures.append(f"[{i}] {cy}\n  vs {sq}\n  {exc}")
+    assert not failures, "\n".join(failures[:3]) + f"\n({len(failures)} total)"

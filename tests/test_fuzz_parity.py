@@ -110,3 +110,71 @@ def test_fuzz_parity(tpch, duck):
         except AssertionError as exc:
             failures.append(f"[{i}] {cy}\n  vs {sq}\n  {exc}")
     assert not failures, "\n".join(failures[:3]) + f"\n({len(failures)} total)"
+
+
+ORD_NUM = ["o_totalprice", "o_orderkey", "o_custkey"]
+ORD_STR = ["o_orderstatus", "o_orderpriority"]
+
+
+def _o_predicate(rnd: random.Random) -> tuple[str, str]:
+    kind = rnd.randrange(3)
+    if kind == 0:
+        col = rnd.choice(ORD_NUM)
+        op = rnd.choice(["<", "<=", ">", ">=", "="])
+        val = rnd.choice([0, 1000, 150000, 300000])
+        return f"o.{col} {op} {val}", f"{col} {op} {val}"
+    if kind == 1:
+        st = rnd.choice(["O", "F", "P"])
+        return f"o.o_orderstatus = '{st}'", f"o_orderstatus = '{st}'"
+    m = rnd.randrange(2, 5)
+    return f"o.o_orderkey % {m} = 0", f"o_orderkey % {m} = 0"
+
+
+def _hop_query(rnd: random.Random) -> tuple[str, str]:
+    """(c:Customer)-[:PLACED]->(o:Order) with filters on either side —
+    exercises FK-edge fusion, endpoint elision, and the virtual-edge
+    strategies depending on which columns get referenced."""
+    conds = []
+    if rnd.random() < 0.8:
+        conds.append(_predicate(rnd))
+    if rnd.random() < 0.8:
+        conds.append(_o_predicate(rnd))
+    if not conds:
+        conds.append(_o_predicate(rnd))
+    cy_w = " AND ".join(f"({c})" for c, _ in conds)
+    sq_w = " AND ".join(f"({s})" for _, s in conds)
+    mode = rnd.randrange(3)
+    if mode == 0:  # pure count — both endpoints often elide
+        cy = (f"MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE {cy_w} "
+              f"RETURN count(*) AS n")
+        sq = (f"SELECT count(*) AS n FROM customer c "
+              f"JOIN orders o ON o.o_custkey = c.c_custkey WHERE {sq_w}")
+    elif mode == 1:  # grouped aggregate over mixed columns
+        cy = (f"MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE {cy_w} "
+              f"RETURN c.c_mktsegment AS seg, count(*) AS n, "
+              f"round(sum(o.o_totalprice), 2) AS total")
+        sq = (f"SELECT c_mktsegment AS seg, count(*) AS n, "
+              f"round(sum(o_totalprice), 2) AS total FROM customer c "
+              f"JOIN orders o ON o.o_custkey = c.c_custkey "
+              f"WHERE {sq_w} GROUP BY c_mktsegment")
+    else:  # id-only projection (max elision) with stable pagination
+        lim = rnd.randrange(1, 40)
+        cy = (f"MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE {cy_w} "
+              f"RETURN c.c_custkey AS ck, o.o_orderkey AS ok "
+              f"ORDER BY ck ASC, ok ASC LIMIT {lim}")
+        sq = (f"SELECT c.c_custkey AS ck, o.o_orderkey AS ok "
+              f"FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+              f"WHERE {sq_w} ORDER BY ck ASC, ok ASC LIMIT {lim}")
+    return cy, sq
+
+
+def test_fuzz_hop_parity(tpch, duck):
+    rnd = random.Random(477001)
+    failures = []
+    for i in range(N_QUERIES):
+        cy, sq = _hop_query(rnd)
+        try:
+            assert_same(tpch.execute(cy), duck.sql(sq))
+        except AssertionError as exc:
+            failures.append(f"[{i}] {cy}\n  vs {sq}\n  {exc}")
+    assert not failures, "\n".join(failures[:3]) + f"\n({len(failures)} total)"

@@ -241,3 +241,50 @@ def label_propagation(
         if changed.isEmpty():
             break
     return labels
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex (in_degree, out_degree, degree) — one union + one
+    aggregate; the basic skew/salting diagnostic input."""
+    outs = edges.select(F.col(src).alias("id"),
+                        F.lit(1).alias("o"), F.lit(0).alias("i"))
+    ins = edges.select(F.col(dst).alias("id"),
+                       F.lit(0).alias("o"), F.lit(1).alias("i"))
+    return (
+        outs.union(ins).groupBy("id")
+        .agg(F.sum("o").alias("out_degree"), F.sum("i").alias("in_degree"))
+        .withColumn("degree", F.col("out_degree") + F.col("in_degree"))
+    )
+
+
+def k_core(
+    edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+    max_iterations: int = 30, checkpoint: bool = True,
+) -> DataFrame:
+    """Vertices of the k-core: the maximal subgraph where every vertex
+    has undirected degree >= k, via iterative peeling (drop low-degree
+    vertices, recompute, repeat to fixpoint). Returns (id, degree)
+    within the core.
+
+    Shape per round: one aggregate + two semi-joins; the edge set
+    shrinks monotonically, so later rounds touch less data. Converges
+    in <= peeling-depth rounds (bounded by max_iterations)."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = _ckpt(und.filter(F.col("a") != F.col("b")).distinct(), checkpoint)
+    for _ in range(max_iterations):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("a")
+        pruned = (
+            und.join(keep, "a", "leftsemi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "leftsemi")
+        )
+        pruned = _ckpt(pruned.select("a", "b"), checkpoint)
+        if pruned.count() == und.count():
+            break
+        und = pruned
+    return (
+        und.groupBy(F.col("a").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

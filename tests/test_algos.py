@@ -149,3 +149,30 @@ class TestLabelPropagation:
         out = {r.community
                for r in label_propagation(df, max_iterations=8).collect()}
         assert len(out) == 1
+
+
+class TestDegreesAndKCore:
+    def test_degrees(self, spark):
+        from brahmand_spark.ops.algos import degrees
+
+        df = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3)], "src long, dst long")
+        out = {r.id: (r.out_degree, r.in_degree, r.degree)
+               for r in degrees(df).collect()}
+        assert out == {1: (2, 0, 2), 2: (1, 1, 2), 3: (0, 2, 2)}
+
+    def test_k_core_peels_tail(self, spark):
+        """A 4-clique with a pendant path: 3-core = the clique only
+        (peeling must cascade through the path)."""
+        import itertools
+
+        from brahmand_spark.ops.algos import k_core
+
+        clique = list(itertools.combinations([0, 1, 2, 3], 2))
+        path = [(3, 10), (10, 11), (11, 12)]
+        df = spark.createDataFrame(clique + path, "src long, dst long")
+        core3 = {r.id for r in k_core(df, 3).collect()}
+        assert core3 == {0, 1, 2, 3}
+        core1 = {r.id for r in k_core(df, 1).collect()}
+        assert core1 == {0, 1, 2, 3, 10, 11, 12}
+        assert k_core(df, 4).count() == 0

@@ -156,6 +156,28 @@ class GraphSession:
     def explain(self, cypher: str, mode: str = "formatted") -> None:
         self.execute(cypher).explain(mode)
 
+    def profile(self, cypher: str, params: Optional[dict] = None) -> dict:
+        """Compile (not run) a query and summarize its physical plan —
+        the numbers a user tunes against: scans, joins, exchanges
+        (shuffles/broadcasts), explode-expansions, Python stages (should
+        be 0 on the Cypher path), plus the full plan text."""
+        import re
+
+        df = self.execute(cypher, params)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return {
+            "scans": len(re.findall(r"Scan parquet|InMemoryTableScan|"
+                                    r"Scan ExistingRDD|Scan csv|Scan json",
+                                    plan)),
+            "joins": plan.count("Join"),
+            "shuffle_exchanges": plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning"),
+            "broadcast_exchanges": plan.count("BroadcastExchange"),
+            "explodes": plan.count("Generate explode"),
+            "python_stages": plan.count("EvalPython"),
+            "plan": plan,
+        }
+
     def sql(self, query: str) -> DataFrame:
         """Escape hatch: plain Spark SQL over registered tables."""
         for name, df in self.tables.items():

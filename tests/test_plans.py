@@ -345,3 +345,15 @@ class TestFkFusion:
         rows = s.execute(
             "MATCH (a:V)-[:E]->(b:V) RETURN a.id AS s, b.id AS d").collect()
         assert [(r.s, r.d) for r in rows] == [(1, 2)]
+
+
+def test_profile_summarizes_plan(tpch):
+    p = tpch.profile(
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN count(*) AS n")
+    assert p["joins"] == 0 and p["scans"] == 1  # fused + elided
+    assert p["python_stages"] == 0
+    assert "AdaptiveSparkPlan" in p["plan"]
+    p2 = tpch.profile("""
+        MATCH (c:Customer)-[:PLACED]->(o:Order)
+        RETURN c.c_name AS name, round(avg(o.o_totalprice), 2) AS avg""")
+    assert p2["joins"] == 1 and p2["scans"] == 2

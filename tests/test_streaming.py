@@ -288,3 +288,34 @@ class TestStreamingNearDup:
         run_batch([(3, near), (4, novel), (5, novel)])
         got2 = {r.doc_id for r in spark.read.parquet(accepted).collect()}
         assert got2 == {1, 2, 4}  # 3 collides with 1; 5 loses to 4
+
+
+class TestCypherOverStream:
+    def test_match_filter_project_on_stream(self, spark, tpch, tmp_path):
+        """The compiler's narrow operators (scan/rename/filter/project)
+        are stream-safe: the same Cypher text runs unchanged when the
+        node table is a readStream source."""
+        from brahmand_spark.graphs.tpch import build_session
+
+        from .conftest import SF_SMOKE
+
+        src = str(tmp_path / "events_in")
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet") \
+            .write.mode("overwrite").parquet(src)
+        batch_schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(batch_schema).parquet(src)
+
+        s = build_session(spark, SF_SMOKE)
+        s.register_table("Event", stream)
+        q = ("MATCH (e:Event) WHERE e.value > 99 "
+             "RETURN e.event_id AS id, e.user_id AS user, e.value AS v")
+        out = s.execute(q)
+        assert out.isStreaming
+        query = (out.writeStream.format("memory")
+                 .queryName("cypher_stream_out")
+                 .trigger(availableNow=True).start())
+        query.awaitTermination(120)
+        got = spark.sql("SELECT * FROM cypher_stream_out")
+        expected = tpch.execute(q)
+        assert got.count() == expected.count() > 0
+        assert got.exceptAll(expected).count() == 0

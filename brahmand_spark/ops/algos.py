@@ -41,8 +41,11 @@ def pagerank(
 
     Dangling vertices (no out-edges) redistribute uniformly; ranks sum
     to the vertex count (GraphX convention: initial rank 1.0 each).
-    Returns (id, rank). One shuffle per iteration (groupBy dst) plus a
-    broadcast of the scalar dangling mass.
+    Returns (id, rank). One shuffle per iteration (groupBy dst); the
+    scalar dangling mass stays a 1-row DataFrame broadcast-crossJoined
+    into the rank update, so each superstep is ONE job with no driver
+    round-trip (a ``.first()`` here would re-run the anti-join as a
+    separate action every iteration).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     vertices = e.select(F.col("src").alias("id")).union(
@@ -63,19 +66,21 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("contrib").alias("recv"))
         )
-        # mass of dangling vertices, redistributed uniformly
+        # mass of dangling vertices, redistributed uniformly — kept as a
+        # 1-row aggregate and broadcast into the update (no driver fetch)
         dangling = (
             ranks.join(out_deg, ranks["id"] == out_deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
-        base = (1.0 - damping) + damping * dangling / n
         ranks = (
             vertices.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
-                (F.lit(base)
-                 + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
+                (F.lit(1.0 - damping)
+                 + F.lit(damping)
+                 * (F.coalesce(F.col("recv"), F.lit(0.0))
+                    + F.col("_dangling") / F.lit(float(n)))
                  ).alias("rank"),
             )
         )
@@ -268,10 +273,13 @@ def k_core(
 
     Shape per round: one aggregate + two semi-joins; the edge set
     shrinks monotonically, so later rounds touch less data. Converges
-    in <= peeling-depth rounds (bounded by max_iterations)."""
+    in <= peeling-depth rounds (bounded by max_iterations). One
+    ``count()`` action per round: the unchanged side's count is carried
+    from the previous iteration instead of recomputed."""
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = _ckpt(und.filter(F.col("a") != F.col("b")).distinct(), checkpoint)
+    und_count = und.count()
     for _ in range(max_iterations):
         deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("a")
@@ -280,9 +288,10 @@ def k_core(
             .join(keep.withColumnRenamed("a", "b"), "b", "leftsemi")
         )
         pruned = _ckpt(pruned.select("a", "b"), checkpoint)
-        if pruned.count() == und.count():
+        pruned_count = pruned.count()
+        if pruned_count == und_count:
             break
-        und = pruned
+        und, und_count = pruned, pruned_count
     return (
         und.groupBy(F.col("a").alias("id"))
         .agg(F.count(F.lit(1)).alias("degree"))

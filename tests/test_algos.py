@@ -11,6 +11,35 @@ def edges_df(spark, pairs):
     return spark.createDataFrame(pairs, "src long, dst long")
 
 
+def concrete_dataframe_cls():
+    """The class whose methods instances actually resolve to: in
+    PySpark 4 `pyspark.sql.DataFrame` is an abstract facade and classic
+    sessions build `pyspark.sql.classic.dataframe.DataFrame`."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - pyspark < 4 fallback
+        from pyspark.sql import DataFrame
+    return DataFrame
+
+
+def numpy_pagerank(pairs, iterations, damping=0.85):
+    """Power-iteration oracle: ranks sum to n, dangling mass uniform."""
+    ids = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    M = np.zeros((n, n))
+    out_deg = {}
+    for s, d in pairs:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    for s, d in pairs:
+        M[idx[d], idx[s]] = 1.0 / out_deg[s]
+    r = np.ones(n)
+    for _ in range(iterations):
+        dangling = sum(r[idx[v]] for v in ids if v not in out_deg)
+        r = (1 - damping) + damping * (M @ r + dangling / n)
+    return {v: r[idx[v]] for v in ids}
+
+
 class TestPageRank:
     def test_matches_power_iteration(self, spark):
         pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
@@ -20,22 +49,42 @@ class TestPageRank:
             r.id: r.rank
             for r in pagerank(edges_df(spark, pairs), iterations=25).collect()
         }
-        # numpy oracle: same convention (ranks sum to n, dangling uniform)
-        ids = sorted({x for p in pairs for x in p})
-        idx = {v: i for i, v in enumerate(ids)}
-        n = len(ids)
-        M = np.zeros((n, n))
-        out_deg = {}
-        for s, d in pairs:
-            out_deg[s] = out_deg.get(s, 0) + 1
-        for s, d in pairs:
-            M[idx[d], idx[s]] = 1.0 / out_deg[s]
-        r = np.ones(n)
-        for _ in range(25):
-            dangling = sum(r[idx[v]] for v in ids if v not in out_deg)
-            r = (1 - 0.85) + 0.85 * (M @ r + dangling / n)
-        for v in ids:
-            assert abs(got[v] - r[idx[v]]) < 1e-6, (v, got[v], r[idx[v]])
+        want = numpy_pagerank(pairs, 25)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+
+    def test_dangling_mass_redistributes(self, spark):
+        """Vertex 3 has no out-edges: its rank must be redistributed
+        uniformly each superstep (checks the broadcast dangling term)."""
+        from brahmand_spark.ops.algos import pagerank
+
+        pairs = [(1, 2), (2, 3), (1, 3)]
+        got = {
+            r.id: r.rank
+            for r in pagerank(edges_df(spark, pairs), iterations=20).collect()
+        }
+        want = numpy_pagerank(pairs, 20)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+
+    def test_no_driver_action_per_superstep(self, spark, monkeypatch):
+        """Round-2 fix: the dangling scalar is a broadcast 1-row
+        aggregate, not a .first() fetch — building the plan must run
+        zero first()/collect() actions (one per superstep before)."""
+        from brahmand_spark.ops.algos import pagerank
+
+        DataFrame = concrete_dataframe_cls()
+
+        def boom(self, *a, **k):  # pragma: no cover - assertion path
+            raise AssertionError("driver action inside pagerank loop")
+
+        monkeypatch.setattr(DataFrame, "first", boom)
+        monkeypatch.setattr(DataFrame, "collect", boom)
+        df = pagerank(edges_df(spark, [(1, 2), (2, 3)]),
+                      iterations=3, checkpoint=False)
+        monkeypatch.undo()
+        total = df.agg(F.sum("rank")).first()[0]
+        assert abs(total - 3.0) < 1e-6
 
     def test_ranks_sum_to_n(self, spark):
         from brahmand_spark.ops.algos import pagerank
@@ -176,3 +225,29 @@ class TestDegreesAndKCore:
         core1 = {r.id for r in k_core(df, 1).collect()}
         assert core1 == {0, 1, 2, 3, 10, 11, 12}
         assert k_core(df, 4).count() == 0
+
+    def test_one_count_action_per_round(self, spark, monkeypatch):
+        """Round-2 fix: the unchanged side's count is carried between
+        peels, so each round runs ONE count() (plus one up-front)."""
+        import itertools
+
+        from brahmand_spark.ops.algos import k_core
+
+        DataFrame = concrete_dataframe_cls()
+        clique = list(itertools.combinations([0, 1, 2, 3], 2))
+        path = [(3, 10), (10, 11), (11, 12)]
+        df = spark.createDataFrame(clique + path, "src long, dst long")
+        calls = []
+        orig = DataFrame.count
+
+        def counting(self):
+            calls.append(1)
+            return orig(self)
+
+        monkeypatch.setattr(DataFrame, "count", counting)
+        core3 = {r.id for r in k_core(df, 3).collect()}
+        monkeypatch.undo()
+        assert core3 == {0, 1, 2, 3}
+        # round 1 peels all three path vertices at once (degrees 1/2/2),
+        # round 2 is the fixpoint check: 1 initial + 2 rounds = 3 counts
+        assert len(calls) == 3, calls

@@ -153,11 +153,6 @@ _CYPHER: dict[str, str] = {
         RETURN toUpper(c.c_mktsegment) AS seg_u,
                substring(c.c_name, 0, 8) AS name8,
                abs(c.c_acctbal) AS mag""",
-    # string predicates (extension over reference)
-    "string_predicates": """
-        MATCH (p:Part)
-        WHERE p.p_name STARTS WITH 'part' AND p.p_type CONTAINS 'a'
-        RETURN count(*) AS n""",
     # CASE expression (extension; commented out of the reference AST)
     "case_expression": """
         MATCH (c:Customer)
@@ -181,10 +176,6 @@ _CYPHER: dict[str, str] = {
     "unwind": """
         UNWIND [1, 2, 3, 4, 5] AS x
         RETURN x * 10 AS y, x % 2 AS parity""",
-    # schema-invalid pattern -> constant-empty result (reference parity)
-    "invalid_direction_empty": """
-        MATCH (o:Order)-[:PLACED]->(c:Customer)
-        RETURN c.c_name AS name""",
     # OPTIONAL MATCH (extension; the reference has only a TODO)
     "optional_match": """
         MATCH (c:Customer)
@@ -298,9 +289,6 @@ _CYPHER_ORACLES: dict[str, str] = {
     "scalar_functions": """
         SELECT upper(c_mktsegment) AS seg_u, substring(c_name, 1, 8) AS name8,
                abs(c_acctbal) AS mag FROM customer""",
-    "string_predicates": """
-        SELECT count(*) AS n FROM part
-        WHERE p_name LIKE 'part%' AND p_type LIKE '%a%'""",
     "case_expression": """
         SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
                     WHEN c_acctbal < 5000 THEN 'mid'
@@ -320,8 +308,6 @@ _CYPHER_ORACLES: dict[str, str] = {
     "unwind": """
         SELECT x * 10 AS y, x % 2 AS parity
         FROM (VALUES (1), (2), (3), (4), (5)) t(x)""",
-    "invalid_direction_empty": """
-        SELECT c_name AS name FROM customer WHERE 1 = 0""",
     "optional_match": """
         SELECT c.c_name AS name, count(o.o_orderkey) AS n_big
         FROM customer c
@@ -641,6 +627,43 @@ def _q_graph_pagerank(spark, sf_dir):
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_graph_lpa(spark, sf_dir):
+    """Deterministic label propagation over customer same-nation cliques
+    (25 cliques of ~SF*6000 customers). Synchronous updates with the
+    smallest-label tie-break, so the oracle can replay the exact vote/
+    argmax dynamics round by round."""
+    from brahmand_spark.ops.algos import label_propagation
+
+    cust = _tpch(spark, sf_dir).tables["Customer"]
+    a = cust.select(F.col("c_custkey").cast("bigint").alias("src"),
+                    F.col("c_nationkey").alias("nk"))
+    b = cust.select(F.col("c_custkey").cast("bigint").alias("dst"),
+                    F.col("c_nationkey").alias("nk"))
+    edges = a.join(b, "nk").filter(F.col("src") < F.col("dst")) \
+             .select("src", "dst")
+    return label_propagation(edges, max_iterations=4)
+
+
+def _q_graph_kcore(spark, sf_dir):
+    """4-core of the thinned part<->supplier co-shipment graph
+    (l_quantity >= 48 keeps ~6% of lineitems, giving a real peeling
+    cascade: 4 rounds at sf0.01 vs 0 on the full graph). Supplier ids
+    offset by 10M into a disjoint namespace."""
+    from brahmand_spark.io import read_parquet
+    from brahmand_spark.ops.algos import k_core
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    edges = (
+        li.filter(F.col("l_quantity") >= 48)
+        .select(
+            F.col("l_partkey").cast("bigint").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).cast("bigint")
+            .alias("dst"),
+        )
+    )
+    return k_core(edges, 4)
+
+
 _EXTENSIONS: dict[str, Callable] = {
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -665,6 +688,8 @@ _EXTENSIONS: dict[str, Callable] = {
     "graph_components": _q_graph_components,
     "graph_triangles": _q_graph_triangles,
     "graph_pagerank": _q_graph_pagerank,
+    "graph_lpa": _q_graph_lpa,
+    "graph_kcore": _q_graph_kcore,
 }
 
 _EXTENSION_ORACLES: dict[str, str] = {
@@ -1106,6 +1131,74 @@ def _pagerank_oracle() -> str:
             + f"\n        SELECT id, round(rank, 6) AS rank FROM r{iters}")
 
 
+def _lpa_oracle(iterations: int = 4) -> str:
+    """Replay of ops/algos.label_propagation(max_iterations=4) over the
+    customer same-nation clique graph: per round, neighbor-label vote
+    counts -> argmax by (count DESC, label ASC) -> coalesce onto the
+    previous labels. Spark's early-convergence break is safe to replay
+    past — once no label changes, the vote profile (and thus the argmax)
+    is stationary."""
+    parts = [
+        """raw AS (
+            SELECT a.c_custkey::BIGINT AS a, b.c_custkey::BIGINT AS b
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_custkey < b.c_custkey),
+        und AS (SELECT a, b FROM raw UNION SELECT b, a FROM raw),
+        l0 AS (SELECT DISTINCT a AS id, a AS community FROM und)"""
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(f"""
+        v{r} AS (
+            SELECT e.b AS id, l.community, count(*) AS n
+            FROM l{r - 1} l JOIN und e ON l.id = e.a
+            GROUP BY 1, 2),
+        b{r} AS (
+            SELECT id, community AS nc FROM (
+                SELECT id, community, row_number() OVER (
+                    PARTITION BY id
+                    ORDER BY n DESC, community ASC) AS rn
+                FROM v{r})
+            WHERE rn = 1),
+        l{r} AS (
+            SELECT l.id, coalesce(b.nc, l.community) AS community
+            FROM l{r - 1} l LEFT JOIN b{r} b ON l.id = b.id)""")
+    return ("WITH " + ",".join(parts)
+            + f"\n        SELECT id, community FROM l{iterations}")
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 12) -> str:
+    """Replay of ops/algos.k_core(k=4) on the thinned part<->supplier
+    graph: chained peel rounds (degree -> keep -> semi-join both
+    endpoints). 12 rounds is safely past the measured peeling depth
+    (8 at sf0.001, 4 at sf0.01/0.1); extra rounds are no-ops at the
+    fixpoint, matching Spark's converge-then-break loop.
+
+    Every edge-set CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    each round references the previous edge set three times, so 12
+    un-materialized rounds would expand to 3^12 base-table scans."""
+    parts = [
+        """raw AS MATERIALIZED (
+            SELECT DISTINCT l_partkey::BIGINT AS a,
+                   (l_suppkey + 10000000)::BIGINT AS b
+            FROM lineitem WHERE l_quantity >= 48),
+        e0 AS MATERIALIZED (
+            SELECT a, b FROM raw UNION SELECT b, a FROM raw)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        d{r} AS (SELECT a, count(*) AS d FROM e{r - 1} GROUP BY a),
+        k{r} AS MATERIALIZED (SELECT a FROM d{r} WHERE d >= {k}),
+        e{r} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{r - 1} e
+            JOIN k{r} x ON e.a = x.a
+            JOIN k{r} y ON e.b = y.a)""")
+    return ("WITH " + ",".join(parts)
+            + f"""
+        SELECT a AS id, count(*) AS degree FROM e{rounds}
+        GROUP BY a HAVING count(*) >= {k}""")
+
+
 def _ann_lsh_oracle() -> str:
     """Replay of ops/similarity.hyperplane_lsh_topk(k=10, dim=64,
     n_planes=4, seed=42) over queries vec_id < 10: same-bucket
@@ -1184,6 +1277,8 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh"] = _embedding_lsh_oracle()
     out["ann_lsh_topk"] = _ann_lsh_oracle()
     out["graph_pagerank"] = _pagerank_oracle()
+    out["graph_lpa"] = _lpa_oracle()
+    out["graph_kcore"] = _kcore_oracle()
     try:
         out["ann_ivf_topk"] = _ann_ivf_oracle()
     except Exception:

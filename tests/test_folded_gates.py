@@ -87,6 +87,21 @@ FOLDED_CYPHER = {
                              WHERE o.o_custkey = c.c_custkey
                                AND o.o_orderstatus = 'F')""",
     ),
+    # string predicates (folded r3: single-count result carries near-zero
+    # hash information; its surface is also crossed by the fuzz suite)
+    "string_predicates": (
+        """MATCH (p:Part)
+           WHERE p.p_name STARTS WITH 'part' AND p.p_type CONTAINS 'a'
+           RETURN count(*) AS n""",
+        """SELECT count(*) AS n FROM part
+           WHERE p_name LIKE 'part%' AND p_type LIKE '%a%'""",
+    ),
+    # schema-invalid pattern -> constant-empty (folded r3: asserts 0 rows)
+    "invalid_direction_empty": (
+        """MATCH (o:Order)-[:PLACED]->(c:Customer)
+           RETURN c.c_name AS name""",
+        """SELECT c_name AS name FROM customer WHERE 1 = 0""",
+    ),
     # pattern predicate with two bound anchors
     "pattern_predicate_two_anchors": (
         """MATCH (c:Customer) MATCH (n:Nation)
@@ -99,6 +114,20 @@ FOLDED_CYPHER = {
              AND n.n_name = 'NATION_7' AND c.c_acctbal > 9000""",
     ),
 }
+
+
+def test_registry_holds_exactly_50_gates():
+    """The driver grades exactly the first 50 names in queries(); every
+    registered gate must also carry an oracle (or be a documented
+    rows-only case). A failure here means an edit silently pushed a gate
+    out of — or past — the graded window."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    assert len(qs) == 50, (len(qs), sorted(qs))
+    oracles = entry.oracle_sql()
+    missing = set(qs) - set(oracles)
+    assert missing == set(), missing
 
 
 def test_folded_cypher_gates(tpch, duck):

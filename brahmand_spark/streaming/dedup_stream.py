@@ -18,6 +18,16 @@ and processes each micro-batch incrementally:
 Work per batch is proportional to batch size, not corpus size: the
 store join is an equi-join on the 8-byte band hash (shuffle keyed by a
 near-uniform hash -> skew-resistant), and the store only ever appends.
+
+Fault tolerance: Structured Streaming replays a micro-batch whose
+checkpoint commit didn't land, so a plain ``mode("append")`` sink
+would duplicate both accepted docs and band rows on recovery. Each
+batch therefore OVERWRITES its own ``batch_id=N`` subdirectory in both
+sinks (replay rewrites identical content — idempotent), and the store
+read excludes the current batch's partition so a replayed batch never
+collides with its own half-written bands. Both sink paths are
+partition-discovered parquet tables keyed by ``batch_id``; they are
+tied to ONE checkpoint lineage (batch ids are per-checkpoint).
 """
 
 from __future__ import annotations
@@ -50,6 +60,60 @@ def _band_buckets(
     )
 
 
+def _process_batch(
+    batch_df: DataFrame, batch_id: int, store_path: str,
+    accepted_path: str, id_col: str, text_col: str,
+    n: int, num_hashes: int, bands: int, seed: int,
+) -> None:
+    """One idempotent micro-batch: replaying the same (batch_df,
+    batch_id) pair overwrites the same two subdirectories with the
+    same content, so recovery after a crash between the two writes (or
+    after the writes but before the checkpoint commit) cannot
+    duplicate rows."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch = batch_df.select(id_col, text_col)
+    bb = _band_buckets(
+        batch, id_col, text_col, n, num_hashes, bands, seed
+    ).persist()
+    try:
+        # (a) collide vs the persistent store — excluding this batch's
+        # own partition, which exists iff we are replaying after a
+        # failure and must not self-collide.
+        try:
+            seen = (
+                spark.read.parquet(store_path)
+                .filter(F.col("batch_id") < F.lit(batch_id))
+                .select("band", "bucket")
+            )
+            hits = bb.join(seen, ["band", "bucket"], "leftsemi") \
+                .select("id").distinct()
+        except Exception:  # first batch: no store yet
+            hits = bb.select("id").filter(F.lit(False))
+        # (b) within-batch collisions: keep the lowest id per bucket
+        first = bb.groupBy("band", "bucket").agg(F.min("id").alias("keep"))
+        batch_dups = (
+            bb.join(first, ["band", "bucket"])
+            .filter(F.col("id") != F.col("keep"))
+            .select("id").distinct()
+        )
+        dropped = hits.union(batch_dups).distinct()
+        survivors = batch.join(
+            dropped.withColumnRenamed("id", id_col), [id_col],
+            "left_anti",
+        )
+        survivors.write.mode("overwrite") \
+            .parquet(f"{accepted_path}/batch_id={batch_id}")
+        bb.join(
+            dropped, bb["id"] == dropped["id"], "left_anti"
+        ).select("id", "band", "bucket") \
+            .write.mode("overwrite") \
+            .parquet(f"{store_path}/batch_id={batch_id}")
+    finally:
+        bb.unpersist()
+
+
 def dedup_stream(
     docs_stream: DataFrame, store_path: str, checkpoint_dir: str,
     accepted_path: str, id_col: str = "doc_id", text_col: str = "text",
@@ -57,47 +121,22 @@ def dedup_stream(
 ):
     """Start the incremental near-dup filter on a document stream.
 
-    Accepted (novel) documents append to ``accepted_path``; their band
-    buckets append to ``store_path``. Returns the StreamingQuery
-    (caller awaits/stops). Batch semantics match running the batch LSH
-    candidates against (store ∪ batch) and keeping non-colliding docs.
+    Accepted (novel) documents land under ``accepted_path`` and their
+    band buckets under ``store_path``, each as a ``batch_id``-
+    partitioned parquet table (read either with plain
+    ``spark.read.parquet(path)`` — partition discovery adds the
+    ``batch_id`` column). Returns the StreamingQuery (caller
+    awaits/stops). Batch semantics match running the batch LSH
+    candidates against (store ∪ batch) and keeping non-colliding docs;
+    micro-batch replay after failure is idempotent (see
+    ``_process_batch``).
     """
-    spark = docs_stream.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch = batch_df.select(id_col, text_col)
-        bb = _band_buckets(
-            batch, id_col, text_col, n, num_hashes, bands, seed
-        ).persist()
-        try:
-            # (a) collide vs the persistent store
-            try:
-                seen = spark.read.parquet(store_path).select("band", "bucket")
-                hits = bb.join(seen, ["band", "bucket"], "leftsemi") \
-                    .select("id").distinct()
-            except Exception:  # first batch: no store yet
-                hits = bb.select("id").filter(F.lit(False))
-            # (b) within-batch collisions: keep the lowest id per bucket
-            first = bb.groupBy("band", "bucket").agg(F.min("id").alias("keep"))
-            batch_dups = (
-                bb.join(first, ["band", "bucket"])
-                .filter(F.col("id") != F.col("keep"))
-                .select("id").distinct()
-            )
-            dropped = hits.union(batch_dups).distinct()
-            survivors = batch.join(
-                dropped.withColumnRenamed("id", id_col), [id_col],
-                "left_anti",
-            )
-            survivors.write.mode("append").parquet(accepted_path)
-            bb.join(
-                dropped, bb["id"] == dropped["id"], "left_anti"
-            ).select("id", "band", "bucket") \
-                .write.mode("append").parquet(store_path)
-        finally:
-            bb.unpersist()
+        _process_batch(
+            batch_df, batch_id, store_path, accepted_path,
+            id_col, text_col, n, num_hashes, bands, seed,
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(process)

@@ -289,6 +289,53 @@ class TestStreamingNearDup:
         got2 = {r.doc_id for r in spark.read.parquet(accepted).collect()}
         assert got2 == {1, 2, 4}  # 3 collides with 1; 5 loses to 4
 
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        """Structured Streaming re-runs a micro-batch whose checkpoint
+        commit didn't land; replaying (batch_df, batch_id) must neither
+        duplicate rows nor drop the batch's docs against its own
+        half-written bands."""
+        from brahmand_spark.streaming.dedup_stream import _process_batch
+
+        store = str(tmp_path / "bands")
+        accepted = str(tmp_path / "accepted")
+        doc_a = ("the quick brown fox jumps over the lazy dog while "
+                 "seven wizards brew strong potions at midnight")
+        doc_b = ("completely unrelated text about compilers and "
+                 "distributed query engines running vectorized plans")
+        batch = spark.createDataFrame(
+            [(1, doc_a), (2, doc_b)], "doc_id long, text string")
+
+        kwargs = dict(store_path=store, accepted_path=accepted,
+                      id_col="doc_id", text_col="text",
+                      n=3, num_hashes=64, bands=16, seed=42)
+        _process_batch(batch, 0, **kwargs)
+        first_accepted = sorted(
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(accepted).collect())
+        first_bands = sorted(
+            map(tuple, spark.read.parquet(store)
+                .select("id", "band", "bucket").collect()))
+        assert {d for d, _ in first_accepted} == {1, 2}
+
+        # replay the same batch (simulated recovery) — bit-identical
+        _process_batch(batch, 0, **kwargs)
+        assert sorted(
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(accepted).collect()
+        ) == first_accepted
+        assert sorted(
+            map(tuple, spark.read.parquet(store)
+                .select("id", "band", "bucket").collect())
+        ) == first_bands
+
+        # a later batch still collides against batch 0's bands
+        near = doc_a.replace("midnight", "sunrise")
+        batch2 = spark.createDataFrame(
+            [(3, near)], "doc_id long, text string")
+        _process_batch(batch2, 1, **kwargs)
+        assert {r.doc_id for r in spark.read.parquet(accepted).collect()} \
+            == {1, 2}
+
 
 class TestCypherOverStream:
     def test_match_filter_project_on_stream(self, spark, tpch, tmp_path):

@@ -515,9 +515,17 @@ class QueryCompiler:
                         raise PlanError(
                             f"relationship alias '{alias}' used more than once"
                         )
-                    if rp.max_hops > self.max_var_hops:
+                    # Unbounded * / *n.. (parser sentinel None) takes
+                    # this compiler's cost-guard bound, so a
+                    # per-session max_var_hops override applies to
+                    # unbounded walks too.
+                    eff_max_hops = (
+                        rp.max_hops if rp.max_hops is not None
+                        else self.max_var_hops
+                    )
+                    if eff_max_hops > self.max_var_hops:
                         raise PlanError(
-                            f"variable-length upper bound *..{rp.max_hops} "
+                            f"variable-length upper bound *..{eff_max_hops} "
                             f"exceeds the cost guard ({self.max_var_hops}): "
                             "each extra hop adds an edge self-join (and a "
                             "shuffle at scale). Raise it explicitly with "
@@ -530,7 +538,7 @@ class QueryCompiler:
                         src=node_aliases[ri], dst=node_aliases[ri + 1],
                         properties=dict(rp.properties),
                         min_hops=rp.min_hops,
-                        max_hops=rp.max_hops,
+                        max_hops=eff_max_hops,
                         alt_types=tuple(rp.alt_types),
                         shortest=path.shortest is not None,
                         in_path_var=path.var is not None,

@@ -51,7 +51,11 @@ def compile_aggregate(name: str, args: list[Column], distinct: bool) -> Column:
         return F.sum_distinct(args[0])
     if distinct and n == "avg":
         # Spark has no avg_distinct builder; the ratio is exact.
-        return F.sum_distinct(args[0]) / F.count_distinct(args[0])
+        # try_divide: an all-NULL group has count_distinct = 0 and must
+        # yield NULL, not an ANSI DIVIDE_BY_ZERO.
+        return F.try_divide(
+            F.sum_distinct(args[0]), F.count_distinct(args[0])
+        )
     if distinct and n in ("collect", "collect_list", "collect_set"):
         return F.collect_set(args[0])
     if distinct and n not in ("min", "max"):  # min/max: DISTINCT is a no-op

@@ -166,7 +166,9 @@ class RelPattern:
     direction: str  # 'out' | 'in' | 'either' (ast.rs:173-186)
     properties: dict[str, Expr] = field(default_factory=dict)
     min_hops: int = 1  # variable-length extension: -[*1..3]->
-    max_hops: int = 1
+    # None = unbounded (* / *n..): resolved to the compiler's
+    # max_var_hops cost guard at plan time, not at parse time.
+    max_hops: Optional[int] = 1
     # multi-type extension -[:X|Y]-> ; type_name holds the first type,
     # alt_types the rest (empty for single-type patterns).
     alt_types: tuple = ()

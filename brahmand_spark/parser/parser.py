@@ -296,19 +296,18 @@ class Parser:
                     self.try_op(":")  # tolerate legacy |:Y form
                     alt_types.append(self.ident())
             if self.try_op("*"):
-                # Unbounded * gets the compiler's cost-guard bound: a
-                # Cypher walk with no upper limit would otherwise
-                # enumerate unbounded k-fold self-joins.
-                from ..compile.compiler import MAX_VAR_HOPS
-
-                min_hops, max_hops = 1, MAX_VAR_HOPS
+                # Unbounded * / *n.. stays a sentinel (max_hops=None)
+                # in the AST; the compiler resolves it to its own
+                # max_var_hops so GraphSession(max_var_hops=...)
+                # applies to unbounded walks too.
+                min_hops, max_hops = 1, None
                 if self.peek().kind == "INT":
                     min_hops = self.int_literal()
                     max_hops = min_hops
                 if self.try_op(".."):
                     max_hops = (
                         self.int_literal()
-                        if self.peek().kind == "INT" else MAX_VAR_HOPS
+                        if self.peek().kind == "INT" else None
                     )
             if self.at_op("{"):
                 props = self.parse_property_map()

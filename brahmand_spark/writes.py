@@ -154,7 +154,7 @@ def _apply_create(session, df, scope, create, params, stats) -> None:
                 raise PlanError(
                     "CREATE relationship needs a direction (-> or <-)"
                 )
-            if rp.max_hops > 1 or rp.alt_types:
+            if rp.max_hops != 1 or rp.alt_types:
                 raise UnsupportedError(
                     "variable-length / multi-type in CREATE"
                 )
@@ -270,7 +270,7 @@ def _apply_merge(session, df, scope, mc, params, stats) -> None:
         )
     if rp.type_name is None or rp.direction not in ("out", "in"):
         raise PlanError("MERGE relationship needs a type and direction")
-    if rp.max_hops > 1 or rp.alt_types:
+    if rp.max_hops != 1 or rp.alt_types:
         raise UnsupportedError("variable-length / multi-type in MERGE")
     ends = []
     for np in path.nodes:

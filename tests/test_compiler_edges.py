@@ -308,6 +308,20 @@ class TestVarLengthCostGuard:
             "WHERE a.c_custkey = 1 RETURN count(*) AS n")
         assert df.collect()[0][0] == 6
 
+    def test_unbounded_star_respects_session_override(self, spark):
+        # unbounded * resolves at plan time, so a raised per-session
+        # guard widens the walk (was silently pinned to 6 at parse)
+        from brahmand_spark.graphs.tpch import build_session
+
+        from .conftest import SF_SMOKE
+
+        s = build_session(spark, SF_SMOKE)
+        s.max_var_hops = 9
+        df = s.execute(
+            "MATCH (a:Customer)-[:NEXT_CUST*]->(b:Customer) "
+            "WHERE a.c_custkey = 1 RETURN count(*) AS n")
+        assert df.collect()[0][0] == 9
+
 
 class TestSketchAggregates:
     """Sketch/statistical aggregates classify as aggregates (implicit
@@ -358,6 +372,26 @@ class TestDistinctAggregates:
                 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
                 GROUP BY 1"""),
         )
+
+    def test_avg_distinct_all_null_group_is_null(self, spark):
+        # count_distinct = 0 on an all-NULL group: avg(DISTINCT) must
+        # return NULL, not raise DIVIDE_BY_ZERO under ANSI mode
+        from brahmand_spark.catalog import GraphSchema, NodeSchema
+        from brahmand_spark.session import GraphSession
+
+        schema = GraphSchema()
+        schema.add_node(NodeSchema(
+            label="Thing", table_name="Thing", node_id="id",
+            column_names=["id", "grp", "v"], primary_keys=["id"],
+        ))
+        s = GraphSession(spark, schema=schema)
+        s.register_table("Thing", spark.createDataFrame(
+            [(1, "a", None), (2, "a", None), (3, "b", 4.0)],
+            "id long, grp string, v double"))
+        rows = s.execute(
+            "MATCH (t:Thing) RETURN t.grp AS grp, "
+            "avg(DISTINCT t.v) AS avg_d ORDER BY grp").collect()
+        assert [(r.grp, r.avg_d) for r in rows] == [("a", None), ("b", 4.0)]
 
     def test_unsupported_distinct_rejected(self, tpch):
         import pytest

@@ -3,6 +3,14 @@
 JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Methodology (round 4): 1 warmup pass + N timed passes per query
+(N = $SPARK_GRAFT_BENCH_PASSES, default 3); the reported per-query number
+and the headline total are the per-query MEDIAN, with per-query MIN
+reported alongside.  Median-of-3 makes a uniform machine-contention
+multiplier (the round-3 false "regression") distinguishable from a real
+plan change: contention inflates some passes, a plan change inflates all
+of them including the min.
+
 Each query is forced to full materialization with the noop sink (so
 projection work isn't pruned away by count()).
 """
@@ -12,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -19,8 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+PASSES = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
 
-# Headline set: graph traversals + aggregates + pipeline extensions.
+# Headline set: graph traversals + aggregates + pipeline extensions,
+# plus (round 4) the iterative / loop-shaped operators so the most
+# scale-sensitive plans get a wall-time trend line.
 BENCH_QUERIES = [
     "match_filter_project",
     "multi_hop",
@@ -40,6 +52,14 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_lang_id",
     "events_window_agg",
+    # Iterative / loop-shaped (round-4 additions)
+    "graph_pagerank",
+    "graph_components",
+    "graph_lpa",
+    "graph_kcore",
+    "shortest_path",
+    "var_length_multi",
+    "events_sessionize",
 ]
 
 
@@ -60,39 +80,58 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    # Pass 1 (warmup): run every query once to absorb one-time session
-    # costs — janino codegen compiles, Python worker forks, parquet
-    # footer reads, broadcast relation builds. On a long-lived cluster
-    # serving a 100 TB corpus these amortize to zero, so the steady-state
-    # pass is the honest throughput number; the cold total is reported
-    # alongside for transparency.
+
+    def run_once(name: str) -> float:
+        # Timer wraps plan CONSTRUCTION as well as execution: the
+        # iterative operators (pagerank, components, lpa, kcore,
+        # shortest_path) run their supersteps eagerly (localCheckpoint)
+        # while the DataFrame is being built, so timing only the final
+        # noop write would miss nearly all their work.
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    # Warmup pass: absorb one-time session costs — janino codegen
+    # compiles, Python worker forks, parquet footer reads, broadcast
+    # relation builds.  On a long-lived cluster serving a 100 TB corpus
+    # these amortize to zero, so steady-state is the honest throughput
+    # number; the cold total is reported alongside for transparency.
     cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        df = qs[name](spark, SF_DIR)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.time() - t0, 3)
+        cold[name] = run_once(name)
         print(f"# cold {name}: {cold[name]}s", file=sys.stderr)
 
-    # Pass 2 (timed, steady state)
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        df = qs[name](spark, SF_DIR)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s", file=sys.stderr)
+    # Timed passes (steady state): interleave whole passes rather than
+    # back-to-back repeats of one query, so a transient contention burst
+    # hits different queries in different passes instead of all repeats
+    # of one query.
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for p in range(PASSES):
+        for name in BENCH_QUERIES:
+            t = run_once(name)
+            samples[name].append(t)
+            print(f"# pass{p + 1} {name}: {t}s", file=sys.stderr)
+
+    med = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
+    mins = {n: round(min(ts), 3) for n, ts in samples.items()}
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
-    total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
-        "value": total,
+        "value": round(sum(med.values()), 3),
         "unit": "sec",
-        "queries": times,
+        "queries": med,
+        "queries_min": mins,
+        "queries_all_passes": samples,
         "sf": sf,
-        "methodology": "1 warmup + 1 timed pass per query (steady-state)",
+        "methodology": (
+            f"1 warmup + {PASSES} interleaved timed passes per query; "
+            "'queries'/'value' are per-query medians, 'queries_min' the "
+            "per-query min (contention-robust lower bound)"
+        ),
+        "min_total": round(sum(mins.values()), 3),
         "cold_total": round(sum(cold.values()), 3),
     }))
 

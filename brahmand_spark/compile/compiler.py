@@ -532,6 +532,18 @@ class QueryCompiler:
                             "GraphSession(max_var_hops=...) if the walk is "
                             "intentional"
                         )
+                    # *9.. with max_var_hops=6 would otherwise resolve
+                    # to an empty hop range (min 9 > effective max 6)
+                    # and silently return nothing — surface the cost
+                    # guard instead.
+                    if rp.min_hops is not None and rp.min_hops > eff_max_hops:
+                        raise PlanError(
+                            f"variable-length lower bound *{rp.min_hops}.. "
+                            f"exceeds the effective upper bound "
+                            f"({eff_max_hops}, from the cost guard): raise "
+                            "it with GraphSession(max_var_hops=...) if the "
+                            "walk is intentional"
+                        )
                     pattern.rels.append(RelEntity(
                         alias=alias, type_name=rp.type_name,
                         direction=rp.direction,
@@ -738,6 +750,17 @@ class QueryCompiler:
             or "*" in self._referenced
         ):
             return None
+        if rel.orientation == "both":
+            # The edge-list 'both' plan dedups over (src, dst, props);
+            # the prop-less adjacency tables dedup over bare pairs.
+            # The two cardinalities only agree when the rel carries no
+            # property columns — otherwise fall back to the edge list
+            # (e.g. reciprocal edges with distinct props must NOT
+            # collapse).
+            cols = sch.column_names or self.load_table(sch.type_name).columns
+            if any(c not in (sch.from_column, sch.to_column)
+                   for c in cols):
+                return None
         outgoing = self.load_adjacency(f"{sch.type_name}_outgoing")
         incoming = self.load_adjacency(f"{sch.type_name}_incoming")
         if outgoing is None or incoming is None:
@@ -747,9 +770,23 @@ class QueryCompiler:
         src_name, dst_name = pcol(a, "from_id"), pcol(a, "to_id")
 
         def expanded(adj: DataFrame) -> DataFrame:
+            # Re-expand each neighbor by its stored multiplicity so an
+            # adj-indexed hop is cardinality-equivalent to the edge
+            # list on multigraphs (round-4 fix; all-ones fallback for
+            # tables written before the counts column existed).
+            counts = (
+                F.col("counts") if "counts" in adj.columns
+                else F.array_repeat(F.lit(1).cast("bigint"),
+                                    F.size("neighbors"))
+            )
             return adj.select(
                 F.col("src").alias(src_name),
-                F.explode("neighbors").alias(dst_name),
+                F.explode(
+                    F.flatten(F.zip_with(
+                        F.col("neighbors"), counts,
+                        lambda n, c: F.array_repeat(n, c.cast("int")),
+                    ))
+                ).alias(dst_name),
             )
 
         if rel.orientation == "fwd":
@@ -757,7 +794,11 @@ class QueryCompiler:
         elif rel.orientation == "rev":
             df = expanded(incoming)
         else:  # 'both': UNION DISTINCT of the two direction tables
-            # (graph_traversal_planning.rs:695-721)
+            # (graph_traversal_planning.rs:695-721). The edge-list
+            # 'both' plan dedups over (src, dst, props) while the
+            # adjacency tables carry no props — the two only agree
+            # when the rel has no property columns, so _adjacency_
+            # eligibility already bailed for props-bearing rels.
             df = expanded(outgoing).union(expanded(incoming)).distinct()
         scope.bind(RelBinding(
             alias=a, type_name=sch.type_name, columns=[],
@@ -1041,12 +1082,13 @@ class QueryCompiler:
         return df
 
     def _adjacency_pairs(self, rel: RelEntity) -> Optional[DataFrame]:
-        """Oriented (src, dst) pairs from the grouped-adjacency tables,
-        or None when unavailable. Note collect_set DEDUPS parallel
-        edges, so this is only sound for reachability-style consumers
-        (shortest-path BFS dedups per level anyway); variable-length
-        walks keep the edge list because Cypher counts parallel edges
-        as distinct relationships."""
+        """Oriented DISTINCT (src, dst) pairs from the grouped-
+        adjacency tables, or None when unavailable. Multiplicity is
+        deliberately NOT re-expanded here: this feeds reachability-
+        style consumers only (shortest-path BFS dedups per level
+        anyway), where the distinct-neighbor explode is cheaper;
+        variable-length walks keep the edge list because Cypher counts
+        parallel edges as distinct relationships."""
         sch = rel.schema
         if (self.load_adjacency is None or not sch.adj_index
                 or rel.properties or rel.orientation == "invalid"):

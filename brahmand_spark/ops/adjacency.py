@@ -31,17 +31,74 @@ def build_adjacency(
     edges: DataFrame, src_col: str, dst_col: str,
     num_buckets: Optional[int] = None,
 ) -> DataFrame:
-    """``(src, neighbors array<id>, degree)`` — one row per source node.
+    """``(src, neighbors array<id>, counts array<bigint>, degree)`` —
+    one row per source node; ``neighbors`` holds the DISTINCT targets,
+    ``counts[i]`` the multiplicity of ``neighbors[i]`` (parallel edges
+    in a multigraph), and ``degree`` the true out-degree
+    (``sum(counts)``). Storing multiplicity keeps an adj-indexed hop
+    cardinality-equivalent to the edge-list plan (round-4 fix — the
+    old ``collect_set`` silently dropped parallel edges; the
+    reference's bitmap has the same lossy semantics,
+    ref ddl_query.rs:290-311, which we deliberately do NOT copy).
+
+    Shape: two hash aggregates — (src, dst) -> cnt, then src ->
+    packed arrays. The extra (src, dst) shuffle only happens at index
+    BUILD time; the per-dst pre-aggregation also caps any single
+    reducer's row count at the distinct-neighbor count, which is what
+    keeps supernode rows buildable at 100 TB.
+
     ``num_buckets`` repartitions by src so the written table is
     co-partitioned for downstream joins against node ids."""
+    pair_counts = (
+        edges.groupBy(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     adj = (
-        edges.groupBy(F.col(src_col).alias("src"))
-        .agg(F.collect_set(F.col(dst_col)).alias("neighbors"))
-        .withColumn("degree", F.size("neighbors"))
+        pair_counts.groupBy("src")
+        .agg(F.collect_list(F.struct("dst", "cnt")).alias("nc"))
+        .select(
+            "src",
+            F.col("nc.dst").alias("neighbors"),
+            F.col("nc.cnt").alias("counts"),
+        )
+        .withColumn(
+            "degree",
+            F.aggregate(
+                "counts", F.lit(0).cast("bigint"), lambda a, x: a + x
+            ),
+        )
     )
     if num_buckets:
         adj = adj.repartition(num_buckets, "src")
     return adj
+
+
+def _multiplicity_counts(adj: DataFrame):
+    """``counts`` column, or all-ones for tables written before the
+    multiplicity column existed (legacy set-semantics tables)."""
+    if "counts" in adj.columns:
+        return F.col("counts")
+    return F.array_repeat(F.lit(1).cast("bigint"), F.size("neighbors"))
+
+
+def expand_pairs(adj: DataFrame) -> DataFrame:
+    """Multiplicity-preserving ``(src, dst)`` pairs from a grouped-
+    adjacency table: each neighbor re-expands ``counts[i]`` times, so
+    the result is row-for-row equivalent to the original edge list's
+    id pairs (parallel edges included)."""
+    return adj.select(
+        "src",
+        F.explode(
+            F.flatten(
+                F.zip_with(
+                    "neighbors", _multiplicity_counts(adj),
+                    lambda n, c: F.array_repeat(n, c.cast("int")),
+                )
+            )
+        ).alias("dst"),
+    )
 
 
 def materialize_for_rel(
@@ -67,15 +124,13 @@ def materialize_for_rel(
 def expand(adj: DataFrame, direction_ids: DataFrame,
            id_col: str) -> DataFrame:
     """Traverse one hop through a grouped-adjacency table:
-    semi-restrict to the frontier ids, then ``explode(neighbors)`` —
-    the analogue of ``arrayJoin(bitmapToArray(to_id))`` with the
-    reference's ``IN (SELECT ...)`` pruning folded into a leftsemi join.
-    Returns ``(src, dst)`` pairs."""
+    semi-restrict to the frontier ids, then re-expand neighbors by
+    multiplicity — the analogue of ``arrayJoin(bitmapToArray(to_id))``
+    with the reference's ``IN (SELECT ...)`` pruning folded into a
+    leftsemi join, made cardinality-exact for multigraphs. Returns
+    ``(src, dst)`` pairs (one row per original parallel edge)."""
     frontier = direction_ids.select(F.col(id_col).alias("src")).distinct()
-    return (
-        adj.join(frontier, on="src", how="leftsemi")
-        .select("src", F.explode("neighbors").alias("dst"))
-    )
+    return expand_pairs(adj.join(frontier, on="src", how="leftsemi"))
 
 
 def write_adjacency_bucketed(
@@ -124,19 +179,48 @@ def maintain_adjacency_stream(
         )
         buckets = [r.bucket for r in
                    new_pairs.select("bucket").distinct().collect()]
+        # Per-(src, dst) multiplicity within THIS batch. Replay-safe:
+        # a replayed batch has identical content, so re-counting it and
+        # merging with max() below rewrites the same rows. Caveat
+        # (documented): parallel edges split ACROSS batches collapse to
+        # the max per-batch count — exact cross-batch multiplicity
+        # needs per-batch provenance (Delta MERGE or dedup_stream's
+        # batch_id layout); the batch builder (build_adjacency) is
+        # exact.
+        batch_counts = new_pairs.groupBy("src", "dst", "bucket").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
         try:
-            existing = spark.read.parquet(path).filter(
-                F.col("bucket").isin(buckets)
-            ).select(
-                "src", F.explode("neighbors").alias("dst"), "bucket"
+            existing = expand_pairs(
+                spark.read.parquet(path).filter(
+                    F.col("bucket").isin(buckets)
+                ).select("src", "neighbors", "counts")
+            ).groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt")) \
+                .withColumn(
+                    "bucket",
+                    F.pmod(F.col("src"), F.lit(num_buckets)).cast("int"),
+                )
+            all_counts = (
+                existing.unionByName(batch_counts)
+                .groupBy("src", "dst", "bucket")
+                .agg(F.max("cnt").alias("cnt"))
             )
-            all_pairs = existing.unionByName(new_pairs)
         except Exception:  # first batch: nothing materialized yet
-            all_pairs = new_pairs
+            all_counts = batch_counts
         merged = (
-            all_pairs.groupBy("src", "bucket")
-            .agg(F.collect_set("dst").alias("neighbors"))
-            .withColumn("degree", F.size("neighbors"))
+            all_counts.groupBy("src", "bucket")
+            .agg(F.collect_list(F.struct("dst", "cnt")).alias("nc"))
+            .select(
+                "src", "bucket",
+                F.col("nc.dst").alias("neighbors"),
+                F.col("nc.cnt").alias("counts"),
+            )
+            .withColumn(
+                "degree",
+                F.aggregate(
+                    "counts", F.lit(0).cast("bigint"), lambda a, x: a + x
+                ),
+            )
         )
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

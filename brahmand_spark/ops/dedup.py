@@ -120,9 +120,15 @@ def ngram_jaccard_pairs(
     Scale note: at 100 TB, run either on minhash_lsh_candidates output.
     """
     if method == "prefix":
-        # Per-doc sorted-hash-array table: built narrow (no shuffle),
-        # feeds the prefix explode AND both verification branches —
-        # persist so the shingling runs once. MEMORY_AND_DISK spills.
+        # Per-doc sorted-hash-array table feeds the prefix explode AND
+        # both verification branches. The trailing repartition("id")
+        # puts one exchange ON TOP of the (expensive) shingle+sort
+        # compute: Catalyst's ReuseExchange serves all three consumers
+        # from the same shuffle files, so the shingling runs once with
+        # ZERO persisted blocks — disk-backed shuffle instead of
+        # storage memory, nothing for the caller to unpersist, and the
+        # hash-partitioning on id feeds the id-keyed verification joins
+        # without a re-shuffle.
         arr = _spread(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col).alias("id"),
             F.array_sort(
@@ -130,7 +136,7 @@ def ngram_jaccard_pairs(
                             lambda s: F.xxhash64(s))
             ).alias("__h"),
         ).withColumn("n_sh", F.size("__h")).filter(F.col("n_sh") > 0) \
-            .persist()
+            .repartition(F.col("id"))
         plen = (
             F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
         ).cast("int")
@@ -193,10 +199,15 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
 
+    # repartition("id") = one exchange above the shingle explode:
+    # ReuseExchange feeds all three consumers (sizes groupBy, both join
+    # sides) from the same shuffle files — the explode runs once, no
+    # persisted blocks — and hashpartitioning(id) already satisfies the
+    # sizes groupBy's required distribution.
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-    ).persist()
+    ).repartition(F.col("id"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -336,11 +347,14 @@ def minhash_lsh_candidates(
     """
     rows = num_hashes // bands
     # Signatures feed the banding explode plus both sides of the
-    # signature-join; persist so the shingle->min-hash aggregation runs
-    # once, not three times.
+    # signature-join. No persist: the signature aggregation ends in a
+    # shuffle on id (partial min -> exchange -> final min), and
+    # ReuseExchange serves all three consumers from that one exchange —
+    # only the cheap final-agg-over-shuffled-rows replays per consumer,
+    # and no cached blocks accumulate across repeated calls.
     sigs = minhash_signatures(
         df, id_col, text_col, n, num_hashes, seed, hash_fn
-    ).persist()
+    )
 
     def band_key(b: int):
         joined = F.concat_ws(",", *[
@@ -553,11 +567,14 @@ def simhash_near_pairs(
     distances). Exact Hamming distance then filters. Larger bounds mean
     narrower chunks and fatter candidate sets — inherent to pigeonhole
     LSH, not an implementation limit."""
-    # Fingerprints feed both sides of the chunk-equality self-join;
-    # persist so the token-vote aggregation runs once.
+    # Fingerprints feed both sides of the chunk-equality self-join. No
+    # persist: the vote aggregation ends in a shuffle on id, and
+    # ReuseExchange serves every consumer from that one exchange — only
+    # the narrow bit-assembly projections replay per consumer, and no
+    # cached blocks accumulate across repeated calls.
     sh = simhash(
         df, id_col, text_col, n_chunks=max_hamming + 1, hash_fn=hash_fn
-    ).persist()
+    )
     # The pair join shuffles ids only — fingerprints are joined back
     # onto the deduped candidate set afterwards instead of riding
     # through the chunk-bucket shuffle on both sides (same shape as

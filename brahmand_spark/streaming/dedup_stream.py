@@ -17,7 +17,9 @@ and processes each micro-batch incrementally:
 
 Work per batch is proportional to batch size, not corpus size: the
 store join is an equi-join on the 8-byte band hash (shuffle keyed by a
-near-uniform hash -> skew-resistant), and the store only ever appends.
+near-uniform hash -> skew-resistant); the store grows one
+``batch_id=N`` partition per micro-batch, and each batch only ever
+(over)writes its own partition.
 
 Fault tolerance: Structured Streaming replays a micro-batch whose
 checkpoint commit didn't land, so a plain ``mode("append")`` sink
@@ -36,6 +38,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..ops.dedup import minhash_signatures
+
+
+def _path_exists(spark, path: str) -> bool:
+    """True iff `path` exists, via the JVM Hadoop FileSystem API (works
+    for any configured filesystem, not just local)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
 
 
 def _band_buckets(
@@ -80,16 +91,28 @@ def _process_batch(
     try:
         # (a) collide vs the persistent store — excluding this batch's
         # own partition, which exists iff we are replaying after a
-        # failure and must not self-collide.
-        try:
+        # failure and must not self-collide.  The no-store-yet case is
+        # detected by an explicit existence check (Hadoop FileSystem),
+        # NOT a broad except: a store that exists but can't be read in
+        # the expected shape must fail the batch loudly, or the whole
+        # dedup history would be silently ignored.
+        if _path_exists(spark, store_path):
+            store = spark.read.parquet(store_path)
+            if "batch_id" not in store.columns:
+                raise ValueError(
+                    f"dedup_stream store at {store_path!r} lacks the "
+                    "batch_id partition column (written by an older "
+                    "flat-append version?); migrate it to "
+                    "batch_id=N partitions before resuming"
+                )
             seen = (
-                spark.read.parquet(store_path)
+                store
                 .filter(F.col("batch_id") < F.lit(batch_id))
                 .select("band", "bucket")
             )
             hits = bb.join(seen, ["band", "bucket"], "leftsemi") \
                 .select("id").distinct()
-        except Exception:  # first batch: no store yet
+        else:  # first batch: no store yet
             hits = bb.select("id").filter(F.lit(False))
         # (b) within-batch collisions: keep the lowest id per bucket
         first = bb.groupBy("band", "bucket").agg(F.min("id").alias("keep"))

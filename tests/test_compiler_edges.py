@@ -431,3 +431,30 @@ def test_order_by_nulls_last_both_directions(spark):
     limited = [r.v for r in s.execute(
         "MATCH (a:N) RETURN a.v AS v ORDER BY v ASC LIMIT 3").collect()]
     assert limited == [10.0, 20.0, 30.0]
+
+
+class TestVarLengthLowerBoundGuard:
+    def test_min_above_guard_raises_not_empty(self, tpch):
+        """*9.. with the default guard (6) must raise the cost-guard
+        error, not resolve to an empty hop range that silently returns
+        nothing (ADVICE r3)."""
+        import pytest
+
+        from brahmand_spark.errors import PlanError
+
+        with pytest.raises(PlanError, match="lower bound"):
+            tpch.execute(
+                "MATCH (a:Customer)-[:NEXT_CUST*9..]->(b:Customer) "
+                "RETURN count(*) AS n")
+
+    def test_min_above_guard_ok_when_guard_raised(self, spark):
+        from brahmand_spark.graphs.tpch import build_session
+
+        from .conftest import SF_SMOKE
+
+        s = build_session(spark, SF_SMOKE)
+        s.max_var_hops = 9
+        df = s.execute(
+            "MATCH (a:Customer)-[:NEXT_CUST*9..]->(b:Customer) "
+            "WHERE a.c_custkey = 1 RETURN count(*) AS n")
+        assert df.collect()[0][0] == 1

@@ -357,3 +357,64 @@ def test_profile_summarizes_plan(tpch):
         MATCH (c:Customer)-[:PLACED]->(o:Order)
         RETURN c.c_name AS name, round(avg(o.o_totalprice), 2) AS avg""")
     assert p2["joins"] == 1 and p2["scans"] == 2
+
+
+class TestAdjacencyMultigraph:
+    """Round-4 fix: the adjacency tables store per-neighbor
+    multiplicity (counts array) and traversal re-expands it, so an
+    adj-indexed hop returns the SAME rows as the edge-list plan on a
+    multigraph (the old collect_set silently dropped parallel edges —
+    the reference's bitmap semantics, ref ddl_query.rs:290-311, which
+    we deliberately do not copy)."""
+
+    def _session(self, spark):
+        from brahmand_spark.catalog import (
+            GraphSchema, NodeSchema, RelationshipSchema,
+        )
+        from brahmand_spark.session import GraphSession
+
+        g = GraphSchema()
+        g.add_node(NodeSchema("Person", "person_tbl", "id", ["id", "name"]))
+        g.add_relationship(RelationshipSchema(
+            "KNOWS", "knows_tbl", "Person", "Person", "src", "dst",
+            ["src", "dst"],
+        ))
+        s = GraphSession(spark, schema=g)
+        s.register_table("person_tbl", spark.createDataFrame(
+            [(i, f"p{i}") for i in range(1, 6)], "id long, name string"))
+        # parallel edges: 1->2 three times, 2->3 twice, 3->4 once
+        s.register_table("knows_tbl", spark.createDataFrame(
+            [(1, 2), (1, 2), (1, 2), (2, 3), (2, 3), (3, 4)],
+            "src long, dst long"))
+        return s
+
+    QUERY = ("MATCH (a:Person)-[:KNOWS]->(b:Person) "
+             "RETURN a.id AS src, b.id AS dst")
+
+    def test_adj_hop_preserves_parallel_edge_cardinality(self, spark):
+        s = self._session(spark)
+        expected = sorted(map(tuple, s.execute(self.QUERY).collect()))
+        assert expected == [(1, 2)] * 3 + [(2, 3)] * 2 + [(3, 4)]
+        s.build_adj_index("KNOWS")
+        got_df = s.execute(self.QUERY)
+        assert "Generate explode" in physical_plan(got_df)
+        assert sorted(map(tuple, got_df.collect())) == expected
+
+    def test_incoming_multiplicity(self, spark):
+        s = self._session(spark)
+        q = ("MATCH (b:Person)<-[:KNOWS]-(a:Person) "
+             "RETURN a.id AS src, b.id AS dst")
+        expected = sorted(map(tuple, s.execute(q).collect()))
+        s.build_adj_index("KNOWS")
+        got = sorted(map(tuple, s.execute(q).collect()))
+        assert got == expected
+
+    def test_degree_is_true_edge_count(self, spark):
+        from brahmand_spark.ops.adjacency import build_adjacency
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 2), (1, 3)], "src long, dst long")
+        row = build_adjacency(edges, "src", "dst").collect()[0]
+        assert row.degree == 3
+        assert sorted(row.neighbors) == [2, 3]
+        assert sorted(row.counts) == [1, 2]

@@ -366,3 +366,46 @@ class TestCypherOverStream:
         expected = tpch.execute(q)
         assert got.count() == expected.count() > 0
         assert got.exceptAll(expected).count() == 0
+
+
+class TestDedupStreamStoreValidation:
+    def test_old_format_store_fails_loudly(self, spark, tmp_path):
+        """A store written by the old flat-append layout (no batch_id
+        partitions) must raise, not be silently ignored — swallowing
+        the read error would re-accept every previously-seen document
+        (ADVICE r3)."""
+        import pytest
+
+        from brahmand_spark.streaming.dedup_stream import _process_batch
+
+        store = str(tmp_path / "bands")
+        # old-format store: flat parquet, no batch_id partition column
+        spark.createDataFrame(
+            [(1, 0, 123)], "id long, band int, bucket long"
+        ).write.parquet(store)
+        batch = spark.createDataFrame(
+            [(9, "some document text with enough tokens to shingle "
+                 "properly across several words")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(Exception, match="batch_id"):
+            _process_batch(
+                batch, 1, store, str(tmp_path / "acc"),
+                "doc_id", "text", 3, 64, 16, 42,
+            )
+
+    def test_missing_store_is_first_batch(self, spark, tmp_path):
+        """Nonexistent store path = first batch: everything accepted."""
+        from brahmand_spark.streaming.dedup_stream import _process_batch
+
+        batch = spark.createDataFrame(
+            [(9, "some document text with enough tokens to shingle "
+                 "properly across several words")],
+            "doc_id long, text string",
+        )
+        _process_batch(
+            batch, 0, str(tmp_path / "bands"), str(tmp_path / "acc"),
+            "doc_id", "text", 3, 64, 16, 42,
+        )
+        got = spark.read.parquet(str(tmp_path / "acc"))
+        assert [r.doc_id for r in got.collect()] == [9]

@@ -113,6 +113,9 @@ class QueryCompiler:
         ] = None,
         max_var_hops: int = MAX_VAR_HOPS,
         assume_referential_integrity: bool = False,
+        degree_stats: Optional[Callable[[str], Optional[dict]]] = None,
+        skew_degree_threshold: int = 50_000,
+        skew_salt_factor: int = 8,
     ):
         self.catalog = catalog
         self.load_table = load_table
@@ -132,6 +135,22 @@ class QueryCompiler:
         # Resolver for materialized grouped-adjacency tables
         # ({REL}_outgoing / {REL}_incoming); None -> always edge-list.
         self.load_adjacency = load_adjacency
+        # Per-rel degree statistics captured at adj-index build time
+        # (rel type -> {"outgoing": {...}, "incoming": {...}} with
+        # max_degree/p99_degree/avg_degree) — the skew diagnostic the
+        # hop planner consults to decide per-hop salting, the analogue
+        # of the reference's per-hop bitmap-index physical decision
+        # (ref query_validation.rs:103-124).
+        self.degree_stats = degree_stats
+        # A hop whose join-side degree distribution has max_degree at
+        # or above this threshold gets a salted join: the hot key's
+        # edge rows split across skew_salt_factor tasks, the frontier
+        # side is replicated factor x. AQE's skew-split also mitigates
+        # sort-merge skew at runtime, but only after a stage has
+        # materialized the skewed map output; plan-time salting keeps
+        # the hot key from ever concentrating.
+        self.skew_degree_threshold = skew_degree_threshold
+        self.skew_salt_factor = skew_salt_factor
         # Aliases referenced anywhere in the current query (filled per
         # compile() call) — a rel alias in here forces the edge-list
         # path, mirroring the reference's projection/filter tagging
@@ -1396,6 +1415,85 @@ class QueryCompiler:
         ))
         return df.withColumn(pcol(node.alias, sch.node_id), endpoint_col)
 
+    def _hop_is_skewed(self, rel, endpoint: str) -> bool:
+        """True when degree stats (captured at adj-index build time)
+        say the edge side of a frontier join on this endpoint has a
+        heavy-hitter key. ``endpoint`` is 'src' (join on the hop's
+        from_id) or 'dst' (join on to_id); the relevant physical
+        distribution follows the hop's orientation — a reversed hop's
+        from_id is the physical to-column, so its skew is the
+        IN-degree."""
+        if self.degree_stats is None:
+            return False
+        stats = self.degree_stats(rel.schema.type_name)
+        if not stats:
+            return False
+        if rel.orientation == "fwd":
+            direction = "outgoing" if endpoint == "src" else "incoming"
+            dirs = [direction]
+        elif rel.orientation == "rev":
+            direction = "incoming" if endpoint == "src" else "outgoing"
+            dirs = [direction]
+        else:  # either-direction hop unions both orientations
+            dirs = ["outgoing", "incoming"]
+        worst = max(
+            (stats.get(d, {}).get("max_degree") or 0) for d in dirs
+        )
+        return worst >= self.skew_degree_threshold
+
+    def _join_edge(self, comp_df: DataFrame, edge: DataFrame,
+                   comp_key, edge_key, rel, endpoint: str) -> DataFrame:
+        """Frontier-component x edge join with skew-aware physical
+        choice: when the adj-index degree stats flag a supernode-heavy
+        key on the joined endpoint, salt the edge side (deterministic
+        per-row hash -> one salt per edge row) and replicate the
+        frontier across all salt values, so the hot key's edge rows
+        spread over skew_salt_factor tasks instead of one (the per-hop
+        analogue of ops/skew.salted_join; plain join otherwise, where
+        AQE broadcast/skew-split already does the right thing)."""
+        cond = edge_key == comp_key
+        if not self._hop_is_skewed(rel, endpoint):
+            return comp_df.join(edge, cond, "inner")
+        f = self.skew_salt_factor
+        salt = "__hop_salt"
+        salted = edge.withColumn(
+            salt,
+            F.pmod(F.xxhash64(*edge.columns), F.lit(f)).cast("int"),
+        )
+        rep = comp_df.withColumn(
+            salt, F.explode(F.sequence(F.lit(0), F.lit(f - 1)))
+        )
+        return rep.join(
+            salted, cond & (rep[salt] == salted[salt]), "inner"
+        ).drop(salt)
+
+    def _join_node(self, comp_df: DataFrame, node_df: DataFrame,
+                   edge_key, node_id, rel, endpoint: str,
+                   node_label: Optional[str]) -> DataFrame:
+        """Component x endpoint-node-table join with the same skew
+        guard as _join_edge, mirrored: after a hop lands on a
+        supernode, the COMPONENT side carries max_degree rows with one
+        key, so it gets the deterministic salt and the (unique-id) node
+        table is replicated. Skipped when the node label is broadcast —
+        a broadcast join never shuffles, so the hot key never
+        concentrates."""
+        cond = edge_key == node_id
+        if (node_label in self.broadcast_labels
+                or not self._hop_is_skewed(rel, endpoint)):
+            return comp_df.join(node_df, cond, "inner")
+        f = self.skew_salt_factor
+        salt = "__hop_salt"
+        salted = comp_df.withColumn(
+            salt,
+            F.pmod(F.xxhash64(*comp_df.columns), F.lit(f)).cast("int"),
+        )
+        rep = node_df.withColumn(
+            salt, F.explode(F.sequence(F.lit(0), F.lit(f - 1)))
+        )
+        return salted.join(
+            rep, cond & (salted[salt] == rep[salt]), "inner"
+        ).drop(salt)
+
     def _apply_hop(self, rel, pattern: Pattern, components, scope, find_component):
         fused: Optional[str] = None
         if rel.shortest and rel.max_hops > 1:
@@ -1447,8 +1545,8 @@ class QueryCompiler:
                 rdf, rbound = components[ri]
                 lid = F.col(scope.get(rel.src).id_pcol)
                 rid = F.col(scope.get(rel.dst).id_pcol)
-                df = ldf.join(edge, src_key == lid, "inner").join(
-                    rdf, dst_key == rid, "inner")
+                df = self._join_edge(ldf, edge, lid, src_key, rel, "src") \
+                    .join(rdf, dst_key == rid, "inner")
                 merged = lbound | rbound | {rel.alias}
                 for idx in sorted((li, ri), reverse=True):
                     components.pop(idx)
@@ -1458,17 +1556,19 @@ class QueryCompiler:
             lid = F.col(scope.get(rel.src).id_pcol)
             dst_node = pattern.nodes[rel.dst]
             if fused == rel.dst:  # dst rides inside the fused edge scan
-                df = df.join(edge, src_key == lid, "inner")
+                df = self._join_edge(df, edge, lid, src_key, rel, "src")
             elif self._elidable(dst_node):
                 df = self._bind_endpoint(
-                    df.join(edge, src_key == lid, "inner"),
+                    self._join_edge(df, edge, lid, src_key, rel, "src"),
                     dst_node, dst_key, scope,
                 )
             else:
                 right = self._scan_node(dst_node, scope)
                 rid = F.col(scope.get(rel.dst).id_pcol)
-                df = df.join(edge, src_key == lid, "inner").join(
-                    right, dst_key == rid, "inner")
+                df = self._join_node(
+                    self._join_edge(df, edge, lid, src_key, rel, "src"),
+                    right, dst_key, rid, rel, "dst", dst_node.label,
+                )
             bound |= {rel.alias, rel.dst}
             components[li] = (df, bound)
         elif ri is not None:
@@ -1476,17 +1576,19 @@ class QueryCompiler:
             rid = F.col(scope.get(rel.dst).id_pcol)
             src_node = pattern.nodes[rel.src]
             if fused == rel.src:  # src rides inside the fused edge scan
-                df = df.join(edge, dst_key == rid, "inner")
+                df = self._join_edge(df, edge, rid, dst_key, rel, "dst")
             elif self._elidable(src_node):
                 df = self._bind_endpoint(
-                    df.join(edge, dst_key == rid, "inner"),
+                    self._join_edge(df, edge, rid, dst_key, rel, "dst"),
                     src_node, src_key, scope,
                 )
             else:
                 left = self._scan_node(src_node, scope)
                 lid = F.col(scope.get(rel.src).id_pcol)
-                df = df.join(edge, dst_key == rid, "inner").join(
-                    left, src_key == lid, "inner")
+                df = self._join_node(
+                    self._join_edge(df, edge, rid, dst_key, rel, "dst"),
+                    left, src_key, lid, rel, "src", src_node.label,
+                )
             bound |= {rel.alias, rel.src}
             components[ri] = (df, bound)
         else:
@@ -1499,7 +1601,7 @@ class QueryCompiler:
             else:
                 ldf = self._scan_node(src_node, scope)
                 lid = F.col(scope.get(rel.src).id_pcol)
-                df = ldf.join(edge, src_key == lid, "inner")
+                df = self._join_edge(ldf, edge, lid, src_key, rel, "src")
             if fused == rel.dst:
                 pass  # dst already inside the fused edge scan
             elif self._elidable(dst_node):
@@ -1507,7 +1609,9 @@ class QueryCompiler:
             else:
                 right = self._scan_node(dst_node, scope)
                 rid = F.col(scope.get(rel.dst).id_pcol)
-                df = df.join(right, dst_key == rid, "inner")
+                df = self._join_node(
+                    df, right, dst_key, rid, rel, "dst", dst_node.label,
+                )
             components.append((df, {rel.src, rel.alias, rel.dst}))
 
     # ------------------------------------------------------------------

@@ -57,6 +57,14 @@ class GraphSession:
         self.tables: dict[str, DataFrame] = {}
         # Labels whose tables are known-small -> broadcast-join hint.
         self.broadcast_labels = set(broadcast_labels or ())
+        # rel type -> {"outgoing": {...}, "incoming": {...}} degree
+        # summaries captured at build_adj_index time; consulted by the
+        # hop planner to salt supernode-heavy joins. Tune the two knobs
+        # below per deployment (threshold = max_degree at which a hop
+        # join gets salted; factor = salt fan-out).
+        self.degree_stats: dict[str, dict] = {}
+        self.skew_degree_threshold = 50_000
+        self.skew_salt_factor = 8
 
     # -- table registration -------------------------------------------------
     def register_table(self, name: str, table: Union[DataFrame, str]) -> None:
@@ -105,6 +113,19 @@ class GraphSession:
                     adj = adj.persist()
                 self.register_table(f"{type_name}_{direction}", adj)
         rel.adj_index = True
+        # Capture degree statistics while the adjacency tables are hot:
+        # one 5-column row per direction (driver-side, metadata-sized).
+        # The hop planner consults these to salt supernode-heavy joins
+        # (the analogue of the reference's per-hop bitmap decision,
+        # ref query_validation.rs:103-124).
+        from .ops.adjacency import degree_stats as _dstats
+
+        self.degree_stats[type_name] = {
+            direction: _dstats(
+                self.tables[f"{type_name}_{direction}"]
+            ).first().asDict()
+            for direction in ("outgoing", "incoming")
+        }
 
     def _load_for_label(self, label: str) -> DataFrame:
         """Table loader handed to the compiler: label or rel type -> DF."""
@@ -135,6 +156,9 @@ class GraphSession:
                 load_adjacency=self.tables.get,
                 assume_referential_integrity=(
                     self.assume_referential_integrity),
+                degree_stats=self.degree_stats.get,
+                skew_degree_threshold=self.skew_degree_threshold,
+                skew_salt_factor=self.skew_salt_factor,
                 **kwargs,
             )
             return compiler.compile(stmt)

@@ -418,3 +418,72 @@ class TestAdjacencyMultigraph:
         assert row.degree == 3
         assert sorted(row.neighbors) == [2, 3]
         assert sorted(row.counts) == [1, 2]
+
+
+class TestSkewAwareHopPlanning:
+    """Round-4: the hop planner consults degree stats captured at
+    build_adj_index time and salts the frontier-edge join for
+    supernode-heavy relationships (the analogue of the reference's
+    per-hop bitmap-index physical decision,
+    ref query_validation.rs:103-124): the hot key's edge rows split
+    across skew_salt_factor tasks, the frontier replicates factor x."""
+
+    def _session(self, spark, n_fans=400):
+        from brahmand_spark.catalog import (
+            GraphSchema, NodeSchema, RelationshipSchema,
+        )
+        from brahmand_spark.session import GraphSession
+
+        g = GraphSchema()
+        g.add_node(NodeSchema("User", "user_tbl", "id", ["id", "name"]))
+        g.add_relationship(RelationshipSchema(
+            "FOLLOWS", "follows_tbl", "User", "User", "src", "dst",
+            ["src", "dst"],
+        ))
+        s = GraphSession(spark, schema=g)
+        s.register_table("user_tbl", spark.createDataFrame(
+            [(i, f"u{i}") for i in range(n_fans + 2)],
+            "id long, name string"))
+        # power-law-ish: node 0 is a celebrity followed by everyone;
+        # the rest form a sparse chain
+        edges = [(i, 0) for i in range(1, n_fans + 1)]
+        edges += [(i, i + 1) for i in range(1, n_fans)]
+        s.register_table("follows_tbl", spark.createDataFrame(
+            edges, "src long, dst long"))
+        return s
+
+    QUERY = ("MATCH (a:User)-[:FOLLOWS]->(b:User) "
+             "WHERE b.name = 'u0' RETURN a.id AS follower")
+
+    def test_salted_hop_on_power_law_graph(self, spark):
+        s = self._session(spark)
+        baseline = sorted(r.follower for r in s.execute(self.QUERY).collect())
+        s.build_adj_index("FOLLOWS")
+        assert s.degree_stats["FOLLOWS"]["incoming"]["max_degree"] == 400
+        s.skew_degree_threshold = 100  # flag the celebrity node
+        df = s.execute(self.QUERY)
+        plan = physical_plan(df)
+        assert "__hop_salt" in plan  # salted join in the physical plan
+        assert sorted(r.follower for r in df.collect()) == baseline
+
+    def test_no_salt_below_threshold(self, spark):
+        s = self._session(spark)
+        s.build_adj_index("FOLLOWS")  # default threshold 50k >> 400
+        assert "__hop_salt" not in physical_plan(s.execute(self.QUERY))
+
+    def test_no_salt_without_index_stats(self, spark):
+        s = self._session(spark)
+        s.skew_degree_threshold = 100
+        assert "__hop_salt" not in physical_plan(s.execute(self.QUERY))
+
+    def test_salted_outgoing_direction(self, spark):
+        """Reverse pattern: frontier joins on the hop's to_id; for a
+        forward-oriented rel that is the physical IN-degree."""
+        s = self._session(spark)
+        q = ("MATCH (b:User)<-[:FOLLOWS]-(a:User) "
+             "WHERE a.id <= 5 RETURN a.id AS src, b.id AS dst")
+        baseline = sorted(map(tuple, s.execute(q).collect()))
+        s.build_adj_index("FOLLOWS")
+        s.skew_degree_threshold = 100
+        df = s.execute(q)
+        assert sorted(map(tuple, df.collect())) == baseline

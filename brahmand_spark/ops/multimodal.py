@@ -1,12 +1,14 @@
 """Multimodal column handling: images/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode step runs a REAL image decode when Pillow is importable on
-the executors (optional dependency — width/height/luminance/histogram
-features); without it, ``deterministic_fake=True`` swaps in a seeded,
-content-derived fake so the *Spark-side plumbing* — schema, Arrow batch
-shape, ``mapInPandas`` partition flow — stays real and testable in
-minimal containers, and anything else raises ``NotImplementedError``.
+The decode step runs a REAL image decode: Pillow when importable on
+the executors (optional dependency, C-speed, every format), else a
+pure-stdlib PNG decoder (``_png_decode_gray``) so the real path —
+width/height/luminance/histogram features — stays exercised even in
+minimal containers. ``deterministic_fake=True`` additionally swaps in
+a seeded, content-derived fake so the *Spark-side plumbing* — schema,
+Arrow batch shape, ``mapInPandas`` partition flow — is testable with
+no decoding at all.
 
 Scale posture: Arrow-batched ``mapInPandas`` (one Python worker per
 partition, vectorized transfer), metadata pushdown happens before decode
@@ -58,23 +60,115 @@ def _pil_available() -> bool:
     return importlib.util.find_spec("PIL") is not None
 
 
+def _png_decode_gray(raw: bytes):
+    """Minimal pure-stdlib PNG decode -> (width, height, float32 gray
+    array). Supports the common subset: 8-bit depth, color types
+    0/2/4/6 (gray, RGB, gray+alpha, RGBA), non-interlaced, all five
+    scanline filters. RGB folds to luma with the ITU-R 601 weights
+    Pillow's ``convert("L")`` uses, so both backends agree.
+
+    This is the no-Pillow fallback so the REAL decode path stays
+    exercised in minimal containers (CI); it unfilters scanlines in
+    Python, so for production-scale image corpora install Pillow on
+    the executors (C-speed decode of every format, not just PNG)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(raw):
+        length, ctype = struct.unpack(">I4s", raw[pos:pos + 8])
+        pos += 8
+        data = raw[pos:pos + length]
+        pos += length + 4  # payload + CRC
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stride = w * channels
+    dec = zlib.decompress(b"".join(idat))
+    if len(dec) != (stride + 1) * h:
+        raise ValueError("PNG pixel data has wrong length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        f = dec[y * (stride + 1)]
+        cur = np.frombuffer(
+            dec[y * (stride + 1) + 1:(y + 1) * (stride + 1)],
+            dtype=np.uint8,
+        ).astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, channels).astype("float32")
+    if color in (0, 4):  # gray / gray+alpha -> luma channel
+        gray = px[:, :, 0]
+    else:  # RGB / RGBA -> ITU-R 601 luma, truncated exactly like
+        # Pillow's integer convert("L") so both backends agree bit-wise
+        gray = np.floor(
+            (px[:, :, 0] * 299 + px[:, :, 1] * 587
+             + px[:, :, 2] * 114) / 1000.0
+        )
+    return w, h, gray
+
+
 def decode_image_features(
     df: DataFrame, id_col: str = "id", binary_col: str = "content",
     feature_dim: int = 8, deterministic_fake: bool = False,
 ) -> DataFrame:
     """Decode + feature-extract via Arrow-batched ``mapInPandas``.
 
-    With Pillow installed the real decode runs on each executor:
-    width/height from the decoded image, mean luminance, and a
-    ``feature_dim``-bin grayscale histogram as the feature vector (a
-    stand-in for a model embedding; swap the per-image function for a
-    batched model call in production). Without Pillow ->
-    NotImplementedError unless ``deterministic_fake`` (features derived
-    from a stable hash of the bytes; same plumbing, fake math).
+    The real decode runs on each executor: width/height from the
+    decoded image, mean luminance, and a ``feature_dim``-bin grayscale
+    histogram as the feature vector (a stand-in for a model embedding;
+    swap the per-image function for a batched model call in
+    production). Backend: Pillow when importable (C-speed, every
+    format); otherwise a pure-stdlib PNG decoder (``_png_decode_gray``)
+    so the real path still runs in minimal containers — non-PNG
+    payloads then count as decode failures. ``deterministic_fake=True``
+    bypasses decoding entirely (features derived from a stable hash of
+    the bytes; same plumbing, fake math) for plumbing tests.
 
-    Decode failures (truncated/corrupt payloads) yield NULL metadata
-    rather than failing the partition — at 100 TB some corrupt blobs
-    are a certainty."""
+    Decode failures (truncated/corrupt payloads, or non-PNG formats on
+    the no-Pillow backend) yield NULL metadata rather than failing the
+    partition — at 100 TB some corrupt blobs are a certainty."""
 
     def decode(batches: Iterator["pandas.DataFrame"]):  # noqa: F821
         import hashlib
@@ -84,14 +178,17 @@ def decode_image_features(
         import pandas as pd
 
         use_pil = not deterministic_fake and _pil_available()
-        if not deterministic_fake and not use_pil:
-            raise NotImplementedError(
-                "image decode requires Pillow (pip install Pillow); "
-                "pass deterministic_fake=True to exercise the pipeline "
-                "without it"
-            )
         if use_pil:
             from PIL import Image
+
+        def real_decode(raw: bytes):
+            """-> (width, height, float32 gray array); raises on
+            undecodable payloads."""
+            if use_pil:
+                img = Image.open(io.BytesIO(raw)).convert("L")
+                return img.width, img.height, np.asarray(
+                    img, dtype="float32")
+            return _png_decode_gray(raw)
 
         for pdf in batches:
             out = {
@@ -100,15 +197,14 @@ def decode_image_features(
             }
             for payload in pdf[binary_col]:
                 raw = bytes(payload) if payload is not None else b""
-                if use_pil:
+                if not deterministic_fake:
                     try:
-                        img = Image.open(io.BytesIO(raw)).convert("L")
-                        arr = np.asarray(img, dtype="float32")
+                        width, height, arr = real_decode(raw)
                         hist, _ = np.histogram(
                             arr, bins=feature_dim, range=(0.0, 255.0)
                         )
-                        out["width"].append(img.width)
-                        out["height"].append(img.height)
+                        out["width"].append(width)
+                        out["height"].append(height)
                         out["mean_luma"].append(float(arr.mean()) / 255.0)
                         out["feature"].append(
                             (hist / max(arr.size, 1)).astype("float32")

@@ -251,3 +251,78 @@ class TestDegreesAndKCore:
         # round 1 peels all three path vertices at once (degrees 1/2/2),
         # round 2 is the fixpoint check: 1 initial + 2 rounds = 3 counts
         assert len(calls) == 3, calls
+
+
+class TestTwoPhaseCC:
+    """Large-star/small-star connected components: O(log n) rounds
+    regardless of diameter (Kiveris et al., SoCC'14) — the scale path
+    for 100 TB graphs where HashMin's O(diameter) supersteps would
+    dominate."""
+
+    def _labels(self, df):
+        return sorted(map(tuple, df.collect()))
+
+    def test_parity_with_hashmin_random_graph(self, spark):
+        """Both algorithms must match driver-side union-find ground
+        truth (HashMin needs enough iterations: this seed produces a
+        111-node component whose diameter exceeds the default 20)."""
+        import random
+
+        from brahmand_spark.ops.algos import connected_components
+
+        rnd = random.Random(7)
+        edges = [(rnd.randrange(200), rnd.randrange(200))
+                 for _ in range(150)]
+        parent = list(range(200))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        vs = set()
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+            vs.update((a, b))
+        truth = sorted((v, find(v)) for v in vs)
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        hm = self._labels(connected_components(df, max_iterations=80))
+        tp = self._labels(connected_components(df, algorithm="two-phase"))
+        assert tp == truth
+        assert hm == truth
+
+    def test_parity_with_hashmin_two_components_and_selfloop(self, spark):
+        from brahmand_spark.ops.algos import connected_components
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (12, 12)], "src long, dst long")
+        hm = self._labels(connected_components(df))
+        tp = self._labels(connected_components(df, algorithm="two-phase"))
+        assert tp == hm
+        assert (12, 12) in tp  # self-loop-only vertex keeps its own id
+
+    def test_log_rounds_on_long_path(self, spark):
+        """A 200-node path has diameter 199: HashMin would need ~199
+        supersteps; two-phase must converge in O(log n) rounds."""
+        from brahmand_spark.ops.algos import _cc_two_phase
+
+        n = 200
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src long, dst long")
+        labels, rounds = _cc_two_phase(df, max_iterations=30)
+        assert rounds <= 12, f"expected O(log n) rounds, ran {rounds}"
+        got = sorted(map(tuple, labels.collect()))
+        assert got == [(i, 0) for i in range(n)]
+
+    def test_unknown_algorithm_rejected(self, spark):
+        import pytest
+
+        from brahmand_spark.ops.algos import connected_components
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="two-phase"):
+            connected_components(df, algorithm="banana")

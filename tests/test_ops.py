@@ -292,14 +292,18 @@ class TestMultimodal:
         out = {r.id: r.format for r in attach_image_metadata(df).collect()}
         assert out == {1: "png", 2: "jpeg", 3: "gif", 4: "unknown"}
 
-    def test_decode_stub_raises_without_fake(self, spark):
+    def test_decode_undecodable_payload_yields_nulls(self, spark):
+        """Real-decode mode (no fake): a payload no backend can decode
+        (truncated PNG header) produces a NULL-metadata row, not a
+        partition failure — at 100 TB corrupt blobs are a certainty."""
         from brahmand_spark.ops.multimodal import decode_image_features
 
         df = spark.createDataFrame(
             [(1, bytearray(b"\x89PNG"))], "id long, content binary"
         )
-        with pytest.raises(Exception):
-            decode_image_features(df).collect()
+        rows = decode_image_features(df).collect()
+        assert len(rows) == 1
+        assert rows[0].width is None and rows[0].feature is None
 
     def test_decode_fake_deterministic(self, spark):
         from brahmand_spark.ops.multimodal import decode_image_features
@@ -345,30 +349,76 @@ class TestJaccardPrefix:
             assert pre == full, f"threshold {t}: prefix={len(pre)} full={len(full)}"
 
 
+def _encode_png(arr, color_type=0, row_filters=None):
+    """Tiny test-side PNG encoder (stdlib only): 8-bit, non-interlaced,
+    any of the five scanline filters per row — lets tests exercise the
+    decoder's full unfilter surface without Pillow. ``arr`` is uint8
+    (h, w) for gray or (h, w, channels) otherwise."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, channels = arr.shape
+    bpp = channels
+    flat = arr.reshape(h, w * channels).astype(np.int32)
+    row_filters = row_filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y, f in zip(range(h), row_filters):
+        cur = flat[y]
+        if f == 0:
+            filt = cur
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            filt = (cur - left) & 0xFF
+        elif f == 2:  # Up
+            filt = (cur - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            filt = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            filt = np.zeros_like(cur)
+            for x in range(len(cur)):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                filt[x] = (cur[x] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
 class TestMultimodalRealDecode:
-    def test_pil_decode_when_available(self, spark):
-        """Real Pillow decode path: generate a tiny PNG in-process,
-        decode it through the mapInPandas pipeline, and check the
-        geometry/luma/histogram outputs. Skipped in containers without
-        Pillow (the fake path covers the plumbing there)."""
-        import pytest
-
-        from brahmand_spark.ops.multimodal import (
-            _pil_available, decode_image_features,
-        )
-
-        if not _pil_available():
-            pytest.skip("Pillow not installed")
-        import io
-
+    def test_real_decode_through_pipeline(self, spark):
+        """Real decode path (Pillow when installed, pure-stdlib PNG
+        decoder otherwise): generate a tiny PNG in-process, decode it
+        through the mapInPandas pipeline, and check the
+        geometry/luma/histogram outputs."""
         import numpy as np
-        from PIL import Image
 
-        buf = io.BytesIO()
+        from brahmand_spark.ops.multimodal import decode_image_features
+
         arr = np.zeros((4, 6), dtype="uint8")
         arr[:2, :] = 255  # top half white -> mean luma 0.5
-        Image.fromarray(arr, mode="L").save(buf, format="PNG")
-        good = buf.getvalue()
+        good = _encode_png(arr)
         df = spark.createDataFrame(
             [(1, bytearray(good)), (2, bytearray(b"not an image"))],
             "id long, content binary",
@@ -379,6 +429,58 @@ class TestMultimodalRealDecode:
         assert abs(rows[1].mean_luma - 0.5) < 1e-6
         assert abs(sum(rows[1].feature) - 1.0) < 1e-6
         assert rows[2].width is None  # corrupt payload -> NULLs
+
+    def test_png_decoder_all_filters_and_color_types(self):
+        """The stdlib PNG decoder round-trips every scanline filter
+        type and the four supported color layouts."""
+        import numpy as np
+
+        from brahmand_spark.ops.multimodal import _png_decode_gray
+
+        rng = np.random.RandomState(11)
+        gray = rng.randint(0, 256, size=(7, 5), dtype="uint8")
+        for f in range(5):
+            w, h, dec = _png_decode_gray(
+                _encode_png(gray, 0, row_filters=[f] * 7))
+            assert (w, h) == (5, 7)
+            assert np.array_equal(dec.astype("uint8"), gray), f"filter {f}"
+        # mixed filters in one image
+        w, h, dec = _png_decode_gray(
+            _encode_png(gray, 0, row_filters=[0, 1, 2, 3, 4, 2, 1]))
+        assert np.array_equal(dec.astype("uint8"), gray)
+        # RGB -> ITU-R 601 luma, truncated like Pillow's convert("L")
+        rgb = rng.randint(0, 256, size=(3, 4, 3), dtype="uint8")
+        want = (rgb[:, :, 0].astype(int) * 299
+                + rgb[:, :, 1].astype(int) * 587
+                + rgb[:, :, 2].astype(int) * 114) // 1000
+        w, h, dec = _png_decode_gray(
+            _encode_png(rgb, 2, row_filters=[4, 3, 1]))
+        assert np.array_equal(dec.astype(int), want)
+        # gray+alpha and RGBA: luma ignores alpha
+        ga = np.dstack([gray, np.full_like(gray, 128)])
+        w, h, dec = _png_decode_gray(_encode_png(ga, 4))
+        assert np.array_equal(dec.astype("uint8"), gray)
+        rgba = np.dstack([rgb, np.full(rgb.shape[:2], 7, dtype="uint8")])
+        w, h, dec = _png_decode_gray(
+            _encode_png(rgba, 6, row_filters=[2, 4, 0]))
+        assert np.array_equal(dec.astype(int), want)
+
+    def test_truncated_and_exotic_pngs_rejected(self):
+        import numpy as np
+        import pytest
+
+        from brahmand_spark.ops.multimodal import _png_decode_gray
+
+        good = _encode_png(np.zeros((2, 2), dtype="uint8"))
+        with pytest.raises(ValueError, match="not a PNG"):
+            _png_decode_gray(b"JFIF....")
+        with pytest.raises(ValueError):
+            _png_decode_gray(good[:30])  # truncated before IDAT
+        # 16-bit depth rejected (unsupported variant)
+        bad = bytearray(good)
+        bad[24] = 16  # IHDR bit-depth byte
+        with pytest.raises(ValueError, match="unsupported"):
+            _png_decode_gray(bytes(bad))
 
 
 class TestPiiRedaction:

@@ -409,3 +409,61 @@ class TestDedupStreamStoreValidation:
         )
         got = spark.read.parquet(str(tmp_path / "acc"))
         assert [r.doc_id for r in got.collect()] == [9]
+
+
+class TestStreamStaticCypherHop:
+    """Round-4 (round-2 task 8): a MATCH hop whose NODE table is a
+    readStream source joined against STATIC edge/node tables compiles
+    to a Spark stream-static join and returns the same rows as the
+    all-static plan."""
+
+    def _sessions(self, spark, tmp_path):
+        from brahmand_spark.catalog import RelationshipSchema
+        from brahmand_spark.graphs.tpch import build_session
+
+        from .conftest import SF_SMOKE
+
+        def with_raised_by(s):
+            # Event -> Customer FK edge derived from the static events
+            # table (user_id is a customer key in the driver data)
+            s.schema.add_relationship(RelationshipSchema(
+                "RAISED_BY", "raised_by_tbl", "Event", "Customer",
+                "from_Event", "to_Customer",
+                ["from_Event", "to_Customer"],
+            ))
+            edges = (
+                spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+                .selectExpr("event_id AS from_Event",
+                            "user_id AS to_Customer")
+            )
+            s.register_table("raised_by_tbl", edges)
+            return s
+
+        static = with_raised_by(build_session(spark, SF_SMOKE))
+
+        src = str(tmp_path / "events_stream_src")
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet") \
+            .write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        streaming = with_raised_by(build_session(spark, SF_SMOKE))
+        streaming.register_table(
+            "Event", spark.readStream.schema(schema).parquet(src))
+        return static, streaming
+
+    QUERY = ("MATCH (e:Event)-[:RAISED_BY]->(c:Customer) "
+             "WHERE e.value > 150 AND e.event_type = 'error' "
+             "RETURN e.event_id AS event_id, c.c_name AS name")
+
+    def test_stream_hop_equals_batch_hop(self, spark, tmp_path):
+        static, streaming = self._sessions(spark, tmp_path)
+        expected = static.execute(self.QUERY)
+        out = streaming.execute(self.QUERY)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory")
+             .queryName("stream_static_hop")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = spark.sql("SELECT * FROM stream_static_hop")
+        assert got.count() == expected.count() > 0
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0

@@ -365,11 +365,17 @@ _CYPHER_ORACLES: dict[str, str] = {
 # Scale-extension queries (dedup / similarity / text / events)
 # --------------------------------------------------------------------------
 
-def _q_dedup_exact(spark, sf_dir):
-    from brahmand_spark.ops.dedup import exact_duplicates
+def _q_cc_two_phase(spark, sf_dir):
+    """Large-star/small-star connected components (O(log n) rounds,
+    the 100 TB scale path) over the same within-region nation cliques
+    as graph_components — the window-min oracle checks both
+    algorithms' exact labels. Replaces the folded dedup_exact gate
+    (0 rows at sf0.01; still oracle-checked in
+    tests/test_folded_gates.py per the fold policy)."""
+    from brahmand_spark.ops.algos import connected_components
 
-    return exact_duplicates(_docs(spark, sf_dir), ["text"]).select(
-        "canonical_id", "n_copies"
+    return connected_components(
+        _nation_pairs(spark, sf_dir), algorithm="two-phase"
     )
 
 
@@ -665,7 +671,7 @@ def _q_graph_kcore(spark, sf_dir):
 
 
 _EXTENSIONS: dict[str, Callable] = {
-    "dedup_exact": _q_dedup_exact,
+    "graph_cc_two_phase": _q_cc_two_phase,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "dedup_minhash_lsh": _q_minhash_lsh,
     "dedup_simhash": _q_simhash,
@@ -693,9 +699,11 @@ _EXTENSIONS: dict[str, Callable] = {
 }
 
 _EXTENSION_ORACLES: dict[str, str] = {
-    "dedup_exact": """
-        SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
-        FROM documents GROUP BY text HAVING count(*) > 1""",
+    "graph_cc_two_phase": """
+        SELECT n_nationkey::BIGINT AS id,
+               min(n_nationkey::BIGINT) OVER (PARTITION BY n_regionkey)
+                   AS component
+        FROM nation""",
     "dedup_ngram_jaccard": r"""
         WITH toks AS (
             SELECT doc_id,

@@ -1203,6 +1203,10 @@ class QueryCompiler:
                 .localCheckpoint()
             )
             reached = reached.unionByName(frontier)
+        # Every level is eagerly localCheckpoint-ed, so nothing still
+        # reads `base` after the loop — release its cached blocks now
+        # (same cache discipline as the batch dedup operators).
+        base.unpersist()
         # root == node pairs are excluded: the legal a==b shortest path
         # is the zero-length one (outside min_hops >= 1), while any
         # hops >= 2 self-walk found by BFS reuses an edge back-and-forth

@@ -1261,7 +1261,19 @@ def _memo(name: str, fn: Callable) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def queries(
+    fresh: bool = False,
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gate-name -> (spark, sf_dir) -> DataFrame.
+
+    Default (``fresh=False``): extension plans are memoized per
+    (session, dataset, query) — the build-once/run-repeatedly shape the
+    correctness driver wants (each gate runs once). ``fresh=True``
+    rebuilds the full plan on every call: bench.py uses this so each
+    timed pass pays the complete construction + execution cost —
+    memoized iterative operators would otherwise only re-write their
+    already-checkpointed result (~0.02 s, meaningless as a trend
+    line)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     def make_cypher(c: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -1273,7 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, cypher in _CYPHER.items():
         out[name] = make_cypher(cypher)
     for name, fn in _EXTENSIONS.items():
-        out[name] = _memo(name, fn)
+        out[name] = fn if fresh else _memo(name, fn)
     return out
 
 

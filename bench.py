@@ -79,7 +79,13 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    # fresh=True: rebuild every plan per pass, so each timed pass pays
+    # full construction + execution. The entry's default memoization
+    # (build-once, serve the same DataFrame) previously let persisted/
+    # checkpointed intermediates from the warmup serve the timed
+    # passes — the iterative operators timed as ~0.02 s noop re-writes
+    # and the hash-dedup family timed cache re-reads, not computation.
+    qs = entrymod.queries(fresh=True)
 
     def run_once(name: str) -> float:
         # Timer wraps plan CONSTRUCTION as well as execution: the
@@ -129,7 +135,13 @@ def main() -> None:
         "methodology": (
             f"1 warmup + {PASSES} interleaved timed passes per query; "
             "'queries'/'value' are per-query medians, 'queries_min' the "
-            "per-query min (contention-robust lower bound)"
+            "per-query min (contention-robust lower bound). Each pass "
+            "builds a FRESH plan and executes it fully (queries("
+            "fresh=True)) — r2/r3 timed re-execution of memoized plans, "
+            "so the hash-dedup family was reading its warmup-persisted "
+            "intermediates from cache and iterative operators only "
+            "re-wrote checkpointed results; those numbers are not "
+            "comparable to these."
         ),
         "min_total": round(sum(mins.values()), 3),
         "cold_total": round(sum(cold.values()), 3),

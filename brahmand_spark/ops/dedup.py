@@ -103,12 +103,16 @@ def ngram_jaccard_pairs(
     Prefix filtering is complete for ANY fixed total order on shingles:
     for a pair with jaccard >= t, the globally-smallest common shingle
     lies in BOTH docs' ``|A| - ceil(t·|A|) + 1``-element prefixes (else
-    enough of one side misses the intersection to violate t). We order
-    shingles by xxhash64 — a uniform pseudo-random order that needs no
-    corpus-wide frequency table, so the prefix is a narrow per-doc
-    sort+slice instead of a join+window over the inverted index — and
-    then work with the 8-byte hashes everywhere: the candidate join key
-    is a long, and verification intersects sorted long arrays instead of
+    enough of one side misses the intersection to violate t). Shingles
+    are ordered by ASCENDING corpus document frequency (ties by hash) —
+    the canonical PPJoin order: prefixes then hold each doc's RAREST
+    shingles, so the candidate join key is selective by construction.
+    (A hash order needs no frequency pass but puts common shingles in
+    prefixes, and one corpus-wide template shingle then produces a
+    quadratic candidate bucket — the frequency aggregate is one cheap
+    count shuffle that removes that failure mode at 100 TB.) All
+    downstream work uses the 8-byte shingle hashes: the candidate join
+    key is a long, and verification intersects long arrays instead of
     fat string arrays (~3× less data through every exchange; exact
     modulo 64-bit collisions, i.e. exact in practice).
     No broadcast hints: at 100 TB neither side fits the driver, and AQE
@@ -120,23 +124,35 @@ def ngram_jaccard_pairs(
     Scale note: at 100 TB, run either on minhash_lsh_candidates output.
     """
     if method == "prefix":
-        # Per-doc sorted-hash-array table feeds the prefix explode AND
-        # both verification branches. The trailing repartition("id")
-        # puts one exchange ON TOP of the (expensive) shingle+sort
-        # compute: Catalyst's ReuseExchange serves all three consumers
-        # from the same shuffle files, so the shingling runs once with
-        # ZERO persisted blocks — disk-backed shuffle instead of
-        # storage memory, nothing for the caller to unpersist, and the
-        # hash-partitioning on id feeds the id-keyed verification joins
-        # without a re-shuffle.
-        arr = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        # Per-doc frequency-ordered shingle-hash arrays: explode
+        # distinct shingle hashes, count corpus document frequency per
+        # hash (one count shuffle), then re-assemble each doc's list
+        # sorted by (df, hash) — rarest first. The per-doc aggregation
+        # ends in a shuffle on id, so Catalyst's ReuseExchange serves
+        # the prefix explode AND both verification branches from the
+        # same exchange with ZERO persisted blocks, and the id hash-
+        # partitioning feeds the id-keyed verification joins without a
+        # re-shuffle.
+        ex = _spread(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col).alias("id"),
-            F.array_sort(
+            F.explode(
                 F.transform(shingles(F.col(text_col), n),
                             lambda s: F.xxhash64(s))
-            ).alias("__h"),
-        ).withColumn("n_sh", F.size("__h")).filter(F.col("n_sh") > 0) \
-            .repartition(F.col("id"))
+            ).alias("hs"),
+        )
+        freq = ex.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
+        arr = (
+            ex.join(freq, "hs")
+            .groupBy("id")
+            .agg(F.sort_array(
+                F.collect_list(F.struct("df", "hs"))
+            ).alias("fh"))
+            .select(
+                "id",
+                F.col("fh.hs").alias("__h"),
+                F.size("fh").alias("n_sh"),
+            )
+        )
         plen = (
             F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
         ).cast("int")
@@ -313,16 +329,18 @@ def minhash_signatures(
         F.explode(shingles(F.col(text_col), n)).alias("s"),
     ).withColumn("h", base)
     perms = _perm_params(num_hashes, seed)
+    # SQL expression strings, not nested Column calls: one py4j round-
+    # trip per aggregate instead of five, which removes ~1.5 s of
+    # driver-side plan-construction overhead per invocation (the same
+    # fix as simhash's packed stages; arithmetic is identical).
     agg = ex.groupBy("id").agg(*[
-        F.min(
-            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(HASH_P))
-        ).alias(f"m{i}")
+        F.expr(f"min(pmod({a} * h + {b}, {HASH_P})) AS m{i}")
         for i, (a, b) in enumerate(perms)
     ])
-    return agg.select(
+    return agg.selectExpr(
         "id",
-        F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
-        .alias("signature"),
+        "array(" + ", ".join(f"m{i}" for i in range(num_hashes))
+        + ") AS signature",
     )
 
 
@@ -356,22 +374,27 @@ def minhash_lsh_candidates(
         df, id_col, text_col, n, num_hashes, seed, hash_fn
     )
 
-    def band_key(b: int):
-        joined = F.concat_ws(",", *[
-            F.element_at("signature", b * rows + r + 1)
+    def band_key_sql(b: int) -> str:
+        parts = ", ".join(
+            f"element_at(signature, {b * rows + r + 1})"
             for r in range(rows)
-        ])
+        )
+        joined = f"concat_ws(',', {parts})"
         # Default: fold the band to a long (narrower shuffle rows).
-        return joined if hash_fn == "portable" else F.xxhash64(joined)
+        return joined if hash_fn == "portable" else f"xxhash64({joined})"
 
     # The pair join shuffles ids only — the 64-element signatures
     # (512 B/row) are joined back onto the (far smaller) candidate set
     # afterwards instead of riding through the bucket shuffle twice.
+    # (SQL strings for the band array: one parse instead of ~100 py4j
+    # calls — same plan, cheaper construction.)
     banded = sigs.select(
         "id",
-        F.posexplode(
-            F.array(*[band_key(b) for b in range(bands)])
-        ).alias("band", "bucket"),
+        F.posexplode(F.expr(
+            "array(" + ", ".join(
+                band_key_sql(b) for b in range(bands)
+            ) + ")"
+        )).alias("band", "bucket"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -492,38 +515,48 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
     ).withColumn("h", h)
 
-    def bit(i: int) -> Column:
-        return F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+    # The wide per-bit stages are built as SQL expression STRINGS, not
+    # nested Column objects: each Column call is a Python->JVM py4j
+    # round-trip, and 64 bits x (shift, mask, compare, when, alias)
+    # x 4 stages was ~3 s of driver-side plan construction PER
+    # INVOCATION — data-independent overhead that dwarfed the actual
+    # sf0.1 execution. One F.expr per output column keeps the plan
+    # identical (same operators post-parse) at ~20x fewer bridge calls.
+    def bit_sql(i: int) -> str:
+        return f"(shiftright(h, {i}) & 1)"
 
     n_words = (bits + _PACK_FIELDS - 1) // _PACK_FIELDS
     packed = [
-        F.sum(sum(
-            (bit(w * _PACK_FIELDS + j) * F.lit(1 << (_PACK_SPACING * j))
-             for j in range(_PACK_FIELDS)
-             if w * _PACK_FIELDS + j < bits),
-            start=F.lit(0).cast("bigint"),
-        )).alias(f"w{w}")
+        F.expr(
+            "sum(cast("
+            + " + ".join(
+                f"{bit_sql(w * _PACK_FIELDS + j)} "
+                f"* {1 << (_PACK_SPACING * j)}"
+                for j in range(_PACK_FIELDS)
+                if w * _PACK_FIELDS + j < bits
+            )
+            + f" as bigint)) AS w{w}"
+        )
         for w in range(n_words)
     ]
     votes = tok.groupBy("id").agg(
         *packed, F.count(F.lit(1)).alias("n")
     )
 
-    def vote(i: int) -> Column:
+    def vote_sql(i: int) -> str:
         w, j = divmod(i, _PACK_FIELDS)
-        return F.shiftright(
-            F.col(f"w{w}"), _PACK_SPACING * j
-        ).bitwiseAND(F.lit((1 << _PACK_SPACING) - 1))
+        return (f"(shiftright(w{w}, {_PACK_SPACING * j})"
+                f" & {(1 << _PACK_SPACING) - 1})")
 
     # Staged shallow projections (votes -> majority bits -> 8-bit
     # groups -> chunks): one wide chunk folded in a single expression
     # (e.g. n_chunks=1 -> 60 nested ops) trips the analyzer's
     # resolution iteration cap; every stage here is <= 8 ops deep.
-    bits_df = votes.select(
+    bits_df = votes.selectExpr(
         "id", *[
             # majority vote: bit set iff set-count > half the tokens
-            F.when(vote(i) * 2 > F.col("n"), F.lit(1).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint")).alias(f"bit{i}")
+            f"cast(case when {vote_sql(i)} * 2 > n then 1 else 0 end "
+            f"as bigint) AS bit{i}"
             for i in range(bits)
         ]
     )
@@ -535,25 +568,25 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     for ci, width in enumerate(widths):
         for g0 in range(0, width, 8):
             gw = min(8, width - g0)
-            expr = sum(
-                (F.col(f"bit{pos + g0 + i}") * F.lit(1 << (gw - 1 - i))
-                 for i in range(gw)),
-                start=F.lit(0).cast("bigint"),
+            expr = " + ".join(
+                f"bit{pos + g0 + i} * {1 << (gw - 1 - i)}"
+                for i in range(gw)
             )
             name = f"g{ci}_{g0}"
             group_cols.append((name, ci, width - g0 - gw))
-            group_exprs.append(expr.alias(name))
+            group_exprs.append(f"cast({expr} as bigint) AS {name}")
         pos += width
-    grouped = bits_df.select("id", *group_exprs)
-    chunk_cols = [
-        sum(
-            (F.col(name) * F.lit(1 << shift)
-             for name, c, shift in group_cols if c == ci),
-            start=F.lit(0).cast("bigint"),
-        )
+    grouped = bits_df.selectExpr("id", *group_exprs)
+    chunk_sqls = [
+        "cast(" + " + ".join(
+            f"{name} * {1 << shift}"
+            for name, c, shift in group_cols if c == ci
+        ) + " as bigint)"
         for ci in range(n_chunks)
     ]
-    return grouped.select("id", F.array(*chunk_cols).alias("simhash"))
+    return grouped.selectExpr(
+        "id", f"array({', '.join(chunk_sqls)}) AS simhash"
+    )
 
 
 def simhash_near_pairs(

@@ -186,3 +186,21 @@ def test_folded_events_top_users(spark, duck):
            FROM events GROUP BY user_id
            ORDER BY n_events DESC, user_id ASC LIMIT 20"""
     ))
+
+
+def test_queries_fresh_rebuilds_memoized_caches(spark):
+    """bench.py times queries(fresh=True) — every call must build a new
+    plan; the correctness driver's default stays memoized (same object,
+    build-once/run-once)."""
+    import __spark_entry__ as entry
+
+    from .conftest import SF_SMOKE
+
+    fresh = entry.queries(fresh=True)
+    a = fresh["text_token_count"](spark, SF_SMOKE)
+    b = fresh["text_token_count"](spark, SF_SMOKE)
+    assert a is not b
+    memo = entry.queries()
+    c = memo["text_token_count"](spark, SF_SMOKE)
+    d = memo["text_token_count"](spark, SF_SMOKE)
+    assert c is d

@@ -1246,12 +1246,11 @@ _PLAN_MEMO: dict = {}
 def _memo(name: str, fn: Callable) -> Callable[[SparkSession, str], DataFrame]:
     """Memoize the built DataFrame per (session, dataset, query).
 
-    Rebuilding a plan with fresh higher-order-function lambdas defeats
-    Spark's cache-manager plan matching (NamedLambdaVariable exprIds
-    differ), so a second run would re-materialize every persisted
-    intermediate. Returning the same DataFrame object — the build-once,
-    run-repeatedly shape of a real deployment — keeps persisted
-    intermediates hot across runs."""
+    The correctness driver runs each gate once; memoizing avoids
+    rebuilding iterative plans (whose supersteps run eagerly at
+    construction) if a harness touches a gate twice. The bench takes
+    ``queries(fresh=True)`` instead — it must pay full construction +
+    execution per timed pass (see bench.py)."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         key = (id(spark), sf_dir, name)
         if key not in _PLAN_MEMO:

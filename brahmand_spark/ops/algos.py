@@ -32,6 +32,18 @@ def _ckpt(df: DataFrame, enabled: bool) -> DataFrame:
     return df.localCheckpoint(eager=True) if enabled else df
 
 
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Both orientations of every edge in ONE pass over the input:
+    explode([(src, dst), (dst, src)]) instead of a self-union, which
+    would evaluate the (possibly expensive) edge subtree twice."""
+    return edges.select(
+        F.explode(F.array(
+            F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+            F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+        )).alias("e")
+    ).select("e.a", "e.b")
+
+
 def pagerank(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     iterations: int = 10, damping: float = 0.85,
@@ -117,16 +129,24 @@ def connected_components(
             f"unknown connected-components algorithm {algorithm!r} "
             "(expected 'hashmin' or 'two-phase')"
         )
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    und = _ckpt(und.distinct(), checkpoint)
+    # One prep shuffle, not two: repartition("a") then dropDuplicates —
+    # hashpartitioning(a) already clusters (a, b), so the dedup
+    # aggregate runs in place with no second exchange.
+    und = _ckpt(
+        _symmetrize(edges, src, dst)
+        .repartition(F.col("a")).dropDuplicates(["a", "b"]), checkpoint
+    )
     labels = und.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("component")
     )
     labels = _ckpt(labels, checkpoint)
     for _ in range(max_iterations):
+        # shuffle_hash on the label side: build the per-task hash map
+        # on labels (vertex-sized) instead of sorting the edge side;
+        # scale-safe — no broadcast assumption.
         neighbor_min = (
-            labels.join(und, labels["id"] == und["a"], "inner")
+            labels.hint("shuffle_hash")
+            .join(und, labels["id"] == und["a"], "inner")
             .select(F.col("b").alias("id"), "component")
             .groupBy("id")
             .agg(F.min("component").alias("nbr_min"))
@@ -283,9 +303,8 @@ def triangle_count(
     """Per-vertex triangle counts on the undirected simple graph.
     Canonical-orientation join (each undirected edge kept as a<b) so
     every triangle is materialized exactly once; two shuffles."""
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    canon = und.filter(F.col("a") < F.col("b")).distinct()
+    canon = _symmetrize(edges, src, dst) \
+        .filter(F.col("a") < F.col("b")).distinct()
     # wedges a<b<c from edges (a,b) and (b,c); close with (a,c)
     ab = canon.alias("ab")
     bc = canon.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("bc")
@@ -317,16 +336,21 @@ def label_propagation(
     shuffles, lineage truncated per iteration. Note synchronous LPA can
     oscillate on bipartite structures; ``max_iterations`` bounds it
     (GraphX ships the same caveat)."""
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    und = _ckpt(und.distinct(), checkpoint)
+    # One prep shuffle (repartition then in-place dedup, see
+    # connected_components); shuffle_hash below avoids re-sorting the
+    # edge set for a sort-merge join every superstep.
+    und = _ckpt(
+        _symmetrize(edges, src, dst)
+        .repartition(F.col("a")).dropDuplicates(["a", "b"]), checkpoint
+    )
     labels = und.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("community")
     )
     labels = _ckpt(labels, checkpoint)
     for _ in range(max_iterations):
         votes = (
-            labels.join(und, labels["id"] == und["a"], "inner")
+            labels.hint("shuffle_hash")
+            .join(und, labels["id"] == und["a"], "inner")
             .groupBy(F.col("b").alias("id"), F.col("community"))
             .agg(F.count(F.lit(1)).alias("n"))
         )
@@ -385,9 +409,10 @@ def k_core(
     in <= peeling-depth rounds (bounded by max_iterations). One
     ``count()`` action per round: the unchanged side's count is carried
     from the previous iteration instead of recomputed."""
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    und = _ckpt(und.filter(F.col("a") != F.col("b")).distinct(), checkpoint)
+    und = _ckpt(
+        _symmetrize(edges, src, dst)
+        .filter(F.col("a") != F.col("b")).distinct(), checkpoint
+    )
     und_count = und.count()
     for _ in range(max_iterations):
         deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))

@@ -8,9 +8,11 @@ AggregatingMergeTree tables ``{rel}_outgoing`` / ``{rel}_incoming`` of
 ``arrayJoin(bitmapToArray(to_id))`` (graph_traversal_planning.rs:685-691).
 
 In Spark the same physical idea is a pre-grouped table
-``groupBy(src).agg(collect_set(dst))`` written once (or refreshed
-incrementally via Structured Streaming), and traversal is
-``explode(neighbors)`` — a narrow operation replacing the per-hop
+``(src, neighbors, counts)`` — distinct targets plus per-target
+multiplicity, so multigraph cardinality survives where the
+reference's bitmap silently collapses it — written once (or refreshed
+incrementally via Structured Streaming); traversal re-expands
+neighbors by multiplicity, a narrow operation replacing the per-hop
 edge-shuffle with a co-partitioned scan. Worth materializing when a
 relationship is traversed many times per analysis session; the plain
 edge-list join (the compiler default) is otherwise better because AQE

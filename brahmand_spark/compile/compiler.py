@@ -1130,8 +1130,32 @@ class QueryCompiler:
 
     def _oriented_pairs(self, rel: RelEntity) -> DataFrame:
         """Oriented (src, dst) id pairs for one relationship schema —
-        the traversal base for variable-length and shortest-path hops."""
+        the traversal base for variable-length and shortest-path hops.
+
+        When the rel carries an adjacency index, the pairs re-expand
+        from the grouped tables instead of scanning the edge list: the
+        adjacency scan is narrower (two packed arrays, no prop
+        columns), pre-grouped by src, and — since the tables store
+        per-neighbor multiplicity (round 4) — cardinality-exact, so
+        Cypher's parallel-edges-count-as-distinct-walks semantics
+        survive."""
         sch = rel.schema
+        if (self.load_adjacency is not None and sch.adj_index
+                and not rel.properties
+                and rel.orientation != "invalid"):
+            from ..ops.adjacency import expand_pairs
+
+            outgoing = self.load_adjacency(f"{sch.type_name}_outgoing")
+            incoming = self.load_adjacency(f"{sch.type_name}_incoming")
+            if outgoing is not None and incoming is not None:
+                if rel.orientation == "fwd":
+                    return expand_pairs(outgoing)
+                if rel.orientation == "rev":
+                    return expand_pairs(incoming)
+                # 'both': pair-level UNION DISTINCT — identical to the
+                # edge-list branch below, which is also prop-free here
+                return expand_pairs(outgoing).union(
+                    expand_pairs(incoming)).distinct()
         raw = self.load_table(sch.type_name)
         if rel.orientation == "invalid":
             return raw.select(

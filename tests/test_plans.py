@@ -487,3 +487,51 @@ class TestSkewAwareHopPlanning:
         s.skew_degree_threshold = 100
         df = s.execute(q)
         assert sorted(map(tuple, df.collect())) == baseline
+
+
+class TestVarLengthOverAdjacency:
+    """Var-length and shortestPath traversal bases re-expand from the
+    multiplicity-exact adjacency tables when an index exists — same
+    rows as the edge-list base, narrower scan."""
+
+    def _session(self, spark):
+        from brahmand_spark.catalog import (
+            GraphSchema, NodeSchema, RelationshipSchema,
+        )
+        from brahmand_spark.session import GraphSession
+
+        g = GraphSchema()
+        g.add_node(NodeSchema("Person", "person_tbl", "id", ["id", "name"]))
+        g.add_relationship(RelationshipSchema(
+            "KNOWS", "knows_tbl", "Person", "Person", "src", "dst",
+            ["src", "dst"],
+        ))
+        s = GraphSession(spark, schema=g)
+        s.register_table("person_tbl", spark.createDataFrame(
+            [(i, f"p{i}") for i in range(1, 6)], "id long, name string"))
+        # multigraph: 1->2 twice — two distinct 2-hop walks 1->2->3
+        s.register_table("knows_tbl", spark.createDataFrame(
+            [(1, 2), (1, 2), (2, 3), (3, 4)], "src long, dst long"))
+        return s
+
+    Q_VAR = ("MATCH (a:Person)-[:KNOWS*1..2]->(b:Person) "
+             "RETURN a.id AS src, b.id AS dst")
+    Q_SP = ("MATCH p = shortestPath((a:Person)-[:KNOWS*..3]->(b:Person)) "
+            "RETURN a.id AS src, b.id AS dst, length(p) AS hops")
+
+    def test_var_length_multiplicity_preserved(self, spark):
+        s = self._session(spark)
+        expected = sorted(map(tuple, s.execute(self.Q_VAR).collect()))
+        # parallel edge 1->2 appears twice at 1 hop AND doubles 1->3
+        assert expected.count((1, 2)) == 2
+        assert expected.count((1, 3)) == 2
+        s.build_adj_index("KNOWS")
+        got = sorted(map(tuple, s.execute(self.Q_VAR).collect()))
+        assert got == expected
+
+    def test_shortest_path_same_with_index(self, spark):
+        s = self._session(spark)
+        expected = sorted(map(tuple, s.execute(self.Q_SP).collect()))
+        s.build_adj_index("KNOWS")
+        got = sorted(map(tuple, s.execute(self.Q_SP).collect()))
+        assert got == expected

@@ -127,6 +127,24 @@ class GraphSession:
             for direction in ("outgoing", "incoming")
         }
 
+    def drop_adj_index(self, type_name: str) -> None:
+        """Release a relationship's adjacency index: unpersist the
+        in-memory direction tables, drop their registrations and the
+        captured degree stats, and flip ``adj_index`` off so the
+        planner returns to edge-list hops. (The persisted tables are
+        otherwise session-lifetime by design — this is the caller-
+        managed release.)"""
+        rel = self.schema.relationship(type_name)
+        for direction in ("outgoing", "incoming"):
+            df = self.tables.pop(f"{type_name}_{direction}", None)
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # parquet-backed tables have nothing cached
+        self.degree_stats.pop(type_name, None)
+        rel.adj_index = False
+
     def _load_for_label(self, label: str) -> DataFrame:
         """Table loader handed to the compiler: label or rel type -> DF."""
         if label in self.schema.nodes:

@@ -535,3 +535,33 @@ class TestVarLengthOverAdjacency:
         s.build_adj_index("KNOWS")
         got = sorted(map(tuple, s.execute(self.Q_SP).collect()))
         assert got == expected
+
+
+class TestDropAdjIndex:
+    def test_drop_releases_cache_and_restores_edge_plan(self, spark, tpch):
+        from brahmand_spark.graphs.tpch import build_session
+
+        from .conftest import SF_SMOKE
+
+        q = ("MATCH (c:Customer)-[:PLACED]->(o:Order) "
+             "WHERE c.c_custkey <= 50 "
+             "RETURN c.c_custkey AS src, o.o_orderkey AS dst")
+        s = build_session(spark, SF_SMOKE)
+        s.build_adj_index("PLACED")
+        after_build = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert "Generate explode" in physical_plan(s.execute(q))
+        assert "PLACED" in s.degree_stats
+        s.drop_adj_index("PLACED")
+        # the two direction tables' cached blocks are released (other
+        # tests' RDDs may be context-cleaned concurrently, so compare
+        # against the post-build count, not an absolute baseline)
+        after_drop = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert after_drop <= after_build - 2
+        assert "PLACED" not in s.degree_stats
+        assert "PLACED_outgoing" not in s.tables
+        plan = physical_plan(s.execute(q))
+        assert "Generate explode" not in plan  # back to edge-list hop
+        expected = tpch.execute(q)
+        got = s.execute(q)
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0

@@ -172,10 +172,6 @@ _CYPHER: dict[str, str] = {
         WITH DISTINCT c
         MATCH (c)-[:CUST_IN]->(n:Nation)
         RETURN n.n_name AS nation, count(*) AS big_spenders""",
-    # UNWIND (extension)
-    "unwind": """
-        UNWIND [1, 2, 3, 4, 5] AS x
-        RETURN x * 10 AS y, x % 2 AS parity""",
     # OPTIONAL MATCH (extension; the reference has only a TODO)
     "optional_match": """
         MATCH (c:Customer)
@@ -305,9 +301,6 @@ _CYPHER_ORACLES: dict[str, str] = {
               WHERE o.o_totalprice > 300000) c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name""",
-    "unwind": """
-        SELECT x * 10 AS y, x % 2 AS parity
-        FROM (VALUES (1), (2), (3), (4), (5)) t(x)""",
     "optional_match": """
         SELECT c.c_name AS name, count(o.o_orderkey) AS n_big
         FROM customer c
@@ -480,6 +473,17 @@ def _q_fingerprint(spark, sf_dir):
     from brahmand_spark.ops.text import fingerprint
 
     return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_text_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition filters (duplicate-line
+    fractions + top word-bigram character fraction) — pure per-row
+    array arithmetic, zero shuffles. Replaces the folded unwind gate
+    (5 literal rows, no table scan; still oracle-checked in
+    tests/test_folded_gates.py)."""
+    from brahmand_spark.ops.text import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
 
 
 def _q_events_window(spark, sf_dir):
@@ -684,6 +688,7 @@ _EXTENSIONS: dict[str, Callable] = {
     "text_quality_score": _q_quality,
     "text_lang_id": _q_langid,
     "text_fingerprint": _q_fingerprint,
+    "text_repetition": _q_text_repetition,
     "multimodal_metadata": _q_multimodal_metadata,
     "events_window_agg": _q_events_window,
     "events_sessionize": _q_events_sessionize,
@@ -805,6 +810,51 @@ _EXTENSION_ORACLES: dict[str, str] = {
                        list_transform(string_split(text, ''), c -> ascii(c))),
                    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
         FROM documents""",
+    "text_repetition": r"""
+        WITH lines AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, chr(10)),
+                               ln -> trim(ln) <> '') AS ls
+            FROM documents),
+        line_rows AS (SELECT doc_id, unnest(ls) AS ln FROM lines),
+        line_counts AS (
+            SELECT doc_id, ln, count(*) AS c
+            FROM line_rows GROUP BY doc_id, ln),
+        line_stats AS (
+            SELECT doc_id,
+                   sum(c) AS n_lines,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+                   sum(c * length(ln)) AS n_chars,
+                   sum(CASE WHEN c > 1 THEN c * length(ln) ELSE 0 END)
+                       AS dup_chars
+            FROM line_counts GROUP BY doc_id),
+        toks AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM documents),
+        bigram_rows AS (
+            SELECT doc_id, text,
+                   unnest(list_transform(range(1, greatest(len(t), 2)),
+                                         i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM toks WHERE len(t) >= 2),
+        bigram_counts AS (
+            SELECT doc_id, text, bg, count(*) AS c
+            FROM bigram_rows GROUP BY doc_id, text, bg),
+        bigram_top AS (
+            SELECT doc_id, max(c * length(bg)) AS top_chars,
+                   any_value(length(text)) AS tl
+            FROM bigram_counts GROUP BY doc_id)
+        SELECT d.doc_id,
+               round(coalesce(ls.dup_lines / ls.n_lines, 0), 6)
+                   AS dup_line_frac,
+               round(coalesce(ls.dup_chars / greatest(ls.n_chars, 1), 0), 6)
+                   AS dup_line_char_frac,
+               round(coalesce(bt.top_chars / greatest(length(d.text), 1), 0),
+                     6) AS top_bigram_char_frac
+        FROM documents d
+        LEFT JOIN line_stats ls USING (doc_id)
+        LEFT JOIN bigram_top bt USING (doc_id)""",
     "multimodal_metadata": """
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'png'

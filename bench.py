@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "text_quality_score",
     "text_fingerprint",
     "text_lang_id",
+    "text_repetition",
     "events_window_agg",
     # Iterative / loop-shaped (round-4 additions)
     "graph_pagerank",

@@ -176,3 +176,100 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     return df.select(
         F.col(id_col), poly_hash(F.col(text_col)).alias("fingerprint")
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al.
+    2021, "Scaling Language Models" — the standard quality gates a
+    large-scale training-data pipeline applies before dedup):
+
+    - ``dup_line_frac``: fraction of lines occurring more than once.
+    - ``dup_line_char_frac``: fraction of characters sitting in
+      duplicated lines (long boilerplate weighs more than short).
+    - ``top_bigram_char_frac``: fraction of characters covered by the
+      single most frequent word 2-gram — catches "foo bar foo bar ..."
+      repetition that line-level checks miss.
+
+    Everything is per-row array arithmetic (split -> higher-order
+    functions): ZERO shuffles and no Python — at 100 TB this is a
+    narrow map over the corpus scan. Duplicate detection runs as a
+    SORTED RUN-LENGTH aggregate (array_sort + one linear fold), so the
+    per-doc cost is O(n log n) in lines/bigrams, not the naive O(n^2)
+    occurrence count. Typical thresholds (Gopher): drop docs with
+    dup_line_frac > 0.30, dup_line_char_frac > 0.20,
+    top_bigram_char_frac > 0.18."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda ln: F.length(F.trim(ln)) > 0,
+    )
+    n_lines = F.size(lines)
+    n_chars = F.greatest(
+        F.aggregate(lines, F.lit(0), lambda a, ln: a + F.length(ln)),
+        F.lit(1),
+    )
+
+    # One linear fold over the sorted lines, tracking the current run:
+    # a run of length r contributes r duplicated items (counted 2 at
+    # run==2, then 1 per extension). prev='' can never match (empty
+    # lines are filtered out above).
+    def line_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        add_n = (F.when(run == 2, F.lit(2))
+                 .when(run > 2, F.lit(1)).otherwise(F.lit(0)))
+        add_c = (F.when(run == 2, F.length(x) * 2)
+                 .when(run > 2, F.length(x)).otherwise(F.lit(0)))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            (acc["dup_n"] + add_n).alias("dup_n"),
+            (acc["dup_chars"] + add_c).alias("dup_chars"),
+        )
+
+    line_zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("dup_n"), F.lit(0).alias("dup_chars"),
+    )
+    line_stats = F.aggregate(F.array_sort(lines), line_zero, line_step)
+
+    dup_line_frac = F.when(n_lines <= 0, F.lit(0.0)).otherwise(
+        line_stats["dup_n"] / n_lines.cast("double")
+    )
+    dup_line_char_frac = (
+        line_stats["dup_chars"] / n_chars.cast("double")
+    )
+
+    toks = tokens(F.col(text_col))
+    k = F.size(toks) - F.lit(1)
+    bigrams = F.when(k >= 1, F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )).otherwise(F.array().cast("array<string>"))
+
+    # chars covered by the most frequent bigram = max over runs of
+    # run_length * len(bigram) (word chars incl. the joining space, an
+    # upper bound on coverage for overlapping repeats)
+    def bigram_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run * F.length(x)).alias("best"),
+        )
+
+    bigram_zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    top_bigram_chars = F.aggregate(
+        F.array_sort(bigrams), bigram_zero, bigram_step
+    )["best"]
+    top_bigram_char_frac = (
+        top_bigram_chars
+        / F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double")
+    )
+
+    return df.select(
+        F.col(id_col),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(dup_line_char_frac, 6).alias("dup_line_char_frac"),
+        F.round(top_bigram_char_frac, 6).alias("top_bigram_char_frac"),
+    )

@@ -102,6 +102,15 @@ FOLDED_CYPHER = {
            RETURN c.c_name AS name""",
         """SELECT c_name AS name FROM customer WHERE 1 = 0""",
     ),
+    # UNWIND over a literal list (folded r4: 5 literal rows, no table
+    # scan — replaced by text_repetition; UNWIND-over-column surface is
+    # separately covered by tests/test_oracle_extensions.py)
+    "unwind": (
+        """UNWIND [1, 2, 3, 4, 5] AS x
+           RETURN x * 10 AS y, x % 2 AS parity""",
+        """SELECT x * 10 AS y, x % 2 AS parity
+           FROM (VALUES (1), (2), (3), (4), (5)) t(x)""",
+    ),
     # pattern predicate with two bound anchors
     "pattern_predicate_two_anchors": (
         """MATCH (c:Customer) MATCH (n:Nation)

@@ -562,3 +562,74 @@ class TestDedupCacheDiscipline:
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert "isFinalPlan=true" in plan
             assert plan.count("ReusedExchange") >= 3
+
+
+class TestRepetitionSignals:
+    """Gopher-style within-doc repetition filters: exact parity with a
+    Python reference on hand-built docs + the sf0.001 corpus."""
+
+    def _reference(self, text):
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        n_chars = max(sum(len(ln) for ln in lines), 1)
+        if lines:
+            dup_line_frac = sum(
+                1 for ln in lines if lines.count(ln) > 1) / len(lines)
+        else:
+            dup_line_frac = 0.0
+        dup_line_char_frac = sum(
+            len(ln) for ln in lines if lines.count(ln) > 1) / n_chars
+        toks = [t for t in __import__("re").split(r"\s+", text) if t]
+        bigrams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        top = max(
+            (bigrams.count(bg) * len(bg) for bg in set(bigrams)),
+            default=0,
+        )
+        top_bigram_char_frac = top / max(len(text), 1)
+        return (round(dup_line_frac, 6), round(dup_line_char_frac, 6),
+                round(top_bigram_char_frac, 6))
+
+    def test_handbuilt_docs(self, spark):
+        from brahmand_spark.ops.text import repetition_signals
+
+        docs = [
+            (1, "alpha beta\nalpha beta\ngamma delta\n\n"),
+            (2, "x y x y x y x y"),
+            (3, "unique one\nunique two\nunique three"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: (r.dup_line_frac, r.dup_line_char_frac,
+                          r.top_bigram_char_frac)
+               for r in repetition_signals(df).collect()}
+        for doc_id, text in docs:
+            want = self._reference(text)
+            for g, w, name in zip(got[doc_id], want,
+                                  ("line", "char", "bigram")):
+                assert abs(g - w) < 1e-9, (doc_id, name, g, w)
+        # sanity on the known shapes
+        assert got[1][0] == round(2 / 3, 6)  # 2 of 3 lines duplicated
+        assert got[2][2] > 0.4  # "x y" dominates
+        assert got[3] == (0.0, 0.0, round(len("unique t") / 35, 6)) or \
+            got[3][0] == 0.0  # no duplicate lines
+
+    def test_corpus_matches_reference(self, spark, docs):
+        from brahmand_spark.ops.text import repetition_signals
+
+        sample = {r.doc_id: r.text
+                  for r in docs.limit(40).collect()}
+        got = {r.doc_id: (r.dup_line_frac, r.dup_line_char_frac,
+                          r.top_bigram_char_frac)
+               for r in repetition_signals(
+                   docs.limit(40)).collect()}
+        for doc_id, text in sample.items():
+            want = self._reference(text)
+            for g, w in zip(got[doc_id], want):
+                assert abs(g - w) < 1e-9, (doc_id, g, w)
+
+    def test_no_shuffle_no_python(self, spark, docs):
+        from brahmand_spark.ops.text import repetition_signals
+
+        plan = repetition_signals(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # pure JVM expressions

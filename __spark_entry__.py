@@ -124,10 +124,6 @@ _CYPHER: dict[str, str] = {
     "shared_alias_patterns": """
         MATCH (c:Customer)-[:CUST_IN]->(n:Nation), (s:Supplier)-[:SUPP_IN]->(n)
         RETURN n.n_name AS nation, count(*) AS pairs""",
-    # count(DISTINCT x)
-    "count_distinct": """
-        MATCH (c:Customer)-[:PLACED]->(o:Order)
-        RETURN count(DISTINCT c.c_custkey) AS buyers""",
     # the reference's five aggregates together
     "aggregates_five": """
         MATCH (o:Order)-[:HAS_LINE]->(l:Lineitem)
@@ -265,8 +261,6 @@ _CYPHER_ORACLES: dict[str, str] = {
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN supplier s ON s.s_nationkey = n.n_nationkey
         GROUP BY n.n_name""",
-    "count_distinct": """
-        SELECT count(DISTINCT o_custkey) AS buyers FROM orders""",
     "aggregates_five": """
         SELECT o.o_orderstatus AS status, count(*) AS n,
                round(sum(l.l_quantity), 1) AS total_qty,
@@ -402,6 +396,16 @@ def _q_simhash(spark, sf_dir):
 
     return simhash_near_pairs(
         _docs(spark, sf_dir), max_hamming=3, hash_fn="portable"
+    )
+
+
+def _q_duplicate_spans(spark, sf_dir):
+    # hash_fn='portable': the md5-derived window hash, so the full
+    # window->count->coverage computation replays in the DuckDB oracle.
+    from brahmand_spark.ops.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(
+        _docs(spark, sf_dir), window=5, min_count=2, hash_fn="portable"
     )
 
 
@@ -679,6 +683,7 @@ _EXTENSIONS: dict[str, Callable] = {
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "dedup_minhash_lsh": _q_minhash_lsh,
     "dedup_simhash": _q_simhash,
+    "dedup_duplicate_spans": _q_duplicate_spans,
     "dedup_embedding_cosine": _q_embedding_near_dup,
     "ann_cosine_topk": _q_ann_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
@@ -925,12 +930,23 @@ def _sql_arr(xs) -> str:
     return "[" + ", ".join(repr(float(x)) for x in xs) + "]"
 
 
+def _md5h60_sql(expr: str) -> str:
+    """DuckDB replay of ops/text.md5_hash60: first 15 hex chars of md5
+    folded to a bigint (== Spark's conv(substring(md5(x),1,15),16,10))."""
+    return (
+        "list_reduce(list_transform("
+        f"string_split(substr(md5({expr}), 1, 15), ''), "
+        "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
 def _minhash_lsh_oracle() -> str:
     """Replay of ops/dedup.minhash_lsh_candidates(hash_fn='portable',
     n=3, num_hashes=64, bands=16, seed=42) + est>=0.5: shingle ->
-    polynomial base hash -> 64 seeded permutation mins -> 16-band
-    bucket equality (disjunction of band conjuncts — same pair set as
-    the banded join) -> signature-agreement estimate."""
+    md5-derived base hash mod p -> 64 seeded permutation mins ->
+    16-band bucket equality (disjunction of band conjuncts — same pair
+    set as the banded join) -> signature-agreement estimate."""
     from brahmand_spark.ops.dedup import HASH_P, _perm_params
 
     num_hashes, bands, rows = 64, 16, 4
@@ -961,11 +977,7 @@ def _minhash_lsh_oracle() -> str:
             FROM toks),
         hs AS (
             SELECT doc_id,
-                   list_reduce(
-                       list_prepend(0::BIGINT,
-                           list_transform(string_split(shingle, ''),
-                                          c -> ascii(c))),
-                       (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+                   {_md5h60_sql('shingle')} % {HASH_P} AS h
             FROM sh),
         sig AS (SELECT doc_id, {mins}
                 FROM hs GROUP BY doc_id)
@@ -974,6 +986,52 @@ def _minhash_lsh_oracle() -> str:
         FROM sig sa JOIN sig sb
           ON sa.doc_id < sb.doc_id AND ({band_conds})
         WHERE round(({matches}) / 64.0, 6) >= 0.5"""
+
+
+def _duplicate_spans_oracle() -> str:
+    """Replay of ops/dedup.duplicate_span_stats(window=5, min_count=2,
+    hash_fn='portable'): sliding 5-token windows -> md5-derived window
+    hash -> corpus-wide occurrence count -> per-doc merged coverage of
+    duplicated windows (lead-window interval union)."""
+    w = 5
+    return rf"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents),
+        base AS (
+            SELECT doc_id, toks, len(toks) AS n_tokens FROM tok),
+        wins AS (
+            SELECT doc_id, n_tokens, i - 1 AS start,
+                   array_to_string(toks[i:i+{w - 1}], ' ') AS s
+            FROM base,
+                 LATERAL (SELECT unnest(range(1, n_tokens - {w} + 2))
+                          AS i) u
+            WHERE n_tokens >= {w}),
+        hashed AS (
+            SELECT doc_id, n_tokens, start, {_md5h60_sql('s')} AS h
+            FROM wins),
+        duph AS (SELECT h FROM hashed GROUP BY h HAVING count(*) >= 2),
+        marked AS (SELECT hashed.* FROM hashed JOIN duph USING (h)),
+        cover AS (
+            SELECT doc_id, n_tokens,
+                   least({w}, coalesce(
+                       lead(start) OVER (PARTITION BY doc_id
+                                         ORDER BY start) - start,
+                       {w})) AS covered
+            FROM marked),
+        per_doc AS (
+            SELECT doc_id, n_tokens, count(*) AS dup_windows,
+                   sum(covered) AS dup_covered_tokens
+            FROM cover GROUP BY doc_id, n_tokens)
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(p.dup_windows, 0)::BIGINT AS dup_windows,
+               coalesce(p.dup_covered_tokens, 0)::BIGINT
+                   AS dup_covered_tokens,
+               round(coalesce(p.dup_covered_tokens, 0)::DOUBLE
+                     / greatest(b.n_tokens, 1), 6) AS dup_token_frac
+        FROM base b LEFT JOIN per_doc p ON p.doc_id = b.doc_id"""
 
 
 def _embedding_lsh_oracle() -> str:
@@ -1009,12 +1067,10 @@ def _embedding_lsh_oracle() -> str:
 
 def _simhash_oracle() -> str:
     """Replay of ops/dedup.simhash_near_pairs(max_hamming=3,
-    hash_fn='portable'): 60-bit fingerprint (two polynomial folds),
-    majority-vote bits, 4-chunk pigeonhole candidates, exact Hamming
-    <= 3."""
+    hash_fn='portable'): 60-bit md5-derived fingerprint, majority-vote
+    bits, 4-chunk pigeonhole candidates, exact Hamming <= 3."""
     from brahmand_spark.ops.dedup import (
-        _MIX_A, _MIX_C, _POLY2_BASE, _POLY2_MOD, _chunk_widths,
-        SIMHASH_PORTABLE_BITS,
+        _chunk_widths, SIMHASH_PORTABLE_BITS,
     )
 
     bits, n_chunks = SIMHASH_PORTABLE_BITS, 4
@@ -1043,31 +1099,9 @@ def _simhash_oracle() -> str:
                        string_split_regex(text, '\s+'),
                        x -> x <> ''))) AS t
             FROM documents),
-        polys AS (
-            SELECT doc_id,
-                   list_reduce(list_prepend(0::BIGINT,
-                       list_transform(string_split(t, ''), c -> ascii(c))),
-                       (acc, c) -> (acc * 31 + c) % 1000000007) AS p1,
-                   list_reduce(list_prepend(0::BIGINT,
-                       list_transform(string_split(t, ''), c -> ascii(c))),
-                       (acc, c) -> (acc * {_POLY2_BASE} + c)
-                                   % {_POLY2_MOD}) AS p2
-            FROM toks),
-        mix1 AS (
-            SELECT doc_id,
-                   (p1 * {_MIX_A} + {_MIX_C}) % 1000000007 AS x1,
-                   (p2 * {_MIX_A} + {_MIX_C}) % {_POLY2_MOD} AS y1
-            FROM polys),
-        mix2 AS (
-            SELECT doc_id, xor(x1, x1 >> 15) AS x2,
-                   xor(y1, y1 >> 15) AS y2
-            FROM mix1),
         hs AS (
-            SELECT doc_id,
-                   ((x2 * {_MIX_A} + {_MIX_C}) % 1000000007)
-                   * {1 << 30}
-                   + ((y2 * {_MIX_A} + {_MIX_C}) % {_POLY2_MOD}) AS h
-            FROM mix2),
+            SELECT doc_id, {_md5h60_sql('t')} AS h
+            FROM toks),
         votes AS (
             SELECT doc_id, count(*) AS n,
                    {votes}
@@ -1343,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_EXTENSION_ORACLES)
     out["dedup_minhash_lsh"] = _minhash_lsh_oracle()
     out["dedup_simhash"] = _simhash_oracle()
+    out["dedup_duplicate_spans"] = _duplicate_spans_oracle()
     out["dedup_embedding_lsh"] = _embedding_lsh_oracle()
     out["ann_lsh_topk"] = _ann_lsh_oracle()
     out["graph_pagerank"] = _pagerank_oracle()

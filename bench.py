@@ -38,7 +38,6 @@ BENCH_QUERIES = [
     "multi_hop",
     "adjacency_traversal",
     "aggregates_five",
-    "count_distinct",
     "order_skip_limit",
     "with_having",
     "with_rebind_match",
@@ -46,6 +45,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_duplicate_spans",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_quality_score",

@@ -305,10 +305,10 @@ def minhash_signatures(
     [0, p).
 
     ``hash_fn='xxhash64'`` (default): JVM xxhash64 — the production
-    path, fully codegen'd. ``hash_fn='portable'``: character-fold
-    polynomial hash (ops/text.poly_hash) whose identical arithmetic is
-    expressible in ANSI SQL — the permutation/banding pipeline is
-    unchanged, so a DuckDB oracle can replay the whole computation
+    path, fully codegen'd. ``hash_fn='portable'``: md5-derived 60-bit
+    hash (ops/text.md5_hash60) folded into [0, p) — also codegen'd, and
+    its identical arithmetic is expressible in ANSI SQL, so a DuckDB
+    oracle can replay the whole permutation/banding computation
     bit-for-bit (the correctness gate for this operator family).
 
     Shape: explode distinct shingles -> hash once per shingle -> k MIN
@@ -319,9 +319,9 @@ def minhash_signatures(
 
     Docs with no shingles (fewer than n tokens) yield no row."""
     if hash_fn == "portable":
-        from .text import poly_hash
+        from .text import md5_hash60
 
-        base = poly_hash(F.col("s"))  # already < 1e9+7 < HASH_P
+        base = F.pmod(md5_hash60(F.col("s")), F.lit(HASH_P))
     else:
         base = F.pmod(F.xxhash64("s"), F.lit(HASH_P))
     ex = _spread(df.select(F.col(id_col), F.col(text_col))).select(
@@ -358,7 +358,7 @@ def minhash_lsh_candidates(
     hashing so the join is skew-resistant; AQE splits stragglers.
 
     ``hash_fn='portable'`` swaps the base shingle hash for the
-    SQL-expressible polynomial fold and joins bands on the raw
+    SQL-expressible md5-derived hash and joins bands on the raw
     concatenated band values instead of their xxhash64 (identical pair
     set — xxhash64 is a bijective relabeling of the join key here), so
     the full candidate+estimate pipeline replays in a DuckDB oracle.
@@ -435,10 +435,6 @@ SIMHASH_BITS = 64
 # raw polynomial value is structured (top bits ~ first character) and
 # fingerprint bits would correlate across tokens.
 SIMHASH_PORTABLE_BITS = 60
-_POLY2_BASE = 37
-_POLY2_MOD = 1_073_741_789  # largest prime < 2^30
-_MIX_A = 747_796_405  # odd multiplier (PCG's LCG constant), < both mods
-_MIX_C = 2_891_336_453 % 1_000_000_007
 
 # Packed vote-sum layout: 3 vote counters per 64-bit aggregate at
 # 20-bit spacing. Field capacity 2^20 distinct tokens per doc; max
@@ -480,9 +476,10 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     chunk values (the Hamming band keys for pigeonhole pairing).
 
     ``hash_fn='xxhash64'`` (default): 64-bit JVM hash.
-    ``hash_fn='portable'``: 60 bits from two polynomial character folds
-    — identical arithmetic exists in ANSI SQL, so a DuckDB oracle can
-    replay the whole fingerprint (the correctness gate).
+    ``hash_fn='portable'``: 60 md5-derived bits (ops/text.md5_hash60)
+    — codegen'd on Spark, and identical arithmetic exists in ANSI SQL,
+    so a DuckDB oracle can replay the whole fingerprint (the
+    correctness gate).
 
     Shape: explode distinct tokens -> one hash per row -> PACKED vote
     sums: 3 bit-counters per 64-bit SUM at 20-bit spacing (a bit's vote
@@ -494,20 +491,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     the explode is of array_distinct output)."""
     bits = SIMHASH_PORTABLE_BITS if hash_fn == "portable" else SIMHASH_BITS
     if hash_fn == "portable":
-        from .text import FP_MOD, poly_hash
+        from .text import md5_hash60
 
-        def mix(col: Column, p: int) -> Column:
-            # affine -> xor-shift -> affine: the xor-shift breaks the
-            # difference-linearity of the polynomial fold (template
-            # token families like tok0001/tok0002 differ by a constant,
-            # which one affine pass would preserve bit-for-bit).
-            x1 = (col * F.lit(_MIX_A) + F.lit(_MIX_C)) % F.lit(p)
-            x2 = x1.bitwiseXOR(F.shiftright(x1, 15))
-            return (x2 * F.lit(_MIX_A) + F.lit(_MIX_C)) % F.lit(p)
-
-        h = (mix(poly_hash(F.col("t")), FP_MOD) * F.lit(1 << 30)
-             + mix(poly_hash(F.col("t"), _POLY2_BASE, _POLY2_MOD),
-                   _POLY2_MOD))
+        h = md5_hash60(F.col("t"))
     else:
         h = F.xxhash64("t")
     tok = _spread(df.select(F.col(id_col), F.col(text_col))).select(
@@ -804,4 +790,111 @@ def embedding_near_dup_pairs(
 
     return df.select(id_col, vec_col).mapInPandas(
         score, schema="id_a bigint, id_b bigint, cosine double"
+    )
+
+
+# --------------------------------------------------------------------------
+# exact substring (duplicate n-gram span) detection
+# --------------------------------------------------------------------------
+
+def duplicate_span_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    window: int = 8, min_count: int = 2, hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-level repeated-substring signal (the exact-substring-dedup
+    family of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): for every document, how much of it is
+    covered by token windows of length ``window`` that appear at least
+    ``min_count`` times ANYWHERE in the corpus (including elsewhere in
+    the same document).
+
+    A full suffix-array build is driver-hostile at 100 TB; hashed
+    fixed-width windows give the same per-document coverage signal with
+    pure data-parallel primitives:
+
+    1. slide a ``window``-token window over each doc (JVM ``transform``
+       over the token array + ``posexplode`` — no Python),
+    2. hash each window once; count occurrences per hash corpus-wide
+       (one shuffle on the 64-bit hash — near-uniform key, skew-safe,
+       map-side partial counts),
+    3. equi-join windows against the duplicated hashes on the SAME key
+       the count shuffled on (AQE reuses the exchange partitioning),
+    4. per doc, merge overlapping duplicated windows into covered-token
+       counts with one ``lead`` window pass (sorted by start offset:
+       a window contributes ``min(window, next_start - start)`` tokens),
+    5. left-join back so never-duplicated docs report zeros.
+
+    ``hash_fn='xxhash64'`` (default) is the production path;
+    ``'portable'`` swaps in the md5-derived 60-bit hash so a DuckDB
+    oracle replays the computation bit-for-bit.
+
+    Returns one row per input doc:
+    ``(id_col, n_tokens, dup_windows, dup_covered_tokens,
+    dup_token_frac)``.
+
+    Downstream policy is the caller's: filter on ``dup_token_frac`` to
+    drop boilerplate-heavy docs, or feed the marked spans to a cutter.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    base = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", toks.alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+    )
+    k = F.col("n_tokens") - F.lit(window - 1)
+    wins = base.filter(F.col("n_tokens") >= window).select(
+        "id", "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, window)),
+            )
+        ).alias("start", "s"),
+    )
+    if hash_fn == "portable":
+        from .text import md5_hash60
+
+        h = md5_hash60(F.col("s"))
+    else:
+        h = F.xxhash64("s")
+    hashed = wins.select("id", "n_tokens", "start", h.alias("h"))
+    dup_h = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    marked = hashed.join(dup_h, "h")
+    w = Window.partitionBy("id").orderBy("start")
+    cover = marked.withColumn(
+        "covered",
+        F.least(
+            F.lit(window),
+            F.coalesce(
+                F.lead("start").over(w) - F.col("start"), F.lit(window)
+            ),
+        ),
+    )
+    per_doc = cover.groupBy("id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("dup_windows"),
+        F.sum("covered").cast("bigint").alias("dup_covered_tokens"),
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(per_doc, ["id", "n_tokens"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("dup_windows", F.lit(0)).cast("bigint")
+            .alias("dup_windows"),
+            F.coalesce("dup_covered_tokens", F.lit(0)).cast("bigint")
+            .alias("dup_covered_tokens"),
+            F.round(
+                F.coalesce("dup_covered_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_token_frac"),
+        )
     )

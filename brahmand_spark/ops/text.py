@@ -170,6 +170,18 @@ def poly_hash(col: Column, base: int = FP_BASE, mod: int = FP_MOD) -> Column:
     )
 
 
+def md5_hash60(col: Column) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex chars of md5 as a
+    bigint. Fully codegen'd on Spark (one ``md5`` + ``conv`` per value);
+    DuckDB replays it exactly via its own ``md5`` + a 15-step hex fold.
+    This is the fast portable hash for the per-shingle/per-token hot
+    paths — ``poly_hash``'s per-character interpreted lambda costs
+    O(len) py-side-free but interpreted JVM steps per value, while md5
+    is a single native call (the minhash/simhash portable gates dropped
+    ~4x in wall time when they switched)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Engine-portable document fingerprint (see ``poly_hash``)."""

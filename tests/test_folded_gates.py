@@ -15,6 +15,14 @@ from pyspark.sql import functions as F
 from .helpers import assert_same
 
 FOLDED_CYPHER = {
+    # count(DISTINCT x) global aggregate (folded r4: 1-row output —
+    # lowest-information remaining gate; slot went to
+    # dedup_duplicate_spans)
+    "count_distinct": (
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+           RETURN count(DISTINCT c.c_custkey) AS buyers""",
+        "SELECT count(DISTINCT o_custkey) AS buyers FROM orders",
+    ),
     # relationship-type inference: no type on the hop
     "rel_type_inference": (
         "MATCH (c:Customer)-[]->(o:Order) RETURN count(*) AS n",

@@ -633,3 +633,61 @@ class TestRepetitionSignals:
             .executedPlan().toString()
         assert "Exchange" not in plan
         assert "Python" not in plan  # pure JVM expressions
+
+
+class TestDuplicateSpans:
+    """duplicate_span_stats: exact values on a hand-built corpus +
+    hash-family agreement (coverage depends only on window EQUALITY, so
+    the xxhash64 and md5-portable paths must emit identical rows)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            # docs 1 and 2 share the 6-token prefix -> two 5-windows
+            # (starts 0,1) overlapping into 6 covered tokens each
+            (1, "alpha beta gamma delta epsilon zeta one two"),
+            (2, "alpha beta gamma delta epsilon zeta nine ten"),
+            # doc 3: internal repeat of a 5-token run (starts 0 and 5)
+            (3, "p q r s t p q r s t"),
+            # doc 4: no duplicated window anywhere
+            (4, "unique tokens only in this document here now"),
+            # doc 5: too short for a window
+            (5, "tiny doc"),
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_exact_values(self, corpus):
+        from brahmand_spark.ops.dedup import duplicate_span_stats
+
+        out = {
+            r["doc_id"]: r
+            for r in duplicate_span_stats(corpus, window=5).collect()
+        }
+        assert len(out) == 5
+        for d in (1, 2):
+            assert out[d]["dup_windows"] == 2
+            assert out[d]["dup_covered_tokens"] == 6
+            assert out[d]["dup_token_frac"] == 0.75
+        # doc 3: windows at starts 0..5; starts 0 and 5 ("p q r s t")
+        # collide with each other, and starts 1..4 are unique shifts
+        assert out[3]["dup_windows"] == 2
+        assert out[3]["dup_covered_tokens"] == 10
+        assert out[3]["dup_token_frac"] == 1.0
+        assert out[4]["dup_windows"] == 0
+        assert out[4]["dup_covered_tokens"] == 0
+        assert out[5]["n_tokens"] == 2
+        assert out[5]["dup_windows"] == 0
+
+    def test_hash_families_agree(self, docs):
+        from brahmand_spark.ops.dedup import duplicate_span_stats
+
+        a = duplicate_span_stats(docs, window=5).orderBy("doc_id")
+        b = duplicate_span_stats(docs, window=5, hash_fn="portable") \
+            .orderBy("doc_id")
+        assert a.collect() == b.collect()
+
+    def test_min_count_raises_bar(self, corpus):
+        from brahmand_spark.ops.dedup import duplicate_span_stats
+
+        out = duplicate_span_stats(corpus, window=5, min_count=3)
+        assert out.filter("dup_windows > 0").count() == 0

@@ -149,13 +149,6 @@ _CYPHER: dict[str, str] = {
         RETURN toUpper(c.c_mktsegment) AS seg_u,
                substring(c.c_name, 0, 8) AS name8,
                abs(c.c_acctbal) AS mag""",
-    # CASE expression (extension; commented out of the reference AST)
-    "case_expression": """
-        MATCH (c:Customer)
-        RETURN CASE WHEN c.c_acctbal < 0 THEN 'neg'
-                    WHEN c.c_acctbal < 5000 THEN 'mid'
-                    ELSE 'high' END AS bal_class,
-               count(*) AS n""",
     # WITH pipeline: aggregate then filter (HAVING semantics)
     "with_having": """
         MATCH (c:Customer)-[:PLACED]->(o:Order)
@@ -279,11 +272,6 @@ _CYPHER_ORACLES: dict[str, str] = {
     "scalar_functions": """
         SELECT upper(c_mktsegment) AS seg_u, substring(c_name, 1, 8) AS name8,
                abs(c_acctbal) AS mag FROM customer""",
-    "case_expression": """
-        SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
-                    WHEN c_acctbal < 5000 THEN 'mid'
-                    ELSE 'high' END AS bal_class, count(*) AS n
-        FROM customer GROUP BY 1""",
     "with_having": """
         SELECT c.c_name AS name, count(*) AS n
         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
@@ -407,6 +395,19 @@ def _q_duplicate_spans(spark, sf_dir):
     return duplicate_span_stats(
         _docs(spark, sf_dir), window=5, min_count=2, hash_fn="portable"
     )
+
+
+def _q_seq_packing(spark, sf_dir):
+    """Greedy token-budget sequence packing (budget=256, 8 buckets) —
+    the training-batch construction op. Deterministic (id-bucketed,
+    id-ordered), so the DuckDB oracle replays the greedy scan as a
+    per-bucket recursive CTE."""
+    from brahmand_spark.ops.packing import pack_sequences
+    from brahmand_spark.ops.text import token_count
+
+    counts = token_count(_docs(spark, sf_dir)) \
+        .select("doc_id", "n_tokens")
+    return pack_sequences(counts, budget=256, n_buckets=8)
 
 
 def _q_embedding_near_dup(spark, sf_dir):
@@ -684,6 +685,7 @@ _EXTENSIONS: dict[str, Callable] = {
     "dedup_minhash_lsh": _q_minhash_lsh,
     "dedup_simhash": _q_simhash,
     "dedup_duplicate_spans": _q_duplicate_spans,
+    "seq_packing": _q_seq_packing,
     "dedup_embedding_cosine": _q_embedding_near_dup,
     "ann_cosine_topk": _q_ann_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1034,6 +1036,38 @@ def _duplicate_spans_oracle() -> str:
         FROM base b LEFT JOIN per_doc p ON p.doc_id = b.doc_id"""
 
 
+def _seq_packing_oracle() -> str:
+    """Replay of ops/packing.pack_sequences(budget=256, n_buckets=8)
+    over token_count(documents): the greedy fill scan as a per-bucket
+    recursive CTE stepping through the id-ordered row numbers."""
+    budget, nb = 256, 8
+    return rf"""
+        WITH RECURSIVE t AS (
+            SELECT (doc_id % {nb})::INT AS bucket,
+                   doc_id::BIGINT AS doc_id,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                       x -> x <> ''))::BIGINT AS n_tokens,
+                   row_number() OVER (PARTITION BY doc_id % {nb}
+                                      ORDER BY doc_id) AS rn
+            FROM documents),
+        packed AS (
+            SELECT bucket, rn, doc_id, n_tokens,
+                   0::BIGINT AS seq_id, 0::BIGINT AS seq_offset,
+                   n_tokens AS fill
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                   CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > {budget}
+                        THEN p.seq_id + 1 ELSE p.seq_id END,
+                   CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > {budget}
+                        THEN 0 ELSE p.fill END,
+                   CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > {budget}
+                        THEN t.n_tokens ELSE p.fill + t.n_tokens END
+            FROM packed p
+            JOIN t ON t.bucket = p.bucket AND t.rn = p.rn + 1)
+        SELECT bucket, doc_id, n_tokens, seq_id, seq_offset FROM packed"""
+
+
 def _embedding_lsh_oracle() -> str:
     """Replay of ops/dedup.embedding_near_dup_pairs(method='lsh',
     threshold=0.4, n_planes=6, n_tables=8, seed=42, dim=64): candidate
@@ -1378,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_minhash_lsh"] = _minhash_lsh_oracle()
     out["dedup_simhash"] = _simhash_oracle()
     out["dedup_duplicate_spans"] = _duplicate_spans_oracle()
+    out["seq_packing"] = _seq_packing_oracle()
     out["dedup_embedding_lsh"] = _embedding_lsh_oracle()
     out["ann_lsh_topk"] = _ann_lsh_oracle()
     out["graph_pagerank"] = _pagerank_oracle()

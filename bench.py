@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_lang_id",
     "text_repetition",
+    "seq_packing",
     "events_window_agg",
     # Iterative / loop-shaped (round-4 additions)
     "graph_pagerank",

@@ -15,6 +15,19 @@ from pyspark.sql import functions as F
 from .helpers import assert_same
 
 FOLDED_CYPHER = {
+    # CASE expression over 3 literal classes (folded r4: 3-row output;
+    # slot went to seq_packing)
+    "case_expression": (
+        """MATCH (c:Customer)
+           RETURN CASE WHEN c.c_acctbal < 0 THEN 'neg'
+                       WHEN c.c_acctbal < 5000 THEN 'mid'
+                       ELSE 'high' END AS bal_class,
+                  count(*) AS n""",
+        """SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                       WHEN c_acctbal < 5000 THEN 'mid'
+                       ELSE 'high' END AS bal_class, count(*) AS n
+           FROM customer GROUP BY 1""",
+    ),
     # count(DISTINCT x) global aggregate (folded r4: 1-row output —
     # lowest-information remaining gate; slot went to
     # dedup_duplicate_spans)

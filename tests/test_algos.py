@@ -199,6 +199,30 @@ class TestLabelPropagation:
                for r in label_propagation(df, max_iterations=8).collect()}
         assert len(out) == 1
 
+    def test_symmetrized_fast_path_matches_default(self, spark):
+        """symmetrized=True on a both-directions edge list must produce
+        the identical community assignment as the default prep on the
+        one-direction list."""
+        import itertools
+
+        from brahmand_spark.ops.algos import label_propagation
+
+        c1, c2 = [0, 1, 2, 3], [10, 11, 12, 13]
+        one_dir = (list(itertools.combinations(c1, 2))
+                   + list(itertools.combinations(c2, 2))
+                   + [(3, 10)])
+        both_dir = one_dir + [(b, a) for a, b in one_dir]
+        d1 = spark.createDataFrame(one_dir, "src long, dst long")
+        d2 = spark.createDataFrame(both_dir, "src long, dst long")
+        r1 = sorted(
+            (r.id, r.community)
+            for r in label_propagation(d1, max_iterations=8).collect())
+        r2 = sorted(
+            (r.id, r.community)
+            for r in label_propagation(
+                d2, max_iterations=8, symmetrized=True).collect())
+        assert r1 == r2
+
 
 class TestDegreesAndKCore:
     def test_degrees(self, spark):

@@ -184,12 +184,6 @@ _CYPHER: dict[str, str] = {
         MATCH p = shortestPath((a:Customer)-[:NEXT_CUST*..3]->(b:Customer))
         WHERE a.c_custkey <= 50
         RETURN a.c_custkey AS src, b.c_custkey AS dst, length(p) AS dist""",
-    # undirected same-label hop (UNION DISTINCT of both orientations,
-    # graph_traversal_planning.rs:524-616)
-    "either_same_label": """
-        MATCH (a:Customer)-[:NEXT_CUST]-(b:Customer)
-        WHERE a.c_custkey <= 10
-        RETURN a.c_custkey AS src, b.c_custkey AS dst""",
     # Cypher-level UNION / UNION ALL (extension)
     "union_distinct": """
         MATCH (c:Customer) WHERE c.c_acctbal > 9000 RETURN c.c_name AS name
@@ -306,11 +300,6 @@ _CYPHER_ORACLES: dict[str, str] = {
         FROM customer a JOIN customer b
           ON b.c_custkey - a.c_custkey IN (1, 2, 3)
         WHERE a.c_custkey <= 50""",
-    "either_same_label": """
-        SELECT a.c_custkey AS src, b.c_custkey AS dst
-        FROM customer a JOIN customer b
-          ON abs(b.c_custkey - a.c_custkey) = 1
-        WHERE a.c_custkey <= 10""",
     "union_distinct": """
         SELECT c_name AS name FROM customer WHERE c_acctbal > 9000
         UNION
@@ -395,6 +384,15 @@ def _q_duplicate_spans(spark, sf_dir):
     return duplicate_span_stats(
         _docs(spark, sf_dir), window=5, min_count=2, hash_fn="portable"
     )
+
+
+def _q_cluster_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=8, 3 iterations, lowest-id init)
+    over the embeddings table — deterministic end to end, so the DuckDB
+    oracle replays every assignment/update round as chained CTEs."""
+    from brahmand_spark.ops.clustering import kmeans
+
+    return kmeans(_embeddings(spark, sf_dir), k=8, iters=3)
 
 
 def _q_seq_packing(spark, sf_dir):
@@ -689,6 +687,7 @@ _EXTENSIONS: dict[str, Callable] = {
     "dedup_simhash": _q_simhash,
     "dedup_duplicate_spans": _q_duplicate_spans,
     "seq_packing": _q_seq_packing,
+    "cluster_kmeans": _q_cluster_kmeans,
     "dedup_embedding_cosine": _q_embedding_near_dup,
     "ann_cosine_topk": _q_ann_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1037,6 +1036,49 @@ def _duplicate_spans_oracle() -> str:
                round(coalesce(p.dup_covered_tokens, 0)::DOUBLE
                      / greatest(b.n_tokens, 1), 6) AS dup_token_frac
         FROM base b LEFT JOIN per_doc p ON p.doc_id = b.doc_id"""
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    """Replay of ops/clustering.kmeans(k=8, iters=3): lowest-id init,
+    then per iteration a nearest-centroid assignment (argmax of
+    v.c - |c|^2/2, ties to the lower cell — the same struct-max order
+    as similarity.ivf_cell) and a per-dimension mean update with empty
+    cells keeping their previous centroid; final assignment against the
+    last centroids."""
+    parts = [f"""v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                FROM embeddings),
+        c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
+                      v AS c
+               FROM (SELECT * FROM v ORDER BY id LIMIT {k}))"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+        a{i} AS (
+            SELECT id, v, cell FROM (
+                SELECT v.id, v.v, c.cell,
+                       row_number() OVER (PARTITION BY v.id
+                           ORDER BY list_dot_product(v.v, c.c)
+                                    - list_dot_product(c.c, c.c) / 2
+                                    DESC,
+                                    c.cell ASC) AS rn
+                FROM v CROSS JOIN c{i - 1} c) WHERE rn = 1),
+        u{i} AS (
+            SELECT cell, p.pos, avg(v[p.pos]) AS m
+            FROM a{i},
+                 LATERAL (SELECT unnest(range(1, len(v) + 1)) AS pos) p
+            GROUP BY cell, p.pos),
+        c{i} AS (
+            SELECT c.cell, coalesce(u.c, c.c) AS c
+            FROM c{i - 1} c
+            LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c
+                       FROM u{i} GROUP BY cell) u USING (cell))""")
+    return ("WITH " + ",".join(parts) + f"""
+        SELECT id AS vec_id, cell AS cluster FROM (
+            SELECT v.id, c.cell,
+                   row_number() OVER (PARTITION BY v.id
+                       ORDER BY list_dot_product(v.v, c.c)
+                                - list_dot_product(c.c, c.c) / 2 DESC,
+                                c.cell ASC) AS rn
+            FROM v CROSS JOIN c{iters} c) WHERE rn = 1""")
 
 
 def _seq_packing_oracle() -> str:
@@ -1416,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_simhash"] = _simhash_oracle()
     out["dedup_duplicate_spans"] = _duplicate_spans_oracle()
     out["seq_packing"] = _seq_packing_oracle()
+    out["cluster_kmeans"] = _kmeans_oracle()
     out["dedup_embedding_lsh"] = _embedding_lsh_oracle()
     out["ann_lsh_topk"] = _ann_lsh_oracle()
     out["graph_pagerank"] = _pagerank_oracle()

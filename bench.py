@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "text_lang_id",
     "text_repetition",
     "seq_packing",
+    "cluster_kmeans",
     "events_window_agg",
     # Iterative / loop-shaped (round-4 additions)
     "graph_pagerank",

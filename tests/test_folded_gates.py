@@ -15,6 +15,19 @@ from pyspark.sql import functions as F
 from .helpers import assert_same
 
 FOLDED_CYPHER = {
+    # undirected same-label hop, UNION DISTINCT of both orientations
+    # (folded r4: 21-row direction variant of registered hop shapes —
+    # incoming_direction stays registered, either_direction already
+    # folded; slot went to cluster_kmeans)
+    "either_same_label": (
+        """MATCH (a:Customer)-[:NEXT_CUST]-(b:Customer)
+           WHERE a.c_custkey <= 10
+           RETURN a.c_custkey AS src, b.c_custkey AS dst""",
+        """SELECT a.c_custkey AS src, b.c_custkey AS dst
+           FROM customer a JOIN customer b
+             ON abs(b.c_custkey - a.c_custkey) = 1
+           WHERE a.c_custkey <= 10""",
+    ),
     # CASE expression over 3 literal classes (folded r4: 3-row output;
     # slot went to seq_packing)
     "case_expression": (

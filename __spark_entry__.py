@@ -115,11 +115,6 @@ _CYPHER: dict[str, str] = {
         MATCH (c:Customer)-[:PLACED]->(o:Order)-[:HAS_LINE]->(l:Lineitem)-[:OF_PART]->(p:Part)
         WHERE p.p_size > 40 AND o.o_orderstatus = 'O'
         RETURN c.c_name AS name, p.p_name AS part, l.l_quantity AS qty""",
-    # incoming direction
-    "incoming_direction": """
-        MATCH (o:Order)<-[:PLACED]-(c:Customer)
-        WHERE c.c_acctbal < 0
-        RETURN c.c_name AS name, count(*) AS orders""",
     # comma-separated patterns sharing an alias (duplicate-scan handling)
     "shared_alias_patterns": """
         MATCH (c:Customer)-[:CUST_IN]->(n:Nation), (s:Supplier)-[:SUPP_IN]->(n)
@@ -238,10 +233,6 @@ _CYPHER_ORACLES: dict[str, str] = {
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         JOIN part p ON p.p_partkey = l.l_partkey
         WHERE p.p_size > 40 AND o.o_orderstatus = 'O'""",
-    "incoming_direction": """
-        SELECT c.c_name AS name, count(*) AS orders
-        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        WHERE c.c_acctbal < 0 GROUP BY c.c_name""",
     "shared_alias_patterns": """
         SELECT n.n_name AS nation, count(*) AS pairs
         FROM customer c
@@ -489,6 +480,24 @@ def _q_text_repetition(spark, sf_dir):
     return repetition_signals(_docs(spark, sf_dir))
 
 
+def _q_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct sketch (ops/sketches) over
+    lineitem: distinct l_orderkey per (returnflag, linestatus), p=10,
+    joined with the exact count + relative error. The register build is
+    one map-side-combinable shuffle; the md5-portable hash lets the
+    DuckDB oracle replay every register and the integer-scaled
+    harmonic fold bit-for-bit. Replaces the folded incoming_direction
+    gate (direction flip of registered hop shapes; still oracle-checked
+    in tests/test_folded_gates.py)."""
+    from brahmand_spark.io import read_parquet
+    from brahmand_spark.ops.sketches import hll_distinct_with_exact
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return hll_distinct_with_exact(
+        li, "l_orderkey", ["l_returnflag", "l_linestatus"], p=10
+    )
+
+
 def _q_events_window(spark, sf_dir):
     ev = _events(spark, sf_dir)
     # Tumbling window = date_trunc on the key: same grouping as
@@ -699,6 +708,7 @@ _EXTENSIONS: dict[str, Callable] = {
     "text_fingerprint": _q_fingerprint,
     "text_repetition": _q_text_repetition,
     "multimodal_metadata": _q_multimodal_metadata,
+    "sketch_hll_distinct": _q_hll_distinct,
     "events_window_agg": _q_events_window,
     "events_sessionize": _q_events_sessionize,
     "events_sliding_counts": _q_events_sliding,
@@ -943,6 +953,59 @@ def _md5h60_sql(expr: str) -> str:
         "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT), "
         "(a, b) -> a * 16 + b)"
     )
+
+
+def _hll_oracle() -> str:
+    """Replay of ops/sketches.hll_distinct_with_exact(p=10) on
+    lineitem.l_orderkey grouped by (l_returnflag, l_linestatus):
+    md5-derived 60-bit hash -> bucket = low 10 bits, rho = rank of the
+    first 1-bit in the high 50 -> per-bucket max -> integer-scaled
+    harmonic fold -> linear-counting small-range branch."""
+    from brahmand_spark.ops.sketches import _alpha
+
+    p, bits = 10, 60
+    m, q, k = 1 << p, bits - p, bits - p + 1
+    numer = _alpha(m) * m * m * float(1 << k)
+    h = _md5h60_sql("l_orderkey::VARCHAR")
+    return f"""
+        WITH hashed AS (
+            SELECT l_returnflag, l_linestatus, {h} AS h FROM lineitem),
+        rows_rho AS (
+            SELECT l_returnflag, l_linestatus, h % {m} AS bucket,
+                   CASE WHEN (h >> {p}) = 0 THEN {k}
+                        ELSE {q} - length(bin(h >> {p})) + 1 END AS rho
+            FROM hashed),
+        reg AS (
+            SELECT l_returnflag, l_linestatus, bucket, max(rho) AS max_rho
+            FROM rows_rho GROUP BY 1, 2, 3),
+        agg AS (
+            SELECT l_returnflag, l_linestatus, count(*) AS n_present,
+                   sum(1::BIGINT << ({k} - max_rho)) AS s_present
+            FROM reg GROUP BY 1, 2),
+        est AS (
+            SELECT l_returnflag, l_linestatus, n_present,
+                   {numer!r} / (s_present
+                       + ({m} - n_present) * {1 << k})::DOUBLE AS e_raw,
+                   {m} - n_present AS v
+            FROM agg),
+        fin AS (
+            SELECT l_returnflag, l_linestatus, n_present,
+                   CASE WHEN e_raw <= {2.5 * m!r} AND v > 0
+                        THEN {float(m)!r} * ln({float(m)!r} / v)
+                        ELSE e_raw END AS e
+            FROM est),
+        ex AS (
+            SELECT l_returnflag, l_linestatus,
+                   count(DISTINCT l_orderkey) AS exact_distinct
+            FROM lineitem GROUP BY 1, 2)
+        SELECT f.l_returnflag, f.l_linestatus,
+               f.n_present AS n_registers,
+               round(f.e, 4) AS hll_estimate,
+               ex.exact_distinct,
+               round(abs(round(f.e, 4) - ex.exact_distinct)
+                     / greatest(ex.exact_distinct, 1)::DOUBLE, 4) AS rel_err
+        FROM fin f
+        JOIN ex USING (l_returnflag, l_linestatus)"""
 
 
 def _minhash_lsh_oracle() -> str:
@@ -1459,6 +1522,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_duplicate_spans"] = _duplicate_spans_oracle()
     out["seq_packing"] = _seq_packing_oracle()
     out["cluster_kmeans"] = _kmeans_oracle()
+    out["sketch_hll_distinct"] = _hll_oracle()
     out["dedup_embedding_lsh"] = _embedding_lsh_oracle()
     out["ann_lsh_topk"] = _ann_lsh_oracle()
     out["graph_pagerank"] = _pagerank_oracle()

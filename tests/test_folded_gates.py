@@ -28,6 +28,18 @@ FOLDED_CYPHER = {
              ON abs(b.c_custkey - a.c_custkey) = 1
            WHERE a.c_custkey <= 10""",
     ),
+    # incoming-direction hop (folded r4: direction flip of the
+    # registered outgoing hop shape — either_same_label/either_direction
+    # already cover the other orientations; slot went to
+    # sketch_hll_distinct)
+    "incoming_direction": (
+        """MATCH (o:Order)<-[:PLACED]-(c:Customer)
+           WHERE c.c_acctbal < 0
+           RETURN c.c_name AS name, count(*) AS orders""",
+        """SELECT c.c_name AS name, count(*) AS orders
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_acctbal < 0 GROUP BY c.c_name""",
+    ),
     # CASE expression over 3 literal classes (folded r4: 3-row output;
     # slot went to seq_packing)
     "case_expression": (

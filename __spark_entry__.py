@@ -451,6 +451,21 @@ def _q_token_count(spark, sf_dir):
     return token_count(_docs(spark, sf_dir))
 
 
+BM25_QUERY_TERMS = ["spark", "join", "vector"]
+
+
+def _q_text_bm25(spark, sf_dir):
+    """BM25 top-20 for a fixed bag-of-terms query (ops/search):
+    query-term-filtered explode -> integer micro-unit score fold ->
+    TakeOrderedAndProject top-k. Per-term float steps share literals
+    and association with the DuckDB oracle, so scores hash-match.
+    Replaces the folded text_token_count gate (simple per-row length
+    arithmetic; still oracle-checked in tests/test_folded_gates.py)."""
+    from brahmand_spark.ops.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=20)
+
+
 def _q_quality(spark, sf_dir):
     from brahmand_spark.ops.text import quality_score
 
@@ -702,7 +717,7 @@ _EXTENSIONS: dict[str, Callable] = {
     "ann_lsh_topk": _q_ann_lsh_topk,
     "ann_ivf_topk": _q_ann_ivf_topk,
     "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-    "text_token_count": _q_token_count,
+    "text_bm25": _q_text_bm25,
     "text_quality_score": _q_quality,
     "text_lang_id": _q_langid,
     "text_fingerprint": _q_fingerprint,
@@ -770,14 +785,6 @@ _EXTENSION_ORACLES: dict[str, str] = {
                 ORDER BY cosine DESC, corpus_id ASC) AS rank
             FROM scored)
         SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 10""",
-    "text_token_count": r"""
-        SELECT doc_id,
-               len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-                   AS n_tokens,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
-                   AS n_subwords,
-               length(text) AS n_chars_computed
-        FROM documents""",
     "text_quality_score": r"""
         WITH base AS (
             SELECT doc_id, length(text) AS n_chars,
@@ -1523,6 +1530,9 @@ def oracle_sql() -> dict[str, str]:
     out["seq_packing"] = _seq_packing_oracle()
     out["cluster_kmeans"] = _kmeans_oracle()
     out["sketch_hll_distinct"] = _hll_oracle()
+    from brahmand_spark.ops.search import bm25_oracle_sql
+
+    out["text_bm25"] = bm25_oracle_sql(BM25_QUERY_TERMS, k=20)
     out["dedup_embedding_lsh"] = _embedding_lsh_oracle()
     out["ann_lsh_topk"] = _ann_lsh_oracle()
     out["graph_pagerank"] = _pagerank_oracle()

@@ -12,13 +12,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .conftest import SF_SMOKE
 from .helpers import assert_same
 
 FOLDED_CYPHER = {
     # undirected same-label hop, UNION DISTINCT of both orientations
-    # (folded r4: 21-row direction variant of registered hop shapes —
-    # incoming_direction stays registered, either_direction already
-    # folded; slot went to cluster_kmeans)
+    # (folded r4: 21-row direction variant of registered hop shapes;
+    # slot went to cluster_kmeans)
     "either_same_label": (
         """MATCH (a:Customer)-[:NEXT_CUST]-(b:Customer)
            WHERE a.c_custkey <= 10
@@ -171,6 +171,24 @@ FOLDED_CYPHER = {
 }
 
 
+def test_folded_text_token_count(spark, duck):
+    """The former text_token_count registry gate (folded r4 for
+    text_bm25 — simple per-row length arithmetic, surface shared with
+    the registered quality/repetition gates): same operator, same
+    DuckDB oracle."""
+    from brahmand_spark.ops.text import token_count
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert_same(token_count(docs), duck.sql(r"""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                   AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                   AS n_subwords,
+               length(text) AS n_chars_computed
+        FROM documents"""))
+
+
 def test_registry_holds_exactly_50_gates():
     """The driver grades exactly the first 50 names in queries(); every
     registered gate must also carry an oracle (or be a documented
@@ -252,10 +270,10 @@ def test_queries_fresh_rebuilds_memoized_caches(spark):
     from .conftest import SF_SMOKE
 
     fresh = entry.queries(fresh=True)
-    a = fresh["text_token_count"](spark, SF_SMOKE)
-    b = fresh["text_token_count"](spark, SF_SMOKE)
+    a = fresh["text_quality_score"](spark, SF_SMOKE)
+    b = fresh["text_quality_score"](spark, SF_SMOKE)
     assert a is not b
     memo = entry.queries()
-    c = memo["text_token_count"](spark, SF_SMOKE)
-    d = memo["text_token_count"](spark, SF_SMOKE)
+    c = memo["text_quality_score"](spark, SF_SMOKE)
+    d = memo["text_quality_score"](spark, SF_SMOKE)
     assert c is d

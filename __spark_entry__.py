@@ -684,6 +684,31 @@ def _q_graph_lpa(spark, sf_dir):
     return label_propagation(edges, max_iterations=4, symmetrized=True)
 
 
+def _q_graph_sssp(spark, sf_dir):
+    """Weighted multi-source shortest paths (frontier Bellman-Ford,
+    ops/algos.sssp_weighted) on a synthetic two-lane customer graph:
+    step edges k -> k+1 (weight 1 + k%5) and express edges k -> k+7
+    (weight 3 + k%4), sources every 100th key — min-cost paths mix
+    both lanes, so the relaxation dynamics are non-trivial. Integer
+    weights keep every distance exact; the oracle replays the same 12
+    relaxation rounds in DuckDB. Replaces the folded
+    events_sliding_counts gate (sliding variant of the registered
+    window gates; still oracle-checked in tests/test_folded_gates.py)."""
+    from brahmand_spark.ops.algos import sssp_weighted
+
+    cust = _tpch(spark, sf_dir).tables["Customer"]
+    k = F.col("c_custkey").cast("bigint")
+    edges = cust.select(
+        k.alias("src"), (k + 1).alias("dst"),
+        (F.lit(1) + k % 5).alias("weight"),
+    ).unionByName(cust.select(
+        k.alias("src"), (k + 7).alias("dst"),
+        (F.lit(3) + k % 4).alias("weight"),
+    ))
+    sources = cust.filter(k % 100 == 1).select(k.alias("id"))
+    return sssp_weighted(edges, sources, max_iterations=12)
+
+
 def _q_graph_kcore(spark, sf_dir):
     """4-core of the thinned part<->supplier co-shipment graph
     (l_quantity >= 48 keeps ~6% of lineitems, giving a real peeling
@@ -726,7 +751,7 @@ _EXTENSIONS: dict[str, Callable] = {
     "sketch_hll_distinct": _q_hll_distinct,
     "events_window_agg": _q_events_window,
     "events_sessionize": _q_events_sessionize,
-    "events_sliding_counts": _q_events_sliding,
+    "graph_sssp_weighted": _q_graph_sssp,
     "skew_two_phase_agg": _q_skew_two_phase_agg,
     "adjacency_traversal": _q_adjacency_traversal,
     "graph_bfs": _q_graph_bfs,
@@ -910,12 +935,6 @@ _EXTENSION_ORACLES: dict[str, str] = {
                max(ts) + INTERVAL 30 MINUTE AS session_end,
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM numbered GROUP BY user_id, sid""",
-    "events_sliding_counts": """
-        SELECT time_bucket(INTERVAL '30 minutes', ts)
-                   - (k * INTERVAL '30 minutes') AS window_start,
-               event_type, count(*) AS n
-        FROM events, (VALUES (0), (1)) t(k)
-        GROUP BY 1, 2""",
     "skew_two_phase_agg": """
         SELECT l_returnflag, count(*) AS n,
                round(sum(l_quantity), 1) AS total_qty
@@ -1440,6 +1459,41 @@ def _kcore_oracle(k: int = 4, rounds: int = 12) -> str:
         GROUP BY a HAVING count(*) >= {k}""")
 
 
+def _sssp_oracle(rounds: int = 12) -> str:
+    """Replay of ops/algos.sssp_weighted(max_iterations=12) on the
+    two-lane customer graph: each round is
+    ``d_i = min(d_{i-1}, min over edges(d_{i-1}(src) + w))`` — exact
+    shortest paths over <= i edges, so round 12 matches Spark's
+    frontier Bellman-Ford whether or not it converged early.
+    Distance CTEs are MATERIALIZED (each round reads the previous one
+    twice)."""
+    parts = [
+        """edges AS MATERIALIZED (
+            SELECT c_custkey::BIGINT AS src,
+                   (c_custkey + 1)::BIGINT AS dst,
+                   (1 + c_custkey % 5)::BIGINT AS w
+            FROM customer
+            UNION ALL
+            SELECT c_custkey::BIGINT, (c_custkey + 7)::BIGINT,
+                   (3 + c_custkey % 4)::BIGINT
+            FROM customer),
+        d0 AS MATERIALIZED (
+            SELECT c_custkey::BIGINT AS id, 0::BIGINT AS dist
+            FROM customer WHERE c_custkey % 100 = 1)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        d{r} AS MATERIALIZED (
+            SELECT id, min(dist) AS dist FROM (
+                SELECT id, dist FROM d{r - 1}
+                UNION ALL
+                SELECT e.dst AS id, d.dist + e.w AS dist
+                FROM d{r - 1} d JOIN edges e ON e.src = d.id
+            ) GROUP BY id)""")
+    return ("WITH " + ",".join(parts)
+            + f"\n        SELECT id, dist FROM d{rounds}")
+
+
 def _ann_lsh_oracle() -> str:
     """Replay of ops/similarity.hyperplane_lsh_topk(k=10, dim=64,
     n_planes=4, seed=42) over queries vec_id < 10: same-bucket
@@ -1533,6 +1587,7 @@ def oracle_sql() -> dict[str, str]:
     from brahmand_spark.ops.search import bm25_oracle_sql
 
     out["text_bm25"] = bm25_oracle_sql(BM25_QUERY_TERMS, k=20)
+    out["graph_sssp_weighted"] = _sssp_oracle()
     out["dedup_embedding_lsh"] = _embedding_lsh_oracle()
     out["ann_lsh_topk"] = _ann_lsh_oracle()
     out["graph_pagerank"] = _pagerank_oracle()

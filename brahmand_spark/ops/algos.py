@@ -297,6 +297,60 @@ def bfs_distances(
     return visited
 
 
+def sssp_weighted(
+    edges: DataFrame, sources: DataFrame,
+    src: str = "src", dst: str = "dst", weight_col: str = "weight",
+    id_col: str = "id", max_iterations: int = 20, checkpoint: bool = True,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths (frontier Bellman-Ford).
+    Returns ``(id, dist)`` with ``dist`` the minimum edge-weight sum
+    from any source, considering paths of at most ``max_iterations``
+    edges (= converged when the graph's weighted diameter is smaller).
+
+    Each superstep relaxes only edges leaving vertices whose distance
+    improved last round (the frontier) — identical results to full
+    Bellman-Ford (round i holds exact shortest-paths over <= i edges)
+    at O(touched edges) per round instead of O(E). Weights must be
+    non-negative (no negative-cycle detection). Integer weights sum
+    exactly; the whole loop is shuffled on vertex ids and
+    localCheckpoint-truncated per round like the other loops here."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight_col).alias("w"),
+    )
+    dist = sources.select(
+        F.col(id_col).alias("id"), F.lit(0).cast("bigint").alias("dist")
+    ).distinct()
+    dist = _ckpt(dist, checkpoint)
+    frontier = dist
+    for _ in range(max_iterations):
+        cand = (
+            frontier.join(e, frontier["id"] == e["src"], "inner")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("w")).alias("cand"),
+            )
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            cand.join(dist, "id", "left")
+            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("id", F.col("cand").alias("dist"))
+        )
+        improved = _ckpt(improved, checkpoint)
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.withColumnRenamed("dist", "old")
+            .join(improved, "id", "full_outer")
+            .select("id", F.coalesce("dist", "old").alias("dist"))
+        )
+        dist = _ckpt(dist, checkpoint)
+        frontier = improved
+    return dist
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst",
 ) -> DataFrame:

@@ -350,3 +350,67 @@ class TestTwoPhaseCC:
         df = spark.createDataFrame([(1, 2)], "src long, dst long")
         with pytest.raises(ValueError, match="two-phase"):
             connected_components(df, algorithm="banana")
+
+
+class TestSsspWeighted:
+    def test_hand_computed_diamond(self, spark):
+        """1->2 (w4), 1->3 (w1), 3->2 (w1), 2->4 (w10), 3->4 (w7):
+        shortest 1->2 is via 3 (2), 1->4 via 3 direct (8)."""
+        from brahmand_spark.ops.algos import sssp_weighted
+
+        edges = spark.createDataFrame(
+            [(1, 2, 4), (1, 3, 1), (3, 2, 1), (2, 4, 10), (3, 4, 7)],
+            "src long, dst long, weight long",
+        )
+        sources = spark.createDataFrame([(1,)], "id long")
+        got = dict(map(tuple, sssp_weighted(edges, sources).collect()))
+        assert got == {1: 0, 2: 2, 3: 1, 4: 8}
+
+    def test_multi_source_takes_min(self, spark):
+        from brahmand_spark.ops.algos import sssp_weighted
+
+        edges = spark.createDataFrame(
+            [(1, 2, 5), (9, 2, 1)], "src long, dst long, weight long",
+        )
+        sources = spark.createDataFrame([(1,), (9,)], "id long")
+        got = dict(map(tuple, sssp_weighted(edges, sources).collect()))
+        assert got == {1: 0, 9: 0, 2: 1}
+
+    def test_iteration_cap_limits_path_length(self, spark):
+        """max_iterations=2 must return exact shortest paths over <=2
+        edges: the cheap 3-edge detour is not yet visible."""
+        from brahmand_spark.ops.algos import sssp_weighted
+
+        edges = spark.createDataFrame(
+            [(1, 9, 100), (1, 2, 1), (2, 3, 1), (3, 9, 1)],
+            "src long, dst long, weight long",
+        )
+        sources = spark.createDataFrame([(1,)], "id long")
+        capped = dict(map(tuple, sssp_weighted(
+            edges, sources, max_iterations=2).collect()))
+        assert capped[9] == 100
+        full = dict(map(tuple, sssp_weighted(
+            edges, sources, max_iterations=5).collect()))
+        assert full[9] == 3
+
+    def test_unreachable_absent(self, spark):
+        from brahmand_spark.ops.algos import sssp_weighted
+
+        edges = spark.createDataFrame(
+            [(1, 2, 1), (5, 6, 1)], "src long, dst long, weight long",
+        )
+        sources = spark.createDataFrame([(1,)], "id long")
+        got = dict(map(tuple, sssp_weighted(edges, sources).collect()))
+        assert set(got) == {1, 2}
+
+    def test_gate_oracle_parity(self, spark, duck):
+        """The driver's comparison at sf0.001: Spark frontier
+        Bellman-Ford vs the 12-round DuckDB relaxation replay."""
+        import __spark_entry__ as entry
+
+        from .conftest import SF_SMOKE
+        from .helpers import assert_same
+
+        fn = entry.queries()["graph_sssp_weighted"]
+        sql = entry.oracle_sql()["graph_sssp_weighted"]
+        assert_same(fn(spark, SF_SMOKE), duck.sql(sql))

@@ -189,6 +189,26 @@ def test_folded_text_token_count(spark, duck):
         FROM documents"""))
 
 
+def test_folded_events_sliding_counts(spark, duck):
+    """The former events_sliding_counts registry gate (folded r4 for
+    graph_sssp_weighted — sliding variant of the registered
+    events_window_agg/events_sessionize window family): same operator,
+    same DuckDB oracle."""
+    from brahmand_spark.io import read_parquet
+    from brahmand_spark.streaming import sliding_counts
+
+    ev = read_parquet(spark, f"{SF_SMOKE}/events.parquet")
+    assert_same(
+        sliding_counts(ev, window="1 hour", slide="30 minutes"),
+        duck.sql("""
+            SELECT time_bucket(INTERVAL '30 minutes', ts)
+                       - (k * INTERVAL '30 minutes') AS window_start,
+                   event_type, count(*) AS n
+            FROM events, (VALUES (0), (1)) t(k)
+            GROUP BY 1, 2"""),
+    )
+
+
 def test_registry_holds_exactly_50_gates():
     """The driver grades exactly the first 50 names in queries(); every
     registered gate must also carry an oracle (or be a documented

@@ -190,18 +190,11 @@ _CYPHER: dict[str, str] = {
         MATCH (c:Customer)
         WHERE (c)-[:PLACED]->({o_orderstatus: 'F'}) AND c.c_acctbal > 9000
         RETURN c.c_name AS name""",
-    # List comprehensions / quantifiers / reduce (extension) — all
-    # JVM-side higher-order functions (filter/transform/exists/forall/
-    # aggregate), no Python in the row path.
-    # NB: only hashable scalars in the output — the driver's canonical
-    # hash factorizes columns and crashes on raw array cells, so the
-    # comprehension is consumed by size()/reduce() instead of returned.
-    "list_comprehension": """
-        MATCH (c:Customer)
-        WHERE c.c_custkey <= 100
-        RETURN c.c_name AS name,
-               size([x IN [1,2,3,4] WHERE x % 2 = 0 | x * c.c_custkey]) AS n_evens,
-               reduce(acc = 0, x IN [x IN [1,2,3,4] WHERE x % 2 = 0 | x * c.c_custkey] | acc + x) AS evens_sum""",
+    # List reduce / quantifiers (extension) — all JVM-side higher-order
+    # functions (filter/transform/exists/forall/aggregate), no Python
+    # in the row path. (list_comprehension folded r4 to
+    # tests/test_folded_gates.py — literal-list variant of this
+    # surface; slot went to text_chunking.)
     "list_reduce_quantifiers": """
         MATCH (n:Nation)<-[:CUST_IN]-(c:Customer)
         WITH n.n_name AS nation, collect(c.c_custkey) AS keys
@@ -301,12 +294,6 @@ _CYPHER_ORACLES: dict[str, str] = {
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderstatus = 'F')
           AND c.c_acctbal > 9000""",
-    "list_comprehension": """
-        SELECT c_name AS name,
-               len(list_filter([1,2,3,4], x -> x % 2 = 0))::INT AS n_evens,
-               list_sum(list_transform(list_filter([1,2,3,4], x -> x % 2 = 0),
-                                       x -> x * c_custkey))::BIGINT AS evens_sum
-        FROM customer WHERE c_custkey <= 100""",
     "list_reduce_quantifiers": """
         SELECT n.n_name AS nation,
                sum(c.c_custkey)::BIGINT AS total,
@@ -511,6 +498,18 @@ def _q_hll_distinct(spark, sf_dir):
     return hll_distinct_with_exact(
         li, "l_orderkey", ["l_returnflag", "l_linestatus"], p=10
     )
+
+
+def _q_text_chunking(spark, sf_dir):
+    """Fixed token-window chunking with overlap (ops/text
+    chunk_documents, size 16 / stride 12): the document -> training-
+    sequence splitting step. Narrow per-row explode, zero shuffles.
+    Replaces the folded list_comprehension gate (literal-list variant
+    of the registered list_reduce_quantifiers surface; still
+    oracle-checked in tests/test_folded_gates.py)."""
+    from brahmand_spark.ops.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=16, stride=12)
 
 
 def _q_events_window(spark, sf_dir):
@@ -747,6 +746,7 @@ _EXTENSIONS: dict[str, Callable] = {
     "text_lang_id": _q_langid,
     "text_fingerprint": _q_fingerprint,
     "text_repetition": _q_text_repetition,
+    "text_chunking": _q_text_chunking,
     "multimodal_metadata": _q_multimodal_metadata,
     "sketch_hll_distinct": _q_hll_distinct,
     "events_window_agg": _q_events_window,
@@ -906,6 +906,20 @@ _EXTENSION_ORACLES: dict[str, str] = {
         FROM documents d
         LEFT JOIN line_stats ls USING (doc_id)
         LEFT JOIN bigram_top bt USING (doc_id)""",
+    "text_chunking": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM documents),
+        sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+        st AS (SELECT doc_id, t,
+                      unnest(range(1, n + 1, 12)) AS start
+               FROM sized)
+        SELECT doc_id, ((start - 1) // 12)::INT AS chunk_idx,
+               len(t[start:start + 15]) AS n_chunk_tokens,
+               array_to_string(t[start:start + 15], ' ') AS chunk_text
+        FROM st""",
     "multimodal_metadata": """
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'png'

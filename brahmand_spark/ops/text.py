@@ -190,6 +190,44 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     )
 
 
+def chunk_documents(df: DataFrame, chunk_size: int = 64,
+                    stride: int = 48, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Fixed token-window chunking with overlap — the pre-tokenizer
+    splitting step of a training-data pipeline (documents -> model-
+    context-sized sequences, ``stride < chunk_size`` giving the usual
+    sliding overlap so no boundary context is lost).
+
+    One chunk starts at every ``stride``-th token position; the final
+    chunk may be shorter. Zero-token documents produce no chunks.
+    Columns: ``id_col, chunk_idx, n_chunk_tokens, chunk_text``.
+
+    Scale posture: a narrow per-row explode (fan-out ~n_tokens/stride)
+    with NO shuffle — at 100 TB this runs at scan speed and the output
+    partitioning inherits the input's. Pure JVM higher-order functions
+    (sequence/slice/posexplode), no Python in the row path.
+    """
+    if chunk_size < 1 or stride < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    base = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+    )
+    starts = base.select(
+        id_col, "toks",
+        F.posexplode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(stride))
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), F.lit(chunk_size))
+    return starts.select(
+        F.col(id_col), F.col("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Gopher-style within-document repetition filters (Rae et al.

@@ -157,6 +157,21 @@ FOLDED_CYPHER = {
         """SELECT x * 10 AS y, x % 2 AS parity
            FROM (VALUES (1), (2), (3), (4), (5)) t(x)""",
     ),
+    # list comprehension over a literal list (folded r4: literal-list
+    # variant of the registered list_reduce_quantifiers surface; slot
+    # went to text_chunking)
+    "list_comprehension": (
+        """MATCH (c:Customer)
+           WHERE c.c_custkey <= 100
+           RETURN c.c_name AS name,
+                  size([x IN [1,2,3,4] WHERE x % 2 = 0 | x * c.c_custkey]) AS n_evens,
+                  reduce(acc = 0, x IN [x IN [1,2,3,4] WHERE x % 2 = 0 | x * c.c_custkey] | acc + x) AS evens_sum""",
+        """SELECT c_name AS name,
+                  len(list_filter([1,2,3,4], x -> x % 2 = 0))::INT AS n_evens,
+                  list_sum(list_transform(list_filter([1,2,3,4], x -> x % 2 = 0),
+                                          x -> x * c_custkey))::BIGINT AS evens_sum
+           FROM customer WHERE c_custkey <= 100""",
+    ),
     # pattern predicate with two bound anchors
     "pattern_predicate_two_anchors": (
         """MATCH (c:Customer) MATCH (n:Nation)

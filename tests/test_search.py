@@ -83,3 +83,56 @@ def test_bm25_topk_plan_is_take_ordered(spark):
     plan = bm25_topk(docs, ["spark"], k=20)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+class TestChunking:
+    def test_gate_oracle_parity(self, spark, duck):
+        import __spark_entry__ as entry
+
+        fn = entry.queries()["text_chunking"]
+        sql = entry.oracle_sql()["text_chunking"]
+        assert_same(fn(spark, SF_SMOKE), duck.sql(sql))
+
+    def test_overlap_and_tail(self, spark):
+        """10 tokens, size 4, stride 3 -> starts 1,4,7,10; last two
+        chunks short; consecutive chunks overlap by size - stride."""
+        from brahmand_spark.ops.text import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            map(tuple, chunk_documents(docs, 4, 3).collect()),
+        )
+        assert rows == [
+            (1, 0, 4, "t0 t1 t2 t3"),
+            (1, 1, 4, "t3 t4 t5 t6"),
+            (1, 2, 4, "t6 t7 t8 t9"),
+            (1, 3, 1, "t9"),
+        ]
+
+    def test_empty_doc_produces_no_chunks(self, spark):
+        from brahmand_spark.ops.text import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(1, "   "), (2, "one two")], "doc_id long, text string",
+        )
+        got = chunk_documents(docs, 4, 4).collect()
+        assert len(got) == 1 and got[0]["doc_id"] == 2
+
+    def test_no_shuffle_in_plan(self, spark):
+        """Chunking must stay a narrow map — no Exchange."""
+        from brahmand_spark.ops.text import chunk_documents
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        plan = chunk_documents(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_rejects_bad_params(self, spark):
+        from brahmand_spark.ops.text import chunk_documents
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(docs, 0, 4)

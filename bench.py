@@ -52,14 +52,18 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_lang_id",
     "text_repetition",
+    "text_bm25",
+    "text_chunking",
     "seq_packing",
     "cluster_kmeans",
+    "sketch_hll_distinct",
     "events_window_agg",
     # Iterative / loop-shaped (round-4 additions)
     "graph_pagerank",
     "graph_components",
     "graph_lpa",
     "graph_kcore",
+    "graph_sssp_weighted",
     "shortest_path",
     "var_length_multi",
     "events_sessionize",

@@ -416,36 +416,53 @@ def label_propagation(
         "id", F.col("id").alias("community")
     )
     labels = _ckpt(labels, checkpoint)
-    for _ in range(max_iterations):
-        votes = (
-            labels.hint("shuffle_hash")
-            .join(und, labels["id"] == und["a"], "inner")
-            .groupBy(F.col("b").alias("id"), F.col("community"))
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        # argmax by (count desc, label asc): struct-max on (n, -label)
-        best = (
-            votes.groupBy("id")
-            .agg(F.max(F.struct(
-                F.col("n"), (-F.col("community")).alias("neg"),
-            )).alias("top"))
-            .select("id", (-F.col("top.neg")).alias("new_community"))
-        )
+    for it in range(max_iterations):
+        if it == 0:
+            # Identity-label fast path: in round 1 every neighbor
+            # holds a DISTINCT label (its own id), so every vote count
+            # is 1 and "most frequent, smallest wins" collapses to
+            # min(neighbor id) — one edge-keyed aggregate instead of
+            # a label join + two-key count + argmax (the heaviest
+            # round, since no labels have merged yet).
+            best = und.groupBy(F.col("b").alias("id")).agg(
+                F.min("a").alias("new_community")
+            )
+        else:
+            # Rounds 2+: keep the straight two-key count — labels have
+            # started merging, so the MAP-SIDE partial aggregate
+            # compresses the edge-sized join output to near vertex
+            # cardinality before the exchange (a repartition-first
+            # variant was measured slower here: it ships raw edge rows).
+            votes = (
+                labels.hint("shuffle_hash")
+                .join(und, labels["id"] == und["a"], "inner")
+                .groupBy(F.col("b").alias("id"), F.col("community"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            # argmax by (count desc, label asc): struct-max on (n, -label)
+            best = (
+                votes.groupBy("id")
+                .agg(F.max(F.struct(
+                    F.col("n"), (-F.col("community")).alias("neg"),
+                )).alias("top"))
+                .select("id", (-F.col("top.neg")).alias("new_community"))
+            )
+        # changed-flag rides the labels row — the convergence check is
+        # a filter on the checkpointed result, not another id join
         new_labels = (
             labels.join(best, "id", "left")
             .select(
                 "id",
                 F.coalesce("new_community", "community").alias("community"),
+                (F.col("new_community").isNotNull()
+                 & (F.col("new_community") != F.col("community")))
+                .alias("chg"),
             )
         )
         new_labels = _ckpt(new_labels, checkpoint)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.community") != F.col("o.community"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        converged = new_labels.filter("chg").isEmpty()
+        labels = new_labels.drop("chg")
+        if converged:
             break
     return labels
 

@@ -553,15 +553,19 @@ class TestDedupCacheDiscipline:
             minhash_lsh_candidates, ngram_jaccard_pairs, simhash_near_pairs,
         )
 
-        for df in (
-            ngram_jaccard_pairs(docs, threshold=0.8),
-            minhash_lsh_candidates(docs),
-            simhash_near_pairs(docs),
+        # simhash's r4 hamming-first shape has exactly one consumer
+        # pair of the fingerprint subtree (both sides of the banded
+        # self-join) — one ReusedExchange; the jaccard/minhash plans
+        # still fan the shared subtree out to >= 3 consumers.
+        for df, min_reuse in (
+            (ngram_jaccard_pairs(docs, threshold=0.8), 3),
+            (minhash_lsh_candidates(docs), 3),
+            (simhash_near_pairs(docs), 1),
         ):
             df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert "isFinalPlan=true" in plan
-            assert plan.count("ReusedExchange") >= 3
+            assert plan.count("ReusedExchange") >= min_reuse
 
 
 class TestRepetitionSignals:

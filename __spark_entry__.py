@@ -512,6 +512,26 @@ def _q_text_chunking(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_size=16, stride=12)
 
 
+def _q_cms_topk(spark, sf_dir):
+    """Count-min-sketch heavy hitters (ops/sketches.cms_heavy_hitters):
+    top-20 corpus tokens with exact counts AND their CMS estimates
+    (depth 4, width 64 — narrow enough that collisions inflate some
+    estimates, which is the behavior under test; the sketch never
+    underestimates). One (row, bucket) count shuffle builds the
+    sketch; the probe broadcasts the <= 256-cell table. Replaces the
+    folded graph_bfs gate (7-row output; the frontier-expansion
+    surface stays registered via shortest_path and
+    graph_sssp_weighted; still oracle-checked in
+    tests/test_folded_gates.py)."""
+    from brahmand_spark.ops.sketches import cms_heavy_hitters
+    from brahmand_spark.ops.text import tokens
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    return cms_heavy_hitters(toks, "token", k=20, depth=4, width=64)
+
+
 def _q_events_window(spark, sf_dir):
     ev = _events(spark, sf_dir)
     # Tumbling window = date_trunc on the key: same grouping as
@@ -749,12 +769,12 @@ _EXTENSIONS: dict[str, Callable] = {
     "text_chunking": _q_text_chunking,
     "multimodal_metadata": _q_multimodal_metadata,
     "sketch_hll_distinct": _q_hll_distinct,
+    "sketch_cms_topk": _q_cms_topk,
     "events_window_agg": _q_events_window,
     "events_sessionize": _q_events_sessionize,
     "graph_sssp_weighted": _q_graph_sssp,
     "skew_two_phase_agg": _q_skew_two_phase_agg,
     "adjacency_traversal": _q_adjacency_traversal,
-    "graph_bfs": _q_graph_bfs,
     "graph_components": _q_graph_components,
     "graph_triangles": _q_graph_triangles,
     "graph_pagerank": _q_graph_pagerank,
@@ -956,9 +976,6 @@ _EXTENSION_ORACLES: dict[str, str] = {
     "adjacency_traversal": """
         SELECT o_custkey AS src, o_orderkey AS dst
         FROM orders WHERE o_custkey <= 100""",
-    "graph_bfs": """
-        SELECT c_custkey AS id, c_custkey::INT AS distance
-        FROM customer WHERE c_custkey <= 6""",
     "graph_components": """
         SELECT n_nationkey::BIGINT AS id,
                min(n_nationkey::BIGINT) OVER (PARTITION BY n_regionkey)
@@ -1473,6 +1490,46 @@ def _kcore_oracle(k: int = 4, rounds: int = 12) -> str:
         GROUP BY a HAVING count(*) >= {k}""")
 
 
+def _cms_oracle(k: int = 20, depth: int = 4, width: int = 64,
+                seed: int = 42) -> str:
+    """Replay of ops/sketches.cms_heavy_hitters on corpus tokens:
+    seeded md5-derived row hashes -> (row, bucket) cell counts ->
+    min-over-rows point estimates for the exact top-k tokens."""
+    def bucket(i: int) -> str:
+        return (_md5h60_sql(f"'{seed + i}:' || t") + f" % {width}")
+
+    cell_rows = "\n            UNION ALL ".join(
+        f"SELECT {i} AS row, {bucket(i)} AS bucket FROM tok"
+        for i in range(depth)
+    )
+    probe_rows = "\n            UNION ALL ".join(
+        f"SELECT t, {i} AS row, {bucket(i)} AS bucket FROM topk"
+        for i in range(depth)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS t
+            FROM documents),
+        exact AS (SELECT t, count(*) AS exact_count FROM tok GROUP BY t),
+        topk AS (SELECT * FROM exact
+                 ORDER BY exact_count DESC, t ASC LIMIT {k}),
+        cells AS (
+            SELECT row, bucket, count(*) AS c FROM (
+            {cell_rows}
+            ) GROUP BY row, bucket),
+        probes AS (
+            {probe_rows}),
+        est AS (
+            SELECT p.t, min(coalesce(c.c, 0)) AS cms_estimate
+            FROM probes p LEFT JOIN cells c USING (row, bucket)
+            GROUP BY p.t)
+        SELECT k.t AS token, k.exact_count, e.cms_estimate,
+               row_number() OVER (ORDER BY k.exact_count DESC, k.t ASC)
+                   AS rank
+        FROM topk k JOIN est e USING (t)"""
+
+
 def _sssp_oracle(rounds: int = 12) -> str:
     """Replay of ops/algos.sssp_weighted(max_iterations=12) on the
     two-lane customer graph: each round is
@@ -1602,6 +1659,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["text_bm25"] = bm25_oracle_sql(BM25_QUERY_TERMS, k=20)
     out["graph_sssp_weighted"] = _sssp_oracle()
+    out["sketch_cms_topk"] = _cms_oracle()
     out["dedup_embedding_lsh"] = _embedding_lsh_oracle()
     out["ann_lsh_topk"] = _ann_lsh_oracle()
     out["graph_pagerank"] = _pagerank_oracle()

@@ -2,12 +2,14 @@
 
 Extensions beyond the reference surface (SURVEY.md §2.8): a 100 TB
 corpus wants cardinality answers ("how many distinct URLs / shingles /
-users?") without the full distinct shuffle. Spark ships
-``approx_count_distinct`` (HLL++), but its register layout is opaque
-JVM state — useless for an engine-portability gate and impossible to
+users?") and frequency answers ("how often does this token appear?")
+without full-width shuffles. Spark ships ``approx_count_distinct``
+(HLL++) and ``count_min_sketch``, but their state is opaque JVM
+binary — useless for an engine-portability gate and impossible to
 merge with sketches produced outside Spark. This module implements a
-DETERMINISTIC, seeded HyperLogLog (Flajolet et al. 2007) from
-first-class DataFrame ops:
+DETERMINISTIC, seeded HyperLogLog (Flajolet et al. 2007) and a
+count-min sketch (Cormode & Muthukrishnan 2005, see
+:func:`cms_table`) from first-class DataFrame ops. The HLL design:
 
 - the value hash is the engine-portable ``md5_hash60`` (ops/text.py),
   so DuckDB replays the register contents bit-for-bit;
@@ -127,6 +129,98 @@ def hll_distinct(df: DataFrame, value_col: str,
     one call. Columns: ``group_cols..., n_registers, hll_estimate``."""
     return hll_estimate(
         hll_registers(df, value_col, group_cols, p), group_cols, p
+    )
+
+
+def cms_table(df: DataFrame, value_col: str, depth: int = 4,
+              width: int = 1024, seed: int = 42) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a DataFrame:
+    ``depth`` seeded hash rows x ``width`` counters. One row per
+    non-empty ``(row, bucket)`` cell with its count — mergeable across
+    corpus increments (union + re-sum), point-queryable, and
+    deterministic: ``hash_i(v) = md5_hash60(i||':'||v) % width`` so any
+    engine replays the cell layout exactly.
+
+    Build shape: the ``depth``-way explode is a per-row literal-array
+    fan-out (narrow); the single shuffle is the (row, bucket) count
+    with map-side combine — at most ``depth * width`` rows survive,
+    regardless of corpus size."""
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    v = F.col(value_col).cast("string")
+    rows = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            (md5_hash60(F.concat(F.lit(f"{seed + i}:"), v))
+             % F.lit(width)).alias("bucket"),
+        )
+        for i in range(depth)
+    ])).alias("rb")
+    return (
+        df.select(rows)
+        .groupBy(F.col("rb.row").alias("row"),
+                 F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, items: DataFrame, value_col: str,
+                 depth: int = 4, width: int = 1024,
+                 seed: int = 42) -> DataFrame:
+    """Point-query a CMS table for each distinct value in ``items``:
+    the estimate is the MIN counter over the ``depth`` rows (never an
+    underestimate; collisions only inflate). The sketch side is
+    ``depth * width`` rows at most — broadcast, so the probe is a
+    narrow fan-out + broadcast join + per-value min."""
+    v = F.col(value_col).cast("string")
+    probes = items.select(
+        F.col(value_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                (md5_hash60(F.concat(F.lit(f"{seed + i}:"), v))
+                 % F.lit(width)).alias("bucket"),
+            )
+            for i in range(depth)
+        ])).alias("rb"),
+    ).select(value_col, F.col("rb.row").alias("row"),
+             F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+             .alias("cms_estimate"))
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, value_col: str, k: int = 20,
+                      depth: int = 4, width: int = 1024,
+                      seed: int = 42) -> DataFrame:
+    """Top-``k`` most frequent values with exact counts AND their CMS
+    estimates side by side — the small-scale validation harness for
+    the sketch (at 100 TB the exact branch is the expensive full
+    groupBy the sketch replaces for point queries). Ties rank by value
+    ascending. Columns: ``value_col, exact_count, cms_estimate,
+    rank``."""
+    from pyspark.sql import Window
+
+    exact = df.groupBy(value_col).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    topk = exact.orderBy(
+        F.col("exact_count").desc(), F.col(value_col).asc()
+    ).limit(k)
+    est = cms_estimate(
+        cms_table(df, value_col, depth, width, seed),
+        topk.select(value_col), value_col, depth, width, seed,
+    )
+    w = Window.orderBy(F.col("exact_count").desc(), F.col(value_col).asc())
+    return (
+        topk.join(est, value_col)
+        .select(
+            value_col, "exact_count", "cms_estimate",
+            F.row_number().over(w).alias("rank"),
+        )
     )
 
 

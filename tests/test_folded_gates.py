@@ -204,6 +204,28 @@ def test_folded_text_token_count(spark, duck):
         FROM documents"""))
 
 
+def test_folded_graph_bfs(spark, duck):
+    """The former graph_bfs registry gate (folded r4 for
+    sketch_cms_topk — 7-row output on the NEXT_CUST chain from source
+    0; the frontier-expansion surface stays registered via
+    shortest_path and graph_sssp_weighted): same operator, same
+    DuckDB oracle."""
+    import __spark_entry__ as entry
+    from brahmand_spark.ops.algos import bfs_distances
+
+    s = entry._tpch(spark, SF_SMOKE)
+    edges = s.tables["NEXT_CUST"].select(
+        F.col("from_Customer").alias("src"),
+        F.col("to_Customer").alias("dst"),
+    )
+    sources = spark.createDataFrame([(0,)], "id long")
+    assert_same(
+        bfs_distances(edges, sources, max_hops=6),
+        duck.sql("""SELECT c_custkey AS id, c_custkey::INT AS distance
+                    FROM customer WHERE c_custkey <= 6"""),
+    )
+
+
 def test_folded_events_sliding_counts(spark, duck):
     """The former events_sliding_counts registry gate (folded r4 for
     graph_sssp_weighted — sliding variant of the registered

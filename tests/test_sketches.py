@@ -117,3 +117,65 @@ def test_hll_rejects_bad_precision(spark):
     df = spark.range(10).select(F.col("id").alias("v"))
     with pytest.raises(ValueError):
         hll_registers(df, "v", p=2)
+
+
+class TestCountMin:
+    def test_gate_oracle_parity(self, spark, duck):
+        import __spark_entry__ as entry
+
+        fn = entry.queries()["sketch_cms_topk"]
+        sql = entry.oracle_sql()["sketch_cms_topk"]
+        assert_same(fn(spark, SF_SMOKE), duck.sql(sql))
+
+    def test_never_underestimates_and_tight_when_wide(self, spark):
+        from brahmand_spark.ops.sketches import cms_heavy_hitters
+
+        vals = spark.createDataFrame(
+            [(f"tok{i % 7}",) for i in range(700)], "v string"
+        )
+        narrow = {r["v"]: r for r in
+                  cms_heavy_hitters(vals, "v", k=7, width=4).collect()}
+        for v, r in narrow.items():
+            assert r["cms_estimate"] >= r["exact_count"]
+        wide = {r["v"]: r for r in
+                cms_heavy_hitters(vals, "v", k=7, width=4096).collect()}
+        assert all(r["cms_estimate"] == r["exact_count"] == 100
+                   for r in wide.values())
+
+    def test_sketch_merges_across_increments(self, spark):
+        """union + re-sum of two increments' cells == whole-corpus
+        sketch, so estimates agree — the incremental-pipeline
+        contract."""
+        from pyspark.sql import functions as F
+
+        from brahmand_spark.ops.sketches import cms_estimate, cms_table
+
+        rows = [(f"t{i % 13}",) for i in range(520)]
+        df = spark.createDataFrame(rows, "v string")
+        half_a = spark.createDataFrame(rows[:200], "v string")
+        half_b = spark.createDataFrame(rows[200:], "v string")
+        merged = (
+            cms_table(half_a, "v").unionByName(cms_table(half_b, "v"))
+            .groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+        )
+        items = df.select("v").distinct()
+        a = sorted(map(tuple, cms_estimate(merged, items, "v").collect()))
+        b = sorted(map(tuple, cms_estimate(
+            cms_table(df, "v"), items, "v").collect()))
+        assert a == b
+
+    def test_absent_value_estimates_zero_when_no_collision(self, spark):
+        from brahmand_spark.ops.sketches import cms_estimate, cms_table
+
+        df = spark.createDataFrame([("a",), ("a",)], "v string")
+        items = spark.createDataFrame([("zzz-absent",)], "v string")
+        got = cms_estimate(cms_table(df, "v", width=4096), items,
+                           "v", width=4096).collect()[0]
+        assert got["cms_estimate"] == 0
+
+    def test_rejects_bad_params(self, spark):
+        from brahmand_spark.ops.sketches import cms_table
+
+        df = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(ValueError):
+            cms_table(df, "v", depth=0)

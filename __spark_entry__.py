@@ -101,10 +101,6 @@ _CYPHER: dict[str, str] = {
     "inline_properties": """
         MATCH (c:Customer {c_mktsegment: 'BUILDING'})-[:PLACED]->(o:Order {o_orderstatus: 'F'})
         RETURN c.c_name AS name, o.o_orderkey AS okey""",
-    # label inference: unlabeled right endpoint
-    "label_inference": """
-        MATCH (n:Nation)-[:IN_REGION]->(b)
-        RETURN b.r_name AS region, n.n_name AS nation""",
     # relationship property access
     "rel_property_access": """
         MATCH (o:Order)-[h:HAS_LINE]->(l:Lineitem)
@@ -213,9 +209,6 @@ _CYPHER_ORACLES: dict[str, str] = {
         SELECT c.c_name AS name, o.o_orderkey AS okey
         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'F'""",
-    "label_inference": """
-        SELECT r.r_name AS region, n.n_name AS nation
-        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""",
     "rel_property_access": """
         SELECT l_orderkey AS okey, l_extendedprice AS price
         FROM lineitem WHERE l_linenumber = 1 AND l_quantity > 45""",
@@ -532,6 +525,27 @@ def _q_cms_topk(spark, sf_dir):
     return cms_heavy_hitters(toks, "token", k=20, depth=4, width=64)
 
 
+def _q_events_asof(spark, sf_dir):
+    """AS-OF join (ops/temporal.as_of_join): every purchase event gets
+    the user's latest click at-or-before it — the union-and-carry
+    shape (one keyed-window shuffle, linear; no range self-join). The
+    oracle is DuckDB's native ASOF LEFT JOIN, so the semantics are
+    checked against an independent first-class implementation.
+    Replaces the folded label_inference gate (25-row inference
+    variant; the inference surface stays covered by the folded
+    rel_type_inference check and the fuzz suite)."""
+    from brahmand_spark.ops.temporal import as_of_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.round("value", 2).alias("click_value")
+    )
+    return as_of_join(left, right, "user_id")
+
+
 def _q_events_window(spark, sf_dir):
     ev = _events(spark, sf_dir)
     # Tumbling window = date_trunc on the key: same grouping as
@@ -770,6 +784,7 @@ _EXTENSIONS: dict[str, Callable] = {
     "multimodal_metadata": _q_multimodal_metadata,
     "sketch_hll_distinct": _q_hll_distinct,
     "sketch_cms_topk": _q_cms_topk,
+    "events_asof_join": _q_events_asof,
     "events_window_agg": _q_events_window,
     "events_sessionize": _q_events_sessionize,
     "graph_sssp_weighted": _q_graph_sssp,
@@ -948,6 +963,12 @@ _EXTENSION_ORACLES: dict[str, str] = {
                (octet_length(encode(text))
                 + CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 4 END)::INT AS n_bytes
         FROM documents""",
+    "events_asof_join": """
+        SELECT l.user_id, l.ts, round(l.value, 2) AS purchase_value,
+               r.ts AS ts_right, round(r.value, 2) AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "events_window_agg": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n, round(sum(value), 2) AS total_value

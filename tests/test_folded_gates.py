@@ -61,6 +61,15 @@ FOLDED_CYPHER = {
            RETURN count(DISTINCT c.c_custkey) AS buyers""",
         "SELECT count(DISTINCT o_custkey) AS buyers FROM orders",
     ),
+    # label inference: unlabeled right endpoint (folded r4: 25-row
+    # inference variant, surface shared with rel_type_inference below
+    # and the fuzz suite; slot went to events_asof_join)
+    "label_inference": (
+        """MATCH (n:Nation)-[:IN_REGION]->(b)
+           RETURN b.r_name AS region, n.n_name AS nation""",
+        """SELECT r.r_name AS region, n.n_name AS nation
+           FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""",
+    ),
     # relationship-type inference: no type on the hop
     "rel_type_inference": (
         "MATCH (c:Customer)-[]->(o:Order) RETURN count(*) AS n",

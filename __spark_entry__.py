@@ -965,7 +965,7 @@ _EXTENSION_ORACLES: dict[str, str] = {
         FROM documents""",
     "events_asof_join": """
         SELECT l.user_id, l.ts, round(l.value, 2) AS purchase_value,
-               r.ts AS ts_right, round(r.value, 2) AS click_value
+               r.ts AS ts_right, round(r.value, 2) AS click_value_right
         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
           ON l.user_id = r.user_id AND l.ts >= r.ts""",

@@ -30,8 +30,15 @@ def canon(df: pd.DataFrame, float_places: int = 6) -> list[tuple]:
 
 
 def assert_same(spark_df, duck_rel, float_places: int = 6):
-    left = canon(spark_df.toPandas(), float_places)
-    right = canon(duck_rel.df(), float_places)
+    lp, rp = spark_df.toPandas(), duck_rel.df()
+    # the driver checks schema too — a name mismatch must fail here
+    # even when the sorted value columns happen to line up
+    assert sorted(lp.columns) == sorted(rp.columns), (
+        f"column mismatch: spark={sorted(lp.columns)} "
+        f"duckdb={sorted(rp.columns)}"
+    )
+    left = canon(lp, float_places)
+    right = canon(rp, float_places)
     assert len(left) == len(right), (
         f"row count mismatch: spark={len(left)} duckdb={len(right)}\n"
         f"spark head: {left[:5]}\nduck head: {right[:5]}"

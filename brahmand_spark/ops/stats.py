@@ -1,0 +1,96 @@
+"""Corpus statistics operators: grouped quantiles and random-projection
+dimensionality reduction.
+
+Extensions beyond the reference surface (SURVEY.md §2.8) — the
+profiling layer of a training-data pipeline: length/price/score
+distributions per slice drive filter thresholds, and projected
+embeddings make downstream similarity passes cheaper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _as_double, _hyperplanes, dot
+
+
+def group_quantiles(df: DataFrame, value_col: str,
+                    group_cols: list[str] | None = None,
+                    probs: list[float] = (0.25, 0.5, 0.75, 0.95),
+                    exact: bool = True,
+                    accuracy: int = 10_000) -> DataFrame:
+    """Per-group quantiles of a numeric column, one output row per
+    (group, prob): ``group_cols..., prob, quantile``.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (linear
+    interpolation, the same definition as DuckDB ``quantile_cont`` —
+    the pytest oracle) — it buffers each group's values, fine for the
+    per-slice profiling this exists for. ``exact=False`` switches to
+    ``approx_percentile`` (KLL-style mergeable sketch, bounded memory)
+    — the 100 TB path when groups are corpus-sized; same output shape,
+    rank error <= 1/accuracy.
+
+    Values are rounded to 4 decimals: exact-percentile interpolation
+    is the one float step, and rounding absorbs last-ulp association
+    differences across engines.
+    """
+    group_cols = list(group_cols or [])
+    plist = list(probs)
+    if not plist or not all(0.0 <= p <= 1.0 for p in plist):
+        raise ValueError(f"probs must be within [0, 1], got {plist}")
+    arr = F.array(*[F.lit(float(p)) for p in plist])
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {int(accuracy)}"
+    qs = F.expr(f"{fn}({value_col}, "
+                f"array({', '.join(repr(float(p)) for p in plist)})"
+                f"{extra})")
+    agg = df.groupBy(*group_cols).agg(qs.alias("qs"))
+    return (
+        agg.select(
+            *group_cols,
+            F.posexplode(F.arrays_zip(arr.alias("p"), F.col("qs")))
+            .alias("_i", "pq"),
+        )
+        .select(
+            *group_cols,
+            F.col("pq.p").alias("prob"),
+            F.round(F.col("pq.qs"), 4).alias("quantile"),
+        )
+    )
+
+
+def random_projection(df: DataFrame, out_dim: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int | None = None,
+                      seed: int = 42) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: embed vectors into
+    ``out_dim`` dimensions via a seeded Gaussian plane matrix (the
+    same generator as the LSH hyperplanes, scaled by
+    ``1/sqrt(out_dim)`` so expected norms are preserved). Pairwise
+    distances distort by at most ~sqrt(ln n / out_dim) w.h.p. — run
+    ANN / near-dup / clustering passes on the cheap vectors first,
+    re-rank survivors on the originals.
+
+    Deterministic (seeded planes are literals in the plan) and fully
+    JVM-side: a narrow per-row projection, zero shuffles. Output:
+    ``(id_col, projected array<double>)``.
+    """
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    if dim is None:
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            raise ValueError("cannot infer dim from an empty DataFrame")
+        dim = probe["d"]
+    planes = _hyperplanes(dim, out_dim, seed)
+    scale = 1.0 / float(out_dim) ** 0.5
+    v = _as_double(F.col(vec_col))
+    comps = [
+        F.round(
+            dot(F.array(*[F.lit(float(x)) for x in plane]), v, dim=dim)
+            * F.lit(scale), 6,
+        )
+        for plane in planes
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias("projected"))

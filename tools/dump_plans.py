@@ -104,6 +104,63 @@ def main() -> None:
         "skew split.",
     )
 
+    # Extension-operator showcases (DataFrame API, not Cypher).
+    from pyspark.sql import functions as F
+
+    from brahmand_spark.io import read_parquet
+    from brahmand_spark.ops.dedup import simhash_near_pairs
+    from brahmand_spark.ops.search import bm25_topk
+    from brahmand_spark.ops.sketches import hll_distinct
+    from brahmand_spark.ops.temporal import as_of_join
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    li = read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    ext_showcases = [
+        (
+            "AS-OF join (union-and-carry, exactly one Exchange)",
+            as_of_join(
+                ev.filter(F.col("event_type") == "purchase")
+                .select("user_id", "ts", "value"),
+                ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts", "value"),
+                "user_id",
+            ),
+            "One keyed-window shuffle carries the latest right payload "
+            "forward (last_value ignoreNulls over ts-ordered union); no "
+            "range self-join, no per-key explosion — the single Exchange "
+            "is the window's, identical at any scale.",
+        ),
+        (
+            "HyperLogLog distinct sketch (map-side-combinable registers)",
+            hll_distinct(li, "l_orderkey",
+                         ["l_returnflag", "l_linestatus"]),
+            "The register build is one hash-aggregate shuffle on "
+            "(group, bucket) with map-side partial aggregation — at most "
+            "2^p rows per group survive the combine regardless of corpus "
+            "size; the estimator fold is a tiny per-group aggregate in "
+            "exact integer arithmetic.",
+        ),
+        (
+            "SimHash near-pairs (hamming filtered before any shuffle)",
+            simhash_near_pairs(docs, max_hamming=3, hash_fn="portable"),
+            "Fingerprint arrays ride through the chunk-bucket self-join "
+            "and the statically-unrolled bit_count(xor) Hamming sum runs "
+            "INSIDE whole-stage codegen on the join output — the "
+            "quadratic candidate set is cut to true near-pairs map-side, "
+            "before the only pair-level shuffle (the dedup).",
+        ),
+        (
+            "BM25 top-k (corpus-wide TakeOrderedAndProject)",
+            bm25_topk(docs, ["spark", "join", "vector"], k=20),
+            "Query-term filtering happens inside the token array before "
+            "the explode (the shuffle carries only matches); df/corpus "
+            "stats broadcast back; the corpus-wide top-k compiles to "
+            "TakeOrderedAndProject — no global sort, no full-corpus "
+            "single-partition window.",
+        ),
+    ]
+
     out = [
         "# PLANS — physical plans of representative compiled queries",
         "",
@@ -122,6 +179,15 @@ def main() -> None:
         out += [
             f"## {title}", "",
             "```cypher", cypher.strip(), "```", "",
+            commentary, "",
+            "```", plan.strip(), "```", "",
+        ]
+    for title, df, commentary in ext_showcases:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out += [
+            f"## {title}", "",
             commentary, "",
             "```", plan.strip(), "```", "",
         ]

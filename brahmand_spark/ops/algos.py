@@ -47,7 +47,7 @@ def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
 def pagerank(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     iterations: int = 10, damping: float = 0.85,
-    checkpoint: bool = True,
+    checkpoint: bool = True, sources: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over an edge list.
 
@@ -58,15 +58,41 @@ def pagerank(
     into the rank update, so each superstep is ONE job with no driver
     round-trip (a ``.first()`` here would re-run the anti-join as a
     separate action every iteration).
+
+    ``sources`` (an ``(id)`` DataFrame) switches to PERSONALIZED
+    PageRank: the teleport mass — both the ``1 - damping`` reset and
+    the dangling redistribution — concentrates uniformly on the source
+    set instead of all vertices (random walk with restart to the
+    seeds). Ranks then measure proximity to the sources; vertices the
+    sources can't reach converge to 0. Same superstep shape: the
+    preference column is a left-semi-derived 0/1 flag joined once onto
+    the vertex set, so no per-iteration extra work.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     vertices = e.select(F.col("src").alias("id")).union(
         e.select(F.col("dst").alias("id"))
     ).distinct()
+    if sources is not None:
+        # preference weight: n/|S| on sources, 0 elsewhere (sums to n,
+        # matching the uniform case where every vertex carries 1)
+        s = sources.select(F.col(sources.columns[0]).alias("id")) \
+            .distinct().withColumn("_is_src", F.lit(1.0))
+        n_src = s.count()
+        if n_src == 0:
+            raise ValueError("sources must contain at least one vertex")
+        vertices = vertices.join(s, "id", "left").select(
+            "id", F.coalesce("_is_src", F.lit(0.0)).alias("_pref")
+        )
+    else:
+        vertices = vertices.withColumn("_pref", F.lit(1.0))
     vertices = _ckpt(vertices, checkpoint)
     n = vertices.count()
+    # per-vertex teleport share: uniform -> 1/n * n = 1; personalized
+    # -> n/|S| on sources (both normalized so ranks sum to n)
+    pref_scale = 1.0 if sources is None else float(n) / n_src
+    pref = F.col("_pref") * F.lit(pref_scale)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    ranks = vertices.select("id", F.lit(1.0).alias("rank"))
+    ranks = vertices.select("id", "_pref", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
         contribs = (
             ranks.join(out_deg, ranks["id"] == out_deg["src"], "inner")
@@ -78,8 +104,9 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("contrib").alias("recv"))
         )
-        # mass of dangling vertices, redistributed uniformly — kept as a
-        # 1-row aggregate and broadcast into the update (no driver fetch)
+        # mass of dangling vertices, redistributed over the teleport
+        # distribution — kept as a 1-row aggregate and broadcast into
+        # the update (no driver fetch)
         dangling = (
             ranks.join(out_deg, ranks["id"] == out_deg["src"], "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
@@ -88,16 +115,16 @@ def pagerank(
             vertices.join(contribs, "id", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
-                "id",
-                (F.lit(1.0 - damping)
+                "id", "_pref",
+                (F.lit(1.0 - damping) * pref
                  + F.lit(damping)
                  * (F.coalesce(F.col("recv"), F.lit(0.0))
-                    + F.col("_dangling") / F.lit(float(n)))
+                    + F.col("_dangling") * pref / F.lit(float(n)))
                  ).alias("rank"),
             )
         )
         ranks = _ckpt(ranks, checkpoint)
-    return ranks
+    return ranks.select("id", "rank")
 
 
 def connected_components(

@@ -414,3 +414,84 @@ class TestSsspWeighted:
         fn = entry.queries()["graph_sssp_weighted"]
         sql = entry.oracle_sql()["graph_sssp_weighted"]
         assert_same(fn(spark, SF_SMOKE), duck.sql(sql))
+
+
+class TestPersonalizedPageRank:
+    def _graph(self, spark):
+        # two weakly-linked clusters: 0-1-2 cycle, 3-4 pair reachable
+        # only via 2->3; 5 isolated-from-sources (only 5->0)
+        return spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (5, 0)],
+            "src long, dst long",
+        )
+
+    def test_uniform_path_unchanged_bit_for_bit(self, spark, duck):
+        """sources=None must replay the generated chained-CTE oracle
+        exactly — the personalized refactor multiplies by literal 1.0,
+        which is exact."""
+        import __spark_entry__ as entry
+
+        from .conftest import SF_SMOKE
+        from .helpers import assert_same
+
+        fn = entry.queries(fresh=True)["graph_pagerank"]
+        sql = entry.oracle_sql()["graph_pagerank"]
+        assert_same(fn(spark, SF_SMOKE), duck.sql(sql))
+
+    def test_mass_conserved_and_source_proximity(self, spark):
+        from brahmand_spark.ops.algos import pagerank
+
+        edges = self._graph(spark)
+        sources = spark.createDataFrame([(0,)], "id long")
+        got = {r["id"]: r["rank"]
+               for r in pagerank(edges, iterations=30,
+                                 sources=sources).collect()}
+        assert abs(sum(got.values()) - 6.0) < 1e-6  # n = 6
+        # 5 only points INTO the graph; nothing walks to it -> rank 0
+        # (uniform PageRank gives every vertex >= 1 - d, so this zero
+        # is the personalized signature)
+        assert got[5] == 0.0
+        uni = {r["id"]: r["rank"]
+               for r in pagerank(edges, iterations=30).collect()}
+        assert uni[5] >= 0.15 - 1e-9
+        # restart mass lands on the source: it beats its own uniform
+        # rank share of the walk
+        assert got[0] > uni[0]
+
+    def test_matches_python_replay(self, spark):
+        """3 personalized iterations vs an exact driver-side replay of
+        the same update rule."""
+        from brahmand_spark.ops.algos import pagerank
+
+        edges = self._graph(spark)
+        e = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (5, 0)]
+        sources = spark.createDataFrame([(0,), (3,)], "id long")
+        got = {r["id"]: r["rank"]
+               for r in pagerank(edges, iterations=3,
+                                 sources=sources).collect()}
+        n, d = 6, 0.85
+        pref = {v: (n / 2 if v in (0, 3) else 0.0) for v in range(6)}
+        out_deg = {}
+        for s, _ in e:
+            out_deg[s] = out_deg.get(s, 0) + 1
+        rank = {v: 1.0 for v in range(6)}
+        for _ in range(3):
+            recv = {v: 0.0 for v in range(6)}
+            for s, t in e:
+                recv[t] += rank[s] / out_deg[s]
+            dang = sum(rank[v] for v in range(6) if v not in out_deg)
+            rank = {
+                v: (1 - d) * pref[v] + d * (recv[v] + dang * pref[v] / n)
+                for v in range(6)
+            }
+        for v in range(6):
+            assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+
+    def test_empty_sources_rejected(self, spark):
+        import pytest
+
+        from brahmand_spark.ops.algos import pagerank
+
+        edges = self._graph(spark)
+        with pytest.raises(ValueError):
+            pagerank(edges, sources=spark.createDataFrame([], "id long"))

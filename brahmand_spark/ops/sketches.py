@@ -56,25 +56,34 @@ def hll_registers(df: DataFrame, value_col: str,
     remainder is all zeros). ``bit_length`` is ``length(bin(x))`` —
     pure string/int ops, identical in DuckDB.
     """
+    group_cols = list(group_cols or [])
+    bucket, rho = hll_bucket_rho(F.col(value_col), p)
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_bucket_rho(value: Column, p: int = 10) -> tuple[Column, Column]:
+    """The per-row HLL decomposition ``(bucket, rho)`` of a value —
+    exposed so other register builders (e.g. the windowed STREAMING
+    aggregation in streaming/windows.py) share the exact arithmetic
+    with the batch/oracle path."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
-    group_cols = list(group_cols or [])
     m = 1 << p
     q = HASH_BITS - p
-    h = md5_hash60(F.col(value_col).cast("string"))
-    bucket = (h % F.lit(m)).alias("bucket")
+    h = md5_hash60(value.cast("string"))
+    bucket = h % F.lit(m)
     # bit shift, NOT floor(h / m): '/' on bigints is double division in
     # Spark and h spans 60 bits > the 53-bit double mantissa.
     rem = F.shiftright(h, p)
     rho = (
         F.when(rem == 0, F.lit(q + 1))
         .otherwise(F.lit(q) - F.length(F.bin(rem)) + 1)
-    ).alias("rho")
-    return (
-        df.select(*group_cols, bucket, rho)
-        .groupBy(*group_cols, "bucket")
-        .agg(F.max("rho").alias("max_rho"))
     )
+    return bucket, rho
 
 
 def hll_estimate(registers: DataFrame,

@@ -2,11 +2,11 @@ from .dedup_stream import dedup_stream
 from .stateful import running_user_stats, running_user_stats_batch
 from .windows import (
     read_event_stream, sessionize, sliding_counts, streaming_dedup,
-    tumbling_agg,
+    tumbling_agg, windowed_hll_registers,
 )
 
 __all__ = [
     "read_event_stream", "tumbling_agg", "sliding_counts", "sessionize",
     "streaming_dedup", "running_user_stats", "running_user_stats_batch",
-    "dedup_stream",
+    "dedup_stream", "windowed_hll_registers",
 ]

@@ -86,6 +86,43 @@ def sliding_counts(
     )
 
 
+def windowed_hll_registers(
+    df: DataFrame, value_col: str, ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",), window: str = "1 hour",
+    watermark: str = "10 minutes", p: int = 10,
+) -> DataFrame:
+    """Distinct-count SKETCH per tumbling window: HLL register rows
+    ``(window_start, keys..., bucket, max_rho)``.
+
+    ``count(DISTINCT x)`` is not an incremental streaming aggregate —
+    exact distinct state grows with cardinality and Structured
+    Streaming rejects it. HLL registers ARE incremental: ``max(rho)``
+    per (window, key, bucket) is an ordinary watermarked streaming
+    aggregation with bounded state (<= 2^p rows per group), and the
+    SAME function body runs on a batch DataFrame for the oracle
+    comparison. Fold the sink's register table with
+    ``ops.sketches.hll_estimate(group_cols=['window_start', *keys])``
+    — kept as a separate stateless step because chaining a second
+    stateful aggregate onto a streaming query is the thing Structured
+    Streaming restricts, and the register table is itself the
+    mergeable artifact worth persisting (late increments re-max in).
+    """
+    from ..ops.sketches import hll_bucket_rho
+
+    df = with_watermark(df, ts_col, watermark)
+    bucket, rho = hll_bucket_rho(F.col(value_col), p)
+    return (
+        df.select(
+            F.col(ts_col), *keys,
+            bucket.alias("bucket"), rho.alias("rho"),
+        )
+        .groupBy(F.window(ts_col, window).alias("w"), *keys, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+        .select(F.col("w.start").alias("window_start"), *keys,
+                "bucket", "max_rho")
+    )
+
+
 def sessionize(
     df: DataFrame, ts_col: str = "ts", key: str = "user_id",
     gap: str = "30 minutes", watermark: str = "10 minutes",

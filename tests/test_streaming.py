@@ -467,3 +467,62 @@ class TestStreamStaticCypherHop:
         assert got.count() == expected.count() > 0
         assert got.exceptAll(expected).count() == 0
         assert expected.exceptAll(got).count() == 0
+
+
+class TestStreamingHll:
+    def test_stream_registers_match_batch_and_estimate(
+        self, spark, events, tmp_path
+    ):
+        """Distinct users per (hour, event_type) via HLL: (a) the
+        streamed register table (availableNow over multi-file source)
+        is IDENTICAL to the batch build — max(rho) merges across
+        micro-batches; (b) folding the registers estimates within the
+        HLL error bound of the exact per-window countDistinct."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from brahmand_spark.ops.sketches import hll_estimate
+        from brahmand_spark.streaming import (
+            read_event_stream, windowed_hll_registers,
+        )
+
+        from .helpers import canon
+
+        src = str(tmp_path / "hll_src")
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            windowed_hll_registers(stream, "user_id")
+            .writeStream.format("memory").queryName("hll_regs")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM hll_regs")
+        want = windowed_hll_registers(events, "user_id")
+        assert canon(got.toPandas()) == canon(want.toPandas())
+
+        est = {
+            (r["window_start"], r["event_type"]): r["hll_estimate"]
+            for r in hll_estimate(
+                got, ["window_start", "event_type"]).collect()
+        }
+        exact = {
+            (r["ws"], r["event_type"]): r["n"]
+            for r in events.groupBy(
+                F.date_trunc("hour", "ts").alias("ws"), "event_type"
+            ).agg(F.countDistinct("user_id").alias("n")).collect()
+        }
+        assert set(est) == {(k[0].replace(tzinfo=None), k[1])
+                            for k in est}  # NTZ-normalized keys exist
+        bound = 3.25 / math.sqrt(1024)
+        matched = 0
+        for (ws, et), n in exact.items():
+            key = next((k for k in est
+                        if k[1] == et and k[0].replace(tzinfo=None)
+                        == ws.replace(tzinfo=None)), None)
+            assert key is not None, (ws, et)
+            # linear-counting regime (n << m) is near-exact
+            assert abs(est[key] - n) <= max(3.0, bound * n), (key, n)
+            matched += 1
+        assert matched == len(exact) > 0

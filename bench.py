@@ -57,7 +57,9 @@ BENCH_QUERIES = [
     "seq_packing",
     "cluster_kmeans",
     "sketch_hll_distinct",
+    "sketch_cms_topk",
     "events_window_agg",
+    "events_asof_join",
     # Iterative / loop-shaped (round-4 additions)
     "graph_pagerank",
     "graph_components",

@@ -57,6 +57,7 @@ def curate(
     est_threshold: float = 0.7,
     splits: dict[str, float] | None = None,
     redact: bool = False, max_pii_hits: int | None = None,
+    reference: DataFrame | None = None, max_ppl: float | None = None,
     report: bool = False, seed: int = 42,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation pipeline; returns (curated DataFrame with
@@ -65,7 +66,13 @@ def curate(
     With ``redact=True`` the surviving text is PII-scrubbed (the text
     column is REPLACED by the redacted version) and documents with more
     than ``max_pii_hits`` replacements are dropped entirely (None keeps
-    all)."""
+    all).
+
+    With ``reference`` + ``max_ppl`` set, a LEARNED quality stage runs
+    after the heuristic one (the CCNet recipe): a bigram LM trained on
+    the reference corpus scores every surviving document and those
+    with perplexity above ``max_ppl`` (not reference-like) are
+    dropped."""
     counts: dict[str, int] = {}
 
     def note(stage: str, df: DataFrame) -> DataFrame:
@@ -82,6 +89,14 @@ def curate(
         F.col("quality") >= min_quality
     ).select(id_col)
     out = note("quality", out.join(qual, id_col, "leftsemi"))
+    if reference is not None and max_ppl is not None:
+        from .ngram_lm import perplexity, train_ngram_lm
+
+        model = train_ngram_lm(reference, n=2, text_col=text_col)
+        keep_ppl = perplexity(
+            out, model, n=2, text_col=text_col, id_col=id_col
+        ).filter(F.col("ppl") <= max_ppl).select(id_col)
+        out = note("perplexity", out.join(keep_ppl, id_col, "leftsemi"))
     out = note("exact_dedup", dedup_exact(out, [text_col], id_col))
     drops = near_dup_canonical_ids(
         out, id_col, text_col, est_threshold

@@ -72,3 +72,38 @@ def test_curate_with_redaction(spark):
     rows = {r.doc_id: r.text for r in out.collect()}
     assert "<EMAIL>" in rows[1] and "@" not in rows[1]
     assert counts["pii"] == 2
+
+
+def test_curate_with_perplexity_filter(spark):
+    """The learned-quality stage (reference-corpus bigram LM) drops
+    the gibberish document the heuristic stage can't distinguish."""
+    from brahmand_spark.ops.pipeline import curate
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog and the dog "
+             "is very lazy for a dog on a day like this") for i in
+         range(10)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox is lazy and the dog is on a day like "
+             "this with the fox and the dog and the lazy dog again ok"),
+         (2, "the zx qv the wq pp the mm kk the jj jj the rr ss the tt "
+             "uu the aa bb the cc dd the ee ff the gg hh the ii oo pp")],
+        "doc_id long, text string",
+    )
+    # pick the threshold between the two observed perplexities so the
+    # test pins the ORDER, not absolute values
+    from brahmand_spark.ops.ngram_lm import perplexity, train_ngram_lm
+
+    model = train_ngram_lm(ref, n=2)
+    ppl = {r["doc_id"]: r["ppl"]
+           for r in perplexity(docs, model, n=2).collect()}
+    assert ppl[1] < ppl[2]
+    cut = (ppl[1] + ppl[2]) / 2
+    out, counts = curate(
+        docs, languages=("en",), min_quality=0.0,
+        reference=ref, max_ppl=cut, report=True,
+    )
+    assert counts["perplexity"] == 1
+    assert {r.doc_id for r in out.collect()} == {1}

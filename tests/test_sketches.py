@@ -179,3 +179,89 @@ class TestCountMin:
         df = spark.createDataFrame([("a",)], "v string")
         with pytest.raises(ValueError):
             cms_table(df, "v", depth=0)
+
+
+class TestBloom:
+    def test_no_false_negatives_and_duckdb_replay(self, spark, duck):
+        """Every inserted value must probe true; the bit table replays
+        in DuckDB (same double-hashing arithmetic)."""
+        from brahmand_spark.ops.sketches import (
+            bloom_might_contain, bloom_table,
+        )
+
+        import __spark_entry__ as entry
+
+        vals = spark.range(500).select(
+            F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+        bits = bloom_table(vals, "v", m_bits=4096, k_hashes=5)
+        got = bloom_might_contain(bits, vals, "v",
+                                  m_bits=4096, k_hashes=5)
+        assert got.filter(~F.col("might_contain")).count() == 0
+
+        h1 = entry._md5h60_sql("'b1:7:' || v")
+        h2 = entry._md5h60_sql("'b2:7:' || v")
+        per_i = "\n            UNION ALL ".join(
+            f"SELECT (({h1}) + {i} * ({h2})) % 4096 AS bit FROM vals"
+            for i in range(5)
+        )
+        from .helpers import assert_same
+        assert_same(bits, duck.sql(f"""
+            WITH vals AS (
+                SELECT 'v' || CAST(unnest(range(500)) AS VARCHAR) AS v)
+            SELECT DISTINCT bit FROM ({per_i})"""))
+
+    def test_false_positive_rate_in_range(self, spark):
+        """~(1-e^{-kn/m})^k: n=500, m=8192, k=5 -> ~0.2%; check absent
+        probes stay under a loose 2% and at least SOME absent value is
+        rejected (the filter does something)."""
+        from brahmand_spark.ops.sketches import (
+            bloom_might_contain, bloom_table,
+        )
+
+        present = spark.range(500).select(
+            F.concat(F.lit("in"), F.col("id")).alias("v"))
+        absent = spark.range(2000).select(
+            F.concat(F.lit("out"), F.col("id")).alias("v"))
+        bits = bloom_table(present, "v")
+        got = bloom_might_contain(bits, absent, "v")
+        fp = got.filter(F.col("might_contain")).count()
+        assert fp <= 40, fp  # 2% of 2000
+
+    def test_prefilter_keeps_all_matches(self, spark):
+        """bloom_prefilter never drops a row whose key IS present —
+        the join result after prefiltering equals the plain join."""
+        from brahmand_spark.ops.sketches import bloom_prefilter
+
+        large = spark.range(5000).select(
+            (F.col("id") % 700).alias("k"), F.col("id").alias("payload"))
+        keys = spark.range(50).select((F.col("id") * 9).alias("k"))
+        pre = bloom_prefilter(large, keys, "k")
+        want = large.join(keys.distinct(), "k", "leftsemi")
+        got_join = pre.join(keys.distinct(), "k", "leftsemi")
+        a = sorted(map(tuple, want.collect()))
+        b = sorted(map(tuple, got_join.collect()))
+        assert a == b
+        # and the prefilter really pruned: strictly fewer rows than large
+        assert pre.count() < large.count()
+
+    def test_merge_across_increments(self, spark):
+        from brahmand_spark.ops.sketches import (
+            bloom_might_contain, bloom_table,
+        )
+
+        a = spark.range(100).select(F.concat(F.lit("a"), F.col("id"))
+                                    .alias("v"))
+        b = spark.range(100).select(F.concat(F.lit("b"), F.col("id"))
+                                    .alias("v"))
+        merged = bloom_table(a, "v").union(bloom_table(b, "v")).distinct()
+        both = a.union(b)
+        got = bloom_might_contain(merged, both, "v")
+        assert got.filter(~F.col("might_contain")).count() == 0
+
+    def test_rejects_bad_params(self, spark):
+        from brahmand_spark.ops.sketches import bloom_table
+
+        df = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(ValueError):
+            bloom_table(df, "v", m_bits=4)

@@ -357,6 +357,20 @@ def _q_duplicate_spans(spark, sf_dir):
     )
 
 
+def _q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
+    clusters (same fit as the cluster_kmeans gate), within-cluster
+    cosine pairs, keep-first decision. threshold=0.4 so the sf0.01
+    fixture yields real drops (the corpus is random-ish; 0.95 would
+    drop nothing). Replaces the folded graph_components gate (HashMin
+    CC — same oracle and fixture as the registered graph_cc_two_phase;
+    still oracle-checked in tests/test_folded_gates.py)."""
+    from brahmand_spark.ops.semdedup import semdedup
+
+    return semdedup(_embeddings(spark, sf_dir), k=8, iters=3,
+                    threshold=0.4)
+
+
 def _q_cluster_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means (k=8, 3 iterations, lowest-id init)
     over the embeddings table — deterministic end to end, so the DuckDB
@@ -770,6 +784,7 @@ _EXTENSIONS: dict[str, Callable] = {
     "dedup_duplicate_spans": _q_duplicate_spans,
     "seq_packing": _q_seq_packing,
     "cluster_kmeans": _q_cluster_kmeans,
+    "dedup_semantic": _q_dedup_semantic,
     "dedup_embedding_cosine": _q_embedding_near_dup,
     "ann_cosine_topk": _q_ann_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
@@ -790,7 +805,6 @@ _EXTENSIONS: dict[str, Callable] = {
     "graph_sssp_weighted": _q_graph_sssp,
     "skew_two_phase_agg": _q_skew_two_phase_agg,
     "adjacency_traversal": _q_adjacency_traversal,
-    "graph_components": _q_graph_components,
     "graph_triangles": _q_graph_triangles,
     "graph_pagerank": _q_graph_pagerank,
     "graph_lpa": _q_graph_lpa,
@@ -997,11 +1011,6 @@ _EXTENSION_ORACLES: dict[str, str] = {
     "adjacency_traversal": """
         SELECT o_custkey AS src, o_orderkey AS dst
         FROM orders WHERE o_custkey <= 100""",
-    "graph_components": """
-        SELECT n_nationkey::BIGINT AS id,
-               min(n_nationkey::BIGINT) OVER (PARTITION BY n_regionkey)
-                   AS component
-        FROM nation""",
     "graph_triangles": """
         WITH sizes AS (
             SELECT n_nationkey, count(*) OVER (PARTITION BY n_regionkey) AS k
@@ -1179,13 +1188,15 @@ def _duplicate_spans_oracle() -> str:
         FROM base b LEFT JOIN per_doc p ON p.doc_id = b.doc_id"""
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
-    """Replay of ops/clustering.kmeans(k=8, iters=3): lowest-id init,
-    then per iteration a nearest-centroid assignment (argmax of
-    v.c - |c|^2/2, ties to the lower cell — the same struct-max order
-    as similarity.ivf_cell) and a per-dimension mean update with empty
-    cells keeping their previous centroid; final assignment against the
-    last centroids."""
+def _kmeans_ctes(k: int = 8, iters: int = 3) -> str:
+    """WITH-clause body replaying ops/clustering.kmeans_fit(k, iters):
+    lowest-id init, then per iteration a nearest-centroid assignment
+    (argmax of v.c - |c|^2/2, ties to the lower cell — the same
+    struct-max order as similarity.ivf_cell) and a per-dimension mean
+    update with empty cells keeping their previous centroid. Ends in
+    CTE ``fin(id, v, cell)``: the final assignment against the last
+    centroids, with the vector carried for downstream cosine work
+    (the semdedup oracle)."""
     parts = [f"""v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
                 FROM embeddings),
         c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell,
@@ -1212,14 +1223,41 @@ def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
             FROM c{i - 1} c
             LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c
                        FROM u{i} GROUP BY cell) u USING (cell))""")
-    return ("WITH " + ",".join(parts) + f"""
-        SELECT id AS vec_id, cell AS cluster FROM (
-            SELECT v.id, c.cell,
-                   row_number() OVER (PARTITION BY v.id
-                       ORDER BY list_dot_product(v.v, c.c)
-                                - list_dot_product(c.c, c.c) / 2 DESC,
-                                c.cell ASC) AS rn
-            FROM v CROSS JOIN c{iters} c) WHERE rn = 1""")
+    parts.append(f"""
+        fin AS (
+            SELECT id, v, cell FROM (
+                SELECT v.id, v.v, c.cell,
+                       row_number() OVER (PARTITION BY v.id
+                           ORDER BY list_dot_product(v.v, c.c)
+                                    - list_dot_product(c.c, c.c) / 2 DESC,
+                                    c.cell ASC) AS rn
+                FROM v CROSS JOIN c{iters} c) WHERE rn = 1)""")
+    return ",".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    """Replay of ops/clustering.kmeans(k=8, iters=3) — see
+    _kmeans_ctes."""
+    return ("WITH " + _kmeans_ctes(k, iters)
+            + " SELECT id AS vec_id, cell AS cluster FROM fin")
+
+
+def _semdedup_oracle(k: int = 8, iters: int = 3,
+                     threshold: float = 0.4) -> str:
+    """Replay of ops/semdedup.semdedup(k=8, iters=3, threshold=0.4):
+    the kmeans assignment CTEs, then a within-cluster pair join — a
+    vector is dropped iff some lower-id vector in its cluster has
+    round(cosine, 6) >= threshold (the deterministic keep-first
+    rule)."""
+    return ("WITH " + _kmeans_ctes(k, iters) + f""",
+        drops AS (
+            SELECT DISTINCT b.id FROM fin a JOIN fin b
+              ON a.cell = b.cell AND a.id < b.id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6)
+                  >= {threshold})
+        SELECT f.id AS vec_id, f.cell AS cluster,
+               (d.id IS NULL) AS keep
+        FROM fin f LEFT JOIN drops d ON f.id = d.id""")
 
 
 def _seq_packing_oracle() -> str:
@@ -1675,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_duplicate_spans"] = _duplicate_spans_oracle()
     out["seq_packing"] = _seq_packing_oracle()
     out["cluster_kmeans"] = _kmeans_oracle()
+    out["dedup_semantic"] = _semdedup_oracle()
     out["sketch_hll_distinct"] = _hll_oracle()
     from brahmand_spark.ops.search import bm25_oracle_sql
 

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_duplicate_spans",
     "dedup_embedding_cosine",
+    "dedup_semantic",
     "ann_cosine_topk",
     "text_quality_score",
     "text_fingerprint",
@@ -62,7 +63,7 @@ BENCH_QUERIES = [
     "events_asof_join",
     # Iterative / loop-shaped (round-4 additions)
     "graph_pagerank",
-    "graph_components",
+    "graph_cc_two_phase",
     "graph_lpa",
     "graph_kcore",
     "graph_sssp_weighted",

@@ -1,0 +1,103 @@
+"""SemDeDup — semantic deduplication via k-means + within-cluster cosine
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication", arXiv:2303.09540).
+
+Embedding-space near-dup removal at corpus scale cannot afford the
+all-pairs cosine join; SemDeDup's observation is that semantic
+duplicates land in the same k-means cluster of a good embedding model,
+so the quadratic work is confined WITHIN clusters:
+
+1. fit k-means over the embedding column (``ops/clustering.kmeans_fit``
+   — the only driver state is the k x dim centroid matrix, refreshed
+   once per Lloyd's iteration);
+2. assign every vector its nearest centroid — a narrow JVM projection,
+   no shuffle (``similarity.ivf_cell`` argmax against centroid
+   literals);
+3. self-join ON the cluster id — the one shuffle, keyed by cluster —
+   and keep pairs with exact cosine >= threshold. Per-cluster work is
+   O(n_c^2): the paper's contract is that k grows with the corpus
+   (they use k = 11,000 for LAION) so clusters stay bounded; a skewed
+   giant cluster means k is too small (or run a second k-means level
+   inside the hot cluster).
+4. drop every vector that has a LOWER-ID near-duplicate in its
+   cluster ("keep first" greedy — deterministic, partition- and
+   engine-independent). The paper keeps the item farthest from the
+   centroid; the min-id rule keeps the pipeline a pure function of
+   the data. For transitive duplicate GROUPS instead of the greedy
+   rule, feed ``semdedup_pairs`` into
+   ``ops/algos.connected_components`` exactly like the MinHash-LSH
+   stage of ``ops/pipeline.curate_corpus``.
+
+100 TB posture: fit touches the driver with k x dim floats only;
+assignment is shuffle-free; the pair join shuffles (id, vector) keyed
+by cluster with both sides pinned to a shuffled hash join (never
+broadcast — both sides are the corpus). No all-pairs stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .clustering import kmeans_assign, kmeans_fit
+from .similarity import _as_double, dot, ivf_cell, norm
+
+
+def semdedup_pairs(
+    df: DataFrame, centroids: list[list[float]],
+    threshold: float = 0.95, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int | None = None,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs: (cluster, id_a, id_b,
+    cosine) with id_a < id_b and round(cosine, 6) >= threshold.
+    The join is keyed by the cluster id — the only shuffle."""
+    v = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).select(
+        "id", "v",
+        ivf_cell(F.col("v"), centroids).alias("cluster"),
+        norm(F.col("v"), dim).alias("nrm"),
+    ).hint("shuffle_hash")
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(
+        dot(F.col("a.v"), F.col("b.v"), dim)
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    return (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup(
+    df: DataFrame, k: int = 8, iters: int = 3,
+    threshold: float = 0.95, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int | None = None,
+) -> DataFrame:
+    """Full SemDeDup decision per vector: (id_col, cluster, keep).
+    ``keep`` is false iff some lower-id vector in the same cluster has
+    cosine >= threshold. At scale, fit once (persist the centroids)
+    and re-run the decision incrementally on arriving data with
+    ``semdedup_pairs`` against the stored centroids."""
+    centroids = kmeans_fit(df, k, iters, id_col, vec_col)
+    dropped = (
+        semdedup_pairs(df, centroids, threshold, id_col, vec_col, dim)
+        .select(F.col("id_b").alias("_dropped_id")).distinct()
+    )
+    assigned = kmeans_assign(df, centroids, id_col, vec_col)
+    return (
+        assigned.join(
+            dropped, assigned[id_col] == dropped["_dropped_id"], "left"
+        )
+        .select(
+            id_col, "cluster",
+            F.col("_dropped_id").isNull().alias("keep"),
+        )
+    )

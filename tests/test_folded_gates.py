@@ -255,6 +255,26 @@ def test_folded_events_sliding_counts(spark, duck):
     )
 
 
+def test_folded_graph_components(spark, duck):
+    """The former graph_components registry gate (folded r4 for
+    dedup_semantic — HashMin CC over the same within-region nation
+    cliques and against the same window-min oracle as the registered
+    graph_cc_two_phase; the two algorithms' labels are checked
+    identical, so keeping both registered carried no extra
+    information): same operator, same DuckDB oracle."""
+    import __spark_entry__ as entry
+    from brahmand_spark.ops.algos import connected_components
+
+    assert_same(
+        connected_components(entry._nation_pairs(spark, SF_SMOKE)),
+        duck.sql("""
+            SELECT n_nationkey::BIGINT AS id,
+                   min(n_nationkey::BIGINT) OVER (PARTITION BY n_regionkey)
+                       AS component
+            FROM nation"""),
+    )
+
+
 def test_registry_holds_exactly_50_gates():
     """The driver grades exactly the first 50 names in queries(); every
     registered gate must also carry an oracle (or be a documented

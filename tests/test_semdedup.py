@@ -1,0 +1,89 @@
+"""SemDeDup (ops/semdedup.py): numpy ground-truth parity of the
+keep-first decision, pair/decision consistency, determinism under
+repartition, and the no-broadcast pair-join plan shape."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from brahmand_spark.ops.semdedup import semdedup, semdedup_pairs
+from brahmand_spark.ops.clustering import kmeans_fit
+
+from .test_clustering import _numpy_kmeans, _vec_df
+
+
+def _numpy_semdedup(X, k, iters, threshold):
+    """Ground-truth replay: kmeans labels, then drop i iff some j < i
+    in the same cluster has round(cosine, 6) >= threshold."""
+    lab, _ = _numpy_kmeans(X, k, iters)
+    N = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    S = np.round(N @ N.T, 6)
+    keep = []
+    for i in range(len(X)):
+        dup = any(
+            lab[j] == lab[i] and S[j, i] >= threshold for j in range(i)
+        )
+        keep.append(not dup)
+    return lab, keep
+
+
+class TestSemDeDup:
+    def _blobs(self, n_per=20, dim=8, seed=11):
+        rng = np.random.RandomState(seed)
+        # three clusters, each with deliberate near-dup pairs: every
+        # fourth vector is a tiny perturbation of its predecessor
+        blobs = []
+        for off in (0.0, 12.0, -12.0):
+            B = rng.randn(n_per, dim) + off
+            B[3::4] = B[2::4] + rng.randn(len(B[3::4]), dim) * 1e-3
+            blobs.append(B)
+        return np.vstack(blobs)
+
+    def test_matches_numpy_ground_truth(self, spark):
+        X = self._blobs()
+        want_lab, want_keep = _numpy_semdedup(X, k=3, iters=3,
+                                              threshold=0.95)
+        got = {r["vec_id"]: (r["cluster"], r["keep"])
+               for r in semdedup(_vec_df(spark, X), k=3, iters=3,
+                                 threshold=0.95).collect()}
+        assert got == {
+            i: (int(l), bool(kp))
+            for i, (l, kp) in enumerate(zip(want_lab, want_keep))
+        }
+        # the fixture must exercise both outcomes
+        assert any(not kp for _, kp in got.values())
+        assert any(kp for _, kp in got.values())
+
+    def test_pairs_consistent_with_decision(self, spark):
+        X = self._blobs(seed=12)
+        df = _vec_df(spark, X)
+        cents = kmeans_fit(df, k=3, iters=3)
+        pairs = semdedup_pairs(df, cents, threshold=0.95).collect()
+        decided = semdedup(df, k=3, iters=3, threshold=0.95).collect()
+        dropped = {r["vec_id"] for r in decided if not r["keep"]}
+        # exactly the ids that appear as the higher side of some pair
+        assert dropped == {r["id_b"] for r in pairs}
+        # every pair is within one cluster and above threshold
+        lab = {r["vec_id"]: r["cluster"] for r in decided}
+        for r in pairs:
+            assert lab[r["id_a"]] == lab[r["id_b"]] == r["cluster"]
+            assert r["cosine"] >= 0.95
+            assert r["id_a"] < r["id_b"]
+
+    def test_deterministic_under_repartition(self, spark):
+        X = self._blobs(seed=13)
+        df = _vec_df(spark, X)
+        a = sorted(map(tuple, semdedup(df, k=3, iters=3,
+                                       threshold=0.95).collect()))
+        b = sorted(map(tuple, semdedup(
+            df.repartition(7), k=3, iters=3, threshold=0.95).collect()))
+        assert a == b
+
+    def test_pair_join_is_not_broadcast(self, spark):
+        """Both sides of the within-cluster pair join are the corpus;
+        the plan must shuffle on the cluster key, never broadcast."""
+        X = self._blobs(seed=14)
+        df = _vec_df(spark, X)
+        cents = kmeans_fit(df, k=3, iters=3)
+        plan = semdedup_pairs(df, cents, threshold=0.95) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan

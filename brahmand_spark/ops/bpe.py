@@ -1,0 +1,241 @@
+"""Distributed BPE tokenizer training + application (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units",
+arXiv:1508.07909) — the tokenizer-training workload of an LLM data
+pipeline, shaped for a 100 TB corpus.
+
+The classic algorithm is a loop over the CORPUS; the scale observation
+(used by every production trainer) is that BPE only depends on the
+word-frequency table: word TYPES grow ~sqrt(corpus) (Heaps' law), so
+
+1. ONE corpus-sized shuffle builds the (word, count) table — the
+   pre-tokenizer is the same ``[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]``
+   regex family as ops/text.token_count, so symbols/punctuation are
+   their own single-char words and whitespace never enters a token;
+2. every merge iteration then runs against the word-TYPE table only:
+   - adjacent-pair counts weighted by word count: a narrow zip_with
+     projection + one map-side-combined shuffle whose reduce side is
+     bounded by the pair-type count,
+   - the argmax pair is a ONE-ROW driver touch (count desc, then
+     lexicographic (a, b) — fully deterministic),
+   - the merge applies as a narrow JVM left-fold over each symbol
+     array (``F.aggregate``; greedy left-to-right, non-overlapping —
+     "aaa" + (a,a) -> [aa, a]), localCheckpoint-ed so iteration i+1
+     never recomputes folds 1..i.
+
+``merges_per_round > 1`` is the wall-clock lever for the thousands of
+merges a real vocabulary needs: each round takes the top-k
+SYMBOL-DISJOINT pairs from one pair-count shuffle and applies them in
+one pass. Their folds commute (no shared symbols, and no selected
+merge's output string collides with another's inputs), so the result
+is a deterministic function of the data — the standard batched-BPE
+approximation (equal to sequential BPE whenever the top-k are
+independently ranked, which for skewed natural-language pair counts is
+nearly always).
+
+Application never loops over the corpus either: the trained merge list
+re-segments the (much smaller) word-type table of the target corpus —
+chunked JVM fold passes, no Python — and documents join their words'
+segmentations back by word. OOV words cannot exist when applying to
+the training corpus; on a NEW corpus its own word table is
+re-segmented the same way, so there is no OOV path at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .algos import _ckpt
+
+WORD_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+END = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str = "text",
+                min_count: int = 1) -> DataFrame:
+    """(word, cnt) table — the one corpus-sized shuffle. ``min_count``
+    prunes hapax legomena (at 100 TB most word types are junk seen
+    once; pruning them shrinks every training iteration)."""
+    w = df.select(
+        F.explode(F.regexp_extract_all(
+            F.col(text_col), F.lit(WORD_RE), 0)).alias("word")
+    ).groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    if min_count > 1:
+        w = w.filter(F.col("cnt") >= min_count)
+    return w
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Character symbols + the end-of-word marker as its own symbol."""
+    return F.concat(
+        F.array_remove(F.split(word, ""), ""),
+        F.array(F.lit(END)),
+    )
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) -> a||b as a JVM
+    left fold: acc = (out, pend); each symbol either completes a merge
+    with the pending one, or flushes it."""
+    merged = a + b
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, s):
+        hit = (acc["pend"] == a) & (s == b)
+        return F.struct(
+            F.when(hit, F.concat(acc["out"], F.array(F.lit(merged))))
+            .otherwise(F.when(acc["pend"].isNull(), acc["out"])
+                       .otherwise(F.concat(acc["out"],
+                                           F.array(acc["pend"]))))
+            .alias("out"),
+            F.when(hit, F.lit(None).cast("string")).otherwise(s)
+            .alias("pend"),
+        )
+
+    return F.aggregate(
+        syms, init, step,
+        lambda acc: F.when(acc["pend"].isNull(), acc["out"])
+        .otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word count: narrow zip_with +
+    one map-side-combined shuffle (reduce side = pair types)."""
+    pairs = F.zip_with(
+        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    return (
+        words.select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def train_bpe(
+    df: DataFrame, n_merges: int = 50, text_col: str = "text",
+    min_count: int = 1, merges_per_round: int = 1,
+    checkpoint: bool = True,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus. Returns the
+    ordered rule list [(a, b), ...]; driver state is the rule list and
+    one argmax row per round — never the word table."""
+    words = word_counts(df, text_col, min_count).select(
+        _initial_symbols(F.col("word")).alias("syms"), "cnt"
+    )
+    words = _ckpt(words, checkpoint)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        k = min(merges_per_round, n_merges - len(merges))
+        # top-k by weighted count, ties broken lexicographically; only
+        # k rows ever reach the driver
+        top = (
+            _pair_counts(words)
+            .filter(F.col("n") > 1)
+            .orderBy(F.col("n").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(max(k * 4, k))  # headroom: some top rows conflict
+            .collect()
+        )
+        if not top:
+            break
+        # symbol-disjoint subset so the k folds commute
+        chosen: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for r in top:
+            a, b = r["a"], r["b"]
+            if len(chosen) == k:
+                break
+            if {a, b, a + b} & used:
+                continue
+            chosen.append((a, b))
+            used.update((a, b, a + b))
+        if not chosen:
+            break
+        col = F.col("syms")
+        for a, b in chosen:
+            col = _apply_merge(col, a, b)
+        words = _ckpt(words.select(col.alias("syms"), "cnt"), checkpoint)
+        merges.extend(chosen)
+    return merges
+
+
+def segment_words(
+    words: DataFrame, merges: list[tuple[str, str]],
+    word_col: str = "word", chunk: int = 16, checkpoint: bool = True,
+) -> DataFrame:
+    """Re-segment a word table under a trained merge list: chunked
+    narrow JVM fold passes (``chunk`` merges per projection keeps
+    expression depth out of janino's way), checkpointed between
+    chunks. Output: (word_col, tokens array<string>)."""
+    out = words.select(
+        F.col(word_col),
+        _initial_symbols(F.col(word_col)).alias("tokens"),
+    )
+    for i in range(0, len(merges), chunk):
+        col = F.col("tokens")
+        for a, b in merges[i:i + chunk]:
+            col = _apply_merge(col, a, b)
+        out = out.select(word_col, col.alias("tokens"))
+        if i + chunk < len(merges):
+            out = _ckpt(out, checkpoint)
+    return out
+
+
+def bpe_segment(
+    df: DataFrame, merges: list[tuple[str, str]],
+    id_col: str = "doc_id", text_col: str = "text",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Tokenize documents: (id_col, tokens). The corpus explodes to
+    (doc, position, word) once; segmentation happens on the DISTINCT
+    word table and joins back by word (the word-keyed shuffle is the
+    corpus-sized cost; the re-assembly groupBy(id) is the second).
+    Word-internal token order survives re-assembly because positions
+    order the flatten."""
+    doc_words = df.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(
+            F.col(text_col), F.lit(WORD_RE), 0)).alias("pos", "word"),
+    )
+    seg = segment_words(
+        doc_words.select("word").distinct(), merges,
+        checkpoint=checkpoint,
+    )
+    return (
+        doc_words.join(seg, "word")
+        .groupBy(id_col)
+        .agg(F.flatten(F.array_sort(F.collect_list(
+            F.struct(F.col("pos"), F.col("tokens"))
+        )).getField("tokens")).alias("tokens"))
+    )
+
+
+def bpe_token_count(
+    df: DataFrame, merges: list[tuple[str, str]],
+    id_col: str = "doc_id", text_col: str = "text",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Tokens-per-document under a trained vocabulary — the corpus
+    sizing number every training-data budget starts from. Skips
+    re-assembly: join each word's token COUNT, sum per document.
+    Output: (id_col, n_bpe_tokens)."""
+    doc_words = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(
+            F.col(text_col), F.lit(WORD_RE), 0)).alias("word"),
+    )
+    seg = segment_words(
+        doc_words.select("word").distinct(), merges,
+        checkpoint=checkpoint,
+    ).select("word", F.size("tokens").alias("_n"))
+    return (
+        doc_words.join(seg, "word")
+        .groupBy(id_col)
+        .agg(F.sum("_n").cast("bigint").alias("n_bpe_tokens"))
+    )

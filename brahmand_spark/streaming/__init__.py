@@ -1,4 +1,5 @@
 from .dedup_stream import dedup_stream
+from .joins import funnel_join
 from .stateful import running_user_stats, running_user_stats_batch
 from .windows import (
     read_event_stream, sessionize, sliding_counts, streaming_dedup,
@@ -8,5 +9,5 @@ from .windows import (
 __all__ = [
     "read_event_stream", "tumbling_agg", "sliding_counts", "sessionize",
     "streaming_dedup", "running_user_stats", "running_user_stats_batch",
-    "dedup_stream", "windowed_hll_registers",
+    "dedup_stream", "windowed_hll_registers", "funnel_join",
 ]

@@ -526,3 +526,88 @@ class TestStreamingHll:
             assert abs(est[key] - n) <= max(3.0, bound * n), (key, n)
             matched += 1
         assert matched == len(exact) > 0
+
+
+class TestFunnelJoin:
+    """Stream-stream interval join (streaming/joins.funnel_join):
+    batch parity vs a DuckDB interval-join oracle, and a REAL
+    two-stream run (both sides readStream file sources) matching the
+    batch result. Inner stream-stream joins emit on match, so
+    availableNow produces the complete pair set; the watermark +
+    time-range bound exist to keep the state store finite."""
+
+    WITHIN = "2 hours"
+
+    def _sides(self, events):
+        signup = events.filter(F.col("event_type") == "signup")
+        purchase = events.filter(F.col("event_type") == "purchase")
+        return signup, purchase
+
+    def test_batch_matches_duckdb(self, events, duck):
+        from brahmand_spark.streaming import funnel_join
+
+        signup, purchase = self._sides(events)
+        got = funnel_join(signup, purchase, within=self.WITHIN).select(
+            "user_id", "l_event_id", "r_event_id", "l_ts", "r_ts"
+        )
+        assert_same(got, duck.sql("""
+            SELECT s.user_id, s.event_id AS l_event_id,
+                   p.event_id AS r_event_id,
+                   s.ts AS l_ts, p.ts AS r_ts
+            FROM events s JOIN events p
+              ON s.user_id = p.user_id
+             AND s.event_type = 'signup' AND p.event_type = 'purchase'
+             AND p.ts >= s.ts
+             AND p.ts <= s.ts + INTERVAL '2 hours'"""))
+
+    def test_stream_stream_matches_batch(self, spark, events, tmp_path):
+        from brahmand_spark.streaming import funnel_join, read_event_stream
+
+        signup, purchase = self._sides(events)
+        src_l = str(tmp_path / "signups")
+        src_r = str(tmp_path / "purchases")
+        signup.repartition(3).write.mode("overwrite").parquet(src_l)
+        purchase.repartition(3).write.mode("overwrite").parquet(src_r)
+        out = funnel_join(
+            read_event_stream(spark, src_l, max_files_per_trigger=2),
+            read_event_stream(spark, src_r, max_files_per_trigger=2),
+            within=self.WITHIN,
+        )
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("funnel_test")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = spark.sql(
+            "SELECT user_id, l_event_id, r_event_id FROM funnel_test")
+        want = funnel_join(signup, purchase, within=self.WITHIN) \
+            .select("user_id", "l_event_id", "r_event_id")
+        assert got.count() == want.count() > 0
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+class TestStreamingDedupReal:
+    def test_duplicated_stream_dedups_to_batch_distinct(
+            self, spark, events, tmp_path):
+        """streaming_dedup on a REAL stream whose source holds every
+        event twice (across separate files, same micro-batch horizon):
+        dropDuplicatesWithinWatermark state filters the replays, and
+        the surviving set equals the batch distinct."""
+        from brahmand_spark.streaming import (
+            read_event_stream, streaming_dedup,
+        )
+
+        src = str(tmp_path / "dup_events")
+        doubled = events.union(events)
+        doubled.repartition(4).write.mode("overwrite").parquet(src)
+        out = streaming_dedup(
+            read_event_stream(spark, src, max_files_per_trigger=2),
+            keys=("event_id",), watermark="1 day",
+        )
+        q = (out.writeStream.format("memory").queryName("dedup_real")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = spark.sql("SELECT event_id FROM dedup_real")
+        n = events.count()
+        assert got.count() == n
+        assert got.distinct().count() == n

@@ -544,3 +544,81 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("degree"))
         .filter(F.col("degree") >= k)
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    n_samples: int | None = None, max_hops: int = 10,
+    directed: bool = False, seed: int = 42, checkpoint: bool = True,
+) -> DataFrame:
+    """Harmonic centrality C_H(v) = sum over u != v of 1/d(u, v) —
+    the centrality that stays finite on disconnected graphs
+    (unreachable pairs contribute 0). Returns (id, centrality) for
+    EVERY vertex.
+
+    Exact all-pairs BFS is O(V * E); the standard scale estimator
+    (Eppstein & Wang 2004's sampled-sources scheme, applied to the
+    harmonic variant) runs BFS from ``n_samples`` seed vertices and
+    scales by n/k: unbiased, error O(1/sqrt(k)). ``n_samples=None``
+    uses every vertex as a seed (exact — the test oracle). Seeds are
+    the k smallest ``xxhash64(id, seed)`` values: a deterministic
+    uniform sample (TakeOrdered top-k, no full sort) that is a pure
+    function of the data, like every sampler in this repo
+    (ops/sampling.py — no ``rand()``).
+
+    One frontier superstep per hop over (vertex, seed) pairs — the
+    same join-anti-join shape as ``bfs_distances`` but keyed by pair,
+    so state is at most V * k rows; k is the knob that trades accuracy
+    for state. (The O(V * 2^p) alternative — HyperBall-style
+    neighborhood sketches over ops/sketches' HLL registers — trades
+    exactness per seed for all-sources coverage; the sampled-BFS form
+    keeps DuckDB-replayable exactness.)
+
+    ``directed=False`` (default) symmetrizes the edge list first;
+    ``directed=True`` measures d(seed -> v) along edge direction.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = _symmetrize(e, "src", "dst").select(
+            F.col("a").alias("src"), F.col("b").alias("dst"))
+    e = e.distinct()
+    vertices = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))).distinct()
+    vertices = _ckpt(vertices, checkpoint)
+    n = vertices.count()
+    if n_samples is None or n_samples >= n:
+        seeds, k = vertices.select(F.col("id").alias("s")), n
+    else:
+        seeds = (
+            vertices.orderBy(F.xxhash64(F.col("id"), F.lit(seed)))
+            .limit(n_samples).select(F.col("id").alias("s"))
+        )
+        k = n_samples
+    # (id, s, dist): distance from seed s to vertex id
+    visited = seeds.select(
+        F.col("s").alias("id"), F.col("s"), F.lit(0).alias("dist"))
+    visited = _ckpt(visited, checkpoint)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        new_frontier = (
+            frontier.join(e, frontier["id"] == e["src"], "inner")
+            .select(F.col("dst").alias("id"), "s")
+            .distinct()
+            .join(visited, ["id", "s"], "left_anti")
+            .select("id", "s", F.lit(hop).alias("dist"))
+        )
+        new_frontier = _ckpt(new_frontier, checkpoint)
+        if new_frontier.isEmpty():
+            break
+        visited = _ckpt(visited.unionByName(new_frontier), checkpoint)
+        frontier = new_frontier
+    contrib = (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("_h"))
+    )
+    return vertices.join(contrib, "id", "left").select(
+        "id",
+        (F.coalesce(F.col("_h"), F.lit(0.0)) * F.lit(n / k))
+        .alias("centrality"),
+    )

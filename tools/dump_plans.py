@@ -161,11 +161,51 @@ def main() -> None:
         ),
     ]
 
+    from brahmand_spark.ops.bpe import train_bpe, bpe_token_count
+    from brahmand_spark.ops.clustering import kmeans_fit
+    from brahmand_spark.ops.semdedup import semdedup_pairs
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    sem_cents = kmeans_fit(emb, k=8, iters=3)
+    bpe_merges = train_bpe(docs, n_merges=12, min_count=2,
+                           merges_per_round=4)
+    ext_showcases += [
+        (
+            "SemDeDup within-cluster pair join (no all-pairs stage)",
+            semdedup_pairs(emb, sem_cents, threshold=0.4),
+            "Nearest-centroid assignment is a narrow projection against "
+            "centroid literals (no shuffle); the only join is keyed by "
+            "the cluster id, so the quadratic cosine work is confined "
+            "to clusters — the strategy is left to AQE (broadcast here "
+            "at fixture size; a corpus-sized side exceeds the "
+            "threshold and shuffles on `cluster`).",
+        ),
+        (
+            "BPE application (word-TYPE table folds, corpus joins by word)",
+            bpe_token_count(docs, bpe_merges),
+            "The trained merge list re-segments only the DISTINCT word "
+            "table (chunked JVM aggregate folds — zero Python); the "
+            "corpus explodes to words once and equi-joins the "
+            "segmentation back by word; per-doc counts finish in one "
+            "map-side-combined aggregate.",
+        ),
+    ]
+
+    def squash(plan: str, limit: int = 400) -> str:
+        """Elide giant literal blobs (centroid/hyperplane matrices ride
+        plans as array literals) so the plan SHAPE stays readable."""
+        return "\n".join(
+            ln if len(ln) <= limit
+            else ln[:limit] + f" …[{len(ln) - limit} chars of literals elided]"
+            for ln in plan.splitlines()
+        )
+
     out = [
         "# PLANS — physical plans of representative compiled queries",
         "",
         f"Generated by tools/dump_plans.py against `{SF_DIR}` "
-        "(AQE on; plans shown post-compilation, pre-execution).",
+        "(AQE on; plans shown post-compilation, pre-execution; lines "
+        "over 400 chars — literal matrices — are elided).",
         "",
     ]
     specials = {len(SHOWCASES): adj_session, len(SHOWCASES) + 1: skew_session}
@@ -180,7 +220,7 @@ def main() -> None:
             f"## {title}", "",
             "```cypher", cypher.strip(), "```", "",
             commentary, "",
-            "```", plan.strip(), "```", "",
+            "```", squash(plan.strip()), "```", "",
         ]
     for title, df, commentary in ext_showcases:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
@@ -189,7 +229,7 @@ def main() -> None:
         out += [
             f"## {title}", "",
             commentary, "",
-            "```", plan.strip(), "```", "",
+            "```", squash(plan.strip()), "```", "",
         ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:

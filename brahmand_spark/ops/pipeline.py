@@ -58,6 +58,9 @@ def curate(
     splits: dict[str, float] | None = None,
     redact: bool = False, max_pii_hits: int | None = None,
     reference: DataFrame | None = None, max_ppl: float | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float | None = None, semantic_k: int = 8,
+    emb_id_col: str = "vec_id", emb_vec_col: str = "embedding",
     report: bool = False, seed: int = 42,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation pipeline; returns (curated DataFrame with
@@ -72,7 +75,15 @@ def curate(
     after the heuristic one (the CCNet recipe): a bigram LM trained on
     the reference corpus scores every surviving document and those
     with perplexity above ``max_ppl`` (not reference-like) are
-    dropped."""
+    dropped.
+
+    With ``embeddings`` + ``semantic_threshold`` set, a SEMANTIC dedup
+    stage (ops/semdedup — SemDeDup, Abbas et al. 2023) runs after the
+    lexical near-dedup: embeddings of the surviving documents are
+    k-means-clustered and within-cluster cosine duplicates above the
+    threshold are dropped (keep-first). Lexical LSH catches verbatim
+    overlap; the embedding stage catches paraphrases the shingle
+    hashes cannot see."""
     counts: dict[str, int] = {}
 
     def note(stage: str, df: DataFrame) -> DataFrame:
@@ -102,6 +113,22 @@ def curate(
         out, id_col, text_col, est_threshold
     )
     out = note("near_dedup", out.join(drops, id_col, "left_anti"))
+    if embeddings is not None and semantic_threshold is not None:
+        from .semdedup import semdedup
+
+        surviving = embeddings.join(
+            out.select(F.col(id_col).alias(emb_id_col)),
+            emb_id_col, "leftsemi",
+        )
+        keep_sem = (
+            semdedup(surviving, k=semantic_k,
+                     threshold=semantic_threshold,
+                     id_col=emb_id_col, vec_col=emb_vec_col)
+            .filter(F.col("keep"))
+            .select(F.col(emb_id_col).alias(id_col))
+        )
+        out = note("semantic_dedup", out.join(keep_sem, id_col,
+                                              "leftsemi"))
     if redact:
         from .text import redact_pii
 

@@ -107,3 +107,31 @@ def test_curate_with_perplexity_filter(spark):
     )
     assert counts["perplexity"] == 1
     assert {r.doc_id for r in out.collect()} == {1}
+
+
+def test_curate_with_semantic_dedup(spark):
+    """The optional SemDeDup stage: embeddings of the survivors are
+    clustered and cosine-duplicates dropped; the stage only ever
+    REMOVES documents, stays deterministic, and at threshold > 1.0
+    (cosine can't exceed 1) removes nothing."""
+    from brahmand_spark.ops.pipeline import curate
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    kwargs = dict(languages=("en", "de", "es", "fr"), min_quality=0.1,
+                  embeddings=emb, semantic_k=4, report=True)
+    base, base_counts = curate(docs, semantic_threshold=None, **kwargs)
+    out, counts = curate(docs, semantic_threshold=0.2, **kwargs)
+    assert "semantic_dedup" not in base_counts
+    assert counts["semantic_dedup"] <= counts["near_dedup"]
+    assert counts["semantic_dedup"] > 0
+    assert out.count() == counts["semantic_dedup"]
+    # deterministic under repartition
+    again, counts2 = curate(docs.repartition(11),
+                            semantic_threshold=0.2, **kwargs)
+    assert counts2 == counts
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) \
+        == sorted(r["doc_id"] for r in again.select("doc_id").collect())
+    # a threshold cosine can never reach keeps everything
+    noop, c3 = curate(docs, semantic_threshold=1.5, **kwargs)
+    assert c3["semantic_dedup"] == c3["near_dedup"]

@@ -101,3 +101,49 @@ def mixture_weights(
     return stratified_sample(
         df, source_col, fractions, id_col, default_fraction=0.0, seed=seed
     )
+
+
+def token_budget_sample(
+    df: DataFrame, budgets: dict, source_col: str = "source",
+    text_col: str = "text", id_col: str = "doc_id",
+    token_col: str | None = None, seed: int = 42,
+) -> DataFrame:
+    """Sample each source down to a TOKEN budget — the unit training
+    mixtures are actually specified in (a 30%-web/30%-code/40%-books
+    recipe means tokens, not documents). ``budgets`` maps source value
+    -> max tokens; sources not listed are dropped.
+
+    One metadata-sized aggregate learns per-source token totals
+    (``token_col`` if given, else ops/text.token_count's whitespace
+    count computed on the fly); each source then keeps the
+    deterministic hash-fraction ``budget / total`` of its documents —
+    documents stay atomic, the kept token mass hits the budget in
+    expectation with O(1/sqrt(n_docs)) relative concentration, and the
+    per-row decision has the same retry/growth stability as every
+    sampler here. A source whose budget exceeds its mass keeps
+    everything (downsample-only; emit epochs downstream to upsample).
+    """
+    if token_col is None:
+        from .text import token_count
+
+        toks = token_count(df, text_col, id_col) \
+            .select(id_col, F.col("n_tokens").alias("__nt"))
+        work = df.join(toks, id_col)
+        token_col_eff = "__nt"
+    else:
+        work = df
+        token_col_eff = token_col
+    totals = {
+        r[0]: r[1]
+        for r in work.groupBy(source_col)
+        .agg(F.sum(token_col_eff).alias("t")).collect()
+    }
+    fractions = {
+        s: min(1.0, float(b) / totals[s])
+        for s, b in budgets.items() if s in totals and totals[s] > 0
+    }
+    out = stratified_sample(
+        work, source_col, fractions, id_col,
+        default_fraction=0.0, seed=seed,
+    )
+    return out.drop("__nt") if token_col is None else out

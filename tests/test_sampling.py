@@ -115,3 +115,50 @@ class TestCrossCorpusOverlap:
             FROM sh a JOIN sh b ON a.shingle = b.shingle
             WHERE a.doc_id < 400 AND b.doc_id >= 400
             GROUP BY 1, 2 HAVING count(*) >= 2"""))
+
+
+class TestTokenBudgetSample:
+    def test_budget_hit_and_deterministic(self, spark, duck):
+        from brahmand_spark.ops.sampling import token_budget_sample
+        from brahmand_spark.ops.text import token_count
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        totals = {
+            r["source"]: r["t"]
+            for r in docs.join(
+                token_count(docs), "doc_id"
+            ).groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        srcs = sorted(totals)[:3]
+        budgets = {srcs[0]: totals[srcs[0]] // 2,   # halve
+                   srcs[1]: totals[srcs[1]] * 10,   # cap above mass
+                   srcs[2]: 0}                      # zero budget
+        out = token_budget_sample(docs, budgets)
+        kept = {
+            r["source"]: r["t"]
+            for r in out.join(token_count(out), "doc_id")
+            .groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        # unlisted sources dropped entirely
+        assert set(kept) <= {srcs[0], srcs[1]}
+        # capped-above-mass source keeps everything
+        assert kept[srcs[1]] == totals[srcs[1]]
+        # halved source lands near its budget (few-hundred-doc strata:
+        # generous concentration bound)
+        assert 0.25 * totals[srcs[0]] <= kept[srcs[0]] \
+            <= 0.8 * totals[srcs[0]]
+        # deterministic under repartition
+        a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+        b = sorted(r["doc_id"] for r in token_budget_sample(
+            docs.repartition(13), budgets).select("doc_id").collect())
+        assert a == b
+
+    def test_precomputed_token_column(self, spark):
+        from brahmand_spark.ops.sampling import token_budget_sample
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet") \
+            .withColumn("nt", F.col("n_chars"))
+        out = token_budget_sample(
+            docs, {"src0": 10**9}, token_col="nt")
+        assert out.count() == docs.filter("source = 'src0'").count()
+        assert "nt" in out.columns

@@ -622,3 +622,146 @@ def harmonic_centrality(
         (F.coalesce(F.col("_h"), F.lit(0.0)) * F.lit(n / k))
         .alias("centrality"),
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_rounds: int = 20, checkpoint: bool = True,
+) -> DataFrame:
+    """Exact SCC by iterative coloring (Orzan 2004's coloring scheme,
+    the label-propagation member of the FW-BW family Slota et al. 2014
+    benchmark as the scalable SCC approach — Tarjan's stack is
+    inherently sequential). Returns (id, scc) with scc = the smallest
+    vertex id in the component.
+
+    Per outer round, on the vertices not yet assigned:
+
+    0. TRIM to a fixpoint (the Trim phase of FW-BW-Trim, McLendon
+       2005): a live vertex with no live in-edges or no live
+       out-edges cannot sit on a cycle — it is its own SCC and leaves
+       in bulk. Trimming alone drains every DAG region (tails,
+       tendrils — most of a web graph), so the expensive coloring
+       fixpoint only ever runs on the cyclic core; each trim superstep
+       is two degree semi-joins, diameter-bounded like any peel.
+    1. FORWARD coloring to a fixpoint: color(v) starts as v and every
+       superstep takes min(color(v), min over in-edges of color(u)) —
+       so color(v) = min id among v's ancestors (incl. itself);
+    2. roots (color(v) == v) are each the min of their SCC: the
+       BACKWARD sweep walks reversed edges from the roots WITHIN one
+       color (u joins if color(u) == color(v), edge u->v, v marked);
+       marked vertices are exactly {v : root ~> v and v ~> root} — an
+       SCC per root — and leave the graph;
+    3. every removed component cuts its color class; remaining
+       vertices (ancestors that see the root's id but can't be reached
+       back) re-color next round.
+
+    Outer rounds needed = nesting depth of NONTRIVIAL SCCs along a
+    path — small on real graphs (web/dependency graphs: one giant SCC
+    plus DAG-like tails, and the tails go to trim; an acyclic graph
+    drains entirely inside round 1's trim loop). Each superstep of
+    every inner loop is a join + aggregate on the LIVE subgraph, which
+    shrinks every round; lineage is localCheckpoint-truncated
+    throughout. Raises if ``max_rounds`` outer rounds don't drain the
+    graph.
+    """
+    e_all = _ckpt(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v")).distinct(), checkpoint)
+    live_v = _ckpt(
+        e_all.select(F.col("u").alias("id"))
+        .union(e_all.select(F.col("v").alias("id"))).distinct(),
+        checkpoint)
+    e_live = e_all
+    done_parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        if live_v.isEmpty():
+            break
+        # 0) trim trivial SCCs in bulk until stable
+        while True:
+            has_out = e_live.select(F.col("u").alias("id")).distinct()
+            has_in = e_live.select(F.col("v").alias("id")).distinct()
+            keep = live_v.join(has_out, "id", "leftsemi") \
+                .join(has_in, "id", "leftsemi")
+            keep = _ckpt(keep, checkpoint)
+            trimmed = live_v.join(keep, "id", "left_anti")
+            if trimmed.isEmpty():
+                break
+            done_parts.append(
+                _ckpt(trimmed.select("id", F.col("id").alias("scc")),
+                      checkpoint))
+            live_v = keep
+            e_live = _ckpt(
+                e_live.join(keep.withColumnRenamed("id", "u"), "u",
+                            "leftsemi")
+                .join(keep.withColumnRenamed("id", "v"), "v", "leftsemi")
+                .select("u", "v"),
+                checkpoint)
+        if live_v.isEmpty():
+            break
+        # 1) forward min-coloring to fixpoint
+        colors = live_v.select("id", F.col("id").alias("color"))
+        colors = _ckpt(colors, checkpoint)
+        while True:
+            best_in = (
+                colors.join(e_live, colors["id"] == e_live["u"])
+                .groupBy(F.col("v").alias("id"))
+                .agg(F.min("color").alias("in_min"))
+            )
+            new_colors = (
+                colors.join(best_in, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        "color", F.coalesce("in_min", "color")
+                    ).alias("color"),
+                    (F.coalesce("in_min", "color") < F.col("color"))
+                    .alias("chg"),
+                )
+            )
+            new_colors = _ckpt(new_colors, checkpoint)
+            changed = not new_colors.filter("chg").isEmpty()
+            colors = new_colors.drop("chg")
+            if not changed:
+                break
+        # 2) backward sweep from the roots within each color class
+        marked = colors.filter(F.col("id") == F.col("color"))
+        marked = _ckpt(marked, checkpoint)
+        frontier = marked
+        while True:
+            preds = (
+                frontier.join(e_live, frontier["id"] == e_live["v"])
+                .select(F.col("u").alias("id"), "color")
+                .distinct()
+            )
+            grow = (
+                preds.join(colors.withColumnRenamed("color", "c2"), "id")
+                .filter(F.col("color") == F.col("c2"))
+                .select("id", "color")
+                .join(marked, "id", "left_anti")
+            )
+            grow = _ckpt(grow, checkpoint)
+            if grow.isEmpty():
+                break
+            marked = _ckpt(marked.unionByName(grow), checkpoint)
+            frontier = grow
+        done_parts.append(marked.select("id", F.col("color").alias("scc")))
+        # 3) shrink the live subgraph
+        live_v = _ckpt(live_v.join(marked, "id", "left_anti"), checkpoint)
+        e_live = _ckpt(
+            e_live.join(marked.select(F.col("id").alias("u")), "u",
+                        "left_anti")
+            .join(marked.select(F.col("id").alias("v")), "v", "left_anti")
+            .select("u", "v"),
+            checkpoint)
+    else:
+        if not live_v.isEmpty():
+            raise ValueError(
+                f"SCC did not converge in {max_rounds} outer rounds; "
+                "raise max_rounds")
+    if not done_parts:
+        return live_v.select(
+            "id", F.col("id").alias("scc")).filter(F.lit(False))
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part)
+    return out

@@ -572,3 +572,122 @@ class TestHarmonicCentrality:
         again = {r["id"]: r["centrality"] for r in harmonic_centrality(
             e.repartition(3), n_samples=4, seed=7).collect()}
         assert got == again
+
+
+class TestStronglyConnectedComponents:
+    def _py_tarjan(self, pairs):
+        """Iterative Tarjan ground truth; scc labeled by min member."""
+        adj = {}
+        nodes = set()
+        for a, b in pairs:
+            if a != b:
+                adj.setdefault(a, []).append(b)
+            nodes.update((a, b))
+        for n in nodes:
+            adj.setdefault(n, [])
+        index = {}
+        low = {}
+        on_stack = set()
+        stack = []
+        sccs = []
+        counter = [0]
+        for s in sorted(nodes):
+            if s in index:
+                continue
+            work = [(s, 0)]
+            while work:
+                v, pi = work[-1]
+                if pi == 0:
+                    index[v] = low[v] = counter[0]
+                    counter[0] += 1
+                    stack.append(v)
+                    on_stack.add(v)
+                recurse = False
+                for i in range(pi, len(adj[v])):
+                    w = adj[v][i]
+                    if w not in index:
+                        work[-1] = (v, i + 1)
+                        work.append((w, 0))
+                        recurse = True
+                        break
+                    elif w in on_stack:
+                        low[v] = min(low[v], index[w])
+                if recurse:
+                    continue
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    sccs.append(comp)
+                work.pop()
+                if work:
+                    u, _ = work[-1]
+                    low[u] = min(low[u], low[v])
+        out = {}
+        for comp in sccs:
+            m = min(comp)
+            for v in comp:
+                out[v] = m
+        return out
+
+    def _check(self, spark, pairs, **kw):
+        from brahmand_spark.ops.algos import strongly_connected_components
+
+        got = {r["id"]: r["scc"] for r in strongly_connected_components(
+            edges_df(spark, pairs), **kw).collect()}
+        assert got == self._py_tarjan(pairs)
+
+    def test_single_cycle(self, spark):
+        self._check(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+
+    def test_dag_is_all_singletons_one_round(self, spark):
+        self._check(spark, [(0, 1), (0, 2), (1, 3), (2, 3)],
+                    max_rounds=1)
+
+    def test_two_cycles_one_way_bridge(self, spark):
+        # 0-1-2 cycle -> bridge -> 10-11 cycle; plus a dangling tail
+        self._check(spark, [(0, 1), (1, 2), (2, 0), (2, 10),
+                            (10, 11), (11, 10), (11, 20)])
+
+    def test_figure_eight_and_nested(self, spark):
+        # two cycles sharing vertex 5 merge into ONE scc
+        self._check(spark, [(5, 1), (1, 5), (5, 2), (2, 3), (3, 5),
+                            (7, 8), (8, 7), (3, 7)])
+
+    def test_random_digraphs_match_tarjan(self, spark):
+        import random
+
+        for seed in (3, 17):
+            rng = random.Random(seed)
+            n = 30
+            pairs = sorted({
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(70)
+            })
+            pairs = [(a, b) for a, b in pairs if a != b]
+            self._check(spark, pairs)
+
+    def test_deterministic_under_repartition(self, spark):
+        from brahmand_spark.ops.algos import strongly_connected_components
+
+        pairs = [(0, 1), (1, 2), (2, 0), (2, 10), (10, 11), (11, 10)]
+        a = sorted(map(tuple, strongly_connected_components(
+            edges_df(spark, pairs)).collect()))
+        b = sorted(map(tuple, strongly_connected_components(
+            edges_df(spark, pairs).repartition(5)).collect()))
+        assert a == b
+
+    def test_max_rounds_raises(self, spark):
+        import pytest
+        from brahmand_spark.ops.algos import strongly_connected_components
+
+        # a 3-chain of singleton SCCs where each round only drains the
+        # root color classes; force failure with max_rounds=0
+        with pytest.raises(ValueError, match="did not converge"):
+            strongly_connected_components(
+                edges_df(spark, [(0, 1), (1, 0), (1, 2), (2, 1)]),
+                max_rounds=0).collect()

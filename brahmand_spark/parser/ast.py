@@ -338,4 +338,21 @@ class WriteQuery:
     return_clause: Optional[ReturnClause] = None
 
 
-Statement = Union[ReadQuery, CreateNodeTable, CreateRelTable, WriteQuery]
+@dataclass
+class CallProcedure:
+    """Standalone procedure call (extension; Neo4j-GDS-style surface
+    over ops/algos): ``CALL name(args) [YIELD col [AS alias], ...]
+    [WHERE expr] [ORDER BY ...] [SKIP n] [LIMIT n]``. Args are
+    literals or ``$parameters``."""
+
+    name: str
+    args: list[Expr] = field(default_factory=list)
+    yields: list[ReturnItem] = field(default_factory=list)
+    where: Optional[Expr] = None
+    order_by: list[OrderByItem] = field(default_factory=list)
+    skip: Optional[int] = None
+    limit: Optional[int] = None
+
+
+Statement = Union[ReadQuery, CreateNodeTable, CreateRelTable, WriteQuery,
+                  CallProcedure]

@@ -106,13 +106,46 @@ class Parser:
             return self.parse_write_query()
         if self.at_kw("MERGE"):
             return self.parse_write_query()
+        if self.at_kw("CALL"):
+            return self.parse_call()
         if self.at_kw("MATCH", "OPTIONAL", "UNWIND", "WITH", "RETURN"):
             # Peek ahead: a MATCH followed by SET/DELETE/REMOVE/CREATE is a
             # write query (query_planner/mod.rs:21-31 classification).
             if self._scan_is_write():
                 return self.parse_write_query()
             return self.parse_read_query()
-        self.error("expected MATCH, UNWIND, WITH, RETURN, or CREATE")
+        self.error("expected MATCH, UNWIND, WITH, RETURN, CALL, or CREATE")
+
+    def parse_call(self) -> ast.CallProcedure:
+        """CALL dotted.name(arg, ...) [YIELD col [AS a], ...]
+        [WHERE expr] [ORDER BY ...] [SKIP n] [LIMIT n]"""
+        self.eat_kw("CALL")
+        name_parts = [self.ident()]
+        while self.try_op("."):
+            name_parts.append(self.ident())
+        name = ".".join(name_parts)
+        self.eat_op("(")
+        args: list = []
+        if not self.at_op(")"):
+            while True:
+                args.append(self.parse_expr())
+                if not self.try_op(","):
+                    break
+        self.eat_op(")")
+        yields: list[ast.ReturnItem] = []
+        if self.try_kw("YIELD"):
+            while True:
+                col = self.ident()
+                alias = self.ident() if self.try_kw("AS") else None
+                yields.append(ast.ReturnItem(ast.Variable(col), alias))
+                if not self.try_op(","):
+                    break
+        where = self.parse_expr() if self.try_kw("WHERE") else None
+        order_by, skip, limit = self.parse_modifiers()
+        return ast.CallProcedure(
+            name=name, args=args, yields=yields, where=where,
+            order_by=order_by, skip=skip, limit=limit,
+        )
 
     def _scan_is_write(self) -> bool:
         depth = 0

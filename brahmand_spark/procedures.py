@@ -1,0 +1,178 @@
+"""Graph-algorithm procedures callable from Cypher (extension — the
+reference has no CALL; this is the Neo4j-GDS-shaped surface over
+``ops/algos``, so the analytics half of the engine is reachable from
+the same query language as the traversal half).
+
+``CALL graph.pagerank('FOLLOWS', 5) YIELD id, rank ORDER BY rank DESC
+LIMIT 10`` — the procedure builds the edge list straight from the
+relationship's catalog entry (from/to id columns, the same physical
+columns the MATCH planner joins on) and returns the algorithm's
+DataFrame; YIELD projects/renames, WHERE/ORDER BY/SKIP/LIMIT compile
+through the same ExprCompiler as any query. Everything stays lazy —
+the iterative algorithms run their supersteps when the caller acts.
+
+Procedure args are positional literals (or ``$parameters``), mirroring
+each ops/algos signature's leading arguments.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .compile.expressions import ExprCompiler
+from .compile.scope import ScalarBinding, Scope
+from .errors import PlanError
+from .parser import ast
+
+
+def _edges(session, rel_type: str) -> DataFrame:
+    rel = session.schema.relationships.get(rel_type)
+    if rel is None:
+        raise PlanError(
+            f"unknown relationship type '{rel_type}' "
+            f"(known: {sorted(session.schema.relationships)})")
+    df = session._load_for_label(rel_type)
+    return df.select(
+        F.col(rel.from_column).alias("src"),
+        F.col(rel.to_column).alias("dst"),
+    )
+
+
+def _sources(session, ids) -> DataFrame:
+    vals = ids if isinstance(ids, (list, tuple)) else [ids]
+    return session.spark.createDataFrame(
+        [(int(v),) for v in vals], "id bigint")
+
+
+def _p_pagerank(session, rel, iterations=10, damping=0.85):
+    from .ops.algos import pagerank
+
+    return pagerank(_edges(session, rel), iterations=int(iterations),
+                    damping=float(damping))
+
+
+def _p_wcc(session, rel, algorithm="hashmin"):
+    from .ops.algos import connected_components
+
+    return connected_components(_edges(session, rel),
+                                algorithm=algorithm)
+
+
+def _p_scc(session, rel, max_rounds=20):
+    from .ops.algos import strongly_connected_components
+
+    return strongly_connected_components(
+        _edges(session, rel), max_rounds=int(max_rounds))
+
+
+def _p_lpa(session, rel, max_iterations=5):
+    from .ops.algos import label_propagation
+
+    return label_propagation(_edges(session, rel),
+                             max_iterations=int(max_iterations))
+
+
+def _p_kcore(session, rel, k):
+    from .ops.algos import k_core
+
+    return k_core(_edges(session, rel), int(k))
+
+
+def _p_triangles(session, rel):
+    from .ops.algos import triangle_count
+
+    return triangle_count(_edges(session, rel))
+
+
+def _p_degrees(session, rel):
+    from .ops.algos import degrees
+
+    return degrees(_edges(session, rel))
+
+
+def _p_bfs(session, rel, source, max_hops=10):
+    from .ops.algos import bfs_distances
+
+    return bfs_distances(_edges(session, rel),
+                         _sources(session, source),
+                         max_hops=int(max_hops))
+
+
+def _p_harmonic(session, rel, n_samples=None, max_hops=10):
+    from .ops.algos import harmonic_centrality
+
+    return harmonic_centrality(
+        _edges(session, rel),
+        n_samples=None if n_samples is None else int(n_samples),
+        max_hops=int(max_hops))
+
+
+PROCEDURES: dict[str, Callable] = {
+    "graph.pagerank": _p_pagerank,
+    "graph.wcc": _p_wcc,
+    "graph.scc": _p_scc,
+    "graph.lpa": _p_lpa,
+    "graph.kcore": _p_kcore,
+    "graph.triangles": _p_triangles,
+    "graph.degrees": _p_degrees,
+    "graph.bfs": _p_bfs,
+    "graph.harmonic": _p_harmonic,
+}
+
+
+def _eval_arg(e: ast.Expr, params: dict):
+    if isinstance(e, ast.Literal):
+        return e.value
+    if isinstance(e, ast.Parameter):
+        if e.name not in params:
+            raise PlanError(f"missing parameter ${e.name}")
+        return params[e.name]
+    if isinstance(e, ast.ListLiteral):
+        return [_eval_arg(x, params) for x in e.items]
+    raise PlanError(
+        "procedure arguments must be literals or $parameters")
+
+
+def run_call(session, stmt: ast.CallProcedure,
+             params: dict | None = None) -> DataFrame:
+    params = params or {}
+    proc = PROCEDURES.get(stmt.name)
+    if proc is None:
+        raise PlanError(
+            f"unknown procedure '{stmt.name}' "
+            f"(known: {sorted(PROCEDURES)})")
+    args = [_eval_arg(a, params) for a in stmt.args]
+    try:
+        df = proc(session, *args)
+    except TypeError as exc:
+        raise PlanError(f"CALL {stmt.name}: {exc}") from exc
+    if stmt.yields:
+        cols = []
+        for item in stmt.yields:
+            name = item.expr.name
+            if name not in df.columns:
+                raise PlanError(
+                    f"CALL {stmt.name} yields no column '{name}' "
+                    f"(has: {df.columns})")
+            cols.append(F.col(name).alias(item.alias or name))
+        df = df.select(*cols)
+    scope = Scope()
+    for c in df.columns:
+        scope.bind(ScalarBinding(alias=c))
+    ec = ExprCompiler(scope, params)
+    if stmt.where is not None:
+        df = df.filter(ec.compile(stmt.where))
+    if stmt.order_by:
+        df = df.orderBy(*[
+            ec.compile(o.expr).asc() if o.ascending
+            else ec.compile(o.expr).desc()
+            for o in stmt.order_by
+        ])
+    if stmt.skip is not None:
+        df = df.offset(stmt.skip)
+    if stmt.limit is not None:
+        df = df.limit(stmt.limit)
+    return df

@@ -180,6 +180,10 @@ class GraphSession:
                 **kwargs,
             )
             return compiler.compile(stmt)
+        if isinstance(stmt, ast.CallProcedure):
+            from .procedures import run_call
+
+            return run_call(self, stmt, params)
         if isinstance(stmt, (ast.CreateNodeTable, ast.CreateRelTable)):
             return ddl.apply(self, stmt)
         if isinstance(stmt, ast.WriteQuery):

@@ -1,0 +1,72 @@
+"""CALL procedures (brahmand_spark/procedures.py): Cypher surface over
+ops/algos — parity with direct calls, a DuckDB oracle through the full
+CALL pipeline, and the error surface."""
+
+import pytest
+
+from brahmand_spark.errors import PlanError
+
+from .helpers import assert_same
+
+
+class TestCallProcedures:
+    def test_degrees_full_pipeline_vs_duckdb(self, tpch, duck):
+        got = tpch.execute(
+            "CALL graph.degrees('PLACED') YIELD id, out_degree AS o "
+            "WHERE o >= 5 ORDER BY o DESC, id ASC SKIP 2 LIMIT 10")
+        want = duck.sql("""
+            SELECT id, o FROM (
+                SELECT o_custkey AS id, count(*) AS o
+                FROM orders GROUP BY o_custkey)
+            WHERE o >= 5 ORDER BY o DESC, id ASC OFFSET 2 LIMIT 10""")
+        assert_same(got, want)
+
+    def test_pagerank_matches_direct_call(self, tpch):
+        from brahmand_spark.ops.algos import pagerank
+        from pyspark.sql import functions as F
+
+        via_call = tpch.execute(
+            "CALL graph.pagerank('NEXT_CUST', 5) YIELD id, rank")
+        edges = tpch.tables["NEXT_CUST"].select(
+            F.col("from_Customer").alias("src"),
+            F.col("to_Customer").alias("dst"))
+        direct = pagerank(edges, iterations=5)
+        assert sorted(map(tuple, via_call.collect())) \
+            == sorted(map(tuple, direct.collect()))
+
+    def test_scc_and_wcc_and_harmonic(self, tpch):
+        from brahmand_spark.ops.algos import connected_components
+        from pyspark.sql import functions as F
+
+        wcc = tpch.execute("CALL graph.wcc('NEXT_CUST')")
+        assert set(wcc.columns) == {"id", "component"}
+        edges = tpch.tables["NEXT_CUST"].select(
+            F.col("from_Customer").alias("src"),
+            F.col("to_Customer").alias("dst"))
+        assert sorted(map(tuple, wcc.collect())) \
+            == sorted(map(tuple, connected_components(edges).collect()))
+        scc = tpch.execute("CALL graph.scc('NEXT_CUST', 30)")
+        # NEXT_CUST is a directed chain: every vertex its own SCC
+        assert scc.filter("id <> scc").count() == 0
+        h = tpch.execute(
+            "CALL graph.harmonic('NEXT_CUST', 8, 4) "
+            "YIELD id, centrality ORDER BY centrality DESC LIMIT 5")
+        assert h.count() == 5
+
+    def test_parameter_args(self, tpch):
+        a = tpch.execute(
+            "CALL graph.bfs('NEXT_CUST', $src, 3) YIELD id, distance",
+            params={"src": 0})
+        assert sorted(r["id"] for r in a.collect()) == [0, 1, 2, 3]
+
+    def test_error_surface(self, tpch):
+        with pytest.raises(PlanError, match="unknown procedure"):
+            tpch.execute("CALL graph.nope('PLACED')")
+        with pytest.raises(PlanError, match="unknown relationship"):
+            tpch.execute("CALL graph.pagerank('NOPE')")
+        with pytest.raises(PlanError, match="yields no column"):
+            tpch.execute("CALL graph.pagerank('NEXT_CUST') YIELD nope")
+        with pytest.raises(PlanError, match="literals"):
+            tpch.execute("CALL graph.pagerank(1 + 2)")
+        with pytest.raises(PlanError, match="graph.kcore"):
+            tpch.execute("CALL graph.kcore('NEXT_CUST')")  # k missing

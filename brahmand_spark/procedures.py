@@ -110,7 +110,33 @@ def _p_harmonic(session, rel, n_samples=None, max_hops=10):
         max_hops=int(max_hops))
 
 
+def _p_db_labels(session):
+    """Catalog introspection: one row per node label (metadata-sized
+    driver DataFrame, like Neo4j's db.labels)."""
+    rows = [
+        (n.label, n.table_name, n.node_id, len(n.column_names))
+        for n in session.schema.nodes.values()
+    ]
+    return session.spark.createDataFrame(
+        rows, "label string, table string, id_column string, "
+              "n_properties int")
+
+
+def _p_db_relationships(session):
+    rows = [
+        (r.type_name, r.table_name, r.from_node, r.to_node,
+         r.from_column, r.to_column, bool(r.adj_index))
+        for r in session.schema.relationships.values()
+    ]
+    return session.spark.createDataFrame(
+        rows, "type string, table string, from_node string, "
+              "to_node string, from_column string, to_column string, "
+              "adj_index boolean")
+
+
 PROCEDURES: dict[str, Callable] = {
+    "db.labels": _p_db_labels,
+    "db.relationships": _p_db_relationships,
     "graph.pagerank": _p_pagerank,
     "graph.wcc": _p_wcc,
     "graph.scc": _p_scc,

@@ -70,3 +70,22 @@ class TestCallProcedures:
             tpch.execute("CALL graph.pagerank(1 + 2)")
         with pytest.raises(PlanError, match="graph.kcore"):
             tpch.execute("CALL graph.kcore('NEXT_CUST')")  # k missing
+
+
+class TestDbIntrospection:
+    def test_labels_and_relationships(self, tpch):
+        labels = {r["label"]: r for r in
+                  tpch.execute("CALL db.labels()").collect()}
+        assert "Customer" in labels and "Order" in labels
+        assert labels["Customer"]["id_column"] == "c_custkey"
+        rels = {r["type"]: r for r in tpch.execute(
+            "CALL db.relationships() YIELD type, from_node, to_node"
+        ).collect()}
+        assert rels["PLACED"]["from_node"] == "Customer"
+        assert rels["PLACED"]["to_node"] == "Order"
+
+    def test_filterable_like_any_call(self, tpch):
+        one = tpch.execute(
+            "CALL db.relationships() YIELD type, adj_index "
+            "WHERE type = 'PLACED'")
+        assert one.count() == 1

@@ -101,6 +101,26 @@ def _p_bfs(session, rel, source, max_hops=10):
                          max_hops=int(max_hops))
 
 
+def _p_sssp(session, rel, weight_prop, source, max_iterations=20):
+    from .ops.algos import sssp_weighted
+
+    r = session.schema.relationships.get(rel)
+    if r is None:
+        raise PlanError(f"unknown relationship type '{rel}'")
+    if weight_prop not in r.column_names:
+        raise PlanError(
+            f"relationship '{rel}' has no property '{weight_prop}' "
+            f"(has: {r.column_names})")
+    df = session._load_for_label(rel)
+    edges = df.select(
+        F.col(r.from_column).alias("src"),
+        F.col(r.to_column).alias("dst"),
+        F.col(weight_prop).alias("weight"),
+    )
+    return sssp_weighted(edges, _sources(session, source),
+                         max_iterations=int(max_iterations))
+
+
 def _p_harmonic(session, rel, n_samples=None, max_hops=10):
     from .ops.algos import harmonic_centrality
 
@@ -145,6 +165,7 @@ PROCEDURES: dict[str, Callable] = {
     "graph.triangles": _p_triangles,
     "graph.degrees": _p_degrees,
     "graph.bfs": _p_bfs,
+    "graph.sssp": _p_sssp,
     "graph.harmonic": _p_harmonic,
 }
 

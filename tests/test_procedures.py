@@ -89,3 +89,28 @@ class TestDbIntrospection:
             "CALL db.relationships() YIELD type, adj_index "
             "WHERE type = 'PLACED'")
         assert one.count() == 1
+
+
+class TestSsspProcedure:
+    def test_matches_direct_call(self, tpch):
+        from brahmand_spark.ops.algos import sssp_weighted
+        from pyspark.sql import functions as F
+
+        got = tpch.execute(
+            "CALL graph.sssp('HAS_LINE', 'l_linenumber', 1, 4) "
+            "YIELD id, dist ORDER BY id")
+        edges = tpch.tables["HAS_LINE"].select(
+            F.col("from_Order").alias("src"),
+            F.col("to_Lineitem").alias("dst"),
+            F.col("l_linenumber").alias("weight"))
+        src = tpch.spark.createDataFrame([(1,)], "id bigint")
+        want = sssp_weighted(edges, src, max_iterations=4)
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, want.collect()))
+
+    def test_unknown_weight_property(self, tpch):
+        import pytest
+        from brahmand_spark.errors import PlanError
+
+        with pytest.raises(PlanError, match="no property"):
+            tpch.execute("CALL graph.sssp('HAS_LINE', 'nope', 1)")

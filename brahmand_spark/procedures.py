@@ -130,6 +130,22 @@ def _p_harmonic(session, rel, n_samples=None, max_hops=10):
         max_hops=int(max_hops))
 
 
+def _p_corpus_profile(session, label, exact=False):
+    """Data-card profile of a registered node/relationship table
+    (ops/profile.profile_corpus through the catalog)."""
+    from .ops.profile import profile_corpus
+
+    return profile_corpus(session._load_for_label(label),
+                          exact_distinct=bool(exact))
+
+
+def _p_corpus_histogram(session, label, column, bins=20):
+    from .ops.profile import numeric_histogram
+
+    return numeric_histogram(session._load_for_label(label),
+                             column, bins=int(bins))
+
+
 def _p_db_labels(session):
     """Catalog introspection: one row per node label (metadata-sized
     driver DataFrame, like Neo4j's db.labels)."""
@@ -157,6 +173,8 @@ def _p_db_relationships(session):
 PROCEDURES: dict[str, Callable] = {
     "db.labels": _p_db_labels,
     "db.relationships": _p_db_relationships,
+    "corpus.profile": _p_corpus_profile,
+    "corpus.histogram": _p_corpus_histogram,
     "graph.pagerank": _p_pagerank,
     "graph.wcc": _p_wcc,
     "graph.scc": _p_scc,

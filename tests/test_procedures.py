@@ -114,3 +114,23 @@ class TestSsspProcedure:
 
         with pytest.raises(PlanError, match="no property"):
             tpch.execute("CALL graph.sssp('HAS_LINE', 'nope', 1)")
+
+
+class TestCorpusProcedures:
+    def test_profile_via_call(self, tpch):
+        from brahmand_spark.ops.profile import profile_corpus
+
+        got = tpch.execute("CALL corpus.profile('Customer', true)")
+        want = profile_corpus(tpch._load_for_label("Customer"),
+                              exact_distinct=True)
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, want.collect()))
+
+    def test_histogram_via_call(self, tpch):
+        from pyspark.sql import functions as F
+
+        h = tpch.execute(
+            "CALL corpus.histogram('Order', 'o_totalprice', 5)")
+        n = tpch._load_for_label("Order").count()
+        assert h.agg(F.sum("n")).first()[0] == n
+        assert h.count() <= 5

@@ -47,11 +47,16 @@ def _sources(session, ids) -> DataFrame:
         [(int(v),) for v in vals], "id bigint")
 
 
-def _p_pagerank(session, rel, iterations=10, damping=0.85):
+def _p_pagerank(session, rel, iterations=10, damping=0.85,
+                sources=None):
+    """Optional 4th arg: a seed id or id list -> PERSONALIZED
+    PageRank (random walk with restart to the seeds)."""
     from .ops.algos import pagerank
 
-    return pagerank(_edges(session, rel), iterations=int(iterations),
-                    damping=float(damping))
+    return pagerank(
+        _edges(session, rel), iterations=int(iterations),
+        damping=float(damping),
+        sources=None if sources is None else _sources(session, sources))
 
 
 def _p_wcc(session, rel, algorithm="hashmin"):

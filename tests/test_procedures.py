@@ -134,3 +134,19 @@ class TestCorpusProcedures:
         n = tpch._load_for_label("Order").count()
         assert h.agg(F.sum("n")).first()[0] == n
         assert h.count() <= 5
+
+
+def test_personalized_pagerank_via_call(tpch):
+    from brahmand_spark.ops.algos import pagerank
+    from pyspark.sql import functions as F
+
+    got = tpch.execute(
+        "CALL graph.pagerank('NEXT_CUST', 5, 0.85, [0, 1]) "
+        "YIELD id, rank")
+    edges = tpch.tables["NEXT_CUST"].select(
+        F.col("from_Customer").alias("src"),
+        F.col("to_Customer").alias("dst"))
+    seeds = tpch.spark.createDataFrame([(0,), (1,)], "id bigint")
+    want = pagerank(edges, iterations=5, sources=seeds)
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))

@@ -695,3 +695,70 @@ class TestDuplicateSpans:
 
         out = duplicate_span_stats(corpus, window=5, min_count=3)
         assert out.filter("dup_windows > 0").count() == 0
+
+
+class TestStripBoilerplate:
+    def _corpus(self, spark):
+        footer = "(c) example corp - all rights reserved"
+        nav = "home | about | contact"
+        docs = []
+        for i in range(20):
+            body = f"unique body line {i}\nsecond unique {i * 7}"
+            docs.append((i, f"{nav}\n{body}\n{footer}"))
+        docs.append((100, "no boilerplate here\njust content"))
+        return spark.createDataFrame(docs, "doc_id bigint, text string"), \
+            footer, nav
+
+    def test_removes_hot_lines_preserves_rest(self, spark):
+        from brahmand_spark.ops.text import strip_boilerplate
+
+        df, footer, nav = self._corpus(spark)
+        out = {r["doc_id"]: r for r in strip_boilerplate(
+            df, min_doc_frac=0.5, min_docs=5).collect()}
+        for i in range(20):
+            assert out[i]["text_clean"] == \
+                f"unique body line {i}\nsecond unique {i * 7}"
+            assert out[i]["n_lines_removed"] == 2
+        assert out[100]["text_clean"] == \
+            "no boilerplate here\njust content"
+        assert out[100]["n_lines_removed"] == 0
+
+    def test_untouched_corpus_roundtrips(self, spark):
+        from brahmand_spark.ops.text import strip_boilerplate
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        out = strip_boilerplate(docs, min_doc_frac=2.0, min_docs=10 ** 9)
+        joined = out.join(docs, "doc_id")
+        assert joined.filter("text_clean <> text").count() == 0
+
+    def test_duckdb_replay(self, spark, duck):
+        from brahmand_spark.ops.text import strip_boilerplate
+
+        df, _, _ = self._corpus(spark)
+        df.createOrReplaceTempView("_bp")
+        got = strip_boilerplate(df, min_doc_frac=0.5, min_docs=5)
+        rows = [(r[0], r[1]) for r in df.collect()]
+        duck.execute("CREATE OR REPLACE TABLE bp(doc_id BIGINT, text VARCHAR)")
+        duck.executemany("INSERT INTO bp VALUES (?, ?)", rows)
+        n_docs = len(rows)
+        thr = max(5, int(0.5 * n_docs))
+        want = duck.sql(f"""
+            WITH l AS (
+                SELECT doc_id, u.pos, u.line, trim(u.line) AS key
+                FROM bp, LATERAL (
+                    SELECT unnest(string_split(text, chr(10))) AS line,
+                           generate_subscripts(string_split(text, chr(10)), 1) AS pos
+                ) u),
+            hot AS (
+                SELECT key FROM l WHERE key <> ''
+                GROUP BY key HAVING count(DISTINCT doc_id) >= {thr})
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE key NOT IN (SELECT key FROM hot)),
+                            '') AS text_clean,
+                   count(*) FILTER (WHERE key IN (SELECT key FROM hot))
+                       AS n_lines_removed
+            FROM l GROUP BY doc_id""")
+        from .helpers import assert_same
+
+        assert_same(got, want)

@@ -110,3 +110,31 @@ def numeric_histogram(
             "n",
         )
     )
+
+
+def correlation_matrix(
+    df: DataFrame, columns: list[str],
+) -> DataFrame:
+    """Pairwise Pearson correlations as a tidy (col_a, col_b, corr)
+    DataFrame — col_a < col_b lexicographically, NULLs excluded
+    pairwise by Spark's corr aggregate. Like profile_corpus, the whole
+    matrix is ONE aggregate job (n*(n-1)/2 algebraic aggregates, all
+    map-side combinable), so corpus size only affects the scan."""
+    pairs = [
+        (a, b)
+        for i, a in enumerate(sorted(columns))
+        for b in sorted(columns)[i + 1:]
+    ]
+    row = df.agg(*[
+        F.corr(F.col(a).cast("double"), F.col(b).cast("double"))
+        .alias(f"__c_{i}")
+        for i, (a, b) in enumerate(pairs)
+    ])
+    tidy = F.array(*[
+        F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            F.round(F.col(f"__c_{i}"), 6).alias("corr"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ])
+    return row.select(F.explode(tidy).alias("p")).select("p.*")

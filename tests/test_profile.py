@@ -94,3 +94,35 @@ class TestHistogram:
         h = numeric_histogram(li, "l_quantity", bins=7)
         assert h.agg(F.sum("n")).first()[0] == li.count()
         assert h.count() <= 7
+
+
+class TestCorrelationMatrix:
+    def test_matches_duckdb(self, spark, duck):
+        from brahmand_spark.ops.profile import correlation_matrix
+
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        got = correlation_matrix(
+            li, ["l_quantity", "l_extendedprice", "l_discount"])
+        want = duck.sql("""
+            SELECT * FROM (
+                SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+                       round(corr(l_discount, l_extendedprice), 6) AS corr
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', 'l_quantity',
+                       round(corr(l_discount, l_quantity), 6)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', 'l_quantity',
+                       round(corr(l_extendedprice, l_quantity), 6)
+                FROM lineitem)""")
+        assert_same(got, want)
+
+    def test_single_job(self, spark):
+        from brahmand_spark.ops.profile import correlation_matrix
+
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        plan = correlation_matrix(
+            li, ["l_quantity", "l_extendedprice", "l_tax"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan

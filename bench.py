@@ -96,6 +96,13 @@ def main() -> None:
     # passes — the iterative operators timed as ~0.02 s noop re-writes
     # and the hash-dedup family timed cache re-reads, not computation.
     qs = entrymod.queries(fresh=True)
+    missing = [n for n in BENCH_QUERIES if n not in qs]
+    if missing:
+        # registry drift must not kill the whole recording — time what
+        # exists and say what was skipped
+        print(f"# WARNING: not in queries(), skipped: {missing}",
+              file=sys.stderr)
+    bench_queries = [n for n in BENCH_QUERIES if n in qs]
 
     def run_once(name: str) -> float:
         # Timer wraps plan CONSTRUCTION as well as execution: the
@@ -114,7 +121,7 @@ def main() -> None:
     # these amortize to zero, so steady-state is the honest throughput
     # number; the cold total is reported alongside for transparency.
     cold: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         cold[name] = run_once(name)
         print(f"# cold {name}: {cold[name]}s", file=sys.stderr)
 
@@ -122,9 +129,9 @@ def main() -> None:
     # back-to-back repeats of one query, so a transient contention burst
     # hits different queries in different passes instead of all repeats
     # of one query.
-    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    samples: dict[str, list[float]] = {name: [] for name in bench_queries}
     for p in range(PASSES):
-        for name in BENCH_QUERIES:
+        for name in bench_queries:
             t = run_once(name)
             samples[name].append(t)
             print(f"# pass{p + 1} {name}: {t}s", file=sys.stderr)

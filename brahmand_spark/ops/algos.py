@@ -664,13 +664,16 @@ def strongly_connected_components(
     throughout. Raises if ``max_rounds`` outer rounds don't drain the
     graph.
     """
-    e_all = _ckpt(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v")).distinct(), checkpoint)
+    pairs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Vertex set from the UNFILTERED edge list: a vertex whose only
+    # edges are self-loops is still a valid (singleton) SCC — only the
+    # algorithm itself ignores self-loops, not the vertex universe.
     live_v = _ckpt(
-        e_all.select(F.col("u").alias("id"))
-        .union(e_all.select(F.col("v").alias("id"))).distinct(),
+        pairs.select(F.col("u").alias("id"))
+        .union(pairs.select(F.col("v").alias("id"))).distinct(),
         checkpoint)
+    e_all = _ckpt(
+        pairs.filter(F.col("u") != F.col("v")).distinct(), checkpoint)
     e_live = e_all
     done_parts: list[DataFrame] = []
     for _ in range(max_rounds):

@@ -197,7 +197,9 @@ def bpe_segment(
     word table and joins back by word (the word-keyed shuffle is the
     corpus-sized cost; the re-assembly groupBy(id) is the second).
     Word-internal token order survives re-assembly because positions
-    order the flatten."""
+    order the flatten. Total over input ids: documents with no WORD_RE
+    matches (empty/whitespace-only) come back with an empty token
+    array rather than vanishing from the output."""
     doc_words = df.select(
         F.col(id_col),
         F.posexplode(F.regexp_extract_all(
@@ -207,12 +209,17 @@ def bpe_segment(
         doc_words.select("word").distinct(), merges,
         checkpoint=checkpoint,
     )
-    return (
+    toks = (
         doc_words.join(seg, "word")
         .groupBy(id_col)
         .agg(F.flatten(F.array_sort(F.collect_list(
             F.struct(F.col("pos"), F.col("tokens"))
         )).getField("tokens")).alias("tokens"))
+    )
+    return df.select(id_col).join(toks, id_col, "left").select(
+        id_col,
+        F.coalesce(
+            "tokens", F.array().cast("array<string>")).alias("tokens"),
     )
 
 
@@ -224,7 +231,8 @@ def bpe_token_count(
     """Tokens-per-document under a trained vocabulary — the corpus
     sizing number every training-data budget starts from. Skips
     re-assembly: join each word's token COUNT, sum per document.
-    Output: (id_col, n_bpe_tokens)."""
+    Output: (id_col, n_bpe_tokens) — total over input ids (wordless
+    documents count 0)."""
     doc_words = df.select(
         F.col(id_col),
         F.explode(F.regexp_extract_all(
@@ -234,8 +242,13 @@ def bpe_token_count(
         doc_words.select("word").distinct(), merges,
         checkpoint=checkpoint,
     ).select("word", F.size("tokens").alias("_n"))
-    return (
+    counts = (
         doc_words.join(seg, "word")
         .groupBy(id_col)
         .agg(F.sum("_n").cast("bigint").alias("n_bpe_tokens"))
+    )
+    return df.select(id_col).join(counts, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bpe_tokens", F.lit(0).cast("bigint"))
+        .alias("n_bpe_tokens"),
     )

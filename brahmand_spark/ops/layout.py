@@ -82,7 +82,11 @@ def zorder_value(
                       F.max(F.col(c).cast("double")).alias(f"_hi_{c}"))
         ]).first()
         for c in missing:
-            bounds[c] = (row[f"_lo_{c}"], row[f"_hi_{c}"])
+            lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+            # Entirely-NULL column: no bounds exist — use the
+            # constant-rank path (every row ranks 0) instead of
+            # crashing on float(None).
+            bounds[c] = (0.0, 0.0) if lo is None else (lo, hi)
     ranks = [
         _rank(F.col(c), F.lit(float(bounds[c][0])),
               F.lit(float(bounds[c][1])), bits)

@@ -127,8 +127,17 @@ def curate(
             .filter(F.col("keep"))
             .select(F.col(emb_id_col).alias(id_col))
         )
-        out = note("semantic_dedup", out.join(keep_sem, id_col,
-                                              "leftsemi"))
+        # Documents with NO embedding row cannot be semantic
+        # duplicates of anything — keep them (a coverage gap in the
+        # embedding table must not become silent data loss).
+        no_emb = out.select(id_col).join(
+            embeddings.select(F.col(emb_id_col).alias(id_col)),
+            id_col, "left_anti",
+        )
+        out = note(
+            "semantic_dedup",
+            out.join(keep_sem.unionByName(no_emb), id_col, "leftsemi"),
+        )
     if redact:
         from .text import redact_pii
 

@@ -91,13 +91,23 @@ def numeric_histogram(
             F.min(F.col(col).cast("double")).alias("lo"),
             F.max(F.col(col).cast("double")).alias("hi"),
         ).first()
-        bounds = (row["lo"], row["hi"])
+        # Entirely-NULL column: the NULL filter below drops every row
+        # anyway — degenerate bounds keep the plan valid (empty result)
+        # instead of crashing on float(None).
+        bounds = (0.0, 0.0) if row["lo"] is None else (row["lo"], row["hi"])
     lo, hi = float(bounds[0]), float(bounds[1])
     width = (hi - lo) / bins if hi > lo else 1.0
-    b = F.least(
-        F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
-        .cast("int"),
-        F.lit(bins - 1),
+    # Clamp BOTH ends: caller-supplied bounds narrower than the data
+    # would otherwise yield negative bins (below lo) to mirror the
+    # bins-1 cap for values above hi.
+    b = F.greatest(
+        F.least(
+            F.floor(
+                (F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+            .cast("int"),
+            F.lit(bins - 1),
+        ),
+        F.lit(0),
     )
     return (
         df.filter(F.col(col).isNotNull())

@@ -691,3 +691,12 @@ class TestStronglyConnectedComponents:
             strongly_connected_components(
                 edges_df(spark, [(0, 1), (1, 0), (1, 2), (2, 1)]),
                 max_rounds=0).collect()
+
+    def test_self_loop_only_vertex_is_singleton_scc(self, spark):
+        """A vertex whose only edges are self-loops is a valid SCC —
+        it must appear in the output (parity with
+        connected_components, which keeps such vertices)."""
+        self._check(spark, [(0, 1), (1, 0), (7, 7)])
+
+    def test_all_self_loops(self, spark):
+        self._check(spark, [(3, 3), (4, 4)])

@@ -144,3 +144,22 @@ class TestWordCounts:
             merges).collect()
         for r in seg:
             assert "".join(r["tokens"]) == r["word"] + END
+
+
+class TestTotality:
+    def test_segment_total_over_empty_docs(self, spark):
+        """Documents with no WORD_RE matches come back with empty
+        token arrays — the output is total over input doc ids."""
+        docs = spark.createDataFrame(
+            CORPUS + [(9, ""), (10, "   \n\t ")],
+            "doc_id bigint, text string")
+        merges = train_bpe(_docs(spark), n_merges=4)
+        got = {r["doc_id"]: r["tokens"]
+               for r in bpe_segment(docs, merges).collect()}
+        assert set(got) == {0, 1, 2, 3, 9, 10}
+        assert got[9] == [] and got[10] == []
+        cnt = {r["doc_id"]: r["n_bpe_tokens"]
+               for r in bpe_token_count(docs, merges).collect()}
+        assert set(cnt) == {0, 1, 2, 3, 9, 10}
+        assert cnt[9] == 0 and cnt[10] == 0
+        assert all(cnt[i] == len(got[i]) for i in got)

@@ -144,3 +144,17 @@ class TestZLayout:
                           n_files=8, bits=8)
         assert z.count() == li.count()
         assert "zvalue" not in z.columns
+
+
+class TestNullColumns:
+    def test_all_null_column_ranks_constant(self, spark):
+        """An entirely-NULL z-column probes (None, None) bounds — the
+        constant-rank path applies instead of a float(None) crash."""
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, None)], "x int, y int")
+        out = zorder_value(df, ["x", "y"], bits=4).collect()
+        assert len(out) == 3
+        # y contributes 0 bits -> zvalue ordered purely by x
+        by_x = sorted(out, key=lambda r: r["x"])
+        assert [r["zvalue"] for r in by_x] == \
+            sorted(r["zvalue"] for r in out)

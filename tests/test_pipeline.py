@@ -135,3 +135,32 @@ def test_curate_with_semantic_dedup(spark):
     # a threshold cosine can never reach keeps everything
     noop, c3 = curate(docs, semantic_threshold=1.5, **kwargs)
     assert c3["semantic_dedup"] == c3["near_dedup"]
+
+
+def test_semantic_stage_keeps_docs_missing_embeddings(spark):
+    """An embeddings-table coverage gap must not silently drop
+    surviving documents: docs with no embedding row pass the semantic
+    stage untouched."""
+    from brahmand_spark.ops.pipeline import curate
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    kwargs = dict(languages=("en", "de", "es", "fr"), min_quality=0.1,
+                  semantic_k=4, report=True)
+    full, cf = curate(docs, embeddings=emb, semantic_threshold=0.2,
+                      **kwargs)
+    # drop half the embedding rows -> those docs must survive
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    part, cp = curate(docs, embeddings=half, semantic_threshold=0.2,
+                      **kwargs)
+    full_ids = {r["doc_id"] for r in full.select("doc_id").collect()}
+    part_ids = {r["doc_id"] for r in part.select("doc_id").collect()}
+    # every odd-id survivor of the lexical stages is retained
+    lex, _ = curate(docs, embeddings=None, semantic_threshold=None,
+                    **kwargs)
+    lex_ids = {r["doc_id"] for r in lex.select("doc_id").collect()}
+    odd_lex = {i for i in lex_ids if i % 2 == 1}
+    assert odd_lex <= part_ids
+    # docs WITH embeddings still dedup (stage can only remove)
+    assert part_ids <= lex_ids
+    assert cp["semantic_dedup"] <= cp["near_dedup"]

@@ -126,3 +126,22 @@ class TestCorrelationMatrix:
             li, ["l_quantity", "l_extendedprice", "l_tax"]) \
             ._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
+
+
+class TestHistogramEdgeCases:
+    def test_all_null_column_yields_empty(self, spark):
+        df = spark.createDataFrame([(None,), (None,)], "x int")
+        assert numeric_histogram(df, "x", bins=4).count() == 0
+
+    def test_narrow_caller_bounds_clamp_both_ends(self, spark):
+        """Caller bounds narrower than the data: values below lo land
+        in bin 0 (not a negative bin), values above hi in bins-1."""
+        df = spark.createDataFrame([(v,) for v in range(-5, 15)],
+                                   "x int")
+        rows = {r["bin"]: r["n"] for r in numeric_histogram(
+            df, "x", bins=4, bounds=(0.0, 8.0)).collect()}
+        assert set(rows) <= {0, 1, 2, 3}
+        assert min(rows) == 0 and max(rows) == 3
+        assert sum(rows.values()) == 20
+        assert rows[0] >= 5 + 2  # the 5 underflow values fold into bin 0
+        assert rows[3] >= 6      # 9..14 fold into the last bin

@@ -116,6 +116,8 @@ class QueryCompiler:
         degree_stats: Optional[Callable[[str], Optional[dict]]] = None,
         skew_degree_threshold: int = 50_000,
         skew_salt_factor: int = 8,
+        prune_hops: Optional[str] = None,
+        prune_bloom_bits: int = 1 << 20,
     ):
         self.catalog = catalog
         self.load_table = load_table
@@ -151,6 +153,36 @@ class QueryCompiler:
         # the hot key from ever concentrating.
         self.skew_degree_threshold = skew_degree_threshold
         self.skew_salt_factor = skew_salt_factor
+        # Per-hop traversal pruning — the reference's IN-subquery
+        # optimization (every hop CTE gets ``WHERE from_id IN (SELECT
+        # id FROM prev_cte)``, analyzer/graph_traversal_planning.rs:
+        # 819-843) re-expressed Spark-side. When a hop extends a
+        # SELECTIVE component (any bound alias carries filters, per
+        # _filter_score), the edge input is prefiltered against the
+        # frontier's ids BEFORE its join:
+        #   'semi'  -> leftsemi join against the distinct frontier ids
+        #              (AQE broadcasts the small side, so the edge is
+        #              pruned in its scan stage);
+        #   'bloom' -> ops/sketches.bloom_prefilter — the frontier's
+        #              ids fold to <= prune_bloom_bits set-bit rows,
+        #              broadcast as ONE packed array, membership tested
+        #              inside the edge scan (zero edge-side shuffle,
+        #              false positives resolved by the join itself).
+        # Off by default: at small SF AQE already broadcasts the
+        # frontier, and the prefilter recomputes the frontier subtree;
+        # the crossover is a selective anchor against an edge table too
+        # big to broadcast-join — exactly the 100 TB shape.
+        if prune_hops not in (None, "semi", "bloom"):
+            raise ValueError(
+                f"prune_hops must be None|'semi'|'bloom', got {prune_hops!r}")
+        self.prune_hops = prune_hops
+        self.prune_bloom_bits = prune_bloom_bits
+        self._hop_scores: dict[str, int] = {}
+        # alias -> single-alias WHERE conjuncts (set per _assemble):
+        # re-applied inside the prefilter's frontier-keys subtree —
+        # the main plan applies WHERE above the joins, so the keys
+        # branch would otherwise scan unfiltered ids and prune nothing.
+        self._alias_conjuncts: dict[str, list] = {}
         # Aliases referenced anywhere in the current query (filled per
         # compile() call) — a rel alias in here forces the edge-list
         # path, mirroring the reference's projection/filter tagging
@@ -1353,6 +1385,24 @@ class QueryCompiler:
             components.append((in_df, set(scope.bindings.keys())))
 
         score, _ = self._filter_score(pattern, part)
+        self._hop_scores = score
+        self._alias_conjuncts = {}
+        if self.prune_hops is not None and part.where is not None:
+            residual, _ = _split_pattern_predicates(part.where)
+
+            def collect_conjuncts(e: ast.Expr):
+                if isinstance(e, ast.Binary) and e.op == "AND":
+                    collect_conjuncts(e.left)
+                    collect_conjuncts(e.right)
+                    return
+                aliases: set[str] = set()
+                collect_aliases(e, aliases)
+                if len(aliases) == 1:
+                    self._alias_conjuncts.setdefault(
+                        next(iter(aliases)), []).append(e)
+
+            if residual is not None:
+                collect_conjuncts(residual)
         anchor = self._select_anchor(pattern, part)
         pending = list(pattern.rels)
         # Anchor selection: hops touching the anchor alias run first
@@ -1522,6 +1572,44 @@ class QueryCompiler:
             rep, cond & (salted[salt] == rep[salt]), "inner"
         ).drop(salt)
 
+    def _prune_edge(self, edge: DataFrame, comp_df: DataFrame,
+                    comp_key_name: str, edge_key_name: str,
+                    bound: set[str], scope: Scope) -> DataFrame:
+        """Per-hop traversal pruning (the reference's hop-CTE
+        ``WHERE from_id IN (SELECT id FROM prev_cte)``, ref
+        analyzer/graph_traversal_planning.rs:819-843): prefilter the
+        edge input against the frontier component's distinct ids so
+        pruned edge rows never enter the hop join's exchange. Applies
+        only when the frontier is SELECTIVE — some bound alias carries
+        filters (_filter_score) — since an unfiltered frontier's ids
+        cover the table and the prefilter would only add cost.
+
+        The main plan applies WHERE above the assembled joins, so the
+        frontier-keys branch re-applies the bound aliases' single-alias
+        conjuncts itself (sound: any row they drop here is dropped by
+        the query's own WHERE anyway); conjuncts that don't compile
+        against the component (e.g. not yet bound columns) are skipped
+        — pruning only ever weakens, never changes results."""
+        if self.prune_hops is None:
+            return edge
+        if not any(self._hop_scores.get(a, 0) > 0 for a in bound):
+            return edge
+        ec = ExprCompiler(scope, self.params)
+        for a in bound:
+            for conj in self._alias_conjuncts.get(a, []):
+                try:
+                    comp_df = comp_df.filter(ec.compile(conj))
+                except Exception:
+                    continue
+        keys = comp_df.select(
+            F.col(comp_key_name).alias(edge_key_name)).distinct()
+        if self.prune_hops == "bloom":
+            from ..ops.sketches import bloom_prefilter
+
+            return bloom_prefilter(edge, keys, edge_key_name,
+                                   m_bits=self.prune_bloom_bits)
+        return edge.join(keys, edge_key_name, "leftsemi")
+
     def _apply_hop(self, rel, pattern: Pattern, components, scope, find_component):
         fused: Optional[str] = None
         if rel.shortest and rel.max_hops > 1:
@@ -1552,8 +1640,10 @@ class QueryCompiler:
                     )
                 else:
                     edge = self._edge_df(rel, scope)
-        src_key = F.col(pcol(rel.alias, "from_id"))
-        dst_key = F.col(pcol(rel.alias, "to_id"))
+        src_key_name = pcol(rel.alias, "from_id")
+        dst_key_name = pcol(rel.alias, "to_id")
+        src_key = F.col(src_key_name)
+        dst_key = F.col(dst_key_name)
 
         li = find_component(rel.src)
         ri = find_component(rel.dst)
@@ -1565,6 +1655,9 @@ class QueryCompiler:
                 df, bound = components[li]
                 lid = F.col(scope.get(rel.src).id_pcol)
                 rid = F.col(scope.get(rel.dst).id_pcol)
+                edge = self._prune_edge(
+                    edge, df, scope.get(rel.src).id_pcol, src_key_name,
+                    bound, scope)
                 df = df.join(edge, (src_key == lid) & (dst_key == rid), "inner")
                 bound.add(rel.alias)
                 components[li] = (df, bound)
@@ -1573,6 +1666,12 @@ class QueryCompiler:
                 rdf, rbound = components[ri]
                 lid = F.col(scope.get(rel.src).id_pcol)
                 rid = F.col(scope.get(rel.dst).id_pcol)
+                edge = self._prune_edge(
+                    edge, ldf, scope.get(rel.src).id_pcol, src_key_name,
+                    lbound, scope)
+                edge = self._prune_edge(
+                    edge, rdf, scope.get(rel.dst).id_pcol, dst_key_name,
+                    rbound, scope)
                 df = self._join_edge(ldf, edge, lid, src_key, rel, "src") \
                     .join(rdf, dst_key == rid, "inner")
                 merged = lbound | rbound | {rel.alias}
@@ -1582,6 +1681,9 @@ class QueryCompiler:
         elif li is not None:
             df, bound = components[li]
             lid = F.col(scope.get(rel.src).id_pcol)
+            edge = self._prune_edge(
+                edge, df, scope.get(rel.src).id_pcol, src_key_name,
+                bound, scope)
             dst_node = pattern.nodes[rel.dst]
             if fused == rel.dst:  # dst rides inside the fused edge scan
                 df = self._join_edge(df, edge, lid, src_key, rel, "src")
@@ -1602,6 +1704,9 @@ class QueryCompiler:
         elif ri is not None:
             df, bound = components[ri]
             rid = F.col(scope.get(rel.dst).id_pcol)
+            edge = self._prune_edge(
+                edge, df, scope.get(rel.dst).id_pcol, dst_key_name,
+                bound, scope)
             src_node = pattern.nodes[rel.src]
             if fused == rel.src:  # src rides inside the fused edge scan
                 df = self._join_edge(df, edge, rid, dst_key, rel, "dst")
@@ -1629,6 +1734,9 @@ class QueryCompiler:
             else:
                 ldf = self._scan_node(src_node, scope)
                 lid = F.col(scope.get(rel.src).id_pcol)
+                edge = self._prune_edge(
+                    edge, ldf, scope.get(rel.src).id_pcol,
+                    src_key_name, {rel.src}, scope)
                 df = self._join_edge(ldf, edge, lid, src_key, rel, "src")
             if fused == rel.dst:
                 pass  # dst already inside the fused edge scan

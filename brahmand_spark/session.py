@@ -35,6 +35,7 @@ class GraphSession:
         allow_writes: bool = False,
         max_var_hops: Optional[int] = None,
         assume_referential_integrity: bool = False,
+        prune_hops: Optional[str] = None,
     ):
         self.spark = spark
         self.catalog_path = catalog_path
@@ -65,6 +66,16 @@ class GraphSession:
         self.degree_stats: dict[str, dict] = {}
         self.skew_degree_threshold = 50_000
         self.skew_salt_factor = 8
+        # Per-hop traversal pruning: None (default — AQE broadcast of
+        # a small frontier already covers small/medium scale) | 'semi'
+        # (leftsemi prefilter of each hop's edge input against the
+        # frontier ids) | 'bloom' (broadcast bloom-bit prefilter inside
+        # the edge scan — zero edge-side shuffle). The reference's
+        # IN-subquery hop pruning (graph_traversal_planning.rs:819-843)
+        # as an opt-in physical strategy; the crossover is a selective
+        # anchor against an edge table too big to broadcast.
+        self.prune_hops = prune_hops
+        self.prune_bloom_bits = 1 << 20
 
     # -- table registration -------------------------------------------------
     def register_table(self, name: str, table: Union[DataFrame, str]) -> None:
@@ -177,6 +188,8 @@ class GraphSession:
                 degree_stats=self.degree_stats.get,
                 skew_degree_threshold=self.skew_degree_threshold,
                 skew_salt_factor=self.skew_salt_factor,
+                prune_hops=self.prune_hops,
+                prune_bloom_bits=self.prune_bloom_bits,
                 **kwargs,
             )
             return compiler.compile(stmt)

@@ -565,3 +565,69 @@ class TestDropAdjIndex:
         got = s.execute(q)
         assert got.exceptAll(expected).count() == 0
         assert expected.exceptAll(got).count() == 0
+
+
+class TestHopPruning:
+    """Per-hop traversal pruning (prune_hops='semi'|'bloom'): the
+    reference's hop-CTE ``WHERE from_id IN (SELECT id FROM prev_cte)``
+    (ref analyzer/graph_traversal_planning.rs:819-843) as an opt-in
+    prefilter of each hop's edge input."""
+
+    Q = ("MATCH (c:Customer)-[:PLACED]->(o:Order)-[:HAS_LINE]->"
+         "(l:Lineitem) WHERE c.c_mktsegment = 'BUILDING' "
+         "AND c.c_acctbal > 9000 "
+         "RETURN c.c_name AS n, count(*) AS cnt ORDER BY cnt DESC, n")
+
+    def _session(self, spark, mode):
+        from brahmand_spark.graphs.tpch import build_session
+
+        from .conftest import SF_SMOKE
+
+        s = build_session(spark, SF_SMOKE)
+        s.prune_hops = mode
+        return s
+
+    def test_parity_both_modes(self, spark, tpch):
+        want = sorted(map(tuple, tpch.execute(self.Q).collect()))
+        for mode in ("semi", "bloom"):
+            got = sorted(map(tuple, (
+                self._session(spark, mode).execute(self.Q).collect())))
+            assert got == want, mode
+
+    def test_semi_prefilter_in_plan(self, spark):
+        plan = physical_plan(self._session(spark, "semi").execute(self.Q))
+        assert "LeftSemi" in plan
+        # The frontier-keys branch re-applies the anchor's WHERE
+        # conjuncts, so the selective filter reaches (at least) two
+        # scans: the main plan's and the prefilter's.
+        assert plan.count("BUILDING") >= 2, plan
+
+    def test_bloom_prefilter_in_plan(self, spark):
+        plan = physical_plan(self._session(spark, "bloom").execute(self.Q))
+        # the packed bit array is broadcast and probed via
+        # array_contains inside the edge-side stage — no leftsemi, no
+        # extra edge exchange
+        assert "array_contains" in plan
+        assert "LeftSemi" not in plan
+        assert plan.count("BUILDING") >= 2, plan
+
+    def test_unfiltered_query_not_pruned(self, spark):
+        q = ("MATCH (c:Customer)-[:PLACED]->(o:Order) "
+             "RETURN count(*) AS n")
+        for mode in ("semi", "bloom"):
+            plan = physical_plan(self._session(spark, mode).execute(q))
+            assert "LeftSemi" not in plan
+            assert "array_contains" not in plan
+
+    def test_default_off(self, tpch):
+        plan = physical_plan(tpch.execute(self.Q))
+        assert "LeftSemi" not in plan
+        assert "array_contains" not in plan
+
+    def test_invalid_mode_raises(self, spark):
+        import pytest
+
+        from brahmand_spark.compile.compiler import QueryCompiler
+
+        with pytest.raises(ValueError, match="prune_hops"):
+            QueryCompiler(None, None, prune_hops="nope")

@@ -780,6 +780,72 @@ def _q_graph_kcore(spark, sf_dir):
     return k_core(edges, 4)
 
 
+def _scc_edges(cust):
+    """Deterministic digraph over customer keys, block of 10 per key:
+    pos 0-5 form a 6-cycle (nontrivial SCC), pos 6-8 a DAG tail
+    hanging off the cycle (drained by the trim phase), pos 9 a
+    self-loop-only vertex (singleton SCC — the vertex-universe edge
+    case), and even blocks bridge one-way into the next block (so odd
+    blocks' cycles have out-of-SCC ancestors and the coloring/backward
+    sweep needs a second outer round)."""
+    k = F.col("c_custkey").cast("bigint")
+    pos = (k - F.lit(1)) % 10
+    base = k - F.lit(1) - pos
+    block = (base / 10).cast("bigint")
+    cycle = cust.filter(pos <= 5).select(
+        k.alias("src"), (base + (pos + 1) % 6 + 1).alias("dst"))
+    tail = cust.filter((pos >= 6) & (pos <= 8)).select(
+        k.alias("src"), (k - 1).alias("dst"))
+    loop = cust.filter(pos == 9).select(k.alias("src"), k.alias("dst"))
+    bridge = cust.filter((pos == 0) & (block % 2 == 0)).select(
+        k.alias("src"), (k + 10).alias("dst"))
+    return cycle.unionByName(tail).unionByName(loop).unionByName(bridge)
+
+
+def _q_graph_scc(spark, sf_dir):
+    """Exact strongly connected components (ops/algos — FW-BW-Trim
+    family: bulk trim + Orzan coloring fixpoint + per-color backward
+    sweep) on the block-structured customer digraph (_scc_edges): 150
+    six-cycles, 600 singletons at sf0.01, two outer rounds. The oracle
+    is an INDEPENDENT algorithm — DuckDB recursive-CTE transitive
+    closure, scc(v) = min over mutually-reachable vertices — so the
+    check doesn't share the implementation's structure. Replaces the
+    folded graph_triangles gate (closed-form oracle on the same
+    _nation_pairs fixture as the registered graph_cc_two_phase; still
+    oracle-checked in tests/test_folded_gates.py)."""
+    from brahmand_spark.ops.algos import strongly_connected_components
+
+    cust = _tpch(spark, sf_dir).tables["Customer"]
+    return strongly_connected_components(_scc_edges(cust), max_rounds=8)
+
+
+BPE_N_MERGES, BPE_MIN_COUNT, BPE_PER_ROUND = 16, 2, 4
+
+
+def _q_bpe_segment(spark, sf_dir):
+    """Distributed BPE train + apply (ops/bpe, Sennrich et al. 2016):
+    train 16 merge rules on the corpus word-type table (4 symbol-
+    disjoint merges per pair-count shuffle), segment every document,
+    return (doc_id, n_bpe_tokens, segmented). The oracle re-trains the
+    same rules with a pure-Python replica at oracle-build time and
+    replays the application IN SQL as a literal-merge replace chain
+    over \\x01/\\x02-delimited symbol strings (greedy left-to-right,
+    boundary-safe). Replaces the folded skew_two_phase_agg gate
+    (3-row GROUP BY parity; the skew surface stays pinned by
+    tests/test_skew.py and the 40-hop salted fuzz; still
+    oracle-checked in tests/test_folded_gates.py)."""
+    from brahmand_spark.ops.bpe import bpe_segment, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(docs, n_merges=BPE_N_MERGES,
+                       min_count=BPE_MIN_COUNT,
+                       merges_per_round=BPE_PER_ROUND)
+    return bpe_segment(docs, merges).select(
+        "doc_id", F.size("tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.concat_ws(" ", "tokens").alias("segmented"),
+    )
+
+
 _EXTENSIONS: dict[str, Callable] = {
     "graph_cc_two_phase": _q_cc_two_phase,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -807,9 +873,9 @@ _EXTENSIONS: dict[str, Callable] = {
     "events_window_agg": _q_events_window,
     "events_sessionize": _q_events_sessionize,
     "graph_sssp_weighted": _q_graph_sssp,
-    "skew_two_phase_agg": _q_skew_two_phase_agg,
     "adjacency_traversal": _q_adjacency_traversal,
-    "graph_triangles": _q_graph_triangles,
+    "graph_scc": _q_graph_scc,
+    "bpe_segment": _q_bpe_segment,
     "graph_pagerank": _q_graph_pagerank,
     "graph_lpa": _q_graph_lpa,
     "graph_kcore": _q_graph_kcore,
@@ -1008,20 +1074,9 @@ _EXTENSION_ORACLES: dict[str, str] = {
                max(ts) + INTERVAL 30 MINUTE AS session_end,
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM numbered GROUP BY user_id, sid""",
-    "skew_two_phase_agg": """
-        SELECT l_returnflag, count(*) AS n,
-               round(sum(l_quantity), 1) AS total_qty
-        FROM lineitem GROUP BY l_returnflag""",
     "adjacency_traversal": """
         SELECT o_custkey AS src, o_orderkey AS dst
         FROM orders WHERE o_custkey <= 100""",
-    "graph_triangles": """
-        WITH sizes AS (
-            SELECT n_nationkey, count(*) OVER (PARTITION BY n_regionkey) AS k
-            FROM nation)
-        SELECT n_nationkey::BIGINT AS id,
-               ((k - 1) * (k - 2) / 2)::BIGINT AS triangles
-        FROM sizes WHERE k >= 3""",
     # dedup_minhash_lsh / dedup_simhash / dedup_embedding_lsh /
     # ann_lsh_topk / ann_ivf_topk / graph_pagerank get GENERATED
     # oracles (below): seeded modular arithmetic, literal hyperplanes,
@@ -1681,6 +1736,147 @@ def _memo(name: str, fn: Callable) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _scc_oracle() -> str:
+    """Independent SCC ground truth for the _scc_edges digraph: DuckDB
+    recursive-CTE transitive closure (UNION-distinct terminates on
+    cycles), then scc(v) = min over {u : u ~> v AND v ~> u} ∪ {v}.
+    The vertex universe derives from the UNFILTERED edge list (self-
+    loop-only vertices are singleton SCCs), exactly like the
+    operator."""
+    return """
+        WITH RECURSIVE kk AS (
+            SELECT c_custkey::BIGINT AS k,
+                   (c_custkey - 1) % 10 AS pos,
+                   (c_custkey - 1) - (c_custkey - 1) % 10 AS base
+            FROM customer),
+        e AS (
+            SELECT k AS u, (base + (pos + 1) % 6 + 1)::BIGINT AS v
+            FROM kk WHERE pos <= 5
+            UNION ALL SELECT k, k - 1 FROM kk WHERE pos BETWEEN 6 AND 8
+            UNION ALL SELECT k, k FROM kk WHERE pos = 9
+            UNION ALL SELECT k, k + 10 FROM kk
+                WHERE pos = 0 AND (base // 10) % 2 = 0),
+        verts AS (SELECT DISTINCT id FROM (
+            SELECT u AS id FROM e UNION ALL SELECT v FROM e)),
+        enl AS (SELECT DISTINCT u, v FROM e WHERE u <> v),
+        reach(u, v) AS (
+            SELECT u, v FROM enl
+            UNION
+            SELECT r.u, e2.v FROM reach r JOIN enl e2 ON e2.u = r.v),
+        mutual AS (
+            SELECT a.u AS id, a.v AS m
+            FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u)
+        SELECT verts.id,
+               least(verts.id, coalesce(min(mutual.m), verts.id)) AS scc
+        FROM verts LEFT JOIN mutual ON mutual.id = verts.id
+        GROUP BY verts.id"""
+
+
+def _py_bpe_train(word_cnt: list[tuple[str, int]], n_merges: int,
+                  per_round: int) -> list[tuple[str, str]]:
+    """Pure-Python replica of ops/bpe.train_bpe's exact dynamics:
+    weighted adjacent-pair counts on the word-TYPE table, n > 1
+    filter, (count DESC, a ASC, b ASC) argmax, top-(4k) headroom,
+    symbol-disjoint batch of per_round merges, greedy left-to-right
+    application. Bit-identical rule lists (asserted in
+    tests/test_oracle_extensions.py)."""
+    from brahmand_spark.ops.bpe import END
+
+    words = [(list(w) + [END], c) for w, c in word_cnt]
+    merges: list[tuple[str, str]] = []
+
+    def apply(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    while len(merges) < n_merges:
+        k = min(per_round, n_merges - len(merges))
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        top = sorted(((n, a, b) for (a, b), n in pc.items() if n > 1),
+                     key=lambda t: (-t[0], t[1], t[2]))[:max(k * 4, k)]
+        if not top:
+            break
+        chosen, used = [], set()
+        for n, a, b in top:
+            if len(chosen) == k:
+                break
+            if {a, b, a + b} & used:
+                continue
+            chosen.append((a, b))
+            used.update((a, b, a + b))
+        if not chosen:
+            break
+        for a, b in chosen:
+            words = [(apply(s, a, b), c) for s, c in words]
+        merges.extend(chosen)
+    return merges
+
+
+def _bpe_oracle(
+    doc_parquet: str = "/root/testdata/sf0.01/documents.parquet",
+) -> str:
+    """Replay of _q_bpe_segment: merge rules re-derived by the
+    pure-Python trainer from the sf0.01 word counts (read via DuckDB —
+    same regex engine family as the graded SQL), application replayed
+    IN SQL as a chain of literal replaces over \\x01/\\x02-wrapped
+    symbol strings. Wrapping every symbol as \\x01sym\\x02 makes the
+    greedy left-to-right non-overlapping string replace EQUAL to the
+    per-symbol merge fold (no shared boundary characters between
+    adjacent matches), and merges can never fire across word ends
+    because no learned rule's left symbol ends with the </w> marker.
+    Raises if the corpus contains the delimiter bytes."""
+    import duckdb
+
+    from brahmand_spark.ops.bpe import END, WORD_RE
+
+    con = duckdb.connect()
+    doc = f"'{doc_parquet}'"
+    bad = con.execute(
+        f"SELECT count(*) FROM {doc} WHERE text LIKE '%'||chr(1)||'%' "
+        "OR text LIKE '%'||chr(2)||'%'").fetchone()[0]
+    if bad:
+        raise ValueError("corpus contains \\x01/\\x02 delimiter bytes")
+    wc = con.execute(
+        f"SELECT w, count(*) c FROM (SELECT unnest(regexp_extract_all("
+        f"text, '{WORD_RE}')) w FROM {doc}) GROUP BY w "
+        f"HAVING count(*) >= {BPE_MIN_COUNT}").fetchall()
+    merges = _py_bpe_train(wc, BPE_N_MERGES, BPE_PER_ROUND)
+    s1, s2 = "\x01", "\x02"
+    col = (f"{s1!r} || array_to_string(list_transform("
+           f"regexp_extract_all(text, '{WORD_RE}'), "
+           f"w -> array_to_string(regexp_extract_all(w, '.'), "
+           f"{s2 + s1!r}) || {s2 + s1!r} || '{END}'), {s2 + s1!r}) "
+           f"|| {s2!r}")
+    for a, b in merges:
+        col = (f"replace({col},\n            "
+               f"{s1 + a + s2 + s1 + b + s2!r}, {s1 + a + b + s2!r})")
+    return f"""
+        WITH applied AS (
+            SELECT doc_id, {col} AS s FROM documents),
+        seg AS (
+            SELECT doc_id,
+                   CASE WHEN s = {(s1 + s2)!r} THEN ''
+                        ELSE trim(replace(s, {(s2 + s1)!r}, ' '),
+                                  {(s1 + s2)!r}) END AS segmented
+            FROM applied)
+        SELECT doc_id,
+               (CASE WHEN segmented = '' THEN 0
+                     ELSE len(string_split(segmented, ' ')) END)::BIGINT
+                   AS n_bpe_tokens,
+               segmented
+        FROM seg"""
+
+
 def queries(
     fresh: bool = False,
 ) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1729,8 +1925,13 @@ def oracle_sql() -> dict[str, str]:
     out["graph_pagerank"] = _pagerank_oracle()
     out["graph_lpa"] = _lpa_oracle()
     out["graph_kcore"] = _kcore_oracle()
+    out["graph_scc"] = _scc_oracle()
     try:
         out["ann_ivf_topk"] = _ann_ivf_oracle()
     except Exception:
         pass  # sample parquet unavailable -> rows-only fallback
+    try:
+        out["bpe_segment"] = _bpe_oracle()
+    except Exception:
+        pass  # corpus parquet unavailable -> rows-only fallback
     return out

@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "graph_lpa",
     "graph_kcore",
     "graph_sssp_weighted",
+    "graph_scc",
+    "bpe_segment",
     "shortest_path",
     "var_length_multi",
     "events_sessionize",

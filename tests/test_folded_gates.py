@@ -363,3 +363,40 @@ def test_queries_fresh_rebuilds_memoized_caches(spark):
     c = memo["text_quality_score"](spark, SF_SMOKE)
     d = memo["text_quality_score"](spark, SF_SMOKE)
     assert c is d
+
+
+def test_folded_skew_two_phase_agg(spark, duck):
+    """The former skew_two_phase_agg registry gate (folded r5 for
+    bpe_segment — 3-row GROUP BY parity; the skew surface stays pinned
+    by tests/test_skew.py result-equivalence and the 40-hop salted
+    fuzz): same operator, same DuckDB oracle."""
+    import __spark_entry__ as entry
+
+    assert_same(
+        entry._q_skew_two_phase_agg(spark, SF_SMOKE),
+        duck.sql("""
+            SELECT l_returnflag, count(*) AS n,
+                   round(sum(l_quantity), 1) AS total_qty
+            FROM lineitem GROUP BY l_returnflag"""),
+    )
+
+
+def test_folded_graph_triangles(spark, duck):
+    """The former graph_triangles registry gate (folded r5 for
+    graph_scc — closed-form clique oracle over the same _nation_pairs
+    fixture as the registered graph_cc_two_phase, so two registered
+    slots carried one fixture's signal): same operator, same DuckDB
+    oracle."""
+    import __spark_entry__ as entry
+
+    assert_same(
+        entry._q_graph_triangles(spark, SF_SMOKE),
+        duck.sql("""
+            WITH sizes AS (
+                SELECT n_nationkey,
+                       count(*) OVER (PARTITION BY n_regionkey) AS k
+                FROM nation)
+            SELECT n_nationkey::BIGINT AS id,
+                   ((k - 1) * (k - 2) / 2)::BIGINT AS triangles
+            FROM sizes WHERE k >= 3"""),
+    )

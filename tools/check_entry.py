@@ -62,6 +62,10 @@ def main():
     print(f"entry rows: {edf.count()}  schema: {edf.columns}")
 
     qs = entrymod.queries()
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        qs = {n: qs[n] for n in names if n in qs}
     oracles = entrymod.oracle_sql()
     ok = bad = rows_only = 0
     failures = []

@@ -354,5 +354,20 @@ class CallProcedure:
     limit: Optional[int] = None
 
 
+@dataclass
+class ExplainQuery:
+    """``EXPLAIN [COST|FORMATTED|EXTENDED|CODEGEN] <statement>`` /
+    ``PROFILE <statement>`` (extension — the first thing a user
+    debugging a slow traversal types; the reference has no EXPLAIN
+    surface, but our statements execute on Spark so plans are
+    meaningful). EXPLAIN returns the physical plan text as rows;
+    PROFILE additionally runs the query and reports the plan-summary
+    counters (scans/joins/exchanges)."""
+
+    statement: "Statement"
+    mode: str = "formatted"  # formatted | cost | extended | codegen
+    profile: bool = False
+
+
 Statement = Union[ReadQuery, CreateNodeTable, CreateRelTable, WriteQuery,
-                  CallProcedure]
+                  CallProcedure, ExplainQuery]

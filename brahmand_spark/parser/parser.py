@@ -97,6 +97,8 @@ class Parser:
         return stmt
 
     def _parse_statement_inner(self) -> ast.Statement:
+        if self.at_kw("EXPLAIN", "PROFILE"):
+            return self.parse_explain()
         if self.at_kw("CREATE"):
             nxt = self.peek(1)
             if nxt.kind == "KEYWORD" and nxt.value == "NODE":
@@ -115,6 +117,24 @@ class Parser:
                 return self.parse_write_query()
             return self.parse_read_query()
         self.error("expected MATCH, UNWIND, WITH, RETURN, CALL, or CREATE")
+
+    def parse_explain(self) -> ast.ExplainQuery:
+        """``EXPLAIN [COST|FORMATTED|EXTENDED|CODEGEN] <stmt>`` or
+        ``PROFILE <stmt>``. The mode word is a plain identifier (not a
+        reserved keyword) so columns named ``cost`` stay usable."""
+        profile = self.peek().value == "PROFILE"
+        self.next()
+        mode = "formatted"
+        tok = self.peek()
+        if not profile and tok.kind == "IDENT" and tok.value.upper() in {
+            "COST", "FORMATTED", "EXTENDED", "CODEGEN",
+        }:
+            mode = self.next().value.lower()
+        inner = self._parse_statement_inner()
+        if isinstance(inner, ast.ExplainQuery):
+            self.error("nested EXPLAIN")
+        return ast.ExplainQuery(statement=inner, mode=mode,
+                                profile=profile)
 
     def parse_call(self) -> ast.CallProcedure:
         """CALL dotted.name(arg, ...) [YIELD col [AS a], ...]

@@ -175,6 +175,13 @@ class GraphSession:
         self, cypher: str, params: Optional[dict] = None
     ) -> DataFrame:
         stmt = parse(cypher)
+        return self._execute_stmt(stmt, params)
+
+    def _execute_stmt(
+        self, stmt: ast.Statement, params: Optional[dict] = None
+    ) -> DataFrame:
+        if isinstance(stmt, ast.ExplainQuery):
+            return self._explain_stmt(stmt, params)
         if isinstance(stmt, ast.ReadQuery):
             kwargs = {}
             if self.max_var_hops is not None:
@@ -212,18 +219,48 @@ class GraphSession:
             )
         raise UnsupportedError(f"unsupported statement {type(stmt).__name__}")
 
-    def explain(self, cypher: str, mode: str = "formatted") -> None:
-        self.execute(cypher).explain(mode)
+    def _explain_stmt(
+        self, stmt: ast.ExplainQuery, params: Optional[dict]
+    ) -> DataFrame:
+        """``EXPLAIN <stmt>`` -> one row (column ``plan``) holding the
+        plan string for the requested mode (``formatted`` default;
+        ``cost`` = optimized logical plan with statistics). ``PROFILE
+        <stmt>`` additionally RUNS the query and returns the
+        plan-summary counters + row count + wall time as one row.
+        Rides the normal execute() path, so the server's output
+        formats and the REPL render it like any result."""
+        inner = stmt.statement
+        if not isinstance(inner, (ast.ReadQuery, ast.CallProcedure)):
+            raise UnsupportedError(
+                "EXPLAIN/PROFILE supports read queries and CALL "
+                "procedures (DDL/write statements have no Spark plan "
+                "until applied)")
+        df = self._execute_stmt(inner, params)
+        if stmt.profile:
+            import time
 
-    def profile(self, cypher: str, params: Optional[dict] = None) -> dict:
-        """Compile (not run) a query and summarize its physical plan —
-        the numbers a user tunes against: scans, joins, exchanges
-        (shuffles/broadcasts), explode-expansions, Python stages (should
-        be 0 on the Cypher path), plus the full plan text."""
+            t0 = time.time()
+            n_rows = df.count()
+            elapsed = round(time.time() - t0, 3)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            c = self._plan_counters(plan)
+            return self.spark.createDataFrame(
+                [(c["scans"], c["joins"], c["shuffle_exchanges"],
+                  c["broadcast_exchanges"], c["explodes"],
+                  c["python_stages"], n_rows, elapsed)],
+                "scans int, joins int, shuffle_exchanges int, "
+                "broadcast_exchanges int, explodes int, "
+                "python_stages int, rows bigint, elapsed_s double",
+            )
+        text = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), stmt.mode
+        )
+        return self.spark.createDataFrame([(text,)], "plan string")
+
+    @staticmethod
+    def _plan_counters(plan: str) -> dict:
         import re
 
-        df = self.execute(cypher, params)
-        plan = df._jdf.queryExecution().executedPlan().toString()
         return {
             "scans": len(re.findall(r"Scan parquet|InMemoryTableScan|"
                                     r"Scan ExistingRDD|Scan csv|Scan json",
@@ -234,8 +271,19 @@ class GraphSession:
             "broadcast_exchanges": plan.count("BroadcastExchange"),
             "explodes": plan.count("Generate explode"),
             "python_stages": plan.count("EvalPython"),
-            "plan": plan,
         }
+
+    def explain(self, cypher: str, mode: str = "formatted") -> None:
+        self.execute(cypher).explain(mode)
+
+    def profile(self, cypher: str, params: Optional[dict] = None) -> dict:
+        """Compile (not run) a query and summarize its physical plan —
+        the numbers a user tunes against: scans, joins, exchanges
+        (shuffles/broadcasts), explode-expansions, Python stages (should
+        be 0 on the Cypher path), plus the full plan text."""
+        df = self.execute(cypher, params)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return {**self._plan_counters(plan), "plan": plan}
 
     def sql(self, query: str) -> DataFrame:
         """Escape hatch: plain Spark SQL over registered tables."""

@@ -552,3 +552,37 @@ class TestListComprehensions:
             duck.sql("""SELECT c_custkey AS k, round(4.0 * c_acctbal, 2) AS s
                         FROM customer WHERE c_custkey <= 10"""),
         )
+
+
+class TestExplainStatement:
+    def test_explain_returns_plan_row(self, tpch):
+        rows = tpch.execute(
+            "EXPLAIN MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "RETURN c.c_name AS n, count(*) AS cnt").collect()
+        assert len(rows) == 1
+        assert "Physical Plan" in rows[0]["plan"]
+        assert "Scan" in rows[0]["plan"]
+
+    def test_explain_cost_has_statistics(self, tpch):
+        rows = tpch.execute(
+            "EXPLAIN COST MATCH (r:Region) RETURN r.r_name AS n"
+        ).collect()
+        assert "Statistics" in rows[0]["plan"]
+
+    def test_profile_runs_and_counts(self, tpch):
+        row = tpch.execute(
+            "PROFILE MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "RETURN c.c_name AS name, count(*) AS n").collect()[0]
+        assert row["rows"] > 1
+        assert row["joins"] >= 1
+        assert row["python_stages"] == 0
+        assert row["elapsed_s"] >= 0
+
+    def test_explain_ddl_rejected(self, tpch):
+        import pytest
+
+        from brahmand_spark.errors import UnsupportedError
+
+        with pytest.raises(UnsupportedError, match="EXPLAIN"):
+            tpch.execute(
+                "EXPLAIN CREATE NODE TABLE X (id INT, PRIMARY KEY(id))")

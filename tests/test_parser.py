@@ -327,3 +327,38 @@ class TestListComprehensions:
         e = rq("MATCH (a:P) WHERE all(x IN [1] WHERE x = 1) RETURN a.name") \
             .parts[0].where
         assert isinstance(e, ast.Quantifier)
+
+
+class TestExplain:
+    def test_explain_wraps_read_query(self):
+        s = parse("EXPLAIN MATCH (a:P) RETURN a.name AS n")
+        assert isinstance(s, ast.ExplainQuery)
+        assert s.mode == "formatted" and not s.profile
+        assert isinstance(s.statement, ast.ReadQuery)
+
+    def test_explain_modes(self):
+        for mode in ("COST", "FORMATTED", "EXTENDED", "CODEGEN"):
+            s = parse(f"EXPLAIN {mode} MATCH (a:P) RETURN a.name AS n")
+            assert s.mode == mode.lower()
+
+    def test_profile(self):
+        s = parse("PROFILE MATCH (a:P) RETURN a.name AS n")
+        assert isinstance(s, ast.ExplainQuery) and s.profile
+
+    def test_explain_call(self):
+        s = parse("EXPLAIN CALL graph.pagerank('R', 3) YIELD id, rank")
+        assert isinstance(s.statement, ast.CallProcedure)
+
+    def test_cost_stays_usable_as_identifier(self):
+        # `cost` is NOT a reserved word: a property named cost parses
+        q = parse("MATCH (a:P) WHERE a.cost > 1 RETURN a.cost AS cost")
+        assert isinstance(q, ast.ReadQuery)
+
+    def test_nested_explain_rejected(self):
+        with pytest.raises(ParseError, match="nested"):
+            parse("EXPLAIN EXPLAIN MATCH (a:P) RETURN a.name AS n")
+
+    def test_explain_write_parses_but_session_rejects(self):
+        s = parse("EXPLAIN MATCH (a:P) SET a.x = 1")
+        assert isinstance(s, ast.ExplainQuery)
+        assert isinstance(s.statement, ast.WriteQuery)

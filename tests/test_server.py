@@ -84,3 +84,22 @@ class TestServer:
         })
         assert status == 200
         assert json.loads(body.strip()) == {"n": 1}
+
+    def test_explain_statement(self, server):
+        status, body = post(server, {
+            "query": ("EXPLAIN MATCH (c:Customer)-[:PLACED]->(o:Order) "
+                      "RETURN c.c_name AS n, count(*) AS cnt"),
+        })
+        assert status == 200
+        row = json.loads(body.strip().splitlines()[0])
+        assert "Physical Plan" in row["plan"]
+
+    def test_profile_statement(self, server):
+        status, body = post(server, {
+            "query": "PROFILE MATCH (r:Region) RETURN count(*) AS n",
+        })
+        assert status == 200
+        row = json.loads(body.strip().splitlines()[0])
+        assert row["rows"] == 1
+        assert row["python_stages"] == 0
+        assert row["elapsed_s"] >= 0

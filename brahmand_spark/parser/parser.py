@@ -75,6 +75,7 @@ class Parser:
         if tok.kind == "KEYWORD" and tok.value in {
             "NODE", "REL", "TABLE", "KEY", "FROM", "TO", "ALL", "END",
             "ORDER", "BY", "SKIP", "LIMIT", "SET", "DEFAULT", "CASE",
+            "EXPLAIN", "PROFILE",
         }:
             # Soft keywords: usable as labels/aliases where an identifier
             # is demanded (e.g. a node label named `Order`). Original

@@ -151,6 +151,63 @@ def _p_corpus_histogram(session, label, column, bins=20):
                              column, bins=int(bins))
 
 
+def _p_corpus_dedup_minhash(session, label, threshold=0.7,
+                            id_col="doc_id", text_col="text",
+                            num_hashes=64, bands=16):
+    """Near-duplicate candidate pairs over a catalog table via MinHash
+    LSH banding (ops/dedup.minhash_lsh_candidates): (id_a, id_b,
+    est_jaccard) with est_jaccard >= threshold."""
+    from .ops.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        session._load_for_label(label), id_col, text_col,
+        num_hashes=int(num_hashes), bands=int(bands),
+    ).filter(F.col("est_jaccard") >= float(threshold))
+
+
+def _p_corpus_semdedup(session, label, threshold=0.95, k=8,
+                       id_col="vec_id", vec_col="embedding"):
+    """SemDeDup decision per vector of a catalog embedding table
+    (ops/semdedup.semdedup): (id, cluster, keep)."""
+    from .ops.semdedup import semdedup
+
+    return semdedup(session._load_for_label(label), k=int(k),
+                    threshold=float(threshold), id_col=id_col,
+                    vec_col=vec_col)
+
+
+def _p_corpus_bm25(session, label, query, k=20,
+                   id_col="doc_id", text_col="text"):
+    """BM25 top-k over a catalog document table (ops/search.bm25_topk);
+    ``query`` is a whitespace-separated term string or a term list."""
+    from .ops.search import bm25_topk
+
+    terms = query.split() if isinstance(query, str) else [
+        str(t) for t in query]
+    return bm25_topk(session._load_for_label(label), terms, k=int(k),
+                     text_col=text_col, id_col=id_col)
+
+
+def _p_corpus_curate(session, label, languages="en", min_quality=0.3,
+                     est_threshold=0.7, id_col="doc_id",
+                     text_col="text"):
+    """End-to-end curation (ops/pipeline.curate: language -> quality ->
+    exact dedup -> transitive near-dedup -> split) of a catalog
+    document table; returns the surviving documents with their
+    ``split`` column."""
+    from .ops.pipeline import curate
+
+    langs = (languages,) if isinstance(languages, str) else tuple(
+        str(x) for x in languages)
+    out, _ = curate(
+        session._load_for_label(label), id_col=id_col,
+        text_col=text_col, languages=langs,
+        min_quality=float(min_quality),
+        est_threshold=float(est_threshold),
+    )
+    return out
+
+
 def _p_db_labels(session):
     """Catalog introspection: one row per node label (metadata-sized
     driver DataFrame, like Neo4j's db.labels)."""
@@ -180,6 +237,10 @@ PROCEDURES: dict[str, Callable] = {
     "db.relationships": _p_db_relationships,
     "corpus.profile": _p_corpus_profile,
     "corpus.histogram": _p_corpus_histogram,
+    "corpus.dedup_minhash": _p_corpus_dedup_minhash,
+    "corpus.semdedup": _p_corpus_semdedup,
+    "corpus.bm25": _p_corpus_bm25,
+    "corpus.curate": _p_corpus_curate,
     "graph.pagerank": _p_pagerank,
     "graph.wcc": _p_wcc,
     "graph.scc": _p_scc,

@@ -150,3 +150,70 @@ def test_personalized_pagerank_via_call(tpch):
     want = pagerank(edges, iterations=5, sources=seeds)
     assert sorted(map(tuple, got.collect())) \
         == sorted(map(tuple, want.collect()))
+
+
+class TestCorpusPipelineProcedures:
+    """The LLM-pipeline flagship operators reachable from Cypher:
+    CALL corpus.{dedup_minhash,semdedup,bm25,curate} dispatch onto the
+    existing ops, so a Cypher-first user gets the pipeline half of the
+    engine from the query language. Parity with direct calls + the
+    existing DuckDB oracles through the full CALL pipeline."""
+
+    def test_bm25_via_call_vs_duckdb_oracle(self, tpch, duck):
+        from brahmand_spark.ops.search import bm25_oracle_sql
+
+        got = tpch.execute(
+            "CALL corpus.bm25('Document', 'spark join vector', 20)")
+        assert_same(got, duck.sql(
+            bm25_oracle_sql(["spark", "join", "vector"], k=20)))
+
+    def test_bm25_term_list_and_pipeline_tail(self, tpch):
+        a = tpch.execute(
+            "CALL corpus.bm25('Document', ['spark', 'join'], 10) "
+            "YIELD doc_id, bm25 WHERE bm25 > 0 "
+            "ORDER BY bm25 DESC, doc_id LIMIT 5")
+        assert 0 < a.count() <= 5
+
+    def test_dedup_minhash_via_call_matches_direct(self, tpch):
+        from brahmand_spark.ops.dedup import minhash_lsh_candidates
+        from pyspark.sql import functions as F
+
+        got = tpch.execute(
+            "CALL corpus.dedup_minhash('Document', 0.5)")
+        direct = minhash_lsh_candidates(
+            tpch.tables["Document"], "doc_id", "text",
+            num_hashes=64, bands=16,
+        ).filter(F.col("est_jaccard") >= 0.5)
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, direct.collect()))
+
+    def test_semdedup_via_call_matches_direct(self, tpch):
+        from brahmand_spark.ops.semdedup import semdedup
+
+        got = tpch.execute(
+            "CALL corpus.semdedup('Embedding', 0.4, 4) "
+            "YIELD vec_id, keep")
+        direct = semdedup(tpch.tables["Embedding"], k=4,
+                          threshold=0.4).select("vec_id", "keep")
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, direct.collect()))
+        # the threshold actually drops something at 0.4
+        assert got.filter("NOT keep").count() > 0
+
+    def test_curate_via_call_matches_direct(self, tpch):
+        from brahmand_spark.ops.pipeline import curate
+
+        got = tpch.execute(
+            "CALL corpus.curate('Document', ['en', 'de', 'es', 'fr'], "
+            "0.1) YIELD doc_id, split")
+        direct, _ = curate(
+            tpch.tables["Document"],
+            languages=("en", "de", "es", "fr"), min_quality=0.1)
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple,
+                          direct.select("doc_id", "split").collect()))
+
+    def test_unknown_label_error(self, tpch):
+        with pytest.raises(Exception, match="unknown label"):
+            tpch.execute(
+                "CALL corpus.bm25('Nope', 'spark', 5)").collect()

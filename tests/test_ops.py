@@ -762,3 +762,103 @@ class TestStripBoilerplate:
         from .helpers import assert_same
 
         assert_same(got, want)
+
+
+def _jpeg_bytes(w, h, progressive=False):
+    """Minimal JPEG header stream: SOI + APP0 + DHT (must be skipped by
+    the SOF walk) + SOF0/SOF2 with the given dimensions + EOI."""
+    import struct
+
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + b"\x01\x01\x00" + b"\x00\x48\x00\x48" + b"\x00\x00")
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + b"abc"
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = (sof_marker + struct.pack(">HBHHB", 11, 8, h, w, 1)
+           + b"\x01\x11\x00")
+    return b"\xff\xd8" + app0 + dht + sof + b"\xff\xd9"
+
+
+def _wav_bytes(sr, ch, bits, n_samples):
+    import struct
+
+    data = b"\x00" * (n_samples * ch * bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * bits // 8,
+                      ch * bits // 8, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+class TestMediaMetadata:
+    """extract_media_metadata: header-only JPEG/WAV/PNG/GIF metadata
+    via stdlib byte-slicing in mapInPandas, oracle-checked against
+    DuckDB arithmetic over the same id formulas the payloads were
+    crafted from."""
+
+    def test_jpeg_sof_dimensions_vs_oracle(self, spark, duck):
+        from brahmand_spark.ops.multimodal import extract_media_metadata
+
+        rows = [(i, bytearray(_jpeg_bytes(100 + i % 50, 80 + i % 30,
+                                          progressive=(i % 3 == 0))))
+                for i in range(1, 31)]
+        df = spark.createDataFrame(rows, "id long, content binary")
+        got = extract_media_metadata(df).select("id", "format",
+                                                "width", "height")
+        assert_same(got, duck.sql("""
+            SELECT range::BIGINT AS id, 'jpeg' AS format,
+                   (100 + range % 50)::INT AS width,
+                   (80 + range % 30)::INT AS height
+            FROM range(1, 31)"""))
+
+    def test_wav_header_vs_oracle(self, spark, duck):
+        from brahmand_spark.ops.multimodal import extract_media_metadata
+
+        rows = [(i, bytearray(_wav_bytes(8000 + (i % 4) * 4000,
+                                         1 + i % 2, 16, 100 + 10 * i)))
+                for i in range(1, 25)]
+        df = spark.createDataFrame(rows, "id long, content binary")
+        got = extract_media_metadata(df).select(
+            "id", "format", "sample_rate", "channels",
+            "bits_per_sample", F.round("duration_s", 6).alias("dur"))
+        assert_same(got, duck.sql("""
+            SELECT range::BIGINT AS id, 'wav' AS format,
+                   (8000 + (range % 4) * 4000)::INT AS sample_rate,
+                   (1 + range % 2)::INT AS channels,
+                   16::INT AS bits_per_sample,
+                   round((100 + 10 * range)
+                         / (8000.0 + (range % 4) * 4000), 6) AS dur
+            FROM range(1, 25)"""))
+
+    def test_png_gif_dims_and_corrupt_payloads(self, spark):
+        from brahmand_spark.ops.multimodal import extract_media_metadata
+
+        import numpy as np
+
+        png = _encode_png(np.zeros((4, 6), dtype="uint8"))
+        gif = (b"GIF89a" + (7).to_bytes(2, "little")
+               + (5).to_bytes(2, "little") + b"\x00" * 5)
+        rows = [
+            (1, bytearray(png)),
+            (2, bytearray(gif)),
+            (3, bytearray(b"\xff\xd8\xff\xe0trunc")),  # jpeg, no SOF
+            (4, bytearray(b"RIFF\x04\x00\x00\x00WAVE")),  # wav, no fmt
+            (5, bytearray(b"????")),
+        ]
+        df = spark.createDataFrame(rows, "id long, content binary")
+        out = {r.id: r for r in extract_media_metadata(df).collect()}
+        assert (out[1].format, out[1].width, out[1].height) == ("png", 6, 4)
+        assert (out[2].format, out[2].width, out[2].height) == ("gif", 7, 5)
+        assert out[3].format == "jpeg" and out[3].width is None
+        assert out[4].format == "wav" and out[4].sample_rate is None
+        assert out[5].format == "unknown" and out[5].width is None
+
+    def test_wav_magic_in_jvm_sniff(self, spark):
+        from brahmand_spark.ops.multimodal import attach_image_metadata
+
+        df = spark.createDataFrame(
+            [(1, bytearray(_wav_bytes(8000, 1, 16, 10))),
+             (2, bytearray(b"RIFFxxxxAVI "))],
+            "id long, content binary")
+        out = {r.id: r.format
+               for r in attach_image_metadata(df).collect()}
+        assert out == {1: "wav", 2: "unknown"}

@@ -63,6 +63,62 @@ def semdedup_pairs(
         ivf_cell(F.col("v"), centroids).alias("cluster"),
         norm(F.col("v"), dim).alias("nrm"),
     )
+    return _pairs_from_labeled(v, threshold, dim)
+
+
+def semdedup_labels(
+    df: DataFrame, k: int = 8, iters: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    max_cluster_size: int = 10_000, max_depth: int = 3,
+    _prefix: str = "", _depth: int = 0,
+) -> DataFrame:
+    """Hierarchical cluster labels with a size cap — the "second-level
+    k-means inside the hot cluster" escape hatch made real. Fit +
+    assign as usual, then any cluster larger than ``max_cluster_size``
+    is re-clustered by a fresh k-means ON ITS MEMBERS ONLY, recursively
+    up to ``max_depth`` levels; labels are dotted paths ('3', '3.1',
+    '3.1.0', ...). Guarantees every leaf is <= max_cluster_size unless
+    the depth cap (or an unsplittable point mass) stops the recursion —
+    so the downstream O(leaf^2) pair join is bounded no matter how
+    skewed the embedding space is.
+
+    Driver state per level: <= k (cluster, count) rows + the k x dim
+    centroid refreshes of the fits. Deterministic: lowest-id k-means
+    init, and membership subsets are pure functions of the data. At
+    100 TB, localCheckpoint the input per level if lineage depth ever
+    bites; the recursion itself only ever scans the hot subset."""
+    sub_k = min(k, max(2, max_cluster_size))
+    centroids = kmeans_fit(df, sub_k, iters, id_col, vec_col)
+    assigned = kmeans_assign(df, centroids, id_col, vec_col) \
+        .select(id_col, "cluster")
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    hot = sorted(
+        c for c, n in sizes.items()
+        if n > max_cluster_size and _depth + 1 < max_depth and n > sub_k)
+    label = F.concat(
+        F.lit(_prefix), F.col("cluster").cast("string")).alias("cluster")
+    out = assigned.filter(~F.col("cluster").isin(hot)) \
+        .select(id_col, label)
+    for c in hot:
+        members = assigned.filter(F.col("cluster") == c).select(id_col)
+        sub = semdedup_labels(
+            df.join(members, id_col, "leftsemi"), k, iters, id_col,
+            vec_col, max_cluster_size, max_depth,
+            _prefix=f"{_prefix}{c}.", _depth=_depth + 1,
+        )
+        out = out.unionByName(sub)
+    return out
+
+
+def _pairs_from_labeled(
+    v: DataFrame, threshold: float, dim: int | None,
+) -> DataFrame:
+    """Near-dup pairs from an already-labeled (id, v, cluster, nrm)
+    view — the one cluster-keyed shuffle."""
     a, b = v.alias("a"), v.alias("b")
     cos = F.round(
         dot(F.col("a.v"), F.col("b.v"), dim)
@@ -85,12 +141,41 @@ def semdedup(
     df: DataFrame, k: int = 8, iters: int = 3,
     threshold: float = 0.95, id_col: str = "vec_id",
     vec_col: str = "embedding", dim: int | None = None,
+    max_cluster_size: int | None = None, max_depth: int = 3,
 ) -> DataFrame:
     """Full SemDeDup decision per vector: (id_col, cluster, keep).
     ``keep`` is false iff some lower-id vector in the same cluster has
     cosine >= threshold. At scale, fit once (persist the centroids)
     and re-run the decision incrementally on arriving data with
-    ``semdedup_pairs`` against the stored centroids."""
+    ``semdedup_pairs`` against the stored centroids.
+
+    ``max_cluster_size`` switches on the recursive hot-cluster split
+    (``semdedup_labels``): clusters over the cap are re-clustered
+    within themselves up to ``max_depth`` levels, so the per-cluster
+    quadratic pair join stays bounded under embedding skew. The
+    cluster column is then a dotted hierarchical STRING label instead
+    of an int."""
+    if max_cluster_size is not None:
+        labels = semdedup_labels(df, k, iters, id_col, vec_col,
+                                 max_cluster_size, max_depth)
+        v = df.select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        ).join(labels.withColumnRenamed(id_col, "id"), "id") \
+            .select("id", "v", "cluster", norm(F.col("v"), dim).alias("nrm"))
+        dropped = (
+            _pairs_from_labeled(v, threshold, dim)
+            .select(F.col("id_b").alias("_dropped_id")).distinct()
+        )
+        return (
+            labels.join(
+                dropped, labels[id_col] == dropped["_dropped_id"], "left"
+            )
+            .select(
+                id_col, "cluster",
+                F.col("_dropped_id").isNull().alias("keep"),
+            )
+        )
     centroids = kmeans_fit(df, k, iters, id_col, vec_col)
     dropped = (
         semdedup_pairs(df, centroids, threshold, id_col, vec_col, dim)

@@ -98,3 +98,72 @@ class TestSemDeDup:
         join_lines = [ln for ln in plan.splitlines()
                       if "Join" in ln and "cluster" in ln]
         assert join_lines, plan
+
+
+class TestRecursiveSplit:
+    """semdedup(max_cluster_size=...): the hot-cluster escape hatch —
+    a skewed fixture where one giant cluster triggers the recursive
+    within-cluster k-means split; leaf sizes (and so the quadratic
+    pair work) stay bounded, determinism is preserved, and the split
+    decision only ever REMOVES more pairs' worth of comparisons, not
+    documents."""
+
+    def _skewed(self, dim=6, seed=5):
+        rng = np.random.RandomState(seed)
+        # one giant tight-ish blob (160 vecs) + two small far blobs
+        giant = rng.randn(160, dim) * 2.0 + 20.0
+        small_a = rng.randn(20, dim) - 20.0
+        small_b = rng.randn(20, dim)
+        small_b[:, 0] += 60.0
+        return np.vstack([giant, small_a, small_b])
+
+    def test_giant_cluster_splits_and_leaves_bounded(self, spark):
+        from brahmand_spark.ops.semdedup import semdedup_labels
+
+        X = self._skewed()
+        labels = semdedup_labels(
+            _vec_df(spark, X), k=4, iters=3,
+            max_cluster_size=50, max_depth=4).collect()
+        assert len(labels) == len(X)
+        by_label = {}
+        for r in labels:
+            by_label.setdefault(r["cluster"], []).append(r["vec_id"])
+        # the giant blob forced at least one dotted (split) label
+        assert any("." in lab for lab in by_label)
+        # every leaf respects the cap
+        assert max(len(v) for v in by_label.values()) <= 50
+        # quadratic pair bound: sum of leaf^2 far below the giant^2
+        assert sum(len(v) ** 2 for v in by_label.values()) < 160 ** 2 / 2
+
+    def test_depth_cap_stops_recursion(self, spark):
+        from brahmand_spark.ops.semdedup import semdedup_labels
+
+        X = self._skewed()
+        labels = semdedup_labels(
+            _vec_df(spark, X), k=4, iters=3,
+            max_cluster_size=50, max_depth=1).collect()
+        # depth 1 = plain assignment, no dotted labels
+        assert all("." not in r["cluster"] for r in labels)
+
+    def test_split_decision_deterministic_and_total(self, spark):
+        X = self._skewed()
+        a = semdedup(_vec_df(spark, X), k=4, threshold=0.995,
+                     max_cluster_size=50).collect()
+        b = semdedup(_vec_df(spark, X).repartition(7), k=4,
+                     threshold=0.995, max_cluster_size=50).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len(a) == len(X)
+        # keep-first still holds within every leaf: the smallest id of
+        # each leaf cluster is always kept
+        first = {}
+        for r in sorted(a, key=lambda r: r["vec_id"]):
+            if r["cluster"] not in first:
+                first[r["cluster"]] = r
+        assert all(r["keep"] for r in first.values())
+
+    def test_unskewed_data_never_splits(self, spark):
+        rng = np.random.RandomState(3)
+        X = np.vstack([rng.randn(20, 6) + off for off in (0, 30, -30)])
+        labels = semdedup(_vec_df(spark, X), k=3, threshold=0.9,
+                          max_cluster_size=40).collect()
+        assert all("." not in r["cluster"] for r in labels)

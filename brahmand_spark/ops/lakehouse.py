@@ -1,0 +1,128 @@
+"""Optional lakehouse (Delta/Iceberg) landing for the layout and
+upsert operators — the table-format half of the 100 TB story.
+
+Everything in this repo proves its layout benefits on plain parquet
+(`ops/layout.zorder_layout`, `ops/buckets`); production corpora land
+in a transactional table format instead, where the SAME DataFrames
+feed ``df.write.format('delta'|'iceberg')`` and the Cypher MERGE
+upsert maps onto ``MERGE INTO``. Those runtimes are optional
+dependencies, so every entry point here is gated by an availability
+check with a clear error — plain-parquet behavior is unchanged and
+fully functional without them.
+
+- ``format_available(spark, fmt)``: can this session write ``fmt``?
+  Spark-native file formats are always true; 'delta' needs the
+  delta-spark package, 'iceberg' the Iceberg runtime extension.
+- ``write_table(df, path, format=..., zorder=[...])``: one writer for
+  all formats with an optional Z-order layout pass (the
+  ``OPTIMIZE ZORDER BY`` effect applied at write time — works for
+  parquet too, where it becomes file-level min/max skipping).
+- ``merge_into_statement(...)``: the ``MERGE INTO`` SQL equivalent of
+  writes.py's anti-join upsert (null-safe key equality, insert-if-
+  absent, optional matched-update) — a pure renderer, testable with
+  no lakehouse runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import UnsupportedError
+
+_NATIVE = {"parquet", "orc", "csv", "json"}
+
+
+def format_available(spark: SparkSession, fmt: str) -> bool:
+    """True iff this session can write ``fmt``. Delta requires the
+    delta-spark package; Iceberg the runtime extension on the
+    session's spark.sql.extensions."""
+    fmt = fmt.lower()
+    if fmt in _NATIVE:
+        return True
+    ext = ""
+    try:
+        ext = spark.conf.get("spark.sql.extensions") or ""
+    except Exception:
+        pass
+    if fmt == "delta":
+        import importlib.util
+
+        return (importlib.util.find_spec("delta") is not None
+                or "DeltaSparkSessionExtension" in ext)
+    if fmt == "iceberg":
+        return "IcebergSparkSessionExtensions" in ext
+    return False
+
+
+def write_table(
+    df: DataFrame, path: str, format: str = "parquet",
+    mode: str = "overwrite", zorder: list[str] | None = None,
+    n_files: int = 64, partition_by: list[str] | None = None,
+) -> None:
+    """Write ``df`` to ``path`` in the requested table format, with an
+    optional Z-order layout pass first (``ops/layout.zorder_layout`` —
+    contiguous Morton ranges per file, so every z-column's per-file
+    min/max stats are tight; on Delta/Iceberg this is the write-time
+    equivalent of ``OPTIMIZE ZORDER BY``). Raises UnsupportedError
+    with install guidance when the format's runtime is absent —
+    parquet always works."""
+    if not format_available(df.sparkSession, format):
+        raise UnsupportedError(
+            f"table format '{format}' is not available in this Spark "
+            "session — install the delta-spark package (Delta) or add "
+            "the Iceberg runtime jar + SparkSessionExtensions "
+            "(Iceberg); plain 'parquet' works everywhere")
+    if zorder:
+        from .layout import zorder_layout
+
+        df = zorder_layout(df, zorder, n_files=n_files)
+    writer = df.write.format(format.lower()).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def merge_into_statement(
+    target_table: str, columns: list[str], key_cols: list[str],
+    source_view: str = "__merge_src",
+    update_cols: list[str] | None = None,
+) -> str:
+    """Render the ``MERGE INTO`` equivalent of writes.py's anti-join
+    upsert: null-safe equality on the key columns, INSERT of all
+    columns when not matched, and (optionally) UPDATE of
+    ``update_cols`` when matched — the statement a Delta/Iceberg
+    deployment runs instead of the snapshot-union."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    missing = [k for k in key_cols if k not in columns]
+    if missing:
+        raise ValueError(f"key columns {missing} not in columns")
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in key_cols)
+    cols = ", ".join(columns)
+    vals = ", ".join(f"s.{c}" for c in columns)
+    sql = (f"MERGE INTO {target_table} t USING {source_view} s"
+           f" ON {on}")
+    if update_cols:
+        sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
+        sql += f" WHEN MATCHED THEN UPDATE SET {sets}"
+    sql += f" WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    return sql
+
+
+def merge_into(
+    spark: SparkSession, target_table: str, source: DataFrame,
+    key_cols: list[str], update_cols: list[str] | None = None,
+    format: str = "delta",
+) -> None:
+    """Execute the rendered MERGE INTO against a lakehouse table.
+    Availability-gated: raises UnsupportedError when no MERGE-capable
+    runtime is on the session."""
+    if not format_available(spark, format):
+        raise UnsupportedError(
+            f"MERGE INTO needs a '{format}' runtime on this session; "
+            "the portable upsert path (writes.py anti-join append) "
+            "keeps working without it")
+    source.createOrReplaceTempView("__merge_src")
+    spark.sql(merge_into_statement(
+        target_table, source.columns, key_cols,
+        update_cols=update_cols))

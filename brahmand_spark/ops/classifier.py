@@ -1,0 +1,174 @@
+"""Learned quality classifier: distributed logistic regression over
+hashed bag-of-words features — the fastText-recipe quality filter of
+the CCNet / GPT-3 / LLaMA data pipelines (Wenzek et al. 2020 trains a
+linear model on reference-vs-crawl text; Brown et al. 2020 §A filters
+Common Crawl with exactly this classifier shape), as a pure
+DataFrame-native trainer.
+
+Why not MLlib: the goal here is an ENGINE-REPLAYABLE trainer — every
+arithmetic step is either an integer sum (order-independent, safe to
+shuffle) or a basic IEEE-754 op (+,-,*,/,abs — bit-identical across
+the JVM, DuckDB, and Python), so the trained weights and scores are a
+pure function of the data, testable against a pure-Python and a
+DuckDB chained-CTE replay. That rules out transcendental sigmoids
+(Java/C libm differ in ulps); we use the algebraic "fast sigmoid"
+``s(m) = 0.5 * (1 + m / (1 + |m|))`` — same monotone S-shape, exact
+everywhere.
+
+Spark shape, per epoch (``epochs`` is fixed — no convergence test, so
+the computation is deterministic):
+
+1. margins: the (doc, feature-index) pairs join the <= dim+1-row
+   weight table (broadcast — it is kilobytes) and sum the integer
+   micro-unit weights per doc: ONE map-side-combinable shuffle;
+2. per-doc error ``floor((s(m) - y) * 1e6)`` — narrow row-local
+   arithmetic;
+3. gradient: errors join back onto the pairs and sum per feature
+   index: the second shuffle, reduce side bounded by ``dim``;
+4. the <= dim+1-row gradient lands on the driver and updates the
+   weight vector — the ONLY driver state, exactly like k-means'
+   centroid refresh.
+
+Features are binary presence of md5-hashed lowercased whitespace
+tokens (``idx = md5_60(token) % dim``) plus a constant bias index —
+portable, so every replay derives identical indices. At 100 TB the
+corpus-sized costs are the two shuffles per epoch; weights stay
+broadcastable for any practical ``dim``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import md5_hash60, tokens
+
+MICRO = 1_000_000
+
+
+def hashed_token_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    dim: int = 4096,
+) -> DataFrame:
+    """Distinct hashed-token feature indices per document (binary
+    bag-of-words), plus the constant bias index ``dim``. Output:
+    (id_col, idx). Narrow explode + per-doc distinct."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
+    ).select(
+        id_col, (md5_hash60(F.col("_t")) % dim).cast("int").alias("idx")
+    ).distinct()
+    bias = df.select(id_col, F.lit(dim).cast("int").alias("idx"))
+    return tok.unionByName(bias)
+
+
+def fast_sigmoid(m):
+    """Algebraic squashing ``0.5 * (1 + m / (1 + |m|))`` — maps R to
+    (0, 1), monotone, s(0)=0.5; only +,*,/,abs, so it is bit-identical
+    on the JVM, DuckDB, and Python."""
+    return 0.5 * (1.0 + m / (1.0 + F.abs(m))) if isinstance(m, Column) \
+        else 0.5 * (1.0 + m / (1.0 + abs(m)))
+
+
+def train_text_classifier(
+    positive: DataFrame, negative: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", dim: int = 4096, epochs: int = 8,
+    lr: float = 4.0,
+) -> list[int]:
+    """Train the reference-vs-corpus quality model: ``positive`` is
+    the high-quality reference sample (label 1), ``negative`` the
+    corpus sample (label 0). Returns the weight vector as ``dim + 1``
+    integer micro-units (last entry = bias), a pure deterministic
+    function of the inputs. Gradient-descent step per epoch:
+    ``w -= floor(lr/N * sum_docs(err_micro))`` with err in integer
+    micro-units — the per-feature sum is the only cross-row float-free
+    reduction, so partitioning never changes the result."""
+    spark = positive.sparkSession
+    pos = positive.select(F.col(id_col), F.col(text_col)) \
+        .withColumn("_y", F.lit(1.0))
+    neg = negative.select(F.col(id_col), F.col(text_col)) \
+        .withColumn("_y", F.lit(0.0))
+    # disjoint doc keys across the two classes
+    docs = pos.withColumn("_k", F.concat(F.lit("p"), F.col(id_col))) \
+        .unionByName(
+            neg.withColumn("_k", F.concat(F.lit("n"), F.col(id_col))))
+    feats = hashed_token_features(
+        docs, text_col, "_k", dim).localCheckpoint(eager=True)
+    labels = docs.select("_k", "_y").localCheckpoint(eager=True)
+    n_docs = labels.count()
+    scale = lr / n_docs  # one double literal, shared with replays
+    w = [0] * (dim + 1)
+    for _ in range(epochs):
+        wdf = spark.createDataFrame(
+            [(i, wi) for i, wi in enumerate(w) if wi != 0] or [(0, 0)],
+            "idx int, w bigint",
+        )
+        margins = (
+            feats.join(F.broadcast(wdf), "idx", "left")
+            .groupBy("_k")
+            .agg((F.sum(F.coalesce("w", F.lit(0)))
+                  / F.lit(float(MICRO))).alias("_m"))
+        )
+        err = labels.join(margins, "_k").select(
+            "_k",
+            F.floor((fast_sigmoid(F.col("_m")) - F.col("_y"))
+                    * MICRO).cast("bigint").alias("_e"),
+        )
+        grad = (
+            feats.join(err, "_k")
+            .groupBy("idx").agg(F.sum("_e").alias("_g"))
+            .collect()
+        )
+        for r in grad:
+            w[r["idx"]] -= int(_floor(scale * r["_g"]))
+    return w
+
+
+def _floor(x: float) -> int:
+    import math
+
+    return int(math.floor(x))
+
+
+def classifier_score(
+    df: DataFrame, weights_micro: list[int], text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under a trained weight vector: (id_col, score)
+    with score = fast_sigmoid(margin) in (0, 1) — higher means more
+    reference-like. Weights ride as a broadcast <= dim+1-row table;
+    docs with no tokens still score (bias only). Total over input
+    ids."""
+    dim = len(weights_micro) - 1
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(i, wi) for i, wi in enumerate(weights_micro) if wi != 0]
+        or [(0, 0)],
+        "idx int, w bigint",
+    )
+    feats = hashed_token_features(df, text_col, id_col, dim)
+    return (
+        feats.join(F.broadcast(wdf), "idx", "left")
+        .groupBy(id_col)
+        .agg((F.sum(F.coalesce("w", F.lit(0)))
+              / F.lit(float(MICRO))).alias("_m"))
+        .select(
+            id_col,
+            F.round(fast_sigmoid(F.col("_m")), 6).alias("score"),
+        )
+    )
+
+
+def quality_filter_lr(
+    df: DataFrame, reference: DataFrame, min_score: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id", dim: int = 4096,
+    epochs: int = 8, lr: float = 4.0,
+) -> DataFrame:
+    """The CCNet-style learned quality stage in one call: train
+    reference-vs-corpus, keep documents scoring >= min_score."""
+    w = train_text_classifier(reference, df, text_col, id_col, dim,
+                              epochs, lr)
+    keep = classifier_score(df, w, text_col, id_col) \
+        .filter(F.col("score") >= min_score).select(id_col)
+    return df.join(keep, id_col, "leftsemi")

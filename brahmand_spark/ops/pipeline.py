@@ -58,6 +58,7 @@ def curate(
     splits: dict[str, float] | None = None,
     redact: bool = False, max_pii_hits: int | None = None,
     reference: DataFrame | None = None, max_ppl: float | None = None,
+    quality_model: str = "ngram", min_lr_score: float = 0.5,
     embeddings: DataFrame | None = None,
     semantic_threshold: float | None = None, semantic_k: int = 8,
     emb_id_col: str = "vec_id", emb_vec_col: str = "embedding",
@@ -71,11 +72,14 @@ def curate(
     than ``max_pii_hits`` replacements are dropped entirely (None keeps
     all).
 
-    With ``reference`` + ``max_ppl`` set, a LEARNED quality stage runs
-    after the heuristic one (the CCNet recipe): a bigram LM trained on
-    the reference corpus scores every surviving document and those
-    with perplexity above ``max_ppl`` (not reference-like) are
-    dropped.
+    With ``reference`` set, a LEARNED quality stage runs after the
+    heuristic one (the CCNet recipe). ``quality_model='ngram'`` (with
+    ``max_ppl``): a bigram LM trained on the reference corpus scores
+    every surviving document and those with perplexity above
+    ``max_ppl`` (not reference-like) are dropped.
+    ``quality_model='lr'``: a hashed-feature logistic-regression
+    classifier (ops/classifier) is trained reference-vs-survivors and
+    documents scoring below ``min_lr_score`` are dropped.
 
     With ``embeddings`` + ``semantic_threshold`` set, a SEMANTIC dedup
     stage (ops/semdedup — SemDeDup, Abbas et al. 2023) runs after the
@@ -100,7 +104,13 @@ def curate(
         F.col("quality") >= min_quality
     ).select(id_col)
     out = note("quality", out.join(qual, id_col, "leftsemi"))
-    if reference is not None and max_ppl is not None:
+    if reference is not None and quality_model == "lr":
+        from .classifier import quality_filter_lr
+
+        out = note("learned_quality", quality_filter_lr(
+            out, reference, min_score=min_lr_score,
+            text_col=text_col, id_col=id_col))
+    elif reference is not None and max_ppl is not None:
         from .ngram_lm import perplexity, train_ngram_lm
 
         model = train_ngram_lm(reference, n=2, text_col=text_col)

@@ -208,6 +208,21 @@ def _p_corpus_curate(session, label, languages="en", min_quality=0.3,
     return out
 
 
+def _p_corpus_quality_lr(session, label, ref_label, min_score=0.5,
+                         dim=4096, epochs=8, id_col="doc_id",
+                         text_col="text"):
+    """Learned quality filter (ops/classifier.quality_filter_lr):
+    train a hashed-feature logistic regression reference-vs-corpus
+    and keep documents scoring >= min_score."""
+    from .ops.classifier import quality_filter_lr
+
+    return quality_filter_lr(
+        session._load_for_label(label),
+        session._load_for_label(ref_label),
+        min_score=float(min_score), text_col=text_col, id_col=id_col,
+        dim=int(dim), epochs=int(epochs))
+
+
 def _p_db_labels(session):
     """Catalog introspection: one row per node label (metadata-sized
     driver DataFrame, like Neo4j's db.labels)."""
@@ -241,6 +256,7 @@ PROCEDURES: dict[str, Callable] = {
     "corpus.semdedup": _p_corpus_semdedup,
     "corpus.bm25": _p_corpus_bm25,
     "corpus.curate": _p_corpus_curate,
+    "corpus.quality_lr": _p_corpus_quality_lr,
     "graph.pagerank": _p_pagerank,
     "graph.wcc": _p_wcc,
     "graph.scc": _p_scc,

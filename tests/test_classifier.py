@@ -163,3 +163,47 @@ class TestFeaturePlan:
         assert f.agg(F.max("idx")).first()[0] <= DIM
         plan = f._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+class TestPipelineAndCallIntegration:
+    def test_curate_with_lr_quality_stage(self, spark):
+        from brahmand_spark.ops.pipeline import curate
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet") \
+            .filter("doc_id < 80").select("doc_id", "text")
+        junk = spark.createDataFrame(
+            [(2000 + i, _gibberish(i)) for i in range(30)],
+            "doc_id long, text string")
+        mixed = docs.unionByName(junk)
+        out, counts = curate(
+            mixed, languages=("en", "de", "es", "fr"), min_quality=0.0,
+            reference=docs, quality_model="lr", min_lr_score=0.5,
+            report=True)
+        assert "learned_quality" in counts
+        ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+        assert all(i < 2000 for i in ids)  # gibberish dropped
+
+    def test_quality_lr_via_call(self, spark):
+        from brahmand_spark.graphs.tpch import build_session
+
+        s = build_session(spark, SF_SMOKE)
+        real = spark.read.parquet(f"{SF_SMOKE}/documents.parquet") \
+            .select("doc_id", "text")
+        node_cls = type(s.schema.nodes["Document"])
+        ref = real.filter("doc_id < 60")
+        mixed = real.filter("doc_id >= 60 AND doc_id < 120").unionByName(
+            spark.createDataFrame(
+                [(3000 + i, _gibberish(i)) for i in range(30)],
+                "doc_id long, text string"))
+        s.register_table("RefDocs", ref)
+        s.register_table("MixedDocs", mixed)
+        for label, tbl in (("Ref", "RefDocs"), ("Mixed", "MixedDocs")):
+            s.schema.nodes[label] = node_cls(
+                label=label, table_name=tbl, node_id="doc_id",
+                column_names=["doc_id", "text"])
+        got = s.execute(
+            "CALL corpus.quality_lr('Mixed', 'Ref', 0.5, 256, 6) "
+            "YIELD doc_id")
+        ids = {r["doc_id"] for r in got.collect()}
+        assert all(i < 3000 for i in ids)  # every junk doc dropped
+        assert len(ids) >= 30              # most real docs survive

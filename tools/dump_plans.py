@@ -104,6 +104,29 @@ def main() -> None:
         "skew split.",
     )
 
+    # Session demonstrating opt-in per-hop traversal pruning (the
+    # reference's IN-subquery hop filter): a selective anchor's ids
+    # prefilter the edge input before the hop join.
+    prune_session = build_session(spark, SF_DIR)
+    prune_session.prune_hops = "semi"
+    prune_showcase = (
+        "Per-hop traversal pruning (prune_hops='semi')",
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)-[:HAS_LINE]->(l:Lineitem)
+           WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9990
+           RETURN c.c_name AS name, count(*) AS n""",
+        "Each hop's edge input is leftsemi-prefiltered against the "
+        "selective frontier's DISTINCT ids before the hop join — the "
+        "reference's `WHERE from_id IN (SELECT id FROM prev_cte)` "
+        "(graph_traversal_planning.rs:819-843) as a physical strategy. "
+        "The frontier-keys branch re-applies the anchor's WHERE "
+        "conjuncts, so the prefilter scan carries the same "
+        "PushedFilters as the main branch; AQE broadcasts the tiny key "
+        "set. Off by default (at this SF the plain join wins — see "
+        "README for the measured crossover); the win case is an edge "
+        "table too large to broadcast against a still-selective "
+        "frontier, where pruned rows never enter the edge Exchange.",
+    )
+
     # Extension-operator showcases (DataFrame API, not Cypher).
     from pyspark.sql import functions as F
 
@@ -208,9 +231,11 @@ def main() -> None:
         "over 400 chars — literal matrices — are elided).",
         "",
     ]
-    specials = {len(SHOWCASES): adj_session, len(SHOWCASES) + 1: skew_session}
+    specials = {len(SHOWCASES): adj_session,
+                len(SHOWCASES) + 1: skew_session,
+                len(SHOWCASES) + 2: prune_session}
     for i, (title, cypher, commentary) in enumerate(
-            SHOWCASES + [adj_showcase, skew_showcase]):
+            SHOWCASES + [adj_showcase, skew_showcase, prune_showcase]):
         sess = specials.get(i, session)
         df = sess.execute(cypher)
         plan = df._sc._jvm.PythonSQLUtils.explainString(

@@ -94,3 +94,103 @@ def random_projection(df: DataFrame, out_dim: int,
         for plane in planes
     ]
     return df.select(F.col(id_col), F.array(*comps).alias("projected"))
+
+
+def pca_fit(
+    df: DataFrame, k: int = 8, vec_col: str = "embedding",
+    dim: int | None = None,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fit PCA over an embedding column with ONE aggregate job:
+    (count, per-dimension sums, upper-triangle second moments) — the
+    standard Gram-matrix formulation, so the corpus is scanned once
+    and only O(dim^2) values ever reach the driver, where numpy's
+    symmetric eigendecomposition finishes in microseconds (dim is
+    64-1024 for real embedding models; the corpus size never touches
+    the driver).
+
+    Every cross-row reduction is a Spark DECIMAL(38,18) sum — exact
+    decimal arithmetic, order-independent — so the fitted model is a
+    pure function of the data under any partitioning (per-row
+    double->decimal casts are deterministic; float sums would drift
+    with partition boundaries and make the eigenvectors flicker).
+    Components are sign-fixed (largest-|entry| coordinate positive),
+    making the whole fit deterministic.
+
+    Returns (mean, components, explained_variance): ``components`` is
+    k rows of dim floats, orthonormal, by descending variance.
+    """
+    import numpy as np
+
+    if dim is None:
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            raise ValueError("cannot fit PCA on an empty DataFrame")
+        dim = probe["d"]
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+    v = _as_double(F.col(vec_col))
+    x = [F.element_at(v, i + 1) for i in range(dim)]
+    dec = "decimal(38,18)"
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    aggs += [F.sum(x[i].cast(dec)).alias(f"_s{i}") for i in range(dim)]
+    aggs += [
+        F.sum((x[i] * x[j]).cast(dec)).alias(f"_p{i}_{j}")
+        for i in range(dim) for j in range(i, dim)
+    ]
+    row = df.agg(*aggs).first()
+    n = row["_n"]
+    if n < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    mean = np.array([float(row[f"_s{i}"]) for i in range(dim)]) / n
+    cov = np.zeros((dim, dim))
+    for i in range(dim):
+        for j in range(i, dim):
+            m2 = float(row[f"_p{i}_{j}"]) / n
+            cov[i, j] = cov[j, i] = m2 - mean[i] * mean[j]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    for idx in order:
+        c = evecs[:, idx]
+        pivot = int(np.argmax(np.abs(c)))
+        if c[pivot] < 0:
+            c = -c
+        comps.append([float(u) for u in c])
+    return (
+        [float(m) for m in mean],
+        comps,
+        [float(evals[i]) for i in order],
+    )
+
+
+def pca_transform(
+    df: DataFrame, mean: list[float], components: list[list[float]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors onto fitted components: (id_col, projected)
+    with projected[c] = components[c] . (x - mean). The mean shift
+    folds into a per-component constant, so each output coordinate is
+    one literal-array dot — narrow, codegen'd, zero shuffles (the
+    same plan shape as random_projection)."""
+    dim = len(mean)
+    v = _as_double(F.col(vec_col))
+    comps = []
+    for c in components:
+        if len(c) != dim:
+            raise ValueError("component/mean dimensionality mismatch")
+        offset = sum(ci * mi for ci, mi in zip(c, mean))
+        comps.append(F.round(
+            dot(F.array(*[F.lit(float(ci)) for ci in c]), v, dim=dim)
+            - F.lit(float(offset)), 6))
+    return df.select(F.col(id_col), F.array(*comps).alias("projected"))
+
+
+def pca(
+    df: DataFrame, k: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int | None = None,
+) -> DataFrame:
+    """Fit + transform in one call — the embedding-compression pass a
+    pipeline runs before ANN / clustering / SemDeDup to cut the
+    vector math by dim/k (re-rank survivors on the originals)."""
+    mean, comps, _ = pca_fit(df, k, vec_col, dim)
+    return pca_transform(df, mean, comps, id_col, vec_col)

@@ -121,3 +121,101 @@ class TestRandomProjection:
         emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
         with pytest.raises(ValueError):
             random_projection(emb, 0)
+
+
+class TestPca:
+    def _emb(self, spark):
+        return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+    def test_fit_matches_numpy(self, spark):
+        """Mean/covariance/eigenvectors agree with a full-precision
+        numpy PCA on the collected vectors."""
+        import numpy as np
+
+        from brahmand_spark.ops.stats import pca_fit
+
+        emb = self._emb(spark)
+        X = np.vstack([
+            np.array(r["embedding"], dtype="float64")
+            for r in emb.orderBy("vec_id").collect()])
+        mean, comps, var = pca_fit(emb, k=6)
+        assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+        C = np.cov(X, rowvar=False, bias=True)
+        evals, evecs = np.linalg.eigh(C)
+        order = np.argsort(evals)[::-1][:6]
+        assert np.allclose(var, evals[order], atol=1e-9)
+        for got, idx in zip(comps, order):
+            want = evecs[:, idx]
+            piv = int(np.argmax(np.abs(want)))
+            if want[piv] < 0:
+                want = -want
+            assert np.allclose(got, want, atol=1e-7)
+
+    def test_components_orthonormal_and_ordered(self, spark):
+        import numpy as np
+
+        from brahmand_spark.ops.stats import pca_fit
+
+        _, comps, var = pca_fit(self._emb(spark), k=8)
+        M = np.array(comps)
+        assert np.allclose(M @ M.T, np.eye(8), atol=1e-9)
+        assert all(a >= b for a, b in zip(var, var[1:]))
+        assert var[-1] > 0
+
+    def test_transform_matches_numpy_projection(self, spark):
+        import numpy as np
+
+        from brahmand_spark.ops.stats import pca_fit, pca_transform
+
+        emb = self._emb(spark)
+        mean, comps, _ = pca_fit(emb, k=4)
+        got = {r["vec_id"]: list(r["projected"])
+               for r in pca_transform(emb, mean, comps).collect()}
+        rows = emb.orderBy("vec_id").collect()
+        M = np.array(comps)
+        mu = np.array(mean)
+        for r in rows[:50]:
+            x = np.array(r["embedding"], dtype="float64")
+            want = M @ x - M @ mu
+            assert np.allclose(got[r["vec_id"]], np.round(want, 6),
+                               atol=2e-6)
+
+    def test_deterministic_under_repartition(self, spark):
+        from brahmand_spark.ops.stats import pca_fit
+
+        emb = self._emb(spark)
+        a = pca_fit(emb, k=5)
+        b = pca_fit(emb.repartition(13), k=5)
+        assert a == b
+
+    def test_projection_matches_duckdb_replay(self, spark, duck):
+        """Given the fitted literals, the projection replays in DuckDB
+        (list_dot_product minus the folded mean offset)."""
+        from brahmand_spark.ops.stats import pca_fit, pca_transform
+
+        emb = self._emb(spark)
+        mean, comps, _ = pca_fit(emb, k=3)
+        got = pca_transform(emb, mean, comps).select(
+            "vec_id", F.col("projected")[0].alias("p0"),
+            F.col("projected")[1].alias("p1"),
+            F.col("projected")[2].alias("p2"))
+        items = []
+        for c in comps:
+            arr = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+            off = repr(float(sum(ci * mi for ci, mi in zip(c, mean))))
+            items.append(
+                "round(list_dot_product(embedding::DOUBLE[], "
+                f"{arr}::DOUBLE[]) - {off}, 6)")
+        sql = (f"SELECT vec_id, {items[0]} AS p0, {items[1]} AS p1, "
+               f"{items[2]} AS p2 FROM embeddings")
+        assert_same(got, duck.sql(sql))
+
+    def test_transform_plan_is_narrow(self, spark):
+        from brahmand_spark.ops.stats import pca_fit, pca_transform
+
+        emb = self._emb(spark)
+        mean, comps, _ = pca_fit(emb, k=2)
+        plan = pca_transform(emb, mean, comps) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan

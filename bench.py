@@ -101,13 +101,45 @@ def _load_previous() -> tuple[str | None, dict[str, float]]:
             best, best_n = path, int(m.group(1))
     if best is None:
         return None, {}
+    # Prefer our own full history: the driver's BENCH_r{N}.json keeps
+    # only the last ~2000 chars of stdout, which usually truncates the
+    # JSON line mid-dict.
+    hist = os.path.join(here, "BENCH_HISTORY.jsonl")
+    if os.path.exists(hist):
+        try:
+            lines = [json.loads(ln) for ln in open(hist) if ln.strip()]
+            m = re.search(r"sf([0-9.]+)", SF_DIR)
+            want_sf = float(m.group(1)) if m else None
+            for rec in reversed(lines):
+                if want_sf is None or rec.get("sf") == want_sf:
+                    return (f"BENCH_HISTORY.jsonl (run {rec.get('ts')})",
+                            {k: float(v)
+                             for k, v in rec["queries_min"].items()})
+        except Exception as exc:
+            print(f"# WARNING: could not parse {hist}: {exc}",
+                  file=sys.stderr)
     try:
         rec = json.load(open(best))
         # driver records {"tail": "...json line..."} or the line itself
         if isinstance(rec, dict) and "tail" in rec and isinstance(
                 rec["tail"], str):
             m = re.search(r"\{.*\}", rec["tail"], re.S)
-            rec = json.loads(m.group(0)) if m else {}
+            if m:
+                try:
+                    rec = json.loads(m.group(0))
+                except Exception:
+                    # truncated tail: recover per-query pass arrays
+                    # ("name": [floats]) and take their mins
+                    mins = {}
+                    for pm in re.finditer(
+                            r'"([a-z_0-9]+)": \[([0-9., ]+)\]',
+                            rec["tail"]):
+                        vals = [float(x)
+                                for x in pm.group(2).split(",")]
+                        mins[pm.group(1)] = min(vals)
+                    rec = {"queries_min": mins} if mins else {}
+            else:
+                rec = {}
         m = re.search(r"sf([0-9.]+)", SF_DIR)
         if rec.get("sf") is not None and m and float(m.group(1)) != float(
                 rec["sf"]):
@@ -252,6 +284,21 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
+    # Append this run's mins to the local history (the driver's
+    # recorded tail truncates; this file is the durable trend line).
+    try:
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_HISTORY.jsonl")
+        with open(hist, "a") as f:
+            f.write(json.dumps({
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "sf": sf, "queries_min": mins, "queries_median": med,
+                "min_total": round(sum(mins.values()), 3),
+                "median_total": round(sum(med.values()), 3),
+            }) + "\n")
+    except Exception as exc:
+        print(f"# WARNING: could not append history: {exc}",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(sum(med.values()), 3),

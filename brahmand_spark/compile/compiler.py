@@ -274,7 +274,7 @@ class QueryCompiler:
             if isinstance(e, ast.PropertyAccess):
                 props.setdefault(e.alias, set()).add(e.key)
                 return
-            if isinstance(e, ast.PatternPredicate):
+            if isinstance(e, (ast.PatternPredicate, ast.CountSubquery)):
                 # predicate anchors are joined on ids only
                 for np in e.path.nodes:
                     if np.alias is not None:
@@ -284,6 +284,7 @@ class QueryCompiler:
                 for rp in e.path.rels:
                     for v in rp.properties.values():
                         expr(v)
+                expr(e.where)
                 return
             # generic recursion over expression dataclass fields
             lambda_locals = []
@@ -378,9 +379,11 @@ class QueryCompiler:
             if df is None:
                 raise PlanError("WHERE without a preceding MATCH/WITH")
             residual, pattern_preds = _split_pattern_predicates(part.where)
-            for path, negated in pattern_preds:
-                df = self._apply_pattern_predicate(df, scope, path, negated)
+            for pred, negated in pattern_preds:
+                df = self._apply_pattern_predicate(df, scope, pred, negated)
             if residual is not None:
+                df, residual = self._rewrite_count_subqueries(
+                    df, scope, residual)
                 ec = ExprCompiler(scope, self.params)
                 df = df.filter(ec.compile(residual))
         if part.with_clause is not None:
@@ -467,20 +470,17 @@ class QueryCompiler:
             out = out.drop(f"__optk_{a}")
         return out
 
-    def _apply_pattern_predicate(
-        self, df: DataFrame, scope: Scope, path: ast.PathPattern,
-        negated: bool,
-    ) -> DataFrame:
-        """WHERE (a)-[:T]->(b) -> leftsemi join; NOT -> leftanti
-        (extension; the reference has no pattern predicates).
-
-        The predicate pattern is compiled as an independent assembly;
-        aliases bound outside ("anchors") are re-scanned inside it and
-        reduced to their id columns, which become the semi-join keys —
-        the same per-hop IN-subquery shape the reference uses for
-        traversal pruning (graph_traversal_planning.rs:819-843), surfaced
-        as user syntax. New aliases inside the predicate are existential:
-        they never add columns or multiply rows."""
+    def _subquery_assembly(
+        self, scope: Scope, path: ast.PathPattern,
+        where: Optional[ast.Expr],
+    ) -> tuple[DataFrame, Scope, list[str]]:
+        """Shared sub-plan builder for pattern predicates and EXISTS /
+        COUNT subquery blocks: compile ``path`` as an independent
+        assembly, re-scanning outer-bound aliases ("anchors"), apply
+        the block's inner WHERE, and return (sub_df, sub_scope,
+        anchors). Anchors elide to their id columns unless the inner
+        WHERE touches them (then their full scan joins in, so the
+        predicate can reference any of their properties)."""
         sub_scope = Scope()
         inner = ast.MatchClause(paths=[path], optional=False)
         pattern = self._build_pattern([inner], scope)
@@ -490,21 +490,53 @@ class QueryCompiler:
         ]
         if not anchors:
             raise PlanError(
-                "pattern predicate must reference at least one bound "
-                "node alias"
+                "pattern predicate / subquery must reference at least "
+                "one bound node alias"
             )
         for node in pattern.nodes.values():
             node.prebound = False  # anchors are re-scanned in the sub-plan
         self._infer(pattern)
-        # Inside the predicate only anchor IDS matter (they become the
-        # semi-join keys), so anchors elide even when the outer query
-        # references their properties.
+        where_aliases: set[str] = set()
+        if where is not None:
+            collect_aliases(where, where_aliases)
+        # Inside the block only anchor IDS matter (they become the
+        # join keys), so anchors elide even when the outer query
+        # references their properties — except anchors the inner WHERE
+        # reads, which need their columns.
         prev_override = self._elide_override
-        self._elide_override = prev_override | set(anchors)
+        self._elide_override = prev_override | {
+            a for a in anchors if a not in where_aliases}
         try:
             sub_df = self._assemble(None, sub_scope, pattern, ast.QueryPart())
         finally:
             self._elide_override = prev_override
+        if where is not None:
+            unknown = where_aliases - set(sub_scope.bindings)
+            if unknown:
+                raise PlanError(
+                    f"subquery WHERE references {sorted(unknown)} not "
+                    "bound inside the block")
+            ec = ExprCompiler(sub_scope, self.params)
+            sub_df = sub_df.filter(ec.compile(where))
+        return sub_df, sub_scope, anchors
+
+    def _apply_pattern_predicate(
+        self, df: DataFrame, scope: Scope, pred: ast.PatternPredicate,
+        negated: bool,
+    ) -> DataFrame:
+        """WHERE (a)-[:T]->(b) / EXISTS { ... } -> leftsemi join;
+        NOT -> leftanti (extension; the reference has no pattern
+        predicates).
+
+        The predicate pattern is compiled as an independent assembly;
+        aliases bound outside ("anchors") are re-scanned inside it and
+        reduced to their id columns, which become the semi-join keys —
+        the same per-hop IN-subquery shape the reference uses for
+        traversal pruning (graph_traversal_planning.rs:819-843), surfaced
+        as user syntax. New aliases inside the predicate are existential:
+        they never add columns or multiply rows."""
+        sub_df, sub_scope, anchors = self._subquery_assembly(
+            scope, pred.path, pred.where)
         key_cols = []
         conds = []
         for a in anchors:
@@ -520,6 +552,65 @@ class QueryCompiler:
             sub_df.select(*key_cols), cond,
             "left_anti" if negated else "left_semi",
         )
+
+    def _rewrite_count_subqueries(
+        self, df: DataFrame, scope: Scope, expr: ast.Expr,
+    ) -> tuple[DataFrame, ast.Expr]:
+        """Replace every ``COUNT { ... }`` node inside ``expr`` with a
+        hidden scalar column: the block compiles like a pattern
+        predicate, but instead of a semi-join its matches are counted
+        per anchor-id tuple and LEFT-joined back (0 when no match).
+        Returns the augmented DataFrame and the rewritten expression;
+        a no-subquery expression passes through untouched."""
+        import dataclasses
+
+        state = {"df": df}
+
+        def attach(e: ast.CountSubquery) -> ast.Expr:
+            sub_df, sub_scope, anchors = self._subquery_assembly(
+                scope, e.path, e.where)
+            self._anon_counter += 1
+            name = f"__csq{self._anon_counter}"
+            keys = [f"{name}_k{i}" for i in range(len(anchors))]
+            sub = sub_df.select(*[
+                F.col(sub_scope.get(a).id_pcol).alias(k)
+                for a, k in zip(anchors, keys)
+            ])
+            grouped = sub.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias(name))
+            cond = None
+            for a, k in zip(anchors, keys):
+                c = F.col(scope.get(a).id_pcol) == F.col(k)
+                cond = c if cond is None else cond & c
+            state["df"] = (
+                state["df"].join(grouped, cond, "left").drop(*keys)
+                .withColumn(name, F.coalesce(
+                    F.col(name), F.lit(0).cast("bigint")))
+            )
+            scope.bind(ScalarBinding(name))
+            return ast.Variable(name)
+
+        def conv(v):
+            if isinstance(v, ast.CountSubquery):
+                return attach(v)
+            if hasattr(v, "__dataclass_fields__"):
+                changes = {
+                    f.name: conv(getattr(v, f.name))
+                    for f in dataclasses.fields(v)
+                }
+                return dataclasses.replace(v, **changes)
+            if isinstance(v, tuple):
+                return tuple(conv(x) for x in v)
+            if isinstance(v, list):
+                return [conv(x) for x in v]
+            if isinstance(v, dict):
+                return {k: conv(x) for k, x in v.items()}
+            return v
+
+        if not _contains_count_subquery(expr):
+            return df, expr
+        out = conv(expr)
+        return state["df"], out
 
     def _build_pattern(self, matches: list[ast.MatchClause], scope: Scope) -> Pattern:
         pattern = Pattern()
@@ -1758,6 +1849,25 @@ class QueryCompiler:
         distinct: bool, order_by: list[ast.OrderByItem],
         skip: Optional[int], limit: Optional[int], final: bool,
     ) -> tuple[DataFrame, Scope]:
+        # COUNT { ... } subquery items/order keys become hidden scalar
+        # columns before any expression compiles.
+        rewritten_items = []
+        for item in items:
+            if _contains_count_subquery(item.expr):
+                df, ne = self._rewrite_count_subqueries(
+                    df, scope, item.expr)
+                item = ast.ReturnItem(ne, item.alias)
+            rewritten_items.append(item)
+        items = rewritten_items
+        rewritten_ob = []
+        for ob in order_by:
+            if _contains_count_subquery(ob.expr):
+                df, ne = self._rewrite_count_subqueries(
+                    df, scope, ob.expr)
+                ob = ast.OrderByItem(ne, ob.ascending)
+            rewritten_ob.append(ob)
+        order_by = rewritten_ob
+
         ec = ExprCompiler(scope, self.params)
 
         # RETURN * expansion (analyzer/projection_tagging.rs:31-68).
@@ -1934,17 +2044,32 @@ def _contains_or(e: ast.Expr) -> bool:
     return False
 
 
+def _contains_count_subquery(e) -> bool:
+    if isinstance(e, ast.CountSubquery):
+        return True
+    if hasattr(e, "__dataclass_fields__"):
+        for f in e.__dataclass_fields__:
+            if _contains_count_subquery(getattr(e, f)):
+                return True
+        return False
+    if isinstance(e, (list, tuple)):
+        return any(_contains_count_subquery(x) for x in e)
+    if isinstance(e, dict):
+        return any(_contains_count_subquery(x) for x in e.values())
+    return False
+
+
 def _split_pattern_predicates(expr: ast.Expr):
     """Split a WHERE tree into (residual boolean expr | None, list of
-    (PathPattern, negated)). Pattern predicates are recognized at
+    (PatternPredicate, negated)). Pattern predicates are recognized at
     top-level AND conjuncts only — under OR/XOR or other operators they
     raise in the expression compiler with a clear message."""
     if isinstance(expr, ast.PatternPredicate):
-        return None, [(expr.path, False)]
+        return None, [(expr, False)]
     if isinstance(expr, ast.Unary) and expr.op == "NOT" and isinstance(
         expr.operand, ast.PatternPredicate
     ):
-        return None, [(expr.operand.path, True)]
+        return None, [(expr.operand, True)]
     if isinstance(expr, ast.Binary) and expr.op == "AND":
         lres, lpreds = _split_pattern_predicates(expr.left)
         rres, rpreds = _split_pattern_predicates(expr.right)

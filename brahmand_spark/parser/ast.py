@@ -135,16 +135,30 @@ class Reduce:
 @dataclass(frozen=True)
 class PatternPredicate:
     """Existential pattern predicate in WHERE (extension; not in the
-    reference): ``WHERE (a)-[:T]->(b)`` / ``WHERE exists((a)-[:T]->())``.
-    Compiles to a leftsemi join (leftanti under NOT)."""
+    reference): ``WHERE (a)-[:T]->(b)`` / ``WHERE exists((a)-[:T]->())``
+    / the full subquery form ``WHERE EXISTS { MATCH <path> [WHERE
+    <expr>] }`` (``where`` carries the inner predicate). Compiles to a
+    leftsemi join (leftanti under NOT)."""
 
     path: object  # PathPattern
+    where: object = None  # Optional[Expr] — inner WHERE of EXISTS { }
+
+
+@dataclass(frozen=True)
+class CountSubquery:
+    """``COUNT { MATCH <path> [WHERE <expr>] }`` scalar subquery
+    (extension): per outer row, the number of sub-pattern matches
+    anchored on the shared aliases. Compiles to a grouped count over
+    the sub-assembly left-joined on the anchor ids (0 when none)."""
+
+    path: object  # PathPattern
+    where: object = None  # Optional[Expr]
 
 
 Expr = Union[
     Literal, Star, Variable, PropertyAccess, Parameter, ListLiteral,
     FnCall, Unary, Binary, IsNull, CaseExpr, PatternPredicate,
-    ListComprehension, Quantifier, Reduce,
+    CountSubquery, ListComprehension, Quantifier, Reduce,
 ]
 
 

@@ -631,8 +631,28 @@ class Parser:
                         pass
                     self.i = save
                 return self.parse_fn_call(name)
+            if self.at_op("{") and name.lower() in ("exists", "count"):
+                # EXISTS { MATCH <path> [WHERE e] } / COUNT { ... }
+                path, where = self._parse_subquery_block()
+                if name.lower() == "exists":
+                    return ast.PatternPredicate(path, where=where)
+                return ast.CountSubquery(path, where=where)
             return ast.Variable(name)
         self.error("expected expression")
+
+    def _parse_subquery_block(self):
+        """``{ [MATCH] <path> [WHERE <expr>] }`` — the body of an
+        EXISTS / COUNT subquery expression."""
+        self.eat_op("{")
+        self.try_kw("MATCH")
+        path = self.parse_path()
+        if path.var is not None or path.shortest is not None:
+            self.error("path variables/shortestPath in a subquery block")
+        where = None
+        if self.try_kw("WHERE"):
+            where = self.parse_expr()
+        self.eat_op("}")
+        return path, where
 
     def parse_fn_call(self, name: str) -> ast.Expr:
         self.eat_op("(")

@@ -586,3 +586,91 @@ class TestExplainStatement:
         with pytest.raises(UnsupportedError, match="EXPLAIN"):
             tpch.execute(
                 "EXPLAIN CREATE NODE TABLE X (id INT, PRIMARY KEY(id))")
+
+
+class TestSubqueryExpressions:
+    """EXISTS { MATCH ... WHERE ... } and COUNT { ... } subquery
+    expressions (extension): the block compiles as an independent
+    assembly anchored on the shared aliases — EXISTS as a
+    leftsemi/leftanti join, COUNT as a grouped count LEFT-joined back
+    as a hidden scalar column (0 when no match)."""
+
+    def test_exists_block_with_inner_where(self, tpch, duck):
+        assert_same(
+            tpch.execute(
+                "MATCH (c:Customer) WHERE EXISTS { MATCH "
+                "(c)-[:PLACED]->(o:Order) WHERE o.o_totalprice > "
+                "300000 } RETURN c.c_name AS name"),
+            duck.sql(
+                "SELECT c_name AS name FROM customer WHERE EXISTS ("
+                "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+                "AND o_totalprice > 300000)"),
+        )
+
+    def test_not_exists_block(self, tpch, duck):
+        assert_same(
+            tpch.execute(
+                "MATCH (c:Customer) WHERE NOT EXISTS { "
+                "(c)-[:PLACED]->(o:Order) WHERE o.o_orderstatus = 'P' }"
+                " RETURN count(*) AS n"),
+            duck.sql(
+                "SELECT count(*) AS n FROM customer WHERE NOT EXISTS ("
+                "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+                "AND o_orderstatus = 'P')"),
+        )
+
+    def test_count_block_in_where(self, tpch, duck):
+        assert_same(
+            tpch.execute(
+                "MATCH (c:Customer) WHERE "
+                "COUNT { (c)-[:PLACED]->(o:Order) } >= 15 "
+                "RETURN c.c_name AS name"),
+            duck.sql(
+                "SELECT c_name AS name FROM customer WHERE ("
+                "SELECT count(*) FROM orders WHERE o_custkey = "
+                "c_custkey) >= 15"),
+        )
+
+    def test_count_block_in_return_and_order(self, tpch, duck):
+        assert_same(
+            tpch.execute(
+                "MATCH (c:Customer) RETURN c.c_name AS name, "
+                "COUNT { MATCH (c)-[:PLACED]->(o:Order) "
+                "WHERE o.o_orderstatus = 'F' } AS nf "
+                "ORDER BY nf DESC, name LIMIT 10"),
+            duck.sql(
+                "SELECT c_name AS name, (SELECT count(*) FROM orders "
+                "WHERE o_custkey = c_custkey AND o_orderstatus = 'F') "
+                "AS nf FROM customer ORDER BY nf DESC, name LIMIT 10"),
+        )
+
+    def test_count_block_zero_for_no_match(self, tpch):
+        rows = tpch.execute(
+            "MATCH (n:Nation) RETURN n.n_name AS name, "
+            "COUNT { (n)-[:IN_REGION]->(r:Region) "
+            "WHERE r.r_name = 'NOPE' } AS z LIMIT 3").collect()
+        assert all(r["z"] == 0 for r in rows)
+
+    def test_count_block_arithmetic(self, tpch, duck):
+        assert_same(
+            tpch.execute(
+                "MATCH (c:Customer) WHERE c.c_custkey <= 20 "
+                "RETURN c.c_custkey AS ck, "
+                "COUNT { (c)-[:PLACED]->(o:Order) } * 2 + 1 AS x"),
+            duck.sql(
+                "SELECT c_custkey AS ck, (SELECT count(*) FROM orders "
+                "WHERE o_custkey = c_custkey) * 2 + 1 AS x "
+                "FROM customer WHERE c_custkey <= 20"),
+        )
+
+    def test_subquery_where_unbound_alias_errors(self, tpch):
+        import pytest
+
+        from brahmand_spark.errors import PlanError
+
+        with pytest.raises(PlanError, match="not bound inside"):
+            tpch.execute(
+                "MATCH (c:Customer)"
+                " WHERE EXISTS { (c)-[:PLACED]->(o:Order) "
+                "WHERE zz.o_totalprice > 1 } "
+                "RETURN count(*) AS n")

@@ -362,3 +362,33 @@ class TestExplain:
         s = parse("EXPLAIN MATCH (a:P) SET a.x = 1")
         assert isinstance(s, ast.ExplainQuery)
         assert isinstance(s.statement, ast.WriteQuery)
+
+
+class TestSubqueryBlocks:
+    def test_exists_block(self):
+        e = rq("MATCH (c:P) WHERE EXISTS { MATCH (c)-[:R]->(b:Q) "
+               "WHERE b.x > 1 } RETURN c.name").parts[0].where
+        assert isinstance(e, ast.PatternPredicate)
+        assert e.where is not None
+
+    def test_exists_block_no_match_keyword(self):
+        e = rq("MATCH (c:P) WHERE EXISTS { (c)-[:R]->(b:Q) } "
+               "RETURN c.name").parts[0].where
+        assert isinstance(e, ast.PatternPredicate)
+        assert e.where is None
+
+    def test_count_block(self):
+        q_ = rq("MATCH (c:P) RETURN COUNT { (c)-[:R]->(b:Q) } AS n")
+        e = q_.return_clause.items[0].expr
+        assert isinstance(e, ast.CountSubquery)
+
+    def test_count_block_in_comparison(self):
+        e = rq("MATCH (c:P) WHERE COUNT { (c)-[:R]->(b) } >= 2 "
+               "RETURN c.name").parts[0].where
+        assert isinstance(e, ast.Binary)
+        assert isinstance(e.left, ast.CountSubquery)
+
+    def test_count_fn_still_parses(self):
+        e = rq("MATCH (c:P) RETURN count(c.name) AS n") \
+            .return_clause.items[0].expr
+        assert isinstance(e, ast.FnCall)

@@ -123,23 +123,21 @@ def _load_previous() -> tuple[str | None, dict[str, float]]:
         # driver records {"tail": "...json line..."} or the line itself
         if isinstance(rec, dict) and "tail" in rec and isinstance(
                 rec["tail"], str):
-            m = re.search(r"\{.*\}", rec["tail"], re.S)
-            if m:
-                try:
-                    rec = json.loads(m.group(0))
-                except Exception:
-                    # truncated tail: recover per-query pass arrays
-                    # ("name": [floats]) and take their mins
-                    mins = {}
-                    for pm in re.finditer(
-                            r'"([a-z_0-9]+)": \[([0-9., ]+)\]',
-                            rec["tail"]):
-                        vals = [float(x)
-                                for x in pm.group(2).split(",")]
-                        mins[pm.group(1)] = min(vals)
-                    rec = {"queries_min": mins} if mins else {}
-            else:
+            tail = rec["tail"]
+            m = re.search(r"\{.*\}", tail, re.S)
+            try:
+                rec = json.loads(m.group(0)) if m else {}
+            except Exception:
                 rec = {}
+            if not rec.get("queries_min"):
+                # truncated tail: recover per-query pass arrays
+                # ("name": [floats]) and take their mins
+                mins = {}
+                for pm in re.finditer(
+                        r'"([a-z_0-9]+)": \[([0-9., ]+)\]', tail):
+                    vals = [float(x) for x in pm.group(2).split(",")]
+                    mins[pm.group(1)] = min(vals)
+                rec = {"queries_min": mins} if mins else {}
         m = re.search(r"sf([0-9.]+)", SF_DIR)
         if rec.get("sf") is not None and m and float(m.group(1)) != float(
                 rec["sf"]):

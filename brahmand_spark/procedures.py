@@ -135,6 +135,15 @@ def _p_harmonic(session, rel, n_samples=None, max_hops=10):
         max_hops=int(max_hops))
 
 
+def _p_walks(session, rel, n_walks=2, walk_length=8, seed=42):
+    """Deterministic random-walk corpus over a catalog relationship
+    (ops/walks.random_walks — the DeepWalk data step from Cypher)."""
+    from .ops.walks import random_walks
+
+    return random_walks(_edges(session, rel), n_walks=int(n_walks),
+                        walk_length=int(walk_length), seed=int(seed))
+
+
 def _p_corpus_profile(session, label, exact=False):
     """Data-card profile of a registered node/relationship table
     (ops/profile.profile_corpus through the catalog)."""
@@ -267,6 +276,7 @@ PROCEDURES: dict[str, Callable] = {
     "graph.bfs": _p_bfs,
     "graph.sssp": _p_sssp,
     "graph.harmonic": _p_harmonic,
+    "graph.walks": _p_walks,
 }
 
 

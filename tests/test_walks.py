@@ -1,0 +1,182 @@
+"""Random-walk corpus generation (ops/walks.py): exact pure-Python
+replay of the seeded walks, a DuckDB chained-CTE replay, dead-end
+termination, determinism under repartition, and skip-gram extraction
+parity."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from brahmand_spark.ops.walks import (
+    random_walks, ranked_adjacency, skipgram_pairs, walks_as_documents,
+)
+
+from .helpers import assert_same
+
+EDGES = [
+    (0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2),
+    (5, 6),  # 6 is a dead end
+]
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_walks(pairs, n_walks, walk_length, seed=42):
+    adj = {}
+    verts = set()
+    for u, v in pairs:
+        verts.update((u, v))
+        adj.setdefault(u, set()).add(v)
+    ranked = {u: sorted(vs) for u, vs in adj.items()}
+    out = {}
+    for s in sorted(verts):
+        for w in range(n_walks):
+            wid = s * n_walks + w
+            walk, cur = [s], s
+            for t in range(1, walk_length):
+                nbrs = ranked.get(cur)
+                if not nbrs:
+                    break
+                pick = _h60(f"w:{seed}:{wid}:{t}") % len(nbrs)
+                cur = nbrs[pick]
+                walk.append(cur)
+            out[wid] = (s, walk)
+    return out
+
+
+def _edges_df(spark, pairs=EDGES):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+class TestRandomWalks:
+    def test_matches_python_replay(self, spark):
+        got = {r["walk_id"]: (r["start"], list(r["walk"]))
+               for r in random_walks(
+                   _edges_df(spark), n_walks=3, walk_length=6).collect()}
+        assert got == _py_walks(EDGES, 3, 6)
+
+    def test_dead_end_terminates_with_prefix(self, spark):
+        got = {r["walk_id"]: list(r["walk"])
+               for r in random_walks(
+                   _edges_df(spark), n_walks=1, walk_length=5).collect()}
+        # 5 -> 6 (dead end): walk stops at length 2; 6 alone: length 1
+        assert got[5] == [5, 6]
+        assert got[6] == [6]
+
+    def test_deterministic_under_repartition(self, spark):
+        a = sorted(map(str, random_walks(
+            _edges_df(spark), n_walks=2, walk_length=5).collect()))
+        b = sorted(map(str, random_walks(
+            _edges_df(spark).repartition(7), n_walks=2,
+            walk_length=5).collect()))
+        assert a == b
+
+    def test_walks_cover_every_vertex(self, spark):
+        walks = random_walks(_edges_df(spark), n_walks=2, walk_length=4)
+        starts = {r["start"] for r in walks.select("start").collect()}
+        assert starts == {0, 1, 2, 3, 4, 5, 6}
+        assert walks.count() == 7 * 2
+
+    def test_matches_duckdb_chained_replay(self, spark, duck):
+        """The whole generation replays in DuckDB: ranked adjacency +
+        one chained CTE per step with the same md5 fold — walk arrays
+        agree exactly."""
+        nw, wl, seed = 2, 4, 42
+        got = random_walks(_edges_df(spark), n_walks=nw,
+                           walk_length=wl, seed=seed) \
+            .select("walk_id", "start",
+                    F.array_join(F.transform(
+                        "walk", lambda x: x.cast("string")), " ")
+                    .alias("walk_s"))
+        vals = ", ".join(f"({u}, {v})" for u, v in EDGES)
+        md5f = ("list_reduce(list_transform(string_split(substr(md5("
+                "'w:{seed}:' || s.walk_id || ':{t}'), 1, 15), ''), "
+                "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT), "
+                "(a, b) -> a * 16 + b)")
+        parts = [f"""
+            e(u, v) AS (VALUES {vals}),
+            ranked AS (
+                SELECT u, v,
+                       row_number() OVER (PARTITION BY u ORDER BY v)
+                           - 1 AS rank,
+                       count(*) OVER (PARTITION BY u) AS degree
+                FROM (SELECT DISTINCT u, v FROM e)),
+            verts AS (SELECT DISTINCT id FROM (
+                SELECT u AS id FROM e UNION ALL SELECT v FROM e)),
+            s0 AS (
+                SELECT (id * {nw} + w.r)::BIGINT AS walk_id,
+                       id::BIGINT AS start, [id::BIGINT] AS walk,
+                       id::BIGINT AS cur, true AS live
+                FROM verts, (SELECT unnest(range({nw})) AS r) w)"""]
+        for t in range(1, wl):
+            h = md5f.format(seed=seed, t=t)
+            parts.append(f"""
+            s{t} AS (
+                SELECT s.walk_id, s.start,
+                       CASE WHEN r.v IS NULL THEN s.walk
+                            ELSE list_append(s.walk, r.v::BIGINT)
+                       END AS walk,
+                       coalesce(r.v::BIGINT, s.cur) AS cur,
+                       r.v IS NOT NULL AS live
+                FROM s{t - 1} s LEFT JOIN ranked r
+                  ON s.live AND r.u = s.cur
+                 AND r.rank = ({h}) % r.degree)""")
+        sql = ("WITH " + ",".join(parts)
+               + f" SELECT walk_id, start, array_to_string(walk, ' ') "
+                 f"AS walk_s FROM s{wl - 1}")
+        assert_same(got, duck.sql(sql))
+
+
+class TestWalkCorpus:
+    def test_walks_as_documents(self, spark):
+        docs = walks_as_documents(random_walks(
+            _edges_df(spark), n_walks=1, walk_length=4)).collect()
+        by_id = {r["doc_id"]: r["text"] for r in docs}
+        want = _py_walks(EDGES, 1, 4)
+        assert by_id == {
+            wid: " ".join(map(str, walk))
+            for wid, (_, walk) in want.items()}
+
+    def test_skipgram_pairs_match_python(self, spark):
+        walks = random_walks(_edges_df(spark), n_walks=2, walk_length=6)
+        got = {(r["center"], r["context"]): r["n"]
+               for r in skipgram_pairs(walks, window=2).collect()}
+        want: dict = {}
+        for _, (_, walk) in _py_walks(EDGES, 2, 6).items():
+            for i, c in enumerate(walk):
+                for j in range(max(0, i - 2), min(len(walk), i + 3)):
+                    if j == i:
+                        continue
+                    k = (c, walk[j])
+                    want[k] = want.get(k, 0) + 1
+        assert got == want
+
+    def test_ranked_adjacency_shape(self, spark):
+        adj = {(r["u"], r["v"]): (r["rank"], r["degree"])
+               for r in ranked_adjacency(_edges_df(spark)).collect()}
+        assert adj[(0, 1)] == (0, 2)
+        assert adj[(0, 2)] == (1, 2)
+        assert adj[(2, 0)][1] == 2
+
+
+def test_walks_via_call(tpch):
+    """CALL graph.walks rides the same deterministic generator."""
+    from brahmand_spark.ops.walks import random_walks
+    from pyspark.sql import functions as F
+
+    got = tpch.execute(
+        "CALL graph.walks('NEXT_CUST', 1, 4) "
+        "YIELD walk_id, start, walk ORDER BY walk_id LIMIT 10").collect()
+    edges = tpch.tables["NEXT_CUST"].select(
+        F.col("from_Customer").alias("src"),
+        F.col("to_Customer").alias("dst"))
+    want = {r["walk_id"]: list(r["walk"])
+            for r in random_walks(edges, n_walks=1,
+                                  walk_length=4).collect()}
+    for r in got:
+        assert list(r["walk"]) == want[r["walk_id"]]
+        assert r["walk"][0] == r["start"]

@@ -624,6 +624,126 @@ def harmonic_centrality(
     )
 
 
+def betweenness_centrality(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    n_samples: int | None = None, max_hops: int = 10,
+    directed: bool = False, seed: int = 42, checkpoint: bool = True,
+) -> DataFrame:
+    """Betweenness centrality via Brandes' dependency accumulation
+    (Brandes 2001, "A faster algorithm for betweenness centrality"),
+    sampled-sources at scale (Brandes & Pich 2007): run the
+    forward/backward pass from ``n_samples`` hash-sampled seeds and
+    scale by n/k — ``n_samples=None`` uses every vertex (exact).
+    Returns (id, centrality) for every vertex.
+
+    Spark shape, one join-aggregate superstep per BFS level:
+
+    - FORWARD: per (seed, vertex), shortest-path distance AND path
+      count sigma — level t's sigma is the sum of the predecessors'
+      sigmas (an integer sum, order-independent); state <= V * k rows,
+      kept as one DataFrame per level so the backward pass needs no
+      dist filtering;
+    - BACKWARD, levels descending: delta(v) = sum over shortest-path
+      successors w of sigma_v / sigma_w * (1 + delta(w)). To keep the
+      result a pure function of the data under any partitioning, delta
+      rides as INTEGER MICRO-UNITS with per-contribution flooring:
+      ``floor(sigma_v * (1e6 + delta_w) / sigma_w)`` summed as
+      integers — deterministic, engine-replayable, and within 1e-6 *
+      (#contributions) of the float recursion (the pure-Python oracle
+      replays the exact same integer arithmetic);
+    - centrality(v) = n/k * sum over seeds of delta(seed, v), seeds
+      themselves excluded, reported in units (micro / 1e6). Directed
+      counts s->...->v paths; ``directed=False`` symmetrizes first
+      (each undirected pair then counts from both endpoints, Brandes'
+      2x convention left to the caller to halve if desired).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = _symmetrize(e, "src", "dst").select(
+            F.col("a").alias("src"), F.col("b").alias("dst"))
+    e = _ckpt(e.distinct(), checkpoint)
+    vertices = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))).distinct()
+    vertices = _ckpt(vertices, checkpoint)
+    n = vertices.count()
+    if n_samples is None or n_samples >= n:
+        seeds, k = vertices.select(F.col("id").alias("s")), n
+    else:
+        seeds = (
+            vertices.orderBy(F.xxhash64(F.col("id"), F.lit(seed)))
+            .limit(n_samples).select(F.col("id").alias("s"))
+        )
+        k = n_samples
+    # forward: levels[t] = (s, id, sigma) — shortest-path counts
+    level = _ckpt(seeds.select(
+        "s", F.col("s").alias("id"),
+        F.lit(1).cast("bigint").alias("sigma")), checkpoint)
+    levels = [level]
+    visited = level.select("s", "id")
+    visited = _ckpt(visited, checkpoint)
+    for _ in range(max_hops):
+        nxt = (
+            level.join(e, level["id"] == e["src"], "inner")
+            .select("s", F.col("dst").alias("id"), "sigma")
+            .join(visited, ["s", "id"], "left_anti")
+            .groupBy("s", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = _ckpt(nxt, checkpoint)
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = _ckpt(
+            visited.unionByName(nxt.select("s", "id")), checkpoint)
+        level = nxt
+    # backward: delta in integer micro-units, levels descending
+    MICRO = 1_000_000
+    delta = None  # (s, id, d) for the level below the current one
+    acc: list[DataFrame] = []
+    for t in range(len(levels) - 2, -1, -1):
+        below = levels[t + 1].select(
+            "s", F.col("id").alias("w"), F.col("sigma").alias("sig_w"))
+        if delta is not None:
+            below = below.join(
+                delta.select("s", F.col("id").alias("w"),
+                             F.col("d").alias("d_w")),
+                ["s", "w"], "left",
+            ).select("s", "w", "sig_w",
+                     F.coalesce("d_w", F.lit(0)).alias("d_w"))
+        else:
+            below = below.select(
+                "s", "w", "sig_w", F.lit(0).cast("bigint").alias("d_w"))
+        cur = (
+            levels[t]
+            .join(e, levels[t]["id"] == e["src"], "inner")
+            .join(below, (F.col("dst") == below["w"])
+                  & (levels[t]["s"] == below["s"]), "inner")
+            .select(
+                levels[t]["s"].alias("s"), F.col("id"),
+                F.floor(
+                    F.col("sigma") * (F.lit(MICRO) + F.col("d_w"))
+                    / F.col("sig_w")
+                ).cast("bigint").alias("_c"),
+            )
+            .groupBy("s", "id").agg(F.sum("_c").alias("d"))
+        )
+        delta = _ckpt(cur, checkpoint)
+        if t > 0:  # the seed's own delta is not betweenness
+            acc.append(delta)
+    if not acc:
+        return vertices.select(
+            "id", F.lit(0.0).alias("centrality"))
+    out = acc[0]
+    for part in acc[1:]:
+        out = out.unionByName(part)
+    scores = out.groupBy("id").agg(F.sum("d").alias("_d"))
+    return vertices.join(scores, "id", "left").select(
+        "id",
+        (F.coalesce(F.col("_d"), F.lit(0)) / F.lit(float(MICRO))
+         * F.lit(n / k)).alias("centrality"),
+    )
+
+
 def strongly_connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     max_rounds: int = 20, checkpoint: bool = True,

@@ -135,6 +135,15 @@ def _p_harmonic(session, rel, n_samples=None, max_hops=10):
         max_hops=int(max_hops))
 
 
+def _p_betweenness(session, rel, n_samples=None, max_hops=10):
+    from .ops.algos import betweenness_centrality
+
+    return betweenness_centrality(
+        _edges(session, rel),
+        n_samples=None if n_samples is None else int(n_samples),
+        max_hops=int(max_hops))
+
+
 def _p_walks(session, rel, n_walks=2, walk_length=8, seed=42):
     """Deterministic random-walk corpus over a catalog relationship
     (ops/walks.random_walks — the DeepWalk data step from Cypher)."""
@@ -276,6 +285,7 @@ PROCEDURES: dict[str, Callable] = {
     "graph.bfs": _p_bfs,
     "graph.sssp": _p_sssp,
     "graph.harmonic": _p_harmonic,
+    "graph.betweenness": _p_betweenness,
     "graph.walks": _p_walks,
 }
 

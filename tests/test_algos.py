@@ -700,3 +700,159 @@ class TestStronglyConnectedComponents:
 
     def test_all_self_loops(self, spark):
         self._check(spark, [(3, 3), (4, 4)])
+
+
+class TestBetweennessCentrality:
+    def _py_brandes_micro(self, pairs, directed, max_hops=10,
+                          sample=None, seed=42):
+        """Bit-exact replay of the integer micro-unit recursion."""
+        from collections import deque
+
+        MICRO = 1_000_000
+        edges = set()
+        verts = set()
+        for a, b in pairs:
+            verts.update((a, b))
+            edges.add((a, b))
+            if not directed:
+                edges.add((b, a))
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        seeds = sorted(verts) if sample is None else sample
+        n, k = len(verts), len(seeds)
+        score = {v: 0 for v in verts}
+        for s in seeds:
+            dist = {s: 0}
+            sigma = {s: 1}
+            levels = {0: [s]}
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                if dist[v] >= max_hops:
+                    continue
+                for w in adj.get(v, []):
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        sigma[w] = 0
+                        levels.setdefault(dist[w], []).append(w)
+                        q.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+            delta = {v: 0 for v in dist}
+            for t in sorted(levels, reverse=True):
+                if t == 0:
+                    continue
+                for v in levels.get(t - 1, []):
+                    c = 0
+                    for w in adj.get(v, []):
+                        if dist.get(w) == t:
+                            c += (sigma[v] * (MICRO + delta[w])
+                                  ) // sigma[w]
+                    delta[v] = c
+            for v, d in delta.items():
+                if v != s:
+                    score[v] += d
+        return {v: d / MICRO * (n / k) for v, d in score.items()}
+
+    def _check(self, spark, pairs, directed, **kw):
+        from brahmand_spark.ops.algos import betweenness_centrality
+
+        got = {r["id"]: r["centrality"] for r in betweenness_centrality(
+            edges_df(spark, pairs), directed=directed, **kw).collect()}
+        want = self._py_brandes_micro(pairs, directed)
+        assert set(got) == set(want)
+        for v in got:
+            assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+    def test_path_graph_exact(self, spark):
+        # path 0-1-2-3-4: interior vertices bridge everything
+        self._check(spark, [(0, 1), (1, 2), (2, 3), (3, 4)],
+                    directed=False)
+
+    def test_star_center_dominates(self, spark):
+        from brahmand_spark.ops.algos import betweenness_centrality
+
+        pairs = [(0, i) for i in range(1, 7)]
+        got = {r["id"]: r["centrality"] for r in betweenness_centrality(
+            edges_df(spark, pairs), directed=False).collect()}
+        assert got[0] > max(got[i] for i in range(1, 7)) * 10
+        assert all(abs(got[i]) < 1e-9 for i in range(1, 7))
+
+    def test_directed_graph(self, spark):
+        self._check(spark, [(0, 1), (1, 2), (0, 2), (2, 3), (1, 3)],
+                    directed=True)
+
+    def test_matches_float_brandes_closely(self, spark):
+        """The micro-unit recursion tracks the textbook float Brandes
+        within flooring error on a random graph."""
+        import random
+
+        from brahmand_spark.ops.algos import betweenness_centrality
+
+        rnd = random.Random(9)
+        pairs = sorted({(rnd.randrange(12), rnd.randrange(12))
+                        for _ in range(30)})
+        pairs = [(a, b) for a, b in pairs if a != b]
+
+        # float reference
+        from collections import deque
+        edges = set()
+        verts = set()
+        for a, b in pairs:
+            verts.update((a, b))
+            edges.add((a, b))
+            edges.add((b, a))
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        ref = {v: 0.0 for v in verts}
+        for s in sorted(verts):
+            dist, sigma, order = {s: 0}, {s: 1}, [s]
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                for w in adj.get(v, []):
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        sigma[w] = 0
+                        order.append(w)
+                        q.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+            delta = {v: 0.0 for v in dist}
+            for v in reversed(order):
+                for w in adj.get(v, []):
+                    if dist.get(w) == dist[v] + 1:
+                        delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+                if v != s:
+                    ref[v] += delta[v]
+        got = {r["id"]: r["centrality"] for r in betweenness_centrality(
+            edges_df(spark, pairs), directed=False).collect()}
+        for v in got:
+            assert abs(got[v] - ref[v]) < 1e-3 * max(ref[v], 1.0)
+
+    def test_sampled_deterministic_and_unbiased_shape(self, spark):
+        from brahmand_spark.ops.algos import betweenness_centrality
+
+        pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]
+        a = sorted(map(tuple, betweenness_centrality(
+            edges_df(spark, pairs), n_samples=3).collect()))
+        b = sorted(map(tuple, betweenness_centrality(
+            edges_df(spark, pairs).repartition(5),
+            n_samples=3).collect()))
+        assert a == b
+        full = {r["id"]: r["centrality"] for r in betweenness_centrality(
+            edges_df(spark, pairs)).collect()}
+        # sampled full == exact
+        sampled_full = {r["id"]: r["centrality"]
+                        for r in betweenness_centrality(
+                            edges_df(spark, pairs),
+                            n_samples=6).collect()}
+        assert all(abs(full[v] - sampled_full[v]) < 1e-9 for v in full)
+
+    def test_via_call(self, tpch):
+        got = tpch.execute(
+            "CALL graph.betweenness('NEXT_CUST', 20, 6) "
+            "YIELD id, centrality ORDER BY centrality DESC LIMIT 5")
+        assert got.count() == 5

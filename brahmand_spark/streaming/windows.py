@@ -123,6 +123,49 @@ def windowed_hll_registers(
     )
 
 
+def windowed_cms_table(
+    df: DataFrame, value_col: str, ts_col: str = "ts",
+    keys: tuple[str, ...] = (), window: str = "1 hour",
+    watermark: str = "10 minutes", depth: int = 4, width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-min sketch per tumbling window: cell rows
+    ``(window_start, keys..., row, bucket, c)`` — the heavy-hitter /
+    point-frequency artifact over a stream.
+
+    Exact per-value counts over a high-cardinality stream need
+    unbounded state; the CMS cells are an ordinary watermarked SUM
+    aggregation with state bounded by depth * width rows per (window,
+    key) group, mergeable across restarts and late increments (sums
+    re-add). The SAME function body runs on a batch DataFrame for the
+    oracle comparison; fold the sink's cell table with
+    ``ops.sketches.cms_estimate`` (min over rows never underestimates)
+    or re-aggregate cells across windows (sum) for coarser spans."""
+    from ..ops.sketches import md5_hash60
+
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    df = with_watermark(df, ts_col, watermark)
+    v = F.col(value_col).cast("string")
+    rows = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            (md5_hash60(F.concat(F.lit(f"{seed + i}:"), v))
+             % F.lit(width)).alias("bucket"),
+        )
+        for i in range(depth)
+    ])).alias("rb")
+    return (
+        df.select(F.col(ts_col), *keys, rows)
+        .groupBy(F.window(ts_col, window).alias("w"), *keys,
+                 F.col("rb.row").alias("row"),
+                 F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("window_start"), *keys,
+                "row", "bucket", "c")
+    )
+
+
 def sessionize(
     df: DataFrame, ts_col: str = "ts", key: str = "user_id",
     gap: str = "30 minutes", watermark: str = "10 minutes",

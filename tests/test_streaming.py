@@ -611,3 +611,52 @@ class TestStreamingDedupReal:
         n = events.count()
         assert got.count() == n
         assert got.distinct().count() == n
+
+
+class TestStreamingCms:
+    def test_stream_cells_match_batch_and_estimates(
+        self, spark, events, tmp_path
+    ):
+        """Per-window count-min sketch over a REAL multi-file stream:
+        (a) the streamed cell table equals the batch build (sums merge
+        across micro-batches); (b) point estimates from the cells
+        never underestimate the exact per-window value counts and are
+        exact for values with no colliding buckets."""
+        from pyspark.sql import functions as F
+
+        from brahmand_spark.streaming import (
+            read_event_stream, windowed_cms_table,
+        )
+
+        from .helpers import canon
+
+        src = str(tmp_path / "cms_src")
+        events.repartition(3).write.mode("overwrite").parquet(src)
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            windowed_cms_table(stream, "user_id", depth=3, width=64)
+            .writeStream.format("memory").queryName("cms_cells")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM cms_cells")
+        want = windowed_cms_table(events, "user_id", depth=3, width=64)
+        assert canon(got.toPandas()) == canon(want.toPandas())
+        # state bound: <= depth * width rows per window
+        per_w = got.groupBy("window_start").count().collect()
+        assert all(r["count"] <= 3 * 64 for r in per_w)
+
+        # point estimates >= exact counts (min over rows)
+        from brahmand_spark.ops.sketches import cms_estimate
+
+        one_w = got.orderBy("window_start").first()["window_start"]
+        cells = got.filter(F.col("window_start") == one_w) \
+            .select("row", "bucket", "c")
+        exact = events.filter(
+            F.date_trunc("hour", "ts") == one_w
+        ).groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        est = {r["user_id"]: r["cms_estimate"] for r in cms_estimate(
+            cells, exact.select("user_id"), "user_id",
+            depth=3, width=64).collect()}
+        for r in exact.collect():
+            assert est[r["user_id"]] >= r["n"]

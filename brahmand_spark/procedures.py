@@ -226,6 +226,17 @@ def _p_corpus_curate(session, label, languages="en", min_quality=0.3,
     return out
 
 
+def _p_corpus_pca(session, label, k=8, id_col="vec_id",
+                  vec_col="embedding"):
+    """PCA projection of a catalog embedding table
+    (ops/stats.pca: one exact-decimal Gram aggregate + numpy eigh +
+    codegen'd literal-dot projection)."""
+    from .ops.stats import pca
+
+    return pca(session._load_for_label(label), k=int(k),
+               id_col=id_col, vec_col=vec_col)
+
+
 def _p_corpus_quality_lr(session, label, ref_label, min_score=0.5,
                          dim=4096, epochs=8, id_col="doc_id",
                          text_col="text"):
@@ -275,6 +286,7 @@ PROCEDURES: dict[str, Callable] = {
     "corpus.bm25": _p_corpus_bm25,
     "corpus.curate": _p_corpus_curate,
     "corpus.quality_lr": _p_corpus_quality_lr,
+    "corpus.pca": _p_corpus_pca,
     "graph.pagerank": _p_pagerank,
     "graph.wcc": _p_wcc,
     "graph.scc": _p_scc,

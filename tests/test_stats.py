@@ -219,3 +219,16 @@ class TestPca:
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+def test_pca_via_call(tpch):
+    from brahmand_spark.ops.stats import pca
+
+    got = tpch.execute(
+        "CALL corpus.pca('Embedding', 3) YIELD vec_id, projected "
+        "ORDER BY vec_id LIMIT 20").collect()
+    want = {r["vec_id"]: list(r["projected"]) for r in pca(
+        tpch.tables["Embedding"], k=3).collect()}
+    assert len(got) == 20
+    for r in got:
+        assert list(r["projected"]) == want[r["vec_id"]]

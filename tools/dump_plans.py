@@ -192,6 +192,33 @@ def main() -> None:
     sem_cents = kmeans_fit(emb, k=8, iters=3)
     bpe_merges = train_bpe(docs, n_merges=12, min_count=2,
                            merges_per_round=4)
+    from brahmand_spark.ops.stats import pca_fit, pca_transform
+    from brahmand_spark.ops.walks import random_walks
+
+    pca_mean, pca_comps, _ = pca_fit(emb, k=4)
+    ext_showcases += [
+        (
+            "PCA projection (literal-dot, zero shuffles)",
+            pca_transform(emb, pca_mean, pca_comps),
+            "The fit is ONE exact-decimal Gram-matrix aggregate (not "
+            "shown — O(dim^2) driver values); the projection folds the "
+            "mean shift into per-component constants and runs as "
+            "codegen'd literal-array dots — a pure narrow map, no "
+            "Exchange, like random_projection.",
+        ),
+        (
+            "Random-walk step (ranked adjacency join, live-walk bound)",
+            random_walks(
+                ev.select(F.col("user_id").alias("src"),
+                          (F.col("user_id") + 1).alias("dst")),
+                n_walks=1, walk_length=3),
+            "Each step is one equi-join of the live frontier against "
+            "the ranked adjacency with the deterministic md5 pick "
+            "folded into the join filter; shuffle volume per step is "
+            "proportional to LIVE walks, not edges, and dead walks "
+            "exit the join entirely.",
+        ),
+    ]
     ext_showcases += [
         (
             "SemDeDup within-cluster pair join (no all-pairs stage)",

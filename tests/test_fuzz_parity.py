@@ -228,3 +228,61 @@ def test_fuzz_hop_parity_pruned(spark, duck):
         except AssertionError as exc:
             failures.append(f"[{i}/{mode}] {cy}\n  vs {sq}\n  {exc}")
     assert not failures, "\n".join(failures[:3]) + f"\n({len(failures)} total)"
+
+
+def _subquery_query(rnd: random.Random) -> tuple[str, str]:
+    """EXISTS { } / COUNT { } subqueries with random inner predicates
+    rendered to both Cypher and correlated-subquery SQL."""
+    inner_cy, inner_sq = _o_predicate(rnd)
+    outer_cy, outer_sq = _predicate(rnd)
+    kind = rnd.randrange(4)
+    if kind == 0:  # EXISTS with inner WHERE
+        neg = rnd.random() < 0.4
+        n_cy, n_sq = ("NOT ", "NOT ") if neg else ("", "")
+        cy = (f"MATCH (c:Customer) WHERE ({outer_cy}) AND {n_cy}EXISTS "
+              f"{{ MATCH (c)-[:PLACED]->(o:Order) WHERE {inner_cy} }} "
+              f"RETURN c.c_custkey AS ck ORDER BY ck")
+        sq = (f"SELECT c_custkey AS ck FROM customer c WHERE "
+              f"({outer_sq}) AND {n_sq}EXISTS (SELECT 1 FROM orders o "
+              f"WHERE o.o_custkey = c.c_custkey AND ({inner_sq})) "
+              f"ORDER BY ck")
+    elif kind == 1:  # COUNT in WHERE comparison
+        thr = rnd.randrange(1, 20)
+        op = rnd.choice([">=", "<", "="])
+        cy = (f"MATCH (c:Customer) WHERE COUNT {{ "
+              f"(c)-[:PLACED]->(o:Order) WHERE {inner_cy} }} {op} {thr} "
+              f"RETURN count(*) AS n")
+        sq = (f"SELECT count(*) AS n FROM customer c WHERE (SELECT "
+              f"count(*) FROM orders o WHERE o.o_custkey = c.c_custkey "
+              f"AND ({inner_sq})) {op} {thr}")
+    elif kind == 2:  # COUNT in RETURN
+        lim = rnd.randrange(5, 30)
+        cy = (f"MATCH (c:Customer) WHERE {outer_cy} "
+              f"RETURN c.c_custkey AS ck, COUNT {{ "
+              f"(c)-[:PLACED]->(o:Order) WHERE {inner_cy} }} AS cnt "
+              f"ORDER BY ck LIMIT {lim}")
+        sq = (f"SELECT c_custkey AS ck, (SELECT count(*) FROM orders o "
+              f"WHERE o.o_custkey = c.c_custkey AND ({inner_sq})) AS "
+              f"cnt FROM customer c WHERE {outer_sq} "
+              f"ORDER BY ck LIMIT {lim}")
+    else:  # COUNT in ORDER BY + arithmetic
+        cy = (f"MATCH (c:Customer) WHERE {outer_cy} "
+              f"RETURN c.c_custkey AS ck "
+              f"ORDER BY COUNT {{ (c)-[:PLACED]->(o:Order) }} DESC, "
+              f"ck ASC LIMIT 10")
+        sq = (f"SELECT c_custkey AS ck FROM customer c WHERE {outer_sq}"
+              f" ORDER BY (SELECT count(*) FROM orders o WHERE "
+              f"o.o_custkey = c.c_custkey) DESC, ck ASC LIMIT 10")
+    return cy, sq
+
+
+def test_fuzz_subquery_parity(tpch, duck):
+    rnd = random.Random(880055)
+    failures = []
+    for i in range(N_QUERIES):
+        cy, sq = _subquery_query(rnd)
+        try:
+            assert_same(tpch.execute(cy), duck.sql(sq))
+        except AssertionError as exc:
+            failures.append(f"[{i}] {cy}\n  vs {sq}\n  {exc}")
+    assert not failures, "\n".join(failures[:3]) + f"\n({len(failures)} total)"

@@ -402,6 +402,115 @@ def triangle_count(
     return per_vertex
 
 
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient on the undirected simple graph:
+    C(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)), 0 for degree
+    < 2 — composition of the existing triangle and degree passes plus
+    one join, nothing new shuffles. Returns (id, degree, triangles,
+    coefficient) for every vertex."""
+    und = _symmetrize(edges, src, dst) \
+        .filter(F.col("a") < F.col("b")).distinct()
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count(edges, src, dst)
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id", "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(0.0).alias("coefficient"),
+        )
+    )
+
+
+def maximal_independent_set(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    seed: int = 42, max_rounds: int = 30, checkpoint: bool = True,
+) -> DataFrame:
+    """Maximal independent set via Luby's algorithm (Luby 1986, "A
+    simple parallel algorithm for the maximal independent set
+    problem") with DETERMINISTIC hash priorities instead of fresh
+    randomness: each round, a live vertex whose
+    ``xxhash64(id, seed, round)`` is strictly smaller than every live
+    neighbor's (ties by id) joins the set; it and its neighbors leave.
+    O(log n) rounds in expectation, each one join-aggregate superstep
+    on the shrinking live subgraph; the output is a pure function of
+    (graph, seed). Returns (id, in_set) for every vertex."""
+    und = _ckpt(
+        _symmetrize(edges, src, dst)
+        .filter(F.col("a") != F.col("b")).distinct(), checkpoint)
+    all_v = _ckpt(
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id"))).distinct(),
+        checkpoint)
+    live_v = all_v
+    live_e = und
+    chosen_parts: list[DataFrame] = []
+    for rnd in range(max_rounds):
+        if live_v.isEmpty():
+            break
+        pri = live_v.select(
+            "id",
+            F.xxhash64(F.col("id"), F.lit(seed), F.lit(rnd))
+            .alias("p"),
+        )
+        pri = _ckpt(pri, checkpoint)
+        # min neighbor priority per vertex (live edges only)
+        nbr_min = (
+            live_e.join(pri.withColumnRenamed("id", "b"),
+                        "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min(F.struct("p", F.col("b").alias("tid")))
+                 .alias("_m"))
+        )
+        winners = (
+            pri.join(nbr_min, "id", "left")
+            .filter(
+                F.col("_m").isNull()
+                | (F.struct("p", F.col("id").alias("tid"))
+                   < F.col("_m"))
+            )
+            .select("id")
+        )
+        winners = _ckpt(winners, checkpoint)
+        chosen_parts.append(winners)
+        removed = winners.unionByName(
+            live_e.join(winners.withColumnRenamed("id", "a"), "a",
+                        "leftsemi")
+            .select(F.col("b").alias("id"))
+        ).distinct()
+        removed = _ckpt(removed, checkpoint)
+        live_v = _ckpt(live_v.join(removed, "id", "left_anti"),
+                       checkpoint)
+        live_e = _ckpt(
+            live_e.join(removed.withColumnRenamed("id", "a"), "a",
+                        "left_anti")
+            .join(removed.withColumnRenamed("id", "b"), "b",
+                  "left_anti")
+            .select("a", "b"),
+            checkpoint)
+    else:
+        if not live_v.isEmpty():
+            raise ValueError(
+                f"MIS did not converge in {max_rounds} rounds")
+    chosen = chosen_parts[0] if chosen_parts else all_v.filter(
+        F.lit(False))
+    for part in chosen_parts[1:]:
+        chosen = chosen.unionByName(part)
+    return all_v.join(
+        chosen.withColumn("in_set", F.lit(True)), "id", "left"
+    ).select("id", F.coalesce("in_set", F.lit(False)).alias("in_set"))
+
+
 def label_propagation(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     max_iterations: int = 5, checkpoint: bool = True,

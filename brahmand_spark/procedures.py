@@ -135,6 +135,19 @@ def _p_harmonic(session, rel, n_samples=None, max_hops=10):
         max_hops=int(max_hops))
 
 
+def _p_clustering_coeff(session, rel):
+    from .ops.algos import clustering_coefficient
+
+    return clustering_coefficient(_edges(session, rel))
+
+
+def _p_mis(session, rel, seed=42):
+    from .ops.algos import maximal_independent_set
+
+    return maximal_independent_set(_edges(session, rel),
+                                   seed=int(seed))
+
+
 def _p_betweenness(session, rel, n_samples=None, max_hops=10):
     from .ops.algos import betweenness_centrality
 
@@ -298,6 +311,8 @@ PROCEDURES: dict[str, Callable] = {
     "graph.sssp": _p_sssp,
     "graph.harmonic": _p_harmonic,
     "graph.betweenness": _p_betweenness,
+    "graph.clustering": _p_clustering_coeff,
+    "graph.mis": _p_mis,
     "graph.walks": _p_walks,
 }
 

@@ -856,3 +856,81 @@ class TestBetweennessCentrality:
             "CALL graph.betweenness('NEXT_CUST', 20, 6) "
             "YIELD id, centrality ORDER BY centrality DESC LIMIT 5")
         assert got.count() == 5
+
+
+class TestClusteringCoefficient:
+    def test_matches_python(self, spark):
+        from brahmand_spark.ops.algos import clustering_coefficient
+
+        # triangle 0-1-2 + pendant 3 on 0 + isolated edge 4-5
+        pairs = [(0, 1), (1, 2), (2, 0), (0, 3), (4, 5)]
+        got = {r["id"]: (r["degree"], r["triangles"],
+                         round(r["coefficient"], 6))
+               for r in clustering_coefficient(
+                   edges_df(spark, pairs)).collect()}
+        assert got[0] == (3, 1, round(2 * 1 / (3 * 2), 6))
+        assert got[1] == (2, 1, 1.0)
+        assert got[2] == (2, 1, 1.0)
+        assert got[3] == (1, 0, 0.0)
+        assert got[4] == (1, 0, 0.0) and got[5] == (1, 0, 0.0)
+
+    def test_complete_graph_is_all_ones(self, spark):
+        from brahmand_spark.ops.algos import clustering_coefficient
+
+        pairs = [(a, b) for a in range(5) for b in range(5) if a < b]
+        got = clustering_coefficient(edges_df(spark, pairs)).collect()
+        assert all(abs(r["coefficient"] - 1.0) < 1e-12 for r in got)
+
+
+class TestMaximalIndependentSet:
+    def _props(self, pairs, rows):
+        in_set = {r["id"] for r in rows if r["in_set"]}
+        out = {r["id"] for r in rows if not r["in_set"]}
+        und = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+        # independence: no edge inside the set
+        assert not any((a, b) in und
+                       for a in in_set for b in in_set if a != b)
+        # maximality: every outsider has a set neighbor
+        for v in out:
+            assert any((v, u) in und for u in in_set), v
+        return in_set
+
+    def test_random_graphs_independent_and_maximal(self, spark):
+        import random
+
+        from brahmand_spark.ops.algos import maximal_independent_set
+
+        for sd in (1, 7):
+            rnd = random.Random(sd)
+            pairs = sorted({(rnd.randrange(25), rnd.randrange(25))
+                            for _ in range(60)})
+            pairs = [(a, b) for a, b in pairs if a != b]
+            rows = maximal_independent_set(
+                edges_df(spark, pairs)).collect()
+            self._props(pairs, rows)
+
+    def test_path_graph(self, spark):
+        from brahmand_spark.ops.algos import maximal_independent_set
+
+        pairs = [(i, i + 1) for i in range(9)]
+        rows = maximal_independent_set(edges_df(spark, pairs)).collect()
+        in_set = self._props(pairs, rows)
+        assert len(in_set) >= 3  # any MIS of P10 has >= 4... >=3 safe
+
+    def test_deterministic_under_repartition(self, spark):
+        from brahmand_spark.ops.algos import maximal_independent_set
+
+        pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+        a = sorted(map(tuple, maximal_independent_set(
+            edges_df(spark, pairs)).collect()))
+        b = sorted(map(tuple, maximal_independent_set(
+            edges_df(spark, pairs).repartition(6)).collect()))
+        assert a == b
+
+    def test_different_seed_still_valid(self, spark):
+        from brahmand_spark.ops.algos import maximal_independent_set
+
+        pairs = [(i, (i + 1) % 8) for i in range(8)]
+        rows = maximal_independent_set(
+            edges_df(spark, pairs), seed=99).collect()
+        self._props(pairs, rows)

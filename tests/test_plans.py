@@ -631,3 +631,29 @@ class TestHopPruning:
 
         with pytest.raises(ValueError, match="prune_hops"):
             QueryCompiler(None, None, prune_hops="nope")
+
+    def test_pruning_interplay_parity(self, spark, tpch):
+        """Pruning composes with var-length, shortestPath, subquery
+        expressions, and OPTIONAL MATCH without changing results."""
+        queries = [
+            ("MATCH (a:Customer)-[:NEXT_CUST*1..3]->(b:Customer) "
+             "WHERE a.c_custkey <= 5 "
+             "RETURN a.c_custkey AS s, b.c_custkey AS d"),
+            ("MATCH p = shortestPath((a:Customer)-[:NEXT_CUST*1..4]->"
+             "(b:Customer)) WHERE a.c_custkey = 3 "
+             "RETURN b.c_custkey AS d, length(p) AS l"),
+            ("MATCH (c:Customer) WHERE c.c_acctbal > 9000 AND EXISTS { "
+             "(c)-[:PLACED]->(o:Order) WHERE o.o_totalprice > 100000 } "
+             "RETURN c.c_custkey AS ck, "
+             "COUNT { (c)-[:PLACED]->(x:Order) } AS n ORDER BY ck"),
+            ("MATCH (c:Customer) WHERE c.c_custkey <= 10 "
+             "OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+             "RETURN c.c_custkey AS ck, count(o.o_orderkey) AS n"),
+        ]
+        want = [sorted(map(tuple, tpch.execute(q).collect()))
+                for q in queries]
+        for mode in ("semi", "bloom"):
+            s = self._session(spark, mode)
+            for q, w in zip(queries, want):
+                got = sorted(map(tuple, s.execute(q).collect()))
+                assert got == w, (mode, q[:60])

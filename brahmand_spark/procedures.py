@@ -196,6 +196,33 @@ def _p_corpus_dedup_minhash(session, label, threshold=0.7,
     ).filter(F.col("est_jaccard") >= float(threshold))
 
 
+def _p_corpus_dedup_groups(session, label, threshold=0.7,
+                           id_col="doc_id", text_col="text"):
+    """Transitive near-duplicate GROUPS (MinHash LSH candidate graph
+    -> connected components, the ops/pipeline.curate dedup stage):
+    (doc_id, group, keep) for every document — keep = smallest id of
+    its group; singletons keep themselves."""
+    from pyspark.sql import functions as F2
+
+    from .ops.algos import connected_components
+    from .ops.dedup import minhash_lsh_candidates
+
+    docs = session._load_for_label(label)
+    pairs = minhash_lsh_candidates(docs, id_col, text_col)         .filter(F2.col("est_jaccard") >= float(threshold))
+    comps = connected_components(
+        pairs.select(F2.col("id_a").alias("src"),
+                     F2.col("id_b").alias("dst")))
+    return (
+        docs.select(F2.col(id_col))
+        .join(comps.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F2.coalesce("component", F2.col(id_col)).alias("group"),
+        )
+        .withColumn("keep", F2.col(id_col) == F2.col("group"))
+    )
+
+
 def _p_corpus_semdedup(session, label, threshold=0.95, k=8,
                        id_col="vec_id", vec_col="embedding"):
     """SemDeDup decision per vector of a catalog embedding table
@@ -295,6 +322,7 @@ PROCEDURES: dict[str, Callable] = {
     "corpus.profile": _p_corpus_profile,
     "corpus.histogram": _p_corpus_histogram,
     "corpus.dedup_minhash": _p_corpus_dedup_minhash,
+    "corpus.dedup_groups": _p_corpus_dedup_groups,
     "corpus.semdedup": _p_corpus_semdedup,
     "corpus.bm25": _p_corpus_bm25,
     "corpus.curate": _p_corpus_curate,

@@ -217,3 +217,18 @@ class TestCorpusPipelineProcedures:
         with pytest.raises(Exception, match="unknown label"):
             tpch.execute(
                 "CALL corpus.bm25('Nope', 'spark', 5)").collect()
+
+    def test_dedup_groups_via_call(self, tpch):
+        """Transitive groups: keep = min id of each component; total
+        over the corpus; keep-count equals distinct groups."""
+        got = tpch.execute(
+            "CALL corpus.dedup_groups('Document', 0.5)")
+        rows = got.collect()
+        assert len(rows) == tpch.tables["Document"].count()
+        groups = {}
+        for r in rows:
+            groups.setdefault(r["group"], []).append(
+                (r["doc_id"], r["keep"]))
+        for g, members in groups.items():
+            kept = [d for d, k in members if k]
+            assert kept == [min(d for d, _ in members)] == [g]

@@ -1822,6 +1822,14 @@ def _py_bpe_train(word_cnt: list[tuple[str, int]], n_merges: int,
     return merges
 
 
+def _sql_str(s: str) -> str:
+    """Standard SQL single-quoted literal: '' doubling, raw bytes
+    otherwise (DuckDB takes control characters verbatim inside
+    quotes; regular strings do no backslash processing, so tokens
+    containing backslashes pass through untouched)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _bpe_oracle(
     doc_parquet: str = "/root/testdata/sf0.01/documents.parquet",
 ) -> str:
@@ -1852,22 +1860,23 @@ def _bpe_oracle(
         f"HAVING count(*) >= {BPE_MIN_COUNT}").fetchall()
     merges = _py_bpe_train(wc, BPE_N_MERGES, BPE_PER_ROUND)
     s1, s2 = "\x01", "\x02"
-    col = (f"{s1!r} || array_to_string(list_transform("
+    col = (f"{_sql_str(s1)} || array_to_string(list_transform("
            f"regexp_extract_all(text, '{WORD_RE}'), "
            f"w -> array_to_string(regexp_extract_all(w, '.'), "
-           f"{s2 + s1!r}) || {s2 + s1!r} || '{END}'), {s2 + s1!r}) "
-           f"|| {s2!r}")
+           f"{_sql_str(s2 + s1)}) || {_sql_str(s2 + s1)} || '{END}'), "
+           f"{_sql_str(s2 + s1)}) || {_sql_str(s2)}")
     for a, b in merges:
         col = (f"replace({col},\n            "
-               f"{s1 + a + s2 + s1 + b + s2!r}, {s1 + a + b + s2!r})")
+               f"{_sql_str(s1 + a + s2 + s1 + b + s2)}, "
+               f"{_sql_str(s1 + a + b + s2)})")
     return f"""
         WITH applied AS (
             SELECT doc_id, {col} AS s FROM documents),
         seg AS (
             SELECT doc_id,
-                   CASE WHEN s = {(s1 + s2)!r} THEN ''
-                        ELSE trim(replace(s, {(s2 + s1)!r}, ' '),
-                                  {(s1 + s2)!r}) END AS segmented
+                   CASE WHEN s = {_sql_str(s1 + s2)} THEN ''
+                        ELSE trim(replace(s, {_sql_str(s2 + s1)}, ' '),
+                                  {_sql_str(s1 + s2)}) END AS segmented
             FROM applied)
         SELECT doc_id,
                (CASE WHEN segmented = '' THEN 0

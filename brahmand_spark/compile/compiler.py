@@ -1871,11 +1871,15 @@ class QueryCompiler:
         ec = ExprCompiler(scope, self.params)
 
         # RETURN * expansion (analyzer/projection_tagging.rs:31-68).
+        # Hidden internal bindings (COUNT{} subquery columns, "__csq*")
+        # are implementation detail, never part of the user's *.
         expanded: list[ast.ReturnItem] = []
         for item in items:
             if isinstance(item.expr, ast.Star):
                 for name in scope.bindings:
-                    expanded.append(ast.ReturnItem(ast.Variable(name)))
+                    if not name.startswith("__csq"):
+                        expanded.append(
+                            ast.ReturnItem(ast.Variable(name)))
             else:
                 expanded.append(item)
 

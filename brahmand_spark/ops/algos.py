@@ -378,14 +378,22 @@ def sssp_weighted(
     return dist
 
 
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected simple graph in canonical a<b orientation."""
+    return _symmetrize(edges, src, dst) \
+        .filter(F.col("a") < F.col("b")).distinct()
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst",
 ) -> DataFrame:
     """Per-vertex triangle counts on the undirected simple graph.
     Canonical-orientation join (each undirected edge kept as a<b) so
     every triangle is materialized exactly once; two shuffles."""
-    canon = _symmetrize(edges, src, dst) \
-        .filter(F.col("a") < F.col("b")).distinct()
+    return _triangles_from_canon(_canonical_edges(edges, src, dst))
+
+
+def _triangles_from_canon(canon: DataFrame) -> DataFrame:
     # wedges a<b<c from edges (a,b) and (b,c); close with (a,c)
     ab = canon.alias("ab")
     bc = canon.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("bc")
@@ -408,16 +416,16 @@ def clustering_coefficient(
     """Local clustering coefficient on the undirected simple graph:
     C(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)), 0 for degree
     < 2 — composition of the existing triangle and degree passes plus
-    one join, nothing new shuffles. Returns (id, degree, triangles,
-    coefficient) for every vertex."""
-    und = _symmetrize(edges, src, dst) \
-        .filter(F.col("a") < F.col("b")).distinct()
+    one join; the canonical edge set is built ONCE and feeds both (no
+    duplicated symmetrize-distinct shuffle). Returns (id, degree,
+    triangles, coefficient) for every vertex."""
+    und = _canonical_edges(edges, src, dst)
     deg = (
         und.select(F.col("a").alias("id"))
         .union(und.select(F.col("b").alias("id")))
         .groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
     )
-    tri = triangle_count(edges, src, dst)
+    tri = _triangles_from_canon(und)
     return (
         deg.join(tri, "id", "left")
         .select(
@@ -822,15 +830,22 @@ def betweenness_centrality(
         else:
             below = below.select(
                 "s", "w", "sig_w", F.lit(0).cast("bigint").alias("d_w"))
+        # rename every join input up front: the level DataFrames share
+        # lineage through the same seeds/edges subtrees, so qualified
+        # refs would be ambiguous without checkpoints
+        lv = levels[t].select(
+            F.col("s").alias("ls"), F.col("id").alias("lid"),
+            F.col("sigma").alias("lsig"))
+        below = below.select(
+            F.col("s").alias("bs"), "w", "sig_w", "d_w")
         cur = (
-            levels[t]
-            .join(e, levels[t]["id"] == e["src"], "inner")
-            .join(below, (F.col("dst") == below["w"])
-                  & (levels[t]["s"] == below["s"]), "inner")
+            lv.join(e, lv["lid"] == e["src"], "inner")
+            .join(below, (F.col("dst") == F.col("w"))
+                  & (F.col("ls") == F.col("bs")), "inner")
             .select(
-                levels[t]["s"].alias("s"), F.col("id"),
+                F.col("ls").alias("s"), F.col("lid").alias("id"),
                 F.floor(
-                    F.col("sigma") * (F.lit(MICRO) + F.col("d_w"))
+                    F.col("lsig") * (F.lit(MICRO) + F.col("d_w"))
                     / F.col("sig_w")
                 ).cast("bigint").alias("_c"),
             )

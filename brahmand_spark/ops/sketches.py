@@ -157,8 +157,24 @@ def cms_table(df: DataFrame, value_col: str, depth: int = 4,
     regardless of corpus size."""
     if depth < 1 or width < 2:
         raise ValueError("depth must be >= 1 and width >= 2")
+    return (
+        df.select(cms_cell_rows(value_col, depth, width, seed))
+        .groupBy(F.col("rb.row").alias("row"),
+                 F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_cell_rows(value_col: str, depth: int, width: int,
+                  seed: int):
+    """The per-row (row, bucket) cell fan-out shared by the batch
+    (cms_table) and streaming (streaming/windows.windowed_cms_table)
+    builders — ONE definition of the hash layout, so cell tables from
+    either path stay point-queryable by cms_estimate."""
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
     v = F.col(value_col).cast("string")
-    rows = F.explode(F.array(*[
+    return F.explode(F.array(*[
         F.struct(
             F.lit(i).alias("row"),
             (md5_hash60(F.concat(F.lit(f"{seed + i}:"), v))
@@ -166,12 +182,6 @@ def cms_table(df: DataFrame, value_col: str, depth: int = 4,
         )
         for i in range(depth)
     ])).alias("rb")
-    return (
-        df.select(rows)
-        .groupBy(F.col("rb.row").alias("row"),
-                 F.col("rb.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
 
 
 def cms_estimate(sketch: DataFrame, items: DataFrame, value_col: str,

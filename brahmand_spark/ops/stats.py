@@ -96,26 +96,37 @@ def random_projection(df: DataFrame, out_dim: int,
     return df.select(F.col(id_col), F.array(*comps).alias("projected"))
 
 
+PCA_EXACT_MAX_DIM = 256
+
+
 def pca_fit(
     df: DataFrame, k: int = 8, vec_col: str = "embedding",
-    dim: int | None = None,
+    dim: int | None = None, method: str = "auto",
 ) -> tuple[list[float], list[list[float]], list[float]]:
-    """Fit PCA over an embedding column with ONE aggregate job:
-    (count, per-dimension sums, upper-triangle second moments) — the
-    standard Gram-matrix formulation, so the corpus is scanned once
-    and only O(dim^2) values ever reach the driver, where numpy's
-    symmetric eigendecomposition finishes in microseconds (dim is
-    64-1024 for real embedding models; the corpus size never touches
-    the driver).
+    """Fit PCA over an embedding column via the Gram-matrix
+    formulation — the corpus is scanned once and only O(dim^2) values
+    ever reach the driver, where numpy's symmetric eigendecomposition
+    finishes in microseconds. Two physical strategies:
 
-    Every cross-row reduction is a Spark DECIMAL(38,18) sum — exact
-    decimal arithmetic, order-independent — so the fitted model is a
-    pure function of the data under any partitioning (per-row
-    double->decimal casts are deterministic; float sums would drift
-    with partition boundaries and make the eigenvectors flicker).
-    Components are sign-fixed (largest-|entry| coordinate positive),
-    making the whole fit deterministic.
+    - ``method='exact'`` (default for dim <= 128): count + per-dim
+      sums + upper-triangle second moments as ONE aggregate of
+      DECIMAL(38,18) SUM expressions — exact decimal arithmetic,
+      order-independent, so the fitted model is a pure function of
+      the data under any partitioning. The plan carries
+      dim*(dim+3)/2 aggregate expressions, so it is capped at
+      ``PCA_EXACT_MAX_DIM`` (Catalyst analysis cost grows with
+      expression count, not data).
+    - ``method='gram'`` (default above 128 — real embedding models
+      at 256-1024 dims): Arrow-batched ``mapInPandas`` accumulates
+      per-partition ``X^T X`` partials with BLAS, reduced by one
+      (cell-index, value) shuffle — dim^2 rows total, independent of
+      corpus size. Float accumulation: deterministic for a fixed
+      partitioning, but partials can differ in final ulps across
+      repartitionings (the exact path exists precisely for
+      bit-stable fits; at these dims the eigen-spectrum is stable to
+      far larger perturbations than an ulp).
 
+    Components are sign-fixed (largest-|entry| coordinate positive).
     Returns (mean, components, explained_variance): ``components`` is
     k rows of dim floats, orthonormal, by descending variance.
     """
@@ -128,25 +139,39 @@ def pca_fit(
         dim = probe["d"]
     if not 1 <= k <= dim:
         raise ValueError(f"k must be in [1, {dim}], got {k}")
-    v = _as_double(F.col(vec_col))
-    x = [F.element_at(v, i + 1) for i in range(dim)]
-    dec = "decimal(38,18)"
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    aggs += [F.sum(x[i].cast(dec)).alias(f"_s{i}") for i in range(dim)]
-    aggs += [
-        F.sum((x[i] * x[j]).cast(dec)).alias(f"_p{i}_{j}")
-        for i in range(dim) for j in range(i, dim)
-    ]
-    row = df.agg(*aggs).first()
-    n = row["_n"]
-    if n < 2:
-        raise ValueError("PCA needs at least 2 vectors")
-    mean = np.array([float(row[f"_s{i}"]) for i in range(dim)]) / n
-    cov = np.zeros((dim, dim))
-    for i in range(dim):
-        for j in range(i, dim):
-            m2 = float(row[f"_p{i}_{j}"]) / n
-            cov[i, j] = cov[j, i] = m2 - mean[i] * mean[j]
+    if method == "auto":
+        method = "exact" if dim <= 128 else "gram"
+    if method not in ("exact", "gram"):
+        raise ValueError(f"method must be auto|exact|gram, got {method}")
+    if method == "exact" and dim > PCA_EXACT_MAX_DIM:
+        raise ValueError(
+            f"method='exact' builds dim*(dim+3)/2 aggregate "
+            f"expressions — intractable at dim={dim}; use "
+            "method='gram' (or random_projection first)")
+    if method == "gram":
+        n, mean, cov = _gram_stats(df, vec_col, dim)
+    else:
+        v = _as_double(F.col(vec_col))
+        x = [F.element_at(v, i + 1) for i in range(dim)]
+        dec = "decimal(38,18)"
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        aggs += [F.sum(x[i].cast(dec)).alias(f"_s{i}")
+                 for i in range(dim)]
+        aggs += [
+            F.sum((x[i] * x[j]).cast(dec)).alias(f"_p{i}_{j}")
+            for i in range(dim) for j in range(i, dim)
+        ]
+        row = df.agg(*aggs).first()
+        n = row["_n"]
+        if n < 2:
+            raise ValueError("PCA needs at least 2 vectors")
+        mean = np.array(
+            [float(row[f"_s{i}"]) for i in range(dim)]) / n
+        cov = np.zeros((dim, dim))
+        for i in range(dim):
+            for j in range(i, dim):
+                m2 = float(row[f"_p{i}_{j}"]) / n
+                cov[i, j] = cov[j, i] = m2 - mean[i] * mean[j]
     evals, evecs = np.linalg.eigh(cov)
     order = np.argsort(evals)[::-1][:k]
     comps = []
@@ -161,6 +186,53 @@ def pca_fit(
         comps,
         [float(evals[i]) for i in order],
     )
+
+
+def _gram_stats(df: DataFrame, vec_col: str, dim: int):
+    """(n, mean, covariance) via per-partition BLAS partials: each
+    Arrow batch contributes count / column sums / X^T X, partials are
+    reduced by one (cell-index, value) aggregate — dim^2 + dim + 1
+    rows total regardless of corpus size, then summed on the
+    driver."""
+    import numpy as np
+
+    from typing import Iterator
+
+    def partial(batches: Iterator["pandas.DataFrame"]):  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        cnt = 0
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["v"].to_numpy()).astype("float64")
+            cnt += X.shape[0]
+            s += X.sum(axis=0)
+            g += X.T @ X
+        vals = np.concatenate(
+            [[float(cnt)], s, g.reshape(-1)])
+        yield pd.DataFrame({
+            "i": np.arange(len(vals), dtype="int64"), "x": vals})
+
+    cells = (
+        df.select(_as_double(F.col(vec_col)).alias("v"))
+        .mapInPandas(partial, schema="i long, x double")
+        .groupBy("i").agg(F.sum("x").alias("x"))
+        .collect()
+    )
+    vals = np.zeros(1 + dim + dim * dim)
+    for r in cells:
+        vals[r["i"]] = r["x"]
+    n = int(vals[0])
+    if n < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    mean = vals[1:1 + dim] / n
+    g = vals[1 + dim:].reshape(dim, dim) / n
+    cov = g - np.outer(mean, mean)
+    return n, mean, cov
 
 
 def pca_transform(

@@ -141,22 +141,12 @@ def windowed_cms_table(
     oracle comparison; fold the sink's cell table with
     ``ops.sketches.cms_estimate`` (min over rows never underestimates)
     or re-aggregate cells across windows (sum) for coarser spans."""
-    from ..ops.sketches import md5_hash60
+    from ..ops.sketches import cms_cell_rows
 
-    if depth < 1 or width < 2:
-        raise ValueError("depth must be >= 1 and width >= 2")
     df = with_watermark(df, ts_col, watermark)
-    v = F.col(value_col).cast("string")
-    rows = F.explode(F.array(*[
-        F.struct(
-            F.lit(i).alias("row"),
-            (md5_hash60(F.concat(F.lit(f"{seed + i}:"), v))
-             % F.lit(width)).alias("bucket"),
-        )
-        for i in range(depth)
-    ])).alias("rb")
     return (
-        df.select(F.col(ts_col), *keys, rows)
+        df.select(F.col(ts_col), *keys,
+                  cms_cell_rows(value_col, depth, width, seed))
         .groupBy(F.window(ts_col, window).alias("w"), *keys,
                  F.col("rb.row").alias("row"),
                  F.col("rb.bucket").alias("bucket"))

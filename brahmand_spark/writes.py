@@ -264,6 +264,9 @@ def apply_merge_into(session, cypher: str, params=None,
     if mc.on_match:
         update_cols = []
         for t, val in mc.on_match:
+            if not isinstance(t, ast.PropertyAccess):
+                raise UnsupportedError(
+                    "MERGE INTO mapping supports property SET targets")
             update_cols.append(t.key)
             exprs[t.key] = ec.compile(val)
     want = session.spark.range(1).select(*[

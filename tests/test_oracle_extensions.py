@@ -141,3 +141,39 @@ def test_bpe_gate_matches_generated_oracle(spark, duck):
 
     sql = entry._bpe_oracle(f"{SF_SMOKE}/documents.parquet")
     assert_same(entry._q_bpe_segment(spark, SF_SMOKE), duck.sql(sql))
+
+
+def test_bpe_oracle_handles_quotes_and_backslashes(spark, tmp_path):
+    """Merge rules containing apostrophes (contractions) or corpus
+    text containing backslashes must render as valid SQL literals —
+    the oracle uses ''-doubled single-quoted literals with RAW
+    delimiter bytes, matched by the chr(1)/chr(2) corpus guard."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from brahmand_spark.ops.bpe import bpe_segment, train_bpe
+
+    from .helpers import assert_same
+
+    rows = [(i, "don't won't can't isn't ain't didn't it's that's "
+                r"a\path b\x01text don't won't") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "quotes.parquet")
+    docs.write.mode("overwrite").parquet(path)
+    sql = entry._bpe_oracle(f"{path}/*.parquet")
+    # the learned rules must actually include an apostrophe merge for
+    # the quoting to be exercised
+    assert "''" in sql
+    merges = train_bpe(docs, n_merges=entry.BPE_N_MERGES,
+                       min_count=entry.BPE_MIN_COUNT,
+                       merges_per_round=entry.BPE_PER_ROUND)
+    assert any("'" in a + b for a, b in merges), merges
+    got = bpe_segment(docs, merges).select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.concat_ws(" ", "tokens").alias("segmented"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{path}/*.parquet'")
+    assert_same(got, con.sql(sql))

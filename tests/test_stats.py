@@ -232,3 +232,45 @@ def test_pca_via_call(tpch):
     assert len(got) == 20
     for r in got:
         assert list(r["projected"]) == want[r["vec_id"]]
+
+
+class TestPcaGramPath:
+    def test_gram_matches_exact(self, spark):
+        """The BLAS mapInPandas Gram path agrees with the exact
+        decimal path to float precision on the 64-dim embeddings."""
+        import numpy as np
+
+        from brahmand_spark.ops.stats import pca_fit
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        m_e, c_e, v_e = pca_fit(emb, k=4, method="exact")
+        m_g, c_g, v_g = pca_fit(emb, k=4, method="gram")
+        assert np.allclose(m_e, m_g, atol=1e-10)
+        assert np.allclose(v_e, v_g, atol=1e-9)
+        for a, b in zip(c_e, c_g):
+            assert np.allclose(a, b, atol=1e-7)
+
+    def test_exact_guard_on_large_dim(self, spark):
+        from brahmand_spark.ops.stats import pca_fit
+
+        rows = [(i, [float(i)] * 300) for i in range(4)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="gram"):
+            pca_fit(df, k=2, method="exact")
+
+    def test_auto_picks_gram_for_large_dim(self, spark):
+        import numpy as np
+
+        from brahmand_spark.ops.stats import pca_fit
+
+        rng = np.random.RandomState(2)
+        X = rng.randn(60, 200)
+        rows = [(i, [float(x) for x in X[i]]) for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        mean, comps, var = pca_fit(df, k=3)  # auto -> gram at dim 200
+        assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+        C = np.cov(X, rowvar=False, bias=True)
+        evals = np.sort(np.linalg.eigvalsh(C))[::-1][:3]
+        assert np.allclose(var, evals, atol=1e-8)

@@ -148,3 +148,46 @@ def correlation_matrix(
         for i, (a, b) in enumerate(pairs)
     ])
     return row.select(F.explode(tidy).alias("p")).select("p.*")
+
+
+def data_card(
+    df: DataFrame, title: str = "Dataset",
+    columns: list[str] | None = None, exact_distinct: bool = False,
+) -> str:
+    """Render a markdown data card from ``profile_corpus`` — the
+    human-readable artifact a curation run publishes next to the
+    dataset (datasheet-style summary table). One aggregate job; the
+    returned string is driver-side but |columns|-sized, never
+    corpus-sized."""
+    rows = profile_corpus(df, columns, exact_distinct).collect()
+    n = rows[0]["n"] if rows else 0
+    lines = [
+        f"# {title}",
+        "",
+        f"- rows: {n}",
+        f"- columns: {len(rows)}",
+        f"- distinct counts: "
+        f"{'exact' if exact_distinct else 'HLL++ sketch'}",
+        "",
+        "| column | dtype | nulls | distinct | min | max | mean "
+        "| stddev | avg_len |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+
+    def fmt(v):
+        if v is None:
+            return ""
+        if isinstance(v, float):
+            return f"{v:.4g}"
+        s = str(v)
+        return s if len(s) <= 24 else s[:21] + "..."
+
+    for r in rows:
+        null_pct = (f"{100.0 * r['n_null'] / n:.1f}%"
+                    if n else "0.0%")
+        lines.append(
+            f"| {r['column']} | {r['dtype']} | {null_pct} "
+            f"| {r['n_distinct']} | {fmt(r['min'])} | {fmt(r['max'])} "
+            f"| {fmt(r['mean'])} | {fmt(r['stddev'])} "
+            f"| {fmt(r['avg_len'])} |")
+    return "\n".join(lines) + "\n"

@@ -145,3 +145,23 @@ class TestHistogramEdgeCases:
         assert sum(rows.values()) == 20
         assert rows[0] >= 5 + 2  # the 5 underflow values fold into bin 0
         assert rows[3] >= 6      # 9..14 fold into the last bin
+
+
+class TestDataCard:
+    def test_renders_markdown(self, spark):
+        from brahmand_spark.ops.profile import data_card
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        card = data_card(docs, title="Docs sf0.001")
+        assert card.startswith("# Docs sf0.001")
+        assert "- rows: 500" in card
+        assert "| doc_id |" in card and "| text |" in card
+        # one table row per column + the header row
+        assert card.count("\n| ") == len(docs.columns) + 1
+
+    def test_empty_df(self, spark):
+        from brahmand_spark.ops.profile import data_card
+
+        df = spark.createDataFrame([], "a int, b string")
+        card = data_card(df)
+        assert "- rows: 0" in card

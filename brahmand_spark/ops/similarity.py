@@ -313,3 +313,88 @@ def hyperplane_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Scalar (symmetric per-vector) quantization of an embedding
+    column: (id_col, qvec array<int>, scale double) with
+    ``x_i ≈ qvec_i * scale``, ``qvec_i`` in [-(2^(bits-1)-1),
+    2^(bits-1)-1]. At 8 bits this cuts the vector bytes 4x (the
+    memory/IO bound of every ANN scan at corpus scale) while cosine
+    survives within ~1/2^(bits-1) per-axis relative error — the
+    standard coarse-search trick: scan quantized, re-rank survivors on
+    the originals.
+
+    Pure narrow JVM arithmetic (max(|x|) per row via array HOF,
+    round-half-up to int), deterministic, engine-replayable. All-zero
+    vectors quantize to zeros with scale 0."""
+    if not 2 <= bits <= 16:
+        raise ValueError("bits must be in [2, 16]")
+    qmax = (1 << (bits - 1)) - 1
+    v = _as_double(F.col(vec_col))
+    amax = F.aggregate(
+        F.col("_v"), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x)))
+    return (
+        df.select(F.col(id_col), v.alias("_v"))
+        .withColumn(
+            "_scale",
+            F.when(amax > 0, amax / qmax).otherwise(F.lit(0.0)))
+        .select(
+            id_col,
+            F.transform(
+                F.col("_v"),
+                lambda x: F.when(
+                    F.col("_scale") > 0,
+                    F.floor(x / F.col("_scale") + 0.5).cast("int"),
+                ).otherwise(F.lit(0)),
+            ).alias("qvec"),
+            F.col("_scale").alias("scale"),
+        )
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id",
+) -> DataFrame:
+    """Inverse of quantize_embeddings: (id_col, embedding) with
+    embedding_i = qvec_i * scale."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            "qvec", lambda q: q.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+
+
+def quantized_cosine_topk(
+    corpus_q: DataFrame, queries_q: DataFrame, k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k over QUANTIZED vectors: cosine on int codes
+    (per-vector scales cancel in the cosine, so the score is exactly
+    the cosine of the dequantized vectors). Same broadcast-queries /
+    scan-once / per-query-window shape as cosine_topk; 4x less data
+    moves at 8 bits. Columns: (query_id, corpus_id, cosine, rank)."""
+    qv = F.transform("qvec", lambda q: q.cast("double"))
+    c = corpus_q.select(
+        F.col(id_col).alias("corpus_id"), qv.alias("cv"))
+    q = queries_q.select(
+        F.col(id_col).alias("query_id"), qv.alias("qv2"))
+    cos = F.round(
+        dot(F.col("cv"), F.col("qv2"))
+        / (norm(F.col("cv")) * norm(F.col("qv2"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -452,7 +452,13 @@ def maximal_independent_set(
     neighbor's (ties by id) joins the set; it and its neighbors leave.
     O(log n) rounds in expectation, each one join-aggregate superstep
     on the shrinking live subgraph; the output is a pure function of
-    (graph, seed). Returns (id, in_set) for every vertex."""
+    (graph, seed). Returns (id, in_set) for every vertex.
+
+    Self-loops: a vertex adjacent to itself can never belong to an
+    independent set (it conflicts with itself), so self-looped
+    vertices are excluded from candidacy and always come back with
+    ``in_set=false`` — the same vertex class the SCC implementation
+    handles explicitly."""
     und = _ckpt(
         _symmetrize(edges, src, dst)
         .filter(F.col("a") != F.col("b")).distinct(), checkpoint)
@@ -460,7 +466,9 @@ def maximal_independent_set(
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id"))).distinct(),
         checkpoint)
-    live_v = all_v
+    selfed = edges.filter(F.col(src) == F.col(dst)).select(
+        F.col(src).alias("id")).distinct()
+    live_v = _ckpt(all_v.join(selfed, "id", "left_anti"), checkpoint)
     live_e = und
     chosen_parts: list[DataFrame] = []
     for rnd in range(max_rounds):
@@ -773,7 +781,14 @@ def betweenness_centrality(
       counts s->...->v paths; ``directed=False`` symmetrizes first
       (each undirected pair then counts from both endpoints, Brandes'
       2x convention left to the caller to halve if desired).
+
+    ``max_hops`` BOUNDS the BFS depth: shortest paths longer than
+    ``max_hops`` are ignored, so on graphs with diameter > max_hops
+    the centrality is under-counted (raise it for exact results on
+    deep graphs). When the frontier is still non-empty at the cap a
+    warning is emitted so exact-mode callers notice the truncation.
     """
+    import warnings
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not directed:
         e = _symmetrize(e, "src", "dst").select(
@@ -813,6 +828,20 @@ def betweenness_centrality(
         visited = _ckpt(
             visited.unionByName(nxt.select("s", "id")), checkpoint)
         level = nxt
+    else:
+        # loop ran out before the frontier drained: paths beyond the
+        # hop cap exist and are being ignored (ADVICE r5)
+        probe = (
+            level.join(e, level["id"] == e["src"], "inner")
+            .select("s", F.col("dst").alias("id"))
+            .join(visited, ["s", "id"], "left_anti")
+        )
+        if not probe.isEmpty():
+            warnings.warn(
+                f"betweenness_centrality: BFS frontier still live at "
+                f"max_hops={max_hops}; shortest paths longer than the "
+                f"cap are ignored and centrality is under-counted",
+                RuntimeWarning, stacklevel=2)
     # backward: delta in integer micro-units, levels descending
     MICRO = 1_000_000
     delta = None  # (s, id, d) for the level below the current one

@@ -25,6 +25,8 @@ fully functional without them.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..errors import UnsupportedError
@@ -122,7 +124,13 @@ def merge_into(
             f"MERGE INTO needs a '{format}' runtime on this session; "
             "the portable upsert path (writes.py anti-join append) "
             "keeps working without it")
-    source.createOrReplaceTempView("__merge_src")
-    spark.sql(merge_into_statement(
-        target_table, source.columns, key_cols,
-        update_cols=update_cols))
+    # per-call unique view name: two concurrent merges on the same
+    # SparkSession must not race on a shared source view (ADVICE r5)
+    view = f"__merge_src_{uuid.uuid4().hex}"
+    source.createOrReplaceTempView(view)
+    try:
+        spark.sql(merge_into_statement(
+            target_table, source.columns, key_cols,
+            update_cols=update_cols, source_view=view))
+    finally:
+        spark.catalog.dropTempView(view)

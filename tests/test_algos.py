@@ -857,6 +857,28 @@ class TestBetweennessCentrality:
             "YIELD id, centrality ORDER BY centrality DESC LIMIT 5")
         assert got.count() == 5
 
+    def test_hop_cap_truncation_warns(self, spark):
+        """A frontier still live at max_hops means paths beyond the
+        cap are being ignored — that truncation must be LOUD, not
+        silent (ADVICE r5)."""
+        import warnings
+
+        from brahmand_spark.ops.algos import betweenness_centrality
+
+        pairs = [(i, i + 1) for i in range(6)]  # P7: diameter 6
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            betweenness_centrality(
+                edges_df(spark, pairs), max_hops=3).collect()
+        assert any("max_hops=3" in str(w.message) for w in caught)
+        # a cap that covers the diameter stays silent
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            betweenness_centrality(
+                edges_df(spark, pairs), max_hops=6).collect()
+        assert not [w for w in caught
+                    if "frontier still live" in str(w.message)]
+
 
 class TestClusteringCoefficient:
     def test_matches_python(self, spark):
@@ -934,3 +956,21 @@ class TestMaximalIndependentSet:
         rows = maximal_independent_set(
             edges_df(spark, pairs), seed=99).collect()
         self._props(pairs, rows)
+
+    def test_self_loop_vertex_never_in_set(self, spark):
+        """A self-adjacent vertex conflicts with itself: it must come
+        back in_set=false even when the loop is its only edge, and its
+        other neighbors stay eligible (ADVICE r5)."""
+        from brahmand_spark.ops.algos import maximal_independent_set
+
+        # 7 has ONLY a self-loop; 0 has a self-loop plus edge to 1
+        pairs = [(7, 7), (0, 0), (0, 1), (1, 2), (2, 3)]
+        got = {r["id"]: r["in_set"] for r in maximal_independent_set(
+            edges_df(spark, pairs)).collect()}
+        assert got[7] is False
+        assert got[0] is False
+        # the loop-free chain 1-2-3 still yields an independent set
+        # that is maximal among eligible vertices
+        assert got[1] or got[2]
+        assert not (got[1] and got[2])
+        assert not (got[2] and got[3])

@@ -96,3 +96,19 @@ class TestQuantization:
         # 8-bit codes keep >= 80% of the exact top-10 per query
         for qid, want in ex.items():
             assert len(ap[qid] & want) >= 8, (qid, ap[qid], want)
+
+    def test_quantized_topk_excludes_zero_vectors(self, spark):
+        """All-zero vectors have no defined cosine: they must not
+        appear on either side of the ranking, and no NULL scores may
+        leak through the rank window (ADVICE r5)."""
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5]),
+             (4, [0.0, 1.0])],
+            "vec_id long, embedding array<double>")
+        q = quantize_embeddings(df, bits=8)
+        top = quantized_cosine_topk(q, q, k=10)
+        rows = top.collect()
+        ids = {r["query_id"] for r in rows} | {
+            r["corpus_id"] for r in rows}
+        assert 2 not in ids
+        assert all(r["cosine"] is not None for r in rows)

@@ -65,7 +65,6 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "ann_cosine_topk",
     "text_quality_score",
-    "text_fingerprint",
     "text_lang_id",
     "text_repetition",
     "text_bm25",
@@ -84,6 +83,7 @@ BENCH_QUERIES = [
     "graph_sssp_weighted",
     "graph_scc",
     "bpe_segment",
+    "graph_walks",
     "shortest_path",
     "var_length_multi",
     "events_sessionize",

@@ -8,8 +8,18 @@ walks as training documents (chunking, dedup, packing all apply).
 
 Spark shape, deterministic by construction:
 
-- neighbors are ranked per source once (`dense row_number` over the
-  destination id — one shuffle, reused by every step);
+- neighbors are ranked per source once in SALTED SUB-BUCKETS — each
+  neighbor hashes into one of ``n_buckets`` salt buckets and is
+  ranked within ``(src, bucket)``, then the global rank is composed
+  as ``bucket_offset + local_rank`` from the per-bucket sizes (≤
+  ``n_buckets`` rows per source). No window ever partitions by the
+  source alone, so a power-law supernode's neighbor list sorts
+  across ``n_buckets`` tasks instead of serializing into one —
+  the r5 scale defect. ``max_degree`` additionally caps each
+  vertex's usable neighbors to the first ``max_degree`` in
+  (bucket, v) order — a deterministic uniform-ish sample (bucket
+  assignment is a hash of the neighbor id), node2vec's standard
+  degree-cap trick;
 - each walk step picks ``rank = H(walk_id, step) % degree`` where H is
   the md5-portable 60-bit hash — a seeded pseudo-random but fully
   deterministic choice, so the whole corpus is a pure function of
@@ -41,25 +51,68 @@ from .text import md5_hash60
 
 def ranked_adjacency(
     edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_degree: int | None = None, n_buckets: int = 32,
 ) -> DataFrame:
     """(src, dst, rank, degree): each source's distinct neighbors
-    ranked 0..degree-1 by ascending destination id — the indexable
-    adjacency the walk step joins against. One shuffle on src; build
-    once per graph and reuse across walk batches."""
+    ranked 0..degree-1 — the indexable adjacency the walk step joins
+    against. Build once per graph and reuse across walk batches.
+
+    The rank order is ``(salt_bucket, v)`` where ``salt_bucket =
+    md5_60('nb:' || v) % n_buckets``: ranking windows partition by
+    ``(u, salt_bucket)`` so the widest sort any single task performs
+    is ``degree / n_buckets`` rows — a supernode no longer serializes
+    into one task (the full per-vertex window was the r5 ``weak``
+    finding). Global ranks are composed from per-bucket prefix sums
+    (≤ ``n_buckets`` rows per vertex in that window), so they remain
+    contiguous ``0..degree-1``.
+
+    ``max_degree`` keeps only the first ``max_degree`` neighbors in
+    rank order (degree is capped to match) — because bucket
+    assignment hashes the neighbor id, this is a deterministic
+    pseudo-random neighbor sample, bounding per-step walk fan-in on
+    power-law graphs. Output is a pure function of
+    (graph, n_buckets, max_degree)."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if max_degree is not None and max_degree < 1:
+        raise ValueError("max_degree must be >= 1 when set")
     nbrs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")) \
         .distinct()
-    w = Window.partitionBy("u").orderBy("v")
-    return nbrs.select(
-        "u", "v",
-        (F.row_number().over(w) - 1).alias("rank"),
-        F.count(F.lit(1)).over(Window.partitionBy("u")).alias("degree"),
+    loc = nbrs.withColumn(
+        "_bkt",
+        F.pmod(md5_hash60(F.concat(F.lit("nb:"),
+                                   F.col("v").cast("string"))),
+               F.lit(n_buckets)))
+    wloc = Window.partitionBy("u", "_bkt").orderBy("v")
+    loc = loc.withColumn("_lr", F.row_number().over(wloc) - 1)
+    if max_degree is not None:
+        # a row with local rank >= max_degree can never reach a
+        # global rank < max_degree (offset >= 0): safe pre-prune
+        loc = loc.filter(F.col("_lr") < max_degree)
+    sizes = loc.groupBy("u", "_bkt").agg(F.count(F.lit(1)).alias("_sz"))
+    wpre = (Window.partitionBy("u").orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = sizes.select(
+        "u", "_bkt",
+        F.coalesce(F.sum("_sz").over(wpre), F.lit(0)).alias("_off"),
+        F.sum("_sz").over(Window.partitionBy("u")).alias("_tot"),
     )
+    out = loc.join(offs, ["u", "_bkt"]).select(
+        "u", "v",
+        (F.col("_off") + F.col("_lr")).alias("rank"),
+        F.col("_tot").alias("degree"),
+    )
+    if max_degree is not None:
+        out = out.filter(F.col("rank") < max_degree).withColumn(
+            "degree", F.least(F.col("degree"), F.lit(max_degree)))
+    return out
 
 
 def random_walks(
     edges: DataFrame, n_walks: int = 2, walk_length: int = 8,
     src: str = "src", dst: str = "dst", seed: int = 42,
     starts: DataFrame | None = None, checkpoint: bool = True,
+    max_degree: int | None = None, n_buckets: int = 32,
 ) -> DataFrame:
     """Generate ``n_walks`` walks of up to ``walk_length`` steps from
     every vertex (or from ``starts``' ``id`` column). Returns
@@ -70,15 +123,30 @@ def random_walks(
     ``rank = md5_60('w:{seed}:' || walk_id || ':' || t) % degree`` —
     deterministic, uniform over neighbors, independent across steps
     and walks; every engine that can md5 replays the corpus
-    bit-for-bit."""
+    bit-for-bit. ``max_degree``/``n_buckets`` pass through to
+    :func:`ranked_adjacency` (degree-capped, salt-bucketed neighbor
+    ranking — the 100 TB posture on power-law graphs).
+
+    Vertex ids must be integral: walk_id is derived as
+    ``start * n_walks + walk_index``, which is meaningless (silently
+    NULL) on string ids — those fail loudly here instead (hash
+    string ids to bigints upstream, e.g. via ``xxhash64``)."""
     if n_walks < 1 or walk_length < 1:
         raise ValueError("n_walks and walk_length must be >= 1")
-    adj = _ckpt(ranked_adjacency(edges, src, dst), checkpoint)
+    adj = _ckpt(
+        ranked_adjacency(edges, src, dst, max_degree=max_degree,
+                         n_buckets=n_buckets), checkpoint)
     if starts is None:
         starts = edges.select(F.col(src).alias("id")).union(
             edges.select(F.col(dst).alias("id"))).distinct()
     else:
         starts = starts.select(F.col("id"))
+    id_type = starts.schema["id"].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"random_walks needs integral vertex ids to derive "
+            f"walk_id = start * n_walks + index; got '{id_type}' — "
+            f"hash non-numeric ids to bigint first (ADVICE r5)")
     state = starts.select(
         F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("_w"),
         F.col("id").alias("start"),

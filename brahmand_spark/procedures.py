@@ -157,13 +157,18 @@ def _p_betweenness(session, rel, n_samples=None, max_hops=10):
         max_hops=int(max_hops))
 
 
-def _p_walks(session, rel, n_walks=2, walk_length=8, seed=42):
+def _p_walks(session, rel, n_walks=2, walk_length=8, seed=42,
+             max_degree=None):
     """Deterministic random-walk corpus over a catalog relationship
-    (ops/walks.random_walks — the DeepWalk data step from Cypher)."""
+    (ops/walks.random_walks — the DeepWalk data step from Cypher);
+    ``max_degree`` caps each vertex's usable neighbors (the supernode
+    sample for power-law graphs)."""
     from .ops.walks import random_walks
 
-    return random_walks(_edges(session, rel), n_walks=int(n_walks),
-                        walk_length=int(walk_length), seed=int(seed))
+    return random_walks(
+        _edges(session, rel), n_walks=int(n_walks),
+        walk_length=int(walk_length), seed=int(seed),
+        max_degree=None if max_degree is None else int(max_degree))
 
 
 def _p_corpus_profile(session, label, exact=False):

@@ -25,13 +25,22 @@ def _h60(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
-def _py_walks(pairs, n_walks, walk_length, seed=42):
+def _rank_py(vs, n_buckets=32, max_degree=None):
+    """The salted-sub-bucket neighbor order: (md5 bucket, v) asc,
+    optionally truncated to the first max_degree."""
+    ordered = sorted(vs, key=lambda v: (_h60(f"nb:{v}") % n_buckets, v))
+    return ordered if max_degree is None else ordered[:max_degree]
+
+
+def _py_walks(pairs, n_walks, walk_length, seed=42, max_degree=None,
+              n_buckets=32):
     adj = {}
     verts = set()
     for u, v in pairs:
         verts.update((u, v))
         adj.setdefault(u, set()).add(v)
-    ranked = {u: sorted(vs) for u, vs in adj.items()}
+    ranked = {u: _rank_py(vs, n_buckets, max_degree)
+              for u, vs in adj.items()}
     out = {}
     for s in sorted(verts):
         for w in range(n_walks):
@@ -97,14 +106,20 @@ class TestRandomWalks:
                 "'w:{seed}:' || s.walk_id || ':{t}'), 1, 15), ''), "
                 "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT), "
                 "(a, b) -> a * 16 + b)")
+        bktf = ("list_reduce(list_transform(string_split(substr(md5("
+                "'nb:' || v), 1, 15), ''), "
+                "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT), "
+                "(a, b) -> a * 16 + b) % 32")
         parts = [f"""
             e(u, v) AS (VALUES {vals}),
             ranked AS (
                 SELECT u, v,
-                       row_number() OVER (PARTITION BY u ORDER BY v)
+                       row_number() OVER (PARTITION BY u
+                                          ORDER BY bkt, v)
                            - 1 AS rank,
                        count(*) OVER (PARTITION BY u) AS degree
-                FROM (SELECT DISTINCT u, v FROM e)),
+                FROM (SELECT u, v, {bktf} AS bkt
+                      FROM (SELECT DISTINCT u, v FROM e))),
             verts AS (SELECT DISTINCT id FROM (
                 SELECT u AS id FROM e UNION ALL SELECT v FROM e)),
             s0 AS (
@@ -158,9 +173,62 @@ class TestWalkCorpus:
     def test_ranked_adjacency_shape(self, spark):
         adj = {(r["u"], r["v"]): (r["rank"], r["degree"])
                for r in ranked_adjacency(_edges_df(spark)).collect()}
-        assert adj[(0, 1)] == (0, 2)
-        assert adj[(0, 2)] == (1, 2)
-        assert adj[(2, 0)][1] == 2
+        # ranks follow the salted (bucket, v) order, contiguous per u
+        want01 = _rank_py({1, 2})
+        assert adj[(0, want01[0])] == (0, 2)
+        assert adj[(0, want01[1])] == (1, 2)
+        assert adj[(2, 0)][1] == 2  # 2 -> {0, 3}
+        by_u = {}
+        for (u, v), (rank, deg) in adj.items():
+            by_u.setdefault(u, []).append((rank, v, deg))
+        for u, rows in by_u.items():
+            ranks = sorted(r for r, _, _ in rows)
+            assert ranks == list(range(len(rows)))
+            assert all(d == len(rows) for _, _, d in rows)
+
+    def test_ranked_adjacency_max_degree_cap(self, spark):
+        """max_degree keeps exactly the first max_degree neighbors in
+        (salt bucket, v) order with contiguous ranks and a capped
+        degree — the deterministic supernode sample."""
+        pairs = [(0, v) for v in range(10)] + [(1, 2)]
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        adj = ranked_adjacency(df, max_degree=4).collect()
+        mine = sorted((r["rank"], r["v"]) for r in adj if r["u"] == 0)
+        want = _rank_py(set(range(10)), max_degree=4)
+        assert mine == [(i, v) for i, v in enumerate(want)]
+        assert all(r["degree"] == 4 for r in adj if r["u"] == 0)
+        # under-cap vertices are untouched
+        assert [(r["rank"], r["v"], r["degree"]) for r in adj
+                if r["u"] == 1] == [(0, 2, 1)]
+
+    def test_ranked_adjacency_no_per_vertex_window(self, spark):
+        """The neighbor-ranking row_number must partition by
+        (u, salt bucket), never by u alone — a supernode's neighbor
+        list must not sort in a single task (r5 `weak` finding)."""
+        plan = ranked_adjacency(_edges_df(spark)) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        rn_lines = [ln for ln in plan.splitlines()
+                    if "row_number" in ln]
+        assert rn_lines, plan
+        for ln in rn_lines:
+            assert "_bkt" in ln, ln
+
+    def test_string_ids_fail_loudly(self, spark):
+        import pytest
+
+        df = spark.createDataFrame(
+            [("a", "b")], "src string, dst string")
+        with pytest.raises(TypeError, match="integral vertex ids"):
+            random_walks(df, n_walks=1, walk_length=3)
+
+    def test_walks_with_max_degree_match_python(self, spark):
+        pairs = [(0, v) for v in range(8)] + [(1, 0), (2, 0), (3, 0)]
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        got = {r["walk_id"]: (r["start"], list(r["walk"]))
+               for r in random_walks(
+                   df, n_walks=2, walk_length=5,
+                   max_degree=3).collect()}
+        assert got == _py_walks(pairs, 2, 5, max_degree=3)
 
 
 def test_walks_via_call(tpch):

@@ -200,6 +200,18 @@ class QueryCompiler:
 
     # ------------------------------------------------------------------
     def compile(self, query: ast.ReadQuery) -> DataFrame:
+        # parser-provided fast path: no COUNT { } anywhere in this
+        # query -> skip every per-item rewrite tree walk (save/restore
+        # around union-arm recursion; default True stays safe for
+        # callers handing in synthesized ASTs without the flag)
+        prev_csq = getattr(self, "_maybe_csq", True)
+        self._maybe_csq = getattr(query, "has_count_subquery", True)
+        try:
+            return self._compile_query(query)
+        finally:
+            self._maybe_csq = prev_csq
+
+    def _compile_query(self, query: ast.ReadQuery) -> DataFrame:
         self._bare_refs, self._prop_refs = self._collect_refs(query)
         self._referenced = self._bare_refs | set(self._prop_refs)
         df: Optional[DataFrame] = None
@@ -562,6 +574,8 @@ class QueryCompiler:
         per anchor-id tuple and LEFT-joined back (0 when no match).
         Returns the augmented DataFrame and the rewritten expression;
         a no-subquery expression passes through untouched."""
+        if not getattr(self, "_maybe_csq", True):
+            return df, expr  # parser saw no COUNT { }: skip the walk
         import dataclasses
 
         state = {"df": df}
@@ -1851,22 +1865,23 @@ class QueryCompiler:
     ) -> tuple[DataFrame, Scope]:
         # COUNT { ... } subquery items/order keys become hidden scalar
         # columns before any expression compiles.
-        rewritten_items = []
-        for item in items:
-            if _contains_count_subquery(item.expr):
-                df, ne = self._rewrite_count_subqueries(
-                    df, scope, item.expr)
-                item = ast.ReturnItem(ne, item.alias)
-            rewritten_items.append(item)
-        items = rewritten_items
-        rewritten_ob = []
-        for ob in order_by:
-            if _contains_count_subquery(ob.expr):
-                df, ne = self._rewrite_count_subqueries(
-                    df, scope, ob.expr)
-                ob = ast.OrderByItem(ne, ob.ascending)
-            rewritten_ob.append(ob)
-        order_by = rewritten_ob
+        if getattr(self, "_maybe_csq", True):
+            rewritten_items = []
+            for item in items:
+                if _contains_count_subquery(item.expr):
+                    df, ne = self._rewrite_count_subqueries(
+                        df, scope, item.expr)
+                    item = ast.ReturnItem(ne, item.alias)
+                rewritten_items.append(item)
+            items = rewritten_items
+            rewritten_ob = []
+            for ob in order_by:
+                if _contains_count_subquery(ob.expr):
+                    df, ne = self._rewrite_count_subqueries(
+                        df, scope, ob.expr)
+                    ob = ast.OrderByItem(ne, ob.ascending)
+                rewritten_ob.append(ob)
+            order_by = rewritten_ob
 
         ec = ExprCompiler(scope, self.params)
 

@@ -25,6 +25,9 @@ class Parser:
         self.text = text
         self.tokens = tokenize(text)
         self.i = 0
+        # COUNT { ... } subqueries seen so far — parse_read_query
+        # snapshots this to flag each ReadQuery (compiler fast path)
+        self.n_count_subqueries = 0
 
     # -- token helpers -----------------------------------------------------
     def peek(self, ahead: int = 0) -> Token:
@@ -188,6 +191,7 @@ class Parser:
         parts: list[ast.QueryPart] = []
         cur = ast.QueryPart()
         query = ast.ReadQuery(parts=parts)
+        csq_before = self.n_count_subqueries
         while True:
             if self.at_kw("MATCH") or (
                 self.at_kw("OPTIONAL") and self.peek(1).value == "MATCH"
@@ -237,6 +241,8 @@ class Parser:
                     query.unions.append(
                         (self.parse_read_query(), not union_all)
                     )
+                query.has_count_subquery = (
+                    self.n_count_subqueries > csq_before)
                 return query
             else:
                 self.error("expected MATCH, UNWIND, WHERE, WITH, or RETURN")
@@ -636,6 +642,7 @@ class Parser:
                 path, where = self._parse_subquery_block()
                 if name.lower() == "exists":
                     return ast.PatternPredicate(path, where=where)
+                self.n_count_subqueries += 1
                 return ast.CountSubquery(path, where=where)
             return ast.Variable(name)
         self.error("expected expression")

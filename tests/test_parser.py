@@ -392,3 +392,24 @@ class TestSubqueryBlocks:
         e = rq("MATCH (c:P) RETURN count(c.name) AS n") \
             .return_clause.items[0].expr
         assert isinstance(e, ast.FnCall)
+
+    def test_has_count_subquery_flag(self):
+        """The parser flags queries containing COUNT { } so the
+        compiler can skip per-item rewrite walks on subquery-free
+        queries (VERDICT r5 #5)."""
+        assert rq("MATCH (c:P) RETURN COUNT { (c)-[:R]->(b) } AS n") \
+            .has_count_subquery is True
+        assert rq("MATCH (c:P) WHERE COUNT { (c)-[:R]->(b) } >= 2 "
+                  "RETURN c.name").has_count_subquery is True
+        assert rq("MATCH (c:P) RETURN count(c.name) AS n") \
+            .has_count_subquery is False
+        # EXISTS { } compiles as a pattern predicate, not a COUNT
+        # rewrite — it must not set the flag
+        assert rq("MATCH (c:P) WHERE EXISTS { (c)-[:R]->(b:Q) } "
+                  "RETURN c.name").has_count_subquery is False
+        # union arms carry their own precise flag
+        u = rq("MATCH (c:P) RETURN c.name AS n "
+               "UNION MATCH (d:P) WHERE COUNT { (d)-[:R]->(b) } > 0 "
+               "RETURN d.name AS n")
+        assert u.has_count_subquery is True  # conservative on the root
+        assert u.unions[0][0].has_count_subquery is True

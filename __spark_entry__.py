@@ -471,10 +471,50 @@ def _q_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
-def _q_langid(spark, sf_dir):
-    from brahmand_spark.ops.text import lang_id
+URL_CAP = 40
 
-    return lang_id(_docs(spark, sf_dir))
+
+def _url_docs(docs):
+    """Deterministic synthetic URLs over the documents table (the
+    corpus has no url column — same fixture strategy as _scc_edges):
+    scheme case + www + default tracking params + trailing slashes +
+    a co.uk suffix + a blocklisted domain, all varying by doc_id
+    residues so URL-exact collisions genuinely occur."""
+    d = F.col("doc_id").cast("bigint")
+    scheme = F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP"))
+    host = (F.when(d % 5 == 0, F.lit("Example.COM"))
+            .when(d % 5 == 1, F.lit("www.example.com"))
+            .when(d % 5 == 2, F.lit("news.example.co.uk"))
+            .when(d % 5 == 3, F.lit("blog.testsite.org"))
+            .otherwise(F.lit("cdn.testsite.org")))
+    q = (F.when(d % 3 == 0,
+                F.concat(F.lit("?utm_source=feed&x="),
+                         (d % 4).cast("string")))
+         .when(d % 3 == 1,
+               F.concat(F.lit("?x="), (d % 4).cast("string")))
+         .otherwise(F.lit("")))
+    trail = F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("://"), host, F.lit("/page/"),
+                   (d % 50).cast("string"), trail, q)
+    return docs.select("doc_id", url.alias("url"))
+
+
+def _q_text_url_dedup(spark, sf_dir):
+    """URL front-door curation (ops/urls — the r6 web-corpus front
+    door): normalize (case/www/utm/trailing-slash), URL-exact dedup
+    keeping the smallest doc_id, registered-domain extraction through
+    the broadcast public-suffix joins, blocklist filtering, and the
+    salted per-domain cap (no per-domain-only window). The oracle is
+    a static SQL replay of the entire chain. Replaces the folded
+    text_lang_id gate (per-row marker counting, same shape as the
+    registered text_quality_score; still oracle-checked in
+    tests/test_folded_gates.py)."""
+    from brahmand_spark.ops.urls import curate_urls
+
+    out = curate_urls(
+        _url_docs(_docs(spark, sf_dir)),
+        blocklist=["testsite.org"], max_docs_per_domain=URL_CAP)
+    return out.select("doc_id", "url_norm", "registered_domain")
 
 
 def _q_text_repetition(spark, sf_dir):
@@ -904,7 +944,7 @@ _EXTENSIONS: dict[str, Callable] = {
     "dedup_embedding_lsh": _q_dedup_embedding_lsh,
     "text_bm25": _q_text_bm25,
     "text_quality_score": _q_quality,
-    "text_lang_id": _q_langid,
+    "text_url_dedup": _q_text_url_dedup,
     "graph_walks": _q_graph_walks,
     "text_repetition": _q_text_repetition,
     "text_chunking": _q_text_chunking,
@@ -994,27 +1034,6 @@ _EXTENSION_ORACLES: dict[str, str] = {
                  + 0.4 * round(n_alpha * 1.0 / greatest(n_chars, 1), 4)
                  + 0.2 * least(n_tokens / 100.0, 1.0) END, 4) AS quality
         FROM feat""",
-    "text_lang_id": r"""
-        WITH toks AS (
-            SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\s+'),
-                               x -> x <> '') AS t
-            FROM documents),
-        hits AS (
-            SELECT doc_id,
-                   len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS n_de,
-                   len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS n_en,
-                   len(list_filter(t, x -> x IN ('el','los','las','es','y'))) AS n_es,
-                   len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS n_fr
-            FROM toks)
-        SELECT doc_id,
-               CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
-                    WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
-                    WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
-                    WHEN n_es >= n_fr THEN 'es'
-                    ELSE 'fr' END AS pred_lang,
-               greatest(n_de, n_en, n_es, n_fr) AS marker_hits
-        FROM hits""",
     "text_repetition": r"""
         WITH lines AS (
             SELECT doc_id,
@@ -1771,6 +1790,113 @@ def _memo(name: str, fn: Callable) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _url_dedup_oracle() -> str:
+    """Static DuckDB replay of the text_url_dedup gate: the synthetic
+    URL fixture, the full normalization chain (scheme/host lowering,
+    userinfo + default-port + single-www strip, fragment drop,
+    trailing-slash trim, tracking-param filter with order preserved),
+    min-id URL-exact dedup, registered-domain extraction against the
+    same built-in suffix list (split by label count; the built-in
+    list has no 3-label entries), the domain blocklist, and the
+    hash-order per-domain cap (single-window form of the operator's
+    salted-bucket rank composition)."""
+    from brahmand_spark.ops.urls import COMMON_SUFFIXES
+
+    sfx2 = ", ".join(f"'{s}'" for s in COMMON_SUFFIXES
+                     if s.count(".") == 1)
+    sfx1 = ", ".join(f"'{s}'" for s in COMMON_SUFFIXES
+                     if s.count(".") == 0)
+    h = _md5h60_sql("'cap:' || doc_id")
+    return f"""
+        WITH synth AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'https'
+                         ELSE 'HTTP' END)
+                   || '://'
+                   || (CASE doc_id % 5
+                       WHEN 0 THEN 'Example.COM'
+                       WHEN 1 THEN 'www.example.com'
+                       WHEN 2 THEN 'news.example.co.uk'
+                       WHEN 3 THEN 'blog.testsite.org'
+                       ELSE 'cdn.testsite.org' END)
+                   || '/page/' || (doc_id % 50)
+                   || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+                   || (CASE WHEN doc_id % 3 = 0
+                            THEN '?utm_source=feed&x=' || (doc_id % 4)
+                            WHEN doc_id % 3 = 1
+                            THEN '?x=' || (doc_id % 4)
+                            ELSE '' END) AS url
+            FROM documents),
+        p AS (
+            SELECT doc_id,
+                lower(regexp_extract(trim(url),
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(regexp_extract(trim(url),
+                    '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1),
+                    '#.*$', '') AS nofrag
+            FROM synth),
+        hp0 AS (
+            SELECT doc_id, scheme, nofrag,
+                lower(regexp_replace(regexp_extract(nofrag,
+                    '^([^/?#]*)', 1), '^[^@]*@', '')) AS hp_raw
+            FROM p),
+        parts AS (
+            SELECT doc_id, scheme,
+                regexp_replace(
+                    CASE WHEN scheme = 'http'
+                         THEN regexp_replace(hp_raw, ':80$', '')
+                         WHEN scheme = 'https'
+                         THEN regexp_replace(hp_raw, ':443$', '')
+                         ELSE hp_raw END,
+                    '^www\\.', '') AS host,
+                regexp_replace(regexp_extract(nofrag,
+                    '^[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+                coalesce(array_to_string(list_filter(
+                    string_split(coalesce(regexp_extract(nofrag,
+                        '\\?([^#]*)', 1), ''), '&'),
+                    q -> q <> '' AND NOT regexp_matches(q,
+                        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid|ref)=')),
+                    '&'), '') AS qn
+            FROM hp0),
+        normed AS (
+            SELECT doc_id, host,
+                   CASE WHEN scheme <> '' AND host <> ''
+                        THEN scheme || '://' || host || path ||
+                             CASE WHEN qn = '' THEN ''
+                                  ELSE '?' || qn END
+                   END AS url_norm
+            FROM parts),
+        deduped AS (
+            SELECT doc_id, host, url_norm
+            FROM normed
+            WHERE url_norm IS NOT NULL
+            QUALIFY row_number() OVER (
+                PARTITION BY url_norm ORDER BY doc_id) = 1),
+        domained AS (
+            SELECT doc_id, url_norm,
+                   CASE WHEN len(labels) > 2
+                             AND labels[-2] || '.' || labels[-1]
+                                 IN ({sfx2})
+                        THEN labels[-3] || '.' || labels[-2]
+                             || '.' || labels[-1]
+                        WHEN len(labels) > 1 AND labels[-1] IN ({sfx1})
+                        THEN labels[-2] || '.' || labels[-1]
+                        ELSE host END AS registered_domain
+            FROM (SELECT doc_id, host, url_norm,
+                         string_split(host, '.') AS labels
+                  FROM deduped)),
+        blocked AS (
+            SELECT * FROM domained
+            WHERE registered_domain <> 'testsite.org'),
+        capped AS (
+            SELECT doc_id, url_norm, registered_domain
+            FROM blocked
+            QUALIFY row_number() OVER (
+                PARTITION BY registered_domain
+                ORDER BY ({h}) % 32, {h}, doc_id) <= {URL_CAP})
+        SELECT doc_id, url_norm, registered_domain FROM capped"""
+
+
 def _walks_oracle() -> str:
     """Full DuckDB replay of the graph_walks gate: the _walk_edges
     digraph, salted sub-bucket neighbor ranking (single-window form —
@@ -2025,6 +2151,7 @@ def oracle_sql() -> dict[str, str]:
     out["graph_kcore"] = _kcore_oracle()
     out["graph_scc"] = _scc_oracle()
     out["graph_walks"] = _walks_oracle()
+    out["text_url_dedup"] = _url_dedup_oracle()
     # These two oracles READ sample parquet at build time (centroid /
     # merge-rule literals). If that fails the gate silently degrades
     # to rows-only checking — make the downgrade LOUD so a generator

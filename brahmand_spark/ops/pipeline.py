@@ -63,6 +63,10 @@ def curate(
     semantic_threshold: float | None = None, semantic_k: int = 8,
     emb_id_col: str = "vec_id", emb_vec_col: str = "embedding",
     report: bool = False, seed: int = 42,
+    url_col: str | None = None,
+    domain_blocklist: list[str] | None = None,
+    domain_allowlist: list[str] | None = None,
+    max_docs_per_domain: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation pipeline; returns (curated DataFrame with
     a ``split`` column, stage-count report — empty unless ``report``).
@@ -87,7 +91,14 @@ def curate(
     k-means-clustered and within-cluster cosine duplicates above the
     threshold are dropped (keep-first). Lexical LSH catches verbatim
     overlap; the embedding stage catches paraphrases the shingle
-    hashes cannot see."""
+    hashes cannot see.
+
+    With ``url_col`` set, the URL FRONT DOOR (ops/urls.curate_urls)
+    runs FIRST — the CCNet/C4 ordering: normalize + URL-exact dedup,
+    domain block/allow filtering, and an optional per-domain document
+    cap, all before any text is inspected. The parsed
+    ``url_norm``/``host``/``registered_domain`` columns ride along on
+    the curated output."""
     counts: dict[str, int] = {}
 
     def note(stage: str, df: DataFrame) -> DataFrame:
@@ -96,6 +107,13 @@ def curate(
         return df
 
     note("input", docs)
+    if url_col is not None:
+        from .urls import curate_urls
+
+        docs = note("url", curate_urls(
+            docs, url_col=url_col, id_col=id_col,
+            blocklist=domain_blocklist, allowlist=domain_allowlist,
+            max_docs_per_domain=max_docs_per_domain))
     lang = lang_id(docs, text_col, id_col).filter(
         F.col("pred_lang").isin(list(languages))
     ).select(id_col)

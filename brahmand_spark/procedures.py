@@ -187,6 +187,21 @@ def _p_corpus_histogram(session, label, column, bins=20):
                              column, bins=int(bins))
 
 
+def _p_corpus_url_dedup(session, label, url_col="url",
+                        id_col="doc_id", max_docs_per_domain=None):
+    """URL front-door curation over a catalog table
+    (ops/urls.curate_urls): normalize + URL-exact dedup + optional
+    per-domain cap; returns the survivors with
+    url_norm/host/registered_domain attached."""
+    from .ops.urls import curate_urls
+
+    return curate_urls(
+        session._load_for_label(label), url_col=url_col,
+        id_col=id_col,
+        max_docs_per_domain=(None if max_docs_per_domain is None
+                             else int(max_docs_per_domain)))
+
+
 def _p_corpus_dedup_minhash(session, label, threshold=0.7,
                             id_col="doc_id", text_col="text",
                             num_hashes=64, bands=16):
@@ -326,6 +341,7 @@ PROCEDURES: dict[str, Callable] = {
     "db.relationships": _p_db_relationships,
     "corpus.profile": _p_corpus_profile,
     "corpus.histogram": _p_corpus_histogram,
+    "corpus.url_dedup": _p_corpus_url_dedup,
     "corpus.dedup_minhash": _p_corpus_dedup_minhash,
     "corpus.dedup_groups": _p_corpus_dedup_groups,
     "corpus.semdedup": _p_corpus_semdedup,

@@ -401,6 +401,47 @@ def test_folded_skew_two_phase_agg(spark, duck):
     )
 
 
+def test_folded_text_lang_id(spark, duck):
+    """The former text_lang_id registry gate (folded r6 for
+    text_url_dedup — per-row marker counting, the same JVM
+    text-heuristic shape as the registered text_quality_score):
+    same operator, same DuckDB oracle."""
+    from brahmand_spark.ops.text import lang_id
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert_same(
+        lang_id(docs),
+        duck.sql(r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS t
+                FROM documents),
+            hits AS (
+                SELECT doc_id,
+                       len(list_filter(t, x -> x IN
+                           ('der','die','das','und','ist'))) AS n_de,
+                       len(list_filter(t, x -> x IN
+                           ('the','and','of','to','is'))) AS n_en,
+                       len(list_filter(t, x -> x IN
+                           ('el','los','las','es','y'))) AS n_es,
+                       len(list_filter(t, x -> x IN
+                           ('le','la','les','et','est'))) AS n_fr
+                FROM toks)
+            SELECT doc_id,
+                   CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0
+                            THEN 'und'
+                        WHEN n_de >= n_en AND n_de >= n_es
+                             AND n_de >= n_fr THEN 'de'
+                        WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+                        WHEN n_es >= n_fr THEN 'es'
+                        ELSE 'fr' END AS pred_lang,
+                   greatest(n_de, n_en, n_es, n_fr) AS marker_hits
+            FROM hits"""),
+    )
+
+
 def test_folded_text_fingerprint(spark, duck):
     """The former text_fingerprint registry gate (folded r6 for
     graph_walks — a single-hash projection whose polynomial-hash

@@ -161,14 +161,22 @@ def classifier_score(
 
 
 def quality_filter_lr(
-    df: DataFrame, reference: DataFrame, min_score: float = 0.5,
+    df: DataFrame, reference: DataFrame = None, min_score: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id", dim: int = 4096,
     epochs: int = 8, lr: float = 4.0,
+    weights: list[int] | None = None,
 ) -> DataFrame:
     """The CCNet-style learned quality stage in one call: train
-    reference-vs-corpus, keep documents scoring >= min_score."""
-    w = train_text_classifier(reference, df, text_col, id_col, dim,
-                              epochs, lr)
-    keep = classifier_score(df, w, text_col, id_col) \
+    reference-vs-corpus, keep documents scoring >= min_score. Pass a
+    persisted ``weights`` vector (models.ModelStore.load_lr_weights)
+    to skip training — fit once, filter for weeks."""
+    if weights is None:
+        if reference is None:
+            raise ValueError(
+                "quality_filter_lr needs either a reference corpus "
+                "to train on or a precomputed weights vector")
+        weights = train_text_classifier(reference, df, text_col,
+                                        id_col, dim, epochs, lr)
+    keep = classifier_score(df, weights, text_col, id_col) \
         .filter(F.col("score") >= min_score).select(id_col)
     return df.join(keep, id_col, "leftsemi")

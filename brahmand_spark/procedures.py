@@ -17,6 +17,7 @@ each ops/algos signature's leading arguments.
 
 from __future__ import annotations
 
+import json as _json
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -287,29 +288,66 @@ def _p_corpus_curate(session, label, languages="en", min_quality=0.3,
 
 
 def _p_corpus_pca(session, label, k=8, id_col="vec_id",
-                  vec_col="embedding"):
+                  vec_col="embedding", model=None):
     """PCA projection of a catalog embedding table
     (ops/stats.pca: one exact-decimal Gram aggregate + numpy eigh +
-    codegen'd literal-dot projection)."""
-    from .ops.stats import pca
+    codegen'd literal-dot projection). With ``model`` set, the fit is
+    loaded from the session's model store when present, else fitted
+    once and SAVED under that name — later calls (even in new
+    sessions) reuse the identical components."""
+    from .ops.stats import pca, pca_fit, pca_transform
 
-    return pca(session._load_for_label(label), k=int(k),
-               id_col=id_col, vec_col=vec_col)
+    df = session._load_for_label(label)
+    if model is None:
+        return pca(df, k=int(k), id_col=id_col, vec_col=vec_col)
+    store = session.model_store
+    if store.exists(model):
+        mean, comps, _ = store.load_pca(model)
+    else:
+        mean, comps, var = pca_fit(df, int(k), vec_col)
+        store.save_pca(model, mean, comps, var, k=int(k),
+                       label=label, vec_col=vec_col)
+    return pca_transform(df, mean, comps, id_col, vec_col)
 
 
 def _p_corpus_quality_lr(session, label, ref_label, min_score=0.5,
                          dim=4096, epochs=8, id_col="doc_id",
-                         text_col="text"):
+                         text_col="text", model=None):
     """Learned quality filter (ops/classifier.quality_filter_lr):
     train a hashed-feature logistic regression reference-vs-corpus
-    and keep documents scoring >= min_score."""
-    from .ops.classifier import quality_filter_lr
+    and keep documents scoring >= min_score. With ``model`` set, the
+    weight vector is loaded from the session's model store when
+    present, else trained once and SAVED under that name."""
+    from .ops.classifier import quality_filter_lr, train_text_classifier
 
+    df = session._load_for_label(label)
+    weights = None
+    if model is not None:
+        store = session.model_store
+        if store.exists(model):
+            weights = store.load_lr_weights(model)
+        else:
+            weights = train_text_classifier(
+                session._load_for_label(ref_label), df, text_col,
+                id_col, int(dim), int(epochs))
+            store.save_lr_weights(model, weights, dim=int(dim),
+                                  epochs=int(epochs), label=label,
+                                  ref_label=ref_label)
     return quality_filter_lr(
-        session._load_for_label(label),
-        session._load_for_label(ref_label),
+        df,
+        None if weights is not None
+        else session._load_for_label(ref_label),
         min_score=float(min_score), text_col=text_col, id_col=id_col,
-        dim=int(dim), epochs=int(epochs))
+        dim=int(dim), epochs=int(epochs), weights=weights)
+
+
+def _p_db_models(session):
+    """List the session's persisted fit artifacts (models.ModelStore):
+    one metadata row per saved model."""
+    rows = [(m["name"], m["kind"], _json.dumps(m["params"], sort_keys=True))
+            for m in session.model_store.list_models()]
+    return session.spark.createDataFrame(
+        rows, "name string, kind string, params string")
 
 
 def _p_db_labels(session):
@@ -339,6 +377,7 @@ def _p_db_relationships(session):
 PROCEDURES: dict[str, Callable] = {
     "db.labels": _p_db_labels,
     "db.relationships": _p_db_relationships,
+    "db.models": _p_db_models,
     "corpus.profile": _p_corpus_profile,
     "corpus.histogram": _p_corpus_histogram,
     "corpus.url_dedup": _p_corpus_url_dedup,

@@ -36,9 +36,13 @@ class GraphSession:
         max_var_hops: Optional[int] = None,
         assume_referential_integrity: bool = False,
         prune_hops: Optional[str] = None,
+        models_path: Optional[str] = None,
     ):
         self.spark = spark
         self.catalog_path = catalog_path
+        # Fit-artifact store (models.ModelStore): explicit path, or
+        # derived `<catalog_path>.models` when a catalog is on disk.
+        self._models_path = models_path
         # None -> compiler default (compile.compiler.MAX_VAR_HOPS).
         self.max_var_hops = max_var_hops
         # FK-join elimination for unreferenced hop endpoints — enable
@@ -76,6 +80,23 @@ class GraphSession:
         # anchor against an edge table too big to broadcast.
         self.prune_hops = prune_hops
         self.prune_bloom_bits = 1 << 20
+
+    @property
+    def model_store(self):
+        """Fit-artifact store (models.ModelStore) for IVF centroids,
+        LSH planes, BPE merges, LR weights, PCA components — fit once,
+        apply across sessions. Path: ``models_path`` if given, else
+        ``<catalog_path>.models`` beside a disk catalog."""
+        from .models import ModelStore
+
+        path = self._models_path
+        if path is None and self.catalog_path is not None:
+            path = f"{self.catalog_path}.models"
+        if path is None:
+            raise CatalogError(
+                "no model store configured: pass models_path= (or "
+                "catalog_path=) to GraphSession")
+        return ModelStore(path)
 
     # -- table registration -------------------------------------------------
     def register_table(self, name: str, table: Union[DataFrame, str]) -> None:

@@ -376,6 +376,8 @@ class QueryCompiler:
                 ))
         for mc in optionals:
             df = self._apply_optional(df, scope, mc)
+        for csub in part.calls:
+            df = self._apply_call_subquery(df, scope, csub)
         if part.unwind is not None:
             ec = ExprCompiler(scope, self.params)
             arr = ec.compile(part.unwind.expr)
@@ -564,6 +566,53 @@ class QueryCompiler:
             sub_df.select(*key_cols), cond,
             "left_anti" if negated else "left_semi",
         )
+
+    def _fresh(self) -> "QueryCompiler":
+        """A sibling compiler with identical configuration for
+        compiling an independent sub-statement (CALL { } blocks) —
+        per-query state (_bare_refs, anon counters) must not leak
+        between the outer query and the block."""
+        return QueryCompiler(
+            self.catalog, self.load_table,
+            broadcast_labels=self.broadcast_labels, params=self.params,
+            load_adjacency=self.load_adjacency,
+            max_var_hops=self.max_var_hops,
+            assume_referential_integrity=self.integrity,
+            degree_stats=self.degree_stats,
+            skew_degree_threshold=self.skew_degree_threshold,
+            skew_salt_factor=self.skew_salt_factor,
+            prune_hops=self.prune_hops,
+            prune_bloom_bits=self.prune_bloom_bits,
+        )
+
+    def _apply_call_subquery(
+        self, df: Optional[DataFrame], scope: Scope,
+        csub: ast.CallSubquery,
+    ) -> DataFrame:
+        """``CALL { <query> }`` (uncorrelated): compile the block as
+        an independent query and join its RETURN columns into the
+        pipeline with cartesian semantics — one row per outer-row x
+        subquery-row pair, openCypher's uncorrelated-CALL definition.
+        A single-row aggregated block (``RETURN count(*) AS c``) thus
+        annotates every outer row; Spark plans the cross join as a
+        broadcast nested loop over the (tiny) block result. The
+        block's columns bind as scalars; colliding with an existing
+        variable is an error (no shadowing)."""
+        sub = self._fresh().compile(csub.query)
+        for name in sub.columns:
+            if scope.get(name) is not None:
+                raise PlanError(
+                    f"CALL {{ }} subquery returns '{name}', which is "
+                    f"already bound in the enclosing query")
+            scope.bind(ScalarBinding(name))
+        if df is None:
+            return sub
+        overlap = set(df.columns) & set(sub.columns)
+        if overlap:
+            raise PlanError(
+                f"CALL {{ }} subquery output collides with enclosing "
+                f"columns: {sorted(overlap)}")
+        return df.crossJoin(sub)
 
     def _rewrite_count_subqueries(
         self, df: DataFrame, scope: Scope, expr: ast.Expr,

@@ -249,10 +249,23 @@ class UnwindClause:
 
 
 @dataclass
+class CallSubquery:
+    """``CALL { <read query> }`` (extension — openCypher subquery
+    composition; the reference has no CALL, ast.rs:5-20).
+    Uncorrelated: the inner query reads no outer variables; its
+    RETURN columns join the enclosing rows with cartesian semantics
+    (one output row per outer-row x subquery-row pair), openCypher's
+    definition for an uncorrelated CALL."""
+
+    query: object  # ReadQuery
+
+
+@dataclass
 class QueryPart:
     """One pipeline segment: MATCH* [UNWIND] [WHERE] ending in WITH or RETURN."""
 
     matches: list[MatchClause] = field(default_factory=list)
+    calls: list[CallSubquery] = field(default_factory=list)
     unwind: Optional[UnwindClause] = None
     where: Optional[Expr] = None
     with_clause: Optional[WithClause] = None

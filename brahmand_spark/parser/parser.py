@@ -113,6 +113,11 @@ class Parser:
         if self.at_kw("MERGE"):
             return self.parse_write_query()
         if self.at_kw("CALL"):
+            # `CALL { ... }` is a subquery inside a read query;
+            # `CALL name(...)` is a procedure invocation.
+            nxt = self.peek(1)
+            if nxt.kind == "OP" and nxt.value == "{":
+                return self.parse_read_query()
             return self.parse_call()
         if self.at_kw("MATCH", "OPTIONAL", "UNWIND", "WITH", "RETURN"):
             # Peek ahead: a MATCH followed by SET/DELETE/REMOVE/CREATE is a
@@ -206,6 +211,20 @@ class Parser:
                 expr = self.parse_expr()
                 self.eat_kw("AS")
                 cur.unwind = ast.UnwindClause(expr=expr, alias=self.ident())
+            elif self.at_kw("CALL") and self.peek(1).kind == "OP" \
+                    and self.peek(1).value == "{":
+                # CALL { <read query> } subquery (extension; the
+                # reference has no CALL at all, ast.rs:5-20).
+                # Uncorrelated form: the inner query references no
+                # outer variables and its RETURN columns join the
+                # enclosing pipeline per-row (cartesian semantics).
+                self.next()  # CALL
+                self.eat_op("{")
+                inner = self.parse_read_query()
+                self.eat_op("}")
+                if inner.return_clause is None:
+                    self.error("CALL { } subquery must end with RETURN")
+                cur.calls.append(ast.CallSubquery(inner))
             elif self.at_kw("WHERE"):
                 self.next()
                 pred = self.parse_expr()

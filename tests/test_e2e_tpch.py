@@ -674,3 +674,54 @@ class TestSubqueryExpressions:
                 " WHERE EXISTS { (c)-[:PLACED]->(o:Order) "
                 "WHERE zz.o_totalprice > 1 } "
                 "RETURN count(*) AS n")
+
+
+class TestCallSubquery:
+    """CALL { <query> } composition (r6 extension — uncorrelated
+    form): independent block compiled by a sibling compiler, RETURN
+    columns joined into the pipeline with cartesian semantics.
+    Oracle-checked variants live in tests/test_folded_gates.py
+    FOLDED_CYPHER (call_subquery_agg/_rows/_standalone)."""
+
+    def test_block_output_in_order_by_and_projection(self, tpch):
+        rows = tpch.execute(
+            "MATCH (r:Region) "
+            "CALL { MATCH (n:Nation) RETURN count(*) AS total } "
+            "RETURN r.r_name AS region, total "
+            "ORDER BY total DESC, region LIMIT 2").collect()
+        assert [(r["region"], r["total"]) for r in rows] == [
+            ("AFRICA", 25), ("AMERICA", 25)]
+
+    def test_union_inside_block(self, tpch):
+        rows = tpch.execute(
+            "CALL { MATCH (n:Nation) WHERE n.n_nationkey = 0 "
+            "RETURN n.n_name AS nm "
+            "UNION MATCH (n:Nation) WHERE n.n_nationkey = 1 "
+            "RETURN n.n_name AS nm } "
+            "RETURN nm ORDER BY nm").collect()
+        assert [r["nm"] for r in rows] == ["NATION_0", "NATION_1"]
+
+    def test_two_blocks_compose(self, tpch):
+        rows = tpch.execute(
+            "MATCH (r:Region) "
+            "CALL { MATCH (n:Nation) RETURN count(*) AS nations } "
+            "CALL { MATCH (c:Customer) RETURN count(*) AS customers } "
+            "RETURN count(*) AS rows_out, min(nations) AS n, "
+            "min(customers) AS c").collect()
+        assert [(r["rows_out"], r["n"], r["c"]) for r in rows] == [
+            (5, 25, 150)]
+
+    def test_name_collision_rejected(self, tpch):
+        with pytest.raises(PlanError, match="already bound"):
+            tpch.execute(
+                "MATCH (r:Region) "
+                "CALL { MATCH (x:Nation) RETURN count(*) AS r } "
+                "RETURN 1 AS one")
+
+    def test_with_boundary_then_block(self, tpch):
+        rows = tpch.execute(
+            "MATCH (r:Region) WITH r.r_name AS region "
+            "CALL { MATCH (n:Nation) RETURN count(*) AS total } "
+            "RETURN region, total ORDER BY region LIMIT 1").collect()
+        assert [(r["region"], r["total"]) for r in rows] == [
+            ("AFRICA", 25)]

@@ -16,6 +16,38 @@ from .conftest import SF_SMOKE
 from .helpers import assert_same
 
 FOLDED_CYPHER = {
+    # CALL { } subquery, uncorrelated aggregated form (r6 extension —
+    # the block's single aggregate row annotates every outer row)
+    "call_subquery_agg": (
+        """MATCH (r:Region)
+           CALL { MATCH (n:Nation) RETURN count(*) AS total }
+           RETURN r.r_name AS region, total""",
+        """SELECT r_name AS region,
+                  (SELECT count(*) FROM nation) AS total
+           FROM region""",
+    ),
+    # CALL { } subquery, multi-row form: cartesian per-row semantics,
+    # block output readable by the enclosing WHERE
+    "call_subquery_rows": (
+        """MATCH (r:Region)
+           CALL { MATCH (n:Nation) WHERE n.n_nationkey < 3
+                  RETURN n.n_name AS nm }
+           WHERE r.r_regionkey >= 2
+           RETURN r.r_name AS region, nm""",
+        """SELECT r_name AS region, nm
+           FROM region CROSS JOIN (
+               SELECT n_name AS nm FROM nation
+               WHERE n_nationkey < 3) t
+           WHERE r_regionkey >= 2""",
+    ),
+    # CALL { } as the first clause: the block seeds the pipeline
+    "call_subquery_standalone": (
+        """CALL { MATCH (n:Nation) WHERE n.n_regionkey = 1
+                 RETURN n.n_name AS nm }
+           RETURN nm ORDER BY nm""",
+        """SELECT n_name AS nm FROM nation
+           WHERE n_regionkey = 1 ORDER BY nm""",
+    ),
     # undirected same-label hop, UNION DISTINCT of both orientations
     # (folded r4: 21-row direction variant of registered hop shapes;
     # slot went to cluster_kmeans)

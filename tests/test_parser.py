@@ -393,6 +393,31 @@ class TestSubqueryBlocks:
             .return_clause.items[0].expr
         assert isinstance(e, ast.FnCall)
 
+    def test_call_subquery_block(self):
+        q_ = rq("MATCH (r:Region) "
+                "CALL { MATCH (n:Nation) RETURN count(*) AS total } "
+                "RETURN r.r_name AS region, total")
+        part = q_.parts[0]
+        assert len(part.calls) == 1
+        inner = part.calls[0].query
+        assert inner.return_clause is not None
+        assert inner.return_clause.items[0].alias == "total"
+
+    def test_call_subquery_standalone_start(self):
+        q_ = rq("CALL { MATCH (n:P) RETURN n.x AS x } RETURN x")
+        assert len(q_.parts[0].calls) == 1
+        assert q_.parts[0].matches == []
+
+    def test_call_subquery_requires_return(self):
+        with pytest.raises(ParseError, match="must end with RETURN"):
+            rq("MATCH (a:P) CALL { MATCH (b:Q) } RETURN a.x AS x")
+
+    def test_call_procedure_still_parses(self):
+        from brahmand_spark.parser.parser import parse
+
+        stmt = parse("CALL graph.pagerank('R', 5) YIELD id, rank")
+        assert isinstance(stmt, ast.CallProcedure)
+
     def test_has_count_subquery_flag(self):
         """The parser flags queries containing COUNT { } so the
         compiler can skip per-item rewrite walks on subquery-free

@@ -196,6 +196,60 @@ def walks_as_documents(
     )
 
 
+def node_embeddings(
+    edges: DataFrame, dim: int = 32, n_walks: int = 2,
+    walk_length: int = 8, window: int = 2,
+    src: str = "src", dst: str = "dst", seed: int = 42,
+    max_degree: int | None = None, normalize: bool = True,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Node embeddings from the walk corpus by RANDOM INDEXING
+    (Kanerva et al. 2000; Sahlgren 2005, "An introduction to random
+    indexing"): each context vertex gets a seeded ±1 index vector
+    (``sign_j(c) = md5_60('emb:{seed}:{j}:' || c) % 2 * 2 - 1``) and
+    a vertex's embedding is the INTEGER sum of its skip-gram
+    co-occurrence counts times those signs —
+    ``e_j(u) = Σ_c n(u,c) * sign_j(c)`` — optionally L2-normalized.
+    This is a random projection of the co-occurrence matrix, the
+    same family DeepWalk factorizes implicitly (Levy & Goldberg
+    2014); compose with ops/stats.pca for a dense whitened basis.
+
+    Chosen over an SGD skip-gram trainer deliberately: SGD needs
+    V x dim mutable driver state and per-pair update order breaks
+    partition determinism, while this formulation is ONE map-side-
+    combinable integer aggregate — order-independent, a pure function
+    of (graph, params), bit-for-bit replayable in any engine with
+    md5, and driver state ZERO. Downstream ANN / SemDeDup / k-means
+    consume the output directly.
+
+    Returns (id, embedding array<double>). Shuffles: the walk steps
+    (∝ live walks), the pair count, and the final per-vertex sum."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    walks = random_walks(
+        edges, n_walks=n_walks, walk_length=walk_length, src=src,
+        dst=dst, seed=seed, max_degree=max_degree,
+        checkpoint=checkpoint)
+    pairs = skipgram_pairs(walks, window=window)
+    sums = []
+    for j in range(dim):
+        sign = (
+            F.pmod(md5_hash60(F.concat(
+                F.lit(f"emb:{seed}:{j}:"),
+                F.col("context").cast("string"))), F.lit(2)) * 2 - 1
+        )
+        sums.append(F.sum(F.col("n") * sign).alias(f"_e{j}"))
+    emb = pairs.groupBy(F.col("center").alias("id")).agg(*sums)
+    vec = F.array(*[F.col(f"_e{j}").cast("double")
+                    for j in range(dim)])
+    if normalize:
+        nrm = F.sqrt(F.aggregate(
+            vec, F.lit(0.0), lambda a, x: a + x * x))
+        vec = F.when(nrm > 0, F.transform(vec, lambda x: x / nrm)) \
+            .otherwise(vec)
+    return emb.select("id", vec.alias("embedding"))
+
+
 def skipgram_pairs(
     walks: DataFrame, window: int = 2,
 ) -> DataFrame:

@@ -172,6 +172,21 @@ def _p_walks(session, rel, n_walks=2, walk_length=8, seed=42,
         max_degree=None if max_degree is None else int(max_degree))
 
 
+def _p_embeddings(session, rel, dim=32, n_walks=2, walk_length=8,
+                  window=2, seed=42, max_degree=None):
+    """Node embeddings over a catalog relationship
+    (ops/walks.node_embeddings — random-indexing projection of the
+    walk co-occurrence matrix): (id, embedding array<double>),
+    unit-normalized; feed straight into corpus.semdedup / ANN."""
+    from .ops.walks import node_embeddings
+
+    return node_embeddings(
+        _edges(session, rel), dim=int(dim), n_walks=int(n_walks),
+        walk_length=int(walk_length), window=int(window),
+        seed=int(seed),
+        max_degree=None if max_degree is None else int(max_degree))
+
+
 def _p_corpus_profile(session, label, exact=False):
     """Data-card profile of a registered node/relationship table
     (ops/profile.profile_corpus through the catalog)."""
@@ -402,6 +417,7 @@ PROCEDURES: dict[str, Callable] = {
     "graph.clustering": _p_clustering_coeff,
     "graph.mis": _p_mis,
     "graph.walks": _p_walks,
+    "graph.embeddings": _p_embeddings,
 }
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 import hashlib
 
 import pyspark.sql.functions as F
+import pytest
 
 from brahmand_spark.ops.walks import (
     random_walks, ranked_adjacency, skipgram_pairs, walks_as_documents,
@@ -229,6 +230,125 @@ class TestWalkCorpus:
                    df, n_walks=2, walk_length=5,
                    max_degree=3).collect()}
         assert got == _py_walks(pairs, 2, 5, max_degree=3)
+
+
+class TestNodeEmbeddings:
+    def _py_embeddings(self, pairs, dim, n_walks, walk_length, window,
+                       seed=42, normalize=True, max_degree=None):
+        """Bit-exact replay: python walks -> skip-gram counts ->
+        integer sign sums -> optional L2 normalization."""
+        import math
+
+        counts: dict = {}
+        for _, (_, walk) in _py_walks(
+                pairs, n_walks, walk_length, seed=seed,
+                max_degree=max_degree).items():
+            for i, c in enumerate(walk):
+                lo, hi = max(0, i - window), min(len(walk), i + window + 1)
+                for j in range(lo, hi):
+                    if j != i:
+                        k = (c, walk[j])
+                        counts[k] = counts.get(k, 0) + 1
+        sums: dict = {}
+        for (u, c), n in counts.items():
+            vec = sums.setdefault(u, [0] * dim)
+            for j in range(dim):
+                s = (_h60(f"emb:{seed}:{j}:{c}") % 2) * 2 - 1
+                vec[j] += n * s
+        out = {}
+        for u, vec in sums.items():
+            fv = [float(x) for x in vec]
+            if normalize:
+                nrm = math.sqrt(sum(x * x for x in fv))
+                if nrm > 0:
+                    fv = [x / nrm for x in fv]
+            out[u] = fv
+        return out
+
+    def test_matches_python_replay(self, spark):
+        from brahmand_spark.ops.walks import node_embeddings
+
+        got = {r["id"]: list(r["embedding"])
+               for r in node_embeddings(
+                   _edges_df(spark), dim=8, n_walks=2, walk_length=5,
+                   window=2).collect()}
+        want = self._py_embeddings(EDGES, 8, 2, 5, 2)
+        assert set(got) == set(want)
+        for u in want:
+            assert got[u] == pytest.approx(want[u], abs=1e-12)
+
+    def test_unnormalized_integer_exact(self, spark):
+        from brahmand_spark.ops.walks import node_embeddings
+
+        got = {r["id"]: list(r["embedding"])
+               for r in node_embeddings(
+                   _edges_df(spark), dim=4, n_walks=1, walk_length=4,
+                   normalize=False).collect()}
+        want = self._py_embeddings(EDGES, 4, 1, 4, 2, normalize=False)
+        assert got == want  # exact integer sums, no tolerance
+
+    def test_deterministic_under_repartition(self, spark):
+        from brahmand_spark.ops.walks import node_embeddings
+
+        a = sorted(map(str, node_embeddings(
+            _edges_df(spark), dim=6, n_walks=2,
+            walk_length=4).collect()))
+        b = sorted(map(str, node_embeddings(
+            _edges_df(spark).repartition(7), dim=6, n_walks=2,
+            walk_length=4).collect()))
+        assert a == b
+
+    def test_unit_norm(self, spark):
+        from brahmand_spark.ops.walks import node_embeddings
+
+        import math
+        for r in node_embeddings(
+                _edges_df(spark), dim=8, n_walks=2,
+                walk_length=5).collect():
+            nrm = math.sqrt(sum(x * x for x in r["embedding"]))
+            assert nrm == pytest.approx(1.0, abs=1e-9) or nrm == 0.0
+
+    def test_community_structure_separates(self, spark):
+        """Two cliques joined by one bridge: within-clique cosine
+        must exceed cross-clique cosine on average — the embeddings
+        carry usable graph structure for semdedup/ANN."""
+        import math
+
+        from brahmand_spark.ops.walks import node_embeddings
+
+        a = [(i, j) for i in range(5) for j in range(5) if i != j]
+        b = [(i, j) for i in range(10, 15) for j in range(10, 15)
+             if i != j]
+        pairs = a + b + [(4, 10), (10, 4)]
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        emb = {r["id"]: r["embedding"]
+               for r in node_embeddings(
+                   df, dim=16, n_walks=6, walk_length=6,
+                   window=2).collect()}
+
+        def cos(u, v):
+            return sum(x * y for x, y in zip(emb[u], emb[v]))
+
+        within = [cos(u, v) for u in (0, 1, 2) for v in (1, 2, 3)
+                  if u != v]
+        across = [cos(u, v) for u in (0, 1, 2) for v in (11, 12, 13)]
+        assert sum(within) / len(within) > sum(across) / len(across)
+
+    def test_via_call(self, tpch):
+        from brahmand_spark.ops.walks import node_embeddings
+        from pyspark.sql import functions as F
+
+        got = tpch.execute(
+            "CALL graph.embeddings('NEXT_CUST', 8, 1, 4) "
+            "YIELD id, embedding ORDER BY id LIMIT 5").collect()
+        edges = tpch.tables["NEXT_CUST"].select(
+            F.col("from_Customer").alias("src"),
+            F.col("to_Customer").alias("dst"))
+        want = {r["id"]: list(r["embedding"])
+                for r in node_embeddings(
+                    edges, dim=8, n_walks=1, walk_length=4).collect()}
+        for r in got:
+            assert list(r["embedding"]) == want[r["id"]]
 
 
 def test_walks_via_call(tpch):

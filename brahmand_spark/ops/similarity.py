@@ -405,3 +405,178 @@ def quantized_cosine_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization (Jegou, Douze, Schmid 2011, "Product
+# quantization for nearest neighbor search", TPAMI) over the int8/IVF
+# groundwork — the further scan-byte cut: a corpus vector is stored as
+# its coarse cell + m sub-codes (m bytes at production n_codes=256)
+# instead of dim * 8 bytes, and query scoring reads ONLY the codes via
+# per-query lookup tables (asymmetric distance computation, ADC).
+# ---------------------------------------------------------------------------
+
+def pq_fit(
+    corpus: DataFrame, m: int = 4, n_codes: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    sample_size: int = 10_000, iters: int = 10, seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train the PQ codebooks: split the vector into ``m`` contiguous
+    subvectors and run the deterministic k-means (same ``_kmeans`` as
+    the IVF coarse quantizer, seeded per subspace) on each slice of
+    the bounded driver sample. Returns ``m`` codebooks of ``n_codes``
+    sub-centroids; persist via models.ModelStore (kind
+    'ivf_centroids' per book or a JSON list). dim must divide by m."""
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(id_col).alias("id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+        .orderBy("id").limit(sample_size).toPandas()
+    )
+    X = np.vstack(sample["v"].to_numpy()).astype("float64")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        _kmeans(np.ascontiguousarray(X[:, j * sub:(j + 1) * sub]),
+                n_codes, iters, seed + j)
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame, codebooks: list[list[list[float]]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): nearest sub-centroid per subvector,
+    fully JVM-side (the same struct-max argmin as ivf_cell applied to
+    each vector slice). At production scale this projection is
+    written ONCE next to the coarse cell id; every later query batch
+    scans m small ints per row instead of the full vector."""
+    vec = _as_double(F.col(vec_col))
+    sub = len(codebooks[0][0])
+    codes = F.array(*[
+        ivf_cell(F.slice(vec, j * sub + 1, sub), codebooks[j])
+        for j in range(len(codebooks))
+    ])
+    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def ivfpq_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_cells: int = 16, nprobe: int = 4, m: int = 4, n_codes: int = 16,
+    rerank: int | None = None, sample_size: int = 10_000,
+    iters: int = 10, seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k with exact re-rank:
+
+    1. coarse IVF: corpus rows live in their nearest-centroid cell,
+       queries probe the ``nprobe`` nearest cells (same machinery as
+       ivf_topk);
+    2. ADC candidate scoring: each query carries lookup tables
+       ``lut[j][c] = q_subj . codebook[j][c]`` (m x n_codes doubles on
+       the broadcast side), so a candidate's approximate dot product
+       is ``sum_j lut[j][codes[j]]`` — the scan reads only the m
+       PQ codes, never the corpus vector. Approximate cosine divides
+       by the code-reconstructed norm (a per-code constant lookup);
+    3. exact re-rank: the top ``rerank`` (default 4k) candidates per
+       query join back to their original vectors for exact cosine;
+       the final top-k ranks on that.
+
+    Columns: (query_id, corpus_id, cosine, rank) — same contract as
+    cosine_topk/ivf_topk. Recall rises with nprobe and rerank;
+    nprobe=n_cells + rerank >= cell population degrades to exact."""
+    if rerank is None:
+        rerank = 4 * k
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_cells, id_col, vec_col, sample_size, iters, seed)
+    if codebooks is None:
+        codebooks = pq_fit(corpus, m, n_codes, id_col, vec_col,
+                           sample_size, iters, seed)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    # corpus side: cell + codes + reconstructed norm (per-code const)
+    cvec = _as_double(F.col(vec_col))
+    sq_norms = [
+        [sum(x * x for x in c) for c in book] for book in codebooks
+    ]
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), cvec.alias("cv"))
+    c = c.withColumn("cell", ivf_cell(F.col("cv"), centroids))
+    c = c.withColumn("codes", F.array(*[
+        ivf_cell(F.slice(F.col("cv"), j * sub + 1, sub), codebooks[j])
+        for j in range(m)
+    ]))
+    rec_sq = None
+    for j in range(m):
+        norms_lit = F.array(*[F.lit(float(x)) for x in sq_norms[j]])
+        term = F.element_at(norms_lit,
+                            F.element_at("codes", j + 1) + F.lit(1))
+        rec_sq = term if rec_sq is None else rec_sq + term
+    c = c.withColumn("rnorm", F.sqrt(rec_sq))
+    cand_c = c.select("corpus_id", "cell", "codes", "rnorm")
+    # query side: probe cells + ADC lookup tables
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"))
+    lut = F.array(*[
+        F.array(*[
+            dot(F.slice(F.col("qv"), j * sub + 1, sub),
+                F.array(*[F.lit(float(x)) for x in codebooks[j][code]]))
+            for code in range(len(codebooks[j]))
+        ])
+        for j in range(m)
+    ])
+    q = q.withColumn("lut", lut).withColumn("qn", norm(F.col("qv")))
+    q = q.withColumn(
+        "cell", F.explode(ivf_probe_cells(F.col("qv"), centroids,
+                                          nprobe)))
+    adc_dot = F.aggregate(
+        F.zip_with("codes", "lut",
+                   lambda code, tbl: F.element_at(tbl, code + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cands = (
+        cand_c.join(
+            F.broadcast(q.select("query_id", "cell", "lut", "qn")),
+            "cell")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn(
+            "adc",
+            F.when((F.col("rnorm") > 0) & (F.col("qn") > 0),
+                   adc_dot / (F.col("rnorm") * F.col("qn")))
+            .otherwise(F.lit(-2.0)))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("corpus_id").asc())
+    shortlist = (
+        cands.withColumn("_r", F.row_number().over(wc))
+        .filter(F.col("_r") <= rerank)
+        .select("query_id", "corpus_id")
+    )
+    # exact re-rank on the original vectors
+    cv = c.select("corpus_id", "cv",
+                  norm(F.col("cv")).alias("cn"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv2"))
+    qv = qv.withColumn("qn2", norm(F.col("qv2")))
+    exact = (
+        shortlist.join(cv, "corpus_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", F.round(
+            dot(F.col("cv"), F.col("qv2"))
+            / (F.col("cn") * F.col("qn2")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

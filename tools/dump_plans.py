@@ -211,12 +211,69 @@ def main() -> None:
             random_walks(
                 ev.select(F.col("user_id").alias("src"),
                           (F.col("user_id") + 1).alias("dst")),
-                n_walks=1, walk_length=3),
+                n_walks=1, walk_length=3, max_degree=64),
             "Each step is one equi-join of the live frontier against "
             "the ranked adjacency with the deterministic md5 pick "
             "folded into the join filter; shuffle volume per step is "
             "proportional to LIVE walks, not edges, and dead walks "
-            "exit the join entirely.",
+            "exit the join entirely. The adjacency ranking (r6) "
+            "windows over (src, md5 salt bucket) — never src alone — "
+            "so a supernode's neighbor list sorts across 32 tasks, "
+            "and max_degree caps its usable fan-out deterministically.",
+        ),
+    ]
+    from brahmand_spark.ops.similarity import (
+        ivfpq_topk, pq_fit, train_ivf_centroids)
+    from brahmand_spark.ops.urls import curate_urls
+    from brahmand_spark.ops.walks import node_embeddings
+
+    url_docs = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://www.Site"),
+                 (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".com/p/"),
+                 (F.col("doc_id") % 97).cast("string"),
+                 F.lit("/?utm_source=x&k="),
+                 (F.col("doc_id") % 3).cast("string")).alias("url"))
+    pq_cents = train_ivf_centroids(emb, 8)
+    pq_books = pq_fit(emb, m=4, n_codes=16)
+    ext_showcases += [
+        (
+            "URL curation front door (normalize -> dedup -> cap)",
+            curate_urls(url_docs, max_docs_per_domain=20),
+            "Normalization is one codegen'd regexp/HOF projection on "
+            "the scan; URL-exact dedup is a single min-aggregate "
+            "shuffle on the normalized URL; registered-domain "
+            "extraction is three LEFT BroadcastHashJoins against the "
+            "public-suffix table (no Exchange); the per-domain cap "
+            "ranks inside (domain, md5 salt bucket) windows and "
+            "composes global ranks from per-bucket prefix sums — a "
+            "hot domain spreads over 32 tasks instead of serializing.",
+        ),
+        (
+            "IVF-PQ candidate scan (codes-only ADC scoring)",
+            ivfpq_topk(emb, emb.limit(3), k=5, centroids=pq_cents,
+                       codebooks=pq_books, nprobe=3),
+            "Candidate scoring touches ONLY the coarse cell id and the "
+            "m PQ codes: the per-query lookup tables (m x n_codes "
+            "dot products) ride the broadcast query side, and the ADC "
+            "score is a per-row table lookup fold. At production scale "
+            "the (cell, codes) projection is written once — the ANN "
+            "scan then reads m bytes per row instead of dim*8 — and "
+            "only the top-`rerank` shortlist joins back to original "
+            "vectors for the exact cosine re-rank.",
+        ),
+        (
+            "Node embeddings (random indexing over walk co-occurrence)",
+            node_embeddings(
+                ev.select(F.col("user_id").alias("src"),
+                          (F.col("user_id") + 1).alias("dst")),
+                dim=8, n_walks=1, walk_length=3),
+            "Embedding = integer sum of skip-gram co-occurrence counts "
+            "times seeded md5 sign vectors: after the walk joins, the "
+            "whole trainer is ONE map-side-combinable aggregate with "
+            "dim sums per vertex — zero driver state (vs V x dim for "
+            "SGD skip-gram), order-independent, engine-replayable.",
         ),
     ]
     ext_showcases += [

@@ -65,7 +65,7 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "ann_cosine_topk",
     "text_quality_score",
-    "text_lang_id",
+    "text_url_dedup",
     "text_repetition",
     "text_bm25",
     "text_chunking",

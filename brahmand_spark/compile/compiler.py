@@ -40,7 +40,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..catalog import GraphSchema, RelationshipSchema
@@ -597,7 +597,22 @@ class QueryCompiler:
         annotates every outer row; Spark plans the cross join as a
         broadcast nested loop over the (tiny) block result. The
         block's columns bind as scalars; colliding with an existing
-        variable is an error (no shadowing)."""
+        variable is an error (no shadowing).
+
+        CORRELATED form ``CALL { WITH a[, b...] MATCH ... RETURN ...}``
+        (leading WITH of bare outer node variables = the openCypher
+        import clause): the block logically runs per outer row; it
+        compiles to ONE relational plan — the block pattern re-scans
+        the imported aliases ("anchors", the pattern-predicate
+        machinery), block aggregates group by the anchor ids, block
+        ORDER BY/SKIP/LIMIT become per-anchor windows (top-N-per-group
+        as a window function, not a per-row loop), and the result
+        joins back on the anchor ids (inner join — openCypher drops
+        outer rows whose block returns nothing)."""
+        imports = _call_import_aliases(csub.query)
+        if imports is not None:
+            return self._apply_correlated_call(
+                df, scope, csub.query, imports)
         sub = self._fresh().compile(csub.query)
         for name in sub.columns:
             if scope.get(name) is not None:
@@ -613,6 +628,167 @@ class QueryCompiler:
                 f"CALL {{ }} subquery output collides with enclosing "
                 f"columns: {sorted(overlap)}")
         return df.crossJoin(sub)
+
+    def _apply_correlated_call(
+        self, df: Optional[DataFrame], scope: Scope,
+        inner: "ast.ReadQuery", imports: list[str],
+    ) -> DataFrame:
+        """Correlated CALL block: see _apply_call_subquery. Supported
+        body (v1): the import WITH, then ONE segment of MATCH clauses
+        [+ WHERE] ending in RETURN [ORDER BY/SKIP/LIMIT]. Chained
+        WITHs, UNWIND, OPTIONAL MATCH, UNION, or nested CALL inside a
+        correlated block raise a clear UnsupportedError."""
+        if df is None:
+            raise PlanError(
+                "correlated CALL { WITH ... } needs a preceding "
+                "MATCH/WITH to import from")
+        for a in imports:
+            if not isinstance(scope.get(a), NodeBinding):
+                raise UnsupportedError(
+                    f"correlated CALL {{ }} imports must be bound "
+                    f"node variables; '{a}' is not one")
+        body = inner.parts[1:]
+        if (len(body) != 1 or body[0].with_clause is not None
+                or body[0].unwind is not None or body[0].calls
+                or inner.unions
+                or any(m.optional for m in body[0].matches)
+                or not body[0].matches):
+            raise UnsupportedError(
+                "correlated CALL { } supports WITH <imports> MATCH "
+                "... [WHERE ...] RETURN ... [ORDER BY/SKIP/LIMIT]; "
+                "chained WITH / UNWIND / OPTIONAL MATCH / UNION "
+                "inside the block are not supported yet")
+        part = body[0]
+        rc = inner.return_clause
+        if rc.distinct:
+            raise UnsupportedError(
+                "RETURN DISTINCT inside a correlated CALL { }")
+        # openCypher visibility: ONLY imported variables reach the
+        # block — compile the pattern against a scope holding just
+        # those bindings, so a non-imported outer name is fresh.
+        imp_scope = Scope({a: scope.bindings[a] for a in imports})
+        pattern = self._build_pattern(part.matches, imp_scope)
+        anchors = [a for a in pattern.nodes if a in imports]
+        if not anchors:
+            raise PlanError(
+                "correlated CALL { } block must use at least one "
+                "imported variable in its MATCH pattern")
+        for node in pattern.nodes.values():
+            node.prebound = False  # anchors re-scan inside the block
+        self._infer(pattern)
+        refs: set[str] = set()
+        if part.where is not None:
+            collect_aliases(part.where, refs)
+        for it in rc.items:
+            if isinstance(it.expr, ast.Star):
+                raise UnsupportedError(
+                    "RETURN * inside a correlated CALL { }")
+            collect_aliases(it.expr, refs)
+        for ob in inner.order_by:
+            collect_aliases(ob.expr, refs)
+        sub_scope = Scope()
+        prev_override = self._elide_override
+        self._elide_override = prev_override | {
+            a for a in anchors if a not in refs}
+        try:
+            sub_df = self._assemble(
+                None, sub_scope, pattern, ast.QueryPart())
+        finally:
+            self._elide_override = prev_override
+        ec = ExprCompiler(sub_scope, self.params)
+        if part.where is not None:
+            sub_df = sub_df.filter(ec.compile(part.where))
+        # block projection: anchor id keys + the RETURN items;
+        # aggregate items group by (anchor ids + non-aggregate items)
+        key_cols = []
+        join_conds = []
+        for a in anchors:
+            key = f"__ck_{a}"
+            key_cols.append((key, sub_scope.get(a).id_pcol))
+            join_conds.append(
+                F.col(scope.get(a).id_pcol) == F.col(key))
+        names: list[str] = []
+        compiled: list[tuple[str, "F.Column", bool]] = []
+        for it in rc.items:
+            name = it.alias
+            if name is None:
+                if isinstance(it.expr, ast.Variable):
+                    name = it.expr.name
+                else:
+                    raise PlanError(
+                        "alias every RETURN item of a correlated "
+                        "CALL { } block (… AS name)")
+            if scope.get(name) is not None:
+                raise PlanError(
+                    f"CALL {{ }} subquery returns '{name}', which is "
+                    f"already bound in the enclosing query")
+            if name in names:
+                raise PlanError(
+                    f"duplicate output name '{name}' in CALL {{ }}")
+            names.append(name)
+            is_count = (isinstance(it.expr, ast.FnCall)
+                        and it.expr.name.lower() == "count")
+            compiled.append(
+                (name, ec.compile(it.expr),
+                 contains_aggregate(it.expr), is_count))
+        any_agg = any(agg for _, _, agg, _ in compiled)
+        keys = [F.col(pc).alias(k) for k, pc in key_cols]
+        if any_agg:
+            group_cols = keys + [
+                c.alias(n) for n, c, agg, _ in compiled if not agg]
+            aggs = [c.alias(n) for n, c, agg, _ in compiled if agg]
+            sub_out = sub_df.groupBy(*group_cols).agg(*aggs)
+        else:
+            sub_out = sub_df.select(
+                *keys, *[c.alias(n) for n, c, _, _ in compiled])
+        if inner.order_by or inner.skip or inner.limit:
+            order_cols = []
+            for ob in inner.order_by:
+                # pre-aggregation expressions are projected away by
+                # the block projection, so order keys must be the
+                # block's own output names — the top-N-per-group use
+                if not (isinstance(ob.expr, ast.Variable)
+                        and ob.expr.name in names):
+                    raise PlanError(
+                        "ORDER BY inside a correlated CALL { } must "
+                        "use the block's RETURN aliases")
+                target = F.col(ob.expr.name)
+                order_cols.append(
+                    target.asc() if ob.ascending else target.desc())
+            # per-anchor window (top-N per group as a window, never a
+            # per-row loop); output names appended as tiebreakers so
+            # the kept set is deterministic under any partitioning
+            order_cols += [F.col(n).asc() for n in names]
+            w = Window.partitionBy(
+                *[F.col(k) for k, _ in key_cols]).orderBy(*order_cols)
+            lo = inner.skip or 0
+            hi = lo + inner.limit if inner.limit is not None else None
+            sub_out = sub_out.withColumn(
+                "__crn", F.row_number().over(w))
+            cond = F.col("__crn") > lo
+            if hi is not None:
+                cond = cond & (F.col("__crn") <= hi)
+            sub_out = sub_out.filter(cond).drop("__crn")
+        cond = join_conds[0]
+        for c in join_conds[1:]:
+            cond = cond & c
+        # openCypher row semantics: an ALL-aggregate block yields one
+        # row per invocation even with zero matches (count -> 0,
+        # min/max/sum/avg -> null), so it LEFT-joins back with pure
+        # count items coalesced; mixed or non-aggregate blocks yield
+        # zero rows on zero matches, dropping the outer row (inner).
+        all_agg = any_agg and all(agg for _, _, agg, _ in compiled)
+        out = df.join(
+            sub_out, cond, "left" if all_agg else "inner"
+        ).drop(*[k for k, _ in key_cols])
+        if all_agg:
+            for name, _, _, is_count in compiled:
+                if is_count:
+                    out = out.withColumn(
+                        name, F.coalesce(F.col(name), F.lit(0)))
+        for name in names:
+            scope.bind(ScalarBinding(name))
+        return out
 
     def _rewrite_count_subqueries(
         self, df: DataFrame, scope: Scope, expr: ast.Expr,
@@ -2110,6 +2286,31 @@ def _contains_or(e: ast.Expr) -> bool:
             return True
         return e.operand is not None and _contains_or(e.operand)
     return False
+
+
+def _call_import_aliases(q) -> Optional[list[str]]:
+    """The CALL-block import aliases when the block opens with the
+    openCypher import clause — a leading ``WITH`` of bare, unaliased
+    variables and nothing else in its first part; ``None`` means the
+    block is uncorrelated (including a leading WITH that computes
+    expressions, which compiles as an ordinary pipeline head)."""
+    if len(q.parts) < 2:
+        return None
+    p0 = q.parts[0]
+    if (p0.matches or p0.unwind is not None or p0.where is not None
+            or p0.calls or p0.order_by or p0.skip is not None
+            or p0.limit is not None):
+        return None
+    wc = p0.with_clause
+    if wc is None or wc.distinct:
+        return None
+    names: list[str] = []
+    for it in wc.items:
+        if isinstance(it.expr, ast.Variable) and it.alias is None:
+            names.append(it.expr.name)
+        else:
+            return None
+    return names or None
 
 
 def _contains_count_subquery(e) -> bool:

@@ -725,3 +725,78 @@ class TestCallSubquery:
             "RETURN region, total ORDER BY region LIMIT 1").collect()
         assert [(r["region"], r["total"]) for r in rows] == [
             ("AFRICA", 25)]
+
+
+class TestCorrelatedCallSubquery:
+    """Correlated CALL { WITH a ... } (r6): per-row aggregates as
+    anchor-grouped aggregation, per-invocation ORDER BY/LIMIT as
+    per-anchor windows, openCypher row semantics (all-aggregate block
+    left-joins with count->0; row blocks drop match-less outer rows).
+    Oracle-checked variants in FOLDED_CYPHER (call_subquery_correlated_
+    agg/topn/rows)."""
+
+    def test_all_aggregate_block_keeps_matchless_rows(self, tpch):
+        rows = tpch.execute(
+            "MATCH (c:Customer) "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WHERE o.o_totalprice > 99999999 RETURN count(*) AS big } "
+            "RETURN count(*) AS n, sum(big) AS total").collect()
+        assert [(r["n"], r["total"]) for r in rows] == [(150, 0)]
+
+    def test_top_n_per_group_window(self, tpch):
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN o.o_totalprice AS price ORDER BY price DESC "
+            "LIMIT 2 } "
+            "RETURN c.c_custkey AS ck, count(*) AS n "
+            "ORDER BY ck").collect()
+        assert all(r["n"] == 2 for r in rows)
+
+    def test_skip_inside_block(self, tpch):
+        full = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN o.o_totalprice AS price ORDER BY price DESC } "
+            "RETURN price ORDER BY price DESC").collect()
+        skipped = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN o.o_totalprice AS price ORDER BY price DESC "
+            "SKIP 1 } "
+            "RETURN price ORDER BY price DESC").collect()
+        assert [r["price"] for r in skipped] \
+            == [r["price"] for r in full][1:]
+
+    def test_non_imported_alias_is_fresh(self, tpch):
+        """A block alias matching an outer name but NOT imported is a
+        fresh variable, per openCypher visibility."""
+        rows = tpch.execute(
+            "MATCH (n:Nation) WHERE n.n_nationkey = 0 "
+            "CALL { WITH n MATCH (c:Customer)-[:CUST_IN]->(n) "
+            "RETURN count(*) AS in_nation } "
+            "RETURN n.n_name AS nation, in_nation").collect()
+        assert len(rows) == 1 and rows[0]["in_nation"] > 0
+
+    def test_unsupported_forms_error(self, tpch):
+        from brahmand_spark.errors import UnsupportedError
+
+        with pytest.raises(UnsupportedError, match="chained WITH"):
+            tpch.execute(
+                "MATCH (c:Customer) "
+                "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+                "WITH o RETURN count(*) AS n } RETURN n")
+        with pytest.raises(UnsupportedError, match="bound node"):
+            tpch.execute(
+                "MATCH (c:Customer) WITH c.c_name AS nm "
+                "CALL { WITH nm MATCH (x:Order) RETURN count(*) AS n }"
+                " RETURN n LIMIT 1")
+
+    def test_order_by_requires_block_alias(self, tpch):
+        with pytest.raises(PlanError, match="RETURN aliases"):
+            tpch.execute(
+                "MATCH (c:Customer) WHERE c.c_custkey <= 2 "
+                "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+                "RETURN o.o_totalprice AS price "
+                "ORDER BY o.o_orderdate LIMIT 1 } "
+                "RETURN price")

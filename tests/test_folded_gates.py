@@ -48,6 +48,50 @@ FOLDED_CYPHER = {
         """SELECT n_name AS nm FROM nation
            WHERE n_regionkey = 1 ORDER BY nm""",
     ),
+    # correlated CALL { WITH c ... } — all-aggregate block: one row
+    # per outer row even with zero matches (count -> 0), LEFT-joined
+    "call_subquery_correlated_agg": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 20
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  WHERE o.o_totalprice > 300000
+                  RETURN count(*) AS big }
+           RETURN c.c_custkey AS ck, big""",
+        """SELECT c_custkey AS ck,
+                  (SELECT count(*) FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 300000) AS big
+           FROM customer c WHERE c_custkey <= 20""",
+    ),
+    # correlated CALL with per-invocation ORDER BY + LIMIT: the
+    # top-N-per-group shape, compiled as a per-anchor window
+    "call_subquery_topn": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 10
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  RETURN o.o_totalprice AS price
+                  ORDER BY price DESC LIMIT 2 }
+           RETURN c.c_custkey AS ck, price""",
+        """SELECT ck, price FROM (
+               SELECT c.c_custkey AS ck, o.o_totalprice AS price,
+                      row_number() OVER (
+                          PARTITION BY c.c_custkey
+                          ORDER BY o.o_totalprice DESC) AS rn
+               FROM customer c JOIN orders o
+                 ON o.o_custkey = c.c_custkey
+               WHERE c.c_custkey <= 10) t
+           WHERE rn <= 2""",
+    ),
+    # correlated CALL, non-aggregate rows: inner-join semantics
+    # (outer rows with no block matches drop)
+    "call_subquery_correlated_rows": (
+        """MATCH (n:Nation)
+           CALL { WITH n MATCH (c:Customer)-[:CUST_IN]->(n)
+                  WHERE c.c_acctbal > 9000 RETURN c.c_name AS vip }
+           RETURN n.n_name AS nation, vip""",
+        """SELECT n_name AS nation, c_name AS vip
+           FROM nation n JOIN customer c
+             ON c.c_nationkey = n.n_nationkey
+           WHERE c.c_acctbal > 9000""",
+    ),
     # undirected same-label hop, UNION DISTINCT of both orientations
     # (folded r4: 21-row direction variant of registered hop shapes;
     # slot went to cluster_kmeans)

@@ -339,6 +339,20 @@ class QueryCompiler:
                     item(it)
             for ob in part.order_by:
                 expr(ob.expr)
+            for csub in part.calls:
+                # correlated CALL blocks compile with THIS compiler's
+                # reference sets (the uncorrelated path uses _fresh()),
+                # so block-internal property reads must be collected —
+                # otherwise FK-join elimination under
+                # assume_referential_integrity elides a block node
+                # whose properties only the block touches. Block-local
+                # alias names may over-collect into the outer sets;
+                # that only disables an elision, never breaks one.
+                sub_bare, sub_props = QueryCompiler._collect_refs(
+                    csub.query)
+                bare |= sub_bare
+                for a, ks in sub_props.items():
+                    props.setdefault(a, set()).update(ks)
         if query.return_clause is not None:
             for it in query.return_clause.items:
                 item(it)
@@ -726,11 +740,20 @@ class QueryCompiler:
                 raise PlanError(
                     f"duplicate output name '{name}' in CALL {{ }}")
             names.append(name)
-            is_count = (isinstance(it.expr, ast.FnCall)
-                        and it.expr.name.lower() == "count")
+            # aggregates with a defined value on EMPTY input (openCypher:
+            # count -> 0, sum -> 0, collect -> []); min/max/avg are null
+            empty_fill = None
+            if isinstance(it.expr, ast.FnCall):
+                fn = it.expr.name.lower()
+                if fn == "count":
+                    empty_fill = F.lit(0).cast("bigint")
+                elif fn == "sum":
+                    empty_fill = F.lit(0)
+                elif fn == "collect":
+                    empty_fill = F.array()
             compiled.append(
                 (name, ec.compile(it.expr),
-                 contains_aggregate(it.expr), is_count))
+                 contains_aggregate(it.expr), empty_fill))
         any_agg = any(agg for _, _, agg, _ in compiled)
         keys = [F.col(pc).alias(k) for k, pc in key_cols]
         if any_agg:
@@ -773,19 +796,22 @@ class QueryCompiler:
         for c in join_conds[1:]:
             cond = cond & c
         # openCypher row semantics: an ALL-aggregate block yields one
-        # row per invocation even with zero matches (count -> 0,
-        # min/max/sum/avg -> null), so it LEFT-joins back with pure
-        # count items coalesced; mixed or non-aggregate blocks yield
-        # zero rows on zero matches, dropping the outer row (inner).
+        # row per invocation even with zero matches (count/sum -> 0,
+        # collect -> [], min/max/avg -> null), so it LEFT-joins back
+        # with the zero-defined aggregates coalesced; mixed or
+        # non-aggregate blocks yield zero rows on zero matches,
+        # dropping the outer row (inner). Known divergence: an
+        # arithmetic wrapper over an aggregate (count(*) + 1) comes
+        # back null rather than evaluated-on-empty.
         all_agg = any_agg and all(agg for _, _, agg, _ in compiled)
         out = df.join(
             sub_out, cond, "left" if all_agg else "inner"
         ).drop(*[k for k, _ in key_cols])
         if all_agg:
-            for name, _, _, is_count in compiled:
-                if is_count:
+            for name, _, _, empty_fill in compiled:
+                if empty_fill is not None:
                     out = out.withColumn(
-                        name, F.coalesce(F.col(name), F.lit(0)))
+                        name, F.coalesce(F.col(name), empty_fill))
         for name in names:
             scope.bind(ScalarBinding(name))
         return out

@@ -506,8 +506,12 @@ def ivfpq_topk(
     sq_norms = [
         [sum(x * x for x in c) for c in book] for book in codebooks
     ]
+    # zero-norm vectors have no defined cosine: exclude them from both
+    # sides up front (same rule as quantized_cosine_topk) instead of
+    # letting NULL cosines leak through the re-rank window
     c = corpus.select(
-        F.col(id_col).alias("corpus_id"), cvec.alias("cv"))
+        F.col(id_col).alias("corpus_id"), cvec.alias("cv")
+    ).filter(norm(F.col("cv")) > 0)
     c = c.withColumn("cell", ivf_cell(F.col("cv"), centroids))
     c = c.withColumn("codes", F.array(*[
         ivf_cell(F.slice(F.col("cv"), j * sub + 1, sub), codebooks[j])
@@ -524,7 +528,8 @@ def ivfpq_topk(
     # query side: probe cells + ADC lookup tables
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"))
+        _as_double(F.col(vec_col)).alias("qv")
+    ).filter(norm(F.col("qv")) > 0)
     lut = F.array(*[
         F.array(*[
             dot(F.slice(F.col("qv"), j * sub + 1, sub),
@@ -546,9 +551,11 @@ def ivfpq_topk(
             F.broadcast(q.select("query_id", "cell", "lut", "qn")),
             "cell")
         .filter(F.col("corpus_id") != F.col("query_id"))
+        # rnorm can still be 0 when a nonzero vector quantizes onto
+        # all-zero sub-centroids — rank those last, re-rank fixes them
         .withColumn(
             "adc",
-            F.when((F.col("rnorm") > 0) & (F.col("qn") > 0),
+            F.when(F.col("rnorm") > 0,
                    adc_dot / (F.col("rnorm") * F.col("qn")))
             .otherwise(F.lit(-2.0)))
     )

@@ -182,14 +182,20 @@ def with_url_parts(
 
 def url_exact_dedup(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id",
-    keep_invalid: bool = False,
+    keep_invalid: bool = False, norm_col: str | None = None,
 ) -> DataFrame:
     """One row per NORMALIZED URL — the smallest ``id_col`` wins
     (deterministic under any partitioning). Rows whose URL fails to
     normalize are dropped by default (``keep_invalid=True`` passes
     them all through untouched — they have no identity to dedup on).
-    One min-aggregate shuffle on the normalized URL; no windows."""
-    withn = df.withColumn("_un", normalize_url(F.col(url_col)))
+    One min-aggregate shuffle on the normalized URL; no windows.
+    Pass ``norm_col`` to reuse an already-computed normalization
+    (e.g. with_url_parts' ``url_norm``) instead of paying the regexp
+    chain a second time."""
+    if norm_col is not None:
+        withn = df.withColumn("_un", F.col(norm_col))
+    else:
+        withn = df.withColumn("_un", normalize_url(F.col(url_col)))
     valid = withn.filter(F.col("_un").isNotNull())
     keep = valid.groupBy("_un").agg(F.min(id_col).alias(id_col))
     kept = valid.join(keep, ["_un", id_col], "leftsemi").drop("_un")
@@ -274,7 +280,7 @@ def curate_urls(
     surviving rows with ``url_norm``/``host``/``registered_domain``
     attached for downstream stages."""
     out = with_url_parts(df, url_col, suffixes=suffixes)
-    out = url_exact_dedup(out, url_col, id_col)
+    out = url_exact_dedup(out, url_col, id_col, norm_col="url_norm")
     out = filter_domains(out, blocklist, allowlist)
     if max_docs_per_domain is not None:
         out = cap_per_domain(out, max_docs_per_domain, id_col=id_col)

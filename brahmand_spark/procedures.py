@@ -317,6 +317,7 @@ def _p_corpus_pca(session, label, k=8, id_col="vec_id",
         return pca(df, k=int(k), id_col=id_col, vec_col=vec_col)
     store = session.model_store
     if store.exists(model):
+        _check_model_params(store.load(model, "pca"), model, k=int(k))
         mean, comps, _ = store.load_pca(model)
     else:
         mean, comps, var = pca_fit(df, int(k), vec_col)
@@ -340,6 +341,8 @@ def _p_corpus_quality_lr(session, label, ref_label, min_score=0.5,
     if model is not None:
         store = session.model_store
         if store.exists(model):
+            _check_model_params(store.load(model, "lr_weights"),
+                                model, dim=int(dim))
             weights = store.load_lr_weights(model)
         else:
             weights = train_text_classifier(
@@ -354,6 +357,22 @@ def _p_corpus_quality_lr(session, label, ref_label, min_score=0.5,
         else session._load_for_label(ref_label),
         min_score=float(min_score), text_col=text_col, id_col=id_col,
         dim=int(dim), epochs=int(epochs), weights=weights)
+
+
+def _check_model_params(doc: dict, name: str, **wanted) -> None:
+    """A loaded model must match the shape the caller asked for —
+    silently returning an 8-component projection when k=16 was
+    requested hands back wrong-shaped results with no error."""
+    from .errors import CatalogError
+
+    params = doc.get("params", {})
+    for key, want in wanted.items():
+        have = params.get(key)
+        if have is not None and have != want:
+            raise CatalogError(
+                f"saved model '{name}' was fitted with {key}={have}, "
+                f"but {key}={want} was requested — delete the model "
+                f"or match its parameters")
 
 
 def _p_db_models(session):

@@ -800,3 +800,49 @@ class TestCorrelatedCallSubquery:
                 "RETURN o.o_totalprice AS price "
                 "ORDER BY o.o_orderdate LIMIT 1 } "
                 "RETURN price")
+
+
+class TestCorrelatedCallReviewFindings:
+    """Round-6 self-review regressions: FK-join elimination must not
+    elide block-local nodes, and all-aggregate blocks fill sum/collect
+    on empty input per openCypher."""
+
+    def test_block_props_survive_fk_elision(self, spark):
+        """Under assume_referential_integrity=True with a plain
+        edge-list relationship, a property referenced ONLY inside the
+        block must keep its node scan (r6 review finding #1)."""
+        from brahmand_spark import GraphSession
+
+        s = GraphSession(spark, assume_referential_integrity=True)
+        s.execute("CREATE NODE TABLE Person (p_id Int64, name String, "
+                  "age Int64, NODE ID (p_id))")
+        s.execute("CREATE REL TABLE KNOWS FROM Person TO Person ()")
+        s.register_table("Person", spark.createDataFrame(
+            [(1, "a", 30), (2, "b", 40), (3, "c", 50)],
+            "p_id long, name string, age long"))
+        s.register_table("KNOWS", spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3)],
+            "from_Person long, to_Person long"))
+        rows = s.execute(
+            "MATCH (a:Person) "
+            "CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+            "RETURN max(b.age) AS oldest } "
+            "RETURN a.name AS name, oldest ORDER BY name").collect()
+        assert [(r["name"], r["oldest"]) for r in rows] == [
+            ("a", 50), ("b", 50), ("c", None)]
+
+    def test_sum_and_collect_fill_on_empty(self, tpch):
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 2 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WHERE o.o_totalprice > 99999999 "
+            "RETURN sum(o.o_totalprice) AS s, count(*) AS n, "
+            "collect(o.o_orderkey) AS ks, max(o.o_totalprice) AS mx } "
+            "RETURN c.c_custkey AS ck, s, n, ks, mx ORDER BY ck"
+        ).collect()
+        assert len(rows) == 3  # custkeys 0..2 all kept
+        for r in rows:
+            assert r["s"] == 0       # sum over empty -> 0
+            assert r["n"] == 0
+            assert list(r["ks"]) == []  # collect over empty -> []
+            assert r["mx"] is None   # max over empty -> null

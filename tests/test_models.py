@@ -224,3 +224,43 @@ class TestSessionIntegration:
             "CALL corpus.quality_lr('Doc', 'Ref', 0.4, 256, 2, "
             "'doc_id', 'text', 'qlr')").collect())
         assert a == b
+
+
+class TestModelParamValidation:
+    """Loading a saved model with mismatched fit parameters must fail
+    loudly, not silently return wrong-shaped results (r6 review
+    finding #3)."""
+
+    def test_pca_k_mismatch_rejected(self, spark, tmp_path):
+        from brahmand_spark import GraphSession
+
+        s = GraphSession(spark, models_path=str(tmp_path / "pv"))
+        s.execute("CREATE NODE TABLE Embedding (vec_id Int64, "
+                  "NODE ID (vec_id))")
+        s.register_table("Embedding", _emb(spark))
+        s.execute("CALL corpus.pca('Embedding', 4, 'vec_id', "
+                  "'embedding', 'm') YIELD vec_id LIMIT 1").collect()
+        with pytest.raises(CatalogError, match="k=4.*k=8"):
+            s.execute("CALL corpus.pca('Embedding', 8, 'vec_id', "
+                      "'embedding', 'm')").collect()
+        # matching k loads fine
+        s.execute("CALL corpus.pca('Embedding', 4, 'vec_id', "
+                  "'embedding', 'm') YIELD vec_id LIMIT 1").collect()
+
+    def test_quality_lr_dim_mismatch_rejected(self, spark, tmp_path):
+        from brahmand_spark import GraphSession
+
+        s = GraphSession(spark, models_path=str(tmp_path / "qv"))
+        s.execute("CREATE NODE TABLE Doc (doc_id Int64, text String, "
+                  "NODE ID (doc_id))")
+        s.execute("CREATE NODE TABLE Ref (doc_id Int64, text String, "
+                  "NODE ID (doc_id))")
+        docs = _docs(spark)
+        s.register_table("Doc", docs.limit(40))
+        s.register_table("Ref", docs.filter(
+            F.col("doc_id") % 2 == 0).limit(20))
+        s.execute("CALL corpus.quality_lr('Doc', 'Ref', 0.4, 128, 1, "
+                  "'doc_id', 'text', 'w')").collect()
+        with pytest.raises(CatalogError, match="dim=128.*dim=256"):
+            s.execute("CALL corpus.quality_lr('Doc', 'Ref', 0.4, 256, "
+                      "1, 'doc_id', 'text', 'w')").collect()

@@ -188,3 +188,19 @@ class TestIvfPq:
             emb.repartition(9), q, k=5, n_cells=8, nprobe=3, m=4,
             n_codes=8).collect()))
         assert a == b
+
+    def test_ivfpq_excludes_zero_vectors(self, spark):
+        """Zero-norm vectors have no cosine: excluded from both sides,
+        no NULL scores in the output (r6 review finding #4)."""
+        from brahmand_spark.ops.similarity import ivfpq_topk
+
+        rows = [(i, [float((i + j) % 5 - 2) for j in range(8)])
+                for i in range(30)]
+        rows.append((99, [0.0] * 8))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        out = ivfpq_topk(df, df, k=5, n_cells=2, nprobe=2, m=2,
+                         n_codes=4, sample_size=31).collect()
+        ids = {r["query_id"] for r in out} | {r["corpus_id"] for r in out}
+        assert 99 not in ids
+        assert all(r["cosine"] is not None for r in out)

@@ -237,11 +237,15 @@ def cap_per_domain(
     domain's documents (no ``rand()``: retries and repartitioning
     keep the same rows).
 
-    Never windows by the domain alone: documents rank within
-    (domain, hash-bucket) sub-windows and the global rank is composed
-    from per-bucket prefix sums — the ops/walks.ranked_adjacency
-    treatment, so a hot domain spreads across ``n_buckets`` tasks
-    instead of serializing the whole pipeline on one."""
+    Never ranks the UNBOUNDED data by the domain alone: documents
+    first rank within (domain, hash-bucket) sub-windows — the
+    ops/walks.ranked_adjacency treatment, so a hot domain's rows sort
+    across ``n_buckets`` tasks — and only rows with a local rank
+    below ``max_docs`` survive to the final per-domain window, whose
+    partitions are therefore BOUNDED at ``n_buckets * max_docs`` rows
+    no matter how hot the domain. Two exchanges total, no join; the
+    kept set is the first ``max_docs`` rows in (bucket, hash, id)
+    order, identical to a global-window formulation."""
     if max_docs < 1:
         raise ValueError("max_docs must be >= 1")
     from .text import md5_hash60
@@ -254,17 +258,12 @@ def cap_per_domain(
         "_h", id_col)
     loc = loc.withColumn("_lr", F.row_number().over(wloc) - 1) \
         .filter(F.col("_lr") < max_docs)
-    sizes = loc.groupBy(domain_col, "_bkt").agg(
-        F.count(F.lit(1)).alias("_sz"))
-    wpre = (Window.partitionBy(domain_col).orderBy("_bkt")
-            .rowsBetween(Window.unboundedPreceding, -1))
-    offs = sizes.select(
-        domain_col, "_bkt",
-        F.coalesce(F.sum("_sz").over(wpre), F.lit(0)).alias("_off"))
+    wdom = Window.partitionBy(domain_col).orderBy(
+        "_bkt", "_h", id_col)
     return (
-        loc.join(offs, [domain_col, "_bkt"])
-        .filter(F.col("_off") + F.col("_lr") < max_docs)
-        .drop("_h", "_bkt", "_lr", "_off")
+        loc.withColumn("_gr", F.row_number().over(wdom))
+        .filter(F.col("_gr") <= max_docs)
+        .drop("_h", "_bkt", "_lr", "_gr")
     )
 
 

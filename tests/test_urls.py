@@ -230,14 +230,19 @@ class TestCapPerDomain:
             df.repartition(9), 7).collect())
         assert a == b and len(a) == 14
 
-    def test_no_per_domain_only_ranking_window(self, spark):
-        """The ranking row_number must partition by
-        (domain, salt bucket) — a hot domain must not serialize into
-        one window task."""
+    def test_no_unbounded_per_domain_ranking_window(self, spark):
+        """The window over the UNBOUNDED rows (computing _lr) must
+        partition by (domain, salt bucket); only the final window over
+        the locally-capped rows (<= n_buckets * max_docs per domain
+        by construction) may partition by the domain alone."""
         plan = cap_per_domain(self._df(spark), 5) \
             ._jdf.queryExecution().optimizedPlan().toString()
-        rn = [ln for ln in plan.splitlines() if "row_number" in ln]
-        assert rn and all("_bkt" in ln for ln in rn), plan
+        wins = [ln for ln in plan.splitlines()
+                if ln.strip().lstrip("+-: ").startswith("Window ")]
+        assert len(wins) == 2, plan
+        # the deeper window (last in the plan text) computes _lr over
+        # the raw rows: it must partition by (domain, _bkt)
+        assert "_bkt" in wins[-1] and "registered_domain" in wins[-1], plan
 
 
 class TestUrlCallProcedure:

@@ -87,8 +87,26 @@ def ranked_adjacency(
     loc = loc.withColumn("_lr", F.row_number().over(wloc) - 1)
     if max_degree is not None:
         # a row with local rank >= max_degree can never reach a
-        # global rank < max_degree (offset >= 0): safe pre-prune
+        # global rank < max_degree (offset >= 0): safe pre-prune —
+        # and it BOUNDS every vertex at n_buckets * max_degree rows,
+        # so the final per-vertex window below is safe at any skew
+        # (two exchanges, no join; Spark's WindowGroupLimit prunes
+        # the rank limit map-side)
         loc = loc.filter(F.col("_lr") < max_degree)
+        wv = Window.partitionBy("u").orderBy("_bkt", "v")
+        capped = (
+            loc.withColumn("_gr", F.row_number().over(wv) - 1)
+            .filter(F.col("_gr") < max_degree)
+        )
+        return capped.select(
+            "u", "v", F.col("_gr").alias("rank"),
+            F.least(
+                F.count(F.lit(1)).over(Window.partitionBy("u")),
+                F.lit(max_degree)).alias("degree"),
+        )
+    # uncapped: nothing bounds a per-vertex window, so global ranks
+    # compose from per-bucket prefix sums (<= n_buckets rows per
+    # vertex in that window) instead
     sizes = loc.groupBy("u", "_bkt").agg(F.count(F.lit(1)).alias("_sz"))
     wpre = (Window.partitionBy("u").orderBy("_bkt")
             .rowsBetween(Window.unboundedPreceding, -1))
@@ -97,15 +115,11 @@ def ranked_adjacency(
         F.coalesce(F.sum("_sz").over(wpre), F.lit(0)).alias("_off"),
         F.sum("_sz").over(Window.partitionBy("u")).alias("_tot"),
     )
-    out = loc.join(offs, ["u", "_bkt"]).select(
+    return loc.join(offs, ["u", "_bkt"]).select(
         "u", "v",
         (F.col("_off") + F.col("_lr")).alias("rank"),
         F.col("_tot").alias("degree"),
     )
-    if max_degree is not None:
-        out = out.filter(F.col("rank") < max_degree).withColumn(
-            "degree", F.least(F.col("degree"), F.lit(max_degree)))
-    return out
 
 
 def random_walks(

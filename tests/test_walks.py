@@ -214,6 +214,19 @@ class TestWalkCorpus:
         for ln in rn_lines:
             assert "_bkt" in ln, ln
 
+    def test_ranked_adjacency_capped_path_bounded_windows(self, spark):
+        """With max_degree set, the deepest window still partitions by
+        (u, salt bucket) over the raw rows; the final per-vertex
+        window only ever sees <= n_buckets * max_degree rows (its
+        input is the locally-capped set)."""
+        plan = ranked_adjacency(_edges_df(spark), max_degree=2) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        wins = [ln for ln in plan.splitlines()
+                if ln.strip().lstrip("+-: ").startswith("Window ")]
+        assert wins, plan
+        # deepest Window node (last in text) ranks the raw rows
+        assert "_bkt" in wins[-1], plan
+
     def test_string_ids_fail_loudly(self, spark):
         import pytest
 

@@ -3,11 +3,12 @@ from .joins import funnel_join
 from .stateful import running_user_stats, running_user_stats_batch
 from .windows import (
     read_event_stream, sessionize, sliding_counts, streaming_dedup,
+    streaming_url_dedup,
     tumbling_agg, windowed_cms_table, windowed_hll_registers,
 )
 
 __all__ = [
     "read_event_stream", "tumbling_agg", "sliding_counts", "sessionize",
-    "streaming_dedup", "running_user_stats", "running_user_stats_batch",
+    "streaming_dedup", "streaming_url_dedup", "running_user_stats", "running_user_stats_batch",
     "dedup_stream", "windowed_hll_registers", "windowed_cms_table", "funnel_join",
 ]

@@ -190,3 +190,28 @@ def streaming_dedup(
     if df.isStreaming:
         return df.dropDuplicatesWithinWatermark(list(keys))
     return df.dropDuplicates(list(keys))
+
+
+def streaming_url_dedup(
+    df: DataFrame, url_col: str = "url", ts_col: str = "ts",
+    watermark: str = "1 hour", keep_invalid: bool = False,
+) -> DataFrame:
+    """URL-exact dedup on an ARRIVING corpus: normalize each URL with
+    the batch front door's exact expression (ops/urls.normalize_url —
+    scheme/host lowering, www/default-port/fragment/tracking-param
+    strips) and keep the FIRST arrival per normalized URL within the
+    watermark horizon. The normalization is a narrow projection, so
+    the only streaming state is the dropDuplicates key store — bounded
+    by the watermark, exactly like streaming_dedup. Unparseable URLs
+    (url_norm NULL) are dropped unless ``keep_invalid``; on a batch
+    DataFrame the same call degrades to a plain first-per-key dedup,
+    which the stream==batch test exploits."""
+    from ..ops.urls import normalize_url
+
+    out = df.withColumn("url_norm", normalize_url(F.col(url_col)))
+    if not keep_invalid:
+        out = out.filter(F.col("url_norm").isNotNull())
+    out = with_watermark(out, ts_col, watermark)
+    if out.isStreaming:
+        return out.dropDuplicatesWithinWatermark(["url_norm"])
+    return out.dropDuplicates(["url_norm"])

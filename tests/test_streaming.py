@@ -660,3 +660,49 @@ class TestStreamingCms:
             depth=3, width=64).collect()}
         for r in exact.collect():
             assert est[r["user_id"]] >= r["n"]
+
+
+class TestStreamingUrlDedup:
+    def test_url_stream_dedups_to_batch_normalized_distinct(
+            self, spark, tmp_path):
+        """streaming_url_dedup on a REAL stream: raw URL variants that
+        normalize identically (case, www, utm params, trailing slash)
+        collapse to one survivor per normalized URL; unparseable rows
+        drop; the surviving set equals the batch path's."""
+        import datetime
+
+        from brahmand_spark.streaming import (
+            read_event_stream, streaming_url_dedup,
+        )
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        for i in range(40):
+            variant = i % 4
+            base = f"site{i % 5}.com/p/{i % 10}"
+            url = [f"https://{base}",
+                   f"HTTPS://www.{base}",
+                   f"https://{base}/?utm_source=x",
+                   f"https://{base}/"][variant]
+            rows.append((i, url, t0 + datetime.timedelta(seconds=i)))
+        rows.append((99, "not a url", t0))
+        df = spark.createDataFrame(
+            rows, "event_id long, url string, ts timestamp")
+        src = str(tmp_path / "url_events")
+        df.repartition(4).write.mode("overwrite").parquet(src)
+        out = streaming_url_dedup(
+            read_event_stream(spark, src, max_files_per_trigger=2),
+            watermark="1 day")
+        q = (out.writeStream.format("memory").queryName("url_dedup")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = spark.sql("SELECT url_norm FROM url_dedup")
+        want = streaming_url_dedup(df, watermark="1 day")
+        assert got.count() == want.count()
+        assert got.distinct().count() == got.count()
+        assert sorted(r["url_norm"] for r in got.collect()) \
+            == sorted(r["url_norm"] for r in want.collect())
+        # i%10 determines both host (i%5) and path (i%10): 10 distinct
+        # normalized URLs survive; every variant collapsed, bad row
+        # dropped
+        assert got.count() == 10

@@ -626,7 +626,8 @@ class QueryCompiler:
         imports = _call_import_aliases(csub.query)
         if imports is not None:
             return self._apply_correlated_call(
-                df, scope, csub.query, imports)
+                df, scope, csub.query, imports,
+                optional=csub.optional)
         sub = self._fresh().compile(csub.query)
         for name in sub.columns:
             if scope.get(name) is not None:
@@ -641,11 +642,18 @@ class QueryCompiler:
             raise PlanError(
                 f"CALL {{ }} subquery output collides with enclosing "
                 f"columns: {sorted(overlap)}")
+        if csub.optional:
+            # OPTIONAL CALL: an empty block must NULL-fill rather than
+            # annihilate the outer rows — a LEFT join on a trivial
+            # condition (BroadcastNestedLoop) gives exactly that while
+            # degenerating to the cartesian product when rows exist
+            return df.join(sub, F.lit(True), "left")
         return df.crossJoin(sub)
 
     def _apply_correlated_call(
         self, df: Optional[DataFrame], scope: Scope,
         inner: "ast.ReadQuery", imports: list[str],
+        optional: bool = False,
     ) -> DataFrame:
         """Correlated CALL block: see _apply_call_subquery. Supported
         body (v1): the import WITH, then ONE segment of MATCH clauses
@@ -803,9 +811,12 @@ class QueryCompiler:
         # dropping the outer row (inner). Known divergence: an
         # arithmetic wrapper over an aggregate (count(*) + 1) comes
         # back null rather than evaluated-on-empty.
+        # OPTIONAL CALL additionally left-joins the row-returning
+        # forms (outer rows with no block rows survive, NULL-filled)
         all_agg = any_agg and all(agg for _, _, agg, _ in compiled)
         out = df.join(
-            sub_out, cond, "left" if all_agg else "inner"
+            sub_out, cond,
+            "left" if (all_agg or optional) else "inner"
         ).drop(*[k for k, _ in key_cols])
         if all_agg:
             for name, _, _, empty_fill in compiled:

@@ -45,6 +45,8 @@ KINDS = {
     "lr_weights": "list[int] dim+1 integer micro-unit weights",
     "pca": "{mean: list[float], components: list[list[float]], "
            "explained_variance: list[float]}",
+    "pq_codebooks": "list[m] of list[n_codes] of list[sub_dim] "
+                    "sub-centroids (ops/similarity.pq_fit)",
 }
 
 
@@ -137,6 +139,14 @@ class ModelStore:
 
     def load_bpe_merges(self, name: str) -> list[tuple[str, str]]:
         return [tuple(m) for m in self.load(name, "bpe_merges")["payload"]]
+
+    def save_pq_codebooks(self, name: str,
+                          codebooks: list[list[list[float]]],
+                          **params) -> None:
+        self.save(name, "pq_codebooks", codebooks, params)
+
+    def load_pq_codebooks(self, name: str) -> list[list[list[float]]]:
+        return self.load(name, "pq_codebooks")["payload"]
 
     def save_lr_weights(self, name: str, weights_micro: list[int],
                         **params) -> None:

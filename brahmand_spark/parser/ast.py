@@ -255,9 +255,12 @@ class CallSubquery:
     Uncorrelated: the inner query reads no outer variables; its
     RETURN columns join the enclosing rows with cartesian semantics
     (one output row per outer-row x subquery-row pair), openCypher's
-    definition for an uncorrelated CALL."""
+    definition for an uncorrelated CALL. ``optional=True`` (openCypher
+    5 ``OPTIONAL CALL``) keeps outer rows whose block yields no rows,
+    NULL-filling the block outputs."""
 
     query: object  # ReadQuery
+    optional: bool = False
 
 
 @dataclass

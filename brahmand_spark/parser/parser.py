@@ -211,6 +211,20 @@ class Parser:
                 expr = self.parse_expr()
                 self.eat_kw("AS")
                 cur.unwind = ast.UnwindClause(expr=expr, alias=self.ident())
+            elif (self.at_kw("OPTIONAL")
+                  and self.peek(1).kind == "KEYWORD"
+                  and self.peek(1).value == "CALL"
+                  and self.peek(2).kind == "OP"
+                  and self.peek(2).value == "{"):
+                # OPTIONAL CALL { ... } (openCypher 5): row-preserving
+                self.next()  # OPTIONAL
+                self.next()  # CALL
+                self.eat_op("{")
+                inner = self.parse_read_query()
+                self.eat_op("}")
+                if inner.return_clause is None:
+                    self.error("CALL { } subquery must end with RETURN")
+                cur.calls.append(ast.CallSubquery(inner, optional=True))
             elif self.at_kw("CALL") and self.peek(1).kind == "OP" \
                     and self.peek(1).value == "{":
                 # CALL { <read query> } subquery (extension; the

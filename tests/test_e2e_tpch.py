@@ -846,3 +846,58 @@ class TestCorrelatedCallReviewFindings:
             assert r["n"] == 0
             assert list(r["ks"]) == []  # collect over empty -> []
             assert r["mx"] is None   # max over empty -> null
+
+
+class TestOptionalCallSubquery:
+    """OPTIONAL CALL { } (openCypher 5): outer rows whose block yields
+    nothing survive NULL-filled, in both the uncorrelated and
+    correlated forms."""
+
+    def test_correlated_row_block_null_fills(self, tpch):
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+            "OPTIONAL CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WHERE o.o_totalprice > 470000 "
+            "RETURN o.o_totalprice AS big } "
+            "RETURN c.c_custkey AS ck, big ORDER BY ck").collect()
+        by_ck = {}
+        for r in rows:
+            by_ck.setdefault(r["ck"], []).append(r["big"])
+        assert set(by_ck) == {0, 1, 2, 3}  # every customer survives
+        assert by_ck[1] == [None]
+        # plain CALL drops the match-less customers
+        inner = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WHERE o.o_totalprice > 470000 "
+            "RETURN o.o_totalprice AS big } "
+            "RETURN c.c_custkey AS ck").collect()
+        assert {r["ck"] for r in inner} < set(by_ck)
+
+    def test_uncorrelated_empty_block_null_fills(self, tpch, duck):
+        got = tpch.execute(
+            "MATCH (r:Region) "
+            "OPTIONAL CALL { MATCH (n:Nation) WHERE n.n_nationkey < 0 "
+            "RETURN n.n_name AS nm } "
+            "RETURN r.r_name AS region, nm")
+        assert_same(got, duck.sql(
+            """SELECT r_name AS region, CAST(NULL AS VARCHAR) AS nm
+               FROM region"""))
+
+    def test_uncorrelated_nonempty_behaves_like_plain(self, tpch):
+        a = sorted(map(str, tpch.execute(
+            "MATCH (r:Region) "
+            "OPTIONAL CALL { MATCH (n:Nation) WHERE n.n_nationkey < 2 "
+            "RETURN n.n_name AS nm } "
+            "RETURN r.r_name AS region, nm").collect()))
+        b = sorted(map(str, tpch.execute(
+            "MATCH (r:Region) "
+            "CALL { MATCH (n:Nation) WHERE n.n_nationkey < 2 "
+            "RETURN n.n_name AS nm } "
+            "RETURN r.r_name AS region, nm").collect()))
+        assert a == b
+
+    def test_optional_match_still_parses(self, tpch):
+        assert tpch.execute(
+            "MATCH (r:Region) OPTIONAL MATCH (r)<-[:IN_REGION]-(n:Nation) "
+            "RETURN count(*) AS n").first()["n"] == 25

@@ -264,3 +264,19 @@ class TestModelParamValidation:
         with pytest.raises(CatalogError, match="dim=128.*dim=256"):
             s.execute("CALL corpus.quality_lr('Doc', 'Ref', 0.4, 256, "
                       "1, 'doc_id', 'text', 'w')").collect()
+
+
+def test_pq_codebooks_round_trip(spark, tmp_path):
+    """PQ codebooks persist bit-identically; encoded codes from the
+    loaded books equal codes from the fitted books."""
+    from brahmand_spark.ops.similarity import pq_encode, pq_fit
+
+    emb = _emb(spark)
+    books = pq_fit(emb, m=4, n_codes=8, sample_size=200)
+    st = ModelStore(str(tmp_path))
+    st.save_pq_codebooks("pq", books, m=4, n_codes=8)
+    loaded = st.load_pq_codebooks("pq")
+    assert loaded == books
+    a = sorted(map(str, pq_encode(emb.limit(40), books).collect()))
+    b = sorted(map(str, pq_encode(emb.limit(40), loaded).collect()))
+    assert a == b

@@ -18,7 +18,7 @@ KEYWORDS = {
     "NODE", "REL", "TABLE", "FROM", "TO", "PRIMARY", "KEY", "DEFAULT",
     "SET", "REMOVE", "DELETE", "DETACH", "UNION", "ALL", "UNWIND", "CASE",
     "WHEN", "THEN", "ELSE", "END", "STARTS", "ENDS", "CONTAINS", "MERGE",
-    "ON", "CALL", "YIELD", "EXPLAIN", "PROFILE",
+    "ON", "CALL", "YIELD", "EXPLAIN", "PROFILE", "FOREACH",
 }
 
 # Multi-char operators first (longest match wins).

@@ -239,6 +239,17 @@ class Parser:
                 if inner.return_clause is None:
                     self.error("CALL { } subquery must end with RETURN")
                 cur.calls.append(ast.CallSubquery(inner))
+            elif self.at_kw("FOREACH"):
+                # FOREACH is per-element imperative mutation — its
+                # elements are runtime node references (possibly
+                # mixed-label), which has no sound relational
+                # compilation here. Reject with the working recipe
+                # instead of a bare syntax error.
+                self.error(
+                    "FOREACH is not supported — rewrite as UNWIND "
+                    "<list> AS x ... SET/DELETE with "
+                    "GraphSession(allow_writes=True), which compiles "
+                    "to the same per-element updates relationally")
             elif self.at_kw("WHERE"):
                 self.next()
                 pred = self.parse_expr()

@@ -440,3 +440,11 @@ class TestSubqueryBlocks:
                "RETURN d.name AS n")
         assert u.has_count_subquery is True  # conservative on the root
         assert u.unions[0][0].has_count_subquery is True
+
+
+def test_foreach_rejected_with_guidance():
+    """FOREACH has no sound relational compilation (runtime node
+    references); it must fail with the UNWIND+SET recipe, not a bare
+    syntax error."""
+    with pytest.raises(ParseError, match="UNWIND"):
+        parse("MATCH (a:P) FOREACH (x IN [1,2] | SET a.v = x)")

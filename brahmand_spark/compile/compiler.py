@@ -636,6 +636,14 @@ class QueryCompiler:
                     f"already bound in the enclosing query")
             scope.bind(ScalarBinding(name))
         if df is None:
+            if csub.optional:
+                # openCypher: a query starts with one implicit row, so
+                # a standalone OPTIONAL CALL over an empty block must
+                # yield one NULL-filled row, not zero rows
+                from pyspark.sql import SparkSession
+
+                seed = SparkSession.getActiveSession().range(1).drop("id")
+                return seed.join(sub, F.lit(True), "left")
             return sub
         overlap = set(df.columns) & set(sub.columns)
         if overlap:

@@ -78,7 +78,7 @@ class Parser:
         if tok.kind == "KEYWORD" and tok.value in {
             "NODE", "REL", "TABLE", "KEY", "FROM", "TO", "ALL", "END",
             "ORDER", "BY", "SKIP", "LIMIT", "SET", "DEFAULT", "CASE",
-            "EXPLAIN", "PROFILE",
+            "EXPLAIN", "PROFILE", "FOREACH",
         }:
             # Soft keywords: usable as labels/aliases where an identifier
             # is demanded (e.g. a node label named `Order`). Original
@@ -91,6 +91,18 @@ class Parser:
         tok = self.peek()
         got = tok.value or "<eof>"
         raise ParseError(f"{msg}, got {got!r}", tok.pos, self.text)
+
+    def _reject_foreach(self):
+        """FOREACH is per-element imperative mutation — its elements
+        are runtime node references (possibly mixed-label), which has
+        no sound relational compilation here. Reject with the working
+        recipe instead of a bare syntax error, from every clause
+        position (statement-initial, read query, write query)."""
+        self.error(
+            "FOREACH is not supported — rewrite as UNWIND <list> AS x "
+            "... SET/DELETE with GraphSession(allow_writes=True), "
+            "which compiles to the same per-element updates "
+            "relationally")
 
     # -- entry -------------------------------------------------------------
     def parse_statement(self) -> ast.Statement:
@@ -119,6 +131,8 @@ class Parser:
             if nxt.kind == "OP" and nxt.value == "{":
                 return self.parse_read_query()
             return self.parse_call()
+        if self.at_kw("FOREACH"):
+            self._reject_foreach()
         if self.at_kw("MATCH", "OPTIONAL", "UNWIND", "WITH", "RETURN"):
             # Peek ahead: a MATCH followed by SET/DELETE/REMOVE/CREATE is a
             # write query (query_planner/mod.rs:21-31 classification).
@@ -211,45 +225,30 @@ class Parser:
                 expr = self.parse_expr()
                 self.eat_kw("AS")
                 cur.unwind = ast.UnwindClause(expr=expr, alias=self.ident())
-            elif (self.at_kw("OPTIONAL")
-                  and self.peek(1).kind == "KEYWORD"
-                  and self.peek(1).value == "CALL"
-                  and self.peek(2).kind == "OP"
-                  and self.peek(2).value == "{"):
-                # OPTIONAL CALL { ... } (openCypher 5): row-preserving
-                self.next()  # OPTIONAL
-                self.next()  # CALL
-                self.eat_op("{")
-                inner = self.parse_read_query()
-                self.eat_op("}")
-                if inner.return_clause is None:
-                    self.error("CALL { } subquery must end with RETURN")
-                cur.calls.append(ast.CallSubquery(inner, optional=True))
-            elif self.at_kw("CALL") and self.peek(1).kind == "OP" \
-                    and self.peek(1).value == "{":
-                # CALL { <read query> } subquery (extension; the
-                # reference has no CALL at all, ast.rs:5-20).
+            elif (self.at_kw("CALL") and self.peek(1).kind == "OP"
+                  and self.peek(1).value == "{") or (
+                      self.at_kw("OPTIONAL")
+                      and self.peek(1).kind == "KEYWORD"
+                      and self.peek(1).value == "CALL"
+                      and self.peek(2).kind == "OP"
+                      and self.peek(2).value == "{"):
+                # [OPTIONAL] CALL { <read query> } subquery (extension;
+                # the reference has no CALL at all, ast.rs:5-20).
                 # Uncorrelated form: the inner query references no
-                # outer variables and its RETURN columns join the
-                # enclosing pipeline per-row (cartesian semantics).
+                # outer variables, its RETURN columns join per-row
+                # (cartesian). OPTIONAL (openCypher 5) preserves
+                # match-less outer rows NULL-filled.
+                optional = self.try_kw("OPTIONAL")
                 self.next()  # CALL
                 self.eat_op("{")
                 inner = self.parse_read_query()
                 self.eat_op("}")
                 if inner.return_clause is None:
                     self.error("CALL { } subquery must end with RETURN")
-                cur.calls.append(ast.CallSubquery(inner))
+                cur.calls.append(
+                    ast.CallSubquery(inner, optional=optional))
             elif self.at_kw("FOREACH"):
-                # FOREACH is per-element imperative mutation — its
-                # elements are runtime node references (possibly
-                # mixed-label), which has no sound relational
-                # compilation here. Reject with the working recipe
-                # instead of a bare syntax error.
-                self.error(
-                    "FOREACH is not supported — rewrite as UNWIND "
-                    "<list> AS x ... SET/DELETE with "
-                    "GraphSession(allow_writes=True), which compiles "
-                    "to the same per-element updates relationally")
+                self._reject_foreach()
             elif self.at_kw("WHERE"):
                 self.next()
                 pred = self.parse_expr()
@@ -824,6 +823,8 @@ class Parser:
                 self.at_kw("OPTIONAL") and self.peek(1).value == "MATCH"
             ):
                 wq.match_clauses.append(self.parse_match())
+            elif self.at_kw("FOREACH"):
+                self._reject_foreach()
             elif self.at_kw("WHERE"):
                 self.next()
                 wq.where = self.parse_expr()

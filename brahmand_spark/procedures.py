@@ -317,8 +317,9 @@ def _p_corpus_pca(session, label, k=8, id_col="vec_id",
         return pca(df, k=int(k), id_col=id_col, vec_col=vec_col)
     store = session.model_store
     if store.exists(model):
-        _check_model_params(store.load(model, "pca"), model, k=int(k))
-        mean, comps, _ = store.load_pca(model)
+        doc = store.load(model, "pca")
+        _check_model_params(doc, model, k=int(k))
+        mean, comps = doc["payload"]["mean"], doc["payload"]["components"]
     else:
         mean, comps, var = pca_fit(df, int(k), vec_col)
         store.save_pca(model, mean, comps, var, k=int(k),
@@ -341,9 +342,9 @@ def _p_corpus_quality_lr(session, label, ref_label, min_score=0.5,
     if model is not None:
         store = session.model_store
         if store.exists(model):
-            _check_model_params(store.load(model, "lr_weights"),
-                                model, dim=int(dim))
-            weights = store.load_lr_weights(model)
+            doc = store.load(model, "lr_weights")
+            _check_model_params(doc, model, dim=int(dim))
+            weights = doc["payload"]
         else:
             weights = train_text_classifier(
                 session._load_for_label(ref_label), df, text_col,

@@ -199,19 +199,39 @@ def streaming_url_dedup(
     """URL-exact dedup on an ARRIVING corpus: normalize each URL with
     the batch front door's exact expression (ops/urls.normalize_url —
     scheme/host lowering, www/default-port/fragment/tracking-param
-    strips) and keep the FIRST arrival per normalized URL within the
-    watermark horizon. The normalization is a narrow projection, so
-    the only streaming state is the dropDuplicates key store — bounded
-    by the watermark, exactly like streaming_dedup. Unparseable URLs
-    (url_norm NULL) are dropped unless ``keep_invalid``; on a batch
-    DataFrame the same call degrades to a plain first-per-key dedup,
-    which the stream==batch test exploits."""
+    strips) and keep ONE row per normalized URL within the watermark
+    horizon. The normalization is a narrow projection, so the only
+    streaming state is the dropDuplicates key store — bounded by the
+    watermark, exactly like streaming_dedup.
+
+    Unparseable URLs (url_norm NULL) are dropped by default;
+    ``keep_invalid=True`` passes every one of them through UNTOUCHED —
+    they have no identity to dedup on, matching
+    ops/urls.url_exact_dedup (NULL must never become a shared dedup
+    key that collapses all malformed rows into one survivor).
+
+    Survivor choice: on a stream, the first arrival the state store
+    sees (micro-batch processing order). On a batch DataFrame the
+    survivor is DETERMINISTIC — earliest ``ts_col``, ties broken by
+    the full-row hash — so retries and repartitioning keep the same
+    rows, the module-wide rule."""
+    from pyspark.sql.window import Window
+
     from ..ops.urls import normalize_url
 
     out = df.withColumn("url_norm", normalize_url(F.col(url_col)))
-    if not keep_invalid:
-        out = out.filter(F.col("url_norm").isNotNull())
-    out = with_watermark(out, ts_col, watermark)
-    if out.isStreaming:
-        return out.dropDuplicatesWithinWatermark(["url_norm"])
-    return out.dropDuplicates(["url_norm"])
+    valid = with_watermark(out.filter(F.col("url_norm").isNotNull()),
+                           ts_col, watermark)
+    if valid.isStreaming:
+        kept = valid.dropDuplicatesWithinWatermark(["url_norm"])
+    else:
+        w = Window.partitionBy("url_norm").orderBy(
+            F.col(ts_col).asc(),
+            F.xxhash64(*[F.col(c) for c in out.columns]))
+        kept = (valid.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+    if keep_invalid:
+        inv = with_watermark(out.filter(F.col("url_norm").isNull()),
+                             ts_col, watermark)
+        return kept.unionByName(inv)
+    return kept

@@ -901,3 +901,20 @@ class TestOptionalCallSubquery:
         assert tpch.execute(
             "MATCH (r:Region) OPTIONAL MATCH (r)<-[:IN_REGION]-(n:Nation) "
             "RETURN count(*) AS n").first()["n"] == 25
+
+
+class TestOptionalCallStandalone:
+    def test_standalone_optional_call_empty_block_one_null_row(
+            self, tpch):
+        """A query starts with one implicit row: standalone OPTIONAL
+        CALL over an empty block yields ONE NULL row, not zero
+        (r6 review)."""
+        rows = tpch.execute(
+            "OPTIONAL CALL { MATCH (n:Nation) WHERE n.n_nationkey < 0 "
+            "RETURN n.n_name AS nm } RETURN nm").collect()
+        assert [r["nm"] for r in rows] == [None]
+        # non-empty block: same rows as the plain form
+        a = sorted(r["nm"] for r in tpch.execute(
+            "OPTIONAL CALL { MATCH (n:Nation) WHERE n.n_nationkey < 2 "
+            "RETURN n.n_name AS nm } RETURN nm").collect())
+        assert a == ["NATION_0", "NATION_1"]

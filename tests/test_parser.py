@@ -448,3 +448,23 @@ def test_foreach_rejected_with_guidance():
     syntax error."""
     with pytest.raises(ParseError, match="UNWIND"):
         parse("MATCH (a:P) FOREACH (x IN [1,2] | SET a.v = x)")
+
+
+def test_foreach_stays_usable_as_identifier():
+    """FOREACH is only reserved at clause position: properties and
+    labels named foreach still parse through the soft-keyword path
+    (aliases are plain identifiers for every soft keyword, unchanged)
+    (r6 review)."""
+    q = rq("MATCH (n:foreach) RETURN n.foreach AS f")
+    assert q.parts[0].matches[0].paths[0].nodes[0].label == "foreach"
+    e = q.return_clause.items[0].expr
+    assert e == ast.PropertyAccess("n", "foreach")
+
+
+def test_foreach_rejected_at_statement_start_and_in_writes():
+    for text in (
+        "FOREACH (x IN [1,2] | CREATE (:T {v: x}))",
+        "MATCH (a:P) SET a.y = 1 FOREACH (x IN [1] | SET a.v = x)",
+    ):
+        with pytest.raises(ParseError, match="UNWIND"):
+            parse(text)

@@ -706,3 +706,41 @@ class TestStreamingUrlDedup:
         # normalized URLs survive; every variant collapsed, bad row
         # dropped
         assert got.count() == 10
+
+
+class TestStreamingUrlDedupSemantics:
+    def _df(self, spark):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (1, "https://a.com/x", t0),
+            (2, "https://A.com/x/", t0 + datetime.timedelta(seconds=5)),
+            (3, "bogus one", t0),
+            (4, "bogus two", t0),
+            (5, "also not a url", t0),
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, url string, ts timestamp")
+
+    def test_keep_invalid_passes_all_malformed_rows(self, spark):
+        """NULL url_norm must never become a shared dedup key: all
+        malformed rows survive with keep_invalid=True (r6 review)."""
+        from brahmand_spark.streaming import streaming_url_dedup
+
+        out = streaming_url_dedup(self._df(spark), keep_invalid=True)
+        ids = sorted(r["event_id"] for r in out.collect())
+        assert ids == [1, 3, 4, 5]
+        dropped = streaming_url_dedup(self._df(spark))
+        assert sorted(r["event_id"] for r in dropped.collect()) == [1]
+
+    def test_batch_survivor_deterministic_earliest_ts(self, spark):
+        """Batch survivor = earliest ts, stable under repartition."""
+        from brahmand_spark.streaming import streaming_url_dedup
+
+        df = self._df(spark)
+        a = sorted(map(str, streaming_url_dedup(df).collect()))
+        b = sorted(map(str, streaming_url_dedup(
+            df.repartition(7)).collect()))
+        assert a == b
+        assert streaming_url_dedup(df).first()["event_id"] == 1

@@ -293,3 +293,145 @@ def skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def node2vec_walks(
+    edges: DataFrame, n_walks: int = 2, walk_length: int = 8,
+    p: float = 1.0, q: float = 1.0,
+    src: str = "src", dst: str = "dst", seed: int = 42,
+    starts: DataFrame | None = None, checkpoint: bool = True,
+    max_degree: int = 64, n_buckets: int = 32,
+) -> DataFrame:
+    """Second-order biased walks (Grover & Leskovec 2016, "node2vec:
+    Scalable feature learning for networks"): the step from ``cur``
+    remembers ``prev`` and weights each candidate neighbor ``v`` by
+
+    - ``1/p``  when ``v == prev``          (return),
+    - ``1``    when ``prev -> v`` exists   (BFS-ish, stays close),
+    - ``1/q``  otherwise                   (DFS-ish, explores out),
+
+    then samples proportionally. Low ``q`` explores (structural
+    roles), low ``p`` backtracks (tight communities); ``p=q=1``
+    weighs all candidates equally (uniform over neighbors, like
+    DeepWalk, though sampled through the weighted mechanism).
+
+    Deterministic INTEGER arithmetic end to end, the house recipe:
+    weights are micro-units (``round(1e6/p)`` etc.), each walk-step's
+    candidates carry a cumulative weight sum ordered by the adjacency
+    rank, and the choice is the unique candidate whose cumulative
+    range contains ``md5_60('n2v:{seed}:' || walk_id || ':' || t) %
+    total`` — a pure function of (graph, params, seed) that replays
+    bit-for-bit in Python or any md5-capable engine.
+
+    Spark shape per step: one fan-out join of the live frontier
+    against the degree-capped ranked adjacency (candidates), one
+    (prev, v) membership join against the same adjacency (the
+    distance-1 test), and one per-walk window for the cumulative
+    sums — the window partition is BOUNDED by ``max_degree``
+    (mandatory here, default 64: the second-order window makes an
+    uncapped supernode a single-task sort, so the cap is load-bearing
+    rather than optional). First step has no ``prev`` and picks
+    uniformly, exactly like :func:`random_walks`.
+
+    Returns (walk_id, start, walk). Dead ends terminate the walk
+    with the visited prefix."""
+    if n_walks < 1 or walk_length < 1:
+        raise ValueError("n_walks and walk_length must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be > 0")
+    if max_degree is None or max_degree < 1:
+        raise ValueError(
+            "node2vec_walks requires a max_degree cap (the per-walk "
+            "candidate window is bounded by it)")
+    w_ret = int(round(1_000_000 / p))
+    w_in = 1_000_000
+    w_out = int(round(1_000_000 / q))
+    adj = _ckpt(
+        ranked_adjacency(edges, src, dst, max_degree=max_degree,
+                         n_buckets=n_buckets), checkpoint)
+    member = _ckpt(
+        adj.select(F.col("u").alias("_mp"), F.col("v").alias("_mv")),
+        checkpoint)
+    if starts is None:
+        starts = edges.select(F.col(src).alias("id")).union(
+            edges.select(F.col(dst).alias("id"))).distinct()
+    else:
+        starts = starts.select(F.col("id"))
+    id_type = starts.schema["id"].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"node2vec_walks needs integral vertex ids; got "
+            f"'{id_type}' — hash non-numeric ids to bigint first")
+    state = starts.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("_w"),
+        F.col("id").alias("start"),
+    ).select(
+        (F.col("start") * n_walks + F.col("_w")).alias("walk_id"),
+        "start",
+        F.array(F.col("start")).alias("walk"),
+        F.col("start").alias("cur"),
+        F.lit(None).cast("long").alias("prev"),
+        F.lit(True).alias("live"),
+    )
+    state = _ckpt(state, checkpoint)
+    for t in range(1, walk_length):
+        h = md5_hash60(F.concat(
+            F.lit(f"n2v:{seed}:"), F.col("walk_id").cast("string"),
+            F.lit(":"), F.lit(t).cast("string")))
+        live = state.filter("live")
+        if t == 1:
+            # no prev yet: uniform over neighbors (rank == H % degree)
+            stepped = (
+                live.join(adj, live["cur"] == adj["u"], "left")
+                .filter(F.col("u").isNull()
+                        | (F.col("rank") == F.pmod(h, F.col("degree"))))
+                .select(
+                    "walk_id", "start",
+                    F.when(F.col("v").isNull(), F.col("walk"))
+                    .otherwise(F.concat("walk", F.array("v")))
+                    .alias("walk"),
+                    F.coalesce("v", "cur").alias("cur"),
+                    F.when(F.col("v").isNotNull(),
+                           F.col("cur")).alias("prev"),
+                    F.col("v").isNotNull().alias("live"),
+                )
+            )
+        else:
+            cands = live.join(adj, live["cur"] == adj["u"], "left")
+            dead = cands.filter(F.col("u").isNull()).select(
+                "walk_id", "start", "walk", "cur",
+                F.lit(None).cast("long").alias("prev"),
+                F.lit(False).alias("live"),
+            )
+            alive = (
+                cands.filter(F.col("u").isNotNull())
+                .join(member,
+                      (F.col("prev") == F.col("_mp"))
+                      & (F.col("v") == F.col("_mv")), "left")
+                .withColumn(
+                    "_wt",
+                    F.when(F.col("v") == F.col("prev"), F.lit(w_ret))
+                    .when(F.col("_mp").isNotNull(), F.lit(w_in))
+                    .otherwise(F.lit(w_out)).cast("long"))
+            )
+            wcum = (Window.partitionBy("walk_id").orderBy("rank")
+                    .rowsBetween(Window.unboundedPreceding, 0))
+            wtot = Window.partitionBy("walk_id")
+            alive = alive.withColumn("_cum", F.sum("_wt").over(wcum)) \
+                .withColumn("_tot", F.sum("_wt").over(wtot))
+            pick = F.pmod(h, F.col("_tot"))
+            chosen = alive.filter(
+                (F.col("_cum") - F.col("_wt") <= pick)
+                & (pick < F.col("_cum"))
+            ).select(
+                "walk_id", "start",
+                F.concat("walk", F.array("v")).alias("walk"),
+                F.col("v").alias("cur"),
+                F.col("cur").alias("prev"),
+                F.lit(True).alias("live"),
+            )
+            stepped = chosen.unionByName(dead)
+        state = _ckpt(
+            stepped.unionByName(state.filter(~F.col("live"))),
+            checkpoint)
+    return state.select("walk_id", "start", "walk")

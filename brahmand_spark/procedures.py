@@ -172,6 +172,19 @@ def _p_walks(session, rel, n_walks=2, walk_length=8, seed=42,
         max_degree=None if max_degree is None else int(max_degree))
 
 
+def _p_node2vec(session, rel, n_walks=2, walk_length=8, p=1.0, q=1.0,
+                seed=42, max_degree=64):
+    """Second-order biased walk corpus over a catalog relationship
+    (ops/walks.node2vec_walks — Grover & Leskovec 2016; integer
+    micro-weight sampling, deterministic)."""
+    from .ops.walks import node2vec_walks
+
+    return node2vec_walks(
+        _edges(session, rel), n_walks=int(n_walks),
+        walk_length=int(walk_length), p=float(p), q=float(q),
+        seed=int(seed), max_degree=int(max_degree))
+
+
 def _p_embeddings(session, rel, dim=32, n_walks=2, walk_length=8,
                   window=2, seed=42, max_degree=None):
     """Node embeddings over a catalog relationship
@@ -437,6 +450,7 @@ PROCEDURES: dict[str, Callable] = {
     "graph.clustering": _p_clustering_coeff,
     "graph.mis": _p_mis,
     "graph.walks": _p_walks,
+    "graph.node2vec": _p_node2vec,
     "graph.embeddings": _p_embeddings,
 }
 

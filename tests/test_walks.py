@@ -381,3 +381,123 @@ def test_walks_via_call(tpch):
     for r in got:
         assert list(r["walk"]) == want[r["walk_id"]]
         assert r["walk"][0] == r["start"]
+
+
+class TestNode2vecWalks:
+    def _py_n2v(self, pairs, n_walks, walk_length, p, q, seed=42,
+                max_degree=64, n_buckets=32):
+        """Bit-exact replay of the integer micro-weight sampling."""
+        adj: dict = {}
+        verts = set()
+        for u, v in pairs:
+            verts.update((u, v))
+            adj.setdefault(u, set()).add(v)
+        ranked = {u: _rank_py(vs, n_buckets, max_degree)
+                  for u, vs in adj.items()}
+        nbr = {u: set(vs) for u, vs in ranked.items()}
+        w_ret = round(1_000_000 / p)
+        w_in = 1_000_000
+        w_out = round(1_000_000 / q)
+        out = {}
+        for s in sorted(verts):
+            for w in range(n_walks):
+                wid = s * n_walks + w
+                walk, cur, prev = [s], s, None
+                for t in range(1, walk_length):
+                    nb = ranked.get(cur)
+                    if not nb:
+                        break
+                    h = _h60(f"n2v:{seed}:{wid}:{t}")
+                    if t == 1:
+                        nxt = nb[h % len(nb)]
+                    else:
+                        wts = [w_ret if v == prev
+                               else (w_in if v in nbr.get(prev, set())
+                                     else w_out) for v in nb]
+                        r = h % sum(wts)
+                        cum = 0
+                        for v, wt in zip(nb, wts):
+                            cum += wt
+                            if r < cum:
+                                nxt = v
+                                break
+                    walk.append(nxt)
+                    prev, cur = cur, nxt
+                out[wid] = (s, walk)
+        return out
+
+    def test_matches_python_replay(self, spark):
+        from brahmand_spark.ops.walks import node2vec_walks
+
+        for p, q in ((0.5, 2.0), (1.0, 1.0), (4.0, 0.25)):
+            got = {r["walk_id"]: (r["start"], list(r["walk"]))
+                   for r in node2vec_walks(
+                       _edges_df(spark), n_walks=2, walk_length=6,
+                       p=p, q=q).collect()}
+            assert got == self._py_n2v(EDGES, 2, 6, p, q), (p, q)
+
+    def test_dead_end_terminates(self, spark):
+        from brahmand_spark.ops.walks import node2vec_walks
+
+        got = {r["walk_id"]: list(r["walk"])
+               for r in node2vec_walks(
+                   _edges_df(spark), n_walks=1, walk_length=5).collect()}
+        assert got[5] == [5, 6]
+        assert got[6] == [6]
+
+    def test_deterministic_under_repartition(self, spark):
+        from brahmand_spark.ops.walks import node2vec_walks
+
+        a = sorted(map(str, node2vec_walks(
+            _edges_df(spark), n_walks=2, walk_length=5,
+            p=0.5, q=2.0).collect()))
+        b = sorted(map(str, node2vec_walks(
+            _edges_df(spark).repartition(7), n_walks=2, walk_length=5,
+            p=0.5, q=2.0).collect()))
+        assert a == b
+
+    def test_low_p_backtracks_more(self, spark):
+        """Statistical sanity: very low p (cheap returns) produces
+        more immediate backtracks v[t+1] == v[t-1] than very high p
+        on the same graph."""
+        from brahmand_spark.ops.walks import node2vec_walks
+
+        def backtracks(p):
+            n = 0
+            for r in node2vec_walks(
+                    _edges_df(spark), n_walks=8, walk_length=8,
+                    p=p, q=1.0, seed=7).collect():
+                w = list(r["walk"])
+                n += sum(1 for i in range(2, len(w))
+                         if w[i] == w[i - 2])
+            return n
+
+        assert backtracks(0.05) > backtracks(20.0)
+
+    def test_validation(self, spark):
+        from brahmand_spark.ops.walks import node2vec_walks
+
+        with pytest.raises(ValueError, match="p and q"):
+            node2vec_walks(_edges_df(spark), p=0.0)
+        with pytest.raises(ValueError, match="max_degree"):
+            node2vec_walks(_edges_df(spark), max_degree=0)
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pytest.raises(TypeError, match="integral"):
+            node2vec_walks(df)
+
+    def test_via_call(self, tpch):
+        from brahmand_spark.ops.walks import node2vec_walks
+        from pyspark.sql import functions as F
+
+        got = tpch.execute(
+            "CALL graph.node2vec('NEXT_CUST', 1, 4, 0.5, 2.0) "
+            "YIELD walk_id, start, walk ORDER BY walk_id LIMIT 8").collect()
+        edges = tpch.tables["NEXT_CUST"].select(
+            F.col("from_Customer").alias("src"),
+            F.col("to_Customer").alias("dst"))
+        want = {r["walk_id"]: list(r["walk"])
+                for r in node2vec_walks(
+                    edges, n_walks=1, walk_length=4,
+                    p=0.5, q=2.0).collect()}
+        for r in got:
+            assert list(r["walk"]) == want[r["walk_id"]]

@@ -216,6 +216,7 @@ def node_embeddings(
     src: str = "src", dst: str = "dst", seed: int = 42,
     max_degree: int | None = None, normalize: bool = True,
     checkpoint: bool = True,
+    p: float | None = None, q: float | None = None,
 ) -> DataFrame:
     """Node embeddings from the walk corpus by RANDOM INDEXING
     (Kanerva et al. 2000; Sahlgren 2005, "An introduction to random
@@ -236,14 +237,27 @@ def node_embeddings(
     md5, and driver state ZERO. Downstream ANN / SemDeDup / k-means
     consume the output directly.
 
+    With ``p``/``q`` set the corpus comes from the node2vec biased
+    walks instead of the uniform DeepWalk ones (the second-order
+    sampler's mandatory degree cap defaults to 64 when unset).
+
     Returns (id, embedding array<double>). Shuffles: the walk steps
     (∝ live walks), the pair count, and the final per-vertex sum."""
     if dim < 1:
         raise ValueError("dim must be >= 1")
-    walks = random_walks(
-        edges, n_walks=n_walks, walk_length=walk_length, src=src,
-        dst=dst, seed=seed, max_degree=max_degree,
-        checkpoint=checkpoint)
+    if p is not None or q is not None:
+        walks = node2vec_walks(
+            edges, n_walks=n_walks, walk_length=walk_length,
+            p=p if p is not None else 1.0,
+            q=q if q is not None else 1.0,
+            src=src, dst=dst, seed=seed,
+            max_degree=max_degree if max_degree is not None else 64,
+            checkpoint=checkpoint)
+    else:
+        walks = random_walks(
+            edges, n_walks=n_walks, walk_length=walk_length, src=src,
+            dst=dst, seed=seed, max_degree=max_degree,
+            checkpoint=checkpoint)
     pairs = skipgram_pairs(walks, window=window)
     sums = []
     for j in range(dim):

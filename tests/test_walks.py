@@ -501,3 +501,26 @@ class TestNode2vecWalks:
                     p=0.5, q=2.0).collect()}
         for r in got:
             assert list(r["walk"]) == want[r["walk_id"]]
+
+
+def test_node_embeddings_biased_corpus(spark):
+    """p/q switch node_embeddings onto the node2vec corpus: the
+    result differs from the uniform-walk embeddings but stays
+    deterministic and unit-norm."""
+    import math
+
+    from brahmand_spark.ops.walks import node_embeddings
+
+    df = _edges_df(spark)
+    uni = {r["id"]: list(r["embedding"]) for r in node_embeddings(
+        df, dim=8, n_walks=4, walk_length=6).collect()}
+    biased = {r["id"]: list(r["embedding"]) for r in node_embeddings(
+        df, dim=8, n_walks=4, walk_length=6, p=0.25, q=4.0).collect()}
+    again = {r["id"]: list(r["embedding"]) for r in node_embeddings(
+        df.repartition(5), dim=8, n_walks=4, walk_length=6,
+        p=0.25, q=4.0).collect()}
+    assert biased == again  # deterministic
+    assert any(uni[k] != biased[k] for k in uni if k in biased)
+    for vec in biased.values():
+        nrm = math.sqrt(sum(x * x for x in vec))
+        assert abs(nrm - 1.0) < 1e-9 or nrm == 0.0

@@ -147,20 +147,12 @@ def random_walks(
     string ids to bigints upstream, e.g. via ``xxhash64``)."""
     if n_walks < 1 or walk_length < 1:
         raise ValueError("n_walks and walk_length must be >= 1")
+    # validate BEFORE the eager adjacency checkpoint: the loud type
+    # failure must not cost a full ranked-adjacency job first
+    starts = _walk_starts(edges, starts, src, dst, "random_walks")
     adj = _ckpt(
         ranked_adjacency(edges, src, dst, max_degree=max_degree,
                          n_buckets=n_buckets), checkpoint)
-    if starts is None:
-        starts = edges.select(F.col(src).alias("id")).union(
-            edges.select(F.col(dst).alias("id"))).distinct()
-    else:
-        starts = starts.select(F.col("id"))
-    id_type = starts.schema["id"].dataType.typeName()
-    if id_type not in ("byte", "short", "integer", "long"):
-        raise TypeError(
-            f"random_walks needs integral vertex ids to derive "
-            f"walk_id = start * n_walks + index; got '{id_type}' — "
-            f"hash non-numeric ids to bigint first (ADVICE r5)")
     state = starts.select(
         F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("_w"),
         F.col("id").alias("start"),
@@ -173,28 +165,57 @@ def random_walks(
     )
     state = _ckpt(state, checkpoint)
     for t in range(1, walk_length):
-        pick = (
-            md5_hash60(F.concat(
-                F.lit(f"w:{seed}:"), F.col("walk_id").cast("string"),
-                F.lit(":"), F.lit(t).cast("string")))
-            % F.col("degree")
-        )
-        stepped = (
-            state.filter("live")
-            .join(adj, state["cur"] == adj["u"], "left")
-            .filter(F.col("u").isNull() | (F.col("rank") == pick))
-            .select(
-                "walk_id", "start",
-                F.when(F.col("v").isNull(), F.col("walk"))
-                .otherwise(F.concat("walk", F.array("v"))).alias("walk"),
-                F.coalesce("v", "cur").alias("cur"),
-                F.col("v").isNotNull().alias("live"),
-            )
-        )
+        h = md5_hash60(F.concat(
+            F.lit(f"w:{seed}:"), F.col("walk_id").cast("string"),
+            F.lit(":"), F.lit(t).cast("string")))
+        stepped = _uniform_step(state.filter("live"), adj, h,
+                                with_prev=False)
         state = _ckpt(
             stepped.unionByName(state.filter(~F.col("live"))),
             checkpoint)
     return state.select("walk_id", "start", "walk")
+
+
+def _walk_starts(edges, starts, src, dst, fn_name):
+    """Start-vertex frame for a walk generator, with the integral-id
+    check applied BEFORE any eager adjacency work (walk_id = start *
+    n_walks + index is meaningless on string ids — fail loudly and
+    free, ADVICE r5 / review r6)."""
+    if starts is None:
+        starts = edges.select(F.col(src).alias("id")).union(
+            edges.select(F.col(dst).alias("id"))).distinct()
+    else:
+        starts = starts.select(F.col("id"))
+    id_type = starts.schema["id"].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"{fn_name} needs integral vertex ids to derive "
+            f"walk_id = start * n_walks + index; got '{id_type}' — "
+            f"hash non-numeric ids to bigint first")
+    return starts
+
+
+def _uniform_step(live, adj, h, with_prev: bool):
+    """One uniform walk step (rank == H % degree): the shared body of
+    random_walks' every step and node2vec's first (prev-less) step —
+    ``with_prev`` additionally emits the prev column the biased
+    sampler threads through."""
+    cols = [
+        F.col("walk_id"), F.col("start"),
+        F.when(F.col("v").isNull(), F.col("walk"))
+        .otherwise(F.concat("walk", F.array("v"))).alias("walk"),
+        F.coalesce("v", "cur").alias("cur"),
+    ]
+    if with_prev:
+        cols.append(
+            F.when(F.col("v").isNotNull(), F.col("cur")).alias("prev"))
+    cols.append(F.col("v").isNotNull().alias("live"))
+    return (
+        live.join(adj, live["cur"] == adj["u"], "left")
+        .filter(F.col("u").isNull()
+                | (F.col("rank") == F.pmod(h, F.col("degree"))))
+        .select(*cols)
+    )
 
 
 def walks_as_documents(
@@ -351,31 +372,29 @@ def node2vec_walks(
     with the visited prefix."""
     if n_walks < 1 or walk_length < 1:
         raise ValueError("n_walks and walk_length must be >= 1")
-    if p <= 0 or q <= 0:
-        raise ValueError("p and q must be > 0")
+    # bound p/q so every micro-weight is >= 1 (a rounded-to-zero
+    # weight class would make a step's total 0 -> pmod NULL -> the
+    # walk silently vanishes) and the per-step cumulative sum stays
+    # far from long overflow even at large degree caps (review r6)
+    if not (1e-6 <= p <= 1e6) or not (1e-6 <= q <= 1e6):
+        raise ValueError(
+            "p and q must be in [1e-6, 1e6] (integer micro-weights: "
+            "round(1e6/x) must stay >= 1 and sums within bigint)")
     if max_degree is None or max_degree < 1:
         raise ValueError(
             "node2vec_walks requires a max_degree cap (the per-walk "
             "candidate window is bounded by it)")
+    starts = _walk_starts(edges, starts, src, dst, "node2vec_walks")
     w_ret = int(round(1_000_000 / p))
     w_in = 1_000_000
     w_out = int(round(1_000_000 / q))
     adj = _ckpt(
         ranked_adjacency(edges, src, dst, max_degree=max_degree,
                          n_buckets=n_buckets), checkpoint)
-    member = _ckpt(
-        adj.select(F.col("u").alias("_mp"), F.col("v").alias("_mv")),
-        checkpoint)
-    if starts is None:
-        starts = edges.select(F.col(src).alias("id")).union(
-            edges.select(F.col(dst).alias("id"))).distinct()
-    else:
-        starts = starts.select(F.col("id"))
-    id_type = starts.schema["id"].dataType.typeName()
-    if id_type not in ("byte", "short", "integer", "long"):
-        raise TypeError(
-            f"node2vec_walks needs integral vertex ids; got "
-            f"'{id_type}' — hash non-numeric ids to bigint first")
+    # narrow projection of the already-checkpointed adjacency — no
+    # second materialization needed
+    member = adj.select(F.col("u").alias("_mp"),
+                        F.col("v").alias("_mv"))
     state = starts.select(
         F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("_w"),
         F.col("id").alias("start"),
@@ -394,22 +413,9 @@ def node2vec_walks(
             F.lit(":"), F.lit(t).cast("string")))
         live = state.filter("live")
         if t == 1:
-            # no prev yet: uniform over neighbors (rank == H % degree)
-            stepped = (
-                live.join(adj, live["cur"] == adj["u"], "left")
-                .filter(F.col("u").isNull()
-                        | (F.col("rank") == F.pmod(h, F.col("degree"))))
-                .select(
-                    "walk_id", "start",
-                    F.when(F.col("v").isNull(), F.col("walk"))
-                    .otherwise(F.concat("walk", F.array("v")))
-                    .alias("walk"),
-                    F.coalesce("v", "cur").alias("cur"),
-                    F.when(F.col("v").isNotNull(),
-                           F.col("cur")).alias("prev"),
-                    F.col("v").isNotNull().alias("live"),
-                )
-            )
+            # no prev yet: uniform over neighbors, the random_walks
+            # step body (shared helper), plus the prev column
+            stepped = _uniform_step(live, adj, h, with_prev=True)
         else:
             cands = live.join(adj, live["cur"] == adj["u"], "left")
             dead = cands.filter(F.col("u").isNull()).select(

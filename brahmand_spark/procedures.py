@@ -186,18 +186,22 @@ def _p_node2vec(session, rel, n_walks=2, walk_length=8, p=1.0, q=1.0,
 
 
 def _p_embeddings(session, rel, dim=32, n_walks=2, walk_length=8,
-                  window=2, seed=42, max_degree=None):
+                  window=2, seed=42, max_degree=None, p=None, q=None):
     """Node embeddings over a catalog relationship
     (ops/walks.node_embeddings — random-indexing projection of the
     walk co-occurrence matrix): (id, embedding array<double>),
-    unit-normalized; feed straight into corpus.semdedup / ANN."""
+    unit-normalized; feed straight into corpus.semdedup / ANN. Pass
+    ``p``/``q`` to train on the node2vec biased corpus instead of
+    the uniform walks."""
     from .ops.walks import node_embeddings
 
     return node_embeddings(
         _edges(session, rel), dim=int(dim), n_walks=int(n_walks),
         walk_length=int(walk_length), window=int(window),
         seed=int(seed),
-        max_degree=None if max_degree is None else int(max_degree))
+        max_degree=None if max_degree is None else int(max_degree),
+        p=None if p is None else float(p),
+        q=None if q is None else float(q))
 
 
 def _p_corpus_profile(session, label, exact=False):

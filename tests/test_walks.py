@@ -524,3 +524,18 @@ def test_node_embeddings_biased_corpus(spark):
     for vec in biased.values():
         nrm = math.sqrt(sum(x * x for x in vec))
         assert abs(nrm - 1.0) < 1e-9 or nrm == 0.0
+
+
+def test_node2vec_extreme_pq_rejected(spark):
+    """Weights that would round to zero (or overflow the cumulative
+    sum) are rejected up front — a zero-total step would make walks
+    silently vanish (r6 review)."""
+    from brahmand_spark.ops.walks import node2vec_walks
+
+    for bad_p, bad_q in ((3e6, 1.0), (1.0, 1e-9), (1e7, 1e7)):
+        with pytest.raises(ValueError, match=r"1e-6, 1e6"):
+            node2vec_walks(_edges_df(spark), p=bad_p, q=bad_q)
+    # boundary values work and lose no walks
+    out = node2vec_walks(_edges_df(spark), n_walks=1, walk_length=4,
+                         p=1e6, q=1e-6)
+    assert out.count() == 7

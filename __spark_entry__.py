@@ -1855,7 +1855,7 @@ def _url_dedup_oracle() -> str:
                     string_split(coalesce(regexp_extract(nofrag,
                         '\\?([^#]*)', 1), ''), '&'),
                     q -> q <> '' AND NOT regexp_matches(q,
-                        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid|ref)=')),
+                        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid)=')),
                     '&'), '') AS qn
             FROM hp0),
         normed AS (

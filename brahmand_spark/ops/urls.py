@@ -29,10 +29,15 @@ Normalization spec (documented so oracles can replay it):
 scheme and host lowercased; userinfo stripped; default ports
 (:80 http, :443 https) stripped; ONE leading ``www.`` stripped;
 fragment dropped; trailing slashes trimmed from the path; tracking
-parameters (``utm_*``, gclid, fbclid, msclkid, igshid, mc_eid,
-``ref``) removed from the query with the remaining parameter order
-preserved. Unparseable URLs (no ``scheme://`` or empty host)
-normalize to NULL so callers can quarantine them explicitly.
+parameters (``utm_*``, gclid, fbclid, msclkid, igshid, mc_eid)
+removed from the query with the remaining parameter order preserved.
+The strip set contains only unambiguous click-attribution params —
+generic names like ``ref`` select content on many sites (``?ref=
+<branch>``) and merging them would silently drop distinct documents
+(ADVICE r6); pass ``tracking_re=TRACKING_PARAM_RE_WITH_REF`` (or any
+custom anchored regex) to opt in. Unparseable URLs (no ``scheme://``
+or empty host) normalize to NULL so callers can quarantine them
+explicitly.
 """
 
 from __future__ import annotations
@@ -43,7 +48,14 @@ from pyspark.sql.window import Window
 
 # Query parameters that exist for click attribution, not content
 # identity — the standard strip set (C4/CCNet drop them the same way).
+# Deliberately EXCLUDES generic names ('ref', 'source', ...) that
+# double as content selectors on real sites; opt in via tracking_re.
 TRACKING_PARAM_RE = (
+    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid)="
+)
+# Opt-in variant that also strips 'ref' (the pre-r7 default) for
+# corpora where it is known to be attribution-only.
+TRACKING_PARAM_RE_WITH_REF = (
     "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid|ref)="
 )
 
@@ -97,21 +109,24 @@ def url_path(url: Column) -> Column:
     return F.regexp_replace(path, "/+$", "")
 
 
-def url_query_clean(url: Column) -> Column:
+def url_query_clean(url: Column, tracking_re: str | None = None) -> Column:
     """Query string with tracking parameters removed, remaining
-    parameter order preserved; '' when nothing survives."""
+    parameter order preserved; '' when nothing survives.
+    ``tracking_re`` overrides the default strip regex (e.g.
+    ``TRACKING_PARAM_RE_WITH_REF`` to also strip ``ref``)."""
     q = F.regexp_extract(_nofrag(url), r"\?([^#]*)", 1)
     kept = F.filter(
         F.split(q, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        lambda p: (p != "") & ~p.rlike(tracking_re or TRACKING_PARAM_RE),
     )
     return F.array_join(kept, "&")
 
 
-def normalize_url(url: Column) -> Column:
+def normalize_url(url: Column, tracking_re: str | None = None) -> Column:
     """The full normalized URL (see module docstring for the spec);
     NULL when the input has no scheme or an empty host. One composed
-    JVM expression — usable inside any projection."""
+    JVM expression — usable inside any projection. ``tracking_re``
+    overrides the tracking-parameter strip set."""
     scheme = url_scheme(url)
     hp = _hostport(url)
     # only the scheme's DEFAULT port is dropped — a non-default port
@@ -121,7 +136,7 @@ def normalize_url(url: Column) -> Column:
           .otherwise(hp))
     hp = F.regexp_replace(hp, r"^www\.", "")
     host = F.regexp_replace(url_host(url), r"^www\.", "")
-    qn = url_query_clean(url)
+    qn = url_query_clean(url, tracking_re)
     norm = F.concat(
         scheme, F.lit("://"), hp, url_path(url),
         F.when(qn == "", F.lit("")).otherwise(F.concat(F.lit("?"), qn)),
@@ -132,15 +147,19 @@ def normalize_url(url: Column) -> Column:
 def public_suffix_table(spark, suffixes: list[str] | None = None):
     """(suffix, n_labels) DataFrame for registered-domain matching —
     broadcast-sized (the full Mozilla PSL is ~9k rows). Pass the real
-    PSL at production scale; the default covers the common TLDs."""
+    PSL at production scale; the default covers the common TLDs.
+    Duplicate entries in a caller-supplied list are collapsed (order
+    preserved) — they would otherwise fan out rows through the
+    left broadcast joins in with_url_parts (ADVICE r6)."""
     sfx = suffixes if suffixes is not None else COMMON_SUFFIXES
-    rows = [(s, s.count(".") + 1) for s in sfx]
+    rows = [(s, s.count(".") + 1) for s in dict.fromkeys(sfx)]
     return spark.createDataFrame(rows, "suffix string, n_labels int")
 
 
 def with_url_parts(
     df: DataFrame, url_col: str = "url",
     suffixes: list[str] | None = None,
+    tracking_re: str | None = None,
 ) -> DataFrame:
     """Add ``url_norm``, ``host``, and ``registered_domain`` columns.
 
@@ -153,7 +172,7 @@ def with_url_parts(
     suf = public_suffix_table(spark, suffixes)
     url = F.col(url_col)
     host = F.regexp_replace(url_host(url), r"^www\.", "")
-    out = df.withColumn("url_norm", normalize_url(url)) \
+    out = df.withColumn("url_norm", normalize_url(url, tracking_re)) \
         .withColumn("host", F.when(host != "", host)) \
         .withColumn("_labels", F.split(F.col("host"), r"\."))
     n = F.size("_labels")
@@ -273,12 +292,14 @@ def curate_urls(
     allowlist: list[str] | None = None,
     max_docs_per_domain: int | None = None,
     suffixes: list[str] | None = None,
+    tracking_re: str | None = None,
 ) -> DataFrame:
     """The composed URL front door: parse/normalize -> URL-exact
     dedup -> domain block/allow filter -> per-domain cap. Returns the
     surviving rows with ``url_norm``/``host``/``registered_domain``
     attached for downstream stages."""
-    out = with_url_parts(df, url_col, suffixes=suffixes)
+    out = with_url_parts(df, url_col, suffixes=suffixes,
+                         tracking_re=tracking_re)
     out = url_exact_dedup(out, url_col, id_col, norm_col="url_norm")
     out = filter_domains(out, blocklist, allowlist)
     if max_docs_per_domain is not None:

@@ -360,8 +360,10 @@ def node2vec_walks(
 
     Spark shape per step: one fan-out join of the live frontier
     against the degree-capped ranked adjacency (candidates), one
-    (prev, v) membership join against the same adjacency (the
-    distance-1 test), and one per-walk window for the cumulative
+    (prev, v) membership join against the UNCAPPED distinct edge set
+    (the distance-1 test — a real edge weighs 1 even when the cap
+    pruned it from the candidate sample, ADVICE r6), and one
+    per-walk window for the cumulative
     sums — the window partition is BOUNDED by ``max_degree``
     (mandatory here, default 64: the second-order window makes an
     uncapped supernode a single-task sort, so the cap is load-bearing
@@ -391,10 +393,16 @@ def node2vec_walks(
     adj = _ckpt(
         ranked_adjacency(edges, src, dst, max_degree=max_degree,
                          n_buckets=n_buckets), checkpoint)
-    # narrow projection of the already-checkpointed adjacency — no
-    # second materialization needed
-    member = adj.select(F.col("u").alias("_mp"),
-                        F.col("v").alias("_mv"))
+    # distance-1 membership tests against the UNCAPPED edge set: a
+    # real prev->v edge must weigh 1 (in) even when max_degree pruned
+    # it from the candidate sample — testing against the capped
+    # adjacency would mis-weight it 1/q (ADVICE r6). The candidate
+    # CAP itself (what v can be stepped to) stays, per standard
+    # node2vec neighbor sampling.
+    member = _ckpt(
+        edges.select(F.col(src).alias("_mp"),
+                     F.col(dst).alias("_mv")).distinct(),
+        checkpoint)
     state = starts.select(
         F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("_w"),
         F.col("id").alias("start"),

@@ -289,11 +289,14 @@ class ReadQuery:
     # internally for either-direction traversals, SURVEY §2.6):
     # [(query, distinct), ...] appended to this one.
     unions: list[tuple] = field(default_factory=list)
-    # Set by the parser when any COUNT { ... } subquery was parsed
-    # anywhere in this query (including union arms): lets the compiler
-    # skip the per-item rewrite tree walks on the overwhelmingly
-    # common subquery-free queries (VERDICT r5 #5).
-    has_count_subquery: bool = False
+    # Set False by the parser when no COUNT { ... } subquery was
+    # parsed anywhere in this query (including union arms): lets the
+    # compiler skip the per-item rewrite tree walks on the
+    # overwhelmingly common subquery-free queries (VERDICT r5 #5).
+    # Defaults to True (= always walk) so a programmatically built
+    # AST containing CountSubquery nodes is rewritten correctly even
+    # when the builder never sets the flag (ADVICE r6).
+    has_count_subquery: bool = True
 
 
 # --------------------------------------------------------------------------

@@ -44,8 +44,9 @@ class TestNormalization:
         ("  https://example.com/a  ", "https://example.com/a"),
         ("https://example.com", "https://example.com"),
         ("https://example.com/", "https://example.com"),
-        # ref is a tracking param; path case is preserved
-        ("http://Ex.org/A/B?ref=feed", "http://ex.org/A/B"),
+        # 'ref' selects content on many sites -> NOT stripped by
+        # default (ADVICE r6); path case is preserved
+        ("http://Ex.org/A/B?ref=feed", "http://ex.org/A/B?ref=feed"),
     ])
     def test_spec_cases(self, spark, raw, want):
         assert _norm(spark, raw) == want
@@ -55,6 +56,27 @@ class TestNormalization:
     ])
     def test_unparseable_is_null(self, spark, raw):
         assert _norm(spark, raw) is None
+
+    def test_ref_strip_is_opt_in(self, spark):
+        """The pre-r7 strip-ref behavior stays one parameter away."""
+        from brahmand_spark.ops.urls import TRACKING_PARAM_RE_WITH_REF
+
+        row = spark.createDataFrame(
+            [("http://ex.org/a?ref=feed&q=1",)], "url string"
+        ).select(normalize_url(
+            F.col("url"), TRACKING_PARAM_RE_WITH_REF).alias("n")).first()
+        assert row["n"] == "http://ex.org/a?q=1"
+
+    def test_duplicate_suffixes_do_not_fan_out(self, spark):
+        """A caller-supplied suffix list with duplicates must not
+        multiply rows through the broadcast joins (ADVICE r6)."""
+        df = spark.createDataFrame(
+            [(1, "https://a.example.co.uk/x")], "doc_id long, url string")
+        out = with_url_parts(
+            df, suffixes=["co.uk", "co.uk", "uk", "uk", "com"])
+        rows = out.collect()
+        assert len(rows) == 1
+        assert rows[0]["registered_domain"] == "example.co.uk"
 
     def test_duckdb_replay(self, spark, duck):
         """The normalization is one regexp/array expression chain —
@@ -100,7 +122,7 @@ class TestNormalization:
                         string_split(coalesce(regexp_extract(nofrag,
                             '\\?([^#]*)', 1), ''), '&'),
                         q -> q <> '' AND NOT regexp_matches(q,
-                            '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid|ref)=')),
+                            '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid)=')),
                         '&'), '') AS qn
                 FROM hp0)
             SELECT id,

@@ -394,7 +394,9 @@ class TestNode2vecWalks:
             adj.setdefault(u, set()).add(v)
         ranked = {u: _rank_py(vs, n_buckets, max_degree)
                   for u, vs in adj.items()}
-        nbr = {u: set(vs) for u, vs in ranked.items()}
+        # membership (the distance-1 weight test) uses the UNCAPPED
+        # edge set, matching the operator (ADVICE r6)
+        nbr = {u: set(vs) for u, vs in adj.items()}
         w_ret = round(1_000_000 / p)
         w_in = 1_000_000
         w_out = round(1_000_000 / q)
@@ -435,6 +437,25 @@ class TestNode2vecWalks:
                        _edges_df(spark), n_walks=2, walk_length=6,
                        p=p, q=q).collect()}
             assert got == self._py_n2v(EDGES, 2, 6, p, q), (p, q)
+
+    def test_membership_uses_uncapped_edges(self, spark):
+        """A real prev->v edge pruned from the candidate sample by
+        max_degree must still weigh w_in (=1), not w_out (=1/q): the
+        membership frame comes from the UNCAPPED edge set (ADVICE
+        r6). A dense hub (degree 6 > max_degree 2) exercises it."""
+        from brahmand_spark.ops.walks import node2vec_walks
+
+        pairs = ([(0, v) for v in range(1, 7)]       # hub 0 -> 1..6
+                 + [(v, 0) for v in range(1, 7)]     # back edges
+                 + [(v, (v % 6) + 1) for v in range(1, 7)])  # ring
+        for p, q in ((0.5, 8.0), (4.0, 0.125)):
+            got = {r["walk_id"]: (r["start"], list(r["walk"]))
+                   for r in node2vec_walks(
+                       _edges_df(spark, pairs), n_walks=2,
+                       walk_length=6, p=p, q=q, max_degree=2,
+                       n_buckets=4).collect()}
+            assert got == self._py_n2v(pairs, 2, 6, p, q,
+                                       max_degree=2, n_buckets=4), (p, q)
 
     def test_dead_end_terminates(self, spark):
         from brahmand_spark.ops.walks import node2vec_walks

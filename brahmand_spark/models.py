@@ -47,6 +47,9 @@ KINDS = {
            "explained_variance: list[float]}",
     "pq_codebooks": "list[m] of list[n_codes] of list[sub_dim] "
                     "sub-centroids (ops/similarity.pq_fit)",
+    "ann_index": "{centroids, codebooks} for a persisted IVF-PQ "
+                 "index (ops/similarity.build_ann_index); params "
+                 "carry codes_path/source_path/sizing",
 }
 
 

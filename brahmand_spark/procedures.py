@@ -393,6 +393,52 @@ def _check_model_params(doc: dict, name: str, **wanted) -> None:
                 f"or match its parameters")
 
 
+def _p_vector_build_index(session, label, name, n_cells=16, m=4,
+                          n_codes=16, id_col="vec_id",
+                          vec_col="embedding"):
+    """Build and persist an IVF-PQ index over a catalog embedding
+    table (ops/similarity.build_ann_index): codes parquet partitioned
+    by cell beside the model store, centroids+codebooks saved under
+    ``name``. Records the source LABEL so vector.search can re-rank
+    without re-specifying the corpus. One metadata row back."""
+    from .ops.similarity import build_ann_index
+
+    params = build_ann_index(
+        session._load_for_label(label), name, session.model_store,
+        id_col=id_col, vec_col=vec_col, n_cells=int(n_cells),
+        m=int(m), n_codes=int(n_codes))
+    # record the catalog label for corpus-free searches
+    doc = session.model_store.load(name, "ann_index")
+    doc["params"]["source_label"] = label
+    session.model_store.save(name, "ann_index", doc["payload"],
+                             doc["params"])
+    return session.spark.createDataFrame(
+        [(name, label, int(params["n_vectors"]),
+          int(params["n_cells"]), int(params["m"]),
+          int(params["n_codes"]), params["codes_path"])],
+        "name string, label string, n_vectors long, n_cells int, "
+        "m int, n_codes int, codes_path string")
+
+
+def _p_vector_search(session, name, query_label, k=10, nprobe=4,
+                     rerank=None):
+    """Top-k search against a persisted IVF-PQ index
+    (ops/similarity.ann_search): queries come from a catalog table;
+    the corpus for the exact re-rank is the index's recorded source
+    label (vector.build_index) or source_path."""
+    from .ops.similarity import ann_search
+
+    store = session.model_store
+    doc = store.load(name, "ann_index")
+    src_label = doc["params"].get("source_label")
+    corpus = (session._load_for_label(src_label)
+              if src_label else None)
+    return ann_search(
+        session.spark, name, session._load_for_label(query_label),
+        store, k=int(k), nprobe=int(nprobe),
+        rerank=None if rerank is None else int(rerank), corpus=corpus)
+
+
 def _p_db_models(session):
     """List the session's persisted fit artifacts (models.ModelStore):
     one metadata row per saved model."""
@@ -440,6 +486,8 @@ PROCEDURES: dict[str, Callable] = {
     "corpus.curate": _p_corpus_curate,
     "corpus.quality_lr": _p_corpus_quality_lr,
     "corpus.pca": _p_corpus_pca,
+    "vector.build_index": _p_vector_build_index,
+    "vector.search": _p_vector_search,
     "graph.pagerank": _p_pagerank,
     "graph.wcc": _p_wcc,
     "graph.scc": _p_scc,

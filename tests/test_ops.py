@@ -173,6 +173,23 @@ class TestDedup:
         }
         assert gemm == builtin
 
+    def test_gemm_guard_is_loud_past_broadcast_bound(self, emb):
+        """The gemm default collects + broadcasts the full corpus —
+        above gemm_max_vectors it must raise and name method='lsh',
+        not silently OOM the driver at scale (VERDICT r6)."""
+        import pytest
+
+        from brahmand_spark.ops.dedup import embedding_near_dup_pairs
+
+        with pytest.raises(ValueError, match="method='lsh'"):
+            embedding_near_dup_pairs(emb, threshold=0.4,
+                                     gemm_max_vectors=5)
+        # at or under the cap the scan proceeds
+        n = emb.count()
+        out = embedding_near_dup_pairs(emb, threshold=0.99,
+                                       gemm_max_vectors=n)
+        assert out.count() >= 0
+
 
 class TestSimilarity:
     def test_topk_vs_oracle(self, emb, duck):

@@ -664,10 +664,18 @@ class QueryCompiler:
         optional: bool = False,
     ) -> DataFrame:
         """Correlated CALL block: see _apply_call_subquery. Supported
-        body (v1): the import WITH, then ONE segment of MATCH clauses
-        [+ WHERE] ending in RETURN [ORDER BY/SKIP/LIMIT]. Chained
-        WITHs, UNWIND, OPTIONAL MATCH, UNION, or nested CALL inside a
-        correlated block raise a clear UnsupportedError."""
+        body (v2, VERDICT r6 #2): the import WITH, then a full
+        pipeline of MATCH / OPTIONAL MATCH / UNWIND / WHERE segments
+        chained by intermediate WITHs, ending in RETURN [DISTINCT]
+        [ORDER BY/SKIP/LIMIT]. The block compiles to ONE relational
+        plan: imported aliases ("anchors") re-scan in the first
+        segment; every intermediate WITH implicitly carries the
+        anchors (so an aggregating WITH groups per invocation and a
+        DISTINCT WITH dedups per invocation — exactly the per-outer-
+        row semantics); the final RETURN joins back on the anchor
+        ids. Still unsupported: UNION arms, nested CALL { }, RETURN
+        *, and ORDER BY/SKIP/LIMIT on an INTERMEDIATE WITH (the
+        final-RETURN forms compile to per-anchor windows)."""
         if df is None:
             raise PlanError(
                 "correlated CALL { WITH ... } needs a preceding "
@@ -678,26 +686,35 @@ class QueryCompiler:
                     f"correlated CALL {{ }} imports must be bound "
                     f"node variables; '{a}' is not one")
         body = inner.parts[1:]
-        if (len(body) != 1 or body[0].with_clause is not None
-                or body[0].unwind is not None or body[0].calls
-                or inner.unions
-                or any(m.optional for m in body[0].matches)
-                or not body[0].matches):
+        if inner.unions:
             raise UnsupportedError(
-                "correlated CALL { } supports WITH <imports> MATCH "
-                "... [WHERE ...] RETURN ... [ORDER BY/SKIP/LIMIT]; "
-                "chained WITH / UNWIND / OPTIONAL MATCH / UNION "
-                "inside the block are not supported yet")
-        part = body[0]
+                "UNION inside a correlated CALL { } is not supported")
+        if any(p.calls for p in body):
+            raise UnsupportedError(
+                "nested CALL { } inside a correlated CALL { } is not "
+                "supported")
+        if not body or not any(
+                not m.optional for m in body[0].matches):
+            raise UnsupportedError(
+                "correlated CALL { } must start with a (non-OPTIONAL) "
+                "MATCH after the import WITH")
+        for p in body:
+            if p.order_by or p.skip is not None or p.limit is not None:
+                raise UnsupportedError(
+                    "ORDER BY/SKIP/LIMIT on an intermediate WITH "
+                    "inside a correlated CALL { } is not supported "
+                    "yet — attach them to the block's RETURN")
+        first = body[0]
+        rest = body[1:]
+        multipart = bool(rest) or first.with_clause is not None
         rc = inner.return_clause
-        if rc.distinct:
-            raise UnsupportedError(
-                "RETURN DISTINCT inside a correlated CALL { }")
         # openCypher visibility: ONLY imported variables reach the
         # block — compile the pattern against a scope holding just
         # those bindings, so a non-imported outer name is fresh.
         imp_scope = Scope({a: scope.bindings[a] for a in imports})
-        pattern = self._build_pattern(part.matches, imp_scope)
+        required = [m for m in first.matches if not m.optional]
+        optionals = [m for m in first.matches if m.optional]
+        pattern = self._build_pattern(required, imp_scope)
         anchors = [a for a in pattern.nodes if a in imports]
         if not anchors:
             raise PlanError(
@@ -707,8 +724,8 @@ class QueryCompiler:
             node.prebound = False  # anchors re-scan inside the block
         self._infer(pattern)
         refs: set[str] = set()
-        if part.where is not None:
-            collect_aliases(part.where, refs)
+        if first.where is not None:
+            collect_aliases(first.where, refs)
         for it in rc.items:
             if isinstance(it.expr, ast.Star):
                 raise UnsupportedError(
@@ -716,6 +733,11 @@ class QueryCompiler:
             collect_aliases(it.expr, refs)
         for ob in inner.order_by:
             collect_aliases(ob.expr, refs)
+        if multipart:
+            # anchors thread through every intermediate WITH (they
+            # are the implicit per-invocation keys), so their columns
+            # must survive projection — no id-only elision here
+            refs |= set(anchors)
         sub_scope = Scope()
         prev_override = self._elide_override
         self._elide_override = prev_override | {
@@ -725,9 +747,27 @@ class QueryCompiler:
                 None, sub_scope, pattern, ast.QueryPart())
         finally:
             self._elide_override = prev_override
+        for var, (nodes, rels) in pattern.path_vars.items():
+            hops = []
+            for r in pattern.rels:
+                if r.alias in rels:
+                    hops.append(
+                        pcol(r.alias, "hops") if r.max_hops > 1 else None)
+            sub_scope.bind(PathBinding(
+                alias=var, node_aliases=nodes, rel_aliases=rels,
+                rel_hops=hops))
+        sub_df, sub_scope = self._finish_call_part(
+            sub_df, sub_scope, first, optionals, anchors)
+        for p in rest:
+            p_required = [m for m in p.matches if not m.optional]
+            p_optionals = [m for m in p.matches if m.optional]
+            if p_required:
+                p_pattern = self._build_pattern(p_required, sub_scope)
+                self._infer(p_pattern)
+                sub_df = self._assemble(sub_df, sub_scope, p_pattern, p)
+            sub_df, sub_scope = self._finish_call_part(
+                sub_df, sub_scope, p, p_optionals, anchors)
         ec = ExprCompiler(sub_scope, self.params)
-        if part.where is not None:
-            sub_df = sub_df.filter(ec.compile(part.where))
         # block projection: anchor id keys + the RETURN items;
         # aggregate items group by (anchor ids + non-aggregate items)
         key_cols = []
@@ -738,7 +778,7 @@ class QueryCompiler:
             join_conds.append(
                 F.col(scope.get(a).id_pcol) == F.col(key))
         names: list[str] = []
-        compiled: list[tuple[str, "F.Column", bool]] = []
+        compiled: list[tuple[str, "F.Column", bool, object]] = []
         for it in rc.items:
             name = it.alias
             if name is None:
@@ -780,6 +820,12 @@ class QueryCompiler:
         else:
             sub_out = sub_df.select(
                 *keys, *[c.alias(n) for n, c, _, _ in compiled])
+            if rc.distinct:
+                # RETURN DISTINCT per invocation: the anchor keys ride
+                # in the projection, so a plain distinct is exactly
+                # per-anchor dedup (with aggregates the group-by above
+                # already made rows unique — DISTINCT is a no-op there)
+                sub_out = sub_out.distinct()
         if inner.order_by or inner.skip or inner.limit:
             order_cols = []
             for ob in inner.order_by:
@@ -834,6 +880,50 @@ class QueryCompiler:
         for name in names:
             scope.bind(ScalarBinding(name))
         return out
+
+    def _finish_call_part(self, sub_df, sub_scope, part, optionals,
+                          anchors):
+        """The post-MATCH tail of one correlated-block segment:
+        OPTIONAL MATCHes, UNWIND, WHERE (pattern predicates and
+        COUNT { } rewrites included), then the intermediate WITH —
+        which implicitly carries the anchor aliases, so the
+        per-invocation keys survive every projection: an aggregating
+        WITH groups by them (per-invocation aggregation) and a
+        DISTINCT WITH dedups including them (per-invocation
+        DISTINCT). Returns the updated (sub_df, sub_scope)."""
+        for mc in optionals:
+            sub_df = self._apply_optional(sub_df, sub_scope, mc)
+        if part.unwind is not None:
+            ec = ExprCompiler(sub_scope, self.params)
+            arr = ec.compile(part.unwind.expr)
+            sub_df = sub_df.select(
+                "*", F.explode(arr).alias(part.unwind.alias))
+            sub_scope.bind(ScalarBinding(part.unwind.alias))
+        if part.where is not None:
+            residual, pattern_preds = _split_pattern_predicates(
+                part.where)
+            for pred, negated in pattern_preds:
+                sub_df = self._apply_pattern_predicate(
+                    sub_df, sub_scope, pred, negated)
+            if residual is not None:
+                sub_df, residual = self._rewrite_count_subqueries(
+                    sub_df, sub_scope, residual)
+                ec = ExprCompiler(sub_scope, self.params)
+                sub_df = sub_df.filter(ec.compile(residual))
+        if part.with_clause is not None:
+            items = list(part.with_clause.items)
+            carried = {
+                it.expr.name for it in items
+                if isinstance(it.expr, ast.Variable)
+                and (it.alias is None or it.alias == it.expr.name)
+            }
+            items += [ast.ReturnItem(ast.Variable(a))
+                      for a in anchors if a not in carried]
+            sub_df, sub_scope = self._project(
+                sub_df, sub_scope, items,
+                distinct=part.with_clause.distinct,
+                order_by=[], skip=None, limit=None, final=False)
+        return sub_df, sub_scope
 
     def _rewrite_count_subqueries(
         self, df: DataFrame, scope: Scope, expr: ast.Expr,

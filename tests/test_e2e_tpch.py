@@ -781,16 +781,115 @@ class TestCorrelatedCallSubquery:
     def test_unsupported_forms_error(self, tpch):
         from brahmand_spark.errors import UnsupportedError
 
-        with pytest.raises(UnsupportedError, match="chained WITH"):
-            tpch.execute(
-                "MATCH (c:Customer) "
-                "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
-                "WITH o RETURN count(*) AS n } RETURN n")
         with pytest.raises(UnsupportedError, match="bound node"):
             tpch.execute(
                 "MATCH (c:Customer) WITH c.c_name AS nm "
                 "CALL { WITH nm MATCH (x:Order) RETURN count(*) AS n }"
                 " RETURN n LIMIT 1")
+        with pytest.raises(UnsupportedError, match="UNION"):
+            tpch.execute(
+                "MATCH (c:Customer) "
+                "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+                "RETURN o.o_orderkey AS k "
+                "UNION MATCH (c)-[:PLACED]->(p:Order) "
+                "RETURN p.o_orderkey AS k } RETURN k LIMIT 1")
+        with pytest.raises(UnsupportedError, match="intermediate WITH"):
+            tpch.execute(
+                "MATCH (c:Customer) "
+                "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+                "WITH o ORDER BY o.o_totalprice LIMIT 2 "
+                "RETURN count(*) AS n } RETURN n LIMIT 1")
+        with pytest.raises(UnsupportedError, match="nested CALL"):
+            tpch.execute(
+                "MATCH (c:Customer) "
+                "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+                "CALL { MATCH (n:Nation) RETURN count(*) AS nn } "
+                "RETURN count(*) AS n } RETURN n LIMIT 1")
+
+
+class TestCorrelatedCallV2:
+    """Round-7 generalization (VERDICT r6 #2): chained WITH, UNWIND,
+    OPTIONAL MATCH, intermediate aggregating/DISTINCT WITHs, rebind
+    MATCH after WITH, and RETURN DISTINCT inside a correlated block.
+    Oracle-checked variants live in FOLDED_CYPHER
+    (call_correlated_*); these pin the e2e row semantics."""
+
+    def test_chained_with_keeps_matchless_rows(self, tpch):
+        """All-aggregate final RETURN left-joins back even through an
+        intermediate WITH: every outer row survives with n >= 0."""
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 5 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WITH o WHERE o.o_totalprice > 99999999 "
+            "RETURN count(*) AS n } "
+            "RETURN c.c_custkey AS ck, n ORDER BY ck").collect()
+        assert len(rows) == 6
+        assert all(r["n"] == 0 for r in rows)
+
+    def test_rebind_match_after_with(self, tpch):
+        """WITH o MATCH (o)-[:HAS_LINE]->(l) — the block's second
+        segment joins onto the carried binding, and the anchor rides
+        implicitly through the intermediate projection."""
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 2 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WITH o MATCH (o)-[:HAS_LINE]->(l:Lineitem) "
+            "RETURN count(*) AS items } "
+            "RETURN c.c_custkey AS ck, items ORDER BY ck").collect()
+        want = {r["ck"]: r["items"] for r in tpch.execute(
+            "MATCH (c:Customer)-[:PLACED]->(:Order)"
+            "-[:HAS_LINE]->(l:Lineitem) WHERE c.c_custkey <= 2 "
+            "RETURN c.c_custkey AS ck, count(*) AS items").collect()}
+        assert {r["ck"]: r["items"] for r in rows} == want
+
+    def test_distinct_with_mid_block(self, tpch):
+        """WITH DISTINCT dedups per invocation: the distinct set
+        implicitly includes the anchor keys."""
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WITH DISTINCT o.o_orderstatus AS st "
+            "RETURN count(*) AS k } "
+            "RETURN c.c_custkey AS ck, k ORDER BY ck").collect()
+        want = {r["ck"]: r["k"] for r in tpch.execute(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE c.c_custkey <= 3 "
+            "RETURN c.c_custkey AS ck, "
+            "count(DISTINCT o.o_orderstatus) AS k").collect()}
+        assert {r["ck"]: r["k"] for r in rows} == want
+
+    def test_anchor_property_readable_after_chained_with(self, tpch):
+        """The block can read anchor properties in its final RETURN
+        even after intermediate projections (no id-only elision in
+        multipart blocks)."""
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 2 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WITH o "
+            "RETURN substring(c.c_name, 0, 8) AS nm, "
+            "count(*) AS n } "
+            "RETURN c.c_custkey AS ck, nm, n ORDER BY ck").collect()
+        assert all(r["nm"].startswith("Customer") for r in rows)
+
+    def test_unwind_scalar_rebinding(self, tpch):
+        """UNWIND of a collected list inside the block, then a
+        per-invocation aggregate over the exploded values."""
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WITH collect(o.o_totalprice) AS prices "
+            "UNWIND prices AS p "
+            "RETURN sum(p) AS total } "
+            "RETURN c.c_custkey AS ck, total ORDER BY ck").collect()
+        want = {r["ck"]: r["total"] for r in tpch.execute(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE c.c_custkey <= 3 "
+            "RETURN c.c_custkey AS ck, "
+            "sum(o.o_totalprice) AS total").collect()}
+        got = {r["ck"]: r["total"] for r in rows}
+        assert set(got) == set(want)
+        for k in got:
+            assert abs(got[k] - want[k]) < 1e-6
 
     def test_order_by_requires_block_alias(self, tpch):
         with pytest.raises(PlanError, match="RETURN aliases"):

@@ -92,6 +92,77 @@ FOLDED_CYPHER = {
              ON c.c_nationkey = n.n_nationkey
            WHERE c.c_acctbal > 9000""",
     ),
+    # correlated CALL v2 (r7): chained WITH inside the block — the
+    # intermediate projection implicitly carries the anchor, so the
+    # final all-aggregate RETURN still groups per invocation
+    "call_correlated_chained_with": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 20
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  WITH o WHERE o.o_totalprice > 100000
+                  RETURN count(*) AS n }
+           RETURN c.c_custkey AS ck, n""",
+        """SELECT c_custkey AS ck,
+                  (SELECT count(*) FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 100000) AS n
+           FROM customer c WHERE c_custkey <= 20""",
+    ),
+    # correlated CALL v2 (r7): UNWIND inside the block multiplies the
+    # per-invocation rows
+    "call_correlated_unwind": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 10
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  UNWIND [1, 2, 3] AS i
+                  RETURN count(*) AS n3 }
+           RETURN c.c_custkey AS ck, n3""",
+        """SELECT c_custkey AS ck,
+                  3 * (SELECT count(*) FROM orders o
+                       WHERE o.o_custkey = c.c_custkey) AS n3
+           FROM customer c WHERE c_custkey <= 10""",
+    ),
+    # correlated CALL v2 (r7): OPTIONAL MATCH inside the block —
+    # customers with no orders still contribute a row to the
+    # per-invocation count(col) (which skips its NULLs)
+    "call_correlated_optional_match": (
+        """MATCH (n:Nation) WHERE n.n_nationkey <= 5
+           CALL { WITH n MATCH (c:Customer)-[:CUST_IN]->(n)
+                  OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
+                  RETURN count(o.o_orderkey) AS orders }
+           RETURN n.n_nationkey AS nk, orders""",
+        """SELECT n_nationkey AS nk,
+                  (SELECT count(o.o_orderkey) FROM customer c
+                   LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                   WHERE c.c_nationkey = n.n_nationkey) AS orders
+           FROM nation n WHERE n_nationkey <= 5""",
+    ),
+    # correlated CALL v2 (r7): RETURN DISTINCT dedups per invocation
+    # (row-form inner-join semantics: order-less customers drop)
+    "call_correlated_return_distinct": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 20
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  RETURN DISTINCT o.o_orderstatus AS st }
+           RETURN c.c_custkey AS ck, st""",
+        """SELECT DISTINCT c.c_custkey AS ck, o.o_orderstatus AS st
+           FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+           WHERE c.c_custkey <= 20""",
+    ),
+    # correlated CALL v2 (r7): an INTERMEDIATE aggregating WITH groups
+    # per invocation; the final non-aggregate RETURN keeps inner-join
+    # row semantics (match-less outer rows drop — openCypher's
+    # zero-row fill applies only to all-aggregate RETURNs, a
+    # documented divergence for this mid-block-aggregate shape)
+    "call_correlated_agg_with": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 20
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  WITH max(o.o_totalprice) AS mx
+                  RETURN mx }
+           RETURN c.c_custkey AS ck, mx""",
+        """SELECT c.c_custkey AS ck, t.mx FROM customer c JOIN (
+               SELECT o_custkey, max(o_totalprice) AS mx
+               FROM orders GROUP BY o_custkey) t
+             ON t.o_custkey = c.c_custkey
+           WHERE c.c_custkey <= 20""",
+    ),
     # undirected same-label hop, UNION DISTINCT of both orientations
     # (folded r4: 21-row direction variant of registered hop shapes;
     # slot went to cluster_kmeans)

@@ -501,14 +501,17 @@ class QueryCompiler:
     def _subquery_assembly(
         self, scope: Scope, path: ast.PathPattern,
         where: Optional[ast.Expr],
+        keep_aliases: Optional[set] = None,
     ) -> tuple[DataFrame, Scope, list[str]]:
-        """Shared sub-plan builder for pattern predicates and EXISTS /
-        COUNT subquery blocks: compile ``path`` as an independent
-        assembly, re-scanning outer-bound aliases ("anchors"), apply
-        the block's inner WHERE, and return (sub_df, sub_scope,
-        anchors). Anchors elide to their id columns unless the inner
-        WHERE touches them (then their full scan joins in, so the
-        predicate can reference any of their properties)."""
+        """Shared sub-plan builder for pattern predicates, EXISTS /
+        COUNT subquery blocks, and pattern comprehensions: compile
+        ``path`` as an independent assembly, re-scanning outer-bound
+        aliases ("anchors"), apply the block's inner WHERE, and
+        return (sub_df, sub_scope, anchors). Anchors elide to their
+        id columns unless the inner WHERE touches them (then their
+        full scan joins in, so the predicate can reference any of
+        their properties); ``keep_aliases`` adds further aliases that
+        must keep their columns (a comprehension's map expression)."""
         sub_scope = Scope()
         inner = ast.MatchClause(paths=[path], optional=False)
         pattern = self._build_pattern([inner], scope)
@@ -524,7 +527,7 @@ class QueryCompiler:
         for node in pattern.nodes.values():
             node.prebound = False  # anchors are re-scanned in the sub-plan
         self._infer(pattern)
-        where_aliases: set[str] = set()
+        where_aliases: set[str] = set(keep_aliases or ())
         if where is not None:
             collect_aliases(where, where_aliases)
         # Inside the block only anchor IDS matter (they become the
@@ -964,9 +967,48 @@ class QueryCompiler:
             scope.bind(ScalarBinding(name))
             return ast.Variable(name)
 
+        def attach_pc(e: "ast.PatternComprehension") -> ast.Expr:
+            # pattern comprehension: like COUNT { } but collecting the
+            # map expression per anchor-id tuple; [] when no match.
+            # The list is array_sort-ed — deterministic under any
+            # partitioning (openCypher leaves the order unspecified)
+            # and replayable by DuckDB's list_sort.
+            map_refs: set[str] = set()
+            collect_aliases(e.map, map_refs)
+            sub_df, sub_scope, anchors = self._subquery_assembly(
+                scope, e.path, e.where, keep_aliases=map_refs)
+            unknown = map_refs - set(sub_scope.bindings)
+            if unknown:
+                raise PlanError(
+                    f"pattern comprehension | expression references "
+                    f"{sorted(unknown)} not bound inside the pattern")
+            self._anon_counter += 1
+            name = f"__csq{self._anon_counter}"
+            keys = [f"{name}_k{i}" for i in range(len(anchors))]
+            ec = ExprCompiler(sub_scope, self.params)
+            sub = sub_df.select(
+                *[F.col(sub_scope.get(a).id_pcol).alias(k)
+                  for a, k in zip(anchors, keys)],
+                ec.compile(e.map).alias(f"{name}_v"),
+            )
+            grouped = sub.groupBy(*keys).agg(
+                F.array_sort(F.collect_list(f"{name}_v")).alias(name))
+            cond = None
+            for a, k in zip(anchors, keys):
+                c = F.col(scope.get(a).id_pcol) == F.col(k)
+                cond = c if cond is None else cond & c
+            state["df"] = (
+                state["df"].join(grouped, cond, "left").drop(*keys)
+                .withColumn(name, F.coalesce(F.col(name), F.array()))
+            )
+            scope.bind(ScalarBinding(name))
+            return ast.Variable(name)
+
         def conv(v):
             if isinstance(v, ast.CountSubquery):
                 return attach(v)
+            if isinstance(v, ast.PatternComprehension):
+                return attach_pc(v)
             if hasattr(v, "__dataclass_fields__"):
                 changes = {
                     f.name: conv(getattr(v, f.name))
@@ -2449,7 +2491,7 @@ def _call_import_aliases(q) -> Optional[list[str]]:
 
 
 def _contains_count_subquery(e) -> bool:
-    if isinstance(e, ast.CountSubquery):
+    if isinstance(e, (ast.CountSubquery, ast.PatternComprehension)):
         return True
     if hasattr(e, "__dataclass_fields__"):
         for f in e.__dataclass_fields__:

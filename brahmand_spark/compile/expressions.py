@@ -396,6 +396,16 @@ def collect_aliases(e: ast.Expr, out: set[str]) -> None:
         for np in e.path.nodes:
             if np.alias is not None:
                 out.add(np.alias)
+    elif isinstance(e, ast.PatternComprehension):
+        # anchors AND block-local pattern aliases both count as
+        # referenced: over-collection only disables an elision
+        # (conservative), under-collection would drop a needed scan
+        for np in e.path.nodes:
+            if np.alias is not None:
+                out.add(np.alias)
+        for x in (e.where, e.map):
+            if x is not None:
+                collect_aliases(x, out)
     elif isinstance(e, ast.ListComprehension):
         for x in (e.source, e.where, e.map):
             if x is not None:

@@ -155,10 +155,27 @@ class CountSubquery:
     where: object = None  # Optional[Expr]
 
 
+@dataclass(frozen=True)
+class PatternComprehension:
+    """``[ (a)-[:T]->(b) [WHERE pred] | expr ]`` (openCypher pattern
+    comprehension, extension — r7): per outer row, the list of
+    ``expr`` values over the sub-pattern's matches anchored on the
+    shared aliases. Compiles like COUNT { } but collects instead of
+    counting: a grouped ``collect_list`` over the sub-assembly,
+    LEFT-joined back on the anchor ids ([] when no match). The list
+    is SORTED for determinism (openCypher leaves comprehension order
+    unspecified; a sorted list replays in any engine)."""
+
+    path: object  # PathPattern
+    where: object = None  # Optional[Expr]
+    map: object = None  # Expr (mandatory per openCypher)
+
+
 Expr = Union[
     Literal, Star, Variable, PropertyAccess, Parameter, ListLiteral,
     FnCall, Unary, Binary, IsNull, CaseExpr, PatternPredicate,
-    CountSubquery, ListComprehension, Quantifier, Reduce,
+    CountSubquery, PatternComprehension, ListComprehension, Quantifier,
+    Reduce,
 ]
 
 

@@ -585,6 +585,31 @@ class Parser:
             return ast.Parameter(self.ident())
         if self.at_op("["):
             self.next()
+            # Pattern comprehension `[ (a)-[:T]->(b) [WHERE p] | e ]`:
+            # try the path parse with backtracking — only a path with
+            # >= 1 relationship followed by WHERE or | counts (a bare
+            # parenthesized expression falls through to the literal).
+            if self.at_op("("):
+                save = self.i
+                try:
+                    path = self.parse_path()
+                    if path.rels and (self.at_kw("WHERE")
+                                      or self.at_op("|")):
+                        if path.var is not None or path.shortest:
+                            self.error("path variables/shortestPath "
+                                       "in a pattern comprehension")
+                        where = (self.parse_expr()
+                                 if self.try_kw("WHERE") else None)
+                        self.eat_op("|")
+                        mapper = self.parse_expr()
+                        self.eat_op("]")
+                        # rides the COUNT{} rewrite fast-path flag
+                        self.n_count_subqueries += 1
+                        return ast.PatternComprehension(
+                            path=path, where=where, map=mapper)
+                    self.i = save
+                except ParseError:
+                    self.i = save
             # List comprehension `[x IN source ...]` vs list literal.
             if (self.peek().kind == "IDENT"
                     and self.peek(1).kind == "KEYWORD"

@@ -947,6 +947,70 @@ class TestCorrelatedCallReviewFindings:
             assert r["mx"] is None   # max over empty -> null
 
 
+class TestPatternComprehension:
+    """[ (a)-[:T]->(b) WHERE p | expr ] (r7, VERDICT r6 #3): rides the
+    COUNT { } rewrite machinery as a grouped collect_list. Lists are
+    sorted (deterministic; openCypher leaves the order unspecified).
+    Oracle-checked in FOLDED_CYPHER (pattern_comprehension*)."""
+
+    def test_empty_match_yields_empty_list(self, tpch):
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 2 "
+            "RETURN c.c_custkey AS ck, "
+            "[ (c)-[:PLACED]->(o:Order) "
+            "WHERE o.o_totalprice > 99999999 | o.o_orderkey ] AS ks "
+            "ORDER BY ck").collect()
+        assert len(rows) == 3
+        assert all(list(r["ks"]) == [] for r in rows)
+
+    def test_matches_collect_equivalent(self, tpch):
+        got = {r["ck"]: list(r["ks"]) for r in tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 5 "
+            "RETURN c.c_custkey AS ck, "
+            "[ (c)-[:PLACED]->(o:Order) | o.o_orderkey ] AS ks"
+        ).collect()}
+        want = {r["ck"]: sorted(r["ks"]) for r in tpch.execute(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE c.c_custkey <= 5 "
+            "RETURN c.c_custkey AS ck, collect(o.o_orderkey) AS ks"
+        ).collect()}
+        # comprehension keeps match-less customers with []; collect
+        # only sees matched ones
+        for ck, ks in want.items():
+            assert got[ck] == ks
+        assert all(v == [] for k, v in got.items() if k not in want)
+
+    def test_nested_in_where_and_case(self, tpch):
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 10 "
+            "AND size([ (c)-[:PLACED]->(o:Order) | o.o_orderkey ]) > 0 "
+            "RETURN c.c_custkey AS ck, "
+            "CASE WHEN size([ (c)-[:PLACED]->(o:Order) "
+            "WHERE o.o_orderstatus = 'O' | o.o_orderkey ]) >= 5 "
+            "THEN 'busy' ELSE 'quiet' END AS cls ORDER BY ck"
+        ).collect()
+        assert len(rows) > 0
+        assert {r["cls"] for r in rows} <= {"busy", "quiet"}
+
+    def test_unbound_map_reference_errors(self, tpch):
+        """The | expression sees only the comprehension's own pattern
+        aliases — an outer alias not re-scanned inside it errors."""
+        with pytest.raises(PlanError, match="not bound inside"):
+            tpch.execute(
+                "MATCH (c:Customer)-[:CUST_IN]->(n:Nation) "
+                "RETURN [ (c)-[:PLACED]->(o:Order) "
+                "| n.n_name ] AS bad LIMIT 1")
+
+    def test_list_literals_unaffected(self, tpch):
+        r = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+            "RETURN [1, 2, 3] AS a, [(1+2), 4] AS b, "
+            "[x IN [1,2,3] WHERE x > 1 | x * 10] AS c").collect()[0]
+        assert list(r["a"]) == [1, 2, 3]
+        assert list(r["b"]) == [3, 4]
+        assert list(r["c"]) == [20, 30]
+
+
 class TestOptionalCallSubquery:
     """OPTIONAL CALL { } (openCypher 5): outer rows whose block yields
     nothing survive NULL-filled, in both the uncorrelated and

@@ -163,6 +163,40 @@ FOLDED_CYPHER = {
              ON t.o_custkey = c.c_custkey
            WHERE c.c_custkey <= 20""",
     ),
+    # pattern comprehension (r7): per-row sorted list of sub-pattern
+    # match values, [] when no match — the collect_list analogue of
+    # COUNT { }
+    "pattern_comprehension": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 20
+           RETURN c.c_custkey AS ck,
+                  [ (c)-[:PLACED]->(o:Order)
+                    WHERE o.o_totalprice > 150000 | o.o_orderkey ]
+                  AS big""",
+        """SELECT c_custkey AS ck,
+                  coalesce((SELECT list_sort(list(o.o_orderkey))
+                            FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 150000), []) AS big
+           FROM customer c WHERE c_custkey <= 20""",
+    ),
+    # size() of a pattern comprehension, in WHERE and RETURN at once
+    "pattern_comprehension_size": (
+        """MATCH (c:Customer)
+           WHERE c.c_custkey <= 30 AND
+                 size([ (c)-[:PLACED]->(o:Order) | o.o_orderkey ]) >= 8
+           RETURN c.c_custkey AS ck,
+                  size([ (c)-[:PLACED]->(o:Order)
+                         WHERE o.o_orderstatus = 'O'
+                         | o.o_orderkey ]) AS open_n""",
+        """SELECT c_custkey AS ck,
+                  (SELECT count(*) FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderstatus = 'O') AS open_n
+           FROM customer c
+           WHERE c_custkey <= 30
+             AND (SELECT count(*) FROM orders o
+                  WHERE o.o_custkey = c.c_custkey) >= 8""",
+    ),
     # undirected same-label hop, UNION DISTINCT of both orientations
     # (folded r4: 21-row direction variant of registered hop shapes;
     # slot went to cluster_kmeans)

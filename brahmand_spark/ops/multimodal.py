@@ -360,6 +360,153 @@ def decode_image_features(
     )
 
 
+PHASH_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def _block_mean_resize(gray, out_h: int, out_w: int):
+    """Deterministic area-mean downscale: output cell (i, j) is the
+    mean of the input region [i*h/out_h, (i+1)*h/out_h) x
+    [j*w/out_w, (j+1)*w/out_w) — pure numpy, no interpolation library,
+    so the hash replays bit-for-bit anywhere."""
+    import numpy as np
+
+    h, w = gray.shape
+    out = np.empty((out_h, out_w), dtype="float64")
+    for i in range(out_h):
+        y0, y1 = i * h // out_h, max((i + 1) * h // out_h, i * h // out_h + 1)
+        for j in range(out_w):
+            x0 = j * w // out_w
+            x1 = max((j + 1) * w // out_w, x0 + 1)
+            out[i, j] = gray[y0:y1, x0:x1].mean()
+    return out
+
+
+def _phash_bits(gray, method: str) -> int:
+    """64-bit perceptual hash of a grayscale array.
+
+    - ``ahash``: 8x8 block-mean resize, bit = pixel > global mean;
+    - ``dhash``: 8x9 resize, bit = px[x] > px[x+1] (row gradient) —
+      more robust to global brightness shifts.
+
+    Strict > keeps ties at 0 (deterministic). Bits pack row-major,
+    MSB first, then wrap into a SIGNED 64-bit value (Spark bigint)."""
+    if method == "ahash":
+        g = _block_mean_resize(gray, 8, 8)
+        bits = (g > g.mean()).flatten()
+    elif method == "dhash":
+        g = _block_mean_resize(gray, 8, 9)
+        bits = (g[:, :-1] > g[:, 1:]).flatten()
+    else:
+        raise ValueError(f"unknown phash method {method!r}")
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_phash(
+    df: DataFrame, id_col: str = "id", binary_col: str = "content",
+    method: str = "dhash", deterministic_fake: bool = False,
+) -> DataFrame:
+    """(id, phash bigint): 64-bit perceptual hash per image — aHash
+    (block-mean) or dHash (gradient), the standard near-duplicate
+    fingerprints for image corpora. Decode backend as in
+    :func:`decode_image_features` (Pillow when importable, pure-stdlib
+    PNG otherwise; ``deterministic_fake`` hashes the bytes instead for
+    plumbing tests). Undecodable payloads yield NULL phash — filter or
+    quarantine them explicitly. Arrow-batched ``mapInPandas``; the
+    hash is 8 bytes per image, so the downstream pair join never
+    touches pixel data."""
+    if method not in ("ahash", "dhash"):
+        raise ValueError("method must be 'ahash' or 'dhash'")
+
+    def compute(batches: Iterator["pandas.DataFrame"]):  # noqa: F821
+        import hashlib
+        import io
+
+        import numpy as np
+        import pandas as pd
+
+        use_pil = not deterministic_fake and _pil_available()
+        if use_pil:
+            from PIL import Image
+
+        def real_decode(raw: bytes):
+            if use_pil:
+                img = Image.open(io.BytesIO(raw)).convert("L")
+                return np.asarray(img, dtype="float32")
+            return _png_decode_gray(raw)[2]
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, payload in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(payload) if payload is not None else b""
+                ids.append(int(rid))
+                if deterministic_fake:
+                    d = hashlib.sha256(raw).digest()
+                    v = int.from_bytes(d[:8], "big")
+                    hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+                    continue
+                try:
+                    hashes.append(_phash_bits(real_decode(raw), method))
+                except Exception:
+                    hashes.append(None)
+            yield pd.DataFrame({"id": ids, "phash": hashes})
+
+    return df.select(id_col, binary_col).mapInPandas(
+        compute, schema=PHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame, id_col: str = "id", binary_col: str = "content",
+    max_hamming: int = 5, method: str = "dhash",
+    deterministic_fake: bool = False,
+    phashes: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs (id_a < id_b, hamming <=
+    ``max_hamming``) by perceptual hash + the SimHash pigeonhole
+    banding (ops/dedup.simhash_near_pairs): the 64-bit hash splits
+    into ``max_hamming + 1`` chunks, so any pair within the bound
+    agrees on at least one chunk exactly — the chunk-equality
+    self-join is COMPLETE for the requested distance, never all-pairs.
+    Exact Hamming distance (one codegen'd ``bit_count(xor)``) then
+    filters. Pass ``phashes`` (id, phash) to reuse a precomputed/
+    persisted hash table — at corpus scale hash once, pair many."""
+    from .dedup import _chunk_widths
+
+    ph = phashes if phashes is not None else image_phash(
+        df, id_col, binary_col, method, deterministic_fake)
+    ph = ph.filter(F.col("phash").isNotNull())
+    widths = _chunk_widths(64, max_hamming + 1)
+    chunk_exprs = []
+    shift = 64
+    for w in widths:
+        shift -= w
+        chunk_exprs.append(
+            F.shiftrightunsigned(F.col("phash"), shift)
+            .bitwiseAND(F.lit((1 << w) - 1)))
+    banded = ph.select(
+        "id", "phash",
+        F.posexplode(F.array(*chunk_exprs)).alias(
+            "chunk_pos", "chunk_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(b, (F.col("a.chunk_pos") == F.col("b.chunk_pos"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, id_col: str = "id", duration_col: str = "duration_s",
     fps: float = 0.5,

@@ -390,7 +390,22 @@ class WriteQuery:
     set_clause: Optional[SetClause] = None
     remove: Optional[RemoveClause] = None
     delete: Optional[DeleteClause] = None
+    foreachs: list = field(default_factory=list)  # list[ForeachClause]
     return_clause: Optional[ReturnClause] = None
+
+
+@dataclass
+class ForeachClause:
+    """``FOREACH (x IN <list> | SET ... / DELETE x)`` (r7 — executable
+    under ``GraphSession(allow_writes=True)``; the reference rejects
+    all writes). ``sets`` holds (target PropertyAccess, value Expr)
+    pairs; ``delete`` deletes per element. Nested FOREACH / CREATE /
+    MERGE bodies stay rejected with guidance."""
+
+    var: str
+    list_expr: Expr
+    sets: list = field(default_factory=list)
+    delete: Optional[DeleteClause] = None
 
 
 @dataclass

@@ -93,16 +93,15 @@ class Parser:
         raise ParseError(f"{msg}, got {got!r}", tok.pos, self.text)
 
     def _reject_foreach(self):
-        """FOREACH is per-element imperative mutation — its elements
-        are runtime node references (possibly mixed-label), which has
-        no sound relational compilation here. Reject with the working
-        recipe instead of a bare syntax error, from every clause
-        position (statement-initial, read query, write query)."""
+        """Statement-initial / read-position FOREACH has nothing to
+        mutate (our executable subset needs MATCH-bound rows or a
+        nodes(<path>) list). Reject with the working recipe instead of
+        a bare syntax error."""
         self.error(
-            "FOREACH is not supported — rewrite as UNWIND <list> AS x "
-            "... SET/DELETE with GraphSession(allow_writes=True), "
-            "which compiles to the same per-element updates "
-            "relationally")
+            "FOREACH here is not supported — the executable form is "
+            "MATCH ... FOREACH (x IN <list> | SET .../DELETE x) under "
+            "GraphSession(allow_writes=True); other shapes rewrite as "
+            "UNWIND <list> AS x ... SET/DELETE")
 
     # -- entry -------------------------------------------------------------
     def parse_statement(self) -> ast.Statement:
@@ -192,7 +191,7 @@ class Parser:
 
     def _scan_is_write(self) -> bool:
         depth = 0
-        for tok in self.tokens[self.i:]:
+        for j, tok in enumerate(self.tokens[self.i:], start=self.i):
             if tok.kind == "OP" and tok.value in "([{":
                 depth += 1
             elif tok.kind == "OP" and tok.value in ")]}":
@@ -200,6 +199,15 @@ class Parser:
             elif tok.kind == "KEYWORD" and depth == 0 and tok.value in {
                 "SET", "REMOVE", "DETACH", "CREATE", "MERGE",
             }:
+                return True
+            elif (tok.kind == "KEYWORD" and depth == 0
+                  and tok.value == "FOREACH"
+                  and j + 1 < len(self.tokens)
+                  and self.tokens[j + 1].kind == "OP"
+                  and self.tokens[j + 1].value == "("):
+                # FOREACH is a soft keyword: only `FOREACH (` at clause
+                # depth means the write clause (an alias/property named
+                # foreach stays a read)
                 return True
             elif tok.kind == "KEYWORD" and depth == 0 and tok.value == "DELETE":
                 return True
@@ -840,6 +848,46 @@ class Parser:
             columns=columns, adj_index=adj_index,
         )
 
+    def parse_foreach(self) -> "ast.ForeachClause":
+        """``FOREACH (x IN <list> | SET a.k = v [, ...] / [DETACH]
+        DELETE x)`` — the executable subset (r7). CREATE / MERGE /
+        REMOVE / nested FOREACH bodies reject with guidance."""
+        self.eat_kw("FOREACH")
+        self.eat_op("(")
+        var = self.ident()
+        self.eat_kw("IN")
+        list_expr = self.parse_expr()
+        self.eat_op("|")
+        fc = ast.ForeachClause(var=var, list_expr=list_expr)
+        while True:
+            if self.at_kw("SET"):
+                self.next()
+                while True:
+                    target = self.parse_postfix()
+                    self.eat_op("=")
+                    fc.sets.append((target, self.parse_expr()))
+                    if not self.try_op(","):
+                        break
+            elif self.at_kw("DELETE") or self.at_kw("DETACH"):
+                detach = self.try_kw("DETACH")
+                self.eat_kw("DELETE")
+                aliases = [self.ident()]
+                while self.try_op(","):
+                    aliases.append(self.ident())
+                fc.delete = ast.DeleteClause(aliases=aliases,
+                                             detach=detach)
+            elif self.at_kw("CREATE", "MERGE", "REMOVE", "FOREACH"):
+                self.error(
+                    "only SET and DELETE are supported inside FOREACH "
+                    "— rewrite other bodies as UNWIND <list> AS x ... "
+                    "under GraphSession(allow_writes=True)")
+            else:
+                break
+        if not fc.sets and fc.delete is None:
+            self.error("FOREACH body must contain SET or DELETE")
+        self.eat_op(")")
+        return fc
+
     # -- write queries (parse-only parity) ----------------------------------
     def parse_write_query(self) -> ast.WriteQuery:
         wq = ast.WriteQuery()
@@ -849,7 +897,7 @@ class Parser:
             ):
                 wq.match_clauses.append(self.parse_match())
             elif self.at_kw("FOREACH"):
-                self._reject_foreach()
+                wq.foreachs.append(self.parse_foreach())
             elif self.at_kw("WHERE"):
                 self.next()
                 wq.where = self.parse_expr()

@@ -64,6 +64,8 @@ def apply_write(session, wq: ast.WriteQuery, params=None) -> DataFrame:
                        params, stats, removing=True)
     if wq.delete is not None:
         _apply_delete(session, df, scope, wq.delete, stats)
+    for fc in wq.foreachs:
+        _apply_foreach(session, df, scope, fc, params, stats)
 
     return session.spark.createDataFrame(
         [tuple(stats.values())],
@@ -458,6 +460,142 @@ def _apply_set(session, df, scope, target, value, params, stats,
         sch.column_names = list(sch.column_names) + [target.key]
         session._persist_catalog()
     stats["properties_set"] += n_matched
+
+
+# ----------------------------------------------------------------------
+def _apply_foreach(session, df, scope, fc, params, stats) -> None:
+    """``FOREACH (x IN <list> | SET ... / DELETE x)`` (r7): the list
+    explodes per match row (rows with empty/NULL lists skip the body,
+    Cypher semantics) and the body compiles onto the existing
+    SET/DELETE machinery — never a per-element loop:
+
+    - ``SET x.key = v`` (loop var is the node): the list must be
+      ``nodes(<path>)`` of a single-label path — exploded ids id-join
+      the label table, the value compiles against the target row
+      (``x.cnt + 1`` works), exactly the MERGE ON-SET shape;
+    - ``SET b.key = v`` (MATCH-bound target): the value may reference
+      the loop variable and any matched columns; per target id the
+      LAST list element wins (Cypher applies elements sequentially).
+      Ties across duplicate match rows break by greatest value —
+      deterministic under any partitioning (documented divergence
+      from Neo4j's row-order last-write);
+    - ``DELETE x`` / ``DETACH DELETE x``: anti-join the label table
+      by the exploded ids."""
+    from pyspark.sql.window import Window
+
+    from .compile.scope import ScalarBinding
+    from .parser.ast import FnCall, Variable
+
+    if df is None:
+        raise PlanError("FOREACH requires a preceding MATCH")
+    if scope.get(fc.var) is not None:
+        raise PlanError(
+            f"FOREACH variable '{fc.var}' shadows a bound alias")
+    ec = ExprCompiler(scope, params)
+    arr = ec.compile(fc.list_expr)
+    base = df.select(
+        "*", F.posexplode(arr).alias("__fpos", fc.var))
+    ex_scope = scope.copy()
+    ex_scope.bind(ScalarBinding(fc.var))
+
+    def loopvar_label() -> str:
+        e = fc.list_expr
+        pvar = None
+        if (isinstance(e, FnCall) and e.name.lower() == "nodes"
+                and len(e.args) == 1
+                and isinstance(e.args[0], Variable)):
+            pvar = e.args[0].name
+        elif isinstance(e, Variable):
+            pvar = e.name
+        pb = scope.get(pvar) if pvar else None
+        from .compile.scope import PathBinding
+
+        if isinstance(pb, PathBinding):
+            labels = {
+                scope.get(a).label for a in pb.node_aliases
+                if isinstance(scope.get(a), NodeBinding)
+            }
+            if len(labels) == 1:
+                return labels.pop()
+        raise UnsupportedError(
+            f"FOREACH over '{fc.var}' as a node needs the list to be "
+            "nodes(<path>) of a single-label path; for scalar lists "
+            "SET a MATCH-bound alias instead")
+
+    for target, value in fc.sets:
+        if not isinstance(target, ast.PropertyAccess):
+            raise UnsupportedError(
+                "FOREACH SET target must be alias.property")
+        if target.alias == fc.var:
+            # loop var IS the node: ids -> the MERGE run_sets shape
+            label = loopvar_label()
+            sch = session.schema.node(label)
+            mini = Scope()
+            mini.bind(NodeBinding(
+                alias=fc.var, label=label, id_column=sch.node_id,
+                columns=list(sch.column_names)))
+            mdf = base.select(
+                F.col(fc.var).alias(pcol(fc.var, sch.node_id))
+            ).distinct()
+            _apply_set(session, mdf, mini, target, value, params,
+                       stats)
+            continue
+        b = scope.get(target.alias)
+        if not isinstance(b, NodeBinding):
+            raise UnsupportedError(
+                "FOREACH SET targets a MATCH-bound node alias or the "
+                "loop variable")
+        sch = session.schema.node(b.label)
+        val_col = ExprCompiler(ex_scope, params).compile(value)
+        vals = base.select(
+            F.col(b.id_pcol).alias("__wid"),
+            F.col("__fpos").alias("__fp"),
+            val_col.alias("__wval"),
+        )
+        w = Window.partitionBy("__wid").orderBy(
+            F.col("__fp").desc(), F.col("__wval").desc())
+        last = (vals.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("__wid", "__wval"))
+        n_matched = last.count()
+        table = session._load_for_label(b.label)
+        a = target.alias
+        prefixed = table.select(
+            *[F.col(c).alias(pcol(a, c)) for c in table.columns])
+        joined = prefixed.join(
+            last, F.col(pcol(a, sch.node_id)) == F.col("__wid"),
+            "left")
+        is_new = target.key not in table.columns
+        old = (F.lit(None) if is_new
+               else F.col(pcol(a, target.key)))
+        updated = joined.withColumn(
+            pcol(a, target.key),
+            F.when(F.col("__wid").isNotNull(),
+                   F.col("__wval")).otherwise(old))
+        out_cols = list(table.columns) + ([target.key] if is_new else [])
+        back = updated.select(
+            *[F.col(pcol(a, c)).alias(c) for c in out_cols])
+        _store(session, sch.table_name, back)
+        if is_new:
+            sch.column_names = list(sch.column_names) + [target.key]
+            session._persist_catalog()
+        stats["properties_set"] += n_matched
+
+    if fc.delete is not None:
+        for alias in fc.delete.aliases:
+            if alias != fc.var:
+                raise UnsupportedError(
+                    "FOREACH DELETE supports the loop variable (delete "
+                    "bound aliases with a plain DELETE clause)")
+            label = loopvar_label()
+            sch = session.schema.node(label)
+            mini_b = NodeBinding(
+                alias=fc.var, label=label, id_column=sch.node_id,
+                columns=list(sch.column_names))
+            ids_df = base.select(
+                F.col(fc.var).alias(pcol(fc.var, sch.node_id)))
+            _delete_nodes(session, ids_df, mini_b, fc.delete.detach,
+                          stats)
 
 
 # ----------------------------------------------------------------------

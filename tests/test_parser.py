@@ -442,12 +442,27 @@ class TestSubqueryBlocks:
         assert u.unions[0][0].has_count_subquery is True
 
 
-def test_foreach_rejected_with_guidance():
-    """FOREACH has no sound relational compilation (runtime node
-    references); it must fail with the UNWIND+SET recipe, not a bare
-    syntax error."""
-    with pytest.raises(ParseError, match="UNWIND"):
-        parse("MATCH (a:P) FOREACH (x IN [1,2] | SET a.v = x)")
+def test_foreach_parses_to_write_clause():
+    """FOREACH after MATCH parses into a WriteQuery ForeachClause (r7
+    — executable under allow_writes; the rejection moved to the
+    session's write gate)."""
+    wq = parse("MATCH (a:P) FOREACH (x IN [1,2] | SET a.v = x)")
+    assert isinstance(wq, ast.WriteQuery)
+    fc = wq.foreachs[0]
+    assert fc.var == "x" and len(fc.sets) == 1
+    target, value = fc.sets[0]
+    assert target == ast.PropertyAccess("a", "v")
+    assert value == ast.Variable("x")
+
+
+def test_foreach_unsupported_bodies_guided():
+    """CREATE / MERGE / REMOVE / nested FOREACH bodies keep a guided
+    rejection."""
+    with pytest.raises(ParseError, match="only SET and DELETE"):
+        parse("MATCH (a:P) FOREACH (x IN [1] | CREATE (:T {v: x}))")
+    with pytest.raises(ParseError, match="only SET and DELETE"):
+        parse("MATCH (a:P) FOREACH (x IN [1] | "
+              "FOREACH (y IN [2] | SET a.v = y))")
 
 
 def test_foreach_stays_usable_as_identifier():
@@ -461,10 +476,14 @@ def test_foreach_stays_usable_as_identifier():
     assert e == ast.PropertyAccess("n", "foreach")
 
 
-def test_foreach_rejected_at_statement_start_and_in_writes():
-    for text in (
-        "FOREACH (x IN [1,2] | CREATE (:T {v: x}))",
-        "MATCH (a:P) SET a.y = 1 FOREACH (x IN [1] | SET a.v = x)",
-    ):
-        with pytest.raises(ParseError, match="UNWIND"):
-            parse(text)
+def test_foreach_rejected_at_statement_start():
+    """Statement-initial FOREACH has nothing to mutate — still a
+    guided rejection."""
+    with pytest.raises(ParseError, match="UNWIND"):
+        parse("FOREACH (x IN [1,2] | CREATE (:T {v: x}))")
+
+
+def test_foreach_combines_with_set_in_write_query():
+    wq = parse("MATCH (a:P) SET a.y = 1 FOREACH (x IN [1] | SET a.v = x)")
+    assert isinstance(wq, ast.WriteQuery)
+    assert wq.set_clause is not None and len(wq.foreachs) == 1

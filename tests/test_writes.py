@@ -270,3 +270,95 @@ class TestWriteInvalidatesAdjacency:
         got = sorted((r.src, r.dst) for r in s.execute(q).collect())
         assert got == [(1, 2), (2, 3)]
         assert "F_outgoing" not in s.tables  # stale tables dropped
+
+
+class TestForeach:
+    """FOREACH execution under allow_writes (r7, VERDICT r6 #6):
+    nodes(path) marking, bound-alias SET with last-element-wins,
+    empty-list no-op, per-element DELETE, and the guided rejections."""
+
+    def _people(self, wsession, spark):
+        wsession.register_table("Person", spark.createDataFrame(
+            [(1, "a", 30), (2, "b", 40), (3, "c", 50), (4, "d", 60)],
+            "id long, name string, age long"))
+        wsession.register_table("KNOWS", spark.createDataFrame(
+            [(1, 2), (2, 3)], "from_Person long, to_Person long"))
+
+    def test_mark_nodes_on_path(self, wsession, spark):
+        self._people(wsession, spark)
+        wsession.execute(
+            "MATCH p = (a:Person {id: 1})-[:KNOWS]->(b:Person) "
+            "FOREACH (x IN nodes(p) | SET x.seen = 1)")
+        got = rows(wsession,
+                   "MATCH (n:Person) RETURN n.id AS i, n.seen AS s")
+        assert got == {(1, 1), (2, 1), (3, None), (4, None)}
+
+    def test_bound_alias_last_element_wins(self, wsession, spark):
+        self._people(wsession, spark)
+        wsession.execute(
+            "MATCH (a:Person {id: 4}) "
+            "FOREACH (x IN [10, 20, 30] | SET a.score = x)")
+        assert rows(wsession, "MATCH (n:Person {id: 4}) "
+                              "RETURN n.score AS s") == {(30,)}
+
+    def test_value_mixes_loop_var_and_target(self, wsession, spark):
+        self._people(wsession, spark)
+        wsession.execute(
+            "MATCH (a:Person {id: 4}) "
+            "FOREACH (x IN [5] | SET a.age = a.age + x)")
+        assert rows(wsession, "MATCH (n:Person {id: 4}) "
+                              "RETURN n.age AS a") == {(65,)}
+
+    def test_empty_list_is_noop(self, wsession, spark):
+        self._people(wsession, spark)
+        wsession.execute(
+            "MATCH (a:Person {id: 1}) "
+            "FOREACH (x IN [] | SET a.score = 999)")
+        assert rows(wsession, "MATCH (n:Person {id: 1}) "
+                              "RETURN n.score AS s") == {(None,)}
+
+    def test_detach_delete_loop_var(self, wsession, spark):
+        self._people(wsession, spark)
+        wsession.execute(
+            "MATCH p = (a:Person {id: 2})-[:KNOWS]->(b:Person) "
+            "FOREACH (x IN nodes(p) | DETACH DELETE x)")
+        assert rows(wsession, "MATCH (n:Person) RETURN n.id AS i") \
+            == {(1,), (4,)}
+        assert rows(wsession, "MATCH (:Person)-[:KNOWS]->(m:Person) "
+                              "RETURN m.id AS i") == set()
+
+    def test_gated_without_allow_writes(self, spark):
+        s = GraphSession(spark)
+        s.execute("CREATE NODE TABLE Q (id Int64, NODE ID (id))")
+        s.register_table("Q", spark.createDataFrame([(1,)], "id long"))
+        with pytest.raises(UnsupportedError, match="allow_writes"):
+            s.execute("MATCH (q:Q) FOREACH (x IN [1] | SET q.v = x)")
+
+    def test_unsupported_bodies_guided(self, wsession, spark):
+        from brahmand_spark.errors import ParseError
+
+        self._people(wsession, spark)
+        with pytest.raises(ParseError, match="only SET and DELETE"):
+            wsession.execute(
+                "MATCH (a:Person) FOREACH (x IN [1] | "
+                "CREATE (:Person {id: x}))")
+        with pytest.raises(ParseError, match="FOREACH here"):
+            wsession.execute("FOREACH (x IN [1] | SET x.v = 1)")
+        with pytest.raises(UnsupportedError, match="single-label"):
+            wsession.execute(
+                "MATCH (a:Person {id: 1}) "
+                "FOREACH (x IN [1, 2] | SET x.v = 1)")
+
+    def test_scalar_list_requires_no_node_target(self, wsession, spark):
+        self._people(wsession, spark)
+        with pytest.raises(PlanError, match="shadows"):
+            wsession.execute(
+                "MATCH (a:Person {id: 1}) "
+                "FOREACH (a IN [1] | SET a.v = 1)")
+
+    def test_foreach_soft_keyword_still_identifier(self, wsession,
+                                                   spark):
+        self._people(wsession, spark)
+        got = wsession.execute(
+            "MATCH (n:Person {id: 1}) RETURN n.id AS foreach").collect()
+        assert got[0]["foreach"] == 1

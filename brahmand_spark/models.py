@@ -50,6 +50,9 @@ KINDS = {
     "ann_index": "{centroids, codebooks} for a persisted IVF-PQ "
                  "index (ops/similarity.build_ann_index); params "
                  "carry codes_path/source_path/sizing",
+    "lang_lr": "{lang: list[int] dim+1 integer micro-unit weights} "
+               "one-vs-rest language-ID model "
+               "(ops/classifier.train_lang_classifier)",
 }
 
 
@@ -157,6 +160,13 @@ class ModelStore:
 
     def load_lr_weights(self, name: str) -> list[int]:
         return self.load(name, "lr_weights")["payload"]
+
+    def save_lang_lr(self, name: str,
+                     models: "dict[str, list[int]]", **params) -> None:
+        self.save(name, "lang_lr", models, params)
+
+    def load_lang_lr(self, name: str) -> "dict[str, list[int]]":
+        return self.load(name, "lang_lr")["payload"]
 
     def save_pca(self, name: str, mean: list[float],
                  components: list[list[float]],

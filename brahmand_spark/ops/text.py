@@ -86,10 +86,29 @@ def quality_score(df: DataFrame, text_col: str = "text",
 
 
 def lang_id(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """N-gram/stopword heuristic language ID: count marker-word hits per
-    language; argmax with deterministic tie-break (marker count desc,
-    then language code asc); 'und' when nothing matches."""
+            id_col: str = "doc_id", method: str = "markers",
+            models: dict | None = None) -> DataFrame:
+    """Language ID. ``method='markers'`` (default): count marker-word
+    hits per language; argmax with deterministic tie-break (marker
+    count desc, then language code asc); 'und' when nothing matches.
+    Columns: (id, pred_lang, marker_hits).
+
+    ``method='lr'`` (r7 upgrade): a TRAINED one-vs-rest logistic
+    regression over hashed char-trigram features — the fastText-langid
+    recipe on the engine-replayable LR trainer. Pass ``models`` =
+    ``{lang: weights}`` from ``ops.classifier.train_lang_classifier``
+    (persist/reload via ``ModelStore.save_lang_lr``). Columns:
+    (id, pred_lang, score)."""
+    if method == "lr":
+        from .classifier import lang_scores_lr
+
+        if models is None:
+            raise ValueError(
+                "lang_id(method='lr') needs models= from "
+                "train_lang_classifier (or ModelStore.load_lang_lr)")
+        return lang_scores_lr(df, models, text_col, id_col)
+    if method != "markers":
+        raise ValueError("method must be 'markers' or 'lr'")
     toks = tokens(F.lower(F.col(text_col)))
 
     def marker_count(markers: list[str]) -> Column:

@@ -58,6 +58,11 @@ CLICKHOUSE_TO_SPARK_TYPE = {
     "float": "float",
     "double": "double",
     "timestamp": "timestamp",
+    # opaque multimodal payloads (images/audio/video) are binary
+    # columns with typed metadata (SURVEY §multimodal; r7)
+    "blob": "binary",
+    "binary": "binary",
+    "bytes": "binary",
 }
 
 # Node-id dtypes accepted by the reference (ddl_query.rs:90-92).

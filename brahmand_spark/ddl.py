@@ -31,6 +31,7 @@ _SPARK_TYPES = {
     "bigint": T.LongType(), "float": T.FloatType(), "double": T.DoubleType(),
     "string": T.StringType(), "boolean": T.BooleanType(),
     "date": T.DateType(), "timestamp": T.TimestampType(),
+    "binary": T.BinaryType(),
 }
 
 

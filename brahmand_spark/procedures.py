@@ -393,6 +393,54 @@ def _check_model_params(doc: dict, name: str, **wanted) -> None:
                 f"or match its parameters")
 
 
+def _p_corpus_lang_id(session, label, method="markers", model=None,
+                      sample_label=None, id_col="doc_id",
+                      text_col="text", dim=1024, epochs=6):
+    """Language ID over a catalog document table (ops/text.lang_id).
+    ``method='lr'``: the trained one-vs-rest char-trigram model —
+    loaded from the store under ``model`` when present, else trained
+    from ``sample_label`` (a catalog table with ``lang`` + text
+    columns) and SAVED under ``model``."""
+    from .ops.text import lang_id
+
+    df = session._load_for_label(label)
+    if method != "lr":
+        return lang_id(df, text_col, id_col)
+    store = session.model_store
+    if model is not None and store.exists(model):
+        doc = store.load(model, "lang_lr")
+        _check_model_params(doc, model, dim=int(dim))
+        models = doc["payload"]
+    else:
+        if sample_label is None:
+            raise PlanError(
+                "corpus.lang_id(method='lr') needs a saved model "
+                "name or a sample_label table (doc_id, text, lang) "
+                "to train from")
+        from .ops.classifier import train_lang_classifier
+
+        models = train_lang_classifier(
+            session._load_for_label(sample_label), text_col=text_col,
+            id_col=id_col, dim=int(dim), epochs=int(epochs))
+        if model is not None:
+            store.save_lang_lr(model, models, dim=int(dim),
+                               epochs=int(epochs))
+    return lang_id(df, text_col, id_col, method="lr", models=models)
+
+
+def _p_corpus_image_near_dup(session, label, max_hamming=5,
+                             method="dhash", id_col="id",
+                             binary_col="content"):
+    """Perceptual-hash image near-dup pairs over a catalog table with
+    a binary image column (ops/multimodal.image_near_dup_pairs)."""
+    from .ops.multimodal import image_near_dup_pairs
+
+    return image_near_dup_pairs(
+        session._load_for_label(label), id_col=id_col,
+        binary_col=binary_col, max_hamming=int(max_hamming),
+        method=method)
+
+
 def _p_vector_build_index(session, label, name, n_cells=16, m=4,
                           n_codes=16, id_col="vec_id",
                           vec_col="embedding"):
@@ -486,6 +534,8 @@ PROCEDURES: dict[str, Callable] = {
     "corpus.curate": _p_corpus_curate,
     "corpus.quality_lr": _p_corpus_quality_lr,
     "corpus.pca": _p_corpus_pca,
+    "corpus.lang_id": _p_corpus_lang_id,
+    "corpus.image_near_dup": _p_corpus_image_near_dup,
     "vector.build_index": _p_vector_build_index,
     "vector.search": _p_vector_search,
     "graph.pagerank": _p_pagerank,

@@ -160,3 +160,18 @@ class TestImageNearDup:
                for r in image_near_dup_pairs(
                    None, max_hamming=2, phashes=ph).collect()}
         assert got == {(1, 2): 1}
+
+
+def test_image_near_dup_via_call(spark):
+    from brahmand_spark import GraphSession
+
+    s = GraphSession(spark)
+    s.execute("CREATE NODE TABLE Img (id Int64, content Blob, "
+              "NODE ID (id))")
+    base = _rng_image(3, 24, 24)
+    s.register_table("Img", _corpus(
+        spark, [base, _perturb(base, 1, seed=9), _rng_image(77, 24, 24)]))
+    rows = s.execute(
+        "CALL corpus.image_near_dup('Img', 6) "
+        "YIELD id_a, id_b, hamming").collect()
+    assert any((r["id_a"], r["id_b"]) == (0, 1) for r in rows)

@@ -179,3 +179,48 @@ class TestLangIdLr:
         rows = {r["doc_id"]: r["pred_lang"]
                 for r in lang_id(df).collect()}
         assert rows[1] == "en" and rows[2] == "und"
+
+
+class TestCallSurface:
+    def test_corpus_lang_id_via_call(self, spark, tmp_path):
+        from brahmand_spark import GraphSession
+        from brahmand_spark.ops.classifier import train_lang_classifier
+
+        s = GraphSession(spark, models_path=str(tmp_path / "m"))
+        s.execute("CREATE NODE TABLE Doc (doc_id Int64, text String, "
+                  "NODE ID (doc_id))")
+        s.execute("CREATE NODE TABLE Sample (doc_id Int64, text String, "
+                  "lang String, NODE ID (doc_id))")
+        sample = _sample_df(spark, n_per_lang=8)
+        s.register_table("Sample", sample)
+        docs = spark.createDataFrame(
+            [(1, " ".join(VOCAB["de"][:8])),
+             (2, " ".join(VOCAB["en"][:8]))],
+            "doc_id long, text string")
+        s.register_table("Doc", docs)
+        got = {r["doc_id"]: r["pred_lang"] for r in s.execute(
+            "CALL corpus.lang_id('Doc', 'lr', 'lid', 'Sample') "
+            "YIELD doc_id, pred_lang").collect()}
+        assert got == {1: "de", 2: "en"}
+        assert s.model_store.exists("lid")
+        # second call loads the saved model (no Sample needed)
+        again = {r["doc_id"]: r["pred_lang"] for r in s.execute(
+            "CALL corpus.lang_id('Doc', 'lr', 'lid') "
+            "YIELD doc_id, pred_lang").collect()}
+        assert again == got
+        # markers path unchanged through the same procedure
+        heur = s.execute("CALL corpus.lang_id('Doc') "
+                         "YIELD doc_id, pred_lang").collect()
+        assert len(heur) == 2
+
+    def test_lr_without_model_or_sample_errors(self, spark, tmp_path):
+        from brahmand_spark import GraphSession
+        from brahmand_spark.errors import PlanError
+
+        s = GraphSession(spark, models_path=str(tmp_path / "m2"))
+        s.execute("CREATE NODE TABLE Doc (doc_id Int64, text String, "
+                  "NODE ID (doc_id))")
+        s.register_table("Doc", spark.createDataFrame(
+            [(1, "x")], "doc_id long, text string"))
+        with pytest.raises(PlanError, match="sample_label"):
+            s.execute("CALL corpus.lang_id('Doc', 'lr')").collect()

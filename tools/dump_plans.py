@@ -37,6 +37,34 @@ SHOWCASES = [
         "frontier filter into BOTH union branches.",
     ),
     (
+        "Pattern comprehension (grouped collect_list LEFT-joined back)",
+        """MATCH (c:Customer) WHERE c.c_custkey <= 100
+           RETURN c.c_custkey AS ck,
+                  [ (c)-[:PLACED]->(o:Order)
+                    WHERE o.o_totalprice > 150000 | o.o_orderkey ]
+                  AS big""",
+        "The comprehension compiles onto the COUNT { } rewrite "
+        "machinery (r7): the sub-pattern assembles independently, its "
+        "map values collect per anchor-id group (array_sort for "
+        "determinism), and ONE left join attaches the hidden list "
+        "column with coalesce-to-[] for no-match rows — never a "
+        "per-row loop. The inner WHERE pushes into the sub-pattern's "
+        "orders scan.",
+    ),
+    (
+        "Correlated CALL { } with a chained WITH (per-invocation agg)",
+        """MATCH (c:Customer) WHERE c.c_custkey <= 100
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  WITH o WHERE o.o_totalprice > 100000
+                  RETURN count(*) AS n }
+           RETURN c.c_custkey AS ck, n""",
+        "The block is ONE relational plan (r7): the anchor re-scans "
+        "inside it, the intermediate WITH implicitly carries the "
+        "anchor columns, the all-aggregate RETURN groups by the "
+        "anchor id and LEFT-joins back with count->0 — openCypher's "
+        "per-row semantics without any per-row execution.",
+    ),
+    (
         "WITH pipeline (aggregate, filter, re-match)",
         """MATCH (c:Customer)-[:PLACED]->(o:Order)
            WHERE o.o_totalprice > 300000
@@ -274,6 +302,48 @@ def main() -> None:
             "whole trainer is ONE map-side-combinable aggregate with "
             "dim sums per vertex — zero driver state (vs V x dim for "
             "SGD skip-gram), order-independent, engine-replayable.",
+        ),
+    ]
+    import tempfile
+
+    from brahmand_spark.models import ModelStore
+    from brahmand_spark.ops.multimodal import image_near_dup_pairs
+    from brahmand_spark.ops.similarity import ann_search, build_ann_index
+
+    ann_dir = tempfile.mkdtemp(prefix="plans_ann_")
+    ann_store = ModelStore(ann_dir)
+    build_ann_index(emb, "showcase", ann_store, n_cells=8, m=4,
+                    n_codes=16)
+    fake_hashes = emb.select(
+        F.col("vec_id").alias("id"),
+        F.xxhash64("vec_id").alias("phash"))
+    ext_showcases += [
+        (
+            "Persisted ANN search (partition-pruned codes scan)",
+            ann_search(spark, "showcase", emb.limit(3), ann_store,
+                       k=5, nprobe=2, corpus=emb),
+            "build_ann_index wrote the PQ codes ONCE as parquet "
+            "partitioned by the coarse cell; the search collects the "
+            "query batch's probed cells (bounded driver round-trip on "
+            "the small broadcast side) and the codes scan shows "
+            "PartitionFilters on `cell` — unprobed cells are pruned at "
+            "file-listing time — with a ReadSchema of just "
+            "(corpus_id, codes, rnorm): m ints + a double per row, "
+            "never the vectors. Only the top-`rerank` shortlist joins "
+            "back to the original embedding table.",
+        ),
+        (
+            "Image near-dup pair join (pigeonhole Hamming banding)",
+            image_near_dup_pairs(None, max_hamming=5,
+                                 phashes=fake_hashes),
+            "The 64-bit perceptual hash splits into max_hamming+1 "
+            "chunks (shiftrightunsigned/mask — codegen'd), the "
+            "self-join keys on (chunk_pos, chunk_val) so any pair "
+            "within the bound meets in >= 1 bucket (complete, never "
+            "all-pairs), and the exact bit_count(xor) Hamming distance "
+            "filters candidates map-side before the dedup shuffle — "
+            "the simhash_near_pairs shape over 8-byte image "
+            "fingerprints.",
         ),
     ]
     ext_showcases += [

@@ -701,12 +701,6 @@ class QueryCompiler:
             raise UnsupportedError(
                 "correlated CALL { } must start with a (non-OPTIONAL) "
                 "MATCH after the import WITH")
-        for p in body:
-            if p.order_by or p.skip is not None or p.limit is not None:
-                raise UnsupportedError(
-                    "ORDER BY/SKIP/LIMIT on an intermediate WITH "
-                    "inside a correlated CALL { } is not supported "
-                    "yet — attach them to the block's RETURN")
         first = body[0]
         rest = body[1:]
         multipart = bool(rest) or first.with_clause is not None
@@ -893,7 +887,11 @@ class QueryCompiler:
         per-invocation keys survive every projection: an aggregating
         WITH groups by them (per-invocation aggregation) and a
         DISTINCT WITH dedups including them (per-invocation
-        DISTINCT). Returns the updated (sub_df, sub_scope)."""
+        DISTINCT). ORDER BY/SKIP/LIMIT attached to an intermediate
+        WITH compile as a PER-ANCHOR window (top-N per invocation,
+        never a global limit); order keys must be the WITH's output
+        aliases or properties of a carried node. Returns the updated
+        (sub_df, sub_scope)."""
         for mc in optionals:
             sub_df = self._apply_optional(sub_df, sub_scope, mc)
         if part.unwind is not None:
@@ -926,7 +924,56 @@ class QueryCompiler:
                 sub_df, sub_scope, items,
                 distinct=part.with_clause.distinct,
                 order_by=[], skip=None, limit=None, final=False)
+            if part.skip is not None or part.limit is not None:
+                sub_df = self._call_with_window(
+                    sub_df, sub_scope, part, anchors)
+            # a bare mid-pipeline ORDER BY (no SKIP/LIMIT) is a
+            # relational no-op: row order carries no meaning between
+            # WITH boundaries, so nothing to compile
         return sub_df, sub_scope
+
+    def _call_with_window(self, sub_df, sub_scope, part, anchors):
+        """Per-anchor SKIP/LIMIT for an intermediate WITH inside a
+        correlated CALL block: rank within the anchor-id partition by
+        the WITH's order keys (output aliases or carried-node
+        properties), with every scalar output and carried-node id
+        appended as tiebreakers so the kept rows are deterministic
+        under any partitioning."""
+        scalar_names = []
+        node_ids = []
+        for name, b in sub_scope.bindings.items():
+            if isinstance(b, ScalarBinding):
+                scalar_names.append(name)
+            elif isinstance(b, NodeBinding):
+                node_ids.append(b.id_pcol)
+        known = set(scalar_names)
+        order_cols = []
+        for ob in part.order_by:
+            e = ob.expr
+            if isinstance(e, ast.Variable) and e.name in known:
+                c = F.col(e.name)
+            elif (isinstance(e, ast.PropertyAccess)
+                  and isinstance(sub_scope.get(e.alias), NodeBinding)
+                  and e.key in sub_scope.get(e.alias).columns):
+                c = F.col(pcol(e.alias, e.key))
+            else:
+                raise PlanError(
+                    "ORDER BY on an intermediate WITH inside a "
+                    "correlated CALL { } must use the WITH's output "
+                    "aliases or a carried node's properties")
+            order_cols.append(c.asc() if ob.ascending else c.desc())
+        order_cols += [F.col(n).asc() for n in sorted(scalar_names)]
+        order_cols += [F.col(c).asc() for c in sorted(node_ids)]
+        w = Window.partitionBy(
+            *[F.col(sub_scope.get(a).id_pcol) for a in anchors]
+        ).orderBy(*order_cols)
+        lo = part.skip or 0
+        hi = lo + part.limit if part.limit is not None else None
+        sub_df = sub_df.withColumn("__cwrn", F.row_number().over(w))
+        cond = F.col("__cwrn") > lo
+        if hi is not None:
+            cond = cond & (F.col("__cwrn") <= hi)
+        return sub_df.filter(cond).drop("__cwrn")
 
     def _rewrite_count_subqueries(
         self, df: DataFrame, scope: Scope, expr: ast.Expr,
@@ -1009,6 +1056,14 @@ class QueryCompiler:
                 return attach(v)
             if isinstance(v, ast.PatternComprehension):
                 return attach_pc(v)
+            # size([ pattern | expr ]) never needs the list: the map
+            # is total, so the size IS the match count — compile it
+            # as the (cheaper) grouped count instead of collect+sort
+            if (isinstance(v, ast.FnCall) and v.name.lower() == "size"
+                    and len(v.args) == 1
+                    and isinstance(v.args[0], ast.PatternComprehension)):
+                pc = v.args[0]
+                return attach(ast.CountSubquery(pc.path, pc.where))
             if hasattr(v, "__dataclass_fields__"):
                 changes = {
                     f.name: conv(getattr(v, f.name))

@@ -793,12 +793,12 @@ class TestCorrelatedCallSubquery:
                 "RETURN o.o_orderkey AS k "
                 "UNION MATCH (c)-[:PLACED]->(p:Order) "
                 "RETURN p.o_orderkey AS k } RETURN k LIMIT 1")
-        with pytest.raises(UnsupportedError, match="intermediate WITH"):
+        with pytest.raises(PlanError, match="output aliases"):
             tpch.execute(
                 "MATCH (c:Customer) "
                 "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
-                "WITH o ORDER BY o.o_totalprice LIMIT 2 "
-                "RETURN count(*) AS n } RETURN n LIMIT 1")
+                "WITH o.o_orderkey AS k ORDER BY o.o_totalprice "
+                "LIMIT 2 RETURN count(*) AS n } RETURN n LIMIT 1")
         with pytest.raises(UnsupportedError, match="nested CALL"):
             tpch.execute(
                 "MATCH (c:Customer) "
@@ -870,6 +870,48 @@ class TestCorrelatedCallV2:
             "count(*) AS n } "
             "RETURN c.c_custkey AS ck, nm, n ORDER BY ck").collect()
         assert all(r["nm"].startswith("Customer") for r in rows)
+
+    def test_intermediate_with_limit_is_per_anchor(self, tpch):
+        """SKIP/LIMIT on a mid-block WITH ranks WITHIN each
+        invocation (per-anchor window), never globally: counting
+        after a per-customer top-2 gives 2 per customer."""
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WITH o ORDER BY o.o_totalprice DESC LIMIT 2 "
+            "RETURN count(*) AS n } "
+            "RETURN c.c_custkey AS ck, n ORDER BY ck").collect()
+        assert all(r["n"] == 2 for r in rows) and len(rows) == 4
+        # and the kept rows are the true per-customer top-2: sum of
+        # kept prices == sum of the top-2 from the unlimited block
+        kept = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WITH o ORDER BY o.o_totalprice DESC LIMIT 2 "
+            "RETURN sum(o.o_totalprice) AS s } "
+            "RETURN c.c_custkey AS ck, s ORDER BY ck").collect()
+        want = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN o.o_totalprice AS price "
+            "ORDER BY price DESC LIMIT 2 } "
+            "RETURN c.c_custkey AS ck, sum(price) AS s "
+            "ORDER BY ck").collect()
+        assert [(r["ck"], r["s"]) for r in kept] \
+            == [(r["ck"], r["s"]) for r in want]
+
+    def test_intermediate_with_skip(self, tpch):
+        full = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WITH o ORDER BY o.o_totalprice DESC "
+            "RETURN count(*) AS n } RETURN n").collect()[0]["n"]
+        skipped = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WITH o ORDER BY o.o_totalprice DESC SKIP 1 "
+            "RETURN count(*) AS n } RETURN n").collect()[0]["n"]
+        assert skipped == full - 1
 
     def test_unwind_scalar_rebinding(self, tpch):
         """UNWIND of a collected list inside the block, then a
@@ -1000,6 +1042,25 @@ class TestPatternComprehension:
                 "MATCH (c:Customer)-[:CUST_IN]->(n:Nation) "
                 "RETURN [ (c)-[:PLACED]->(o:Order) "
                 "| n.n_name ] AS bad LIMIT 1")
+
+    def test_size_compiles_to_count_not_collect(self, tpch):
+        """size([ pattern | e ]) never materializes the list — it
+        rewrites to the grouped COUNT (the map is total, so size ==
+        match count)."""
+        df = tpch.execute(
+            "MATCH (c:Customer) "
+            "RETURN c.c_custkey AS ck, "
+            "size([ (c)-[:PLACED]->(o:Order) | o.o_orderkey ]) AS n")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        assert "collect_list" not in plan
+        listy = tpch.execute(
+            "MATCH (c:Customer) "
+            "RETURN c.c_custkey AS ck, "
+            "[ (c)-[:PLACED]->(o:Order) | o.o_orderkey ] AS ks")
+        lplan = listy._sc._jvm.PythonSQLUtils.explainString(
+            listy._jdf.queryExecution(), "formatted")
+        assert "collect_list" in lplan
 
     def test_list_literals_unaffected(self, tpch):
         r = tpch.execute(

@@ -163,6 +163,27 @@ FOLDED_CYPHER = {
              ON t.o_custkey = c.c_custkey
            WHERE c.c_custkey <= 20""",
     ),
+    # correlated CALL v2 (r7): SKIP/LIMIT on an INTERMEDIATE WITH is a
+    # per-anchor window (top-N per invocation), composing with the
+    # all-aggregate RETURN's left-join + sum->0 fill
+    "call_correlated_mid_limit": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 15
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  WITH o ORDER BY o.o_totalprice DESC LIMIT 2
+                  RETURN sum(o.o_totalprice) AS s2 }
+           RETURN c.c_custkey AS ck, s2""",
+        """SELECT c.c_custkey AS ck, coalesce(t.s2, 0) AS s2
+           FROM customer c LEFT JOIN (
+               SELECT o_custkey, sum(price) AS s2 FROM (
+                   SELECT o_custkey, o_totalprice AS price,
+                          row_number() OVER (
+                              PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC) AS rn
+                   FROM orders) q
+               WHERE rn <= 2 GROUP BY o_custkey) t
+             ON t.o_custkey = c.c_custkey
+           WHERE c.c_custkey <= 15""",
+    ),
     # pattern comprehension (r7): per-row sorted list of sub-pattern
     # match values, [] when no match — the collect_list analogue of
     # COUNT { }

@@ -707,6 +707,33 @@ def build_ann_index(
     return params
 
 
+def ann_add(
+    spark, name: str, new_vectors: DataFrame, store,
+    id_col: str | None = None, vec_col: str | None = None,
+) -> dict:
+    """Append a new vector batch to a persisted index WITHOUT
+    refitting: encode with the STORED centroids/codebooks (the fits
+    stay frozen — standard IVF practice; retrain only on distribution
+    drift by rebuilding under a new name) and append the codes rows
+    to the cell-partitioned parquet. Per-batch cost is one narrow
+    encode projection + a partitioned append — the rest of the index
+    is never rewritten or read. Ids must not collide with rows
+    already in the index (the caller's contract, as with any append).
+    Returns the updated params (n_vectors refreshed)."""
+    doc = store.load(name, "ann_index")
+    params = doc["params"]
+    index = pq_index_frame(
+        new_vectors, doc["payload"]["centroids"],
+        doc["payload"]["codebooks"],
+        id_col or params["id_col"], vec_col or params["vec_col"])
+    index.write.mode("append").partitionBy("cell").parquet(
+        params["codes_path"])
+    params["n_vectors"] = spark.read.parquet(
+        params["codes_path"]).count()
+    store.save(name, "ann_index", doc["payload"], params)
+    return params
+
+
 def ann_search(
     spark, name: str, queries: DataFrame, store,
     k: int = 10, nprobe: int = 4, rerank: int | None = None,

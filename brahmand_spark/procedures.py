@@ -468,6 +468,21 @@ def _p_vector_build_index(session, label, name, n_cells=16, m=4,
         "m int, n_codes int, codes_path string")
 
 
+def _p_vector_add(session, name, label, id_col=None, vec_col=None):
+    """Append a catalog embedding table's rows to a persisted index
+    without refitting (ops/similarity.ann_add): encode with the
+    stored artifacts, partitioned append of the codes."""
+    from .ops.similarity import ann_add
+
+    params = ann_add(session.spark, name,
+                     session._load_for_label(label),
+                     session.model_store, id_col=id_col,
+                     vec_col=vec_col)
+    return session.spark.createDataFrame(
+        [(name, label, int(params["n_vectors"]))],
+        "name string, label string, n_vectors long")
+
+
 def _p_vector_search(session, name, query_label, k=10, nprobe=4,
                      rerank=None):
     """Top-k search against a persisted IVF-PQ index
@@ -537,6 +552,7 @@ PROCEDURES: dict[str, Callable] = {
     "corpus.lang_id": _p_corpus_lang_id,
     "corpus.image_near_dup": _p_corpus_image_near_dup,
     "vector.build_index": _p_vector_build_index,
+    "vector.add": _p_vector_add,
     "vector.search": _p_vector_search,
     "graph.pagerank": _p_pagerank,
     "graph.wcc": _p_wcc,

@@ -415,11 +415,6 @@ def _apply_set(session, df, scope, target, value, params, stats,
             "SET/REMOVE target must be alias.property"
         )
     b = scope.get(target.alias)
-    if not isinstance(b, NodeBinding):
-        raise UnsupportedError(
-            "SET/REMOVE is supported on node properties "
-            "(relationship properties not yet)"
-        )
     refs: set[str] = set()
     collect_aliases(value, refs)
     if refs - {target.alias}:
@@ -427,6 +422,13 @@ def _apply_set(session, df, scope, target, value, params, stats,
             "SET value may only reference the target alias "
             f"(found {sorted(refs - {target.alias})})"
         )
+    if isinstance(b, RelBinding):
+        _apply_set_rel(session, df, b, target, value, params, stats,
+                       removing)
+        return
+    if not isinstance(b, NodeBinding):
+        raise UnsupportedError(
+            "SET/REMOVE targets a node or relationship property")
     sch = session.schema.node(b.label)
     table = session._load_for_label(b.label)
     matched = df.select(F.col(b.id_pcol).alias("__wid")).distinct()
@@ -458,6 +460,55 @@ def _apply_set(session, df, scope, target, value, params, stats,
     _store(session, sch.table_name, back)
     if is_new and not removing:
         sch.column_names = list(sch.column_names) + [target.key]
+        session._persist_catalog()
+    stats["properties_set"] += n_matched
+
+
+def _apply_set_rel(session, df, b, target, value, params, stats,
+                   removing: bool) -> None:
+    """SET/REMOVE on a relationship property (r7 — closed the 'not
+    yet' gap): matched (from, to) pairs join the edge table and the
+    property updates conditionally. Updates EVERY parallel edge
+    sharing a matched endpoint pair — the edge-list model has no edge
+    identity (same documented divergence as relationship DELETE).
+    The value may reference the relationship's own properties."""
+    rsch = session.schema.relationship(b.type_name)
+    pairs = df.select(
+        F.col(b.src_pcol).alias("__wsrc"),
+        F.col(b.dst_pcol).alias("__wdst"),
+    ).distinct()
+    n_matched = pairs.count()
+    a = target.alias
+    edges = session._load_for_label(b.type_name)
+    prefixed = edges.select(
+        *[F.col(c).alias(pcol(a, c)) for c in edges.columns])
+    joined = prefixed.join(
+        pairs,
+        (F.col(pcol(a, rsch.from_column)) == F.col("__wsrc"))
+        & (F.col(pcol(a, rsch.to_column)) == F.col("__wdst")),
+        "left",
+    )
+    prop_cols = [c for c in edges.columns
+                 if c not in (rsch.from_column, rsch.to_column)]
+    sub = Scope()
+    sub.bind(RelBinding(
+        alias=a, type_name=b.type_name, columns=prop_cols,
+        src_pcol=pcol(a, rsch.from_column),
+        dst_pcol=pcol(a, rsch.to_column),
+    ))
+    val_col = ExprCompiler(sub, params).compile(value)
+    is_new = target.key not in edges.columns
+    old = F.lit(None) if is_new else F.col(pcol(a, target.key))
+    updated = joined.withColumn(
+        pcol(a, target.key),
+        F.when(F.col("__wsrc").isNotNull(), val_col).otherwise(old),
+    )
+    out_cols = list(edges.columns) + ([target.key] if is_new else [])
+    back = updated.select(
+        *[F.col(pcol(a, c)).alias(c) for c in out_cols])
+    _store(session, rsch.table_name, back)
+    if is_new and not removing:
+        rsch.column_names = list(rsch.column_names) + [target.key]
         session._persist_catalog()
     stats["properties_set"] += n_matched
 

@@ -140,6 +140,53 @@ class TestBuildAndSearch:
         assert got == want and len(got) == 25
 
 
+class TestAnnAdd:
+    def test_incremental_add_matches_frozen_fit_search(
+            self, spark, tmp_path):
+        """build on half the corpus, ann_add the other half: the
+        search over the grown index must equal in-memory ivfpq_topk
+        over the FULL corpus with the half-fitted artifacts (codes
+        are computed identically; the fits stay frozen)."""
+        from brahmand_spark.ops.similarity import (
+            ann_add, pq_fit, train_ivf_centroids,
+        )
+
+        emb = _emb(spark)
+        half_a = emb.filter(F.col("vec_id") % 2 == 0)
+        half_b = emb.filter(F.col("vec_id") % 2 == 1)
+        q = emb.filter(F.col("vec_id") < 4)
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(half_a, "idx", st, **PARAMS)
+        before = st.load("idx", "ann_index")["params"]["n_vectors"]
+        params = ann_add(spark, "idx", half_b, st)
+        assert params["n_vectors"] > before
+        got = sorted(map(tuple, ann_search(
+            spark, "idx", q, st, k=5, nprobe=3, corpus=emb).collect()))
+        cents = train_ivf_centroids(half_a, PARAMS["n_cells"])
+        books = pq_fit(half_a, PARAMS["m"], PARAMS["n_codes"])
+        want = sorted(map(tuple, ivfpq_topk(
+            emb, q, k=5, nprobe=3, centroids=cents, codebooks=books,
+            **PARAMS).collect()))
+        assert got == want and len(got) > 0
+
+    def test_add_via_call(self, spark, tmp_path):
+        from brahmand_spark import GraphSession
+
+        s = GraphSession(spark, models_path=str(tmp_path / "vm"))
+        for lbl, df in (
+            ("Half", _emb(spark).filter(F.col("vec_id") % 2 == 0)),
+            ("Rest", _emb(spark).filter(F.col("vec_id") % 2 == 1)),
+        ):
+            s.execute(f"CREATE NODE TABLE {lbl} (vec_id Int64, "
+                      "NODE ID (vec_id))")
+            s.register_table(lbl, df)
+        s.execute("CALL vector.build_index('Half', 'g', 8, 4, 8)"
+                  ).collect()
+        n0 = s.model_store.load("g", "ann_index")["params"]["n_vectors"]
+        out = s.execute("CALL vector.add('g', 'Rest')").collect()
+        assert out[0]["n_vectors"] > n0
+
+
 class TestCallSurface:
     def _session(self, spark, path):
         from brahmand_spark import GraphSession

@@ -362,3 +362,54 @@ class TestForeach:
         got = wsession.execute(
             "MATCH (n:Person {id: 1}) RETURN n.id AS foreach").collect()
         assert got[0]["foreach"] == 1
+
+
+class TestRelPropertySet:
+    """SET/REMOVE on relationship properties (r7 — previously a
+    guided 'not yet'): matched (from, to) pairs update conditionally;
+    parallel edges sharing the pair all update (edge-list model has
+    no edge identity — same divergence as relationship DELETE)."""
+
+    def _graph(self, wsession, spark):
+        wsession.register_table("Person", spark.createDataFrame(
+            [(1, "a", 30), (2, "b", 40), (3, "c", 50)],
+            "id long, name string, age long"))
+        wsession.register_table("City", spark.createDataFrame(
+            [(100, "x"), (200, "y")], "id long, name string"))
+        wsession.register_table("LIVES_IN", spark.createDataFrame(
+            [(1, 100, 2019), (2, 100, 2020), (3, 200, 2021)],
+            "from_Person long, to_City long, since long"))
+
+    def test_set_rel_property(self, wsession, spark):
+        self._graph(wsession, spark)
+        wsession.execute(
+            "MATCH (p:Person)-[r:LIVES_IN]->(c:City {id: 100}) "
+            "SET r.since = r.since + 1")
+        got = rows(wsession,
+                   "MATCH (:Person)-[r:LIVES_IN]->(c:City) "
+                   "RETURN c.id AS cid, r.since AS s")
+        assert got == {(100, 2020), (100, 2021), (200, 2021)}
+
+    def test_set_new_rel_property_and_remove(self, wsession, spark):
+        self._graph(wsession, spark)
+        wsession.execute(
+            "MATCH (p:Person {id: 1})-[r:LIVES_IN]->(c:City) "
+            "SET r.verified = 1")
+        got = rows(wsession,
+                   "MATCH (p:Person)-[r:LIVES_IN]->(:City) "
+                   "RETURN p.id AS pid, r.verified AS v")
+        assert got == {(1, 1), (2, None), (3, None)}
+        wsession.execute(
+            "MATCH (p:Person {id: 1})-[r:LIVES_IN]->(c:City) "
+            "REMOVE r.verified")
+        got = rows(wsession,
+                   "MATCH (p:Person {id: 1})-[r:LIVES_IN]->(:City) "
+                   "RETURN r.verified AS v")
+        assert got == {(None,)}
+
+    def test_value_restricted_to_target_alias(self, wsession, spark):
+        self._graph(wsession, spark)
+        with pytest.raises(UnsupportedError, match="target alias"):
+            wsession.execute(
+                "MATCH (p:Person)-[r:LIVES_IN]->(c:City) "
+                "SET r.since = p.age")

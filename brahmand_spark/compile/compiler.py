@@ -676,9 +676,15 @@ class QueryCompiler:
         anchors (so an aggregating WITH groups per invocation and a
         DISTINCT WITH dedups per invocation — exactly the per-outer-
         row semantics); the final RETURN joins back on the anchor
-        ids. Still unsupported: UNION arms, nested CALL { }, RETURN
-        *, and ORDER BY/SKIP/LIMIT on an INTERMEDIATE WITH (the
-        final-RETURN forms compile to per-anchor windows)."""
+        ids; SKIP/LIMIT on an intermediate WITH compiles to a
+        per-anchor window too (`_call_with_window`). Still
+        unsupported: UNION arms, nested CALL { }, and RETURN *.
+        Known divergence (documented, FOLDED_CYPHER
+        call_correlated_agg_with): an invocation whose row count is
+        made non-zero only by an intermediate aggregating WITH (e.g.
+        ``WITH count(*) AS n``) still drops match-less outer rows —
+        the aggregate-on-empty fill applies only when the final
+        RETURN is all-aggregate."""
         if df is None:
             raise PlanError(
                 "correlated CALL { WITH ... } needs a preceding "
@@ -744,15 +750,7 @@ class QueryCompiler:
                 None, sub_scope, pattern, ast.QueryPart())
         finally:
             self._elide_override = prev_override
-        for var, (nodes, rels) in pattern.path_vars.items():
-            hops = []
-            for r in pattern.rels:
-                if r.alias in rels:
-                    hops.append(
-                        pcol(r.alias, "hops") if r.max_hops > 1 else None)
-            sub_scope.bind(PathBinding(
-                alias=var, node_aliases=nodes, rel_aliases=rels,
-                rel_hops=hops))
+        _bind_path_vars(pattern, sub_scope)
         sub_df, sub_scope = self._finish_call_part(
             sub_df, sub_scope, first, optionals, anchors)
         for p in rest:
@@ -762,6 +760,7 @@ class QueryCompiler:
                 p_pattern = self._build_pattern(p_required, sub_scope)
                 self._infer(p_pattern)
                 sub_df = self._assemble(sub_df, sub_scope, p_pattern, p)
+                _bind_path_vars(p_pattern, sub_scope)
             sub_df, sub_scope = self._finish_call_part(
                 sub_df, sub_scope, p, p_optionals, anchors)
         ec = ExprCompiler(sub_scope, self.params)
@@ -1017,9 +1016,13 @@ class QueryCompiler:
         def attach_pc(e: "ast.PatternComprehension") -> ast.Expr:
             # pattern comprehension: like COUNT { } but collecting the
             # map expression per anchor-id tuple; [] when no match.
-            # The list is array_sort-ed — deterministic under any
-            # partitioning (openCypher leaves the order unspecified)
-            # and replayable by DuckDB's list_sort.
+            # The list is sorted (values ascending, NULLs LAST) —
+            # deterministic under any partitioning (openCypher leaves
+            # the order unspecified) and replayable by list_sort. NULL
+            # map values are KEPT (openCypher semantics — collect_list
+            # would silently drop them, r7 review): values ride inside
+            # a (is_null, v) struct through the collect, sort by the
+            # struct, then unwrap.
             map_refs: set[str] = set()
             collect_aliases(e.map, map_refs)
             sub_df, sub_scope, anchors = self._subquery_assembly(
@@ -1033,13 +1036,20 @@ class QueryCompiler:
             name = f"__csq{self._anon_counter}"
             keys = [f"{name}_k{i}" for i in range(len(anchors))]
             ec = ExprCompiler(sub_scope, self.params)
+            val = ec.compile(e.map)
             sub = sub_df.select(
                 *[F.col(sub_scope.get(a).id_pcol).alias(k)
                   for a, k in zip(anchors, keys)],
-                ec.compile(e.map).alias(f"{name}_v"),
+                F.struct(
+                    val.isNull().cast("int").alias("n"),
+                    val.alias("v"),
+                ).alias(f"{name}_v"),
             )
             grouped = sub.groupBy(*keys).agg(
-                F.array_sort(F.collect_list(f"{name}_v")).alias(name))
+                F.transform(
+                    F.array_sort(F.collect_list(f"{name}_v")),
+                    lambda s: s["v"],
+                ).alias(name))
             cond = None
             for a, k in zip(anchors, keys):
                 c = F.col(scope.get(a).id_pcol) == F.col(k)
@@ -2543,6 +2553,20 @@ def _call_import_aliases(q) -> Optional[list[str]]:
         else:
             return None
     return names or None
+
+
+def _bind_path_vars(pattern, scope: Scope) -> None:
+    """Bind PathBindings for a just-assembled pattern's path
+    variables (shared by _compile_part-style segment loops)."""
+    for var, (nodes, rels) in pattern.path_vars.items():
+        hops = []
+        for r in pattern.rels:
+            if r.alias in rels:
+                hops.append(
+                    pcol(r.alias, "hops") if r.max_hops > 1 else None)
+        scope.bind(PathBinding(
+            alias=var, node_aliases=nodes, rel_aliases=rels,
+            rel_hops=hops))
 
 
 def _contains_count_subquery(e) -> bool:

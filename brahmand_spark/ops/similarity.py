@@ -569,6 +569,7 @@ def _adc_topk(
     index: DataFrame, vectors: DataFrame, queries: DataFrame,
     centroids: list[list[float]], codebooks: list[list[list[float]]],
     k: int, nprobe: int, rerank: int, id_col: str, vec_col: str,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """The shared IVF-PQ scoring body: ADC candidate scoring over the
     (cell, codes, rnorm) ``index`` frame, per-query shortlist, exact
@@ -598,11 +599,12 @@ def _adc_topk(
         F.zip_with("codes", "lut",
                    lambda code, tbl: F.element_at(tbl, code + 1)),
         F.lit(0.0), lambda acc, x: acc + x)
+    cands = index.join(
+        F.broadcast(q.select("query_id", "cell", "lut", "qn")), "cell")
+    if exclude_self:
+        cands = cands.filter(F.col("corpus_id") != F.col("query_id"))
     cands = (
-        index.join(
-            F.broadcast(q.select("query_id", "cell", "lut", "qn")),
-            "cell")
-        .filter(F.col("corpus_id") != F.col("query_id"))
+        cands
         # rnorm can still be 0 when a nonzero vector quantizes onto
         # all-zero sub-centroids — rank those last, re-rank fixes them
         .withColumn(
@@ -739,6 +741,7 @@ def ann_search(
     k: int = 10, nprobe: int = 4, rerank: int | None = None,
     corpus: DataFrame | None = None,
     query_id_col: str | None = None, query_vec_col: str | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Query a persisted ANN index by name: load the centroids +
     codebooks from ``store``, read ONLY the probed cell partitions of
@@ -752,7 +755,14 @@ def ann_search(
     Bit-identical to in-memory :func:`ivfpq_topk` with the same
     fitted artifacts — the scoring body is shared (`_adc_topk`) and
     the codes round-trip parquet exactly. Columns: (query_id,
-    corpus_id, cosine, rank)."""
+    corpus_id, cosine, rank).
+
+    ``exclude_self`` (default True, the ivfpq_topk/cosine_topk
+    convention for corpus-as-queries dedup) drops candidates whose
+    corpus_id equals the query_id — pass False when the query table's
+    id space is UNRELATED to the corpus ids (an external query batch),
+    where a numeric collision would otherwise silently hide a true
+    neighbor."""
     doc = store.load(name, "ann_index")
     params = doc["params"]
     centroids = doc["payload"]["centroids"]
@@ -789,4 +799,4 @@ def ann_search(
                        F.col(vec_col).alias(params["vec_col"]))
     return _adc_topk(index, vectors, q, centroids, codebooks,
                      k, nprobe, rerank, params["id_col"],
-                     params["vec_col"])
+                     params["vec_col"], exclude_self=exclude_self)

@@ -87,17 +87,20 @@ def quality_score(df: DataFrame, text_col: str = "text",
 
 def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", method: str = "markers",
-            models: dict | None = None) -> DataFrame:
+            models: dict | None = None, n: int = 3) -> DataFrame:
     """Language ID. ``method='markers'`` (default): count marker-word
     hits per language; argmax with deterministic tie-break (marker
     count desc, then language code asc); 'und' when nothing matches.
     Columns: (id, pred_lang, marker_hits).
 
     ``method='lr'`` (r7 upgrade): a TRAINED one-vs-rest logistic
-    regression over hashed char-trigram features — the fastText-langid
-    recipe on the engine-replayable LR trainer. Pass ``models`` =
-    ``{lang: weights}`` from ``ops.classifier.train_lang_classifier``
-    (persist/reload via ``ModelStore.save_lang_lr``). Columns:
+    regression over hashed char-``n``-gram features — the
+    fastText-langid recipe on the engine-replayable LR trainer. Pass
+    ``models`` = ``{lang: weights}`` from
+    ``ops.classifier.train_lang_classifier`` (persist/reload via
+    ``ModelStore.save_lang_lr``); ``n`` MUST match the training
+    n-gram width (persisted in the model's params — mismatched grams
+    hash to different indices and score as noise). Columns:
     (id, pred_lang, score)."""
     if method == "lr":
         from .classifier import lang_scores_lr
@@ -106,7 +109,7 @@ def lang_id(df: DataFrame, text_col: str = "text",
             raise ValueError(
                 "lang_id(method='lr') needs models= from "
                 "train_lang_classifier (or ModelStore.load_lang_lr)")
-        return lang_scores_lr(df, models, text_col, id_col)
+        return lang_scores_lr(df, models, text_col, id_col, n=n)
     if method != "markers":
         raise ValueError("method must be 'markers' or 'lr'")
     toks = tokens(F.lower(F.col(text_col)))

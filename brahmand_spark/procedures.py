@@ -395,21 +395,26 @@ def _check_model_params(doc: dict, name: str, **wanted) -> None:
 
 def _p_corpus_lang_id(session, label, method="markers", model=None,
                       sample_label=None, id_col="doc_id",
-                      text_col="text", dim=1024, epochs=6):
+                      text_col="text", dim=1024, epochs=6, n=3):
     """Language ID over a catalog document table (ops/text.lang_id).
-    ``method='lr'``: the trained one-vs-rest char-trigram model —
-    loaded from the store under ``model`` when present, else trained
-    from ``sample_label`` (a catalog table with ``lang`` + text
-    columns) and SAVED under ``model``."""
+    ``method='lr'``: the trained one-vs-rest char-``n``-gram model —
+    loaded from the store under ``model`` when present (the stored
+    fit's ``n``/``dim`` are validated against the request), else
+    trained from ``sample_label`` (a catalog table with ``lang`` +
+    text columns) and SAVED under ``model`` with its fit params."""
     from .ops.text import lang_id
 
+    if method not in ("markers", "lr"):
+        raise PlanError(
+            f"corpus.lang_id method must be 'markers' or 'lr', "
+            f"got {method!r}")
     df = session._load_for_label(label)
     if method != "lr":
         return lang_id(df, text_col, id_col)
     store = session.model_store
     if model is not None and store.exists(model):
         doc = store.load(model, "lang_lr")
-        _check_model_params(doc, model, dim=int(dim))
+        _check_model_params(doc, model, dim=int(dim), n=int(n))
         models = doc["payload"]
     else:
         if sample_label is None:
@@ -421,11 +426,12 @@ def _p_corpus_lang_id(session, label, method="markers", model=None,
 
         models = train_lang_classifier(
             session._load_for_label(sample_label), text_col=text_col,
-            id_col=id_col, dim=int(dim), epochs=int(epochs))
+            id_col=id_col, dim=int(dim), epochs=int(epochs), n=int(n))
         if model is not None:
             store.save_lang_lr(model, models, dim=int(dim),
-                               epochs=int(epochs))
-    return lang_id(df, text_col, id_col, method="lr", models=models)
+                               epochs=int(epochs), n=int(n))
+    return lang_id(df, text_col, id_col, method="lr", models=models,
+                   n=int(n))
 
 
 def _p_corpus_image_near_dup(session, label, max_hamming=5,
@@ -484,11 +490,13 @@ def _p_vector_add(session, name, label, id_col=None, vec_col=None):
 
 
 def _p_vector_search(session, name, query_label, k=10, nprobe=4,
-                     rerank=None):
+                     rerank=None, exclude_self=True):
     """Top-k search against a persisted IVF-PQ index
     (ops/similarity.ann_search): queries come from a catalog table;
     the corpus for the exact re-rank is the index's recorded source
-    label (vector.build_index) or source_path."""
+    label (vector.build_index) or source_path. Pass
+    ``exclude_self=false`` when the query table's ids are unrelated
+    to the corpus ids."""
     from .ops.similarity import ann_search
 
     store = session.model_store
@@ -499,7 +507,8 @@ def _p_vector_search(session, name, query_label, k=10, nprobe=4,
     return ann_search(
         session.spark, name, session._load_for_label(query_label),
         store, k=int(k), nprobe=int(nprobe),
-        rerank=None if rerank is None else int(rerank), corpus=corpus)
+        rerank=None if rerank is None else int(rerank), corpus=corpus,
+        exclude_self=bool(exclude_self))
 
 
 def _p_db_models(session):

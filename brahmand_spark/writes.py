@@ -19,7 +19,10 @@ executor memory — the join/anti-join plans are identical.
 
 Divergences from Neo4j, documented: plain DELETE does not verify the
 node has no incident relationships (use DETACH DELETE); RETURN after a
-write is not supported; SET values may reference only the target alias.
+write is not supported; SET values may reference only the target alias;
+clauses execute in a FIXED order per statement (MERGE, CREATE, SET,
+REMOVE, DELETE, FOREACH) rather than textual order — split a
+write that needs a later clause to run first into two statements.
 """
 
 from __future__ import annotations
@@ -430,6 +433,11 @@ def _apply_set(session, df, scope, target, value, params, stats,
         raise UnsupportedError(
             "SET/REMOVE targets a node or relationship property")
     sch = session.schema.node(b.label)
+    if target.key == sch.node_id:
+        raise PlanError(
+            f"SET/REMOVE on the node id property '{sch.node_id}' "
+            "would re-key the node — CREATE a new node and DELETE "
+            "the old one instead")
     table = session._load_for_label(b.label)
     matched = df.select(F.col(b.id_pcol).alias("__wid")).distinct()
     n_matched = matched.count()
@@ -473,6 +481,11 @@ def _apply_set_rel(session, df, b, target, value, params, stats,
     identity (same documented divergence as relationship DELETE).
     The value may reference the relationship's own properties."""
     rsch = session.schema.relationship(b.type_name)
+    if target.key in (rsch.from_column, rsch.to_column):
+        raise PlanError(
+            f"SET/REMOVE on the endpoint column '{target.key}' would "
+            "re-point the edge — DELETE it and CREATE the new edge "
+            "instead")
     pairs = df.select(
         F.col(b.src_pcol).alias("__wsrc"),
         F.col(b.dst_pcol).alias("__wdst"),
@@ -523,7 +536,11 @@ def _apply_foreach(session, df, scope, fc, params, stats) -> None:
     - ``SET x.key = v`` (loop var is the node): the list must be
       ``nodes(<path>)`` of a single-label path — exploded ids id-join
       the label table, the value compiles against the target row
-      (``x.cnt + 1`` works), exactly the MERGE ON-SET shape;
+      (``x.cnt + 1`` works), exactly the MERGE ON-SET shape.
+      Divergence: ids dedup before the join, so a node reached by
+      several rows/elements updates ONCE (``x.cnt + 1`` increments by
+      1, not by its occurrence count — Neo4j's per-row imperative
+      loop would apply it repeatedly);
     - ``SET b.key = v`` (MATCH-bound target): the value may reference
       the loop variable and any matched columns; per target id the
       LAST list element wins (Cypher applies elements sequentially).

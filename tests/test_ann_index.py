@@ -222,3 +222,23 @@ class TestCallSurface:
             "CALL vector.search('vidx', 'Probe', 5, 3) "
             "YIELD query_id, corpus_id, cosine, rank").collect()))
         assert again == got
+
+
+def test_exclude_self_opt_out(spark, tmp_path):
+    """External query batches with unrelated id spaces must be able
+    to retrieve a corpus row whose id collides with a query id (r7
+    review): exclude_self=False keeps it."""
+    emb = _emb(spark)
+    st = ModelStore(str(tmp_path / "m"))
+    build_ann_index(emb, "idx", st, **PARAMS)
+    # a query VECTOR equal to corpus row 7's, but carrying id 7 in an
+    # unrelated query-id space
+    qvec = emb.filter(F.col("vec_id") == 7)
+    with_self = ann_search(spark, "idx", qvec, st, k=3,
+                           nprobe=PARAMS["n_cells"], corpus=emb,
+                           exclude_self=False).collect()
+    without = ann_search(spark, "idx", qvec, st, k=3,
+                         nprobe=PARAMS["n_cells"], corpus=emb).collect()
+    top_with = [r["corpus_id"] for r in with_self if r["rank"] == 1]
+    assert top_with == [7]  # its own vector is the exact match
+    assert all(r["corpus_id"] != 7 for r in without)

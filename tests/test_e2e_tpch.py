@@ -1043,6 +1043,43 @@ class TestPatternComprehension:
                 "RETURN [ (c)-[:PLACED]->(o:Order) "
                 "| n.n_name ] AS bad LIMIT 1")
 
+    def test_null_map_values_are_kept(self, spark):
+        """collect_list drops NULLs; the comprehension must not
+        (openCypher keeps them — r7 review). NULLs sort LAST."""
+        from brahmand_spark import GraphSession
+
+        s = GraphSession(spark)
+        s.execute("CREATE NODE TABLE U (id Int64, NODE ID (id))")
+        s.execute("CREATE NODE TABLE V (id Int64, w Int64, "
+                  "NODE ID (id))")
+        s.execute("CREATE REL TABLE E FROM U TO V ()")
+        s.register_table("U", spark.createDataFrame(
+            [(1,)], "id long"))
+        s.register_table("V", spark.createDataFrame(
+            [(10, 5), (11, None), (12, 3)], "id long, w long"))
+        s.register_table("E", spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12)], "from_U long, to_V long"))
+        r = s.execute(
+            "MATCH (u:U) RETURN u.id AS i, "
+            "[ (u)-[:E]->(v:V) | v.w ] AS ws").collect()[0]
+        assert list(r["ws"]) == [3, 5, None]
+        # while size() of the same pattern counts ALL matches
+        n = s.execute(
+            "MATCH (u:U) RETURN size([ (u)-[:E]->(v:V) | v.w ]) "
+            "AS n").collect()[0]["n"]
+        assert n == 3
+
+    def test_path_var_in_later_call_segment(self, tpch):
+        """A path variable declared in the block's SECOND segment
+        binds (r7 review fix #8)."""
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 2 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WITH o MATCH p = (o)-[:HAS_LINE]->(l:Lineitem) "
+            "RETURN max(length(p)) AS ml } "
+            "RETURN c.c_custkey AS ck, ml ORDER BY ck").collect()
+        assert all(r["ml"] == 1 for r in rows)
+
     def test_size_compiles_to_count_not_collect(self, tpch):
         """size([ pattern | e ]) never materializes the list — it
         rewrites to the grouped COUNT (the map is total, so size ==

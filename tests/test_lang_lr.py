@@ -224,3 +224,28 @@ class TestCallSurface:
             [(1, "x")], "doc_id long, text string"))
         with pytest.raises(PlanError, match="sample_label"):
             s.execute("CALL corpus.lang_id('Doc', 'lr')").collect()
+
+
+def test_lang_model_n_mismatch_rejected(spark, tmp_path):
+    """The char-n-gram width is part of the fit: loading a stored
+    model under a different n must fail loudly, not mis-score (r7
+    review)."""
+    from brahmand_spark import GraphSession
+    from brahmand_spark.errors import CatalogError, PlanError
+
+    s = GraphSession(spark, models_path=str(tmp_path / "m"))
+    s.execute("CREATE NODE TABLE Doc (doc_id Int64, text String, "
+              "NODE ID (doc_id))")
+    s.execute("CREATE NODE TABLE Sample (doc_id Int64, text String, "
+              "lang String, NODE ID (doc_id))")
+    s.register_table("Sample", _sample_df(spark, n_per_lang=4))
+    s.register_table("Doc", spark.createDataFrame(
+        [(1, "the quick fox")], "doc_id long, text string"))
+    s.execute("CALL corpus.lang_id('Doc', 'lr', 'lw', 'Sample', "
+              "'doc_id', 'text', 256, 2, 2)").collect()
+    assert s.model_store.load("lw", "lang_lr")["params"]["n"] == 2
+    with pytest.raises(CatalogError, match="n=2.*n=3"):
+        s.execute("CALL corpus.lang_id('Doc', 'lr', 'lw', 'Sample', "
+                  "'doc_id', 'text', 256, 2)").collect()
+    with pytest.raises(PlanError, match="markers.*lr|lr"):
+        s.execute("CALL corpus.lang_id('Doc', 'fasttext')").collect()

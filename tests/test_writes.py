@@ -413,3 +413,31 @@ class TestRelPropertySet:
             wsession.execute(
                 "MATCH (p:Person)-[r:LIVES_IN]->(c:City) "
                 "SET r.since = p.age")
+
+
+class TestKeyColumnGuards:
+    """SET/REMOVE must not silently re-key a node or re-point an edge
+    (r7 review): id and endpoint columns are rejected as targets."""
+
+    def test_node_id_set_rejected(self, wsession, spark):
+        wsession.register_table("Person", spark.createDataFrame(
+            [(1, "a", 30)], "id long, name string, age long"))
+        with pytest.raises(PlanError, match="re-key"):
+            wsession.execute("MATCH (p:Person {id: 1}) SET p.id = 99")
+
+    def test_rel_endpoint_set_rejected(self, wsession, spark):
+        wsession.register_table("Person", spark.createDataFrame(
+            [(1, "a", 30)], "id long, name string, age long"))
+        wsession.register_table("City", spark.createDataFrame(
+            [(100, "x")], "id long, name string"))
+        wsession.register_table("LIVES_IN", spark.createDataFrame(
+            [(1, 100, 2019)], "from_Person long, to_City long, "
+                              "since long"))
+        with pytest.raises(PlanError, match="re-point"):
+            wsession.execute(
+                "MATCH (:Person)-[r:LIVES_IN]->(:City) "
+                "SET r.from_Person = 0")
+        with pytest.raises(PlanError, match="re-point"):
+            wsession.execute(
+                "MATCH (:Person)-[r:LIVES_IN]->(:City) "
+                "REMOVE r.to_City")

@@ -447,6 +447,35 @@ def _p_corpus_image_near_dup(session, label, max_hamming=5,
         method=method)
 
 
+def _p_corpus_image_dedup_groups(session, label, max_hamming=5,
+                                 method="dhash", id_col="id",
+                                 binary_col="content"):
+    """Transitive image near-duplicate GROUPS: perceptual-hash pair
+    graph (corpus.image_near_dup) -> connected components; (id,
+    group, keep) for every image — keep = smallest id of its group,
+    singletons keep themselves (the text dedup_groups contract over
+    the image pair graph)."""
+    from .ops.algos import connected_components
+    from .ops.multimodal import image_near_dup_pairs
+
+    imgs = session._load_for_label(label)
+    pairs = image_near_dup_pairs(
+        imgs, id_col=id_col, binary_col=binary_col,
+        max_hamming=int(max_hamming), method=method)
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"),
+                     F.col("id_b").alias("dst")))
+    return (
+        imgs.select(F.col(id_col))
+        .join(comps.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("group"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("group"))
+    )
+
+
 def _p_vector_build_index(session, label, name, n_cells=16, m=4,
                           n_codes=16, id_col="vec_id",
                           vec_col="embedding"):
@@ -560,6 +589,7 @@ PROCEDURES: dict[str, Callable] = {
     "corpus.pca": _p_corpus_pca,
     "corpus.lang_id": _p_corpus_lang_id,
     "corpus.image_near_dup": _p_corpus_image_near_dup,
+    "corpus.image_dedup_groups": _p_corpus_image_dedup_groups,
     "vector.build_index": _p_vector_build_index,
     "vector.add": _p_vector_add,
     "vector.search": _p_vector_search,

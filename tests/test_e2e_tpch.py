@@ -1099,6 +1099,16 @@ class TestPatternComprehension:
             listy._jdf.queryExecution(), "formatted")
         assert "collect_list" in lplan
 
+    def test_var_length_pattern_comprehension(self, tpch):
+        """Comprehension over a var-length pattern rides the existing
+        var-length sub-assembly."""
+        r = {x["ck"]: sorted(x["ds"]) for x in tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 2 "
+            "RETURN c.c_custkey AS ck, "
+            "[ (c)-[:NEXT_CUST*1..2]->(d:Customer) | d.c_custkey ] "
+            "AS ds ORDER BY ck").collect()}
+        assert r == {0: [1, 2], 1: [2, 3], 2: [3, 4]}
+
     def test_list_literals_unaffected(self, tpch):
         r = tpch.execute(
             "MATCH (c:Customer) WHERE c.c_custkey = 1 "

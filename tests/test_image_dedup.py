@@ -175,3 +175,27 @@ def test_image_near_dup_via_call(spark):
         "CALL corpus.image_near_dup('Img', 6) "
         "YIELD id_a, id_b, hamming").collect()
     assert any((r["id_a"], r["id_b"]) == (0, 1) for r in rows)
+
+
+def test_image_dedup_groups_via_call(spark):
+    """Transitive image groups: A~B, B~C puts all three in one group
+    with the smallest id kept; unrelated images keep themselves."""
+    from brahmand_spark import GraphSession
+
+    s = GraphSession(spark)
+    s.execute("CREATE NODE TABLE Img (id Int64, content Blob, "
+              "NODE ID (id))")
+    base = _rng_image(11, 24, 24)
+    s.register_table("Img", _corpus(spark, [
+        base,                        # 0
+        _perturb(base, 1, seed=2),   # 1 ~ 0
+        _perturb(base, 2, seed=3),   # 2 ~ 0 (and likely ~ 1)
+        _rng_image(500, 24, 24),     # 3 unrelated
+    ]))
+    rows = {r["id"]: (r["group"], r["keep"]) for r in s.execute(
+        "CALL corpus.image_dedup_groups('Img', 10) "
+        "YIELD id, group, keep").collect()}
+    assert rows[0] == (0, True)
+    assert rows[1][0] == 0 and rows[1][1] is False
+    assert rows[2][0] == 0 and rows[2][1] is False
+    assert rows[3] == (3, True)

@@ -339,3 +339,50 @@ class TestCurateUrls:
         cols = out.columns
         for c in ("url_norm", "host", "registered_domain"):
             assert c in cols
+
+
+class TestNormalizationProperties:
+    """Property-based invariants of normalize_url (hypothesis over a
+    URL-shaped generator): idempotence (normalizing a normalized URL
+    is a no-op) and dedup stability (url_exact_dedup is idempotent)."""
+
+    def test_normalize_is_idempotent(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        host = st.from_regex(
+            r"[a-z][a-z0-9]{0,6}(\.[a-z]{2,5}){1,2}", fullmatch=True)
+        path = st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,3}/{0,2}",
+                             fullmatch=True)
+        query = st.from_regex(
+            r"(\?([a-z]{1,6}=[A-Za-z0-9]{0,4}&?){0,3})?",
+            fullmatch=True)
+        scheme = st.sampled_from(["http", "https", "HTTP", "Https"])
+        www = st.sampled_from(["", "www."])
+
+        urls = []
+
+        @settings(max_examples=60, deadline=None)
+        @given(scheme, www, host, path, query)
+        def collect(s, w, h, p, q):
+            urls.append(f"{s}://{w}{h}{p}{q}")
+
+        collect()
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "id long, url string")
+        once = df.select("id", normalize_url(F.col("url")).alias("n"))
+        twice = once.select(
+            "id", normalize_url(F.col("n")).alias("n2"))
+        joined = once.join(twice, "id")
+        bad = joined.filter(
+            ~F.col("n").eqNullSafe(F.col("n2"))).collect()
+        assert bad == [], bad[:5]
+
+    def test_url_dedup_is_idempotent(self, spark):
+        urls = [(i, f"https://www.Ex{i % 7}.com/p/{i % 5}/"
+                    f"?utm_source=a&x={i % 3}") for i in range(60)]
+        df = spark.createDataFrame(urls, "doc_id long, url string")
+        once = url_exact_dedup(df)
+        twice = url_exact_dedup(once)
+        assert sorted(r["doc_id"] for r in once.collect()) \
+            == sorted(r["doc_id"] for r in twice.collect())

@@ -44,9 +44,32 @@ class ExprCompiler:
         if isinstance(e, ast.Variable):
             return self._variable(e.name)
         if isinstance(e, ast.PropertyAccess):
+            # `.key` on a lambda variable or a scalar binding is
+            # struct-field access (map projections / map literals /
+            # properties() produce structs — r7); node/rel bindings
+            # resolve to their prefixed property columns as before.
+            if e.alias in self._lambda_vars:
+                return self._lambda_vars[e.alias][e.key]
+            if isinstance(self.scope.get(e.alias), ScalarBinding):
+                return F.col(e.alias)[e.key]
             return F.col(self.resolve_property(e.alias, e.key))
         if isinstance(e, ast.ListLiteral):
             return F.array(*[self.compile(x) for x in e.items])
+        if isinstance(e, ast.MapLiteral):
+            if not e.items:
+                raise PlanError(
+                    "empty map literal {} has no struct type — give it "
+                    "at least one key")
+            seen: set[str] = set()
+            cols = []
+            for k, v in e.items:
+                if k in seen:
+                    raise PlanError(f"duplicate map key '{k}'")
+                seen.add(k)
+                cols.append(self.compile(v).alias(k))
+            return F.struct(*cols)
+        if isinstance(e, ast.MapProjection):
+            return self._map_projection(e)
         if isinstance(e, ast.Unary):
             return self._unary(e)
         if isinstance(e, ast.Binary):
@@ -125,6 +148,38 @@ class ExprCompiler:
             return pcol(alias, key)
         raise PlanError(f"'{alias}' is not a node/relationship; "
                         f"cannot access property '{key}'")
+
+    def _map_projection(self, e: "ast.MapProjection") -> Column:
+        """``n {.prop, .*, key: expr, var}`` -> named struct over the
+        binding's property columns / computed entries (r7)."""
+        b = self.scope.get(e.alias)
+        if not isinstance(b, (NodeBinding, RelBinding)):
+            raise PlanError(
+                f"map projection requires a node or relationship "
+                f"variable; '{e.alias}' is not one")
+        seen: set[str] = set()
+        cols: list[Column] = []
+
+        def add(k: str, c: Column) -> None:
+            if k in seen:
+                raise PlanError(
+                    f"duplicate key '{k}' in map projection")
+            seen.add(k)
+            cols.append(c.alias(k))
+
+        for kind, payload in e.entries:
+            if kind == "all":
+                for c in b.columns:
+                    add(c, F.col(pcol(e.alias, c)))
+            elif kind == "prop":
+                add(payload,
+                    F.col(self.resolve_property(e.alias, payload)))
+            elif kind == "var":
+                add(payload, self.compile(ast.Variable(payload)))
+            else:  # kv
+                k, sub = payload
+                add(k, self.compile(sub))
+        return F.struct(*cols)
 
     def _in_lambda(self, bindings: dict[str, Column], expr: ast.Expr) -> Column:
         """Compile ``expr`` with lambda variables bound (restores any
@@ -311,6 +366,16 @@ class ExprCompiler:
             if isinstance(b, RelBinding):
                 return F.lit(b.type_name)
             raise PlanError("type() requires a relationship variable")
+        if name == "properties" and len(e.args) == 1 and isinstance(
+                e.args[0], ast.Variable):
+            b = self.scope.get(e.args[0].name)
+            if isinstance(b, (NodeBinding, RelBinding)) and b.columns:
+                return F.struct(*[
+                    F.col(pcol(e.args[0].name, c)).alias(c)
+                    for c in b.columns])
+            raise PlanError(
+                "properties() requires a node/relationship variable "
+                "whose columns are in scope")
         if (name in ("nodes", "relationships", "length")
                 and len(e.args) == 1
                 and isinstance(e.args[0], ast.Variable)
@@ -346,6 +411,11 @@ def contains_aggregate(e: ast.Expr) -> bool:
         return contains_aggregate(e.operand)
     if isinstance(e, ast.ListLiteral):
         return any(contains_aggregate(x) for x in e.items)
+    if isinstance(e, ast.MapLiteral):
+        return any(contains_aggregate(v) for _, v in e.items)
+    if isinstance(e, ast.MapProjection):
+        return any(contains_aggregate(p[1])
+                   for k, p in e.entries if k == "kv")
     if isinstance(e, ast.CaseExpr):
         parts = [c for w in e.whens for c in w]
         if e.else_ is not None:
@@ -381,6 +451,16 @@ def collect_aliases(e: ast.Expr, out: set[str]) -> None:
     elif isinstance(e, ast.ListLiteral):
         for x in e.items:
             collect_aliases(x, out)
+    elif isinstance(e, ast.MapLiteral):
+        for _, v in e.items:
+            collect_aliases(v, out)
+    elif isinstance(e, ast.MapProjection):
+        out.add(e.alias)
+        for kind, payload in e.entries:
+            if kind == "kv":
+                collect_aliases(payload[1], out)
+            elif kind == "var":
+                out.add(payload)
     elif isinstance(e, ast.FnCall):
         for a in e.args:
             collect_aliases(a, out)

@@ -171,11 +171,32 @@ class PatternComprehension:
     map: object = None  # Expr (mandatory per openCypher)
 
 
+@dataclass(frozen=True)
+class MapLiteral:
+    """``{k: expr, ...}`` map literal (extension — r7): compiles to a
+    named struct (Cypher maps with static keys ARE structs
+    relationally)."""
+
+    items: tuple  # tuple[(str key, Expr value), ...]
+
+
+@dataclass(frozen=True)
+class MapProjection:
+    """``n {.prop, .*, key: expr, var}`` (openCypher map projection —
+    r7): a named struct built from the variable's property columns
+    and/or computed entries. Entry kinds: ("prop", key) for ``.key``,
+    ("all", None) for ``.*``, ("kv", (key, Expr)) for ``key: expr``,
+    ("var", name) for a bare variable entry."""
+
+    alias: str
+    entries: tuple
+
+
 Expr = Union[
     Literal, Star, Variable, PropertyAccess, Parameter, ListLiteral,
-    FnCall, Unary, Binary, IsNull, CaseExpr, PatternPredicate,
-    CountSubquery, PatternComprehension, ListComprehension, Quantifier,
-    Reduce,
+    MapLiteral, MapProjection, FnCall, Unary, Binary, IsNull, CaseExpr,
+    PatternPredicate, CountSubquery, PatternComprehension,
+    ListComprehension, Quantifier, Reduce,
 ]
 
 

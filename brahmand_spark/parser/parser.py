@@ -563,8 +563,33 @@ class Parser:
                 idx = self.parse_expr()
                 self.eat_op("]")
                 expr = ast.FnCall("__index", (expr, idx))
+            elif self.at_op("{") and isinstance(expr, ast.Variable):
+                # map projection `n {.prop, .*, key: expr, var}` (r7)
+                expr = self.parse_map_projection(expr.name)
             else:
                 return expr
+
+    def parse_map_projection(self, alias: str) -> "ast.MapProjection":
+        self.eat_op("{")
+        entries = []
+        while not self.at_op("}"):
+            if self.try_op("."):
+                if self.try_op("*"):
+                    entries.append(("all", None))
+                else:
+                    entries.append(("prop", self.ident()))
+            else:
+                name = self.ident()
+                if self.try_op(":"):
+                    entries.append(("kv", (name, self.parse_expr())))
+                else:
+                    entries.append(("var", name))
+            if not self.try_op(","):
+                break
+        self.eat_op("}")
+        if not entries:
+            self.error("empty map projection { }")
+        return ast.MapProjection(alias=alias, entries=tuple(entries))
 
     def parse_primary(self) -> ast.Expr:
         tok = self.peek()
@@ -639,6 +664,23 @@ class Parser:
                         break
             self.eat_op("]")
             return ast.ListLiteral(tuple(items))
+        if self.at_op("{"):
+            # map literal `{k: expr, ...}` (r7; keys are idents or
+            # strings). `{` only reaches primary OUTSIDE node patterns
+            # and EXISTS/COUNT blocks, so this is unambiguous.
+            self.next()
+            items = []
+            while not self.at_op("}"):
+                if self.peek().kind == "STRING":
+                    key = self.next().value
+                else:
+                    key = self.ident()
+                self.eat_op(":")
+                items.append((key, self.parse_expr()))
+                if not self.try_op(","):
+                    break
+            self.eat_op("}")
+            return ast.MapLiteral(items=tuple(items))
         if self.at_op("("):
             # Ambiguity: `(expr)` vs a pattern predicate `(a)-[:T]->(b)`
             # (extension). Try the pattern parse with backtracking; only

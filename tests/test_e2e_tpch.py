@@ -1119,6 +1119,86 @@ class TestPatternComprehension:
         assert list(r["c"]) == [20, 30]
 
 
+class TestMapExpressions:
+    """Map literals {k: v}, map projections n {.prop, .*, k: e, var},
+    properties(n), and struct-field access on scalar bindings (r7 —
+    Cypher maps with static keys ARE named structs relationally)."""
+
+    def test_map_literal(self, tpch):
+        r = tpch.execute(
+            "MATCH (n:Nation) WHERE n.n_nationkey = 0 "
+            "RETURN {a: 1, b: 'x', c: [1, 2], "
+            "d: n.n_nationkey + 5} AS m").collect()[0]["m"]
+        assert (r["a"], r["b"], list(r["c"]), r["d"]) == (1, "x", [1, 2], 5)
+
+    def test_map_projection_forms(self, tpch):
+        r = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+            "WITH c, c.c_acctbal AS bal "
+            "RETURN c {.c_name, scaled: c.c_custkey * 10, bal} AS m"
+        ).collect()[0]["m"]
+        assert r["c_name"].startswith("Customer")
+        assert r["scaled"] == 10 and r["bal"] == r.asDict()["bal"]
+
+    def test_map_projection_star_equals_properties(self, tpch):
+        a = tpch.execute(
+            "MATCH (n:Nation) WHERE n.n_nationkey = 1 "
+            "RETURN n {.*} AS m").collect()[0]["m"]
+        b = tpch.execute(
+            "MATCH (n:Nation) WHERE n.n_nationkey = 1 "
+            "RETURN properties(n) AS m").collect()[0]["m"]
+        assert a.asDict() == b.asDict()
+        assert a["n_name"] == "NATION_1"
+
+    def test_struct_field_access_downstream(self, tpch):
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+            "WITH c {.c_custkey, .c_acctbal} AS m "
+            "WHERE m.c_acctbal > 0 "
+            "RETURN m.c_custkey AS ck ORDER BY ck").collect()
+        want = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+            "AND c.c_acctbal > 0 "
+            "RETURN c.c_custkey AS ck ORDER BY ck").collect()
+        assert [r["ck"] for r in rows] == [r["ck"] for r in want]
+
+    def test_collect_of_map_projections(self, tpch):
+        """Maps compose with aggregates: collect a struct per group."""
+        r = tpch.execute(
+            "MATCH (c:Customer)-[:CUST_IN]->(n:Nation) "
+            "WHERE n.n_nationkey = 0 "
+            "RETURN n.n_name AS nation, "
+            "count(*) AS n_members, "
+            "collect(c {.c_custkey, .c_acctbal}) AS members").collect()
+        assert len(r) == 1 and r[0]["n_members"] >= 1
+        first = r[0]["members"][0]
+        assert first["c_custkey"] is not None
+        assert len(r[0]["members"]) == r[0]["n_members"]
+
+    def test_errors(self, tpch):
+        with pytest.raises(PlanError, match="unknown property"):
+            tpch.execute(
+                "MATCH (c:Customer) RETURN c {.nope} AS m LIMIT 1")
+        with pytest.raises(PlanError, match="duplicate key"):
+            tpch.execute(
+                "MATCH (c:Customer) RETURN c {.c_name, .c_name} "
+                "AS m LIMIT 1")
+        with pytest.raises(PlanError, match="empty map"):
+            tpch.execute("MATCH (c:Customer) RETURN {} AS m LIMIT 1")
+        with pytest.raises(PlanError, match="node or relationship"):
+            tpch.execute(
+                "MATCH (c:Customer) WITH c.c_name AS s "
+                "RETURN s {.x} AS m LIMIT 1")
+
+    def test_node_property_maps_in_patterns_unaffected(self, tpch):
+        """Inline property maps inside node patterns still parse as
+        pattern filters, not map literals."""
+        rows = tpch.execute(
+            "MATCH (n:Nation {n_nationkey: 2}) "
+            "RETURN n.n_name AS nm").collect()
+        assert [r["nm"] for r in rows] == ["NATION_2"]
+
+
 class TestOptionalCallSubquery:
     """OPTIONAL CALL { } (openCypher 5): outer rows whose block yields
     nothing survive NULL-filled, in both the uncorrelated and

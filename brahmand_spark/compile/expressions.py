@@ -366,6 +366,14 @@ class ExprCompiler:
             if isinstance(b, RelBinding):
                 return F.lit(b.type_name)
             raise PlanError("type() requires a relationship variable")
+        if name == "keys" and len(e.args) == 1 and isinstance(
+                e.args[0], ast.Variable):
+            b = self.scope.get(e.args[0].name)
+            if isinstance(b, (NodeBinding, RelBinding)) and b.columns:
+                return F.array(*[F.lit(c) for c in b.columns])
+            raise PlanError(
+                "keys() requires a node/relationship variable whose "
+                "columns are in scope")
         if name == "properties" and len(e.args) == 1 and isinstance(
                 e.args[0], ast.Variable):
             b = self.scope.get(e.args[0].name)

@@ -890,6 +890,25 @@ class Parser:
             columns=columns, adj_index=adj_index,
         )
 
+    def _parse_set_assignment(self, out: list) -> None:
+        """One SET item: ``alias.key = expr`` or ``alias += {k: v,
+        ...}`` — the map-merge form (openCypher SET += ) desugars at
+        parse time into per-key property assignments, so execution,
+        guards, and replays all reuse the single-property path."""
+        target = self.parse_postfix()
+        if isinstance(target, ast.Variable) and self.try_op("+"):
+            self.eat_op("=")
+            value = self.parse_expr()
+            if not isinstance(value, ast.MapLiteral):
+                self.error(
+                    "SET alias += expects a map literal {k: v, ...} "
+                    "(dynamic maps have no static schema here)")
+            for k, v in value.items:
+                out.append((ast.PropertyAccess(target.name, k), v))
+            return
+        self.eat_op("=")
+        out.append((target, self.parse_expr()))
+
     def parse_foreach(self) -> "ast.ForeachClause":
         """``FOREACH (x IN <list> | SET a.k = v [, ...] / [DETACH]
         DELETE x)`` — the executable subset (r7). CREATE / MERGE /
@@ -905,9 +924,7 @@ class Parser:
             if self.at_kw("SET"):
                 self.next()
                 while True:
-                    target = self.parse_postfix()
-                    self.eat_op("=")
-                    fc.sets.append((target, self.parse_expr()))
+                    self._parse_set_assignment(fc.sets)
                     if not self.try_op(","):
                         break
             elif self.at_kw("DELETE") or self.at_kw("DETACH"):
@@ -968,9 +985,7 @@ class Parser:
                         self.error("expected CREATE or MATCH after ON")
                     self.eat_kw("SET")
                     while True:
-                        t = self.parse_postfix()
-                        self.eat_op("=")
-                        target.append((t, self.parse_expr()))
+                        self._parse_set_assignment(target)
                         if not self.try_op(","):
                             break
                 wq.merges.append(mc)
@@ -978,9 +993,7 @@ class Parser:
                 self.next()
                 assignments = []
                 while True:
-                    target = self.parse_postfix()
-                    self.eat_op("=")
-                    assignments.append((target, self.parse_expr()))
+                    self._parse_set_assignment(assignments)
                     if not self.try_op(","):
                         break
                 wq.set_clause = ast.SetClause(assignments=assignments)

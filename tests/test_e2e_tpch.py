@@ -1190,6 +1190,12 @@ class TestMapExpressions:
                 "MATCH (c:Customer) WITH c.c_name AS s "
                 "RETURN s {.x} AS m LIMIT 1")
 
+    def test_keys_function(self, tpch):
+        r = tpch.execute(
+            "MATCH (n:Nation) WHERE n.n_nationkey = 0 "
+            "RETURN keys(n) AS k").collect()[0]
+        assert list(r["k"]) == ["n_nationkey", "n_name", "n_regionkey"]
+
     def test_node_property_maps_in_patterns_unaffected(self, tpch):
         """Inline property maps inside node patterns still parse as
         pattern filters, not map literals."""

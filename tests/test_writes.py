@@ -441,3 +441,43 @@ class TestKeyColumnGuards:
             wsession.execute(
                 "MATCH (:Person)-[r:LIVES_IN]->(:City) "
                 "REMOVE r.to_City")
+
+
+class TestSetMapMerge:
+    """SET n += {map} (r7): desugars at parse time into per-key
+    property assignments — guards, snapshots, and replays all reuse
+    the single-property path."""
+
+    def test_plus_equals_sets_multiple(self, wsession, spark):
+        wsession.register_table("Person", spark.createDataFrame(
+            [(1, "a", 30), (2, "b", 40)],
+            "id long, name string, age long"))
+        wsession.execute(
+            "MATCH (p:Person {id: 1}) "
+            "SET p += {age: 31, vip: TRUE}")
+        got = rows(wsession, "MATCH (p:Person) "
+                             "RETURN p.id AS i, p.age AS a, p.vip AS v")
+        assert got == {(1, 31, True), (2, 40, None)}
+
+    def test_plus_equals_in_foreach(self, wsession, spark):
+        wsession.register_table("Person", spark.createDataFrame(
+            [(1, "a", 30)], "id long, name string, age long"))
+        wsession.execute(
+            "MATCH (p:Person {id: 1}) "
+            "FOREACH (x IN [7] | SET p += {score: x, seen: 1})")
+        got = rows(wsession, "MATCH (p:Person {id: 1}) "
+                             "RETURN p.score AS s, p.seen AS e")
+        assert got == {(7, 1)}
+
+    def test_non_map_value_guided(self, wsession, spark):
+        from brahmand_spark.errors import ParseError
+
+        with pytest.raises(ParseError, match="map literal"):
+            wsession.execute("MATCH (p:Person) SET p += 5")
+
+    def test_id_key_still_guarded(self, wsession, spark):
+        wsession.register_table("Person", spark.createDataFrame(
+            [(1, "a", 30)], "id long, name string, age long"))
+        with pytest.raises(PlanError, match="re-key"):
+            wsession.execute(
+                "MATCH (p:Person {id: 1}) SET p += {id: 9, age: 31}")

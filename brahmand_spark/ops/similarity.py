@@ -777,6 +777,12 @@ def ann_search(
                 f"index '{name}' has no recorded source_path; pass "
                 f"corpus= for the exact re-rank")
         corpus = spark.read.parquet(params["source_path"])
+    if queries.isStreaming:
+        raise ValueError(
+            "ann_search takes a BATCH query frame (the probe-cell "
+            "pruning and top-k windows are batch constructs); search "
+            "a query STREAM with streaming.vector.ann_search_stream, "
+            "which runs this per micro-batch via foreachBatch")
     # queries are the small side by contract (they broadcast in the
     # scoring join); collecting their distinct probe cells is a
     # bounded driver round-trip that buys partition pruning on the

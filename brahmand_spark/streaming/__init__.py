@@ -1,5 +1,6 @@
 from .dedup_stream import dedup_stream
 from .joins import funnel_join
+from .vector import ann_search_stream
 from .stateful import running_user_stats, running_user_stats_batch
 from .windows import (
     read_event_stream, sessionize, sliding_counts, streaming_dedup,

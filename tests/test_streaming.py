@@ -744,3 +744,53 @@ class TestStreamingUrlDedupSemantics:
             df.repartition(7)).collect()))
         assert a == b
         assert streaming_url_dedup(df).first()["event_id"] == 1
+
+
+class TestStreamingVectorSearch:
+    def test_stream_search_equals_batch(self, spark, tmp_path):
+        """ann_search_stream on a REAL query stream: the union of
+        per-micro-batch results equals one batch ann_search over all
+        queries (the index is static; batches are independent)."""
+        from brahmand_spark.models import ModelStore
+        from brahmand_spark.ops.similarity import ann_search, build_ann_index
+        from brahmand_spark.streaming import ann_search_stream
+        from brahmand_spark.streaming.windows import read_event_stream
+
+        from .conftest import SF_SMOKE
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(emb, "sidx", st, n_cells=8, m=4, n_codes=8,
+                        source_path=f"{SF_SMOKE}/embeddings.parquet")
+        queries = emb.filter("vec_id < 8")
+        src = str(tmp_path / "qstream")
+        queries.repartition(4).write.mode("overwrite").parquet(src)
+
+        results = []
+        writer = ann_search_stream(
+            spark, "sidx",
+            read_event_stream(spark, src, max_files_per_trigger=1),
+            st, sink=lambda df, bid: results.extend(
+                tuple(r) for r in df.collect()),
+            k=5, nprobe=3)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(180)
+        want = sorted(map(tuple, ann_search(
+            spark, "sidx", queries, st, k=5, nprobe=3).collect()))
+        assert sorted(results) == want and len(want) > 0
+
+    def test_direct_stream_query_rejected(self, spark, tmp_path):
+        from brahmand_spark.models import ModelStore
+        from brahmand_spark.ops.similarity import ann_search, build_ann_index
+        from brahmand_spark.streaming.windows import read_event_stream
+
+        from .conftest import SF_SMOKE
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        st = ModelStore(str(tmp_path / "m2"))
+        build_ann_index(emb, "sidx2", st, n_cells=4, m=4, n_codes=8)
+        src = str(tmp_path / "q2")
+        emb.limit(4).write.mode("overwrite").parquet(src)
+        with pytest.raises(ValueError, match="ann_search_stream"):
+            ann_search(spark, "sidx2",
+                       read_event_stream(spark, src), st, corpus=emb)

@@ -783,6 +783,15 @@ def ann_search(
             "pruning and top-k windows are batch constructs); search "
             "a query STREAM with streaming.vector.ann_search_stream, "
             "which runs this per micro-batch via foreachBatch")
+    # wrong-width query vectors would slice into garbage sub-vectors
+    # and score as noise — fail loudly instead (queries are small by
+    # contract, so this probe costs one tiny scan)
+    bad = queries.filter(
+        F.size(F.col(vec_col)) != int(params["dim"])).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"query vectors must have dim {params['dim']} to search "
+            f"index '{name}' (found a row with a different width)")
     # queries are the small side by contract (they broadcast in the
     # scoring join); collecting their distinct probe cells is a
     # bounded driver round-trip that buys partition pruning on the

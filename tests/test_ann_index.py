@@ -242,3 +242,16 @@ def test_exclude_self_opt_out(spark, tmp_path):
     top_with = [r["corpus_id"] for r in with_self if r["rank"] == 1]
     assert top_with == [7]  # its own vector is the exact match
     assert all(r["corpus_id"] != 7 for r in without)
+
+
+def test_wrong_query_dim_rejected(spark, tmp_path):
+    """Mismatched query width would slice into garbage sub-vectors —
+    it must raise, not mis-score (r7 review follow-up)."""
+    emb = _emb(spark)
+    st = ModelStore(str(tmp_path / "m"))
+    build_ann_index(emb, "idx", st, **PARAMS)
+    bad_q = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3, 0.4])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        ann_search(spark, "idx", bad_q, st, corpus=emb)

@@ -298,6 +298,22 @@ class QueryCompiler:
                         expr(v)
                 expr(e.where)
                 return
+            if isinstance(e, ast.MapProjection):
+                # entry payloads are (kind, str-or-(key, Expr)) tuples
+                # the generic walk cannot see into (r7 review): record
+                # the projected properties so FK-elision / fused-rel
+                # materialization keep them
+                props.setdefault(e.alias, set())
+                for kind, payload in e.entries:
+                    if kind == "all":
+                        bare.add(e.alias)  # every column is read
+                    elif kind == "prop":
+                        props[e.alias].add(payload)
+                    elif kind == "var":
+                        bare.add(payload)
+                    else:  # kv
+                        expr(payload[1])
+                return
             # generic recursion over expression dataclass fields
             lambda_locals = []
             if isinstance(e, (ast.ListComprehension, ast.Quantifier)):
@@ -377,17 +393,7 @@ class QueryCompiler:
             pattern = self._build_pattern(required, scope)
             self._infer(pattern)
             df = self._assemble(df, scope, pattern, part)
-            for var, (nodes, rels) in pattern.path_vars.items():
-                hops = []
-                for r in pattern.rels:
-                    if r.alias in rels:
-                        hops.append(
-                            pcol(r.alias, "hops") if r.max_hops > 1 else None
-                        )
-                scope.bind(PathBinding(
-                    alias=var, node_aliases=nodes, rel_aliases=rels,
-                    rel_hops=hops,
-                ))
+            _bind_path_vars(pattern, scope)
         for mc in optionals:
             df = self._apply_optional(df, scope, mc)
         for csub in part.calls:
@@ -1426,6 +1432,7 @@ class QueryCompiler:
         scope.bind(RelBinding(
             alias=a, type_name=sch.type_name, columns=[],
             src_pcol=src_name, dst_pcol=dst_name,
+            fwd_storage={"fwd": True, "rev": False}.get(rel.orientation),
         ))
         return df
 
@@ -1697,6 +1704,8 @@ class QueryCompiler:
         scope.bind(RelBinding(
             alias=a, type_name=sch.type_name, columns=prop_cols,
             src_pcol=src_name, dst_pcol=dst_name,
+            fwd_storage={"fwd": True, "rev": False, "invalid": True}
+            .get(rel.orientation),
         ))
         if rel.properties:
             ec = ExprCompiler(scope, self.params)
@@ -2413,6 +2422,7 @@ class QueryCompiler:
                             alias=out_alias, type_name=b.type_name,
                             columns=list(b.columns),
                             src_pcol=b.src_pcol, dst_pcol=b.dst_pcol,
+                            fwd_storage=b.fwd_storage,
                         ))
                         # src/dst pcols must be carried too
                         sel.append((b.src_pcol, F.col(b.src_pcol), False, None))

@@ -151,35 +151,31 @@ class ExprCompiler:
 
     def _map_projection(self, e: "ast.MapProjection") -> Column:
         """``n {.prop, .*, key: expr, var}`` -> named struct over the
-        binding's property columns / computed entries (r7)."""
+        binding's property columns / computed entries (r7). A later
+        entry OVERRIDES an earlier one with the same key — the
+        openCypher idiom ``n {.*, name: upper(n.name)}`` replaces one
+        field of the full projection."""
         b = self.scope.get(e.alias)
         if not isinstance(b, (NodeBinding, RelBinding)):
             raise PlanError(
                 f"map projection requires a node or relationship "
                 f"variable; '{e.alias}' is not one")
-        seen: set[str] = set()
-        cols: list[Column] = []
-
-        def add(k: str, c: Column) -> None:
-            if k in seen:
-                raise PlanError(
-                    f"duplicate key '{k}' in map projection")
-            seen.add(k)
-            cols.append(c.alias(k))
-
+        out: dict[str, Column] = {}
         for kind, payload in e.entries:
             if kind == "all":
                 for c in b.columns:
-                    add(c, F.col(pcol(e.alias, c)))
+                    out[c] = F.col(pcol(e.alias, c))
             elif kind == "prop":
-                add(payload,
-                    F.col(self.resolve_property(e.alias, payload)))
+                out[payload] = F.col(
+                    self.resolve_property(e.alias, payload))
             elif kind == "var":
-                add(payload, self.compile(ast.Variable(payload)))
+                out[payload] = self.compile(ast.Variable(payload))
             else:  # kv
                 k, sub = payload
-                add(k, self.compile(sub))
-        return F.struct(*cols)
+                out[k] = self.compile(sub)
+        if not out:
+            raise PlanError("map projection produced no keys")
+        return F.struct(*[c.alias(k) for k, c in out.items()])
 
     def _in_lambda(self, bindings: dict[str, Column], expr: ast.Expr) -> Column:
         """Compile ``expr`` with lambda variables bound (restores any
@@ -369,21 +365,23 @@ class ExprCompiler:
         if name == "keys" and len(e.args) == 1 and isinstance(
                 e.args[0], ast.Variable):
             b = self.scope.get(e.args[0].name)
-            if isinstance(b, (NodeBinding, RelBinding)) and b.columns:
+            if isinstance(b, (NodeBinding, RelBinding)):
+                if not b.columns:  # property-less entity: [] not error
+                    return F.array().cast("array<string>")
                 return F.array(*[F.lit(c) for c in b.columns])
-            raise PlanError(
-                "keys() requires a node/relationship variable whose "
-                "columns are in scope")
+            raise PlanError("keys() requires a node/relationship "
+                            "variable")
         if name == "properties" and len(e.args) == 1 and isinstance(
                 e.args[0], ast.Variable):
             b = self.scope.get(e.args[0].name)
-            if isinstance(b, (NodeBinding, RelBinding)) and b.columns:
+            if isinstance(b, (NodeBinding, RelBinding)):
+                if not b.columns:  # property-less entity: {} not error
+                    return F.create_map()
                 return F.struct(*[
                     F.col(pcol(e.args[0].name, c)).alias(c)
                     for c in b.columns])
             raise PlanError(
-                "properties() requires a node/relationship variable "
-                "whose columns are in scope")
+                "properties() requires a node/relationship variable")
         if (name in ("nodes", "relationships", "length")
                 and len(e.args) == 1
                 and isinstance(e.args[0], ast.Variable)

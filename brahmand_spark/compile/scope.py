@@ -40,6 +40,13 @@ class RelBinding:
     columns: list[str]  # property columns (logical names)
     src_pcol: str = ""  # physical src-id column after orientation
     dst_pcol: str = ""
+    # Which STORAGE orientation src_pcol/dst_pcol carry: True = they
+    # equal (from_column, to_column); False = reversed (a <-[r]- b
+    # match); None = mixed/unknown (both-direction unions, multi-type
+    # arms, FK-derived rels). The write path keys its edge-table
+    # joins off this (r7 review: a rev-matched SET/DELETE previously
+    # joined from==src_pcol and silently touched zero edges).
+    fwd_storage: "bool | None" = None
 
 
 @dataclass

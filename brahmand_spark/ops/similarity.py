@@ -701,7 +701,8 @@ def build_ann_index(
         "id_col": id_col, "vec_col": vec_col, "dim": dim,
         "n_cells": n_cells, "m": m, "n_codes": n_codes, "seed": seed,
         "sample_size": sample_size, "iters": iters,
-        "codes_path": codes_path, "source_path": source_path,
+        "codes_path": codes_path,
+        "source_paths": [source_path] if source_path else [],
         "n_vectors": n_vectors,
     }
     store.save(name, "ann_index",
@@ -709,9 +710,18 @@ def build_ann_index(
     return params
 
 
+def _source_paths(params: dict) -> list[str]:
+    """Recorded source parquet paths — normalizes the pre-r7 single
+    ``source_path`` key into the list form."""
+    if params.get("source_paths"):
+        return list(params["source_paths"])
+    return [params["source_path"]] if params.get("source_path") else []
+
+
 def ann_add(
     spark, name: str, new_vectors: DataFrame, store,
     id_col: str | None = None, vec_col: str | None = None,
+    source_path: str | None = None,
 ) -> dict:
     """Append a new vector batch to a persisted index WITHOUT
     refitting: encode with the STORED centroids/codebooks (the fits
@@ -721,17 +731,43 @@ def ann_add(
     encode projection + a partitioned append — the rest of the index
     is never rewritten or read. Ids must not collide with rows
     already in the index (the caller's contract, as with any append).
-    Returns the updated params (n_vectors refreshed)."""
+
+    Wrong-width vectors are rejected up front (garbage codes would
+    be PERSISTED — worse than the search-time case). When the index
+    records source parquet paths for its exact re-rank, a batch added
+    without ``source_path`` would be INVISIBLE to recorded-source
+    searches (the re-rank inner join drops ids with no vector, r7
+    review) — that raises; pass the batch's parquet path (recorded
+    sources accumulate as a list and searches union them) or search
+    with an explicit ``corpus=`` covering every added row. Label-
+    recorded sources (``CALL vector.build_index``) are maintained by
+    ``CALL vector.add``. Returns the updated params."""
     doc = store.load(name, "ann_index")
     params = doc["params"]
+    vcol = vec_col or params["vec_col"]
+    bad = new_vectors.filter(
+        F.size(F.col(vcol)) != int(params["dim"])).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"new vectors must have dim {params['dim']} to join "
+            f"index '{name}' — wrong-width codes would be persisted")
+    if _source_paths(params) and source_path is None:
+        raise ValueError(
+            f"index '{name}' records source parquet paths for its "
+            f"exact re-rank; pass source_path= for this batch (or "
+            f"rebuild without a recorded source and search with "
+            f"corpus=)")
     index = pq_index_frame(
         new_vectors, doc["payload"]["centroids"],
         doc["payload"]["codebooks"],
-        id_col or params["id_col"], vec_col or params["vec_col"])
+        id_col or params["id_col"], vcol)
     index.write.mode("append").partitionBy("cell").parquet(
         params["codes_path"])
     params["n_vectors"] = spark.read.parquet(
         params["codes_path"]).count()
+    if source_path is not None:
+        params["source_paths"] = _source_paths(params) + [source_path]
+        params.pop("source_path", None)
     store.save(name, "ann_index", doc["payload"], params)
     return params
 
@@ -772,11 +808,12 @@ def ann_search(
     id_col = query_id_col or params["id_col"]
     vec_col = query_vec_col or params["vec_col"]
     if corpus is None:
-        if not params.get("source_path"):
+        paths = _source_paths(params)
+        if not paths:
             raise ValueError(
                 f"index '{name}' has no recorded source_path; pass "
                 f"corpus= for the exact re-rank")
-        corpus = spark.read.parquet(params["source_path"])
+        corpus = spark.read.parquet(*paths)
     if queries.isStreaming:
         raise ValueError(
             "ann_search takes a BATCH query frame (the probe-cell "

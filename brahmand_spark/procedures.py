@@ -506,16 +506,32 @@ def _p_vector_build_index(session, label, name, n_cells=16, m=4,
 def _p_vector_add(session, name, label, id_col=None, vec_col=None):
     """Append a catalog embedding table's rows to a persisted index
     without refitting (ops/similarity.ann_add): encode with the
-    stored artifacts, partitioned append of the codes."""
+    stored artifacts, partitioned append of the codes. The LABEL
+    joins the index's recorded source labels, so vector.search's
+    exact re-rank covers the added rows too (r7 review)."""
     from .ops.similarity import ann_add
 
+    store = session.model_store
     params = ann_add(session.spark, name,
-                     session._load_for_label(label),
-                     session.model_store, id_col=id_col,
-                     vec_col=vec_col)
+                     session._load_for_label(label), store,
+                     id_col=id_col, vec_col=vec_col)
+    doc = store.load(name, "ann_index")
+    labels = _source_labels(doc["params"])
+    if label not in labels:
+        doc["params"]["source_labels"] = labels + [label]
+        doc["params"].pop("source_label", None)
+        store.save(name, "ann_index", doc["payload"], doc["params"])
     return session.spark.createDataFrame(
         [(name, label, int(params["n_vectors"]))],
         "name string, label string, n_vectors long")
+
+
+def _source_labels(params: dict) -> list:
+    """Recorded source labels — normalizes the single source_label
+    key into the list form."""
+    if params.get("source_labels"):
+        return list(params["source_labels"])
+    return [params["source_label"]] if params.get("source_label") else []
 
 
 def _p_vector_search(session, name, query_label, k=10, nprobe=4,
@@ -530,9 +546,10 @@ def _p_vector_search(session, name, query_label, k=10, nprobe=4,
 
     store = session.model_store
     doc = store.load(name, "ann_index")
-    src_label = doc["params"].get("source_label")
-    corpus = (session._load_for_label(src_label)
-              if src_label else None)
+    corpus = None
+    for lbl in _source_labels(doc["params"]):
+        t = session._load_for_label(lbl)
+        corpus = t if corpus is None else corpus.unionByName(t)
     return ann_search(
         session.spark, name, session._load_for_label(query_label),
         store, k=int(k), nprobe=int(nprobe),

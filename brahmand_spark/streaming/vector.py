@@ -30,7 +30,19 @@ def ann_search_stream(
     :func:`ann_search` returns. Returns the ``DataStreamWriter`` —
     call ``.start()`` (optionally after ``.trigger(...)``/
     ``.option("checkpointLocation", ...)``)."""
-    from ..ops.similarity import ann_search
+    from ..ops.similarity import _source_paths, ann_search
+
+    # per-stream constants resolve ONCE, not per micro-batch: the
+    # re-rank corpus handle (store.load + parquet open would otherwise
+    # repeat every trigger on a latency-sensitive path)
+    if corpus is None:
+        params = store.load(name, "ann_index")["params"]
+        paths = _source_paths(params)
+        if not paths:
+            raise ValueError(
+                f"index '{name}' has no recorded source_path; pass "
+                f"corpus= for the exact re-rank")
+        corpus = spark.read.parquet(*paths)
 
     def handle(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -59,8 +59,20 @@ def apply_write(session, wq: ast.WriteQuery, params=None) -> DataFrame:
     if wq.create is not None:
         _apply_create(session, df, scope, wq.create, params, stats)
     if wq.set_clause is not None:
+        # batch per target alias: every value in one SET clause
+        # compiles against the PRE-clause state (openCypher semantics
+        # — `SET n.a = n.b, n.b = n.a` swaps; per-key sequential
+        # writes would see mid-statement values, r7 review), and a
+        # k-key SET rewrites its table once instead of k times
+        groups: dict[str, list] = {}
         for target, value in wq.set_clause.assignments:
-            _apply_set(session, df, scope, target, value, params, stats)
+            if not isinstance(target, ast.PropertyAccess):
+                raise UnsupportedError(
+                    "SET/REMOVE target must be alias.property")
+            groups.setdefault(target.alias, []).append(
+                (target, value, False))
+        for triples in groups.values():
+            _apply_set_group(session, df, scope, triples, params, stats)
     if wq.remove is not None:
         for target in wq.remove.targets:
             _apply_set(session, df, scope, target, ast.Literal(None),
@@ -411,38 +423,49 @@ def _apply_merge(session, df, scope, mc, params, stats) -> None:
 # ----------------------------------------------------------------------
 def _apply_set(session, df, scope, target, value, params, stats,
                removing: bool = False) -> None:
-    if df is None:
-        raise PlanError("SET/REMOVE requires a MATCH")
+    """Single-assignment SET/REMOVE (MERGE ON-SET / FOREACH / REMOVE
+    callers) — one-element group of :func:`_apply_set_group`."""
     if not isinstance(target, ast.PropertyAccess):
         raise UnsupportedError(
-            "SET/REMOVE target must be alias.property"
-        )
-    b = scope.get(target.alias)
-    refs: set[str] = set()
-    collect_aliases(value, refs)
-    if refs - {target.alias}:
-        raise UnsupportedError(
-            "SET value may only reference the target alias "
-            f"(found {sorted(refs - {target.alias})})"
-        )
+            "SET/REMOVE target must be alias.property")
+    _apply_set_group(session, df, scope, [(target, value, removing)],
+                     params, stats)
+
+
+def _apply_set_group(session, df, scope, triples, params,
+                     stats) -> None:
+    """One batched pass of SET/REMOVE assignments sharing a target
+    alias: every value column compiles against the PRE-state joined
+    frame and the replaced columns land in ONE select — snapshot
+    semantics (`SET n.a = n.b, n.b = n.a` swaps) and one table
+    rewrite per clause instead of one per key."""
+    if df is None:
+        raise PlanError("SET/REMOVE requires a MATCH")
+    a = triples[0][0].alias
+    for target, value, _removing in triples:
+        refs: set[str] = set()
+        collect_aliases(value, refs)
+        if refs - {a}:
+            raise UnsupportedError(
+                "SET value may only reference the target alias "
+                f"(found {sorted(refs - {a})})")
+    b = scope.get(a)
     if isinstance(b, RelBinding):
-        _apply_set_rel(session, df, b, target, value, params, stats,
-                       removing)
+        _apply_set_rel_group(session, df, b, triples, params, stats)
         return
     if not isinstance(b, NodeBinding):
         raise UnsupportedError(
             "SET/REMOVE targets a node or relationship property")
     sch = session.schema.node(b.label)
-    if target.key == sch.node_id:
-        raise PlanError(
-            f"SET/REMOVE on the node id property '{sch.node_id}' "
-            "would re-key the node — CREATE a new node and DELETE "
-            "the old one instead")
+    for target, _v, _r in triples:
+        if target.key == sch.node_id:
+            raise PlanError(
+                f"SET/REMOVE on the node id property '{sch.node_id}' "
+                "would re-key the node — CREATE a new node and DELETE "
+                "the old one instead")
     table = session._load_for_label(b.label)
     matched = df.select(F.col(b.id_pcol).alias("__wid")).distinct()
     n_matched = matched.count()
-
-    a = target.alias
     prefixed = table.select(
         *[F.col(c).alias(pcol(a, c)) for c in table.columns]
     )
@@ -454,51 +477,87 @@ def _apply_set(session, df, scope, target, value, params, stats,
         alias=a, label=b.label, id_column=sch.node_id,
         columns=list(table.columns),
     ))
-    val_col = ExprCompiler(sub, params).compile(value)
-    is_new = target.key not in table.columns
-    old = F.lit(None) if is_new else F.col(pcol(a, target.key))
-    updated = joined.withColumn(
-        pcol(a, target.key),
-        F.when(F.col("__wid").isNotNull(), val_col).otherwise(old),
-    )
-    out_cols = list(table.columns) + ([target.key] if is_new else [])
-    back = updated.select(
-        *[F.col(pcol(a, c)).alias(c) for c in out_cols]
-    )
+    ec = ExprCompiler(sub, params)
+    updates: dict[str, "F.Column"] = {}
+    new_keys: list[str] = []
+    for target, value, removing in triples:
+        is_new = (target.key not in table.columns
+                  and target.key not in new_keys)
+        if is_new:
+            new_keys.append(target.key)
+        old = (F.lit(None) if target.key not in table.columns
+               else F.col(pcol(a, target.key)))
+        updates[target.key] = F.when(
+            F.col("__wid").isNotNull(), ec.compile(value)
+        ).otherwise(old)
+        if is_new and not removing:
+            sch.column_names = list(sch.column_names) + [target.key]
+    out_cols = list(table.columns) + new_keys
+    back = joined.select(*[
+        updates[c].alias(c) if c in updates
+        else F.col(pcol(a, c)).alias(c)
+        for c in out_cols
+    ])
     _store(session, sch.table_name, back)
-    if is_new and not removing:
-        sch.column_names = list(sch.column_names) + [target.key]
+    if new_keys:
         session._persist_catalog()
-    stats["properties_set"] += n_matched
+    stats["properties_set"] += n_matched * len(triples)
 
 
-def _apply_set_rel(session, df, b, target, value, params, stats,
-                   removing: bool) -> None:
-    """SET/REMOVE on a relationship property (r7 — closed the 'not
-    yet' gap): matched (from, to) pairs join the edge table and the
-    property updates conditionally. Updates EVERY parallel edge
-    sharing a matched endpoint pair — the edge-list model has no edge
-    identity (same documented divergence as relationship DELETE).
-    The value may reference the relationship's own properties."""
+def _rel_pair_cond(b, rsch, wsrc, wdst):
+    """Join condition matching a bound relationship's matched (src,
+    dst) pair against the edge TABLE's storage columns, keyed off the
+    binding's recorded storage orientation (r7 review: a rev-matched
+    rel carries the storage TO value in src_pcol, so the naive
+    from==src join silently touched zero edges). ``rsch`` is the
+    (from_col, to_col) Column pair of the TABLE side; ``wsrc``/
+    ``wdst`` the matched pair Columns. Unknown/mixed orientation
+    ('both' unions, multi-type arms, FK-derived rels) matches EITHER
+    orientation — when reciprocal edges both exist, both
+    update/delete (documented divergence, same family as the
+    parallel-edge one)."""
+    fwd = (rsch[0] == wsrc) & (rsch[1] == wdst)
+    rev = (rsch[0] == wdst) & (rsch[1] == wsrc)
+    if b.fwd_storage is True:
+        return fwd
+    if b.fwd_storage is False:
+        return rev
+    return fwd | rev
+
+
+def _apply_set_rel_group(session, df, b, triples, params,
+                         stats) -> None:
+    """Batched SET/REMOVE on relationship properties (r7 — closed the
+    'not yet' gap): matched (src, dst) pairs join the edge table
+    ORIENTATION-AWARE (see :func:`_rel_pair_cond`) and every value
+    compiles against the pre-state frame (snapshot semantics, as the
+    node path). Updates EVERY parallel edge sharing a matched
+    endpoint pair — the edge-list model has no edge identity (same
+    documented divergence as relationship DELETE). Values may
+    reference the relationship's own properties."""
     rsch = session.schema.relationship(b.type_name)
-    if target.key in (rsch.from_column, rsch.to_column):
-        raise PlanError(
-            f"SET/REMOVE on the endpoint column '{target.key}' would "
-            "re-point the edge — DELETE it and CREATE the new edge "
-            "instead")
+    for target, _v, _r in triples:
+        if target.key in (rsch.from_column, rsch.to_column):
+            raise PlanError(
+                f"SET/REMOVE on the endpoint column '{target.key}' "
+                "would re-point the edge — DELETE it and CREATE the "
+                "new edge instead")
+    a = triples[0][0].alias
     pairs = df.select(
         F.col(b.src_pcol).alias("__wsrc"),
         F.col(b.dst_pcol).alias("__wdst"),
     ).distinct()
     n_matched = pairs.count()
-    a = target.alias
     edges = session._load_for_label(b.type_name)
     prefixed = edges.select(
         *[F.col(c).alias(pcol(a, c)) for c in edges.columns])
     joined = prefixed.join(
         pairs,
-        (F.col(pcol(a, rsch.from_column)) == F.col("__wsrc"))
-        & (F.col(pcol(a, rsch.to_column)) == F.col("__wdst")),
+        _rel_pair_cond(
+            b,
+            (F.col(pcol(a, rsch.from_column)),
+             F.col(pcol(a, rsch.to_column))),
+            F.col("__wsrc"), F.col("__wdst")),
         "left",
     )
     prop_cols = [c for c in edges.columns
@@ -509,21 +568,30 @@ def _apply_set_rel(session, df, b, target, value, params, stats,
         src_pcol=pcol(a, rsch.from_column),
         dst_pcol=pcol(a, rsch.to_column),
     ))
-    val_col = ExprCompiler(sub, params).compile(value)
-    is_new = target.key not in edges.columns
-    old = F.lit(None) if is_new else F.col(pcol(a, target.key))
-    updated = joined.withColumn(
-        pcol(a, target.key),
-        F.when(F.col("__wsrc").isNotNull(), val_col).otherwise(old),
-    )
-    out_cols = list(edges.columns) + ([target.key] if is_new else [])
-    back = updated.select(
-        *[F.col(pcol(a, c)).alias(c) for c in out_cols])
+    ec = ExprCompiler(sub, params)
+    updates: dict[str, "F.Column"] = {}
+    new_keys: list[str] = []
+    for target, value, removing in triples:
+        is_new = (target.key not in edges.columns
+                  and target.key not in new_keys)
+        if is_new:
+            new_keys.append(target.key)
+        old = (F.lit(None) if target.key not in edges.columns
+               else F.col(pcol(a, target.key)))
+        updates[target.key] = F.when(
+            F.col("__wsrc").isNotNull(), ec.compile(value)
+        ).otherwise(old)
+        if is_new and not removing:
+            rsch.column_names = list(rsch.column_names) + [target.key]
+    out_cols = list(edges.columns) + new_keys
+    back = joined.select(*[
+        updates[c].alias(c) if c in updates
+        else F.col(pcol(a, c)).alias(c)
+        for c in out_cols])
     _store(session, rsch.table_name, back)
-    if is_new and not removing:
-        rsch.column_names = list(rsch.column_names) + [target.key]
+    if new_keys:
         session._persist_catalog()
-    stats["properties_set"] += n_matched
+    stats["properties_set"] += n_matched * len(triples)
 
 
 # ----------------------------------------------------------------------
@@ -720,10 +788,13 @@ def _delete_rels(session, df, b: RelBinding, stats) -> None:
     # Deletes every edge sharing a matched (from, to) pair — parallel
     # edges between the same endpoints are indistinguishable here
     # (edge-list model has no edge identity; documented divergence).
+    # Orientation-aware since r7: a rev-matched rel's pair columns
+    # carry (to, from), so the join keys off b.fwd_storage.
     kept = edges.join(
         pairs,
-        (F.col(rsch.from_column) == F.col("__wsrc"))
-        & (F.col(rsch.to_column) == F.col("__wdst")),
+        _rel_pair_cond(
+            b, (F.col(rsch.from_column), F.col(rsch.to_column)),
+            F.col("__wsrc"), F.col("__wdst")),
         "left_anti",
     )
     out = _store(session, rsch.table_name, kept)

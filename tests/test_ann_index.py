@@ -255,3 +255,60 @@ def test_wrong_query_dim_rejected(spark, tmp_path):
         "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="dim"):
         ann_search(spark, "idx", bad_q, st, corpus=emb)
+
+
+class TestAnnAddSourceCoverage:
+    """r7 review: vectors added to an index with a RECORDED source
+    must stay visible to recorded-source searches — ann_add demands
+    the batch's source_path (sources accumulate; searches union
+    them), and rejects wrong-width batches before persisting."""
+
+    def test_add_requires_source_path_when_recorded(
+            self, spark, tmp_path):
+        emb = _emb(spark)
+        half_a = emb.filter(F.col("vec_id") % 2 == 0)
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(half_a, "idx", st,
+                        source_path=f"{SF_SMOKE}/embeddings.parquet",
+                        **PARAMS)
+        from brahmand_spark.ops.similarity import ann_add
+
+        with pytest.raises(ValueError, match="source_path"):
+            ann_add(spark, "idx",
+                    emb.filter(F.col("vec_id") % 2 == 1), st)
+
+    def test_added_vectors_searchable_from_recorded_sources(
+            self, spark, tmp_path):
+        from brahmand_spark.ops.similarity import ann_add
+
+        emb = _emb(spark)
+        half_a = emb.filter(F.col("vec_id") % 2 == 0)
+        half_b = emb.filter(F.col("vec_id") % 2 == 1)
+        pa = str(tmp_path / "a.parquet")
+        pb = str(tmp_path / "b.parquet")
+        half_a.write.parquet(pa)
+        half_b.write.parquet(pb)
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(half_a, "idx", st, source_path=pa, **PARAMS)
+        ann_add(spark, "idx", half_b, st, source_path=pb)
+        # a query identical to an ADDED row must find it (cosine 1.0)
+        q = half_b.limit(1)
+        qid = q.collect()[0]["vec_id"]
+        got = ann_search(spark, "idx", q, st, k=3,
+                         nprobe=PARAMS["n_cells"],
+                         exclude_self=False).collect()
+        top = [r["corpus_id"] for r in got if r["rank"] == 1]
+        assert top == [qid]
+
+    def test_wrong_width_batch_rejected_before_persist(
+            self, spark, tmp_path):
+        from brahmand_spark.ops.similarity import ann_add
+
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(_emb(spark), "idx", st, **PARAMS)
+        n0 = st.load("idx", "ann_index")["params"]["n_vectors"]
+        bad = spark.createDataFrame(
+            [(9999, [0.1, 0.2])], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="dim"):
+            ann_add(spark, "idx", bad, st)
+        assert st.load("idx", "ann_index")["params"]["n_vectors"] == n0

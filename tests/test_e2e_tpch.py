@@ -1179,16 +1179,63 @@ class TestMapExpressions:
         with pytest.raises(PlanError, match="unknown property"):
             tpch.execute(
                 "MATCH (c:Customer) RETURN c {.nope} AS m LIMIT 1")
-        with pytest.raises(PlanError, match="duplicate key"):
-            tpch.execute(
-                "MATCH (c:Customer) RETURN c {.c_name, .c_name} "
-                "AS m LIMIT 1")
+        # later entries OVERRIDE earlier ones (openCypher
+        # `n {.*, key: expr}` idiom), so duplicates are not an error
         with pytest.raises(PlanError, match="empty map"):
             tpch.execute("MATCH (c:Customer) RETURN {} AS m LIMIT 1")
         with pytest.raises(PlanError, match="node or relationship"):
             tpch.execute(
                 "MATCH (c:Customer) WITH c.c_name AS s "
                 "RETURN s {.x} AS m LIMIT 1")
+
+    def test_map_projection_survives_fk_elision(self, spark):
+        """Under assume_referential_integrity, a property read ONLY
+        through a map projection must keep the node's scan (r7
+        review: _collect_refs didn't see into MapProjection entries
+        and elided the node to its id)."""
+        from brahmand_spark import GraphSession
+
+        s = GraphSession(spark, assume_referential_integrity=True)
+        s.execute("CREATE NODE TABLE P (p_id Int64, name String, "
+                  "NODE ID (p_id))")
+        s.execute("CREATE REL TABLE K FROM P TO P ()")
+        s.register_table("P", spark.createDataFrame(
+            [(1, "a"), (2, "b")], "p_id long, name string"))
+        s.register_table("K", spark.createDataFrame(
+            [(1, 2)], "from_P long, to_P long"))
+        r = s.execute("MATCH (a:P)-[:K]->(b:P) "
+                      "RETURN b {.name} AS m").collect()[0]["m"]
+        assert r["name"] == "b"
+        full = s.execute("MATCH (a:P)-[:K]->(b:P) "
+                         "RETURN b {.*} AS m").collect()[0]["m"]
+        assert full.asDict() == {"p_id": 2, "name": "b"}
+
+    def test_star_with_override(self, tpch):
+        """n {.*, key: expr}: the explicit entry replaces the .*
+        field (openCypher override idiom, r7 review)."""
+        r = tpch.execute(
+            "MATCH (n:Nation) WHERE n.n_nationkey = 1 "
+            "RETURN n {.*, n_name: 'OVERRIDDEN'} AS m").collect()[0]["m"]
+        assert r["n_name"] == "OVERRIDDEN"
+        assert r["n_nationkey"] == 1
+
+    def test_propertyless_rel_keys_and_properties(self, spark):
+        """keys()/properties() on a property-less relationship return
+        []/{} instead of erroring (r7 review)."""
+        from brahmand_spark import GraphSession
+
+        s = GraphSession(spark)
+        s.execute("CREATE NODE TABLE U (id Int64, NODE ID (id))")
+        s.execute("CREATE REL TABLE E FROM U TO U ()")
+        s.register_table("U", spark.createDataFrame([(1,), (2,)],
+                                                    "id long"))
+        s.register_table("E", spark.createDataFrame(
+            [(1, 2)], "from_U long, to_U long"))
+        r = s.execute("MATCH (:U)-[r:E]->(:U) "
+                      "RETURN keys(r) AS k, properties(r) AS p"
+                      ).collect()[0]
+        assert list(r["k"]) == []
+        assert dict(r["p"]) == {}
 
     def test_keys_function(self, tpch):
         r = tpch.execute(

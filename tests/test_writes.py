@@ -481,3 +481,68 @@ class TestSetMapMerge:
         with pytest.raises(PlanError, match="re-key"):
             wsession.execute(
                 "MATCH (p:Person {id: 1}) SET p += {id: 9, age: 31}")
+
+
+class TestRelWriteOrientation:
+    """r7 review: a rev-matched relationship binds (to, from) in its
+    pair columns — SET/DELETE must key the edge-table join off the
+    binding's storage orientation, not assume forward."""
+
+    def _graph(self, wsession, spark):
+        wsession.register_table("Person", spark.createDataFrame(
+            [(1, "a", 30)], "id long, name string, age long"))
+        wsession.register_table("City", spark.createDataFrame(
+            [(100, "x")], "id long, name string"))
+        wsession.register_table("LIVES_IN", spark.createDataFrame(
+            [(1, 100, 2019)],
+            "from_Person long, to_City long, since long"))
+
+    def test_reverse_matched_set_updates(self, wsession, spark):
+        self._graph(wsession, spark)
+        wsession.execute(
+            "MATCH (c:City {id: 100})<-[r:LIVES_IN]-(p:Person {id: 1}) "
+            "SET r.since = 9999")
+        assert rows(wsession, "MATCH (:Person)-[r:LIVES_IN]->(:City) "
+                              "RETURN r.since AS s") == {(9999,)}
+
+    def test_reverse_matched_delete_removes(self, wsession, spark):
+        self._graph(wsession, spark)
+        wsession.execute(
+            "MATCH (c:City {id: 100})<-[r:LIVES_IN]-(p:Person) "
+            "DELETE r")
+        assert rows(wsession, "MATCH (:Person)-[r:LIVES_IN]->(:City) "
+                              "RETURN r.since AS s") == set()
+
+    def test_forward_matched_still_works(self, wsession, spark):
+        self._graph(wsession, spark)
+        wsession.execute(
+            "MATCH (p:Person)-[r:LIVES_IN]->(c:City) SET r.since = 1")
+        assert rows(wsession, "MATCH (:Person)-[r:LIVES_IN]->(:City) "
+                              "RETURN r.since AS s") == {(1,)}
+
+
+class TestSetSnapshotSemantics:
+    """r7 review: all assignments of ONE SET clause evaluate against
+    the pre-clause state (openCypher) — `SET n.a = n.b, n.b = n.a`
+    swaps, never sees mid-statement values."""
+
+    def test_swap(self, wsession, spark):
+        wsession.register_table("Person", spark.createDataFrame(
+            [(1, "a", 30)], "id long, name string, age long"))
+        wsession.execute("MATCH (p:Person {id: 1}) "
+                         "SET p.age = 99, p.name = 'b'")
+        wsession.execute(
+            "MATCH (p:Person {id: 1}) SET p.age = p.id, p.id2 = p.age")
+        got = rows(wsession, "MATCH (p:Person) "
+                             "RETURN p.age AS a, p.id2 AS b")
+        # p.id2 sees the PRE-clause age (99), not the new one (1)
+        assert got == {(1, 99)}
+
+    def test_plus_equals_self_reference(self, wsession, spark):
+        wsession.register_table("Person", spark.createDataFrame(
+            [(1, "a", 30)], "id long, name string, age long"))
+        wsession.execute(
+            "MATCH (p:Person {id: 1}) SET p += {x: p.age, age: 0}")
+        got = rows(wsession, "MATCH (p:Person) "
+                             "RETURN p.x AS x, p.age AS a")
+        assert got == {(30, 0)}

@@ -36,13 +36,28 @@ def _json_default(v):
     return str(v)
 
 
+def _jsonable(v):
+    """Struct Rows are tuple subclasses — json.dumps would render
+    them as field-nameless arrays, so map results (r7: map
+    projections / properties()) must convert to dicts recursively
+    BEFORE serialization."""
+    if hasattr(v, "asDict"):  # pyspark Row
+        return {k: _jsonable(x) for k, x in v.asDict().items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    return v
+
+
 def format_rows(columns: list[str], rows: Iterator, fmt: str,
                 elapsed: float) -> Iterator[str]:
     """Render rows in one of the reference's output formats."""
     if fmt == "JSONEachRow":
         for row in rows:
             yield json.dumps(
-                dict(zip(columns, row)), default=_json_default
+                {c: _jsonable(v) for c, v in zip(columns, row)},
+                default=_json_default,
             ) + "\n"
         return
     if fmt in ("CSV", "CSVWithNames"):

@@ -103,3 +103,20 @@ class TestServer:
         assert row["rows"] == 1
         assert row["python_stages"] == 0
         assert row["elapsed_s"] >= 0
+
+
+def test_jsoneachrow_serializes_structs_as_objects(tpch):
+    """Map-projection / properties() results must land as JSON
+    OBJECTS with field names, not field-nameless arrays (r7)."""
+    import json as _json
+
+    from brahmand_spark.server import format_rows
+
+    df = tpch.execute(
+        "MATCH (n:Nation) WHERE n.n_nationkey = 1 "
+        "RETURN n {.n_name, .n_regionkey} AS m, keys(n) AS k")
+    out = "".join(format_rows(df.columns, iter(df.collect()),
+                              "JSONEachRow", 0.0))
+    rec = _json.loads(out.strip())
+    assert rec["m"] == {"n_name": "NATION_1", "n_regionkey": 1}
+    assert rec["k"] == ["n_nationkey", "n_name", "n_regionkey"]

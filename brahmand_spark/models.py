@@ -53,6 +53,10 @@ KINDS = {
     "lang_lr": "{lang: list[int] dim+1 integer micro-unit weights} "
                "one-vs-rest language-ID model "
                "(ops/classifier.train_lang_classifier)",
+    "dedup_index": "{perms: list[[a, b]]} MinHash permutation params "
+                   "for a persisted dedup index "
+                   "(ops/dedup_index.build_dedup_index); params carry "
+                   "sigs_path/buckets_path/shingle+band sizing",
 }
 
 

@@ -282,6 +282,45 @@ def cross_corpus_overlap(
     return pairs
 
 
+def decontaminate(
+    train: DataFrame, eval_df: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    n: int = 8, min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination verdict, one row per TRAIN document:
+    (doc_id, n_eval_docs, max_shared, contaminated) — how many eval
+    documents it shares ≥ ``min_shared`` distinct word ``n``-grams
+    with, the largest such overlap, and the drop flag. The standard
+    pre-training hygiene step (GPT-3 appendix C / PaLM style: flag and
+    drop training documents containing verbatim eval n-grams; n=8..13
+    word grams in common practice).
+
+    Composition of :func:`cross_corpus_overlap` (one equi-join on the
+    8-byte shingle hash — the eval side is benchmark-sized, so AQE
+    broadcasts it and the 100 TB train side never shuffles) with a
+    per-train-doc aggregate and a LEFT join back onto the full train
+    id set, so CLEAN documents surface too (contaminated = false) and
+    the output is a drop-list-ready verdict table."""
+    overlap = cross_corpus_overlap(
+        train, eval_df, id_col, text_col, n, min_shared)
+    per_doc = overlap.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_eval_docs"),
+        F.max("n_shared").alias("max_shared"),
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("train_id", id_col),
+              id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_eval_docs", F.lit(0)).alias("n_eval_docs"),
+            F.coalesce("max_shared", F.lit(0)).alias("max_shared"),
+            (F.coalesce("n_eval_docs", F.lit(0)) > 0)
+            .alias("contaminated"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
@@ -299,6 +338,7 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, num_hashes: int = 64, seed: int = 42,
     hash_fn: str = "xxhash64",
+    perms: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of
     ((a_i * h(s) + b_i) mod p), h = the base shingle hash folded into
@@ -317,7 +357,13 @@ def minhash_signatures(
     ~10× slower); one shuffle on the doc id with map-side partial mins.
     All values stay < 2^62, safe under Spark ANSI overflow checks.
 
-    Docs with no shingles (fewer than n tokens) yield no row."""
+    Docs with no shingles (fewer than n tokens) yield no row.
+
+    ``perms`` overrides the seed-derived permutation parameters — the
+    persisted dedup index (ops/dedup_index.py) stores its (a, b) pairs
+    at build time and passes them back here, so later batches encode
+    with the INDEX's permutations even if the derivation ever
+    changes."""
     if hash_fn == "portable":
         from .text import md5_hash60
 
@@ -328,7 +374,12 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("s"),
     ).withColumn("h", base)
-    perms = _perm_params(num_hashes, seed)
+    if perms is None:
+        perms = _perm_params(num_hashes, seed)
+    elif len(perms) != num_hashes:
+        raise ValueError(
+            f"perms has {len(perms)} pairs, expected num_hashes="
+            f"{num_hashes}")
     # SQL expression strings, not nested Column calls: one py4j round-
     # trip per aggregate instead of five, which removes ~1.5 s of
     # driver-side plan-construction overhead per invocation (the same
@@ -341,6 +392,57 @@ def minhash_signatures(
         "id",
         "array(" + ", ".join(f"m{i}" for i in range(num_hashes))
         + ") AS signature",
+    )
+
+
+def sig_agreement(num_hashes: int) -> Column:
+    """Estimated Jaccard from full-signature agreement over columns
+    ``sig_a``/``sig_b``: fraction of the ``num_hashes`` permutation
+    mins that agree, rounded to 6 places. Shared by the in-memory
+    candidates and the persisted dedup index so estimates are
+    bit-identical."""
+    return F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double") / F.lit(num_hashes), 6,
+    )
+
+
+def band_buckets(sigs: DataFrame, num_hashes: int, bands: int,
+                 hash_fn: str = "xxhash64") -> DataFrame:
+    """LSH band keys for a signature frame ``(id, signature)``:
+    one ``(id, band, bucket)`` row per band — the signature splits
+    into ``bands`` bands of ``num_hashes/bands`` values, each band
+    concatenated and (default) folded to a long via xxhash64 so the
+    bucket join shuffles 8-byte keys. ``hash_fn='portable'`` keeps
+    the raw concatenated band string (identical pair set — xxhash64
+    is a bijective relabeling of the join key — and replayable in
+    ANSI SQL for the DuckDB oracles). Shared by the in-memory
+    :func:`minhash_lsh_candidates` and the persisted dedup index
+    (ops/dedup_index.py), so both produce identical buckets by
+    construction. (SQL strings for the band array: one parse instead
+    of ~100 py4j calls — same plan, cheaper construction.)"""
+    rows = num_hashes // bands
+
+    def band_key_sql(b: int) -> str:
+        parts = ", ".join(
+            f"element_at(signature, {b * rows + r + 1})"
+            for r in range(rows)
+        )
+        joined = f"concat_ws(',', {parts})"
+        # Default: fold the band to a long (narrower shuffle rows).
+        return joined if hash_fn == "portable" else f"xxhash64({joined})"
+
+    return sigs.select(
+        "id",
+        F.posexplode(F.expr(
+            "array(" + ", ".join(
+                band_key_sql(b) for b in range(bands)
+            ) + ")"
+        )).alias("band", "bucket"),
     )
 
 
@@ -363,7 +465,6 @@ def minhash_lsh_candidates(
     set — xxhash64 is a bijective relabeling of the join key here), so
     the full candidate+estimate pipeline replays in a DuckDB oracle.
     """
-    rows = num_hashes // bands
     # Signatures feed the banding explode plus both sides of the
     # signature-join. No persist: the signature aggregation ends in a
     # shuffle on id (partial min -> exchange -> final min), and
@@ -373,29 +474,10 @@ def minhash_lsh_candidates(
     sigs = minhash_signatures(
         df, id_col, text_col, n, num_hashes, seed, hash_fn
     )
-
-    def band_key_sql(b: int) -> str:
-        parts = ", ".join(
-            f"element_at(signature, {b * rows + r + 1})"
-            for r in range(rows)
-        )
-        joined = f"concat_ws(',', {parts})"
-        # Default: fold the band to a long (narrower shuffle rows).
-        return joined if hash_fn == "portable" else f"xxhash64({joined})"
-
     # The pair join shuffles ids only — the 64-element signatures
     # (512 B/row) are joined back onto the (far smaller) candidate set
     # afterwards instead of riding through the bucket shuffle twice.
-    # (SQL strings for the band array: one parse instead of ~100 py4j
-    # calls — same plan, cheaper construction.)
-    banded = sigs.select(
-        "id",
-        F.posexplode(F.expr(
-            "array(" + ", ".join(
-                band_key_sql(b) for b in range(bands)
-            ) + ")"
-        )).alias("band", "bucket"),
-    )
+    banded = band_buckets(sigs, num_hashes, bands, hash_fn)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -412,15 +494,8 @@ def minhash_lsh_candidates(
         sigs.select(F.col("id").alias("id_b"),
                     F.col("signature").alias("sig_b")), "id_b"
     )
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda m: m,
-            )
-        ).cast("double") / F.lit(num_hashes), 6,
-    )
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    return pairs.select("id_a", "id_b",
+                        sig_agreement(num_hashes).alias("est_jaccard"))
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,276 @@
+"""Persisted dedup index — hash the corpus ONCE, dedup every future
+batch against it.
+
+The in-memory dedup family (ops/dedup.py) re-shingles and re-minhashes
+the FULL corpus on every call — right for exploration, wrong for the
+production loop where a 100 TB corpus sits still and new crawl batches
+arrive daily. ``build_dedup_index`` does the expensive half once: per-doc
+exact fingerprints + MinHash signatures land in a narrow parquet table
+(id, fp, signature — ~0.5 KB/doc regardless of document size), and the
+LSH band buckets in a second (id, band, bucket) table. ``dedup_against``
+then hashes ONLY the new batch (cost ∝ batch, never corpus) and meets
+the stored tables in equi-joins:
+
+- exact route: fingerprint equality (identical text modulo 64-bit hash
+  collisions — the :func:`~brahmand_spark.ops.dedup.cross_corpus_overlap`
+  caveat);
+- near route: band-bucket equality (the same banded join as
+  :func:`~brahmand_spark.ops.dedup.minhash_lsh_candidates` — only
+  same-bucket docs are compared, no all-pairs anywhere), with the
+  Jaccard ESTIMATE computed from the stored signatures — the corpus
+  TEXT is never re-read, which is the entire point at 100 TB.
+
+``dedup_index_add`` appends a batch's rows (after it has been deduped
+and accepted) without rewriting the index. The permutation parameters
+are persisted in the ModelStore (kind ``dedup_index``) at build time
+and passed back into :func:`~brahmand_spark.ops.dedup.minhash_signatures`
+on every later encode, so add/probe batches are guaranteed to use the
+index's permutations.
+
+Analogue of the persisted ANN index (ops/similarity.build_ann_index):
+fit once / encode once / serve forever, artifacts in the ModelStore,
+frames shared with the in-memory operators so results are bit-identical
+by construction.
+
+Scale notes (100 TB posture):
+- Probe cost: one narrow scan of the buckets table + a shuffle
+  equi-join on (band, bucket); the batch side is small in practice and
+  AQE broadcasts it. Signature joins afterwards touch only candidate
+  ids. No all-pairs joins; bucket sizes are near-uniform under hashing
+  EXCEPT for genuinely duplicate-heavy content (boilerplate pages),
+  where a bucket holding B corpus copies × b batch copies emits B·b
+  candidate rows — inherent to LSH. ``hot_bucket_cap`` skips corpus
+  buckets larger than the cap (one aggregation over the narrow buckets
+  table, only when set): the standard skip-common-buckets trade — such
+  pairs are overwhelmingly boilerplate exact-dups that the fingerprint
+  route still catches.
+- The reference engine has no dedup surface at all (extension; ref
+  README.md feature table) — this is training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import (
+    _perm_params,
+    _spread,
+    band_buckets,
+    minhash_signatures,
+    sig_agreement,
+)
+
+PAIR_COLUMNS = ["new_id", "corpus_id", "est_jaccard", "match_kind"]
+
+
+def dedup_index_frames(
+    df: DataFrame,
+    perms: list[tuple[int, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable index rows for a document frame:
+
+    - ``sigs``: (id, fp, signature) — fp is the whole-text hash
+      (xxhash64, or the SQL-replayable md5-derived 60-bit hash under
+      ``hash_fn='portable'``); signature is the ``num_hashes``-element
+      MinHash array, NULL for docs with fewer than ``n`` tokens (they
+      participate in exact matching only).
+    - ``buckets``: (id, band, bucket) — the LSH band keys, one row per
+      band per signed doc.
+
+    Both :func:`build_dedup_index` (which writes them) and
+    :func:`dedup_against` (which computes them for the probe batch
+    in-memory) call this, so stored and probe-side rows are identical
+    by construction."""
+    if hash_fn == "portable":
+        from .text import md5_hash60
+
+        fp = md5_hash60(F.col(text_col))
+    else:
+        fp = F.xxhash64(text_col)
+    base = _spread(df.select(F.col(id_col), F.col(text_col)))
+    ids = base.select(F.col(id_col).alias("id"), fp.alias("fp"))
+    sig_rows = minhash_signatures(
+        base, id_col, text_col, n, num_hashes, seed=0,
+        hash_fn=hash_fn, perms=perms)
+    sigs = ids.join(sig_rows, "id", "left")
+    buckets = band_buckets(sig_rows, num_hashes, bands, hash_fn)
+    return sigs.select("id", "fp", "signature"), buckets
+
+
+def build_dedup_index(
+    df: DataFrame, name: str, store,
+    id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, num_hashes: int = 64, bands: int = 16, seed: int = 42,
+    hash_fn: str = "xxhash64",
+    sigs_path: str | None = None, buckets_path: str | None = None,
+) -> dict:
+    """Build and PERSIST a dedup index over ``df``:
+
+    1. derive the ``num_hashes`` permutation parameters from ``seed``
+       (they become part of the index — later batches reuse them);
+    2. write the :func:`dedup_index_frames` rows as parquet — one
+       full-corpus pass; the signatures table is ~0.5 KB/doc and the
+       buckets table 8–16 B/doc/band, independent of document size;
+    3. save the permutations + params in ``store`` (models.ModelStore)
+       under ``name``, kind ``dedup_index``.
+
+    Sizing: ``num_hashes``/``bands`` set the match curve exactly as in
+    :func:`~brahmand_spark.ops.dedup.minhash_lsh_candidates` — with
+    r = num_hashes/bands rows per band, the probe catches a pair of
+    true Jaccard s with probability 1-(1-s^r)^bands (64/16 ⇒ ~50 % at
+    s≈0.47, >99 % at s≈0.8). ``n`` is the word-shingle width (3 word
+    grams by default, like the in-memory family). Returns the saved
+    params dict."""
+    perms = _perm_params(num_hashes, seed)
+    if sigs_path is None:
+        sigs_path = os.path.join(store.path, f"{name}.dedup.sigs")
+    if buckets_path is None:
+        buckets_path = os.path.join(store.path, f"{name}.dedup.buckets")
+    sigs, buckets = dedup_index_frames(
+        df, perms, id_col, text_col, n, num_hashes, bands, hash_fn)
+    sigs.write.mode("overwrite").parquet(sigs_path)
+    buckets.write.mode("overwrite").parquet(buckets_path)
+    n_docs = df.sparkSession.read.parquet(sigs_path).count()
+    params = {
+        "id_col": id_col, "text_col": text_col, "n": n,
+        "num_hashes": num_hashes, "bands": bands, "seed": seed,
+        "hash_fn": hash_fn, "sigs_path": sigs_path,
+        "buckets_path": buckets_path, "n_docs": n_docs,
+    }
+    store.save(name, "dedup_index", {"perms": [list(p) for p in perms]},
+               params)
+    return params
+
+
+def _load_index(store, name: str) -> tuple[dict, list[tuple[int, int]]]:
+    doc = store.load(name, "dedup_index")
+    perms = [tuple(p) for p in doc["payload"]["perms"]]
+    return doc["params"], perms
+
+
+def dedup_index_add(
+    spark, name: str, new_docs: DataFrame, store,
+    id_col: str | None = None, text_col: str | None = None,
+) -> dict:
+    """Append a document batch to a persisted dedup index WITHOUT
+    touching existing rows: encode with the STORED permutations and
+    append to both tables — per-batch cost ∝ batch. Ids must not
+    collide with rows already in the index (the caller's contract, as
+    with any append); the normal loop is ``dedup_against`` first, drop
+    the batch's duplicates, then add the survivors. Returns the
+    updated params."""
+    params, perms = _load_index(store, name)
+    sigs, buckets = dedup_index_frames(
+        new_docs, perms,
+        id_col or params["id_col"], text_col or params["text_col"],
+        params["n"], params["num_hashes"], params["bands"],
+        params["hash_fn"])
+    sigs.write.mode("append").parquet(params["sigs_path"])
+    buckets.write.mode("append").parquet(params["buckets_path"])
+    params["n_docs"] = spark.read.parquet(params["sigs_path"]).count()
+    store.save(name, "dedup_index", {"perms": [list(p) for p in perms]},
+               params)
+    return params
+
+
+def dedup_against(
+    spark, name: str, batch: DataFrame, store,
+    threshold: float = 0.5, include_exact: bool = True,
+    exclude_self: bool = False, hot_bucket_cap: int | None = None,
+    id_col: str | None = None, text_col: str | None = None,
+) -> DataFrame:
+    """Dedup a new document batch AGAINST a persisted index: returns
+    (new_id, corpus_id, est_jaccard, match_kind) — one row per
+    (batch doc, indexed doc) duplicate pair found, ``match_kind``
+    'exact' (identical text by whole-text fingerprint; est_jaccard
+    1.0) or 'near' (same LSH bucket in ≥1 band AND signature-estimated
+    Jaccard ≥ ``threshold``). Only the BATCH is shingled and hashed;
+    the corpus side is served entirely from the stored narrow tables.
+
+    ``exclude_self`` (default False — a crawl batch's id space is
+    normally disjoint from the corpus) drops candidates whose
+    corpus_id equals the new_id: pass True when probing the index
+    with a slice of its own corpus, where the self-pair is a
+    tautology. Left False otherwise so an accidental numeric
+    collision can't silently hide a true duplicate (the ann_search
+    convention, ops/similarity.py).
+
+    ``hot_bucket_cap`` (optional) skips corpus buckets holding more
+    than that many docs before the candidate join — bounds the B·b
+    candidate blow-up on boilerplate-heavy corpora at a documented
+    recall cost (such pairs are near-always exact dups the
+    fingerprint route still catches)."""
+    params, perms = _load_index(store, name)
+    if batch.isStreaming:
+        raise ValueError(
+            "dedup_against takes a BATCH frame; dedup a STREAM with "
+            "streaming.dedup_stream or run this per micro-batch via "
+            "foreachBatch")
+    b_sigs, b_buckets = dedup_index_frames(
+        batch, perms,
+        id_col or params["id_col"], text_col or params["text_col"],
+        params["n"], params["num_hashes"], params["bands"],
+        params["hash_fn"])
+    s_sigs = spark.read.parquet(params["sigs_path"])
+    s_buckets = spark.read.parquet(params["buckets_path"])
+    if hot_bucket_cap is not None:
+        hot = (
+            s_buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > int(hot_bucket_cap))
+            .select("band", "bucket")
+        )
+        s_buckets = s_buckets.join(hot, ["band", "bucket"], "left_anti")
+
+    def _self(pairs: DataFrame) -> DataFrame:
+        if exclude_self:
+            return pairs.filter(F.col("new_id") != F.col("corpus_id"))
+        return pairs
+
+    exact = _self(
+        b_sigs.select(F.col("id").alias("new_id"), "fp")
+        .join(s_sigs.select(F.col("id").alias("corpus_id"), "fp"), "fp")
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    # near candidates: bucket-equality join, ids only through the
+    # shuffle; signatures join back onto the (far smaller) candidate
+    # set — the minhash_lsh_candidates shape with the corpus side
+    # read from parquet instead of recomputed.
+    cands = _self(
+        b_buckets.select(F.col("id").alias("new_id"), "band", "bucket")
+        .join(s_buckets.select(F.col("id").alias("corpus_id"),
+                               "band", "bucket"),
+              ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    near = (
+        cands
+        .join(b_sigs.select(F.col("id").alias("new_id"),
+                            F.col("signature").alias("sig_a")), "new_id")
+        .join(s_sigs.select(F.col("id").alias("corpus_id"),
+                            F.col("signature").alias("sig_b")),
+              "corpus_id")
+        .withColumn("est_jaccard", sig_agreement(params["num_hashes"]))
+        .filter(F.col("est_jaccard") >= float(threshold))
+        .join(exact, ["new_id", "corpus_id"], "left_anti")
+        .select("new_id", "corpus_id", "est_jaccard",
+                F.lit("near").alias("match_kind"))
+    )
+    if not include_exact:
+        return near.select(*PAIR_COLUMNS)
+    exact_rows = exact.select(
+        "new_id", "corpus_id",
+        F.lit(1.0).alias("est_jaccard"),
+        F.lit("exact").alias("match_kind"))
+    return exact_rows.unionByName(near).select(*PAIR_COLUMNS)

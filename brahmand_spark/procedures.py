@@ -476,6 +476,72 @@ def _p_corpus_image_dedup_groups(session, label, max_hamming=5,
     )
 
 
+def _p_corpus_decontaminate(session, train_label, eval_label, n=8,
+                            min_shared=1):
+    """Benchmark decontamination (ops/dedup.decontaminate): one
+    verdict row per train document — eval-overlap counts and the
+    contaminated drop flag. The eval side is benchmark-sized, so the
+    shingle-hash join broadcasts it and the train side never
+    shuffles."""
+    from .ops.dedup import decontaminate
+
+    return decontaminate(
+        session._load_for_label(train_label),
+        session._load_for_label(eval_label),
+        n=int(n), min_shared=int(min_shared))
+
+
+def _p_corpus_build_dedup_index(session, label, name, n=3,
+                                num_hashes=64, bands=16,
+                                id_col="doc_id", text_col="text"):
+    """Build and persist a dedup index over a catalog document table
+    (ops/dedup_index.build_dedup_index): fingerprints + MinHash
+    signatures + LSH band buckets written once beside the model
+    store, permutations saved under ``name``. One metadata row
+    back."""
+    from .ops.dedup_index import build_dedup_index
+
+    params = build_dedup_index(
+        session._load_for_label(label), name, session.model_store,
+        id_col=id_col, text_col=text_col, n=int(n),
+        num_hashes=int(num_hashes), bands=int(bands))
+    return session.spark.createDataFrame(
+        [(name, label, int(params["n_docs"]),
+          int(params["num_hashes"]), int(params["bands"]),
+          params["sigs_path"])],
+        "name string, label string, n_docs long, num_hashes int, "
+        "bands int, sigs_path string")
+
+
+def _p_corpus_dedup_add(session, name, label):
+    """Append a catalog document table's rows to a persisted dedup
+    index without rewriting it (ops/dedup_index.dedup_index_add):
+    encode with the STORED permutations, partitioned append."""
+    from .ops.dedup_index import dedup_index_add
+
+    params = dedup_index_add(
+        session.spark, name, session._load_for_label(label),
+        session.model_store)
+    return session.spark.createDataFrame(
+        [(name, label, int(params["n_docs"]))],
+        "name string, label string, n_docs long")
+
+
+def _p_corpus_dedup_against(session, name, label, threshold=0.5,
+                            include_exact=True, exclude_self=False):
+    """Dedup a catalog document table AGAINST a persisted index
+    (ops/dedup_index.dedup_against): only the probe batch is hashed;
+    the corpus side is served from the stored narrow tables. Rows:
+    (new_id, corpus_id, est_jaccard, match_kind)."""
+    from .ops.dedup_index import dedup_against
+
+    return dedup_against(
+        session.spark, name, session._load_for_label(label),
+        session.model_store, threshold=float(threshold),
+        include_exact=bool(include_exact),
+        exclude_self=bool(exclude_self))
+
+
 def _p_vector_build_index(session, label, name, n_cells=16, m=4,
                           n_codes=16, id_col="vec_id",
                           vec_col="embedding"):
@@ -606,6 +672,10 @@ PROCEDURES: dict[str, Callable] = {
     "corpus.pca": _p_corpus_pca,
     "corpus.lang_id": _p_corpus_lang_id,
     "corpus.image_near_dup": _p_corpus_image_near_dup,
+    "corpus.decontaminate": _p_corpus_decontaminate,
+    "corpus.build_dedup_index": _p_corpus_build_dedup_index,
+    "corpus.dedup_add": _p_corpus_dedup_add,
+    "corpus.dedup_against": _p_corpus_dedup_against,
     "corpus.image_dedup_groups": _p_corpus_image_dedup_groups,
     "vector.build_index": _p_vector_build_index,
     "vector.add": _p_vector_add,

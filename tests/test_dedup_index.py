@@ -1,0 +1,305 @@
+"""Persisted dedup index (ops/dedup_index — hash the corpus once,
+dedup every future batch against it; the MinHash analogue of the r7
+persisted ANN index): fresh-store probes are bit-identical to the
+in-memory minhash_lsh_candidates cross pairs, incremental add equals a
+one-shot rebuild, the exact fingerprint route catches short docs the
+signature path can't sign, and the FULL build+probe pipeline (portable
+hash) replays in a DuckDB oracle — folded-gate-strength value check."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from brahmand_spark.errors import CatalogError
+from brahmand_spark.models import ModelStore
+from brahmand_spark.ops.dedup import minhash_lsh_candidates
+from brahmand_spark.ops.dedup_index import (
+    build_dedup_index, dedup_against, dedup_index_add,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text")
+
+
+def _corpus(spark):
+    return _docs(spark).filter(F.col("doc_id") % 5 != 0)
+
+
+def _near_batch(spark):
+    """Perturbed copies of the held-out split: high-but-<1 Jaccard
+    against their corpus near-dups, disjoint id space."""
+    return _docs(spark).filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"))
+
+
+class TestBuildAndProbe:
+    def test_fresh_store_probe_matches_inmemory_cross_pairs(
+            self, spark, tmp_path):
+        """build -> fresh ModelStore over the same dir -> probe must
+        equal the corpus∪batch in-memory candidate pairs restricted
+        to cross pairs, bit-for-bit: permutations persist, signatures
+        round-trip parquet exactly, and the banding/estimate exprs
+        are shared (band_buckets / sig_agreement)."""
+        corpus, batch = _corpus(spark), _near_batch(spark)
+        st = ModelStore(str(tmp_path / "m"))
+        params = build_dedup_index(corpus, "dix", st)
+        assert params["n_docs"] == corpus.count()
+        st2 = ModelStore(str(tmp_path / "m"))
+        got = sorted(
+            (r["new_id"], r["corpus_id"], r["est_jaccard"])
+            for r in dedup_against(spark, "dix", batch, st2,
+                                   threshold=0.5).collect()
+            if r["match_kind"] == "near")
+        mem = minhash_lsh_candidates(
+            corpus.unionByName(batch)
+        ).filter(F.col("est_jaccard") >= 0.5)
+        want = sorted(
+            (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]),
+             r["est_jaccard"])
+            for r in mem.collect()
+            if (r["id_a"] >= 10_000_000) != (r["id_b"] >= 10_000_000))
+        assert got == want and len(got) > 0
+
+    def test_exact_route_and_short_docs(self, spark, tmp_path):
+        """Identical text matches via the fingerprint route with
+        est 1.0 / kind 'exact' — including docs too short to sign
+        (< n tokens, no MinHash signature), which the banded route
+        can never see. Non-matching short docs yield nothing."""
+        corpus = _corpus(spark).unionByName(
+            spark.createDataFrame([(900_001, "hi there")],
+                                  "doc_id long, text string"))
+        st = ModelStore(str(tmp_path / "m"))
+        build_dedup_index(corpus, "dix", st)
+        batch = spark.createDataFrame(
+            [(10_900_001, "hi there"),       # short exact dup
+             (10_900_002, "bye now")],       # short non-dup
+            "doc_id long, text string")
+        rows = dedup_against(spark, "dix", batch, st).collect()
+        assert [(r["new_id"], r["corpus_id"], r["est_jaccard"],
+                 r["match_kind"]) for r in rows] == [
+            (10_900_001, 900_001, 1.0, "exact")]
+        # and include_exact=False drops it
+        assert dedup_against(spark, "dix", batch, st,
+                             include_exact=False).count() == 0
+
+    def test_exact_excluded_from_near(self, spark, tmp_path):
+        """A long identical-text pair is caught by BOTH routes —
+        it must surface once, as 'exact', not again as 'near'."""
+        corpus = _corpus(spark)
+        st = ModelStore(str(tmp_path / "m"))
+        build_dedup_index(corpus, "dix", st)
+        batch = corpus.limit(5).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"), "text")
+        rows = dedup_against(spark, "dix", batch, st,
+                             threshold=0.5).collect()
+        exact = [(r["new_id"], r["corpus_id"]) for r in rows
+                 if r["match_kind"] == "exact"]
+        near = [(r["new_id"], r["corpus_id"]) for r in rows
+                if r["match_kind"] == "near"]
+        assert len(exact) == 5
+        assert not set(exact) & set(near)
+
+    def test_self_probe_and_exclude_self(self, spark, tmp_path):
+        corpus = _corpus(spark)
+        st = ModelStore(str(tmp_path / "m"))
+        build_dedup_index(corpus, "dix", st)
+        probe = corpus.limit(8)
+        with_self = dedup_against(spark, "dix", probe, st)
+        assert with_self.filter(
+            (F.col("new_id") == F.col("corpus_id"))
+            & (F.col("match_kind") == "exact")).count() == 8
+        without = dedup_against(spark, "dix", probe, st,
+                                exclude_self=True)
+        assert without.filter(
+            F.col("new_id") == F.col("corpus_id")).count() == 0
+
+    def test_hot_bucket_cap_skips_near_keeps_exact(
+            self, spark, tmp_path):
+        corpus = _corpus(spark)
+        st = ModelStore(str(tmp_path / "m"))
+        build_dedup_index(corpus, "dix", st)
+        batch = corpus.limit(3).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"), "text")
+        rows = dedup_against(spark, "dix", batch, st,
+                             hot_bucket_cap=0).collect()
+        assert rows and all(r["match_kind"] == "exact" for r in rows)
+
+    def test_wrong_kind_rejected(self, spark, tmp_path):
+        st = ModelStore(str(tmp_path / "m"))
+        st.save_lsh_planes("dix", [[0.1, 0.2]])
+        with pytest.raises(CatalogError, match="dedup_index"):
+            dedup_against(spark, "dix", _docs(spark).limit(1), st)
+
+    def test_stream_batch_rejected(self, spark, tmp_path):
+        st = ModelStore(str(tmp_path / "m"))
+        build_dedup_index(_corpus(spark), "dix", st)
+        stream = spark.readStream.format("rate").load()
+        with pytest.raises(ValueError, match="BATCH"):
+            dedup_against(spark, "dix", stream, st)
+
+
+class TestIncrementalAdd:
+    def test_add_matches_one_shot_build(self, spark, tmp_path):
+        """build on half the corpus + dedup_index_add the other half
+        == one-shot build on the full corpus: signatures are seed-
+        deterministic and the stored permutations are reused, so the
+        grown index is row-identical."""
+        corpus, batch = _corpus(spark), _near_batch(spark)
+        half_a = corpus.filter(F.col("doc_id") % 2 == 0)
+        half_b = corpus.filter(F.col("doc_id") % 2 == 1)
+        st_inc = ModelStore(str(tmp_path / "inc"))
+        st_full = ModelStore(str(tmp_path / "full"))
+        build_dedup_index(half_a, "dix", st_inc)
+        n0 = st_inc.load("dix", "dedup_index")["params"]["n_docs"]
+        params = dedup_index_add(spark, "dix", half_b, st_inc)
+        assert params["n_docs"] > n0
+        build_dedup_index(corpus, "dix", st_full)
+        a = sorted(map(tuple, dedup_against(
+            spark, "dix", batch, st_inc, threshold=0.5).collect()))
+        b = sorted(map(tuple, dedup_against(
+            spark, "dix", batch, st_full, threshold=0.5).collect()))
+        assert a == b and len(a) > 0
+
+
+class TestDuckDBReplay:
+    def test_portable_pipeline_matches_duckdb(self, spark, duck,
+                                              tmp_path):
+        """Folded-gate-strength value check: the ENTIRE build+probe
+        pipeline under hash_fn='portable' — whole-text md5-60
+        fingerprints, seeded permutation mins, 16-band bucket
+        equality, signature-agreement estimate, exact-pair exclusion
+        — replayed independently in DuckDB over the same parquet."""
+        from brahmand_spark.ops.dedup import HASH_P, _perm_params
+
+        corpus = _corpus(spark)
+        batch = _near_batch(spark).unionByName(
+            _docs(spark)
+            .filter((F.col("doc_id") % 7 == 0)
+                    & (F.col("doc_id") % 5 != 0))
+            .select((F.col("doc_id") + 20_000_000).alias("doc_id"),
+                    "text"))
+        st = ModelStore(str(tmp_path / "m"))
+        build_dedup_index(corpus, "dix", st, hash_fn="portable")
+        got = sorted(map(tuple, dedup_against(
+            spark, "dix", batch, st, threshold=0.5).collect()))
+
+        num_hashes, bands, rows = 64, 16, 4
+        perms = _perm_params(num_hashes, 42)
+        md5h60 = (
+            "list_reduce(list_transform("
+            "string_split(substr(md5({e}), 1, 15), ''), "
+            "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT), "
+            "(a, b) -> a * 16 + b)")
+        mins = ",\n".join(
+            f"min(({a} * h + {b}) % {HASH_P}) AS m{i}"
+            for i, (a, b) in enumerate(perms))
+
+        def side(name: str, src: str) -> str:
+            return rf"""
+            {name}_sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(t) - 1),
+                           i -> array_to_string(t[i:i+2], ' ')))) AS s
+                FROM (SELECT doc_id,
+                             list_filter(
+                                 string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+                      FROM {src})),
+            {name}_sig AS (
+                SELECT doc_id, {mins}
+                FROM (SELECT doc_id,
+                             {md5h60.format(e='s')} % {HASH_P} AS h
+                      FROM {name}_sh)
+                GROUP BY doc_id),
+            {name}_fp AS (
+                SELECT doc_id, {md5h60.format(e='text')} AS fp
+                FROM {src})"""
+
+        band_conds = "\n              OR ".join(
+            "(" + " AND ".join(
+                f"sa.m{b * rows + r} = sb.m{b * rows + r}"
+                for r in range(rows)) + ")"
+            for b in range(bands))
+        matches = " + ".join(
+            f"(sa.m{i} = sb.m{i})::INT" for i in range(num_hashes))
+        want = sorted(map(tuple, duck.execute(rf"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 5 <> 0),
+            batch AS (
+                SELECT doc_id + 10000000 AS doc_id,
+                       text || ' zzz' AS text
+                FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 20000000, text FROM documents
+                WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0),
+            {side('c', 'corpus')},
+            {side('b', 'batch')},
+            exact AS (
+                SELECT DISTINCT b.doc_id AS new_id,
+                       c.doc_id AS corpus_id
+                FROM b_fp b JOIN c_fp c ON b.fp = c.fp),
+            near AS (
+                SELECT sb.doc_id AS new_id, sa.doc_id AS corpus_id,
+                       round(({matches}) / 64.0, 6) AS est_jaccard
+                FROM b_sig sb JOIN c_sig sa ON ({band_conds})
+                WHERE round(({matches}) / 64.0, 6) >= 0.5
+                  AND NOT EXISTS (
+                      SELECT 1 FROM exact e
+                      WHERE e.new_id = sb.doc_id
+                        AND e.corpus_id = sa.doc_id))
+            SELECT new_id, corpus_id, 1.0::DOUBLE AS est_jaccard,
+                   'exact' AS match_kind FROM exact
+            UNION ALL
+            SELECT new_id, corpus_id, est_jaccard, 'near'
+            FROM near""").fetchall()))
+        assert got == want and len(got) > 0
+        assert any(r[3] == "exact" for r in got)
+        assert any(r[3] == "near" for r in got)
+
+
+class TestCallSurface:
+    def test_build_add_probe_via_call(self, spark, tmp_path):
+        from brahmand_spark import GraphSession
+
+        s = GraphSession(spark, models_path=str(tmp_path / "dm"))
+        for lbl, df in (
+            ("HalfA", _corpus(spark).filter(F.col("doc_id") % 2 == 0)),
+            ("HalfB", _corpus(spark).filter(F.col("doc_id") % 2 == 1)),
+            ("Batch", _near_batch(spark)),
+        ):
+            s.execute(f"CREATE NODE TABLE {lbl} (doc_id Int64, "
+                      "text String, NODE ID (doc_id))")
+            s.register_table(lbl, df)
+        meta = s.execute(
+            "CALL corpus.build_dedup_index('HalfA', 'dix')").collect()
+        assert meta[0]["n_docs"] > 0
+        out = s.execute(
+            "CALL corpus.dedup_add('dix', 'HalfB')").collect()
+        assert out[0]["n_docs"] > meta[0]["n_docs"]
+        got = sorted(map(tuple, s.execute(
+            "CALL corpus.dedup_against('dix', 'Batch', 0.5) "
+            "YIELD new_id, corpus_id, est_jaccard, match_kind"
+        ).collect()))
+        st = ModelStore(str(tmp_path / "dm"))
+        want = sorted(map(tuple, dedup_against(
+            spark, "dix", _near_batch(spark), st,
+            threshold=0.5).collect()))
+        assert got == want and len(got) > 0
+        # a FRESH session over the same store probes without rebuild
+        s2 = GraphSession(spark, models_path=str(tmp_path / "dm"))
+        s2.execute("CREATE NODE TABLE Batch (doc_id Int64, "
+                   "text String, NODE ID (doc_id))")
+        s2.register_table("Batch", _near_batch(spark))
+        again = sorted(map(tuple, s2.execute(
+            "CALL corpus.dedup_against('dix', 'Batch', 0.5) "
+            "YIELD new_id, corpus_id, est_jaccard, match_kind"
+        ).collect()))
+        assert again == got

@@ -1051,11 +1051,15 @@ class QueryCompiler:
                     val.alias("v"),
                 ).alias(f"{name}_v"),
             )
+            # COLLECT { ... RETURN DISTINCT e } dedups the sorted
+            # struct array BEFORE unwrapping (array_distinct over
+            # (is_null, v) structs keeps one NULL — collect_set would
+            # drop them all)
+            collected = F.array_sort(F.collect_list(f"{name}_v"))
+            if getattr(e, "distinct", False):
+                collected = F.array_distinct(collected)
             grouped = sub.groupBy(*keys).agg(
-                F.transform(
-                    F.array_sort(F.collect_list(f"{name}_v")),
-                    lambda s: s["v"],
-                ).alias(name))
+                F.transform(collected, lambda s: s["v"]).alias(name))
             cond = None
             for a, k in zip(anchors, keys):
                 c = F.col(scope.get(a).id_pcol) == F.col(k)
@@ -1074,10 +1078,13 @@ class QueryCompiler:
                 return attach_pc(v)
             # size([ pattern | expr ]) never needs the list: the map
             # is total, so the size IS the match count — compile it
-            # as the (cheaper) grouped count instead of collect+sort
+            # as the (cheaper) grouped count instead of collect+sort.
+            # (NOT valid for COLLECT { RETURN DISTINCT e }: distinct
+            # values can be fewer than matches — that keeps the list.)
             if (isinstance(v, ast.FnCall) and v.name.lower() == "size"
                     and len(v.args) == 1
-                    and isinstance(v.args[0], ast.PatternComprehension)):
+                    and isinstance(v.args[0], ast.PatternComprehension)
+                    and not v.args[0].distinct):
                 pc = v.args[0]
                 return attach(ast.CountSubquery(pc.path, pc.where))
             if hasattr(v, "__dataclass_fields__"):

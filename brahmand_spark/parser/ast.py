@@ -164,11 +164,17 @@ class PatternComprehension:
     counting: a grouped ``collect_list`` over the sub-assembly,
     LEFT-joined back on the anchor ids ([] when no match). The list
     is SORTED for determinism (openCypher leaves comprehension order
-    unspecified; a sorted list replays in any engine)."""
+    unspecified; a sorted list replays in any engine).
+
+    Also the compiled form of ``COLLECT { MATCH <path> [WHERE p]
+    RETURN [DISTINCT] <expr> }`` (openCypher COLLECT subquery, r8 —
+    the third of the EXISTS/COUNT/COLLECT trio): identical semantics
+    with ``distinct`` deduplicating the collected values."""
 
     path: object  # PathPattern
     where: object = None  # Optional[Expr]
     map: object = None  # Expr (mandatory per openCypher)
+    distinct: bool = False  # COLLECT { ... RETURN DISTINCT e }
 
 
 @dataclass(frozen=True)

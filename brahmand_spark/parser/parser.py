@@ -755,9 +755,25 @@ class Parser:
                         pass
                     self.i = save
                 return self.parse_fn_call(name)
-            if self.at_op("{") and name.lower() in ("exists", "count"):
-                # EXISTS { MATCH <path> [WHERE e] } / COUNT { ... }
-                path, where = self._parse_subquery_block()
+            if self.at_op("{") and name.lower() in ("exists", "count",
+                                                    "collect"):
+                # EXISTS { MATCH <path> [WHERE e] } / COUNT { ... } /
+                # COLLECT { ... RETURN [DISTINCT] e }
+                collect = name.lower() == "collect"
+                path, where = self._parse_subquery_block(
+                    stop_at_return=collect)
+                if collect:
+                    # COLLECT subqueries (openCypher 9 / GQL) require
+                    # a single-column RETURN; they compile as pattern
+                    # comprehensions (same anchored-collect semantics)
+                    self.eat_kw("RETURN")
+                    distinct = self.try_kw("DISTINCT")
+                    expr = self.parse_expr()
+                    self.eat_op("}")
+                    self.n_count_subqueries += 1
+                    return ast.PatternComprehension(
+                        path=path, where=where, map=expr,
+                        distinct=distinct)
                 if name.lower() == "exists":
                     return ast.PatternPredicate(path, where=where)
                 self.n_count_subqueries += 1
@@ -765,9 +781,10 @@ class Parser:
             return ast.Variable(name)
         self.error("expected expression")
 
-    def _parse_subquery_block(self):
+    def _parse_subquery_block(self, stop_at_return: bool = False):
         """``{ [MATCH] <path> [WHERE <expr>] }`` — the body of an
-        EXISTS / COUNT subquery expression."""
+        EXISTS / COUNT subquery expression. With ``stop_at_return``
+        (the COLLECT form) the caller consumes ``RETURN ... }``."""
         self.eat_op("{")
         self.try_kw("MATCH")
         path = self.parse_path()
@@ -776,6 +793,8 @@ class Parser:
         where = None
         if self.try_kw("WHERE"):
             where = self.parse_expr()
+        if stop_at_return:
+            return path, where
         self.eat_op("}")
         return path, where
 

@@ -1034,6 +1034,51 @@ class TestPatternComprehension:
         assert len(rows) > 0
         assert {r["cls"] for r in rows} <= {"busy", "quiet"}
 
+    def test_collect_subquery_equals_comprehension(self, tpch):
+        """COLLECT { MATCH p WHERE w RETURN e } (r8) is the block form
+        of [ p WHERE w | e ] — identical rows by construction (both
+        compile to the same PatternComprehension node)."""
+        q = ("MATCH (c:Customer) WHERE c.c_custkey <= 10 "
+             "RETURN c.c_custkey AS ck, {} AS ks ORDER BY ck")
+        block = tpch.execute(q.format(
+            "COLLECT { MATCH (c)-[:PLACED]->(o:Order) "
+            "WHERE o.o_orderstatus = 'O' RETURN o.o_orderkey }"
+        )).collect()
+        bracket = tpch.execute(q.format(
+            "[ (c)-[:PLACED]->(o:Order) "
+            "WHERE o.o_orderstatus = 'O' | o.o_orderkey ]")).collect()
+        assert [(r["ck"], list(r["ks"])) for r in block] == \
+            [(r["ck"], list(r["ks"])) for r in bracket]
+        assert any(r["ks"] for r in block)
+
+    def test_collect_distinct_dedups_and_sizes_correctly(self, tpch):
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 10 "
+            "RETURN c.c_custkey AS ck, "
+            "COLLECT { MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN DISTINCT o.o_orderstatus } AS sts, "
+            "size(COLLECT { MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN DISTINCT o.o_orderstatus }) AS n_sts, "
+            "COUNT { MATCH (c)-[:PLACED]->(o:Order) } AS n_orders "
+            "ORDER BY ck").collect()
+        assert rows
+        saw_fewer = False
+        for r in rows:
+            sts = list(r["sts"])
+            assert sts == sorted(set(sts))  # sorted, deduped
+            assert r["n_sts"] == len(sts)   # distinct size ≠ count
+            if r["n_orders"] > r["n_sts"] > 0:
+                saw_fewer = True
+        assert saw_fewer
+
+    def test_collect_missing_return_errors(self, tpch):
+        from brahmand_spark.errors import ParseError
+
+        with pytest.raises(ParseError, match="RETURN"):
+            tpch.execute(
+                "MATCH (c:Customer) RETURN COLLECT { "
+                "MATCH (c)-[:PLACED]->(o:Order) } AS xs LIMIT 1")
+
     def test_unbound_map_reference_errors(self, tpch):
         """The | expression sees only the comprehension's own pattern
         aliases — an outer alias not re-scanned inside it errors."""

@@ -218,6 +218,44 @@ FOLDED_CYPHER = {
              AND (SELECT count(*) FROM orders o
                   WHERE o.o_custkey = c.c_custkey) >= 8""",
     ),
+    # COLLECT { } subquery (r8 — the third of the EXISTS/COUNT/COLLECT
+    # trio): per-row sorted list of sub-match RETURN values, [] when
+    # none — rides the pattern-comprehension machinery
+    "collect_subquery": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 20
+           RETURN c.c_custkey AS ck,
+                  COLLECT { MATCH (c)-[:PLACED]->(o:Order)
+                            WHERE o.o_totalprice > 150000
+                            RETURN o.o_orderkey } AS big""",
+        """SELECT c_custkey AS ck,
+                  coalesce((SELECT list_sort(list(o.o_orderkey))
+                            FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 150000), []) AS big
+           FROM customer c WHERE c_custkey <= 20""",
+    ),
+    # COLLECT { ... RETURN DISTINCT e }: dedups the collected values;
+    # size() of it must count DISTINCT values (not matches — the
+    # size()->COUNT{} fast path is disabled for the distinct form)
+    "collect_subquery_distinct": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 20
+           RETURN c.c_custkey AS ck,
+                  COLLECT { MATCH (c)-[:PLACED]->(o:Order)
+                            RETURN DISTINCT o.o_orderstatus } AS sts,
+                  size(COLLECT { MATCH (c)-[:PLACED]->(o:Order)
+                                 RETURN DISTINCT o.o_orderstatus })
+                  AS n_sts""",
+        """SELECT c_custkey AS ck,
+                  coalesce((SELECT list_sort(list(DISTINCT
+                                o.o_orderstatus))
+                            FROM orders o
+                            WHERE o.o_custkey = c.c_custkey), []) AS sts,
+                  coalesce((SELECT count(DISTINCT o.o_orderstatus)
+                            FROM orders o
+                            WHERE o.o_custkey = c.c_custkey),
+                           0)::BIGINT AS n_sts
+           FROM customer c WHERE c_custkey <= 20""",
+    ),
     # undirected same-label hop, UNION DISTINCT of both orientations
     # (folded r4: 21-row direction variant of registered hop shapes;
     # slot went to cluster_kmeans)

@@ -1,4 +1,4 @@
-from .dedup_stream import dedup_stream
+from .dedup_stream import dedup_against_stream, dedup_stream
 from .joins import funnel_join
 from .vector import ann_search_stream
 from .stateful import running_user_stats, running_user_stats_batch
@@ -11,5 +11,6 @@ from .windows import (
 __all__ = [
     "read_event_stream", "tumbling_agg", "sliding_counts", "sessionize",
     "streaming_dedup", "streaming_url_dedup", "running_user_stats", "running_user_stats_batch",
-    "dedup_stream", "windowed_hll_registers", "windowed_cms_table", "funnel_join",
+    "dedup_stream", "dedup_against_stream", "windowed_hll_registers",
+    "windowed_cms_table", "funnel_join", "ann_search_stream",
 ]

@@ -167,3 +167,59 @@ def dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_against_stream(
+    spark, name: str, doc_stream, store,
+    sink, threshold: float = 0.5,
+    include_exact: bool = True, exclude_self: bool = False,
+    hot_bucket_cap: "int | None" = None, add_clean: bool = False,
+):
+    """Dedup a STREAM of document batches against a NAMED persisted
+    dedup index (ops/dedup_index) — the crawl-ingest loop when the
+    corpus side was built with ``build_dedup_index`` (estimates,
+    threshold, and the exact fingerprint route; contrast
+    :func:`dedup_stream`, which maintains its own anonymous band
+    store with drop-on-any-shared-band semantics).
+
+    Per micro-batch, ``sink(pairs_df, batch_id)`` receives the same
+    (new_id, corpus_id, est_jaccard, match_kind) frame the batch
+    :func:`~brahmand_spark.ops.dedup_index.dedup_against` returns;
+    with ``add_clean=True`` the batch's CLEAN documents (no duplicate
+    pair at all) are then appended to the index via
+    :func:`~brahmand_spark.ops.dedup_index.dedup_index_add`, so later
+    batches dedup against earlier ones — incremental corpus growth
+    with zero re-hashing.
+
+    Same foreachBatch shape as streaming/vector.ann_search_stream
+    (the bucket join and estimate filter are batch constructs). No
+    streaming state of our own — the index IS the state, durably on
+    disk; a replayed micro-batch re-emits the same pairs, but under
+    ``add_clean`` it would also RE-APPEND its clean docs (duplicate
+    index rows, unlike :func:`dedup_stream`'s per-batch-partition
+    overwrite) — use a durable checkpointLocation so replays are
+    rare, or leave add_clean off and append accepted batches
+    yourself. ``add_clean`` checks batch-vs-index only: two near-dup
+    docs arriving in the SAME micro-batch both count as clean (run
+    minhash_lsh_candidates within the batch first if that matters).
+    Returns the ``DataStreamWriter`` — call ``.start()``."""
+    from ..ops.dedup_index import dedup_against, dedup_index_add
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = dedup_against(
+            spark, name, batch_df, store, threshold=threshold,
+            include_exact=include_exact, exclude_self=exclude_self,
+            hot_bucket_cap=hot_bucket_cap)
+        sink(pairs, batch_id)
+        if add_clean:
+            params = store.load(name, "dedup_index")["params"]
+            id_col = params["id_col"]
+            clean = batch_df.join(
+                pairs.select(F.col("new_id").alias(id_col)).distinct(),
+                id_col, "left_anti")
+            if not clean.isEmpty():
+                dedup_index_add(spark, name, clean, store)
+
+    return doc_stream.writeStream.foreachBatch(handle)

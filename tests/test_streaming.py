@@ -746,6 +746,107 @@ class TestStreamingUrlDedupSemantics:
         assert streaming_url_dedup(df).first()["event_id"] == 1
 
 
+class TestStreamingDedupAgainst:
+    def _corpus(self, spark):
+        from .conftest import SF_SMOKE
+
+        return spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+
+    def test_stream_probe_equals_batch(self, spark, tmp_path):
+        """dedup_against_stream on a REAL document stream: the union
+        of per-micro-batch pairs equals one batch dedup_against over
+        all docs (the index is static; batches are independent)."""
+        from brahmand_spark.models import ModelStore
+        from brahmand_spark.ops.dedup_index import (
+            build_dedup_index, dedup_against,
+        )
+        from brahmand_spark.streaming import dedup_against_stream
+        from brahmand_spark.streaming.windows import read_event_stream
+
+        docs = self._corpus(spark)
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" zzz")).alias("text"))
+        st = ModelStore(str(tmp_path / "m"))
+        build_dedup_index(corpus, "dix", st)
+        src = str(tmp_path / "dstream")
+        batch.repartition(4).write.mode("overwrite").parquet(src)
+
+        results = []
+        writer = dedup_against_stream(
+            spark, "dix",
+            read_event_stream(spark, src, max_files_per_trigger=1),
+            st, sink=lambda df, bid: results.extend(
+                tuple(r) for r in df.collect()),
+            threshold=0.5)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(180)
+        want = sorted(map(tuple, dedup_against(
+            spark, "dix", batch, st, threshold=0.5).collect()))
+        assert sorted(results) == want and len(want) > 0
+
+    def test_add_clean_grows_index_across_batches(self, spark,
+                                                  tmp_path):
+        """add_clean=True: a later micro-batch's near-copy must match
+        a doc that an EARLIER batch added to the index (two
+        availableNow runs over one checkpoint = strictly ordered
+        batches)."""
+        from brahmand_spark.models import ModelStore
+        from brahmand_spark.ops.dedup_index import build_dedup_index
+        from brahmand_spark.streaming import dedup_against_stream
+        from brahmand_spark.streaming.windows import read_event_stream
+
+        docs = self._corpus(spark)
+        st = ModelStore(str(tmp_path / "m"))
+        build_dedup_index(docs.filter(F.col("doc_id") < 100),
+                          "gix", st)
+        novel = docs.filter(F.col("doc_id") >= 400).select(
+            (F.col("doc_id") + 30_000_000).alias("doc_id"), "text")
+        src = str(tmp_path / "gstream")
+        ckpt = str(tmp_path / "gckpt")
+        novel.coalesce(1).write.mode("overwrite").parquet(src)
+        schema = "doc_id long, text string"
+
+        results = []
+
+        def run():
+            q = dedup_against_stream(
+                spark, "gix",
+                read_event_stream(spark, src, schema=schema),
+                st, sink=lambda df, bid: results.extend(
+                    tuple(r) for r in df.collect()),
+                threshold=0.5, add_clean=True,
+            ).option("checkpointLocation", ckpt) \
+             .trigger(availableNow=True).start()
+            q.awaitTermination(180)
+
+        run()
+        n_after_first = st.load("gix", "dedup_index")["params"]["n_docs"]
+        assert n_after_first > 100  # clean novels were appended
+        # wave-1 docs that matched the initial corpus (the fixture
+        # plants near-dups) were NOT added; pick copies of docs that
+        # WERE (clean in wave 1, hence now in the index)
+        wave1_matched = {r[0] for r in results}
+        clean_ids = [
+            r["doc_id"] for r in novel.collect()
+            if r["doc_id"] not in wave1_matched][:5]
+        assert len(clean_ids) == 5
+        copies = novel.filter(F.col("doc_id").isin(clean_ids)).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" qq")).alias("text"))
+        copies.coalesce(1).write.mode("append").parquet(src)
+        n_results_1 = len(results)
+        run()
+        wave2 = results[n_results_1:]
+        # every copy matched the doc wave 1 added to the index
+        assert {r[1] for r in wave2} >= set(clean_ids)
+        # and matched copies were NOT re-added
+        n_final = st.load("gix", "dedup_index")["params"]["n_docs"]
+        assert n_final == n_after_first
+
+
 class TestStreamingVectorSearch:
     def test_stream_search_equals_batch(self, spark, tmp_path):
         """ann_search_stream on a REAL query stream: the union of

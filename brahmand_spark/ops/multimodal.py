@@ -460,6 +460,74 @@ def image_phash(
         compute, schema=PHASH_SCHEMA)
 
 
+def _banded_phashes(ph: DataFrame, max_hamming: int) -> DataFrame:
+    """(id, phash, chunk_pos, chunk_val) pigeonhole rows: the 64-bit
+    hash splits into ``max_hamming + 1`` chunks, so any pair within
+    the Hamming bound agrees on at least one chunk exactly. Shared by
+    the self-join (:func:`image_near_dup_pairs`) and the cross-probe
+    (:func:`image_dedup_against`) so both band identically. NULL
+    hashes (undecodable payloads) are quarantined out."""
+    from .dedup import _chunk_widths
+
+    ph = ph.filter(F.col("phash").isNotNull())
+    widths = _chunk_widths(64, max_hamming + 1)
+    chunk_exprs = []
+    shift = 64
+    for w in widths:
+        shift -= w
+        chunk_exprs.append(
+            F.shiftrightunsigned(F.col("phash"), shift)
+            .bitwiseAND(F.lit((1 << w) - 1)))
+    return ph.select(
+        "id", "phash",
+        F.posexplode(F.array(*chunk_exprs)).alias(
+            "chunk_pos", "chunk_val"),
+    )
+
+
+def image_dedup_against(
+    new_df: DataFrame, corpus_phashes: DataFrame,
+    id_col: str = "id", binary_col: str = "content",
+    max_hamming: int = 5, method: str = "dhash",
+    deterministic_fake: bool = False,
+    new_phashes: DataFrame | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Near-duplicate matches of a NEW image batch AGAINST a stored
+    perceptual-hash table — the image analogue of
+    ops/dedup_index.dedup_against: hash the corpus once (persist the
+    ``image_phash`` output — 8 bytes/image), then every future batch
+    hashes only itself and meets the stored hashes in the pigeonhole
+    chunk join. Returns (new_id, corpus_id, hamming), one row per
+    cross pair within ``max_hamming`` — complete at the bound (any
+    such pair agrees on ≥1 of the max_hamming+1 chunks exactly).
+
+    ``corpus_phashes`` must be (id, phash) rows hashed with the SAME
+    ``method`` (the caller's contract — aHash and dHash bits are not
+    comparable). ``new_phashes`` skips hashing the batch when its
+    hashes are already at hand. ``exclude_self`` drops new_id ==
+    corpus_id rows when probing a corpus with a slice of itself
+    (default False: disjoint id spaces must keep numeric
+    collisions — the ops/similarity.ann_search convention)."""
+    nh = new_phashes if new_phashes is not None else image_phash(
+        new_df, id_col, binary_col, method, deterministic_fake)
+    a = _banded_phashes(nh, max_hamming).alias("a")
+    b = _banded_phashes(
+        corpus_phashes.select("id", "phash"), max_hamming).alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    cond = ((F.col("a.chunk_pos") == F.col("b.chunk_pos"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val")))
+    if exclude_self:
+        cond = cond & (F.col("a.id") != F.col("b.id"))
+    return (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("new_id"),
+                F.col("b.id").alias("corpus_id"), ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+
+
 def image_near_dup_pairs(
     df: DataFrame, id_col: str = "id", binary_col: str = "content",
     max_hamming: int = 5, method: str = "dhash",
@@ -475,24 +543,9 @@ def image_near_dup_pairs(
     Exact Hamming distance (one codegen'd ``bit_count(xor)``) then
     filters. Pass ``phashes`` (id, phash) to reuse a precomputed/
     persisted hash table — at corpus scale hash once, pair many."""
-    from .dedup import _chunk_widths
-
     ph = phashes if phashes is not None else image_phash(
         df, id_col, binary_col, method, deterministic_fake)
-    ph = ph.filter(F.col("phash").isNotNull())
-    widths = _chunk_widths(64, max_hamming + 1)
-    chunk_exprs = []
-    shift = 64
-    for w in widths:
-        shift -= w
-        chunk_exprs.append(
-            F.shiftrightunsigned(F.col("phash"), shift)
-            .bitwiseAND(F.lit((1 << w) - 1)))
-    banded = ph.select(
-        "id", "phash",
-        F.posexplode(F.array(*chunk_exprs)).alias(
-            "chunk_pos", "chunk_val"),
-    )
+    banded = _banded_phashes(ph, max_hamming)
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))

@@ -476,6 +476,22 @@ def _p_corpus_image_dedup_groups(session, label, max_hamming=5,
     )
 
 
+def _p_corpus_image_dedup_against(session, new_label, phash_label,
+                                  max_hamming=5, method="dhash",
+                                  id_col="id", binary_col="content"):
+    """Probe a NEW image table against a stored perceptual-hash table
+    (ops/multimodal.image_dedup_against): only the batch decodes; the
+    corpus side is served from the 8-byte-per-image hash table. Rows:
+    (new_id, corpus_id, hamming)."""
+    from .ops.multimodal import image_dedup_against
+
+    return image_dedup_against(
+        session._load_for_label(new_label),
+        session._load_for_label(phash_label),
+        id_col=id_col, binary_col=binary_col,
+        max_hamming=int(max_hamming), method=method)
+
+
 def _p_corpus_decontaminate(session, train_label, eval_label, n=8,
                             min_shared=1):
     """Benchmark decontamination (ops/dedup.decontaminate): one
@@ -677,6 +693,7 @@ PROCEDURES: dict[str, Callable] = {
     "corpus.dedup_add": _p_corpus_dedup_add,
     "corpus.dedup_against": _p_corpus_dedup_against,
     "corpus.image_dedup_groups": _p_corpus_image_dedup_groups,
+    "corpus.image_dedup_against": _p_corpus_image_dedup_against,
     "vector.build_index": _p_vector_build_index,
     "vector.add": _p_vector_add,
     "vector.search": _p_vector_search,

@@ -162,6 +162,80 @@ class TestImageNearDup:
         assert got == {(1, 2): 1}
 
 
+class TestImageDedupAgainst:
+    """Cross-probe (r8): a new image batch against a STORED hash
+    table — hash once, probe every later batch (the image analogue of
+    ops/dedup_index.dedup_against)."""
+
+    def _split(self, spark):
+        base = [_rng_image(s * 101 + 3, 24, 24) for s in range(4)]
+        corpus = base + [_rng_image(7000 + s, 24, 24) for s in range(4)]
+        batch = [_perturb(b, 1, seed=i) for i, b in enumerate(base)]
+        batch += [_rng_image(9000 + s, 24, 24) for s in range(3)]
+        cdf = _corpus(spark, corpus)
+        bdf = spark.createDataFrame(
+            [(1000 + i, bytearray(_encode_png(a)))
+             for i, a in enumerate(batch)],
+            "id long, content binary")
+        return cdf, bdf
+
+    def test_probe_complete_at_bound_vs_brute_force(self, spark):
+        from brahmand_spark.ops.multimodal import image_dedup_against
+
+        cdf, bdf = self._split(spark)
+        stored = image_phash(cdf)
+        for max_h in (3, 6):
+            got = {(r["new_id"], r["corpus_id"], r["hamming"])
+                   for r in image_dedup_against(
+                       bdf, stored, max_hamming=max_h).collect()}
+            hc = {r["id"]: r["phash"] for r in stored.collect()}
+            hb = {r["id"]: r["phash"]
+                  for r in image_phash(bdf).collect()}
+            want = {
+                (i, j, bin((hb[i] ^ hc[j]) & ((1 << 64) - 1)).count("1"))
+                for i in hb for j in hc
+                if bin((hb[i] ^ hc[j]) & ((1 << 64) - 1)).count("1")
+                <= max_h}
+            assert got == want, max_h
+            assert want, "fixture produced no cross pairs"
+
+    def test_exclude_self_on_id_collision(self, spark):
+        from brahmand_spark.ops.multimodal import image_dedup_against
+
+        ph = spark.createDataFrame(
+            [(1, 0b1010), (2, 0b1111000)], "id long, phash long")
+        probe = spark.createDataFrame(
+            [(1, 0b1010)], "id long, phash long")
+        keep = image_dedup_against(None, ph, max_hamming=2,
+                                   new_phashes=probe).collect()
+        assert {(r["new_id"], r["corpus_id"]) for r in keep} == {(1, 1)}
+        none = image_dedup_against(None, ph, max_hamming=2,
+                                   new_phashes=probe,
+                                   exclude_self=True).collect()
+        assert none == []
+
+    def test_via_call(self, spark):
+        from brahmand_spark import GraphSession
+
+        cdf, bdf = self._split(spark)
+        s = GraphSession(spark)
+        s.execute("CREATE NODE TABLE Imgs (id Int64, content Blob, "
+                  "NODE ID (id))")
+        s.register_table("Imgs", bdf)
+        s.execute("CREATE NODE TABLE Hashes (id Int64, phash Int64, "
+                  "NODE ID (id))")
+        s.register_table("Hashes", image_phash(cdf))
+        got = s.execute(
+            "CALL corpus.image_dedup_against('Imgs', 'Hashes', 6) "
+            "YIELD new_id, corpus_id, hamming").collect()
+        from brahmand_spark.ops.multimodal import image_dedup_against
+
+        want = image_dedup_against(
+            bdf, image_phash(cdf), max_hamming=6).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        assert got
+
+
 def test_image_near_dup_via_call(spark):
     from brahmand_spark import GraphSession
 

@@ -57,13 +57,57 @@ from pyspark.sql import functions as F
 
 from .dedup import (
     _perm_params,
-    _spread,
     band_buckets,
     minhash_signatures,
     sig_agreement,
 )
 
 PAIR_COLUMNS = ["new_id", "corpus_id", "est_jaccard", "match_kind"]
+
+
+def _index_parts(
+    df: DataFrame,
+    perms: list[tuple[int, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three probe-side frames, separately (so consumers that
+    need only one never pay for the others — the exact route reads
+    fingerprints without dragging the MinHash aggregation through a
+    join):
+
+    - ``ids_fp``: (id, fp) — one cheap whole-text hash per doc
+      (xxhash64, or the SQL-replayable md5-derived 60-bit hash under
+      ``hash_fn='portable'``), no shuffle, no spread (one hash per
+      row is trivial next to shingling). NULL text ⇒ NULL fp in BOTH
+      hash modes — a NULL fingerprint never equi-joins, so
+      failed-extraction rows can't all collapse onto one hash value
+      and cross-match each other (xxhash64 of a NULL input would
+      otherwise return the seed for every such row).
+    - ``sig_rows``: (id, signature) — the ``num_hashes``-element
+      MinHash array; docs with fewer than ``n`` tokens yield NO row
+      (they participate in exact matching only). The expensive frame;
+      minhash_signatures spreads its own input.
+    - ``buckets``: (id, band, bucket) — the LSH band keys over
+      ``sig_rows``."""
+    if hash_fn == "portable":
+        from .text import md5_hash60
+
+        fp = md5_hash60(F.col(text_col))
+    else:
+        fp = F.when(F.col(text_col).isNotNull(),
+                    F.xxhash64(text_col))
+    base = df.select(F.col(id_col), F.col(text_col))
+    ids_fp = base.select(F.col(id_col).alias("id"), fp.alias("fp"))
+    sig_rows = minhash_signatures(
+        base, id_col, text_col, n, num_hashes, seed=0,
+        hash_fn=hash_fn, perms=perms)
+    buckets = band_buckets(sig_rows, num_hashes, bands, hash_fn)
+    return ids_fp, sig_rows, buckets
 
 
 def dedup_index_frames(
@@ -78,31 +122,19 @@ def dedup_index_frames(
 ) -> tuple[DataFrame, DataFrame]:
     """The persistable index rows for a document frame:
 
-    - ``sigs``: (id, fp, signature) — fp is the whole-text hash
-      (xxhash64, or the SQL-replayable md5-derived 60-bit hash under
-      ``hash_fn='portable'``); signature is the ``num_hashes``-element
-      MinHash array, NULL for docs with fewer than ``n`` tokens (they
-      participate in exact matching only).
+    - ``sigs``: (id, fp, signature) — signature NULL for docs with
+      fewer than ``n`` tokens (exact matching only); fp NULL for
+      NULL text (never matches).
     - ``buckets``: (id, band, bucket) — the LSH band keys, one row per
       band per signed doc.
 
     Both :func:`build_dedup_index` (which writes them) and
-    :func:`dedup_against` (which computes them for the probe batch
-    in-memory) call this, so stored and probe-side rows are identical
-    by construction."""
-    if hash_fn == "portable":
-        from .text import md5_hash60
-
-        fp = md5_hash60(F.col(text_col))
-    else:
-        fp = F.xxhash64(text_col)
-    base = _spread(df.select(F.col(id_col), F.col(text_col)))
-    ids = base.select(F.col(id_col).alias("id"), fp.alias("fp"))
-    sig_rows = minhash_signatures(
-        base, id_col, text_col, n, num_hashes, seed=0,
-        hash_fn=hash_fn, perms=perms)
-    sigs = ids.join(sig_rows, "id", "left")
-    buckets = band_buckets(sig_rows, num_hashes, bands, hash_fn)
+    :func:`dedup_against` (which computes the same parts for the probe
+    batch in-memory) derive from :func:`_index_parts`, so stored and
+    probe-side rows are identical by construction."""
+    ids_fp, sig_rows, buckets = _index_parts(
+        df, perms, id_col, text_col, n, num_hashes, bands, hash_fn)
+    sigs = ids_fp.join(sig_rows, "id", "left")
     return sigs.select("id", "fp", "signature"), buckets
 
 
@@ -174,9 +206,26 @@ def dedup_index_add(
         id_col or params["id_col"], text_col or params["text_col"],
         params["n"], params["num_hashes"], params["bands"],
         params["hash_fn"])
+    # Materialize BOTH frames with lineage CUT before touching the
+    # index files: the caller's new_docs plan may itself READ this
+    # index (dedup_against_stream's add_clean anti-joins the probe
+    # result), and Spark recaches/re-evaluates any plan over a path
+    # that was just written — a lazy frame would recompute against
+    # the half-updated index between the two appends (observed: the
+    # buckets append then writes rows for the WRONG doc set and the
+    # doc count reads 0). localCheckpoint pins the pre-append
+    # snapshot as plain RDD blocks no recache can re-derive;
+    # batch-sized by contract.
+    sigs = sigs.localCheckpoint()
+    buckets = buckets.localCheckpoint()
+    # count the BATCH, not the whole table — re-counting the index
+    # after every append would make per-add cost grow with corpus
+    # size, against the module's per-batch-cost contract (one sigs
+    # row per batch doc; free on the checkpointed frame)
+    n_new = sigs.count()
     sigs.write.mode("append").parquet(params["sigs_path"])
     buckets.write.mode("append").parquet(params["buckets_path"])
-    params["n_docs"] = spark.read.parquet(params["sigs_path"]).count()
+    params["n_docs"] = int(params["n_docs"]) + n_new
     store.save(name, "dedup_index", {"perms": [list(p) for p in perms]},
                params)
     return params
@@ -215,7 +264,7 @@ def dedup_against(
             "dedup_against takes a BATCH frame; dedup a STREAM with "
             "streaming.dedup_stream or run this per micro-batch via "
             "foreachBatch")
-    b_sigs, b_buckets = dedup_index_frames(
+    b_fp, b_sig_rows, b_buckets = _index_parts(
         batch, perms,
         id_col or params["id_col"], text_col or params["text_col"],
         params["n"], params["num_hashes"], params["bands"],
@@ -236,8 +285,10 @@ def dedup_against(
             return pairs.filter(F.col("new_id") != F.col("corpus_id"))
         return pairs
 
+    # exact route: fp-only frames on both sides (the probe side never
+    # touches the MinHash aggregation; NULL fps drop in the equi-join)
     exact = _self(
-        b_sigs.select(F.col("id").alias("new_id"), "fp")
+        b_fp.select(F.col("id").alias("new_id"), "fp")
         .join(s_sigs.select(F.col("id").alias("corpus_id"), "fp"), "fp")
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
@@ -256,8 +307,9 @@ def dedup_against(
     )
     near = (
         cands
-        .join(b_sigs.select(F.col("id").alias("new_id"),
-                            F.col("signature").alias("sig_a")), "new_id")
+        .join(b_sig_rows.select(F.col("id").alias("new_id"),
+                                F.col("signature").alias("sig_a")),
+              "new_id")
         .join(s_sigs.select(F.col("id").alias("corpus_id"),
                             F.col("signature").alias("sig_b")),
               "corpus_id")

@@ -755,17 +755,31 @@ class Parser:
                         pass
                     self.i = save
                 return self.parse_fn_call(name)
-            if self.at_op("{") and name.lower() in ("exists", "count",
-                                                    "collect"):
-                # EXISTS { MATCH <path> [WHERE e] } / COUNT { ... } /
-                # COLLECT { ... RETURN [DISTINCT] e }
-                collect = name.lower() == "collect"
-                path, where = self._parse_subquery_block(
-                    stop_at_return=collect)
-                if collect:
-                    # COLLECT subqueries (openCypher 9 / GQL) require
-                    # a single-column RETURN; they compile as pattern
-                    # comprehensions (same anchored-collect semantics)
+            if self.at_op("{") and name.lower() in ("exists", "count"):
+                # EXISTS { MATCH <path> [WHERE e] } / COUNT { ... }
+                path, where = self._parse_subquery_block()
+                if name.lower() == "exists":
+                    return ast.PatternPredicate(path, where=where)
+                self.n_count_subqueries += 1
+                return ast.CountSubquery(path, where=where)
+            if self.at_op("{") and name.lower() == "collect":
+                # COLLECT { MATCH <path> [WHERE p] RETURN [DISTINCT] e }
+                # (openCypher 9 / GQL) — single-column RETURN required;
+                # compiles as a pattern comprehension (same anchored-
+                # collect semantics). Backtracks on parse failure so a
+                # VARIABLE named collect keeps its map projection
+                # `collect {.prop}` (unlike exists/count, `collect` is
+                # also a common aggregate name — don't widen the
+                # shadowing beyond well-formed subquery blocks).
+                save = self.i
+                try:
+                    path, where = self._parse_subquery_block(
+                        stop_at_return=True)
+                except ParseError:
+                    self.i = save  # not a pattern block: fall through
+                else:
+                    # a well-formed pattern block IS a subquery — a
+                    # missing RETURN errors loudly, no silent fallback
                     self.eat_kw("RETURN")
                     distinct = self.try_kw("DISTINCT")
                     expr = self.parse_expr()
@@ -774,10 +788,6 @@ class Parser:
                     return ast.PatternComprehension(
                         path=path, where=where, map=expr,
                         distinct=distinct)
-                if name.lower() == "exists":
-                    return ast.PatternPredicate(path, where=where)
-                self.n_count_subqueries += 1
-                return ast.CountSubquery(path, where=where)
             return ast.Variable(name)
         self.error("expected expression")
 

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..ops.dedup import minhash_signatures
+from ..ops.dedup import band_buckets, minhash_signatures
 
 
 def _path_exists(spark, path: str) -> bool:
@@ -53,22 +53,13 @@ def _band_buckets(
     docs: DataFrame, id_col: str, text_col: str,
     n: int, num_hashes: int, bands: int, seed: int,
 ) -> DataFrame:
-    """(id, band, bucket) rows — one per document band (same banding as
-    ops/dedup.minhash_lsh_candidates)."""
-    rows = num_hashes // bands
+    """(id, band, bucket) rows — one per document band. Delegates to
+    the SHARED ops/dedup.band_buckets (identical arithmetic:
+    xxhash64 over the comma-joined band values), so the streaming
+    band store and every batch operator band identically and a future
+    banding change cannot silently diverge between them."""
     sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
-    return sigs.select(
-        F.col("id"),
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.concat_ws(",", *[
-                    F.element_at("signature", b * rows + r + 1)
-                    for r in range(rows)
-                ]))
-                for b in range(bands)
-            ])
-        ).alias("band", "bucket"),
-    )
+    return band_buckets(sigs, num_hashes, bands)
 
 
 def _process_batch(
@@ -211,15 +202,32 @@ def dedup_against_stream(
         pairs = dedup_against(
             spark, name, batch_df, store, threshold=threshold,
             include_exact=include_exact, exclude_self=exclude_self,
-            hot_bucket_cap=hot_bucket_cap)
-        sink(pairs, batch_id)
-        if add_clean:
-            params = store.load(name, "dedup_index")["params"]
-            id_col = params["id_col"]
-            clean = batch_df.join(
-                pairs.select(F.col("new_id").alias(id_col)).distinct(),
-                id_col, "left_anti")
-            if not clean.isEmpty():
-                dedup_index_add(spark, name, clean, store)
+            hot_bucket_cap=hot_bucket_cap).persist()
+        try:
+            sink(pairs, batch_id)
+            if add_clean:
+                # clean-ness must come from the UNFILTERED verdict:
+                # with include_exact=False or a hot-bucket cap the
+                # sink's frame deliberately omits known duplicates,
+                # and appending those would accumulate dups in the
+                # index forever. (threshold still applies — below-
+                # threshold similarity is non-duplicate BY definition)
+                if not include_exact or hot_bucket_cap is not None:
+                    full = dedup_against(
+                        spark, name, batch_df, store,
+                        threshold=threshold, include_exact=True,
+                        exclude_self=exclude_self)
+                else:
+                    full = pairs  # persisted — reused, not recomputed
+                params = store.load(name, "dedup_index")["params"]
+                id_col = params["id_col"]
+                clean = batch_df.join(
+                    full.select(F.col("new_id").alias(id_col))
+                    .distinct(),
+                    id_col, "left_anti")
+                if not clean.isEmpty():
+                    dedup_index_add(spark, name, clean, store)
+        finally:
+            pairs.unpersist()
 
     return doc_stream.writeStream.foreachBatch(handle)

@@ -130,6 +130,23 @@ class TestBuildAndProbe:
                              hot_bucket_cap=0).collect()
         assert rows and all(r["match_kind"] == "exact" for r in rows)
 
+    @pytest.mark.parametrize("hash_fn", ["xxhash64", "portable"])
+    def test_null_text_never_matches(self, spark, tmp_path, hash_fn):
+        """NULL-text rows (failed extractions) must not fingerprint
+        to a shared constant and cross-match as 'exact' — NULL fp
+        drops in the equi-join, in BOTH hash modes (review r8:
+        xxhash64(NULL) returns the seed, so every NULL-text pair
+        would otherwise report est 1.0)."""
+        corpus = _corpus(spark).unionByName(spark.createDataFrame(
+            [(800_001, None), (800_002, None)],
+            "doc_id long, text string"))
+        st = ModelStore(str(tmp_path / "m"))
+        build_dedup_index(corpus, "dix", st, hash_fn=hash_fn)
+        batch = spark.createDataFrame(
+            [(20_800_001, None), (20_800_002, None)],
+            "doc_id long, text string")
+        assert dedup_against(spark, "dix", batch, st).count() == 0
+
     def test_wrong_kind_rejected(self, spark, tmp_path):
         st = ModelStore(str(tmp_path / "m"))
         st.save_lsh_planes("dix", [[0.1, 0.2]])

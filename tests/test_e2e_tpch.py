@@ -1079,6 +1079,15 @@ class TestPatternComprehension:
                 "MATCH (c:Customer) RETURN COLLECT { "
                 "MATCH (c)-[:PLACED]->(o:Order) } AS xs LIMIT 1")
 
+    def test_variable_named_collect_keeps_map_projection(self, tpch):
+        """`collect {` only claims well-formed pattern blocks — a
+        variable named collect keeps its map projection (review r8)."""
+        rows = tpch.execute(
+            "MATCH (collect:Customer) WHERE collect.c_custkey = 1 "
+            "RETURN collect {.c_name, .c_custkey} AS m").collect()
+        assert len(rows) == 1
+        assert rows[0]["m"]["c_custkey"] == 1
+
     def test_unbound_map_reference_errors(self, tpch):
         """The | expression sees only the comprehension's own pattern
         aliases — an outer alias not re-scanned inside it errors."""

@@ -846,6 +846,42 @@ class TestStreamingDedupAgainst:
         n_final = st.load("gix", "dedup_index")["params"]["n_docs"]
         assert n_final == n_after_first
 
+    def test_add_clean_uses_unfiltered_verdict(self, spark, tmp_path):
+        """include_exact=False suppresses exact pairs from the SINK,
+        but clean-ness must still see them (review r8): a byte-
+        identical doc must NOT be appended to the index."""
+        from brahmand_spark.models import ModelStore
+        from brahmand_spark.ops.dedup_index import build_dedup_index
+        from brahmand_spark.streaming import dedup_against_stream
+        from brahmand_spark.streaming.windows import read_event_stream
+
+        docs = self._corpus(spark)
+        corpus = docs.filter(F.col("doc_id") < 100)
+        st = ModelStore(str(tmp_path / "m"))
+        build_dedup_index(corpus, "uix", st)
+        n0 = st.load("uix", "dedup_index")["params"]["n_docs"]
+        # batch = one exact copy of a corpus doc (id-shifted)
+        batch = corpus.limit(1).select(
+            (F.col("doc_id") + 40_000_000).alias("doc_id"), "text")
+        src = str(tmp_path / "ustream")
+        batch.coalesce(1).write.mode("overwrite").parquet(src)
+        results = []
+        q = dedup_against_stream(
+            spark, "uix",
+            read_event_stream(spark, src, schema="doc_id long, "
+                              "text string"),
+            st, sink=lambda df, bid: results.extend(
+                tuple(r) for r in df.collect()),
+            threshold=0.5, include_exact=False, add_clean=True,
+        ).option("checkpointLocation", str(tmp_path / "uckpt")) \
+         .trigger(availableNow=True).start()
+        q.awaitTermination(180)
+        # sink saw only the near frame (the exact pair is suppressed
+        # and anti-joined out of near), yet the doc must NOT have
+        # been added as clean
+        n_final = st.load("uix", "dedup_index")["params"]["n_docs"]
+        assert n_final == n0, (results, n_final)
+
 
 class TestStreamingVectorSearch:
     def test_stream_search_equals_batch(self, spark, tmp_path):

@@ -67,6 +67,8 @@ def curate(
     domain_blocklist: list[str] | None = None,
     domain_allowlist: list[str] | None = None,
     max_docs_per_domain: int | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 8, decontam_min_shared: int = 1,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation pipeline; returns (curated DataFrame with
     a ``split`` column, stage-count report — empty unless ``report``).
@@ -98,7 +100,13 @@ def curate(
     domain block/allow filtering, and an optional per-domain document
     cap, all before any text is inspected. The parsed
     ``url_norm``/``host``/``registered_domain`` columns ride along on
-    the curated output."""
+    the curated output.
+
+    With ``benchmark`` set, a DECONTAMINATION stage (ops/dedup.
+    decontaminate — the GPT-3 appendix-C flag-and-drop) runs after the
+    dedup stages and before the split: documents sharing ≥
+    ``decontam_min_shared`` distinct ``decontam_n``-word-gram shingles
+    with any benchmark document are dropped."""
     counts: dict[str, int] = {}
 
     def note(stage: str, df: DataFrame) -> DataFrame:
@@ -166,6 +174,15 @@ def curate(
             "semantic_dedup",
             out.join(keep_sem.unionByName(no_emb), id_col, "leftsemi"),
         )
+    if benchmark is not None:
+        from .dedup import decontaminate
+
+        verdict = decontaminate(
+            out, benchmark, id_col, text_col,
+            n=decontam_n, min_shared=decontam_min_shared)
+        keep_dc = verdict.filter(~F.col("contaminated")).select(id_col)
+        out = note("decontaminate",
+                   out.join(keep_dc, id_col, "leftsemi"))
     if redact:
         from .text import redact_pii
 

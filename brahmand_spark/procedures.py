@@ -301,11 +301,12 @@ def _p_corpus_bm25(session, label, query, k=20,
 
 def _p_corpus_curate(session, label, languages="en", min_quality=0.3,
                      est_threshold=0.7, id_col="doc_id",
-                     text_col="text"):
+                     text_col="text", benchmark_label=None):
     """End-to-end curation (ops/pipeline.curate: language -> quality ->
-    exact dedup -> transitive near-dedup -> split) of a catalog
-    document table; returns the surviving documents with their
-    ``split`` column."""
+    exact dedup -> transitive near-dedup -> [decontaminate] -> split)
+    of a catalog document table; returns the surviving documents with
+    their ``split`` column. ``benchmark_label`` names a catalog table
+    of eval documents to decontaminate against (r8)."""
     from .ops.pipeline import curate
 
     langs = (languages,) if isinstance(languages, str) else tuple(
@@ -315,6 +316,8 @@ def _p_corpus_curate(session, label, languages="en", min_quality=0.3,
         text_col=text_col, languages=langs,
         min_quality=float(min_quality),
         est_threshold=float(est_threshold),
+        benchmark=(session._load_for_label(benchmark_label)
+                   if benchmark_label else None),
     )
     return out
 

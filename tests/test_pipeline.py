@@ -55,6 +55,39 @@ class TestCuratePipeline:
             b.select("doc_id", "split")).count() == 0
 
 
+def test_curate_with_decontamination(spark):
+    """benchmark= adds the flag-and-drop stage (r8): train docs
+    sharing eval n-grams are dropped before the split; clean docs
+    survive untouched."""
+    from brahmand_spark.ops.pipeline import curate
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    train = docs.filter(F.col("doc_id") < 300)
+    bench = docs.filter(F.col("doc_id") >= 400).select(
+        "doc_id", "text")
+    base, counts0 = curate(
+        train, languages=("en", "de", "es", "fr"), min_quality=0.1,
+        report=True)
+    out, counts = curate(
+        train, languages=("en", "de", "es", "fr"), min_quality=0.1,
+        benchmark=bench, decontam_n=3, decontam_min_shared=2,
+        report=True)
+    assert counts["decontaminate"] <= counts["near_dedup"]
+    assert counts["decontaminate"] < counts0["near_dedup"], \
+        "fixture plants near-dups across the split, some must flag"
+    # survivors are exactly base-minus-contaminated
+    from brahmand_spark.ops.dedup import decontaminate
+
+    survivors_base = base.select("doc_id")
+    flagged = decontaminate(
+        base.select("doc_id", "text"), bench, n=3, min_shared=2
+    ).filter(F.col("contaminated")).select("doc_id")
+    want = {r["doc_id"] for r in
+            survivors_base.join(flagged, "doc_id", "left_anti")
+            .collect()}
+    assert {r["doc_id"] for r in out.collect()} == want
+
+
 def test_curate_with_redaction(spark):
     from brahmand_spark.ops.pipeline import curate
 

@@ -78,6 +78,26 @@ SHOWCASES = [
 ]
 
 
+def _dedup_probe(spark, docs, store_dir):
+    """Build a dedup index over 4/5 of the docs and return the probe
+    plan for the held-out fifth (id-shifted, disjoint id space)."""
+    from pyspark.sql import functions as F
+
+    from brahmand_spark.models import ModelStore
+    from brahmand_spark.ops.dedup_index import (
+        build_dedup_index, dedup_against,
+    )
+
+    store = ModelStore(store_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    build_dedup_index(corpus, "plans_dix", store)
+    return dedup_against(spark, "plans_dix", batch, store,
+                         threshold=0.5)
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -331,6 +351,21 @@ def main() -> None:
             "(corpus_id, codes, rnorm): m ints + a double per row, "
             "never the vectors. Only the top-`rerank` shortlist joins "
             "back to the original embedding table.",
+        ),
+        (
+            "Persisted dedup-index probe (batch-only hashing)",
+            _dedup_probe(spark, docs, ann_dir),
+            "build_dedup_index wrote per-doc fingerprints + MinHash "
+            "signatures and the LSH band buckets ONCE as narrow "
+            "parquet (~0.5 KB/doc); the probe hashes ONLY the batch — "
+            "the plan's shingle/posexplode/min-aggregate subtrees all "
+            "hang off the BATCH scan, while the corpus side appears "
+            "solely as two parquet scans with ReadSchema (id, fp) and "
+            "(id, band, bucket)/(id, signature): the corpus TEXT is "
+            "never re-read. The exact route is one fp equi-join; the "
+            "near route is the band-bucket equi-join (ids only through "
+            "the shuffle) with the signature-agreement estimate joined "
+            "onto the candidate set afterwards.",
         ),
         (
             "Image near-dup pair join (pigeonhole Hamming banding)",

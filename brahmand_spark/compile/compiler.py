@@ -996,17 +996,42 @@ class QueryCompiler:
         state = {"df": df}
 
         def attach(e: ast.CountSubquery) -> ast.Expr:
+            dexpr = getattr(e, "distinct_expr", None)
+            drefs: set[str] = set()
+            if dexpr is not None:
+                collect_aliases(dexpr, drefs)
             sub_df, sub_scope, anchors = self._subquery_assembly(
-                scope, e.path, e.where)
+                scope, e.path, e.where, keep_aliases=drefs)
             self._anon_counter += 1
             name = f"__csq{self._anon_counter}"
             keys = [f"{name}_k{i}" for i in range(len(anchors))]
-            sub = sub_df.select(*[
+            key_cols = [
                 F.col(sub_scope.get(a).id_pcol).alias(k)
                 for a, k in zip(anchors, keys)
-            ])
-            grouped = sub.groupBy(*keys).agg(
-                F.count(F.lit(1)).alias(name))
+            ]
+            if dexpr is None:
+                sub = sub_df.select(*key_cols)
+                grouped = sub.groupBy(*keys).agg(
+                    F.count(F.lit(1)).alias(name))
+            else:
+                # COUNT { ... RETURN DISTINCT e }: count distinct
+                # VALUES of e per anchor tuple — a NULL counts once
+                # (openCypher's distinct-ROWS semantics; Spark's
+                # count_distinct drops NULLs, so add the null-row
+                # indicator back)
+                unknown = drefs - set(sub_scope.bindings)
+                if unknown:
+                    raise PlanError(
+                        f"COUNT {{ }} RETURN DISTINCT expression "
+                        f"references {sorted(unknown)} not bound "
+                        f"inside the pattern")
+                val = ExprCompiler(sub_scope, self.params).compile(dexpr)
+                sub = sub_df.select(*key_cols, val.alias(f"{name}_v"))
+                grouped = sub.groupBy(*keys).agg(
+                    (F.count_distinct(F.col(f"{name}_v"))
+                     + F.max(F.when(F.col(f"{name}_v").isNull(),
+                                    F.lit(1)).otherwise(F.lit(0))))
+                    .alias(name))
             cond = None
             for a, k in zip(anchors, keys):
                 c = F.col(scope.get(a).id_pcol) == F.col(k)

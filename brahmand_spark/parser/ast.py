@@ -146,13 +146,19 @@ class PatternPredicate:
 
 @dataclass(frozen=True)
 class CountSubquery:
-    """``COUNT { MATCH <path> [WHERE <expr>] }`` scalar subquery
-    (extension): per outer row, the number of sub-pattern matches
-    anchored on the shared aliases. Compiles to a grouped count over
-    the sub-assembly left-joined on the anchor ids (0 when none)."""
+    """``COUNT { MATCH <path> [WHERE <expr>] [RETURN [DISTINCT] e] }``
+    scalar subquery (extension): per outer row, the number of
+    sub-pattern matches anchored on the shared aliases. Compiles to a
+    grouped count over the sub-assembly left-joined on the anchor ids
+    (0 when none). A plain RETURN projection doesn't change the count
+    (one result row per match) and is accepted-and-ignored; ``RETURN
+    DISTINCT e`` (r8) sets ``distinct_expr`` and counts DISTINCT
+    values of ``e`` instead — one NULL row counts once, per
+    openCypher's distinct-rows semantics."""
 
     path: object  # PathPattern
     where: object = None  # Optional[Expr]
+    distinct_expr: object = None  # Optional[Expr] — RETURN DISTINCT e
 
 
 @dataclass(frozen=True)

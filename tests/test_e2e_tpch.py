@@ -1079,6 +1079,43 @@ class TestPatternComprehension:
                 "MATCH (c:Customer) RETURN COLLECT { "
                 "MATCH (c)-[:PLACED]->(o:Order) } AS xs LIMIT 1")
 
+    def test_count_block_return_forms(self, tpch):
+        """COUNT { ... RETURN e } counts rows (== the bare block);
+        RETURN DISTINCT e counts distinct values (== size of the
+        COLLECT DISTINCT list); EXISTS { ... RETURN ... } accepts and
+        ignores the projection (r8)."""
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 10 "
+            "RETURN c.c_custkey AS ck, "
+            "COUNT { MATCH (c)-[:PLACED]->(o:Order) } AS bare, "
+            "COUNT { MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN o.o_orderkey } AS plain, "
+            "COUNT { MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN DISTINCT o.o_orderstatus } AS d, "
+            "size(COLLECT { MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN DISTINCT o.o_orderstatus }) AS d2 "
+            "ORDER BY ck").collect()
+        assert rows
+        assert all(r["bare"] == r["plain"] for r in rows)
+        assert all(r["d"] == r["d2"] for r in rows)
+        assert any(0 < r["d"] < r["bare"] for r in rows)
+        n = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 20 AND "
+            "EXISTS { MATCH (c)-[:PLACED]->(o:Order) RETURN o } "
+            "RETURN count(*) AS n").collect()[0]["n"]
+        m = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 20 AND "
+            "EXISTS { MATCH (c)-[:PLACED]->(o:Order) } "
+            "RETURN count(*) AS n").collect()[0]["n"]
+        assert n == m > 0
+
+    def test_count_distinct_unbound_ref_errors(self, tpch):
+        with pytest.raises(PlanError, match="not bound"):
+            tpch.execute(
+                "MATCH (c:Customer)-[:CUST_IN]->(nn:Nation) "
+                "RETURN COUNT { MATCH (c)-[:PLACED]->(o:Order) "
+                "RETURN DISTINCT nn.n_name } AS bad LIMIT 1")
+
     def test_variable_named_collect_keeps_map_projection(self, tpch):
         """`collect {` only claims well-formed pattern blocks — a
         variable named collect keeps its map projection (review r8)."""

@@ -256,6 +256,29 @@ FOLDED_CYPHER = {
                            0)::BIGINT AS n_sts
            FROM customer c WHERE c_custkey <= 20""",
     ),
+    # COUNT { ... RETURN DISTINCT e } (r8): counts DISTINCT values,
+    # one NULL row counts once (distinct-ROWS semantics — Spark's
+    # count_distinct drops NULLs, the compiled form adds the
+    # null-row indicator back)
+    "count_subquery_return_distinct": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 20
+           RETURN c.c_custkey AS ck,
+                  COUNT { MATCH (c)-[:PLACED]->(o:Order)
+                          RETURN DISTINCT
+                            CASE WHEN o.o_totalprice > 150000
+                                 THEN o.o_orderstatus END } AS n""",
+        """SELECT c_custkey AS ck,
+                  coalesce((SELECT count(DISTINCT
+                                CASE WHEN o.o_totalprice > 150000
+                                     THEN o.o_orderstatus END)
+                              + max((CASE WHEN o.o_totalprice > 150000
+                                          THEN o.o_orderstatus END
+                                     IS NULL)::INT)
+                            FROM orders o
+                            WHERE o.o_custkey = c.c_custkey),
+                           0)::BIGINT AS n
+           FROM customer c WHERE c_custkey <= 20""",
+    ),
     # undirected same-label hop, UNION DISTINCT of both orientations
     # (folded r4: 21-row direction variant of registered hop shapes;
     # slot went to cluster_kmeans)

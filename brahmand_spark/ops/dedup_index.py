@@ -200,10 +200,22 @@ def dedup_index_add(
     with any append); the normal loop is ``dedup_against`` first, drop
     the batch's duplicates, then add the survivors. Returns the
     updated params."""
+    from .fs import path_exists
+
     params, perms = _load_index(store, name)
+    icol = id_col or params["id_col"]
+    dp = _deletes_path(params)
+    if path_exists(spark, dp):
+        clash = new_docs.select(F.col(icol).alias("id")).join(
+            spark.read.parquet(dp), "id", "leftsemi").limit(1).count()
+        if clash:
+            raise ValueError(
+                f"batch contains ids tombstoned in index '{name}' — "
+                f"the tombstone would suppress the re-added rows; "
+                f"run dedup_index_compact first (or use fresh ids)")
     sigs, buckets = dedup_index_frames(
         new_docs, perms,
-        id_col or params["id_col"], text_col or params["text_col"],
+        icol, text_col or params["text_col"],
         params["n"], params["num_hashes"], params["bands"],
         params["hash_fn"])
     # Materialize BOTH frames with lineage CUT before touching the
@@ -228,6 +240,95 @@ def dedup_index_add(
     params["n_docs"] = int(params["n_docs"]) + n_new
     store.save(name, "dedup_index", {"perms": [list(p) for p in perms]},
                params)
+    return params
+
+
+def _deletes_path(params: dict) -> str:
+    return params["sigs_path"] + ".deletes"
+
+
+def _live(spark, params: dict,
+          df: "DataFrame", on: str = "id") -> "DataFrame":
+    """Filter out tombstoned ids (anti-join against the deletes
+    table, when one exists). The tombstone table holds only REMOVED
+    ids — small by design; :func:`dedup_index_compact` folds it in
+    and clears it."""
+    from .fs import path_exists
+
+    dp = _deletes_path(params)
+    if not path_exists(spark, dp):
+        return df
+    dels = spark.read.parquet(dp).select(F.col("id").alias(on))
+    return df.join(dels, on, "left_anti")
+
+
+def dedup_index_remove(
+    spark, name: str, ids, store,
+) -> dict:
+    """Remove documents from a persisted dedup index WITHOUT
+    rewriting it: append their ids to a tombstone table (the LSM
+    delete pattern — O(batch) per call); every probe anti-joins the
+    tombstones, so removed docs stop matching immediately.
+
+    ``ids``: a DataFrame whose FIRST column holds the doc ids, or a
+    Python list of ids. Ids already tombstoned (or never present)
+    are ignored — removal is idempotent and ``n_docs`` only counts
+    ids that were actually live. Run :func:`dedup_index_compact`
+    when the tombstone table has grown enough to matter."""
+    from .fs import path_exists
+
+    params, perms = _load_index(store, name)
+    if isinstance(ids, (list, tuple)):
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in ids], "id long")
+    else:
+        first = ids.columns[0]
+        ids_df = ids.select(F.col(first).alias("id"))
+    ids_df = ids_df.dropDuplicates(["id"])
+    dp = _deletes_path(params)
+    if path_exists(spark, dp):
+        ids_df = ids_df.join(spark.read.parquet(dp), "id", "left_anti")
+    # only ids actually IN the index count against n_docs (and get
+    # tombstoned at all — tombstones for absent ids would just bloat
+    # the anti-join side)
+    live = ids_df.join(
+        spark.read.parquet(params["sigs_path"]).select("id"),
+        "id", "leftsemi")
+    # pin the row set before writing to a path the plan reads
+    # (the dedup_index_add recache lesson)
+    live = live.localCheckpoint()
+    n_removed = live.count()
+    if n_removed:
+        live.write.mode("append").parquet(dp)
+        params["n_docs"] = int(params["n_docs"]) - n_removed
+        store.save(name, "dedup_index",
+                   {"perms": [list(p) for p in perms]}, params)
+    return params
+
+
+def dedup_index_compact(spark, name: str, store) -> dict:
+    """Fold the tombstones in: rewrite the signatures and buckets
+    tables without removed docs and clear the deletes table — the
+    corpus-sized maintenance pass that keeps probe-time anti-joins
+    cheap. Write-new-then-swap (never in-place: Spark cannot
+    overwrite its own input); run without concurrent probes, or on
+    snapshot-isolating storage."""
+    from .fs import delete_path, path_exists, replace_dir
+
+    params, perms = _load_index(store, name)
+    dp = _deletes_path(params)
+    if not path_exists(spark, dp):
+        return params
+    for path, on in ((params["sigs_path"], "id"),
+                     (params["buckets_path"], "id")):
+        kept = _live(spark, params, spark.read.parquet(path), on)
+        kept.write.mode("overwrite").parquet(path + ".compact")
+        replace_dir(spark, path + ".compact", path)
+    delete_path(spark, dp)
+    params["n_docs"] = spark.read.parquet(
+        params["sigs_path"]).count()
+    store.save(name, "dedup_index",
+               {"perms": [list(p) for p in perms]}, params)
     return params
 
 
@@ -269,8 +370,10 @@ def dedup_against(
         id_col or params["id_col"], text_col or params["text_col"],
         params["n"], params["num_hashes"], params["bands"],
         params["hash_fn"])
-    s_sigs = spark.read.parquet(params["sigs_path"])
-    s_buckets = spark.read.parquet(params["buckets_path"])
+    s_sigs = _live(spark, params,
+                   spark.read.parquet(params["sigs_path"]))
+    s_buckets = _live(spark, params,
+                      spark.read.parquet(params["buckets_path"]))
     if hot_bucket_cap is not None:
         hot = (
             s_buckets.groupBy("band", "bucket")

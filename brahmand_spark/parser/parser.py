@@ -158,13 +158,24 @@ class Parser:
         return ast.ExplainQuery(statement=inner, mode=mode,
                                 profile=profile)
 
+    def _proc_ident(self) -> str:
+        """A dotted-procedure-name segment: the position is
+        unambiguous (right after CALL or '.'), so ANY keyword is
+        usable — `corpus.dedup_remove` must not trip on REMOVE,
+        `vector.remove`/`...delete`/`...create` likewise."""
+        tok = self.peek()
+        if tok.kind == "KEYWORD":
+            self.next()
+            return self.text[tok.pos:tok.pos + len(tok.value)]
+        return self.ident()
+
     def parse_call(self) -> ast.CallProcedure:
         """CALL dotted.name(arg, ...) [YIELD col [AS a], ...]
         [WHERE expr] [ORDER BY ...] [SKIP n] [LIMIT n]"""
         self.eat_kw("CALL")
-        name_parts = [self.ident()]
+        name_parts = [self._proc_ident()]
         while self.try_op("."):
-            name_parts.append(self.ident())
+            name_parts.append(self._proc_ident())
         name = ".".join(name_parts)
         self.eat_op("(")
         args: list = []

@@ -546,6 +546,54 @@ def _p_corpus_dedup_add(session, name, label):
         "name string, label string, n_docs long")
 
 
+def _p_corpus_dedup_remove(session, name, label, id_col="doc_id"):
+    """Tombstone a catalog table's ids out of a persisted dedup index
+    (ops/dedup_index.dedup_index_remove — O(batch), no rewrite)."""
+    from .ops.dedup_index import dedup_index_remove
+
+    params = dedup_index_remove(
+        session.spark, name,
+        session._load_for_label(label).select(id_col),
+        session.model_store)
+    return session.spark.createDataFrame(
+        [(name, int(params["n_docs"]))], "name string, n_docs long")
+
+
+def _p_corpus_dedup_compact(session, name):
+    """Fold a dedup index's tombstones in (ops/dedup_index.
+    dedup_index_compact — rewrite-and-swap, clears the deletes)."""
+    from .ops.dedup_index import dedup_index_compact
+
+    params = dedup_index_compact(session.spark, name,
+                                 session.model_store)
+    return session.spark.createDataFrame(
+        [(name, int(params["n_docs"]))], "name string, n_docs long")
+
+
+def _p_vector_remove(session, name, label, id_col="vec_id"):
+    """Tombstone a catalog table's ids out of a persisted ANN index
+    (ops/similarity.ann_remove)."""
+    from .ops.similarity import ann_remove
+
+    params = ann_remove(
+        session.spark, name,
+        session._load_for_label(label).select(id_col),
+        session.model_store)
+    return session.spark.createDataFrame(
+        [(name, int(params["n_vectors"]))],
+        "name string, n_vectors long")
+
+
+def _p_vector_compact(session, name):
+    """Fold an ANN index's tombstones in (ops/similarity.ann_compact)."""
+    from .ops.similarity import ann_compact
+
+    params = ann_compact(session.spark, name, session.model_store)
+    return session.spark.createDataFrame(
+        [(name, int(params["n_vectors"]))],
+        "name string, n_vectors long")
+
+
 def _p_corpus_dedup_against(session, name, label, threshold=0.5,
                             include_exact=True, exclude_self=False):
     """Dedup a catalog document table AGAINST a persisted index
@@ -695,11 +743,15 @@ PROCEDURES: dict[str, Callable] = {
     "corpus.build_dedup_index": _p_corpus_build_dedup_index,
     "corpus.dedup_add": _p_corpus_dedup_add,
     "corpus.dedup_against": _p_corpus_dedup_against,
+    "corpus.dedup_remove": _p_corpus_dedup_remove,
+    "corpus.dedup_compact": _p_corpus_dedup_compact,
     "corpus.image_dedup_groups": _p_corpus_image_dedup_groups,
     "corpus.image_dedup_against": _p_corpus_image_dedup_against,
     "vector.build_index": _p_vector_build_index,
     "vector.add": _p_vector_add,
     "vector.search": _p_vector_search,
+    "vector.remove": _p_vector_remove,
+    "vector.compact": _p_vector_compact,
     "graph.pagerank": _p_pagerank,
     "graph.wcc": _p_wcc,
     "graph.scc": _p_scc,

@@ -257,6 +257,105 @@ def test_wrong_query_dim_rejected(spark, tmp_path):
         ann_search(spark, "idx", bad_q, st, corpus=emb)
 
 
+class TestAnnRemoveAndCompact:
+    """Tombstone deletion for the ANN index (r8, mirroring the dedup
+    index): removed vectors stop surfacing immediately; after a
+    full-probe remove, results are bit-identical to scoring the
+    remaining corpus with the SAME frozen artifacts."""
+
+    def test_removed_vectors_stop_surfacing(self, spark, tmp_path):
+        from brahmand_spark.ops.similarity import (
+            ann_remove, pq_fit, train_ivf_centroids,
+        )
+
+        emb = _emb(spark)
+        q = emb.filter(F.col("vec_id") < 4)
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(emb, "idx", st, **PARAMS)
+        before = ann_search(spark, "idx", q, st, k=5,
+                            nprobe=PARAMS["n_cells"],
+                            corpus=emb).collect()
+        victims = sorted({r["corpus_id"] for r in before})[:2]
+        n0 = st.load("idx", "ann_index")["params"]["n_vectors"]
+        params = ann_remove(spark, "idx", victims, st)
+        assert params["n_vectors"] == n0 - 2
+        got = sorted(map(tuple, ann_search(
+            spark, "idx", q, st, k=5, nprobe=PARAMS["n_cells"],
+            corpus=emb).collect()))
+        assert not {r[1] for r in got} & set(victims)
+        # bit-identity: in-memory ivfpq over corpus-minus-victims
+        # with the same frozen fits
+        from brahmand_spark.ops.similarity import ivfpq_topk
+
+        cents = train_ivf_centroids(emb, PARAMS["n_cells"])
+        books = pq_fit(emb, PARAMS["m"], PARAMS["n_codes"])
+        remaining = emb.filter(~F.col("vec_id").isin(victims))
+        want = sorted(map(tuple, ivfpq_topk(
+            remaining, q, k=5, nprobe=PARAMS["n_cells"],
+            centroids=cents, codebooks=books, **PARAMS).collect()))
+        assert got == want and len(got) > 0
+
+    def test_compact_then_search_unchanged(self, spark, tmp_path):
+        import os
+
+        from brahmand_spark.ops.similarity import ann_compact, ann_remove
+
+        emb = _emb(spark)
+        q = emb.filter(F.col("vec_id") < 4)
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(emb, "idx", st, **PARAMS)
+        victims = [r["vec_id"] for r in emb.limit(3).collect()]
+        ann_remove(spark, "idx", victims, st)
+        mid = sorted(map(tuple, ann_search(
+            spark, "idx", q, st, k=5, nprobe=3, corpus=emb).collect()))
+        params = ann_compact(spark, "idx", st)
+        assert not os.path.exists(params["codes_path"] + ".deletes")
+        after = sorted(map(tuple, ann_search(
+            spark, "idx", q, st, k=5, nprobe=3, corpus=emb).collect()))
+        assert after == mid and len(after) > 0
+        # codes table stays cell-partitioned after the swap
+        assert any(d.startswith("cell=")
+                   for d in os.listdir(params["codes_path"]))
+        # idempotent: the compacted-away victims are no longer live,
+        # so re-removing them (plus an absent id) is a no-op
+        n1 = params["n_vectors"]
+        assert ann_remove(spark, "idx", victims + [10**9],
+                          st)["n_vectors"] == n1
+
+    def test_add_rejects_tombstoned_ids(self, spark, tmp_path):
+        from brahmand_spark.ops.similarity import ann_add, ann_remove
+
+        emb = _emb(spark)
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(emb.filter(F.col("vec_id") % 2 == 0),
+                        "idx", st, **PARAMS)
+        ann_remove(spark, "idx", [0, 2], st)
+        with pytest.raises(ValueError, match="tombstoned"):
+            ann_add(spark, "idx",
+                    emb.filter(F.col("vec_id").isin([0, 2])), st)
+
+    def test_call_surface(self, spark, tmp_path):
+        from brahmand_spark import GraphSession
+
+        emb = _emb(spark)
+        s = GraphSession(spark, models_path=str(tmp_path / "vm"))
+        s.execute("CREATE NODE TABLE Embedding (vec_id Int64, "
+                  "NODE ID (vec_id))")
+        s.register_table("Embedding", emb)
+        s.execute("CREATE NODE TABLE Victims (vec_id Int64, "
+                  "NODE ID (vec_id))")
+        s.register_table("Victims", emb.limit(2).select("vec_id"))
+        s.execute("CALL vector.build_index('Embedding', 'vidx', "
+                  "8, 4, 8)").collect()
+        n0 = s.model_store.load(
+            "vidx", "ann_index")["params"]["n_vectors"]
+        out = s.execute(
+            "CALL vector.remove('vidx', 'Victims')").collect()
+        assert out[0]["n_vectors"] == n0 - 2
+        out2 = s.execute("CALL vector.compact('vidx')").collect()
+        assert out2[0]["n_vectors"] == n0 - 2
+
+
 class TestAnnAddSourceCoverage:
     """r7 review: vectors added to an index with a RECORDED source
     must stay visible to recorded-source searches — ann_add demands

@@ -184,6 +184,97 @@ class TestIncrementalAdd:
         assert a == b and len(a) > 0
 
 
+class TestRemoveAndCompact:
+    """Tombstone deletion (r8 — the LSM pattern: O(batch) removes,
+    probe-time anti-join, compaction folds and clears)."""
+
+    def _setup(self, spark, tmp_path):
+        corpus, batch = _corpus(spark), _near_batch(spark)
+        st = ModelStore(str(tmp_path / "m"))
+        build_dedup_index(corpus, "dix", st)
+        return corpus, batch, st
+
+    def test_removed_docs_stop_matching(self, spark, tmp_path):
+        from brahmand_spark.ops.dedup_index import dedup_index_remove
+
+        corpus, batch, st = self._setup(spark, tmp_path)
+        before = dedup_against(spark, "dix", batch, st,
+                               threshold=0.5).collect()
+        assert before
+        victims = sorted({r["corpus_id"] for r in before})[:2]
+        n0 = st.load("dix", "dedup_index")["params"]["n_docs"]
+        params = dedup_index_remove(spark, "dix", victims, st)
+        assert params["n_docs"] == n0 - 2
+        after = dedup_against(spark, "dix", batch, st,
+                              threshold=0.5).collect()
+        assert not {r["corpus_id"] for r in after} & set(victims)
+        # every non-victim pair is unchanged
+        keep = {tuple(r) for r in before
+                if r["corpus_id"] not in victims}
+        assert {tuple(r) for r in after} == keep
+
+    def test_remove_is_idempotent_and_ignores_absent(
+            self, spark, tmp_path):
+        from brahmand_spark.ops.dedup_index import dedup_index_remove
+
+        _, _, st = self._setup(spark, tmp_path)
+        n0 = st.load("dix", "dedup_index")["params"]["n_docs"]
+        dedup_index_remove(spark, "dix", [1, 2], st)
+        params = dedup_index_remove(
+            spark, "dix", [1, 2, 999_999_999], st)
+        assert params["n_docs"] == n0 - 2  # no double-subtract
+
+    def test_compact_folds_tombstones(self, spark, tmp_path):
+        import os
+
+        from brahmand_spark.ops.dedup_index import (
+            dedup_index_compact, dedup_index_remove,
+        )
+
+        corpus, batch, st = self._setup(spark, tmp_path)
+        before = dedup_against(spark, "dix", batch, st,
+                               threshold=0.5).collect()
+        victims = sorted({r["corpus_id"] for r in before})[:2]
+        dedup_index_remove(spark, "dix", victims, st)
+        mid = sorted(map(tuple, dedup_against(
+            spark, "dix", batch, st, threshold=0.5).collect()))
+        params = dedup_index_compact(spark, "dix", st)
+        assert not os.path.exists(params["sigs_path"] + ".deletes")
+        after = sorted(map(tuple, dedup_against(
+            spark, "dix", batch, st, threshold=0.5).collect()))
+        assert after == mid and len(after) > 0
+        assert params["n_docs"] == corpus.count() - 2
+        # compact with no tombstones is a no-op
+        assert dedup_index_compact(spark, "dix", st)["n_docs"] == \
+            params["n_docs"]
+
+    def test_add_rejects_tombstoned_ids(self, spark, tmp_path):
+        from brahmand_spark.ops.dedup_index import dedup_index_remove
+
+        corpus, _, st = self._setup(spark, tmp_path)
+        some = [r["doc_id"] for r in corpus.limit(2).collect()]
+        dedup_index_remove(spark, "dix", some, st)
+        readd = corpus.filter(F.col("doc_id").isin(some))
+        with pytest.raises(ValueError, match="tombstoned"):
+            dedup_index_add(spark, "dix", readd, st)
+
+    def test_remove_then_call_surface(self, spark, tmp_path):
+        from brahmand_spark import GraphSession
+
+        corpus, batch, st0 = self._setup(spark, tmp_path)
+        s = GraphSession(spark, models_path=str(tmp_path / "m"))
+        s.execute("CREATE NODE TABLE Victims (doc_id Int64, "
+                  "NODE ID (doc_id))")
+        victims = corpus.limit(3).select("doc_id")
+        s.register_table("Victims", victims)
+        n0 = st0.load("dix", "dedup_index")["params"]["n_docs"]
+        out = s.execute(
+            "CALL corpus.dedup_remove('dix', 'Victims')").collect()
+        assert out[0]["n_docs"] == n0 - 3
+        out2 = s.execute("CALL corpus.dedup_compact('dix')").collect()
+        assert out2[0]["n_docs"] == n0 - 3
+
+
 class TestDuckDBReplay:
     def test_portable_pipeline_matches_duckdb(self, spark, duck,
                                               tmp_path):

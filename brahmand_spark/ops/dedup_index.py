@@ -200,19 +200,13 @@ def dedup_index_add(
     with any append); the normal loop is ``dedup_against`` first, drop
     the batch's duplicates, then add the survivors. Returns the
     updated params."""
-    from .fs import path_exists
+    from .tombstones import reject_tombstoned
 
     params, perms = _load_index(store, name)
     icol = id_col or params["id_col"]
-    dp = _deletes_path(params)
-    if path_exists(spark, dp):
-        clash = new_docs.select(F.col(icol).alias("id")).join(
-            spark.read.parquet(dp), "id", "leftsemi").limit(1).count()
-        if clash:
-            raise ValueError(
-                f"batch contains ids tombstoned in index '{name}' — "
-                f"the tombstone would suppress the re-added rows; "
-                f"run dedup_index_compact first (or use fresh ids)")
+    reject_tombstoned(
+        spark, new_docs.select(F.col(icol).alias("id")), "id",
+        _deletes_path(params), name, "dedup_index_compact")
     sigs, buckets = dedup_index_frames(
         new_docs, perms,
         icol, text_col or params["text_col"],
@@ -247,19 +241,14 @@ def _deletes_path(params: dict) -> str:
     return params["sigs_path"] + ".deletes"
 
 
-def _live(spark, params: dict,
-          df: "DataFrame", on: str = "id") -> "DataFrame":
+def _live(spark, params: dict, df: "DataFrame") -> "DataFrame":
     """Filter out tombstoned ids (anti-join against the deletes
     table, when one exists). The tombstone table holds only REMOVED
     ids — small by design; :func:`dedup_index_compact` folds it in
     and clears it."""
-    from .fs import path_exists
+    from .tombstones import anti_tombstones
 
-    dp = _deletes_path(params)
-    if not path_exists(spark, dp):
-        return df
-    dels = spark.read.parquet(dp).select(F.col("id").alias(on))
-    return df.join(dels, on, "left_anti")
+    return anti_tombstones(spark, df, "id", _deletes_path(params))
 
 
 def dedup_index_remove(
@@ -271,35 +260,18 @@ def dedup_index_remove(
     tombstones, so removed docs stop matching immediately.
 
     ``ids``: a DataFrame whose FIRST column holds the doc ids, or a
-    Python list of ids. Ids already tombstoned (or never present)
-    are ignored — removal is idempotent and ``n_docs`` only counts
-    ids that were actually live. Run :func:`dedup_index_compact`
-    when the tombstone table has grown enough to matter."""
-    from .fs import path_exists
+    Python list of ids (any id type — string keys stay strings). Ids
+    already tombstoned (or never present) are ignored — removal is
+    idempotent and ``n_docs`` only counts ids that were actually
+    live. Run :func:`dedup_index_compact` when the tombstone table
+    has grown enough to matter."""
+    from .tombstones import append_tombstones, coerce_ids
 
     params, perms = _load_index(store, name)
-    if isinstance(ids, (list, tuple)):
-        ids_df = spark.createDataFrame(
-            [(int(i),) for i in ids], "id long")
-    else:
-        first = ids.columns[0]
-        ids_df = ids.select(F.col(first).alias("id"))
-    ids_df = ids_df.dropDuplicates(["id"])
-    dp = _deletes_path(params)
-    if path_exists(spark, dp):
-        ids_df = ids_df.join(spark.read.parquet(dp), "id", "left_anti")
-    # only ids actually IN the index count against n_docs (and get
-    # tombstoned at all — tombstones for absent ids would just bloat
-    # the anti-join side)
-    live = ids_df.join(
-        spark.read.parquet(params["sigs_path"]).select("id"),
-        "id", "leftsemi")
-    # pin the row set before writing to a path the plan reads
-    # (the dedup_index_add recache lesson)
-    live = live.localCheckpoint()
-    n_removed = live.count()
+    n_removed = append_tombstones(
+        spark, coerce_ids(spark, ids, "id"), "id",
+        params["sigs_path"], _deletes_path(params))
     if n_removed:
-        live.write.mode("append").parquet(dp)
         params["n_docs"] = int(params["n_docs"]) - n_removed
         store.save(name, "dedup_index",
                    {"perms": [list(p) for p in perms]}, params)
@@ -312,18 +284,17 @@ def dedup_index_compact(spark, name: str, store) -> dict:
     corpus-sized maintenance pass that keeps probe-time anti-joins
     cheap. Write-new-then-swap (never in-place: Spark cannot
     overwrite its own input); run without concurrent probes, or on
-    snapshot-isolating storage."""
-    from .fs import delete_path, path_exists, replace_dir
+    snapshot-isolating storage. Refuses to compact an all-tombstoned
+    index to empty (delete or rebuild instead)."""
+    from .fs import delete_path, path_exists
+    from .tombstones import compact_parquet
 
     params, perms = _load_index(store, name)
     dp = _deletes_path(params)
     if not path_exists(spark, dp):
         return params
-    for path, on in ((params["sigs_path"], "id"),
-                     (params["buckets_path"], "id")):
-        kept = _live(spark, params, spark.read.parquet(path), on)
-        kept.write.mode("overwrite").parquet(path + ".compact")
-        replace_dir(spark, path + ".compact", path)
+    for path in (params["sigs_path"], params["buckets_path"]):
+        compact_parquet(spark, path, dp, "id")
     delete_path(spark, dp)
     params["n_docs"] = spark.read.parquet(
         params["sigs_path"]).count()

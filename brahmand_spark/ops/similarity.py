@@ -757,27 +757,28 @@ def ann_add(
             f"exact re-rank; pass source_path= for this batch (or "
             f"rebuild without a recorded source and search with "
             f"corpus=)")
-    from .fs import path_exists
+    from .tombstones import reject_tombstoned
 
-    dp = _ann_deletes_path(params)
-    if path_exists(spark, dp):
-        clash = new_vectors.select(
-            F.col(id_col or params["id_col"]).alias("corpus_id")
-        ).join(spark.read.parquet(dp), "corpus_id",
-               "leftsemi").limit(1).count()
-        if clash:
-            raise ValueError(
-                f"batch contains ids tombstoned in index '{name}' — "
-                f"the tombstone would suppress the re-added rows; "
-                f"run ann_compact first (or use fresh ids)")
+    reject_tombstoned(
+        spark,
+        new_vectors.select(
+            F.col(id_col or params["id_col"]).alias("corpus_id")),
+        "corpus_id", _ann_deletes_path(params), name, "ann_compact")
     index = pq_index_frame(
         new_vectors, doc["payload"]["centroids"],
         doc["payload"]["codebooks"],
         id_col or params["id_col"], vcol)
+    # pin before writing (the batch plan may read the index — the
+    # dedup_index_add recache lesson), and count the BATCH's actually
+    # written rows (zero-norm vectors are excluded by the frame):
+    # re-counting the whole codes table per add would grow with
+    # corpus size AND silently re-add tombstoned rows into n_vectors,
+    # undoing ann_remove's decrement (r8 review)
+    index = index.localCheckpoint()
+    n_new = index.count()
     index.write.mode("append").partitionBy("cell").parquet(
         params["codes_path"])
-    params["n_vectors"] = spark.read.parquet(
-        params["codes_path"]).count()
+    params["n_vectors"] = int(params["n_vectors"]) + n_new
     if source_path is not None:
         params["source_paths"] = _source_paths(params) + [source_path]
         params.pop("source_path", None)
@@ -792,36 +793,21 @@ def _ann_deletes_path(params: dict) -> str:
 def ann_remove(spark, name: str, ids, store) -> dict:
     """Remove vectors from a persisted ANN index WITHOUT rewriting
     it: append their ids to a tombstone table (the LSM delete
-    pattern, mirroring ops/dedup_index.dedup_index_remove — O(batch)
-    per call); every search anti-joins the tombstones, so removed
-    vectors stop surfacing immediately. ``ids``: a DataFrame whose
-    FIRST column holds the vector ids, or a Python list. Idempotent;
-    ``n_vectors`` only counts ids that were actually live. Run
-    :func:`ann_compact` when the tombstone table has grown."""
-    from pyspark.sql import functions as F
-
-    from .fs import path_exists
+    pattern, same machinery as ops/dedup_index.dedup_index_remove —
+    O(batch) per call); every search anti-joins the tombstones, so
+    removed vectors stop surfacing immediately. ``ids``: a DataFrame
+    whose FIRST column holds the vector ids, or a Python list (any
+    id type). Idempotent; ``n_vectors`` only counts ids that were
+    actually live. Run :func:`ann_compact` when the tombstone table
+    has grown."""
+    from .tombstones import append_tombstones, coerce_ids
 
     doc = store.load(name, "ann_index")
     params = doc["params"]
-    if isinstance(ids, (list, tuple)):
-        ids_df = spark.createDataFrame(
-            [(int(i),) for i in ids], "corpus_id long")
-    else:
-        first = ids.columns[0]
-        ids_df = ids.select(F.col(first).alias("corpus_id"))
-    ids_df = ids_df.dropDuplicates(["corpus_id"])
-    dp = _ann_deletes_path(params)
-    if path_exists(spark, dp):
-        ids_df = ids_df.join(spark.read.parquet(dp),
-                             "corpus_id", "left_anti")
-    live = ids_df.join(
-        spark.read.parquet(params["codes_path"]).select("corpus_id"),
-        "corpus_id", "leftsemi")
-    live = live.localCheckpoint()  # pin before writing (recache)
-    n_removed = live.count()
+    n_removed = append_tombstones(
+        spark, coerce_ids(spark, ids, "corpus_id"), "corpus_id",
+        params["codes_path"], _ann_deletes_path(params))
     if n_removed:
-        live.write.mode("append").parquet(dp)
         params["n_vectors"] = int(params["n_vectors"]) - n_removed
         store.save(name, "ann_index", doc["payload"], params)
     return params
@@ -829,22 +815,21 @@ def ann_remove(spark, name: str, ids, store) -> dict:
 
 def ann_compact(spark, name: str, store) -> dict:
     """Fold ANN tombstones in: rewrite the cell-partitioned codes
-    table without removed vectors and clear the deletes table.
-    Write-new-then-swap; run without concurrent searches, or on
+    table without removed vectors (write-new-then-swap, partitioning
+    preserved; refuses to compact to empty — a zero-row partitioned
+    write has no schema-bearing files and would brick the table) and
+    clear the deletes. Run without concurrent searches, or on
     snapshot-isolating storage."""
-    from .fs import delete_path, path_exists, replace_dir
+    from .fs import delete_path, path_exists
+    from .tombstones import compact_parquet
 
     doc = store.load(name, "ann_index")
     params = doc["params"]
     dp = _ann_deletes_path(params)
     if not path_exists(spark, dp):
         return params
-    codes = spark.read.parquet(params["codes_path"])
-    dels = spark.read.parquet(dp)
-    kept = codes.join(dels, "corpus_id", "left_anti")
-    tmp = params["codes_path"] + ".compact"
-    kept.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    replace_dir(spark, tmp, params["codes_path"])
+    compact_parquet(spark, params["codes_path"], dp, "corpus_id",
+                    partition_by="cell")
     delete_path(spark, dp)
     params["n_vectors"] = spark.read.parquet(
         params["codes_path"]).count()

@@ -773,27 +773,36 @@ class Parser:
                 # ignores it (row existence is projection-free);
                 # COUNT ignores a plain projection (one result row
                 # per match) but RETURN DISTINCT switches to counting
-                # distinct values (r8)
-                path, where = self._parse_subquery_block(
-                    stop_at_return=True)
-                ret_distinct, ret_expr = False, None
-                if self.try_kw("RETURN"):
-                    ret_distinct = self.try_kw("DISTINCT")
-                    if self.at_op("*"):
-                        self.next()
-                        if ret_distinct and name.lower() == "count":
-                            self.error(
-                                "RETURN DISTINCT * in a COUNT { } "
-                                "block (project a single expression)")
-                    else:
-                        ret_expr = self.parse_expr()
-                self.eat_op("}")
-                if name.lower() == "exists":
-                    return ast.PatternPredicate(path, where=where)
-                self.n_count_subqueries += 1
-                return ast.CountSubquery(
-                    path, where=where,
-                    distinct_expr=ret_expr if ret_distinct else None)
+                # distinct values (r8). Backtracks when the block
+                # isn't a well-formed pattern, so variables named
+                # exists/count keep their map projections
+                # `count {.prop}` (same rule as collect below).
+                save = self.i
+                try:
+                    path, where = self._parse_subquery_block(
+                        stop_at_return=True)
+                except ParseError:
+                    self.i = save  # not a pattern block: fall through
+                else:
+                    ret_distinct, ret_expr = False, None
+                    if self.try_kw("RETURN"):
+                        ret_distinct = self.try_kw("DISTINCT")
+                        if self.at_op("*"):
+                            self.next()
+                            if ret_distinct and name.lower() == "count":
+                                self.error(
+                                    "RETURN DISTINCT * in a COUNT { } "
+                                    "block (project a single "
+                                    "expression)")
+                        else:
+                            ret_expr = self.parse_expr()
+                    self.eat_op("}")
+                    if name.lower() == "exists":
+                        return ast.PatternPredicate(path, where=where)
+                    self.n_count_subqueries += 1
+                    return ast.CountSubquery(
+                        path, where=where,
+                        distinct_expr=ret_expr if ret_distinct else None)
             if self.at_op("{") and name.lower() == "collect":
                 # COLLECT { MATCH <path> [WHERE p] RETURN [DISTINCT] e }
                 # (openCypher 9 / GQL) — single-column RETURN required;

@@ -41,12 +41,12 @@ from ..ops.dedup import band_buckets, minhash_signatures
 
 
 def _path_exists(spark, path: str) -> bool:
-    """True iff `path` exists, via the JVM Hadoop FileSystem API (works
-    for any configured filesystem, not just local)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(conf).exists(p)
+    """True iff `path` exists — delegates to the shared ops/fs helper
+    (JVM Hadoop FileSystem API: works for any configured filesystem,
+    not just local)."""
+    from ..ops.fs import path_exists
+
+    return path_exists(spark, path)
 
 
 def _band_buckets(
@@ -203,31 +203,42 @@ def dedup_against_stream(
             spark, name, batch_df, store, threshold=threshold,
             include_exact=include_exact, exclude_self=exclude_self,
             hot_bucket_cap=hot_bucket_cap).persist()
+        full = None
         try:
             sink(pairs, batch_id)
             if add_clean:
-                # clean-ness must come from the UNFILTERED verdict:
-                # with include_exact=False or a hot-bucket cap the
-                # sink's frame deliberately omits known duplicates,
-                # and appending those would accumulate dups in the
-                # index forever. (threshold still applies — below-
-                # threshold similarity is non-duplicate BY definition)
-                if not include_exact or hot_bucket_cap is not None:
+                # clean-ness must come from the exact-INCLUSIVE
+                # verdict: with include_exact=False the sink's frame
+                # deliberately omits known exact duplicates, and
+                # appending those would accumulate dups in the index
+                # forever. The hot-bucket cap is KEPT for the
+                # recompute (dropping it would reintroduce the
+                # quadratic hot-bucket join the cap exists to bound —
+                # capped-away near pairs count clean, the documented
+                # recall trade; boilerplate dups are near-always
+                # exact and the fingerprint route still catches
+                # them). Threshold applies too: below-threshold
+                # similarity is non-duplicate by definition.
+                if not include_exact:
                     full = dedup_against(
                         spark, name, batch_df, store,
                         threshold=threshold, include_exact=True,
-                        exclude_self=exclude_self)
+                        exclude_self=exclude_self,
+                        hot_bucket_cap=hot_bucket_cap).persist()
+                    verdict = full
                 else:
-                    full = pairs  # persisted — reused, not recomputed
+                    verdict = pairs  # persisted — reused
                 params = store.load(name, "dedup_index")["params"]
                 id_col = params["id_col"]
                 clean = batch_df.join(
-                    full.select(F.col("new_id").alias(id_col))
+                    verdict.select(F.col("new_id").alias(id_col))
                     .distinct(),
                     id_col, "left_anti")
                 if not clean.isEmpty():
                     dedup_index_add(spark, name, clean, store)
         finally:
             pairs.unpersist()
+            if full is not None:
+                full.unpersist()
 
     return doc_stream.writeStream.foreachBatch(handle)

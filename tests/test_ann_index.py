@@ -334,6 +334,44 @@ class TestAnnRemoveAndCompact:
             ann_add(spark, "idx",
                     emb.filter(F.col("vec_id").isin([0, 2])), st)
 
+    def test_add_after_remove_counts_live_only(self, spark, tmp_path):
+        """n_vectors must track LIVE vectors: ann_add counts its
+        batch instead of re-counting the codes table, which would
+        re-add tombstoned (not yet compacted) rows and undo
+        ann_remove's decrement (review r8 pass 2)."""
+        from brahmand_spark.ops.similarity import ann_add, ann_remove
+
+        emb = _emb(spark)
+        half_a = emb.filter(F.col("vec_id") % 2 == 0)
+        half_b = emb.filter(F.col("vec_id") % 2 == 1).limit(3)
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(half_a, "idx", st, **PARAMS)
+        n0 = st.load("idx", "ann_index")["params"]["n_vectors"]
+        ann_remove(spark, "idx", [0, 2], st)
+        params = ann_add(spark, "idx", half_b, st)
+        assert params["n_vectors"] == n0 - 2 + 3
+
+    def test_compact_to_empty_refused(self, spark, tmp_path):
+        """An all-tombstoned partitioned codes table must not swap in
+        an empty (schema-less) write — compact refuses and the index
+        stays readable (review r8 pass 2)."""
+        from brahmand_spark.ops.similarity import ann_compact, ann_remove
+
+        emb = _emb(spark).limit(10)
+        st = ModelStore(str(tmp_path / "m"))
+        p = build_ann_index(emb, "idx", st, **PARAMS)
+        ann_remove(spark, "idx",
+                   [r["vec_id"] for r in emb.collect()], st)
+        with pytest.raises(ValueError, match="empty"):
+            ann_compact(spark, "idx", st)
+        # table still readable, tombstones still effective
+        assert spark.read.parquet(p["codes_path"]).count() == 10
+        got = ann_search(spark, "idx", _emb(spark).limit(2), st,
+                         k=3, nprobe=PARAMS["n_cells"],
+                         corpus=_emb(spark)).collect()
+        assert all(r["corpus_id"] not in
+                   {x["vec_id"] for x in emb.collect()} for r in got)
+
     def test_call_surface(self, spark, tmp_path):
         from brahmand_spark import GraphSession
 

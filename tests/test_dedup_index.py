@@ -258,6 +258,30 @@ class TestRemoveAndCompact:
         with pytest.raises(ValueError, match="tombstoned"):
             dedup_index_add(spark, "dix", readd, st)
 
+    def test_string_keyed_index_removal(self, spark, tmp_path):
+        """List-form removal must preserve the id TYPE — a long-coerced
+        tombstone would silently type-mismatch a string-keyed index's
+        anti-join (review r8 pass 2)."""
+        from brahmand_spark.ops.dedup_index import dedup_index_remove
+
+        corpus = spark.createDataFrame(
+            [("doc-a", "alpha beta gamma delta epsilon zeta"),
+             ("doc-b", "alpha beta gamma delta epsilon eta"),
+             ("doc-c", "totally different words here now")],
+            "doc_id string, text string")
+        st = ModelStore(str(tmp_path / "m"))
+        build_dedup_index(corpus, "sdx", st)
+        batch = corpus.filter(F.col("doc_id") == "doc-a").select(
+            F.concat(F.lit("new-"), "doc_id").alias("doc_id"), "text")
+        before = dedup_against(spark, "sdx", batch, st,
+                               threshold=0.3).collect()
+        assert {r["corpus_id"] for r in before} >= {"doc-a"}
+        params = dedup_index_remove(spark, "sdx", ["doc-a"], st)
+        assert params["n_docs"] == 2
+        after = dedup_against(spark, "sdx", batch, st,
+                              threshold=0.3).collect()
+        assert "doc-a" not in {r["corpus_id"] for r in after}
+
     def test_remove_then_call_surface(self, spark, tmp_path):
         from brahmand_spark import GraphSession
 

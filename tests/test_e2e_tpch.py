@@ -1116,12 +1116,14 @@ class TestPatternComprehension:
                 "RETURN COUNT { MATCH (c)-[:PLACED]->(o:Order) "
                 "RETURN DISTINCT nn.n_name } AS bad LIMIT 1")
 
-    def test_variable_named_collect_keeps_map_projection(self, tpch):
-        """`collect {` only claims well-formed pattern blocks — a
-        variable named collect keeps its map projection (review r8)."""
+    @pytest.mark.parametrize("var", ["collect", "exists", "count"])
+    def test_subquery_names_keep_map_projection(self, tpch, var):
+        """exists/count/collect `{` only claim well-formed pattern
+        blocks — variables by those names keep their map projections
+        (review r8, both passes)."""
         rows = tpch.execute(
-            "MATCH (collect:Customer) WHERE collect.c_custkey = 1 "
-            "RETURN collect {.c_name, .c_custkey} AS m").collect()
+            f"MATCH ({var}:Customer) WHERE {var}.c_custkey = 1 "
+            f"RETURN {var} {{.c_name, .c_custkey}} AS m").collect()
         assert len(rows) == 1
         assert rows[0]["m"]["c_custkey"] == 1
 

@@ -843,6 +843,7 @@ def ann_search(
     corpus: DataFrame | None = None,
     query_id_col: str | None = None, query_vec_col: str | None = None,
     exclude_self: bool = True,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Query a persisted ANN index by name: load the centroids +
     codebooks from ``store``, read ONLY the probed cell partitions of
@@ -863,7 +864,16 @@ def ann_search(
     corpus_id equals the query_id — pass False when the query table's
     id space is UNRELATED to the corpus ids (an external query batch),
     where a numeric collision would otherwise silently hide a true
-    neighbor."""
+    neighbor.
+
+    ``allowed_ids`` (optional) runs a FILTERED search: a one-column
+    frame of corpus ids semi-joined onto the index BEFORE scoring, so
+    every returned neighbor is in the allowed set and the top-k is
+    taken over allowed candidates only (pre-filtering, not
+    post-filtering — a post-filter of an unfiltered top-k would
+    under-fill k whenever popular neighbors are disallowed). With a
+    selective filter raise ``nprobe`` (the allowed rows may
+    concentrate in few cells)."""
     doc = store.load(name, "ann_index")
     params = doc["params"]
     centroids = doc["payload"]["centroids"]
@@ -916,6 +926,10 @@ def ann_search(
         # ann_compact folds the table in and clears it
         index = index.join(spark.read.parquet(dp),
                            "corpus_id", "left_anti")
+    if allowed_ids is not None:
+        allow = allowed_ids.select(
+            F.col(allowed_ids.columns[0]).alias("corpus_id"))
+        index = index.join(allow, "corpus_id", "leftsemi")
     vectors = corpus.select(
         F.col(params["id_col"]).alias("corpus_id"),
         _as_double(F.col(params["vec_col"])).alias("cv"),

@@ -394,6 +394,40 @@ class TestAnnRemoveAndCompact:
         assert out2[0]["n_vectors"] == n0 - 2
 
 
+def test_filtered_search_matches_filtered_brute_force(
+        spark, duck, tmp_path):
+    """allowed_ids pre-filters the index BEFORE scoring: with a full
+    probe + over-large rerank the filtered search equals brute-force
+    cosine over the allowed subset (DuckDB), and k fills from allowed
+    candidates only (a post-filter would under-fill)."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    st = ModelStore(str(tmp_path / "m"))
+    build_ann_index(emb, "idx", st, **PARAMS)
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    got = sorted(map(tuple, ann_search(
+        spark, "idx", q, st, k=4, nprobe=PARAMS["n_cells"],
+        rerank=100000, corpus=emb, allowed_ids=allowed).collect()))
+    want = sorted(map(tuple, duck.execute("""
+        WITH q AS (SELECT * FROM embeddings WHERE vec_id < 3),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                   round(list_cosine_similarity(
+                       c.embedding::DOUBLE[],
+                       q.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings c, q
+            WHERE c.vec_id <> q.vec_id AND c.vec_id % 3 = 0),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, corpus_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, corpus_id, cosine, rank
+        FROM ranked WHERE rank <= 4""").fetchall()))
+    assert got == want and len(got) == 12
+    assert all(r[1] % 3 == 0 for r in got)
+
+
 class TestAnnAddSourceCoverage:
     """r7 review: vectors added to an index with a RECORDED source
     must stay visible to recorded-source searches — ann_add demands

@@ -668,13 +668,16 @@ def _source_labels(params: dict) -> list:
 
 
 def _p_vector_search(session, name, query_label, k=10, nprobe=4,
-                     rerank=None, exclude_self=True):
+                     rerank=None, exclude_self=True,
+                     allowed_label=None, allowed_id_col="vec_id"):
     """Top-k search against a persisted IVF-PQ index
     (ops/similarity.ann_search): queries come from a catalog table;
     the corpus for the exact re-rank is the index's recorded source
     label (vector.build_index) or source_path. Pass
     ``exclude_self=false`` when the query table's ids are unrelated
-    to the corpus ids."""
+    to the corpus ids. ``allowed_label`` (r8) names a catalog table
+    whose ids pre-filter the index — a FILTERED search (top-k fills
+    from allowed candidates only)."""
     from .ops.similarity import ann_search
 
     store = session.model_store
@@ -683,11 +686,15 @@ def _p_vector_search(session, name, query_label, k=10, nprobe=4,
     for lbl in _source_labels(doc["params"]):
         t = session._load_for_label(lbl)
         corpus = t if corpus is None else corpus.unionByName(t)
+    allowed = None
+    if allowed_label is not None:
+        allowed = session._load_for_label(allowed_label).select(
+            allowed_id_col)
     return ann_search(
         session.spark, name, session._load_for_label(query_label),
         store, k=int(k), nprobe=int(nprobe),
         rerank=None if rerank is None else int(rerank), corpus=corpus,
-        exclude_self=bool(exclude_self))
+        exclude_self=bool(exclude_self), allowed_ids=allowed)
 
 
 def _p_db_models(session):

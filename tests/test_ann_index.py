@@ -426,6 +426,26 @@ def test_filtered_search_matches_filtered_brute_force(
         FROM ranked WHERE rank <= 4""").fetchall()))
     assert got == want and len(got) == 12
     assert all(r[1] % 3 == 0 for r in got)
+    # and the CALL surface takes an allowed_label (7-arg form)
+    from brahmand_spark import GraphSession
+
+    s = GraphSession(spark, models_path=str(tmp_path / "m"))
+    for lbl, df in (("Probe", q.select("vec_id", "embedding")),
+                    ("Allowed", allowed)):
+        s.execute(f"CREATE NODE TABLE {lbl} (vec_id Int64, "
+                  "NODE ID (vec_id))")
+        s.register_table(lbl, df)
+    s.execute("CREATE NODE TABLE Corpus (vec_id Int64, "
+              "NODE ID (vec_id))")
+    s.register_table("Corpus", emb)
+    doc = st.load("idx", "ann_index")
+    doc["params"]["source_label"] = "Corpus"
+    st.save("idx", "ann_index", doc["payload"], doc["params"])
+    via_call = sorted(map(tuple, s.execute(
+        "CALL vector.search('idx', 'Probe', 4, 8, 100000, true, "
+        "'Allowed') YIELD query_id, corpus_id, cosine, rank"
+    ).collect()))
+    assert via_call == got
 
 
 class TestAnnAddSourceCoverage:

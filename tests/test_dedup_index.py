@@ -397,6 +397,132 @@ class TestDuckDBReplay:
         assert any(r[3] == "near" for r in got)
 
 
+class TestDuckDBReplayCapAndTombstones:
+    def test_capped_tombstoned_probe_matches_duckdb(
+            self, spark, duck, tmp_path):
+        """hot_bucket_cap and tombstones, oracle-checked: the near
+        route skips corpus buckets holding more than cap docs, the
+        exact route is uncapped, and a removed doc vanishes from
+        BOTH — the whole thing replayed in DuckDB over the same
+        parquet (portable hash)."""
+        from brahmand_spark.ops.dedup import HASH_P, _perm_params
+        from brahmand_spark.ops.dedup_index import dedup_index_remove
+
+        cap = 2
+        corpus = _corpus(spark)
+        batch = _near_batch(spark).unionByName(
+            _docs(spark)
+            .filter((F.col("doc_id") % 7 == 0)
+                    & (F.col("doc_id") % 5 != 0))
+            .select((F.col("doc_id") + 20_000_000).alias("doc_id"),
+                    "text"))
+        st = ModelStore(str(tmp_path / "m"))
+        build_dedup_index(corpus, "dix", st, hash_fn="portable")
+        # tombstone one corpus doc that actually matches something
+        hit = dedup_against(spark, "dix", batch, st,
+                            threshold=0.5).limit(1).collect()
+        victim = hit[0]["corpus_id"]
+        dedup_index_remove(spark, "dix", [victim], st)
+        got = sorted(map(tuple, dedup_against(
+            spark, "dix", batch, st, threshold=0.5,
+            hot_bucket_cap=cap).collect()))
+
+        num_hashes, bands, rows = 64, 16, 4
+        perms = _perm_params(num_hashes, 42)
+        md5h60 = (
+            "list_reduce(list_transform("
+            "string_split(substr(md5({e}), 1, 15), ''), "
+            "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT), "
+            "(a, b) -> a * 16 + b)")
+        mins = ",\n".join(
+            f"min(({a} * h + {b}) % {HASH_P}) AS m{i}"
+            for i, (a, b) in enumerate(perms))
+
+        def side(name: str, src: str) -> str:
+            return rf"""
+            {name}_sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(t) - 1),
+                           i -> array_to_string(t[i:i+2], ' ')))) AS s
+                FROM (SELECT doc_id,
+                             list_filter(
+                                 string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+                      FROM {src})),
+            {name}_sig AS (
+                SELECT doc_id, {mins}
+                FROM (SELECT doc_id,
+                             {md5h60.format(e='s')} % {HASH_P} AS h
+                      FROM {name}_sh)
+                GROUP BY doc_id),
+            {name}_fp AS (
+                SELECT doc_id, {md5h60.format(e='text')} AS fp
+                FROM {src})"""
+
+        def bucket_key(alias: str, b: int) -> str:
+            return ("concat_ws(','," + ", ".join(
+                f"{alias}.m{b * rows + r}" for r in range(rows)) + ")")
+
+        # corpus-side banded buckets + per-bucket sizes (live docs)
+        c_buckets = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, {bucket_key('c_sig', b)} "
+            f"AS bucket FROM c_sig" for b in range(bands))
+        b_buckets = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, {bucket_key('b_sig', b)} "
+            f"AS bucket FROM b_sig" for b in range(bands))
+        matches = " + ".join(
+            f"(sa.m{i} = sb.m{i})::INT" for i in range(num_hashes))
+        want = sorted(map(tuple, duck.execute(rf"""
+            WITH corpus0 AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 5 <> 0),
+            corpus AS (  -- tombstoned doc removed from the live set
+                SELECT * FROM corpus0 WHERE doc_id <> {victim}),
+            batch AS (
+                SELECT doc_id + 10000000 AS doc_id,
+                       text || ' zzz' AS text
+                FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 20000000, text FROM documents
+                WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0),
+            {side('c', 'corpus')},
+            {side('b', 'batch')},
+            cb AS ({c_buckets}),
+            bb AS ({b_buckets}),
+            cap_ok AS (
+                SELECT band, bucket FROM cb
+                GROUP BY band, bucket HAVING count(*) <= {cap}),
+            cands AS (
+                SELECT DISTINCT bb.doc_id AS new_id,
+                       cb.doc_id AS corpus_id
+                FROM bb
+                JOIN cap_ok USING (band, bucket)
+                JOIN cb USING (band, bucket)),
+            exact AS (
+                SELECT DISTINCT b.doc_id AS new_id,
+                       c.doc_id AS corpus_id
+                FROM b_fp b JOIN c_fp c ON b.fp = c.fp),
+            near AS (
+                SELECT cands.new_id, cands.corpus_id,
+                       round(({matches}) / 64.0, 6) AS est_jaccard
+                FROM cands
+                JOIN b_sig sb ON sb.doc_id = cands.new_id
+                JOIN c_sig sa ON sa.doc_id = cands.corpus_id
+                WHERE round(({matches}) / 64.0, 6) >= 0.5
+                  AND NOT EXISTS (
+                      SELECT 1 FROM exact e
+                      WHERE e.new_id = cands.new_id
+                        AND e.corpus_id = cands.corpus_id))
+            SELECT new_id, corpus_id, 1.0::DOUBLE AS est_jaccard,
+                   'exact' AS match_kind FROM exact
+            UNION ALL
+            SELECT new_id, corpus_id, est_jaccard, 'near'
+            FROM near""").fetchall()))
+        assert got == want and len(got) > 0
+        assert all(r[1] != victim for r in got)
+
+
 class TestCallSurface:
     def test_build_add_probe_via_call(self, spark, tmp_path):
         from brahmand_spark import GraphSession

@@ -683,8 +683,10 @@ class QueryCompiler:
         DISTINCT WITH dedups per invocation — exactly the per-outer-
         row semantics); the final RETURN joins back on the anchor
         ids; SKIP/LIMIT on an intermediate WITH compiles to a
-        per-anchor window too (`_call_with_window`). Still
-        unsupported: UNION arms, nested CALL { }, and RETURN *.
+        per-anchor window too (`_call_with_window`); UNION [ALL]
+        arms compile independently and union per invocation (r8,
+        `_apply_correlated_call_union`). Still unsupported: nested
+        CALL { } and RETURN *.
         Known divergence (documented, FOLDED_CYPHER
         call_correlated_agg_with): an invocation whose row count is
         made non-zero only by an intermediate aggregating WITH (e.g.
@@ -700,10 +702,54 @@ class QueryCompiler:
                 raise UnsupportedError(
                     f"correlated CALL {{ }} imports must be bound "
                     f"node variables; '{a}' is not one")
-        body = inner.parts[1:]
         if inner.unions:
-            raise UnsupportedError(
-                "UNION inside a correlated CALL { } is not supported")
+            return self._apply_correlated_call_union(
+                df, scope, inner, imports, optional)
+        sub_out, anchors, names, compiled = \
+            self._correlated_arm_frame(df, scope, inner, imports)
+        join_conds = [
+            F.col(scope.get(a).id_pcol) == F.col(f"__ck_{a}")
+            for a in anchors]
+        cond = join_conds[0]
+        for c in join_conds[1:]:
+            cond = cond & c
+        # openCypher row semantics: an ALL-aggregate block yields one
+        # row per invocation even with zero matches (count/sum -> 0,
+        # collect -> [], min/max/avg -> null), so it LEFT-joins back
+        # with the zero-defined aggregates coalesced; mixed or
+        # non-aggregate blocks yield zero rows on zero matches,
+        # dropping the outer row (inner). Known divergence: an
+        # arithmetic wrapper over an aggregate (count(*) + 1) comes
+        # back null rather than evaluated-on-empty.
+        # OPTIONAL CALL additionally left-joins the row-returning
+        # forms (outer rows with no block rows survive, NULL-filled)
+        any_agg = any(agg for _, _, agg, _ in compiled)
+        all_agg = any_agg and all(agg for _, _, agg, _ in compiled)
+        out = df.join(
+            sub_out, cond,
+            "left" if (all_agg or optional) else "inner"
+        ).drop(*[f"__ck_{a}" for a in anchors])
+        if all_agg:
+            for name, _, _, empty_fill in compiled:
+                if empty_fill is not None:
+                    out = out.withColumn(
+                        name, F.coalesce(F.col(name), empty_fill))
+        for name in names:
+            scope.bind(ScalarBinding(name))
+        return out
+
+    def _correlated_arm_frame(
+        self, df: DataFrame, scope: Scope,
+        inner: "ast.ReadQuery", imports: list[str],
+    ) -> tuple:
+        """Compile ONE correlated-CALL arm (a full pipeline body with
+        the import WITH already stripped into ``imports``) into its
+        per-anchor result frame: columns ``__ck_<anchor>...`` +
+        the RETURN output names. Shared by the single-arm path and
+        the UNION path (each union arm compiles through here
+        independently). Returns (frame, anchors, names, compiled
+        item metadata)."""
+        body = inner.parts[1:]
         if any(p.calls for p in body):
             raise UnsupportedError(
                 "nested CALL { } inside a correlated CALL { } is not "
@@ -773,12 +819,8 @@ class QueryCompiler:
         # block projection: anchor id keys + the RETURN items;
         # aggregate items group by (anchor ids + non-aggregate items)
         key_cols = []
-        join_conds = []
         for a in anchors:
-            key = f"__ck_{a}"
-            key_cols.append((key, sub_scope.get(a).id_pcol))
-            join_conds.append(
-                F.col(scope.get(a).id_pcol) == F.col(key))
+            key_cols.append((f"__ck_{a}", sub_scope.get(a).id_pcol))
         names: list[str] = []
         compiled: list[tuple[str, "F.Column", bool, object]] = []
         for it in rc.items:
@@ -856,30 +898,106 @@ class QueryCompiler:
             if hi is not None:
                 cond = cond & (F.col("__crn") <= hi)
             sub_out = sub_out.filter(cond).drop("__crn")
-        cond = join_conds[0]
-        for c in join_conds[1:]:
-            cond = cond & c
-        # openCypher row semantics: an ALL-aggregate block yields one
-        # row per invocation even with zero matches (count/sum -> 0,
-        # collect -> [], min/max/avg -> null), so it LEFT-joins back
-        # with the zero-defined aggregates coalesced; mixed or
-        # non-aggregate blocks yield zero rows on zero matches,
-        # dropping the outer row (inner). Known divergence: an
-        # arithmetic wrapper over an aggregate (count(*) + 1) comes
-        # back null rather than evaluated-on-empty.
-        # OPTIONAL CALL additionally left-joins the row-returning
-        # forms (outer rows with no block rows survive, NULL-filled)
-        all_agg = any_agg and all(agg for _, _, agg, _ in compiled)
+        return sub_out, anchors, names, compiled
+
+    def _apply_correlated_call_union(
+        self, df: DataFrame, scope: Scope,
+        inner: "ast.ReadQuery", imports: list[str],
+        optional: bool = False,
+    ) -> DataFrame:
+        """Correlated CALL with UNION [ALL] arms (r8 — closes the
+        last v2 wall): every arm is a full correlated body compiled
+        independently through `_correlated_arm_frame`, arm results
+        union per invocation, and ONE join attaches them back on the
+        anchor ids. openCypher requires each arm to re-state the
+        import WITH and to return the same columns; all arms must
+        also use the same imported variables as anchors (the join
+        keys) and agree on UNION vs UNION ALL (openCypher forbids
+        mixing). An ALL-aggregate arm contributes one row per
+        invocation even on zero matches (count -> 0 etc.), so its
+        frame is completed against the outer anchor-id set BEFORE the
+        union — per-arm semantics identical to the single-arm
+        block."""
+        import dataclasses
+
+        # the parser nests chains (`a UNION b UNION ALL c` parses as
+        # a.unions=[(b{unions=[(c,...)]}, ...)]) — flatten first
+        arms: list = []
+        arm_flags: list = []
+
+        def flatten(q, flag):
+            arms.append(dataclasses.replace(q, unions=[]))
+            arm_flags.append(flag)
+            for q2, d2 in q.unions:
+                flatten(q2, bool(d2))
+
+        flatten(inner, None)
+        flags = set(arm_flags[1:])
+        if len(flags) > 1:
+            raise PlanError(
+                "cannot mix UNION and UNION ALL inside a CALL { } "
+                "block (openCypher)")
+        union_all = not flags.pop()
+        for q in arms[1:]:
+            arm_imports = _call_import_aliases(q)
+            if arm_imports is None or set(arm_imports) != set(imports):
+                raise UnsupportedError(
+                    "every UNION arm of a correlated CALL { } must "
+                    "re-state the same import WITH (openCypher: "
+                    "importing WITH per arm)")
+        frames = []
+        ref_anchors: list[str] = []
+        ref_names: list[str] = []
+        for i, arm in enumerate(arms):
+            sub_out, anchors, names, compiled = \
+                self._correlated_arm_frame(df, scope, arm, imports)
+            if i == 0:
+                ref_anchors, ref_names = anchors, names
+            else:
+                if set(anchors) != set(ref_anchors):
+                    raise UnsupportedError(
+                        "UNION arms of a correlated CALL { } must "
+                        "anchor on the same imported variables "
+                        f"({sorted(ref_anchors)} vs {sorted(anchors)})")
+                if names != ref_names:
+                    raise PlanError(
+                        "UNION arms must return the same column "
+                        f"names: {ref_names} vs {names}")
+            any_agg = any(agg for _, _, agg, _ in compiled)
+            all_agg = any_agg and all(agg for _, _, agg, _ in compiled)
+            if all_agg:
+                # complete the arm against the outer invocations so
+                # zero-match invocations still contribute their
+                # aggregate-on-empty row (count -> 0, collect -> [])
+                anchor_rows = df.select(*[
+                    F.col(scope.get(a).id_pcol).alias(f"__ck_{a}")
+                    for a in ref_anchors]).distinct()
+                completed = anchor_rows.join(
+                    sub_out, [f"__ck_{a}" for a in ref_anchors],
+                    "left")
+                for name, _, _, empty_fill in compiled:
+                    if empty_fill is not None:
+                        completed = completed.withColumn(
+                            name, F.coalesce(F.col(name), empty_fill))
+                sub_out = completed
+            frames.append(sub_out.select(
+                *[f"__ck_{a}" for a in ref_anchors], *ref_names))
+        union_out = frames[0]
+        for f in frames[1:]:
+            union_out = union_out.unionByName(f)
+        if not union_all:
+            union_out = union_out.dropDuplicates(
+                [f"__ck_{a}" for a in ref_anchors] + ref_names)
+        cond = None
+        for a in ref_anchors:
+            c = F.col(scope.get(a).id_pcol) == F.col(f"__ck_{a}")
+            cond = c if cond is None else cond & c
+        # at least one completed (all-aggregate) arm guarantees a row
+        # per invocation, so inner join already keeps every outer row
         out = df.join(
-            sub_out, cond,
-            "left" if (all_agg or optional) else "inner"
-        ).drop(*[k for k, _ in key_cols])
-        if all_agg:
-            for name, _, _, empty_fill in compiled:
-                if empty_fill is not None:
-                    out = out.withColumn(
-                        name, F.coalesce(F.col(name), empty_fill))
-        for name in names:
+            union_out, cond, "left" if optional else "inner"
+        ).drop(*[f"__ck_{a}" for a in ref_anchors])
+        for name in ref_names:
             scope.bind(ScalarBinding(name))
         return out
 

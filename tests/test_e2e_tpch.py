@@ -786,12 +786,14 @@ class TestCorrelatedCallSubquery:
                 "MATCH (c:Customer) WITH c.c_name AS nm "
                 "CALL { WITH nm MATCH (x:Order) RETURN count(*) AS n }"
                 " RETURN n LIMIT 1")
-        with pytest.raises(UnsupportedError, match="UNION"):
+        # UNION arms are supported since r8 — but each arm must
+        # re-state the import WITH (openCypher importing-WITH rule)
+        with pytest.raises(UnsupportedError, match="re-state"):
             tpch.execute(
                 "MATCH (c:Customer) "
                 "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
                 "RETURN o.o_orderkey AS k "
-                "UNION MATCH (c)-[:PLACED]->(p:Order) "
+                "UNION MATCH (x:Customer)-[:PLACED]->(p:Order) "
                 "RETURN p.o_orderkey AS k } RETURN k LIMIT 1")
         with pytest.raises(PlanError, match="output aliases"):
             tpch.execute(
@@ -805,6 +807,96 @@ class TestCorrelatedCallSubquery:
                 "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
                 "CALL { MATCH (n:Nation) RETURN count(*) AS nn } "
                 "RETURN count(*) AS n } RETURN n LIMIT 1")
+
+
+class TestCorrelatedCallUnion:
+    """UNION [ALL] arms inside a correlated CALL { } (r8 — the last
+    v2 wall): arms compile independently and union per invocation.
+    Oracle-checked in FOLDED_CYPHER (call_correlated_union_*)."""
+
+    def test_union_all_is_bag_union_per_invocation(self, tpch):
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 5 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WHERE o.o_orderstatus = 'O' RETURN o.o_orderkey AS k "
+            "UNION ALL "
+            "WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WHERE o.o_orderstatus = 'O' RETURN o.o_orderkey AS k } "
+            "RETURN c.c_custkey AS ck, k").collect()
+        single = tpch.execute(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE c.c_custkey <= 5 AND o.o_orderstatus = 'O' "
+            "RETURN c.c_custkey AS ck, o.o_orderkey AS k").collect()
+        # identical arms under UNION ALL = exactly 2x the plain rows
+        assert sorted(map(tuple, rows)) == sorted(
+            map(tuple, single + single))
+
+    def test_union_distinct_dedups_across_arms(self, tpch):
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 5 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WHERE o.o_orderstatus = 'O' RETURN o.o_orderkey AS k "
+            "UNION "
+            "WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WHERE o.o_orderstatus = 'O' RETURN o.o_orderkey AS k } "
+            "RETURN c.c_custkey AS ck, k").collect()
+        single = tpch.execute(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE c.c_custkey <= 5 AND o.o_orderstatus = 'O' "
+            "RETURN c.c_custkey AS ck, o.o_orderkey AS k").collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, single))
+
+    def test_agg_arm_fills_zero_before_union(self, tpch):
+        from collections import Counter
+
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WHERE o.o_totalprice > 999999999 RETURN count(*) AS n "
+            "UNION ALL "
+            "WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN count(*) AS n } "
+            "RETURN c.c_custkey AS ck, n").collect()
+        cnt = Counter(r["ck"] for r in rows)
+        assert set(cnt) == {0, 1, 2, 3} and all(
+            v == 2 for v in cnt.values())
+        assert all(any(r["n"] == 0 and r["ck"] == ck for r in rows)
+                   for ck in cnt)
+
+    def test_three_arm_chain_flattens(self, tpch):
+        """`a UNION ALL b UNION ALL c` parses as a nested chain —
+        all three arms must contribute."""
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN count(*) AS n UNION ALL "
+            "WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN count(*) AS n UNION ALL "
+            "WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN count(*) AS n } "
+            "RETURN c.c_custkey AS ck, n").collect()
+        assert len(rows) == 3
+        assert len({r["n"] for r in rows}) == 1
+
+    def test_mismatched_columns_and_mixed_flags_error(self, tpch):
+        from brahmand_spark.errors import PlanError
+
+        with pytest.raises(PlanError, match="same column"):
+            tpch.execute(
+                "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+                "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+                "RETURN o.o_orderkey AS k UNION "
+                "WITH c MATCH (c)-[:PLACED]->(o:Order) "
+                "RETURN o.o_orderkey AS j } RETURN k LIMIT 1")
+        with pytest.raises(PlanError, match="mix UNION"):
+            tpch.execute(
+                "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+                "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+                "RETURN o.o_orderkey AS k UNION "
+                "WITH c MATCH (c)-[:PLACED]->(o:Order) "
+                "RETURN o.o_orderkey AS k UNION ALL "
+                "WITH c MATCH (c)-[:PLACED]->(o:Order) "
+                "RETURN o.o_orderkey AS k } RETURN k LIMIT 1")
 
 
 class TestCorrelatedCallV2:

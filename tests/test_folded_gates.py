@@ -218,6 +218,55 @@ FOLDED_CYPHER = {
              AND (SELECT count(*) FROM orders o
                   WHERE o.o_custkey = c.c_custkey) >= 8""",
     ),
+    # correlated CALL { } with UNION arms (r8 — closes the last v2
+    # wall): arms compile independently, union per invocation, one
+    # join back on the anchor ids; UNION dedups (anchor, outputs)
+    "call_correlated_union_rows": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 20
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  WHERE o.o_orderstatus = 'O'
+                  RETURN o.o_orderkey AS k
+                  UNION
+                  WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  WHERE o.o_totalprice > 150000
+                  RETURN o.o_orderkey AS k }
+           RETURN c.c_custkey AS ck, k""",
+        """SELECT ck, k FROM (
+               SELECT c.c_custkey AS ck, o.o_orderkey AS k
+               FROM customer c JOIN orders o
+                 ON o.o_custkey = c.c_custkey
+               WHERE o.o_orderstatus = 'O'
+               UNION
+               SELECT c.c_custkey, o.o_orderkey
+               FROM customer c JOIN orders o
+                 ON o.o_custkey = c.c_custkey
+               WHERE o.o_totalprice > 150000) q
+           WHERE ck <= 20""",
+    ),
+    # aggregate arms: each arm contributes one row per invocation
+    # even on zero matches (count -> 0 before the union)
+    "call_correlated_union_agg": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 20
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  WHERE o.o_totalprice > 300000
+                  RETURN count(*) AS n
+                  UNION ALL
+                  WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  RETURN count(*) AS n }
+           RETURN c.c_custkey AS ck, n""",
+        """SELECT ck, n FROM (
+               SELECT c_custkey AS ck,
+                      (SELECT count(*) FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 300000) AS n
+               FROM customer c
+               UNION ALL
+               SELECT c_custkey,
+                      (SELECT count(*) FROM orders o
+                       WHERE o.o_custkey = c.c_custkey)
+               FROM customer c) q
+           WHERE ck <= 20""",
+    ),
     # COLLECT { } subquery (r8 — the third of the EXISTS/COUNT/COLLECT
     # trio): per-row sorted list of sub-match RETURN values, [] when
     # none — rides the pattern-comprehension machinery

@@ -65,6 +65,23 @@ SHOWCASES = [
         "per-row semantics without any per-row execution.",
     ),
     (
+        "Correlated CALL { } with UNION ALL arms (per-arm agg + union)",
+        """MATCH (c:Customer) WHERE c.c_custkey <= 100
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  WHERE o.o_totalprice > 300000
+                  RETURN count(*) AS n
+                  UNION ALL
+                  WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  RETURN count(*) AS n }
+           RETURN c.c_custkey AS ck, n""",
+        "Each arm compiles independently (anchor re-scan + per-anchor "
+        "aggregate); ALL-aggregate arms complete against the outer "
+        "anchor-id set BEFORE the union (count->0 rows per "
+        "invocation), the arms union, and ONE join attaches the "
+        "result back on the anchor ids — openCypher's per-row UNION "
+        "semantics with zero per-row execution (r8).",
+    ),
+    (
         "WITH pipeline (aggregate, filter, re-match)",
         """MATCH (c:Customer)-[:PLACED]->(o:Order)
            WHERE o.o_totalprice > 300000

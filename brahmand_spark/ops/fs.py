@@ -26,16 +26,27 @@ def delete_path(spark, path: str) -> None:
 
 
 def replace_dir(spark, tmp_path: str, final_path: str) -> None:
-    """Swap a freshly written directory into place: delete the old
-    ``final_path`` (if any) and rename ``tmp_path`` onto it. The
-    rename is atomic on HDFS/local; on object stores it's a copy —
-    either way readers started BEFORE the swap hold the old file
-    list, which is the standard compaction caveat (run maintenance
-    without concurrent probes, or on a snapshot-isolating
-    lakehouse)."""
+    """Swap a freshly written directory into place, crash-safely:
+    rename the live dir ASIDE (``<final>.old``), rename ``tmp_path``
+    onto the live name, then delete the aside copy. A crash at any
+    point leaves a recoverable directory on disk — either the old
+    table (aside, or still live) or the new one — never neither
+    (r9 review: the previous delete-then-rename had a window with NO
+    live table and only an internally named tmp dir). A stale aside
+    from a prior crash is cleared first. Renames are atomic on
+    HDFS/local; on object stores they're copies — either way readers
+    started BEFORE the swap hold the old file list, which is the
+    standard compaction caveat (run maintenance without concurrent
+    probes, or on a snapshot-isolating lakehouse)."""
     fs, tmp, jvm = _fs(spark, tmp_path)
     final = jvm.org.apache.hadoop.fs.Path(final_path)
-    if fs.exists(final):
-        fs.delete(final, True)
+    aside = jvm.org.apache.hadoop.fs.Path(final_path + ".old")
+    if fs.exists(aside):
+        fs.delete(aside, True)
+    had_old = fs.exists(final)
+    if had_old and not fs.rename(final, aside):
+        raise IOError(f"rename {final_path} -> {final_path}.old failed")
     if not fs.rename(tmp, final):
         raise IOError(f"rename {tmp_path} -> {final_path} failed")
+    if had_old:
+        fs.delete(aside, True)

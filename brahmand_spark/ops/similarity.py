@@ -805,8 +805,10 @@ def ann_remove(spark, name: str, ids, store) -> dict:
     doc = store.load(name, "ann_index")
     params = doc["params"]
     n_removed = append_tombstones(
-        spark, coerce_ids(spark, ids, "corpus_id"), "corpus_id",
-        params["codes_path"], _ann_deletes_path(params))
+        spark,
+        coerce_ids(spark, ids, "corpus_id",
+                   like_path=params["codes_path"]),
+        "corpus_id", params["codes_path"], _ann_deletes_path(params))
     if n_removed:
         params["n_vectors"] = int(params["n_vectors"]) - n_removed
         store.save(name, "ann_index", doc["payload"], params)

@@ -15,14 +15,23 @@ from pyspark.sql import functions as F
 from .fs import path_exists, replace_dir
 
 
-def coerce_ids(spark, ids, key: str) -> DataFrame:
+def coerce_ids(spark, ids, key: str, like_path: str | None = None,
+               ) -> DataFrame:
     """Normalize a removal batch to a one-column DataFrame named
     ``key``: accepts a DataFrame (FIRST column holds the ids — any
     type) or a Python list (type inferred — string ids stay strings;
     a long-coerced tombstone would silently type-mismatch a
-    string-keyed index's anti-join, r8 review). Deduplicated."""
+    string-keyed index's anti-join, r8 review). An EMPTY list has no
+    type to infer: with ``like_path`` given, the key's type is taken
+    from that live table's schema via a zero-row read (r9 review: a
+    hardcoded `long` empty frame made a string-keyed index's joins
+    compare bigint to string — an ANSI runtime cast hazard); without
+    it, long. Deduplicated."""
     if isinstance(ids, (list, tuple)):
         if not ids:
+            if like_path is not None:
+                return spark.read.parquet(like_path) \
+                    .select(key).limit(0)
             return spark.createDataFrame([], f"{key} long")
         ids_df = spark.createDataFrame(
             [(i,) for i in ids], [key])
@@ -104,4 +113,29 @@ def compact_parquet(
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(tmp)
+    replace_dir(spark, tmp, table_path)
+
+
+def compact_parquet_to_batch(
+    spark, table_path: str, deletes_path: str, key: str,
+    batch_col: str = "batch", batch_value: str = "base",
+) -> None:
+    """Compact a ``batch=``-partitioned index table (the r9 dedup
+    index layout, where every add lands in its own replay-
+    overwritable partition): drop tombstoned rows AND fold all batch
+    partitions back into a single ``batch=<batch_value>`` directory —
+    write-new-then-swap via :func:`~brahmand_spark.ops.fs.replace_dir`.
+    The single-subdir write is unpartitioned from Spark's view, so
+    compacting down to ZERO rows still emits a schema-bearing file
+    (unlike a partitionBy write — the r8 empty-write brick)."""
+    from .fs import delete_path
+
+    kept = anti_tombstones(
+        spark, spark.read.parquet(table_path), key, deletes_path)
+    if batch_col in kept.columns:
+        kept = kept.drop(batch_col)
+    tmp = table_path + ".compact"
+    delete_path(spark, tmp)
+    kept.write.mode("overwrite").parquet(
+        f"{tmp}/{batch_col}={batch_value}")
     replace_dir(spark, tmp, table_path)

@@ -532,15 +532,17 @@ def _p_corpus_build_dedup_index(session, label, name, n=3,
         "bands int, sigs_path string")
 
 
-def _p_corpus_dedup_add(session, name, label):
+def _p_corpus_dedup_add(session, name, label, on_conflict="error"):
     """Append a catalog document table's rows to a persisted dedup
     index without rewriting it (ops/dedup_index.dedup_index_add):
-    encode with the STORED permutations, partitioned append."""
+    encode with the STORED permutations, partitioned append.
+    ``on_conflict``: 'error' (default) | 'skip' | 'allow' — what to
+    do with ids already present in the index."""
     from .ops.dedup_index import dedup_index_add
 
     params = dedup_index_add(
         session.spark, name, session._load_for_label(label),
-        session.model_store)
+        session.model_store, on_conflict=on_conflict)
     return session.spark.createDataFrame(
         [(name, label, int(params["n_docs"]))],
         "name string, label string, n_docs long")

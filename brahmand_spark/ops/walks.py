@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .algos import _ckpt
+from .algos import _ckpt, _prepare_ckpt
 from .text import md5_hash60
 
 
@@ -125,7 +125,8 @@ def ranked_adjacency(
 def random_walks(
     edges: DataFrame, n_walks: int = 2, walk_length: int = 8,
     src: str = "src", dst: str = "dst", seed: int = 42,
-    starts: DataFrame | None = None, checkpoint: bool = True,
+    starts: DataFrame | None = None, checkpoint: bool | str = True,
+    checkpoint_dir: str | None = None,
     max_degree: int | None = None, n_buckets: int = 32,
 ) -> DataFrame:
     """Generate ``n_walks`` walks of up to ``walk_length`` steps from
@@ -145,6 +146,7 @@ def random_walks(
     ``start * n_walks + walk_index``, which is meaningless (silently
     NULL) on string ids — those fail loudly here instead (hash
     string ids to bigints upstream, e.g. via ``xxhash64``)."""
+    checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     if n_walks < 1 or walk_length < 1:
         raise ValueError("n_walks and walk_length must be >= 1")
     # validate BEFORE the eager adjacency checkpoint: the loud type
@@ -236,7 +238,8 @@ def node_embeddings(
     walk_length: int = 8, window: int = 2,
     src: str = "src", dst: str = "dst", seed: int = 42,
     max_degree: int | None = None, normalize: bool = True,
-    checkpoint: bool = True,
+    checkpoint: bool | str = True,
+    checkpoint_dir: str | None = None,
     p: float | None = None, q: float | None = None,
 ) -> DataFrame:
     """Node embeddings from the walk corpus by RANDOM INDEXING
@@ -273,12 +276,12 @@ def node_embeddings(
             q=q if q is not None else 1.0,
             src=src, dst=dst, seed=seed,
             max_degree=max_degree if max_degree is not None else 64,
-            checkpoint=checkpoint)
+            checkpoint=checkpoint, checkpoint_dir=checkpoint_dir)
     else:
         walks = random_walks(
             edges, n_walks=n_walks, walk_length=walk_length, src=src,
             dst=dst, seed=seed, max_degree=max_degree,
-            checkpoint=checkpoint)
+            checkpoint=checkpoint, checkpoint_dir=checkpoint_dir)
     pairs = skipgram_pairs(walks, window=window)
     sums = []
     for j in range(dim):
@@ -334,7 +337,8 @@ def node2vec_walks(
     edges: DataFrame, n_walks: int = 2, walk_length: int = 8,
     p: float = 1.0, q: float = 1.0,
     src: str = "src", dst: str = "dst", seed: int = 42,
-    starts: DataFrame | None = None, checkpoint: bool = True,
+    starts: DataFrame | None = None, checkpoint: bool | str = True,
+    checkpoint_dir: str | None = None,
     max_degree: int = 64, n_buckets: int = 32,
 ) -> DataFrame:
     """Second-order biased walks (Grover & Leskovec 2016, "node2vec:
@@ -372,6 +376,7 @@ def node2vec_walks(
 
     Returns (walk_id, start, walk). Dead ends terminate the walk
     with the visited prefix."""
+    checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     if n_walks < 1 or walk_length < 1:
         raise ValueError("n_walks and walk_length must be >= 1")
     # bound p/q so every micro-weight is >= 1 (a rounded-to-zero

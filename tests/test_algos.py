@@ -974,3 +974,80 @@ class TestMaximalIndependentSet:
         assert got[1] or got[2]
         assert not (got[1] and got[2])
         assert not (got[2] and got[3])
+
+
+class TestReliableCheckpoint:
+    """r9 (VERDICT r8 Missing #5): checkpoint='reliable' +
+    checkpoint_dir= truncate each round via DataFrame.checkpoint to a
+    durable store instead of executor-local blocks — identical
+    results, different failure-recovery behavior (executor loss costs
+    a re-read, not a rerun)."""
+
+    PAIRS = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 4), (2, 5),
+             (6, 7), (7, 6), (8, 6)]
+
+    def test_pagerank_reliable_identical(self, spark, tmp_path):
+        import os
+
+        from brahmand_spark.ops.algos import pagerank
+
+        e = edges_df(spark, self.PAIRS)
+        local = sorted((r.id, round(r.rank, 10)) for r in
+                       pagerank(e, iterations=8).collect())
+        ckdir = str(tmp_path / "ck")
+        reliable = sorted(
+            (r.id, round(r.rank, 10)) for r in
+            pagerank(e, iterations=8, checkpoint="reliable",
+                     checkpoint_dir=ckdir).collect())
+        assert reliable == local
+        # rounds actually landed in the durable store
+        assert os.listdir(ckdir)
+
+    def test_scc_reliable_identical(self, spark, tmp_path):
+        from brahmand_spark.ops.algos import (
+            strongly_connected_components,
+        )
+
+        e = edges_df(spark, self.PAIRS)
+        local = sorted((r["id"], r["scc"]) for r in
+                       strongly_connected_components(e).collect())
+        reliable = sorted(
+            (r["id"], r["scc"]) for r in
+            strongly_connected_components(
+                e, checkpoint="reliable",
+                checkpoint_dir=str(tmp_path / "ck")).collect())
+        assert reliable == local and len(local) > 0
+
+    def test_walks_reliable_identical(self, spark, tmp_path):
+        from brahmand_spark.ops.walks import random_walks
+
+        e = edges_df(spark, self.PAIRS)
+        local = sorted(map(tuple, random_walks(
+            e, n_walks=2, walk_length=4, seed=7).collect()))
+        reliable = sorted(map(tuple, random_walks(
+            e, n_walks=2, walk_length=4, seed=7,
+            checkpoint="reliable",
+            checkpoint_dir=str(tmp_path / "ck")).collect()))
+        assert reliable == local and len(local) > 0
+
+    def test_dir_alone_upgrades_to_reliable(self, spark, tmp_path):
+        """Passing checkpoint_dir without a mode means 'use it':
+        the default True upgrades to reliable (files appear)."""
+        import os
+
+        from brahmand_spark.ops.algos import connected_components
+
+        ckdir = str(tmp_path / "ck")
+        got = sorted((r["id"], r["component"]) for r in connected_components(
+            edges_df(spark, self.PAIRS),
+            checkpoint_dir=ckdir).collect())
+        assert got and os.listdir(ckdir)
+
+    def test_bad_mode_rejected(self, spark):
+        import pytest
+
+        from brahmand_spark.ops.algos import pagerank
+
+        with pytest.raises(ValueError, match="checkpoint"):
+            pagerank(edges_df(spark, self.PAIRS), iterations=2,
+                     checkpoint="nope").collect()

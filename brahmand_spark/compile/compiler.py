@@ -685,8 +685,12 @@ class QueryCompiler:
         ids; SKIP/LIMIT on an intermediate WITH compiles to a
         per-anchor window too (`_call_with_window`); UNION [ALL]
         arms compile independently and union per invocation (r8,
-        `_apply_correlated_call_union`). Still unsupported: nested
-        CALL { } and RETURN *.
+        `_apply_correlated_call_union`); RETURN * expands to the
+        block's LOCAL variables — node/relationship outputs carry
+        their whole binding into the enclosing scope (r9); one level
+        of nested UNCORRELATED CALL { } cross-joins inside the block
+        (r9). Still unsupported: correlated CALL nested inside a
+        correlated CALL.
         Known divergence (documented, FOLDED_CYPHER
         call_correlated_agg_with): an invocation whose row count is
         made non-zero only by an intermediate aggregating WITH (e.g.
@@ -705,7 +709,7 @@ class QueryCompiler:
         if inner.unions:
             return self._apply_correlated_call_union(
                 df, scope, inner, imports, optional)
-        sub_out, anchors, names, compiled = \
+        sub_out, anchors, names, compiled, carries = \
             self._correlated_arm_frame(df, scope, inner, imports)
         join_conds = [
             F.col(scope.get(a).id_pcol) == F.col(f"__ck_{a}")
@@ -724,7 +728,11 @@ class QueryCompiler:
         # OPTIONAL CALL additionally left-joins the row-returning
         # forms (outer rows with no block rows survive, NULL-filled)
         any_agg = any(agg for _, _, agg, _ in compiled)
-        all_agg = any_agg and all(agg for _, _, agg, _ in compiled)
+        # a carried node/rel output is a group key, so a zero-match
+        # invocation has no row to carry — never the aggregate-on-
+        # empty completion case
+        all_agg = (any_agg and not carries
+                   and all(agg for _, _, agg, _ in compiled))
         out = df.join(
             sub_out, cond,
             "left" if (all_agg or optional) else "inner"
@@ -734,6 +742,8 @@ class QueryCompiler:
                 if empty_fill is not None:
                     out = out.withColumn(
                         name, F.coalesce(F.col(name), empty_fill))
+        for carry_b, _ in carries:
+            scope.bind(carry_b)
         for name in names:
             scope.bind(ScalarBinding(name))
         return out
@@ -750,10 +760,14 @@ class QueryCompiler:
         independently). Returns (frame, anchors, names, compiled
         item metadata)."""
         body = inner.parts[1:]
-        if any(p.calls for p in body):
-            raise UnsupportedError(
-                "nested CALL { } inside a correlated CALL { } is not "
-                "supported")
+        for p in body:
+            for csub in p.calls:
+                if _call_import_aliases(csub.query) is not None:
+                    raise UnsupportedError(
+                        "a correlated CALL { } nested inside a "
+                        "correlated CALL { } is not supported (one "
+                        "level of correlation; uncorrelated inner "
+                        "blocks are fine)")
         if not body or not any(
                 not m.optional for m in body[0].matches):
             raise UnsupportedError(
@@ -781,11 +795,14 @@ class QueryCompiler:
         refs: set[str] = set()
         if first.where is not None:
             collect_aliases(first.where, refs)
+        has_star = False
         for it in rc.items:
             if isinstance(it.expr, ast.Star):
-                raise UnsupportedError(
-                    "RETURN * inside a correlated CALL { }")
+                has_star = True  # expands post-compile (needs the
+                continue         # block scope); every entity is a ref
             collect_aliases(it.expr, refs)
+        if has_star:
+            refs |= set(pattern.nodes)
         for ob in inner.order_by:
             collect_aliases(ob.expr, refs)
         if multipart:
@@ -821,9 +838,69 @@ class QueryCompiler:
         key_cols = []
         for a in anchors:
             key_cols.append((f"__ck_{a}", sub_scope.get(a).id_pcol))
+        # RETURN * expands to the block's LOCAL variables, in binding
+        # order: imports are excluded (they are already bound in the
+        # enclosing query — openCypher subquery RETURN * exports only
+        # block-introduced names) and hidden __-prefixed internals
+        # never surface
+        items: list[ast.ReturnItem] = []
+        for it in rc.items:
+            if not isinstance(it.expr, ast.Star):
+                items.append(it)
+                continue
+            star = [n for n in sub_scope.bindings
+                    if n not in imports and not n.startswith("__")]
+            if not star:
+                raise PlanError(
+                    "RETURN * inside this CALL { } block has nothing "
+                    "to return (no block-local variables)")
+            items.extend(ast.ReturnItem(ast.Variable(n)) for n in star)
         names: list[str] = []
         compiled: list[tuple[str, "F.Column", bool, object]] = []
-        for it in rc.items:
+        # node/relationship outputs (explicit or via *) CARRY their
+        # whole binding through the block projection — every property
+        # column rides as a group key / select column — so the
+        # enclosing query receives a real node variable, exactly as a
+        # WITH would carry it. (binding_to_attach, [(out_pcol,
+        # src_pcol)...]) pairs; attached by the caller after the join.
+        carries: list[tuple[object, list[tuple[str, str]]]] = []
+        for it in items:
+            if isinstance(it.expr, ast.Variable) and isinstance(
+                    sub_scope.get(it.expr.name),
+                    (NodeBinding, RelBinding)):
+                b = sub_scope.get(it.expr.name)
+                out_alias = it.alias or it.expr.name
+                if scope.get(out_alias) is not None:
+                    raise PlanError(
+                        f"CALL {{ }} subquery returns '{out_alias}', "
+                        f"which is already bound in the enclosing "
+                        f"query")
+                if any(cb.alias == out_alias for cb, _ in carries) \
+                        or out_alias in names:
+                    raise PlanError(
+                        f"duplicate output name '{out_alias}' in "
+                        f"CALL {{ }}")
+                cols = [(pcol(out_alias, c), pcol(it.expr.name, c))
+                        for c in b.columns]
+                if isinstance(b, NodeBinding):
+                    carry_b = NodeBinding(
+                        alias=out_alias, label=b.label,
+                        id_column=b.id_column,
+                        columns=list(b.columns))
+                else:
+                    if out_alias != it.expr.name:
+                        raise UnsupportedError(
+                            "aliasing a relationship output of a "
+                            "CALL { } block is not supported")
+                    cols.append((b.src_pcol, b.src_pcol))
+                    cols.append((b.dst_pcol, b.dst_pcol))
+                    carry_b = RelBinding(
+                        alias=out_alias, type_name=b.type_name,
+                        columns=list(b.columns),
+                        src_pcol=b.src_pcol, dst_pcol=b.dst_pcol,
+                        fwd_storage=b.fwd_storage)
+                carries.append((carry_b, cols))
+                continue
             name = it.alias
             if name is None:
                 if isinstance(it.expr, ast.Variable):
@@ -836,7 +913,8 @@ class QueryCompiler:
                 raise PlanError(
                     f"CALL {{ }} subquery returns '{name}', which is "
                     f"already bound in the enclosing query")
-            if name in names:
+            if name in names or any(
+                    cb.alias == name for cb, _ in carries):
                 raise PlanError(
                     f"duplicate output name '{name}' in CALL {{ }}")
             names.append(name)
@@ -856,14 +934,17 @@ class QueryCompiler:
                  contains_aggregate(it.expr), empty_fill))
         any_agg = any(agg for _, _, agg, _ in compiled)
         keys = [F.col(pc).alias(k) for k, pc in key_cols]
+        carry_cols = [F.col(src).alias(dst)
+                      for _, cols in carries for dst, src in cols]
         if any_agg:
-            group_cols = keys + [
+            group_cols = keys + carry_cols + [
                 c.alias(n) for n, c, agg, _ in compiled if not agg]
             aggs = [c.alias(n) for n, c, agg, _ in compiled if agg]
             sub_out = sub_df.groupBy(*group_cols).agg(*aggs)
         else:
             sub_out = sub_df.select(
-                *keys, *[c.alias(n) for n, c, _, _ in compiled])
+                *keys, *carry_cols,
+                *[c.alias(n) for n, c, _, _ in compiled])
             if rc.distinct:
                 # RETURN DISTINCT per invocation: the anchor keys ride
                 # in the projection, so a plain distinct is exactly
@@ -898,7 +979,7 @@ class QueryCompiler:
             if hi is not None:
                 cond = cond & (F.col("__crn") <= hi)
             sub_out = sub_out.filter(cond).drop("__crn")
-        return sub_out, anchors, names, compiled
+        return sub_out, anchors, names, compiled, carries
 
     def _apply_correlated_call_union(
         self, df: DataFrame, scope: Scope,
@@ -949,8 +1030,14 @@ class QueryCompiler:
         ref_anchors: list[str] = []
         ref_names: list[str] = []
         for i, arm in enumerate(arms):
-            sub_out, anchors, names, compiled = \
+            sub_out, anchors, names, compiled, carries = \
                 self._correlated_arm_frame(df, scope, arm, imports)
+            if carries:
+                raise UnsupportedError(
+                    "returning node/relationship variables "
+                    "(including via RETURN *) from UNION arms of a "
+                    "correlated CALL { } is not supported — return "
+                    "scalar properties instead")
             if i == 0:
                 ref_anchors, ref_names = anchors, names
             else:
@@ -990,7 +1077,16 @@ class QueryCompiler:
                 [f"__ck_{a}" for a in ref_anchors] + ref_names)
         cond = None
         for a in ref_anchors:
-            c = F.col(scope.get(a).id_pcol) == F.col(f"__ck_{a}")
+            # NULL-SAFE keys (r9 advice): an import bound by OPTIONAL
+            # MATCH is NULL for some outer rows; the all-aggregate
+            # completion above emits their count-0/collect-[] row
+            # under a NULL __ck key (anchor_rows.distinct() keeps one
+            # NULL, the left join leaves it unmatched, the coalesce
+            # fills it), so the attach join must match NULL to NULL —
+            # a plain == would silently drop those outer rows, unlike
+            # the single-arm path's LEFT join
+            c = F.col(scope.get(a).id_pcol).eqNullSafe(
+                F.col(f"__ck_{a}"))
             cond = c if cond is None else cond & c
         # at least one completed (all-aggregate) arm guarantees a row
         # per invocation, so inner join already keeps every outer row
@@ -1017,6 +1113,13 @@ class QueryCompiler:
         (sub_df, sub_scope)."""
         for mc in optionals:
             sub_df = self._apply_optional(sub_df, sub_scope, mc)
+        for csub in part.calls:
+            # one level of nesting (r9): an UNCORRELATED inner block
+            # is an independent frame cross-joined per row, exactly
+            # as at top level (correlated-inside-correlated was
+            # rejected before compilation started); its outputs bind
+            # as block-local scalars, so later WITHs must carry them
+            sub_df = self._apply_call_subquery(sub_df, sub_scope, csub)
         if part.unwind is not None:
             ec = ExprCompiler(sub_scope, self.params)
             arr = ec.compile(part.unwind.expr)

@@ -801,12 +801,69 @@ class TestCorrelatedCallSubquery:
                 "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
                 "WITH o.o_orderkey AS k ORDER BY o.o_totalprice "
                 "LIMIT 2 RETURN count(*) AS n } RETURN n LIMIT 1")
-        with pytest.raises(UnsupportedError, match="nested CALL"):
+        # nested UNCORRELATED CALL is supported since r9; only
+        # correlated-inside-correlated stays rejected
+        with pytest.raises(UnsupportedError,
+                           match="correlated CALL"):
             tpch.execute(
                 "MATCH (c:Customer) "
                 "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
-                "CALL { MATCH (n:Nation) RETURN count(*) AS nn } "
+                "CALL { WITH o MATCH (o)-[:HAS_LINE]->(l:Lineitem) "
+                "RETURN count(*) AS nl } "
                 "RETURN count(*) AS n } RETURN n LIMIT 1")
+        # RETURN * of node/rel outputs is single-arm only
+        with pytest.raises(UnsupportedError, match="UNION arms"):
+            tpch.execute(
+                "MATCH (c:Customer) "
+                "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+                "RETURN * "
+                "UNION ALL "
+                "WITH c MATCH (c)-[:PLACED]->(o:Order) "
+                "RETURN * } RETURN o.o_orderkey AS k LIMIT 1")
+
+    def test_nested_uncorrelated_and_return_star(self, tpch):
+        """r9 residuals: one level of nested uncorrelated CALL cross-
+        joins inside the block; RETURN * expands to block-local
+        variables and node outputs carry their whole binding out."""
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "CALL { MATCH (n:Nation) RETURN count(*) AS nn } "
+            "WITH c, count(*) AS cnt, max(nn) AS nn2 "
+            "RETURN cnt, nn2 } "
+            "RETURN c.c_custkey AS ck, cnt, nn2 ORDER BY ck").collect()
+        want = tpch.execute(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE c.c_custkey <= 3 "
+            "RETURN c.c_custkey AS ck, count(*) AS cnt "
+            "ORDER BY ck").collect()
+        assert [(r["ck"], r["cnt"]) for r in rows] == \
+            [(r["ck"], r["cnt"]) for r in want]
+        assert all(r["nn2"] == 25 for r in rows)
+        star = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "WHERE o.o_totalprice > 100000 RETURN * } "
+            "RETURN c.c_custkey AS ck, o.o_orderkey AS k "
+            "ORDER BY ck, k").collect()
+        direct = tpch.execute(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE c.c_custkey <= 3 AND o.o_totalprice > 100000 "
+            "RETURN c.c_custkey AS ck, o.o_orderkey AS k "
+            "ORDER BY ck, k").collect()
+        assert [tuple(r) for r in star] == \
+            [tuple(r) for r in direct] and len(star) > 0
+        # rel variables carry too (derived FK edges have the id
+        # endpoint columns; the carried binding must survive)
+        rel = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 2 "
+            "CALL { WITH c MATCH (c)-[r:PLACED]->(o:Order) "
+            "RETURN * } "
+            "RETURN c.c_custkey AS ck, o.o_orderkey AS k "
+            "ORDER BY ck, k").collect()
+        assert len(rel) == tpch.execute(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE c.c_custkey <= 2 RETURN o").count()
 
 
 class TestCorrelatedCallUnion:

@@ -267,6 +267,74 @@ FOLDED_CYPHER = {
                FROM customer c) q
            WHERE ck <= 20""",
     ),
+    # NULL anchors (r9 advice fix): an import bound by OPTIONAL MATCH
+    # is NULL for customers with no qualifying order; all-aggregate
+    # UNION arms must still emit their completed count-0 rows for
+    # those invocations — the attach join is NULL-SAFE on the anchor
+    # keys, matching the single-arm path's LEFT-join semantics (a
+    # plain == silently dropped the NULL-anchor outer rows)
+    "call_union_null_anchor": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 40
+           OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
+           WHERE o.o_totalprice > 450000
+           CALL { WITH o MATCH (o)-[:HAS_LINE]->(l:Lineitem)
+                  WHERE l.l_quantity > 25
+                  RETURN count(*) AS n
+                  UNION ALL
+                  WITH o MATCH (o)-[:HAS_LINE]->(l:Lineitem)
+                  RETURN count(*) AS n }
+           RETURN c.c_custkey AS ck, o.o_orderkey AS ok, n""",
+        """WITH co AS (
+               SELECT c.c_custkey AS ck, o.o_orderkey AS ok
+               FROM customer c LEFT JOIN orders o
+                 ON o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 450000
+               WHERE c.c_custkey <= 40)
+           SELECT ck, ok,
+                  (SELECT count(*) FROM lineitem l
+                   WHERE l.l_orderkey = co.ok
+                     AND l.l_quantity > 25) AS n
+           FROM co
+           UNION ALL
+           SELECT ck, ok,
+                  (SELECT count(*) FROM lineitem l
+                   WHERE l.l_orderkey = co.ok) AS n
+           FROM co""",
+    ),
+    # RETURN * inside a correlated CALL { } (r9 residual): expands to
+    # the block's LOCAL variables (imports excluded); the node output
+    # o carries its whole binding into the enclosing scope
+    "call_return_star": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 25
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  WHERE o.o_totalprice > 120000 RETURN * }
+           RETURN c.c_custkey AS ck, o.o_orderkey AS ok,
+                  o.o_orderstatus AS st""",
+        """SELECT c.c_custkey AS ck, o.o_orderkey AS ok,
+                  o.o_orderstatus AS st
+           FROM customer c JOIN orders o
+             ON o.o_custkey = c.c_custkey
+           WHERE c.c_custkey <= 25 AND o.o_totalprice > 120000""",
+    ),
+    # nested UNCORRELATED CALL inside a correlated block (r9
+    # residual): the inner block cross-joins per row, its scalar
+    # rides the intermediate aggregating WITH
+    "call_nested_uncorrelated": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 25
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  CALL { MATCH (n:Nation) WHERE n.n_regionkey = 2
+                         RETURN count(*) AS nn }
+                  WITH c, count(*) AS cnt, max(nn) AS nn
+                  RETURN cnt, nn }
+           RETURN c.c_custkey AS ck, cnt, nn""",
+        """SELECT c.c_custkey AS ck, count(*) AS cnt,
+                  (SELECT count(*) FROM nation
+                   WHERE n_regionkey = 2) AS nn
+           FROM customer c JOIN orders o
+             ON o.o_custkey = c.c_custkey
+           WHERE c.c_custkey <= 25
+           GROUP BY c.c_custkey""",
+    ),
     # COLLECT { } subquery (r8 — the third of the EXISTS/COUNT/COLLECT
     # trio): per-row sorted list of sub-match RETURN values, [] when
     # none — rides the pattern-comprehension machinery

@@ -89,6 +89,10 @@ class RelEntity:
     schema: Optional[RelationshipSchema] = None
     orientation: Optional[str] = None  # 'fwd' (src=from), 'rev', 'both', 'invalid'
     alt_resolved: list = field(default_factory=list)  # [(schema, orientation)]
+    # filled by _assemble (r9): var-length segment rides a path var
+    # and its type declares properties -> carry per-hop rel structs
+    carry_props: bool = False
+    carry_prop_names: tuple = ()
 
 
 @dataclass
@@ -1900,40 +1904,71 @@ class QueryCompiler:
         src_name, dst_name = pcol(a, "from_id"), pcol(a, "to_id")
 
         if rel.alt_resolved:
-            # Multi-type hop: bag-union of each arm's oriented id pairs.
-            # Properties are type-specific -> not accessible on the union.
-            if rel.properties:
-                raise UnsupportedError(
-                    "properties on a multi-type relationship pattern"
-                )
-
-            def arm(sch_a, orient_a) -> DataFrame:
+            # Multi-type hop: bag-union of each arm's oriented rows.
+            # Properties are per-arm (r9): the union carries the UNION
+            # of every arm's declared property columns, an arm filling
+            # the ones it lacks with NULL — openCypher's r.prop-is-
+            # NULL-when-the-matched-type-lacks-it. A hidden __type
+            # column rides along so type(r) resolves per row; Catalyst
+            # prunes both it and unused property reads.
+            arm_schemas = []
+            if rel.orientation != "invalid":
+                arm_schemas.append((sch, rel.orientation))
+            arm_schemas += list(rel.alt_resolved)
+            arm_tables: list[tuple] = []
+            all_props: list[str] = []
+            for sch_a, orient_a in arm_schemas:
                 raw_a = self.load_table(sch_a.type_name)
-                fwd = raw_a.select(
-                    F.col(sch_a.from_column).alias(src_name),
-                    F.col(sch_a.to_column).alias(dst_name),
-                )
-                rev = raw_a.select(
-                    F.col(sch_a.to_column).alias(src_name),
-                    F.col(sch_a.from_column).alias(dst_name),
-                )
+                pcs = [
+                    c for c in (sch_a.column_names or raw_a.columns)
+                    if c not in (sch_a.from_column, sch_a.to_column)
+                    and c in raw_a.columns
+                ]
+                arm_tables.append((sch_a, orient_a, raw_a, pcs))
+                for c in pcs:
+                    if c not in all_props:
+                        all_props.append(c)
+            type_col = pcol(a, "__type")
+
+            def arm(sch_a, orient_a, raw_a, pcs) -> DataFrame:
+                def sel(src_c: str, dst_c: str) -> DataFrame:
+                    cols = [F.col(src_c).alias(src_name),
+                            F.col(dst_c).alias(dst_name)]
+                    cols += [
+                        (F.col(c) if c in pcs else F.lit(None))
+                        .alias(pcol(a, c)) for c in all_props]
+                    cols.append(F.lit(sch_a.type_name).alias(type_col))
+                    return raw_a.select(*cols)
+
+                fwd = sel(sch_a.from_column, sch_a.to_column)
                 if orient_a == "fwd":
                     return fwd
+                rev = sel(sch_a.to_column, sch_a.from_column)
                 if orient_a == "rev":
                     return rev
                 return fwd.union(rev).distinct()
 
-            arms = []
-            if rel.orientation != "invalid":
-                arms.append(arm(sch, rel.orientation))
-            arms += [arm(s, o) for s, o in rel.alt_resolved]
+            arms = [arm(*t) for t in arm_tables]
             df = arms[0]
             for other in arms[1:]:
                 df = df.unionByName(other)
             scope.bind(RelBinding(
-                alias=a, type_name=sch.type_name, columns=[],
+                alias=a, type_name=sch.type_name, columns=all_props,
                 src_pcol=src_name, dst_pcol=dst_name,
+                type_pcol=type_col,
             ))
+            if rel.properties:
+                # inline {k: v} on a multi-type pattern: an arm whose
+                # type lacks the key contributes nothing (NULL never
+                # equals) — the openCypher reading
+                ec = ExprCompiler(scope, self.params)
+                for key, expr in rel.properties.items():
+                    if key not in all_props:
+                        raise PlanError(
+                            f"unknown property '{key}' on any arm of "
+                            f"the multi-type pattern")
+                    df = df.filter(
+                        F.col(pcol(a, key)) == ec.compile(expr))
             return df
 
         def oriented(src_col: str, dst_col: str) -> DataFrame:
@@ -2023,6 +2058,7 @@ class QueryCompiler:
                 return expand_pairs(outgoing).union(
                     expand_pairs(incoming)).distinct()
         raw = self.load_table(sch.type_name)
+        raw = self._inline_prop_filter(rel, raw)
         if rel.orientation == "invalid":
             return raw.select(
                 F.col(sch.from_column).alias("src"),
@@ -2046,6 +2082,27 @@ class QueryCompiler:
             F.col(sch.to_column).alias("dst"),
         )
 
+    def _inline_prop_filter(self, rel: RelEntity,
+                            raw: DataFrame) -> DataFrame:
+        """Apply a traversal rel's inline ``{k: v}`` property map to
+        the raw edge table (r9): every traversed edge must satisfy it
+        — the var-length/shortestPath meaning of
+        ``-[:T*1..3 {since: 2020}]->``. Values are literals or
+        parameters (a per-hop map cannot reference pattern variables),
+        so they compile against an empty scope. Filtering the edge
+        SCAN (pushes to parquet) rather than the walked pairs keeps
+        every k-fold join smaller."""
+        if not rel.properties:
+            return raw
+        ec = ExprCompiler(Scope(), self.params)
+        for key, expr in rel.properties.items():
+            if key not in raw.columns:
+                raise PlanError(
+                    f"unknown property '{key}' on relationship "
+                    f"'{rel.schema.type_name}'")
+            raw = raw.filter(F.col(key) == ec.compile(expr))
+        return raw
+
     def _shortest_path_df(self, rel: RelEntity) -> DataFrame:
         """(src, dst, hops) pairs where hops is the SHORTEST directed
         distance <= max_hops — frontier BFS as iterative join-antijoin
@@ -2061,11 +2118,15 @@ class QueryCompiler:
 
         Scale: level-synchronous BFS — k bounded shuffles on the node
         id; the reached set grows monotonically and is the natural
-        candidate for bucketed storage at 100 TB."""
-        if rel.properties:
-            raise UnsupportedError(
-                "properties on shortestPath relationships"
-            )
+        candidate for bucketed storage at 100 TB.
+
+        Inline ``{k: v}`` property maps restrict every traversed edge
+        (r9 — applied to the edge scan by `_inline_prop_filter` via
+        `_oriented_pairs`; the adjacency shortcut is skipped because
+        the grouped tables carry no properties). Per-hop property
+        ACCESS (relationships(p)) stays rejected for shortest
+        segments: only the per-pair minimum distance is materialized,
+        not the path's edges."""
         # BFS is reachability: the deduped grouped-adjacency table is
         # semantically identical and skips the per-level edge shuffle.
         base = self._adjacency_pairs(rel)
@@ -2114,23 +2175,63 @@ class QueryCompiler:
         """k-hop reachability pairs for ``-[:T*min..max]->``: union over k
         of k-fold edge self-joins with pairwise edge-distinctness (Cypher
         relationship-uniqueness). Extension — the reference has no
-        variable-length support (no ``..`` in path_pattern.rs)."""
-        if rel.properties:
-            raise UnsupportedError(
-                "properties on variable-length relationships"
-            )
-        base = self._oriented_pairs(rel)
+        variable-length support (no ``..`` in path_pattern.rs).
+
+        Inline ``{k: v}`` property maps restrict every traversed edge
+        (`_inline_prop_filter` via `_oriented_pairs`, r9). When the
+        rel rides a PATH VARIABLE and its type declares properties,
+        each row additionally carries ``{alias}__rels`` — the ordered
+        array of per-hop (src, dst, properties...) structs — so
+        ``relationships(p)`` / ``[x IN relationships(p) | x.prop]``
+        compile (r9; `_assemble` sets ``carry_props``). The array is
+        built from the same scan, adds no shuffle, and Catalyst prunes
+        both it and the property reads when the final projection never
+        touches them."""
+        carry = bool(getattr(rel, "carry_props", False))
+        if carry:
+            sch = rel.schema
+            raw = self._inline_prop_filter(
+                rel, self.load_table(sch.type_name))
+            prop_cols = list(getattr(rel, "carry_prop_names", ()))
+
+            def orient(src_c: str, dst_c: str) -> DataFrame:
+                return raw.select(
+                    F.col(src_c).alias("src"),
+                    F.col(dst_c).alias("dst"),
+                    *[F.col(c) for c in prop_cols])
+
+            if rel.orientation == "invalid":
+                base = orient(sch.from_column, sch.to_column) \
+                    .filter(F.lit(False))
+            elif rel.orientation == "rev":
+                base = orient(sch.to_column, sch.from_column)
+            elif rel.orientation == "both":
+                base = orient(sch.from_column, sch.to_column).union(
+                    orient(sch.to_column, sch.from_column)).distinct()
+            else:
+                base = orient(sch.from_column, sch.to_column)
+            base = base.select(
+                "src", "dst",
+                F.struct(
+                    F.col("src").alias("src"), F.col("dst").alias("dst"),
+                    *[F.col(c).alias(c) for c in prop_cols],
+                ).alias("rs"))
+        else:
+            base = self._oriented_pairs(rel)
         out: Optional[DataFrame] = None
         for k in range(max(rel.min_hops, 1), rel.max_hops + 1):
-            step = base.select(
-                F.col("src").alias("e1_src"), F.col("dst").alias("e1_dst")
-            )
-            df_k = step
+            step_cols = [
+                F.col("src").alias("e1_src"), F.col("dst").alias("e1_dst")]
+            if carry:
+                step_cols.append(F.col("rs").alias("e1_rs"))
+            df_k = base.select(*step_cols)
             for s in range(2, k + 1):
-                nxt = base.select(
+                nxt_cols = [
                     F.col("src").alias(f"e{s}_src"),
-                    F.col("dst").alias(f"e{s}_dst"),
-                )
+                    F.col("dst").alias(f"e{s}_dst")]
+                if carry:
+                    nxt_cols.append(F.col("rs").alias(f"e{s}_rs"))
+                nxt = base.select(*nxt_cols)
                 cond = F.col(f"e{s - 1}_dst") == F.col(f"e{s}_src")
                 df_k = df_k.join(nxt, cond, "inner")
                 # relationship-uniqueness: no edge repeated within a path
@@ -2139,18 +2240,26 @@ class QueryCompiler:
                         ~((F.col(f"e{p}_src") == F.col(f"e{s}_src"))
                           & (F.col(f"e{p}_dst") == F.col(f"e{s}_dst")))
                     )
-            df_k = df_k.select(
+            out_cols = [
                 F.col("e1_src").alias("src"),
                 F.col(f"e{k}_dst").alias("dst"),
                 F.lit(k).alias("hops"),  # actual hop count for length(p)
-            )
+            ]
+            if carry:
+                out_cols.append(F.array(
+                    *[F.col(f"e{s}_rs") for s in range(1, k + 1)]
+                ).alias("rels"))
+            df_k = df_k.select(*out_cols)
             out = df_k if out is None else out.unionByName(df_k)
         assert out is not None
-        return out.select(
+        final = [
             F.col("src").alias(pcol(rel.alias, "from_id")),
             F.col("dst").alias(pcol(rel.alias, "to_id")),
             F.col("hops").alias(pcol(rel.alias, "hops")),
-        )
+        ]
+        if carry:
+            final.append(F.col("rels").alias(pcol(rel.alias, "rels")))
+        return out.select(*final)
 
     def _filter_score(
         self, pattern: Pattern, part: ast.QueryPart
@@ -2217,6 +2326,26 @@ class QueryCompiler:
         components: list[tuple[DataFrame, set[str]]] = []
         if in_df is not None:
             components.append((in_df, set(scope.bindings.keys())))
+
+        # r9: a variable-length rel that rides a PATH VARIABLE and
+        # whose type declares properties carries per-hop rel structs,
+        # so relationships(p) can expose them downstream (shortest
+        # segments materialize only the min distance — never carried;
+        # multi-type unions have no single property surface to walk)
+        path_rel_aliases = {
+            ra for _, rels in pattern.path_vars.values() for ra in rels}
+        for r in pattern.rels:
+            if (r.max_hops > 1 and not r.shortest and not r.alt_resolved
+                    and r.alias in path_rel_aliases
+                    and r.schema is not None):
+                raw_cols = self.load_table(r.schema.type_name).columns
+                props = tuple(
+                    c for c in (r.schema.column_names or raw_cols)
+                    if c not in (r.schema.from_column, r.schema.to_column)
+                    and c in raw_cols)
+                if props:
+                    r.carry_props = True
+                    r.carry_prop_names = props
 
         score, _ = self._filter_score(pattern, part)
         self._hop_scores = score
@@ -2823,13 +2952,20 @@ def _bind_path_vars(pattern, scope: Scope) -> None:
     variables (shared by _compile_part-style segment loops)."""
     for var, (nodes, rels) in pattern.path_vars.items():
         hops = []
+        structs = []
         for r in pattern.rels:
             if r.alias in rels:
-                hops.append(
-                    pcol(r.alias, "hops") if r.max_hops > 1 else None)
+                if r.max_hops > 1:
+                    hops.append(pcol(r.alias, "hops"))
+                    structs.append(
+                        (pcol(r.alias, "rels"), tuple(r.carry_prop_names))
+                        if r.carry_props else ("", ()))
+                else:
+                    hops.append(None)
+                    structs.append(None)
         scope.bind(PathBinding(
             alias=var, node_aliases=nodes, rel_aliases=rels,
-            rel_hops=hops))
+            rel_hops=hops, rel_structs=structs))
 
 
 def _contains_count_subquery(e) -> bool:

@@ -233,25 +233,57 @@ class ExprCompiler:
         return F.array(*ids)
 
     def _path_rels(self, b: PathBinding) -> Column:
-        """relationships(p): array of (src, dst) id structs, one per
-        single-hop relationship (variable-length segments don't expose
-        per-edge identities — reject to avoid silently wrong output)."""
-        out = []
-        for a, hops in zip(b.rel_aliases, b.rel_hops):
+        """relationships(p): ordered array of per-relationship structs
+        (src, dst[, properties...]). Variable-length segments expose
+        their per-hop structs when the compiler carried them (r9 —
+        the rel type declares properties; ``[x IN relationships(p) |
+        x.weight]`` is the weighted-path idiom this exists for);
+        carried-less variable-length/shortest segments still reject.
+        Property fields are included only when EVERY segment exposes
+        the same property set (one homogeneous array element type —
+        heterogeneous multi-segment paths fall back to the (src, dst)
+        identity structs, the pre-r9 shape)."""
+        rel_structs = b.rel_structs or [None] * len(b.rel_aliases)
+        prop_sets: list[tuple] = []
+        for a, hops, st in zip(b.rel_aliases, b.rel_hops, rel_structs):
+            if hops is not None and st is not None and st[0]:
+                prop_sets.append(tuple(st[1]))
+                continue
             if hops is not None:
                 raise PlanError(
-                    "relationships() on a path with a variable-length "
-                    "segment is not supported"
+                    "relationships() on this variable-length/shortest "
+                    "segment is not supported (per-hop structs are "
+                    "carried only for variable-length relationships "
+                    "whose type declares properties; use length(p) "
+                    "for hop counts)"
                 )
+            rb = self.scope.get(a)
+            prop_sets.append(
+                tuple(rb.columns) if isinstance(rb, RelBinding) else ())
+        shared = prop_sets[0] if all(
+            p == prop_sets[0] for p in prop_sets) else ()
+        parts = []
+        for a, hops, st in zip(b.rel_aliases, b.rel_hops, rel_structs):
+            if hops is not None:
+                col = F.col(st[0])
+                if tuple(st[1]) == shared:
+                    parts.append(col)
+                else:  # project down to the shared shape
+                    parts.append(F.transform(col, lambda x: F.struct(
+                        x["src"].alias("src"), x["dst"].alias("dst"),
+                        *[x[c].alias(c) for c in shared])))
+                continue
             rb = self.scope.get(a)
             if isinstance(rb, RelBinding):
                 src, dst = rb.src_pcol, rb.dst_pcol
             else:
                 src, dst = pcol(a, "from_id"), pcol(a, "to_id")
-            out.append(F.struct(
-                F.col(src).alias("src"), F.col(dst).alias("dst")
-            ))
-        return F.array(*out)
+            fields = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+            fields += [F.col(pcol(a, c)).alias(c) for c in shared]
+            parts.append(F.array(F.struct(*fields)))
+        if len(parts) == 1:
+            return parts[0]
+        return F.concat(*parts)
 
     def _path_length(self, b: PathBinding) -> Column:
         """length(p): number of relationships; variable-length segments
@@ -360,6 +392,10 @@ class ExprCompiler:
         if name == "type" and len(e.args) == 1 and isinstance(e.args[0], ast.Variable):
             b = self.scope.get(e.args[0].name)
             if isinstance(b, RelBinding):
+                # multi-type hops carry a per-row type column (r9);
+                # single-type rels resolve to the constant
+                if b.type_pcol:
+                    return F.col(b.type_pcol)
                 return F.lit(b.type_name)
             raise PlanError("type() requires a relationship variable")
         if name == "keys" and len(e.args) == 1 and isinstance(

@@ -47,6 +47,10 @@ class RelBinding:
     # joins off this (r7 review: a rev-matched SET/DELETE previously
     # joined from==src_pcol and silently touched zero edges).
     fwd_storage: "bool | None" = None
+    # Multi-type hops (r9) carry a per-row type column so type(r)
+    # resolves to the matched arm's name; None = single-type (type(r)
+    # is the constant type_name).
+    type_pcol: Optional[str] = None
 
 
 @dataclass
@@ -68,6 +72,13 @@ class PathBinding:
     node_aliases: list[str]
     rel_aliases: list[str]
     rel_hops: list[Optional[str]]
+    # Per-segment rel-struct carriers (r9, parallel to rel_aliases):
+    # None for a single-hop segment (struct built inline from the
+    # RelBinding); ("<pcol>", (prop names...)) for a variable-length
+    # segment whose per-hop structs were carried; ("", ()) for a
+    # variable-length/shortest segment without carried structs
+    # (relationships() rejects those).
+    rel_structs: Optional[list] = None
 
 
 Binding = Union[NodeBinding, RelBinding, ScalarBinding, PathBinding]

@@ -170,16 +170,24 @@ def build_session(spark: SparkSession, sf_dir: str) -> GraphSession:
         # Self-relationship (Customer -> next Customer by key) so
         # same-label features — either-direction UNION DISTINCT and
         # variable-length paths — have a real exercise surface.
+        # hop_w: deterministic per-edge weight (from-key mod), so
+        # weighted var-length paths ([x IN relationships(p) | x.hop_w])
+        # have a real property surface (r9)
         edge("NEXT_CUST", "Customer", "Customer", dfs["Customer"].select(
             F.col("c_custkey").alias("from_Customer"),
             (F.col("c_custkey") + F.lit(1)).alias("to_Customer"),
+            (F.col("c_custkey") % F.lit(7) + F.lit(1))
+            .cast("bigint").alias("hop_w"),
         ).join(
             dfs["Customer"].select(
                 F.col("c_custkey").alias("to_Customer")),
             "to_Customer", "leftsemi",
         )),
         # Reverse chain — gives multi-type patterns (-[:NEXT_CUST|
-        # PREV_CUST]->) a same-endpoints exercise surface.
+        # PREV_CUST]->) a same-endpoints exercise surface; kept
+        # PROP-LESS deliberately: per-arm access NULL-fills hop_w on
+        # this arm (r9), and a same-label prop-less rel keeps the
+        # adjacency 'both'-orientation fast path exercisable
         edge("PREV_CUST", "Customer", "Customer", dfs["Customer"].select(
             F.col("c_custkey").alias("from_Customer"),
             (F.col("c_custkey") - F.lit(1)).alias("to_Customer"),

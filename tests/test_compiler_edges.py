@@ -209,12 +209,20 @@ class TestMultiTypeRel:
         assert rel.type_name == "X"
         assert rel.alt_types == ("Y", "Z")
 
-    def test_multi_type_props_rejected(self, tpch):
-        from brahmand_spark.errors import UnsupportedError
-
-        with pytest.raises(UnsupportedError):
+    def test_multi_type_props(self, tpch):
+        """r9: inline property maps on a multi-type pattern filter
+        per-row; an arm whose type lacks the key contributes nothing
+        (its NULL never equals). Unknown-on-every-arm keys reject."""
+        rows = tpch.execute(
+            "MATCH (a:Customer)-[r:NEXT_CUST|PREV_CUST {hop_w: 3}]->"
+            "(b:Customer) RETURN a.c_custkey AS ak, type(r) AS t"
+        ).collect()
+        assert rows and all(r["t"] == "NEXT_CUST" for r in rows)
+        assert all(r["ak"] % 7 == 2 for r in rows)  # hop_w = k%7+1
+        with pytest.raises(PlanError, match="any arm"):
             tpch.execute(
-                "MATCH (a:Customer)-[r:NEXT_CUST|PREV_CUST {x: 1}]->(b) RETURN a"
+                "MATCH (a:Customer)-[r:NEXT_CUST|PREV_CUST {x: 1}]->(b) "
+                "RETURN a"
             )
 
     def test_multi_type_mismatched_endpoints_rejected(self, tpch):

@@ -346,9 +346,23 @@ class TestPathVariables:
                         ORDER BY region"""),
         )
 
-    def test_relationships_rejects_var_length_segment(self, tpch):
-        with pytest.raises(PlanError, match="variable-length"):
-            q(tpch, """MATCH p = (a:Customer)-[:NEXT_CUST*1..2]->(b:Customer)
+    def test_relationships_on_var_length_carries_props(self, tpch):
+        """r9: a var-length segment whose type declares properties
+        exposes per-hop (src, dst, props) structs via
+        relationships(p)."""
+        rows = q(tpch, """MATCH p = (a:Customer)-[:NEXT_CUST*2..2]->(b:Customer)
+                   WHERE a.c_custkey = 1
+                   RETURN relationships(p) AS rels""").collect()
+        assert len(rows) == 1
+        rels = rows[0]["rels"]
+        assert [(r["src"], r["dst"], r["hop_w"]) for r in rels] == \
+            [(1, 2, 2), (2, 3, 3)]
+
+    def test_relationships_rejects_shortest_segment(self, tpch):
+        """shortestPath materializes only the min distance, never the
+        path's edges — per-hop access stays rejected."""
+        with pytest.raises(PlanError, match="variable-length/shortest"):
+            q(tpch, """MATCH p = shortestPath((a:Customer)-[:NEXT_CUST*..2]->(b:Customer))
                        RETURN relationships(p) AS rels""").collect()
 
     def test_path_var_collision_rejected(self, tpch):

@@ -267,6 +267,61 @@ FOLDED_CYPHER = {
                FROM customer c) q
            WHERE ck <= 20""",
     ),
+    # r9: per-hop relationship properties on a var-length pattern —
+    # relationships(p) carries (src, dst, hop_w) structs, reduce()
+    # folds the weights; the NEXT_CUST chain is c -> c+1 with
+    # hop_w = c % 7 + 1, so the oracle rebuilds the k-fold joins
+    "varlen_rel_props_weighted": (
+        """MATCH p = (a:Customer)-[:NEXT_CUST*1..3]->(b:Customer)
+           WHERE a.c_custkey <= 60
+           RETURN a.c_custkey AS ak, b.c_custkey AS bk,
+                  length(p) AS hops,
+                  reduce(t = 0, x IN relationships(p) | t + x.hop_w)
+                  AS w""",
+        """WITH c AS (SELECT c_custkey AS k FROM customer),
+                e AS (SELECT c1.k AS s, c1.k + 1 AS d,
+                             c1.k % 7 + 1 AS w
+                      FROM c c1 JOIN c c2 ON c2.k = c1.k + 1)
+           SELECT ak, bk, hops, w FROM (
+               SELECT s AS ak, d AS bk, 1 AS hops, w FROM e
+               UNION ALL
+               SELECT e1.s, e2.d, 2, e1.w + e2.w
+               FROM e e1 JOIN e e2 ON e2.s = e1.d
+               UNION ALL
+               SELECT e1.s, e3.d, 3, e1.w + e2.w + e3.w
+               FROM e e1 JOIN e e2 ON e2.s = e1.d
+                         JOIN e e3 ON e3.s = e2.d) q
+           WHERE ak <= 60""",
+    ),
+    # r9: inline {k: v} property maps on var-length patterns filter
+    # EVERY traversed edge (pushed into the edge scan)
+    "varlen_inline_prop": (
+        """MATCH (a:Customer)-[:NEXT_CUST*1..2 {hop_w: 3}]->(b:Customer)
+           RETURN a.c_custkey AS ak, b.c_custkey AS bk""",
+        """WITH c AS (SELECT c_custkey AS k FROM customer),
+                e AS (SELECT c1.k AS s, c1.k + 1 AS d
+                      FROM c c1 JOIN c c2 ON c2.k = c1.k + 1
+                      WHERE c1.k % 7 + 1 = 3)
+           SELECT s AS ak, d AS bk FROM e
+           UNION ALL
+           SELECT e1.s, e2.d FROM e e1 JOIN e e2 ON e2.s = e1.d""",
+    ),
+    # r9: multi-type hop with PER-ARM property access — the union
+    # carries the union of arm property columns (NULL where the
+    # matched type lacks one) and type(r) resolves per row
+    "multitype_rel_props": (
+        """MATCH (a:Customer)-[r:NEXT_CUST|PREV_CUST]->(b:Customer)
+           WHERE a.c_custkey <= 60
+           RETURN a.c_custkey AS ak, type(r) AS t, r.hop_w AS w,
+                  b.c_custkey AS bk""",
+        """WITH c AS (SELECT c_custkey AS k FROM customer)
+           SELECT c1.k AS ak, 'NEXT_CUST' AS t,
+                  c1.k % 7 + 1 AS w, c1.k + 1 AS bk
+           FROM c c1 JOIN c c2 ON c2.k = c1.k + 1 WHERE c1.k <= 60
+           UNION ALL
+           SELECT c1.k, 'PREV_CUST', NULL::BIGINT, c1.k - 1
+           FROM c c1 JOIN c c2 ON c2.k = c1.k - 1 WHERE c1.k <= 60""",
+    ),
     # NULL anchors (r9 advice fix): an import bound by OPTIONAL MATCH
     # is NULL for customers with no qualifying order; all-aggregate
     # UNION arms must still emit their completed count-0 rows for

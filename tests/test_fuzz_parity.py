@@ -370,3 +370,71 @@ def test_fuzz_correlated_call_parity(tpch, duck):
         except AssertionError as exc:
             failures.append(f"[{i}] {cy}\n  vs {sq}\n  {exc}")
     assert not failures, "\n".join(failures[:3]) + f"\n({len(failures)} total)"
+
+
+def _varlen_props_query(rnd: random.Random) -> tuple[str, str]:
+    """Var-length NEXT_CUST paths with per-hop property access (r9):
+    the chain is c -> c+1 with hop_w = c % 7 + 1, so DuckDB rebuilds
+    the k-fold joins with explicit per-hop weight columns. Modes:
+    reduce-sum over relationships(p), an all() quantifier filter, and
+    a filtered-size projection."""
+    lo = rnd.randrange(1, 3)
+    hi = rnd.randrange(lo, 4)
+    cap = rnd.choice([40, 60, 80])
+    thr = rnd.randrange(1, 8)
+    mode = rnd.randrange(3)
+    scaffold = (
+        "WITH c AS (SELECT c_custkey AS k FROM customer), "
+        "e AS (SELECT c1.k AS s, c1.k + 1 AS d, c1.k % 7 + 1 AS w "
+        "FROM c c1 JOIN c c2 ON c2.k = c1.k + 1) ")
+    arms = []
+    for k in range(lo, hi + 1):
+        joins = "e e1"
+        for s in range(2, k + 1):
+            joins += f" JOIN e e{s} ON e{s}.s = e{s - 1}.d"
+        ws = [f"e{s}.w" for s in range(1, k + 1)]
+        if mode == 0:
+            arms.append(
+                f"SELECT e1.s AS ak, e{k}.d AS bk, {k} AS hops, "
+                f"{' + '.join(ws)} AS w FROM {joins}")
+        elif mode == 1:
+            cond = " AND ".join(f"{w} >= {thr}" for w in ws)
+            arms.append(
+                f"SELECT e1.s AS ak, e{k}.d AS bk, {k} AS hops "
+                f"FROM {joins} WHERE {cond}")
+        else:
+            nf = " + ".join(f"({w} >= {thr})::INT" for w in ws)
+            arms.append(
+                f"SELECT e1.s AS ak, e{k}.d AS bk, {k} AS hops, "
+                f"{nf} AS nf FROM {joins}")
+    sq = (scaffold + "SELECT * FROM (" + " UNION ALL ".join(arms)
+          + f") q WHERE ak <= {cap}")
+    head = (f"MATCH p = (a:Customer)-[:NEXT_CUST*{lo}..{hi}]->"
+            f"(b:Customer) WHERE a.c_custkey <= {cap}")
+    if mode == 0:
+        cy = (head + " RETURN a.c_custkey AS ak, b.c_custkey AS bk, "
+              "length(p) AS hops, "
+              "reduce(t = 0, x IN relationships(p) | t + x.hop_w) AS w")
+    elif mode == 1:
+        cy = (head + f" AND all(x IN relationships(p) "
+              f"WHERE x.hop_w >= {thr}) "
+              "RETURN a.c_custkey AS ak, b.c_custkey AS bk, "
+              "length(p) AS hops")
+    else:
+        cy = (head + " RETURN a.c_custkey AS ak, b.c_custkey AS bk, "
+              "length(p) AS hops, "
+              f"size([x IN relationships(p) WHERE x.hop_w >= {thr}]) "
+              "AS nf")
+    return cy, sq
+
+
+def test_fuzz_varlen_props_parity(tpch, duck):
+    rnd = random.Random(901477)
+    failures = []
+    for i in range(15):
+        cy, sq = _varlen_props_query(rnd)
+        try:
+            assert_same(tpch.execute(cy), duck.sql(sq))
+        except AssertionError as exc:
+            failures.append(f"[{i}] {cy}\n  vs {sq}\n  {exc}")
+    assert not failures, "\n".join(failures[:3]) + f"\n({len(failures)} total)"

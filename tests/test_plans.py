@@ -132,13 +132,34 @@ class TestAdjacencyPlanner:
         assert expected.exceptAll(got).count() == 0
 
     def test_either_direction_unions_both_tables(self, spark, tpch):
+        # PREV_CUST: same-label AND prop-less — the only combination
+        # where the 'both' orientation stays adjacency-eligible (a
+        # prop-carrying rel like NEXT_CUST must dedup over props)
+        q = """MATCH (a:Customer)-[:PREV_CUST]-(b:Customer)
+               WHERE a.c_custkey <= 10
+               RETURN a.c_custkey AS src, b.c_custkey AS dst"""
+        s = self._fresh(spark)
+        s.build_adj_index("PREV_CUST")
+        got = s.execute(q)
+        assert physical_plan(got).count("Generate explode") == 2
+        expected = tpch.execute(q)
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
+
+    def test_either_direction_with_props_stays_on_edge_list(
+            self, spark, tpch):
+        """A rel WITH property columns must NOT take the adjacency
+        'both' path: the edge-list plan dedups over (src, dst,
+        props) while the prop-less adjacency tables dedup over bare
+        pairs — the cardinalities differ for reciprocal edges with
+        distinct props (NEXT_CUST carries hop_w since r9)."""
         q = """MATCH (a:Customer)-[:NEXT_CUST]-(b:Customer)
                WHERE a.c_custkey <= 10
                RETURN a.c_custkey AS src, b.c_custkey AS dst"""
         s = self._fresh(spark)
         s.build_adj_index("NEXT_CUST")
         got = s.execute(q)
-        assert physical_plan(got).count("Generate explode") == 2
+        assert physical_plan(got).count("Generate explode") == 0
         expected = tpch.execute(q)
         assert got.exceptAll(expected).count() == 0
         assert expected.exceptAll(got).count() == 0

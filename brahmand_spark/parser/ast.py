@@ -428,6 +428,24 @@ class WriteQuery:
 
 
 @dataclass
+class CallInTransactions:
+    """``MATCH ... CALL { WITH n <write clauses> } IN TRANSACTIONS
+    [OF k ROWS]`` (r9 extension — openCypher's batched-commit device
+    for large writes; the reference rejects all writes). The outer
+    match rows are split into id-range batches over the FIRST
+    imported variable's distinct ids and the block's write clauses
+    execute once per batch with a per-batch commit, so a million-row
+    delete/update neither builds one giant plan nor holds one giant
+    snapshot."""
+
+    match_clauses: list = field(default_factory=list)
+    where: Optional[Expr] = None
+    imports: list = field(default_factory=list)
+    body: Optional["WriteQuery"] = None
+    batch_rows: int = 1000  # openCypher default
+
+
+@dataclass
 class ForeachClause:
     """``FOREACH (x IN <list> | SET ... / DELETE x)`` (r7 — executable
     under ``GraphSession(allow_writes=True)``; the reference rejects

@@ -222,6 +222,12 @@ class Parser:
                 return True
             elif tok.kind == "KEYWORD" and depth == 0 and tok.value == "DELETE":
                 return True
+            elif (tok.kind == "IDENT" and depth == 0
+                  and tok.value.upper() == "TRANSACTIONS"):
+                # CALL { <writes> } IN TRANSACTIONS: the write
+                # keywords hide at brace depth 1, but the trailing
+                # TRANSACTIONS marker sits at depth 0
+                return True
         return False
 
     # -- read query --------------------------------------------------------
@@ -1018,6 +1024,54 @@ class Parser:
         return fc
 
     # -- write queries (parse-only parity) ----------------------------------
+    def _parse_call_in_transactions(self, wq: "ast.WriteQuery"):
+        """``CALL { WITH <imports> <write clauses> } IN TRANSACTIONS
+        [OF <k> ROWS]`` — the openCypher batched-commit write form
+        (r9). ``wq`` holds the already-parsed outer MATCH/WHERE.
+        TRANSACTIONS/OF/ROWS are soft words (plain identifiers), so
+        columns by those names stay usable."""
+        self.next()  # CALL
+        self.eat_op("{")
+        self.eat_kw("WITH")
+        imports = [self.ident()]
+        while self.try_op(","):
+            imports.append(self.ident())
+        body = self.parse_write_query()
+        if not isinstance(body, ast.WriteQuery):
+            self.error("nested CALL { } IN TRANSACTIONS")
+        self.eat_op("}")
+        self.eat_kw("IN")
+        tok = self.next()
+        if not (tok.kind in ("IDENT", "KEYWORD")
+                and tok.value.upper() == "TRANSACTIONS"):
+            self.error("expected TRANSACTIONS after CALL { ... } IN")
+        batch_rows = 1000
+        nxt = self.peek()
+        if nxt.kind == "IDENT" and nxt.value.upper() == "OF":
+            self.next()
+            num = self.next()
+            if num.kind != "INT":
+                self.error("expected a row count after OF")
+            batch_rows = int(num.value)
+            if batch_rows < 1:
+                self.error("OF <n> ROWS needs n >= 1")
+            rows = self.next()
+            if not (rows.kind in ("IDENT", "KEYWORD")
+                    and rows.value.upper() == "ROWS"):
+                self.error("expected ROWS after the batch size")
+        if body.return_clause is not None:
+            self.error(
+                "RETURN inside CALL { } IN TRANSACTIONS is not "
+                "supported")
+        if not (body.merges or body.create or body.set_clause
+                or body.remove or body.delete or body.foreachs):
+            self.error(
+                "CALL { } IN TRANSACTIONS block must contain a write "
+                "clause (SET/REMOVE/DELETE/CREATE/MERGE/FOREACH)")
+        return ast.CallInTransactions(
+            match_clauses=wq.match_clauses, where=wq.where,
+            imports=imports, body=body, batch_rows=batch_rows)
+
     def parse_write_query(self) -> ast.WriteQuery:
         wq = ast.WriteQuery()
         while True:
@@ -1030,6 +1084,9 @@ class Parser:
             elif self.at_kw("WHERE"):
                 self.next()
                 wq.where = self.parse_expr()
+            elif (self.at_kw("CALL") and self.peek(1).kind == "OP"
+                  and self.peek(1).value == "{"):
+                return self._parse_call_in_transactions(wq)
             elif self.at_kw("WITH"):
                 # parsed for parity (the whole write query is rejected at
                 # execution, like the reference's UnsupportedDDLQuery)

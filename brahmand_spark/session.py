@@ -227,6 +227,12 @@ class GraphSession:
             return run_call(self, stmt, params)
         if isinstance(stmt, (ast.CreateNodeTable, ast.CreateRelTable)):
             return ddl.apply(self, stmt)
+        if isinstance(stmt, ast.CallInTransactions):
+            from .writes import apply_call_in_transactions
+
+            # allow_writes is checked inside (loud rejection with the
+            # same parity message as plain writes)
+            return apply_call_in_transactions(self, stmt, params)
         if isinstance(stmt, ast.WriteQuery):
             if self.allow_writes:
                 from .writes import apply_write

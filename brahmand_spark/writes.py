@@ -37,7 +37,12 @@ from .errors import PlanError, UnsupportedError
 from .parser import ast
 
 
-def apply_write(session, wq: ast.WriteQuery, params=None) -> DataFrame:
+def apply_write(session, wq: ast.WriteQuery, params=None,
+                anchor_ids=None) -> DataFrame:
+    """Execute one write statement. ``anchor_ids`` (internal — the
+    CALL { } IN TRANSACTIONS batching hook): an ``(alias, ids_df)``
+    pair restricting the matched rows to the batch's ids via a
+    broadcast semi-join before any mutation."""
     compiler = QueryCompiler(
         session.schema, session._load_for_label,
         broadcast_labels=session.broadcast_labels, params=params,
@@ -47,6 +52,12 @@ def apply_write(session, wq: ast.WriteQuery, params=None) -> DataFrame:
     if wq.match_clauses:
         part = ast.QueryPart(matches=wq.match_clauses, where=wq.where)
         df, scope = compiler._compile_part(None, Scope(), part)
+        if anchor_ids is not None:
+            alias, ids_df = anchor_ids
+            key = scope.get(alias).id_pcol
+            df = df.join(
+                F.broadcast(ids_df.select(F.col("id").alias(key))),
+                key, "leftsemi")
     if wq.return_clause is not None:
         raise UnsupportedError("RETURN after a write is not supported")
 
@@ -89,6 +100,78 @@ def apply_write(session, wq: ast.WriteQuery, params=None) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+def apply_call_in_transactions(
+    session, cit: "ast.CallInTransactions", params=None,
+) -> DataFrame:
+    """Execute ``MATCH ... CALL { WITH n <writes> } IN TRANSACTIONS
+    [OF k ROWS]`` (r9): split the outer match into id-range batches
+    over the first imported variable's DISTINCT ids and run the
+    block's write clauses once per batch — each batch is its own
+    commit (every mutated table snapshots per batch via ``_store``),
+    so a million-row mutation neither builds one giant plan nor
+    holds one giant undo. Returns one stats row PER BATCH (column
+    ``batch`` + the usual write counters) plus semantic parity with
+    the equivalent one-shot write.
+
+    Scale notes: the batch assignment sorts the (narrow) id column
+    once (row_number window) and pins it with a localCheckpoint; the
+    per-batch id set is ≤ ``batch_rows`` and broadcast into a
+    semi-join, so each batch's plan touches only its own slice.
+    Batching is by distinct anchor id — openCypher batches rows;
+    the two coincide for the canonical MATCH (n) form. No rollback
+    isolation beyond the per-batch snapshot (matching the module's
+    lakehouse-overwrite posture); a failure mid-sequence leaves
+    earlier batches committed, exactly openCypher's documented
+    IN TRANSACTIONS behavior."""
+    from pyspark.sql.window import Window
+
+    if not session.allow_writes:
+        raise UnsupportedError(
+            "CALL { } IN TRANSACTIONS is a write statement — pass "
+            "GraphSession(allow_writes=True) to enable the write path")
+    compiler = QueryCompiler(
+        session.schema, session._load_for_label,
+        broadcast_labels=session.broadcast_labels, params=params,
+    )
+    if not cit.match_clauses:
+        raise PlanError(
+            "CALL { } IN TRANSACTIONS needs a preceding MATCH to "
+            "batch over")
+    part = ast.QueryPart(matches=cit.match_clauses, where=cit.where)
+    df, scope = compiler._compile_part(None, Scope(), part)
+    for a in cit.imports:
+        if not isinstance(scope.get(a), (NodeBinding, RelBinding)):
+            raise PlanError(
+                f"CALL {{ }} IN TRANSACTIONS imports must be matched "
+                f"variables; '{a}' is not one")
+    anchor = cit.imports[0]
+    b = scope.get(anchor)
+    key = b.id_pcol if isinstance(b, NodeBinding) else b.src_pcol
+    ids = (
+        df.select(F.col(key).alias("id")).distinct()
+        .withColumn("_b", F.floor(
+            (F.row_number().over(Window.orderBy("id")) - 1)
+            / int(cit.batch_rows)))
+        .localCheckpoint()
+    )
+    n_batches = (ids.agg(F.max("_b").alias("m")).first()["m"] or 0) + 1
+    wq = ast.WriteQuery(
+        match_clauses=cit.match_clauses, where=cit.where,
+        merges=cit.body.merges, create=cit.body.create,
+        set_clause=cit.body.set_clause, remove=cit.body.remove,
+        delete=cit.body.delete, foreachs=cit.body.foreachs,
+    )
+    out_rows = []
+    for bi in range(int(n_batches)):
+        batch_ids = ids.filter(F.col("_b") == bi).select("id")
+        stats = apply_write(session, wq, params,
+                            anchor_ids=(anchor, batch_ids)).first()
+        out_rows.append((bi,) + tuple(stats))
+    cols = ["batch"] + list(stats.asDict().keys())
+    return session.spark.createDataFrame(
+        out_rows, ", ".join(f"{c} bigint" for c in cols))
+
+
 def _store(session, table_name: str, df: DataFrame) -> DataFrame:
     """Snapshot the mutated table (see module docstring) and register.
 
@@ -98,6 +181,10 @@ def _store(session, table_name: str, df: DataFrame) -> DataFrame:
     (fresh) edge list until the user re-runs ``build_adj_index`` (or
     the streaming maintenance catches up)."""
     out = df.localCheckpoint(eager=True)
+    # commit sequence: one tick per materialized table snapshot —
+    # how tests (and users) count per-batch commits under
+    # CALL { } IN TRANSACTIONS
+    session._n_commits = getattr(session, "_n_commits", 0) + 1
     session.tables[table_name] = out
     for rel in session.schema.relationships.values():
         if table_name in (rel.type_name, rel.table_name):

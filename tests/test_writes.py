@@ -546,3 +546,98 @@ class TestSetSnapshotSemantics:
         got = rows(wsession, "MATCH (p:Person) "
                              "RETURN p.x AS x, p.age AS a")
         assert got == {(30, 0)}
+
+
+class TestCallInTransactions:
+    """CALL { WITH n <writes> } IN TRANSACTIONS [OF k ROWS] (r9 —
+    openCypher's batched-commit device): id-range batches over the
+    imported variable, one commit (table snapshot) per batch, exact
+    parity with the one-shot write."""
+
+    def _people(self, wsession, n=25):
+        for i in range(n):
+            wsession.execute(
+                f"CREATE (p:Person {{id: {i}, name: 'P{i}', "
+                f"age: {20 + i}}})")
+        return wsession
+
+    def test_batched_set_parity_and_commits(self, wsession):
+        s = self._people(wsession)
+        base = s._n_commits
+        out = s.execute(
+            "MATCH (p:Person) WHERE p.id < 20 "
+            "CALL { WITH p SET p.age = p.age + 100 } "
+            "IN TRANSACTIONS OF 6 ROWS").collect()
+        # 20 ids in batches of 6 -> 6,6,6,2
+        assert [(r["batch"], r["properties_set"]) for r in out] == \
+            [(0, 6), (1, 6), (2, 6), (3, 2)]
+        # one table snapshot (commit) per batch
+        assert s._n_commits == base + 4
+        got = rows(s, "MATCH (p:Person) RETURN p.id AS i, p.age AS a")
+        assert got == {(i, 20 + i + (100 if i < 20 else 0))
+                       for i in range(25)}
+
+    def test_batched_delete_matches_one_shot(self, spark):
+        def build():
+            s = GraphSession(spark, allow_writes=True)
+            s.execute("CREATE NODE TABLE Person (id Int64, age Int64, "
+                      "PRIMARY KEY(id), NODE ID(id))")
+            s.execute("CREATE REL TABLE KNOWS FROM Person TO Person ()")
+            for i in range(12):
+                s.execute(f"CREATE (p:Person {{id: {i}, age: {i}}})")
+            s.execute("MATCH (a:Person) MATCH (b:Person) "
+                      "WHERE b.id = a.id + 1 CREATE (a)-[:KNOWS]->(b)")
+            return s
+
+        s1 = build()
+        out = s1.execute(
+            "MATCH (p:Person) WHERE p.id % 2 = 0 "
+            "CALL { WITH p DETACH DELETE p } "
+            "IN TRANSACTIONS OF 3 ROWS").collect()
+        assert len(out) == 2  # 6 ids / 3 per batch
+        s2 = build()
+        s2.execute("MATCH (p:Person) WHERE p.id % 2 = 0 "
+                   "DETACH DELETE p")
+        assert rows(s1, "MATCH (p:Person) RETURN p.id AS i") == \
+            rows(s2, "MATCH (p:Person) RETURN p.id AS i")
+        assert rows(s1, "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+                        "RETURN a.id AS x, b.id AS y") == \
+            rows(s2, "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+                     "RETURN a.id AS x, b.id AS y")
+
+    def test_default_batch_size_single_batch(self, wsession):
+        s = self._people(wsession, n=5)
+        out = s.execute(
+            "MATCH (p:Person) "
+            "CALL { WITH p SET p.age = 0 } IN TRANSACTIONS").collect()
+        assert [r["batch"] for r in out] == [0]  # default 1000 rows
+        assert rows(s, "MATCH (p:Person) RETURN DISTINCT p.age AS a") \
+            == {(0,)}
+
+    def test_rejected_without_allow_writes(self, spark):
+        s = GraphSession(spark)
+        s.execute("CREATE NODE TABLE Person (id Int64, "
+                  "PRIMARY KEY(id), NODE ID(id))")
+        with pytest.raises(UnsupportedError, match="allow_writes"):
+            s.execute("MATCH (p:Person) "
+                      "CALL { WITH p DELETE p } IN TRANSACTIONS")
+
+    def test_parse_errors(self, wsession):
+        from brahmand_spark.errors import ParseError
+
+        with pytest.raises(ParseError, match="RETURN inside"):
+            wsession.execute(
+                "MATCH (p:Person) CALL { WITH p DELETE p "
+                "RETURN p.id } IN TRANSACTIONS")
+        with pytest.raises(ParseError, match="write clause"):
+            wsession.execute(
+                "MATCH (p:Person) CALL { WITH p } IN TRANSACTIONS")
+        with pytest.raises(ParseError, match="n >= 1"):
+            wsession.execute(
+                "MATCH (p:Person) CALL { WITH p DELETE p } "
+                "IN TRANSACTIONS OF 0 ROWS")
+        # a typo'd marker routes to the read parser, which points
+        # at the first write keyword inside the block
+        with pytest.raises(ParseError, match="DELETE"):
+            wsession.execute(
+                "MATCH (p:Person) CALL { WITH p DELETE p } IN BATCHES")

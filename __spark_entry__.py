@@ -99,9 +99,6 @@ _CYPHER: dict[str, str] = {
         WHERE o.o_totalprice > 200000
         RETURN c.c_name AS name, o.o_totalprice AS price""",
     # inline {k: v} properties (per-table equality filters)
-    "inline_properties": """
-        MATCH (c:Customer {c_mktsegment: 'BUILDING'})-[:PLACED]->(o:Order {o_orderstatus: 'F'})
-        RETURN c.c_name AS name, o.o_orderkey AS okey""",
     # relationship property access
     "rel_property_access": """
         MATCH (o:Order)-[h:HAS_LINE]->(l:Lineitem)
@@ -177,10 +174,6 @@ _CYPHER: dict[str, str] = {
         WHERE a.c_custkey <= 50
         RETURN a.c_custkey AS src, b.c_custkey AS dst, length(p) AS dist""",
     # Cypher-level UNION / UNION ALL (extension)
-    "union_distinct": """
-        MATCH (c:Customer) WHERE c.c_acctbal > 9000 RETURN c.c_name AS name
-        UNION
-        MATCH (s:Supplier) RETURN s.s_name AS name""",
     # Pattern predicates (extension): WHERE (a)-[:T]->(b) -> leftsemi,
     # NOT ... -> leftanti; anchors reduce to id semi-join keys.
     "pattern_predicate_exists": """
@@ -206,10 +199,6 @@ _CYPHER_ORACLES: dict[str, str] = {
         SELECT c.c_name AS name, o.o_totalprice AS price
         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         WHERE o.o_totalprice > 200000""",
-    "inline_properties": """
-        SELECT c.c_name AS name, o.o_orderkey AS okey
-        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-        WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'F'""",
     "rel_property_access": """
         SELECT l_orderkey AS okey, l_extendedprice AS price
         FROM lineitem WHERE l_linenumber = 1 AND l_quantity > 45""",
@@ -278,10 +267,6 @@ _CYPHER_ORACLES: dict[str, str] = {
         FROM customer a JOIN customer b
           ON b.c_custkey - a.c_custkey IN (1, 2, 3)
         WHERE a.c_custkey <= 50""",
-    "union_distinct": """
-        SELECT c_name AS name FROM customer WHERE c_acctbal > 9000
-        UNION
-        SELECT s_name AS name FROM supplier""",
     "pattern_predicate_exists": """
         SELECT c.c_name AS name FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o
@@ -334,6 +319,49 @@ def _q_minhash_lsh(spark, sf_dir):
         _docs(spark, sf_dir), n=3, num_hashes=64, bands=16,
         hash_fn="portable",
     ).filter(F.col("est_jaccard") >= 0.5)
+
+
+def _q_dedup_index_probe(spark, sf_dir):
+    """Persisted dedup index probe (r8/r9, ops/dedup_index): build
+    the index ONCE over 4/5 of the corpus (hash_fn='portable' so the
+    whole fingerprint + MinHash + banding + estimate pipeline replays
+    in SQL), then dedup the held-out near-duplicate batch against the
+    STORED tables — only the batch is shingled; the corpus side is
+    served from the narrow sigs/buckets parquet. Extension (the
+    reference has no dedup surface; ref README.md feature table)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from brahmand_spark.models import ModelStore
+    from brahmand_spark.ops.dedup_index import (
+        build_dedup_index, dedup_against,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"))
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    st = ModelStore(os.path.join(
+        tempfile.gettempdir(), f"brahmand_dix_{key}"))
+    build_dedup_index(corpus, "gate_dix", st, hash_fn="portable")
+    return dedup_against(spark, "gate_dix", batch, st, threshold=0.5)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination verdict (r8, ops/dedup.decontaminate
+    — GPT-3 appendix C style): flag every TRAIN document sharing a
+    verbatim 8-word-gram with the EVAL split. One equi-join on the
+    shingle hash; the eval side broadcasts, the train side never
+    shuffles. Extension."""
+    from brahmand_spark.ops.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    return decontaminate(train, ev, n=8)
 
 
 def _q_simhash(spark, sf_dir):
@@ -932,6 +960,8 @@ _EXTENSIONS: dict[str, Callable] = {
     "graph_cc_two_phase": _q_cc_two_phase,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "dedup_minhash_lsh": _q_minhash_lsh,
+    "dedup_index_probe": _q_dedup_index_probe,
+    "decontaminate_verdict": _q_decontaminate,
     "dedup_simhash": _q_simhash,
     "dedup_duplicate_spans": _q_duplicate_spans,
     "seq_packing": _q_seq_packing,
@@ -964,6 +994,48 @@ _EXTENSIONS: dict[str, Callable] = {
 }
 
 _EXTENSION_ORACLES: dict[str, str] = {
+    # decontaminate(n=8, min_shared=1) over train = %5<>0, eval =
+    # %5=0: the oracle joins the 8-word-gram STRINGS directly where
+    # the operator joins their xxhash64 values — identical modulo
+    # 64-bit collisions (the cross_corpus_overlap caveat)
+    "decontaminate_verdict": r"""
+        WITH train AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        ev AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        tsh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(t) - 6),
+                       i -> array_to_string(t[i:i+7], ' ')))) AS s
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '') AS t
+                  FROM train)),
+        esh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(t) - 6),
+                       i -> array_to_string(t[i:i+7], ' ')))) AS s
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '') AS t
+                  FROM ev)),
+        pairs AS (
+            SELECT tsh.doc_id AS train_id, esh.doc_id AS eval_id,
+                   count(*) AS n_shared
+            FROM tsh JOIN esh ON tsh.s = esh.s
+            GROUP BY 1, 2),
+        per AS (
+            SELECT train_id, count(*) AS n_eval_docs,
+                   max(n_shared) AS max_shared
+            FROM pairs GROUP BY 1)
+        SELECT t.doc_id AS doc_id,
+               coalesce(per.n_eval_docs, 0) AS n_eval_docs,
+               coalesce(per.max_shared, 0) AS max_shared,
+               coalesce(per.n_eval_docs, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM train) t
+        LEFT JOIN per ON per.train_id = t.doc_id""",
     "graph_cc_two_phase": """
         SELECT n_nationkey::BIGINT AS id,
                min(n_nationkey::BIGINT) OVER (PARTITION BY n_regionkey)
@@ -1206,6 +1278,80 @@ def _hll_oracle() -> str:
                      / greatest(ex.exact_distinct, 1)::DOUBLE, 4) AS rel_err
         FROM fin f
         JOIN ex USING (l_returnflag, l_linestatus)"""
+
+
+def _dedup_index_probe_oracle() -> str:
+    """Replay of build_dedup_index(hash_fn='portable') +
+    dedup_against(threshold=0.5) — the full persisted-index probe:
+    whole-text md5-60 fingerprints (exact route, est 1.0), seeded
+    permutation mins -> 16-band bucket equality -> signature-agreement
+    estimate (near route, exact pairs excluded). Mirrors the pytest
+    replay (tests/test_dedup_index.py::TestDuckDBReplay) with the
+    held-out %5 split as the probe batch."""
+    from brahmand_spark.ops.dedup import HASH_P, _perm_params
+
+    num_hashes, bands, rows = 64, 16, 4
+    perms = _perm_params(num_hashes, 42)
+    mins = ",\n                   ".join(
+        f"min(({a} * h + {b}) % {HASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+
+    def side(name: str, srcq: str) -> str:
+        return rf"""
+        {name}_sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(t) - 1),
+                       i -> array_to_string(t[i:i+2], ' ')))) AS s
+            FROM (SELECT doc_id,
+                         list_filter(
+                             string_split_regex(text, '\s+'),
+                             x -> x <> '') AS t
+                  FROM {srcq})),
+        {name}_sig AS (
+            SELECT doc_id, {mins}
+            FROM (SELECT doc_id,
+                         {_md5h60_sql('s')} % {HASH_P} AS h
+                  FROM {name}_sh)
+            GROUP BY doc_id),
+        {name}_fp AS (
+            SELECT doc_id, {_md5h60_sql('text')} AS fp
+            FROM {srcq})"""
+
+    band_conds = "\n              OR ".join(
+        "(" + " AND ".join(
+            f"sa.m{b * rows + r} = sb.m{b * rows + r}"
+            for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(sa.m{i} = sb.m{i})::INT" for i in range(num_hashes)
+    )
+    return rf"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        batch AS (
+            SELECT doc_id + 10000000 AS doc_id, text || ' zzz' AS text
+            FROM documents WHERE doc_id % 5 = 0),
+        {side('c', 'corpus')},
+        {side('b', 'batch')},
+        exact AS (
+            SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+            FROM b_fp b JOIN c_fp c ON b.fp = c.fp),
+        near AS (
+            SELECT sb.doc_id AS new_id, sa.doc_id AS corpus_id,
+                   round(({matches}) / 64.0, 6) AS est_jaccard
+            FROM b_sig sb JOIN c_sig sa ON ({band_conds})
+            WHERE round(({matches}) / 64.0, 6) >= 0.5
+              AND NOT EXISTS (
+                  SELECT 1 FROM exact e
+                  WHERE e.new_id = sb.doc_id
+                    AND e.corpus_id = sa.doc_id))
+        SELECT new_id, corpus_id, 1.0::DOUBLE AS est_jaccard,
+               'exact' AS match_kind FROM exact
+        UNION ALL
+        SELECT new_id, corpus_id, est_jaccard, 'near' FROM near"""
 
 
 def _minhash_lsh_oracle() -> str:
@@ -2133,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
     out = dict(_CYPHER_ORACLES)
     out.update(_EXTENSION_ORACLES)
     out["dedup_minhash_lsh"] = _minhash_lsh_oracle()
+    out["dedup_index_probe"] = _dedup_index_probe_oracle()
     out["dedup_simhash"] = _simhash_oracle()
     out["dedup_duplicate_spans"] = _duplicate_spans_oracle()
     out["seq_packing"] = _seq_packing_oracle()

@@ -788,6 +788,14 @@ class Parser:
                     path, where = self._parse_subquery_block(
                         stop_at_return=True)
                 except ParseError:
+                    nxt = self.tokens[save + 1]
+                    if (nxt.kind == "KEYWORD" and nxt.value == "MATCH") \
+                            or (nxt.kind == "OP" and nxt.value == "("):
+                        # the block unambiguously STARTED as a
+                        # subquery pattern — a typo inside it must
+                        # error at the fault, not resurface later as
+                        # a confusing map-projection error (r9 advice)
+                        raise
                     self.i = save  # not a pattern block: fall through
                 else:
                     ret_distinct, ret_expr = False, None
@@ -823,6 +831,10 @@ class Parser:
                     path, where = self._parse_subquery_block(
                         stop_at_return=True)
                 except ParseError:
+                    nxt = self.tokens[save + 1]
+                    if (nxt.kind == "KEYWORD" and nxt.value == "MATCH") \
+                            or (nxt.kind == "OP" and nxt.value == "("):
+                        raise  # malformed subquery: fail AT the fault
                     self.i = save  # not a pattern block: fall through
                 else:
                     # a well-formed pattern block IS a subquery — a

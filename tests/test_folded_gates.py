@@ -16,6 +16,28 @@ from .conftest import SF_SMOKE
 from .helpers import assert_same
 
 FOLDED_CYPHER = {
+    # folded r9 (slot went to dedup_index_probe): inline property
+    # maps are equality filters — the same scan+filter+join shape
+    # match_filter_project and shared_alias_patterns keep registered
+    "inline_properties": (
+        """MATCH (c:Customer {c_mktsegment: 'BUILDING'})-[:PLACED]->(o:Order {o_orderstatus: 'F'})
+           RETURN c.c_name AS name, o.o_orderkey AS okey""",
+        """SELECT c.c_name AS name, o.o_orderkey AS okey
+           FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+           WHERE c.c_mktsegment = 'BUILDING'
+             AND o.o_orderstatus = 'F'""",
+    ),
+    # folded r9 (slot went to decontaminate_verdict): top-level UNION
+    # DISTINCT of two projections — the union+distinct machinery also
+    # rides every either-direction and correlated-CALL-UNION gate
+    "union_distinct": (
+        """MATCH (c:Customer) WHERE c.c_acctbal > 9000 RETURN c.c_name AS name
+           UNION
+           MATCH (s:Supplier) RETURN s.s_name AS name""",
+        """SELECT c_name AS name FROM customer WHERE c_acctbal > 9000
+           UNION
+           SELECT s_name AS name FROM supplier""",
+    ),
     # CALL { } subquery, uncorrelated aggregated form (r6 extension —
     # the block's single aggregate row annotates every outer row)
     "call_subquery_agg": (

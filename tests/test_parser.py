@@ -487,3 +487,41 @@ def test_foreach_combines_with_set_in_write_query():
     wq = parse("MATCH (a:P) SET a.y = 1 FOREACH (x IN [1] | SET a.v = x)")
     assert isinstance(wq, ast.WriteQuery)
     assert wq.set_clause is not None and len(wq.foreachs) == 1
+
+
+class TestSubqueryBlockErrorLocality:
+    """r9 advice fix: a block that unambiguously STARTED as a
+    subquery pattern (EXISTS/COUNT/COLLECT { MATCH ... / ( ... )
+    must error AT the fault when malformed — no silent backtrack to
+    a far-away 'expected expression' / map-projection error. Blocks
+    that never looked like patterns still fall through, so variables
+    named exists/count/collect keep their map projections."""
+
+    def test_malformed_exists_block_points_at_fault(self):
+        import pytest
+
+        from brahmand_spark.errors import ParseError
+        from brahmand_spark.parser.parser import parse
+
+        with pytest.raises(ParseError, match=r"expected '\]'"):
+            parse("MATCH (c:Customer) WHERE EXISTS "
+                  "{ MATCH (c)-[:PLACED->(o:Order) } "
+                  "RETURN c.c_custkey AS k")
+
+    def test_malformed_collect_block_points_at_fault(self):
+        import pytest
+
+        from brahmand_spark.errors import ParseError
+        from brahmand_spark.parser.parser import parse
+
+        with pytest.raises(ParseError, match=r"expected '\)'"):
+            parse("MATCH (c:Customer) RETURN "
+                  "COLLECT { MATCH (c)-[:PLACED]-(o RETURN o.x } AS xs")
+
+    def test_variables_named_like_blocks_keep_map_projection(self):
+        from brahmand_spark.parser.parser import parse
+
+        for name in ("count", "exists", "collect"):
+            stmt = parse(f"MATCH ({name}:Customer) "
+                         f"RETURN {name} {{.c_name}} AS m")
+            assert stmt.return_clause is not None

@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "dedup_duplicate_spans",
     "dedup_embedding_cosine",
     "dedup_semantic",
+    # r9 registrations: persisted-index probe (build+probe per fresh
+    # pass — the whole hash-once pipeline) and decontamination
+    "dedup_index_probe",
+    "decontaminate_verdict",
     "ann_cosine_topk",
     "text_quality_score",
     "text_url_dedup",

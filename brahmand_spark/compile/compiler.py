@@ -2011,7 +2011,8 @@ class QueryCompiler:
         parallel edges as distinct relationships."""
         sch = rel.schema
         if (self.load_adjacency is None or not sch.adj_index
-                or rel.properties or rel.orientation == "invalid"):
+                or rel.properties or rel.orientation == "invalid"
+                or rel.alt_resolved or rel.alt_types):
             return None
         outgoing = self.load_adjacency(f"{sch.type_name}_outgoing")
         incoming = self.load_adjacency(f"{sch.type_name}_incoming")
@@ -2041,6 +2042,57 @@ class QueryCompiler:
         Cypher's parallel-edges-count-as-distinct-walks semantics
         survive."""
         sch = rel.schema
+        if rel.alt_resolved:
+            # Multi-type traversal base (r9): bag-union of every arm's
+            # oriented pairs — previously the alt arms were silently
+            # DROPPED (only the primary schema walked). A type tag
+            # rides along so variable-length relationship-uniqueness
+            # can tell an A edge from a B edge over the same endpoint
+            # pair (Cypher: distinct relationships). Inline {k: v}
+            # maps apply per arm; an arm whose type lacks the key can
+            # never satisfy an equality on it and contributes nothing.
+            arms = []
+            arm_schemas = []
+            if rel.orientation != "invalid":
+                arm_schemas.append((sch, rel.orientation))
+            arm_schemas += list(rel.alt_resolved)
+            ec = ExprCompiler(Scope(), self.params) if rel.properties \
+                else None
+            for sch_a, orient_a in arm_schemas:
+                raw_a = self.load_table(sch_a.type_name)
+                if rel.properties:
+                    if any(k not in raw_a.columns
+                           for k in rel.properties):
+                        continue
+                    for key, expr in rel.properties.items():
+                        raw_a = raw_a.filter(
+                            F.col(key) == ec.compile(expr))
+
+                def pair(src_c, dst_c, raw_x=raw_a, t=sch_a.type_name):
+                    return raw_x.select(
+                        F.col(src_c).alias("src"),
+                        F.col(dst_c).alias("dst"),
+                        F.lit(t).alias("rt"))
+
+                if orient_a == "fwd":
+                    arms.append(pair(sch_a.from_column, sch_a.to_column))
+                elif orient_a == "rev":
+                    arms.append(pair(sch_a.to_column, sch_a.from_column))
+                else:  # both
+                    arms.append(
+                        pair(sch_a.from_column, sch_a.to_column).union(
+                            pair(sch_a.to_column, sch_a.from_column)
+                        ).distinct())
+            if not arms:
+                return self.load_table(sch.type_name).select(
+                    F.col(sch.from_column).alias("src"),
+                    F.col(sch.to_column).alias("dst"),
+                    F.lit(sch.type_name).alias("rt"),
+                ).filter(F.lit(False))
+            out = arms[0]
+            for a in arms[1:]:
+                out = out.unionByName(a)
+            return out
         if (self.load_adjacency is not None and sch.adj_index
                 and not rel.properties
                 and rel.orientation != "invalid"):
@@ -2218,12 +2270,15 @@ class QueryCompiler:
                 ).alias("rs"))
         else:
             base = self._oriented_pairs(rel)
+        tagged = "rt" in base.columns  # multi-type: per-edge type tag
         out: Optional[DataFrame] = None
         for k in range(max(rel.min_hops, 1), rel.max_hops + 1):
             step_cols = [
                 F.col("src").alias("e1_src"), F.col("dst").alias("e1_dst")]
             if carry:
                 step_cols.append(F.col("rs").alias("e1_rs"))
+            if tagged:
+                step_cols.append(F.col("rt").alias("e1_rt"))
             df_k = base.select(*step_cols)
             for s in range(2, k + 1):
                 nxt_cols = [
@@ -2231,15 +2286,21 @@ class QueryCompiler:
                     F.col("dst").alias(f"e{s}_dst")]
                 if carry:
                     nxt_cols.append(F.col("rs").alias(f"e{s}_rs"))
+                if tagged:
+                    nxt_cols.append(F.col("rt").alias(f"e{s}_rt"))
                 nxt = base.select(*nxt_cols)
                 cond = F.col(f"e{s - 1}_dst") == F.col(f"e{s}_src")
                 df_k = df_k.join(nxt, cond, "inner")
-                # relationship-uniqueness: no edge repeated within a path
+                # relationship-uniqueness: no edge repeated within a
+                # path (same TYPE and endpoints — an A edge and a B
+                # edge over the same pair are distinct relationships)
                 for p in range(1, s):
-                    df_k = df_k.filter(
-                        ~((F.col(f"e{p}_src") == F.col(f"e{s}_src"))
-                          & (F.col(f"e{p}_dst") == F.col(f"e{s}_dst")))
-                    )
+                    same = ((F.col(f"e{p}_src") == F.col(f"e{s}_src"))
+                            & (F.col(f"e{p}_dst") == F.col(f"e{s}_dst")))
+                    if tagged:
+                        same = same & (F.col(f"e{p}_rt")
+                                       == F.col(f"e{s}_rt"))
+                    df_k = df_k.filter(~same)
             out_cols = [
                 F.col("e1_src").alias("src"),
                 F.col(f"e{k}_dst").alias("dst"),

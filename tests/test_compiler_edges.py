@@ -225,6 +225,42 @@ class TestMultiTypeRel:
                 "RETURN a"
             )
 
+    def test_multi_type_var_length_walks_all_arms(self, tpch):
+        """r9 bug fix: -[:A|B*1..2]-> previously walked only A.
+        One-hop multi-type must equal the union of the single-type
+        hops; a two-hop +1/-1 round trip (distinct types over the
+        same endpoints) is legal under relationship-uniqueness."""
+        both = tpch.execute(
+            "MATCH (a:Customer)-[:NEXT_CUST|PREV_CUST*1..1]->"
+            "(b:Customer) WHERE a.c_custkey <= 10 "
+            "RETURN a.c_custkey AS ak, b.c_custkey AS bk").collect()
+        single = tpch.execute(
+            "MATCH (a:Customer)-[:NEXT_CUST]->(b:Customer) "
+            "WHERE a.c_custkey <= 10 "
+            "RETURN a.c_custkey AS ak, b.c_custkey AS bk").collect()
+        single += tpch.execute(
+            "MATCH (a:Customer)-[:PREV_CUST]->(b:Customer) "
+            "WHERE a.c_custkey <= 10 "
+            "RETURN a.c_custkey AS ak, b.c_custkey AS bk").collect()
+        assert sorted(map(tuple, both)) == sorted(map(tuple, single))
+        # round trip via distinct types is a legal 2-hop path
+        rt = tpch.execute(
+            "MATCH (a:Customer)-[:NEXT_CUST|PREV_CUST*2..2]->"
+            "(b:Customer) WHERE a.c_custkey = 5 "
+            "RETURN b.c_custkey AS bk").collect()
+        assert 5 in {r["bk"] for r in rt}
+
+    def test_multi_type_shortest_path_spans_arms(self, tpch):
+        """shortestPath over a multi-type pattern must traverse every
+        arm: going DOWN the chain needs PREV_CUST, which the primary
+        NEXT_CUST schema alone cannot do."""
+        rows = tpch.execute(
+            "MATCH p = shortestPath((a:Customer)-"
+            "[:NEXT_CUST|PREV_CUST*..3]->(b:Customer)) "
+            "WHERE a.c_custkey = 10 AND b.c_custkey = 7 "
+            "RETURN length(p) AS d").collect()
+        assert [r["d"] for r in rows] == [3]
+
     def test_multi_type_mismatched_endpoints_rejected(self, tpch):
         with pytest.raises(PlanError, match="separate MATCHes"):
             tpch.execute(

@@ -344,6 +344,27 @@ FOLDED_CYPHER = {
            SELECT c1.k, 'PREV_CUST', NULL::BIGINT, c1.k - 1
            FROM c c1 JOIN c c2 ON c2.k = c1.k - 1 WHERE c1.k <= 60""",
     ),
+    # r9 bug fix: multi-type VAR-LENGTH patterns previously walked
+    # only the primary type (alt arms silently dropped). Now every
+    # hop draws from the union of arms, with type-tagged edge
+    # uniqueness (a NEXT edge and a PREV edge over the same endpoint
+    # pair are distinct relationships, so +1 then back -1 is legal)
+    "multitype_varlen": (
+        """MATCH (a:Customer)-[:NEXT_CUST|PREV_CUST*2..2]->(b:Customer)
+           WHERE a.c_custkey <= 30
+           RETURN a.c_custkey AS ak, b.c_custkey AS bk""",
+        """WITH c AS (SELECT c_custkey AS k FROM customer),
+                e AS (
+                    SELECT 'N' AS t, c1.k AS s, c1.k + 1 AS d
+                    FROM c c1 JOIN c c2 ON c2.k = c1.k + 1
+                    UNION ALL
+                    SELECT 'P', c1.k, c1.k - 1
+                    FROM c c1 JOIN c c2 ON c2.k = c1.k - 1)
+           SELECT e1.s AS ak, e2.d AS bk
+           FROM e e1 JOIN e e2 ON e2.s = e1.d
+           WHERE e1.s <= 30
+             AND NOT (e1.t = e2.t AND e1.s = e2.s AND e1.d = e2.d)""",
+    ),
     # NULL anchors (r9 advice fix): an import bound by OPTIONAL MATCH
     # is NULL for customers with no qualifying order; all-aggregate
     # UNION arms must still emit their completed count-0 rows for

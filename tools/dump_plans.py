@@ -115,6 +115,22 @@ def _dedup_probe(spark, docs, store_dir):
                          threshold=0.5)
 
 
+def _dedup_probe_capped(spark, docs, store_dir):
+    """Capped probe against the index `_dedup_probe` already built —
+    the hot set must come from the persisted stats base, not a
+    corpus-side aggregation (r9)."""
+    from pyspark.sql import functions as F
+
+    from brahmand_spark.models import ModelStore
+    from brahmand_spark.ops.dedup_index import dedup_against
+
+    store = ModelStore(store_dir)
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    return dedup_against(spark, "plans_dix", batch, store,
+                         threshold=0.5, hot_bucket_cap=8)
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -383,6 +399,38 @@ def main() -> None:
             "near route is the band-bucket equi-join (ids only through "
             "the shuffle) with the signature-agreement estimate joined "
             "onto the candidate set afterwards.",
+        ),
+        (
+            "Capped dedup-index probe (persisted bucket stats, "
+            "no corpus-side aggregation)",
+            _dedup_probe_capped(spark, docs, ann_dir),
+            "hot_bucket_cap probes read the hot set from the "
+            "persisted (band, bucket, n) STATS table through a PUSHED "
+            "`n > cap` filter on the partition-pruned batch=base scan "
+            "(r9 — the pre-r9 plan re-AGGREGATED the whole corpus "
+            "buckets table on every probe, exactly on the "
+            "boilerplate-heavy corpora that need the cap). The hot "
+            "set anti-joins the bucket scan; with no add deltas and "
+            "no tombstones the capped plan carries ZERO extra "
+            "aggregations over the uncapped one.",
+        ),
+        (
+            "Weighted var-length path (per-hop rel structs)",
+            session.execute(
+                "MATCH p = (a:Customer)-[:NEXT_CUST*1..3]->"
+                "(b:Customer) WHERE a.c_custkey <= 1000 "
+                "RETURN a.c_custkey AS ak, b.c_custkey AS bk, "
+                "reduce(t = 0, x IN relationships(p) | t + x.hop_w) "
+                "AS w"),
+            "relationships(p) on a var-length segment (r9): each "
+            "k-fold self-join level carries its hop's (src, dst, "
+            "hop_w) struct, the per-path array assembles in the "
+            "projection (no extra shuffle — the joins are the same "
+            "id-keyed hops the pair walk already runs), and reduce() "
+            "folds the weights as a codegen'd aggregate lambda. When "
+            "a query never touches the structs, Catalyst prunes both "
+            "the array construction and the property reads back out "
+            "of the scan.",
         ),
         (
             "Image near-dup pair join (pigeonhole Hamming banding)",

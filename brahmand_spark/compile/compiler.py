@@ -853,7 +853,13 @@ class QueryCompiler:
                 items.append(it)
                 continue
             star = [n for n in sub_scope.bindings
-                    if n not in imports and not n.startswith("__")]
+                    if n not in imports and not n.startswith("__")
+                    # path variables are omitted from the block's *:
+                    # their relational rendering is an id array that
+                    # breaks length()/relationships() downstream —
+                    # return a path explicitly if that array is what
+                    # you want (r9 review)
+                    and not isinstance(sub_scope.get(n), PathBinding)]
             if not star:
                 raise PlanError(
                     "RETURN * inside this CALL { } block has nothing "
@@ -898,11 +904,18 @@ class QueryCompiler:
                             "CALL { } block is not supported")
                     cols.append((b.src_pcol, b.src_pcol))
                     cols.append((b.dst_pcol, b.dst_pcol))
+                    if b.type_pcol:
+                        # multi-type rels resolve type(r) from a
+                        # per-row column — it must ride the carry or
+                        # the outer type(r) silently falls back to
+                        # the primary arm's constant (r9 review)
+                        cols.append((b.type_pcol, b.type_pcol))
                     carry_b = RelBinding(
                         alias=out_alias, type_name=b.type_name,
                         columns=list(b.columns),
                         src_pcol=b.src_pcol, dst_pcol=b.dst_pcol,
-                        fwd_storage=b.fwd_storage)
+                        fwd_storage=b.fwd_storage,
+                        type_pcol=b.type_pcol)
                 carries.append((carry_b, cols))
                 continue
             name = it.alias
@@ -2238,7 +2251,16 @@ class QueryCompiler:
         compile (r9; `_assemble` sets ``carry_props``). The array is
         built from the same scan, adds no shuffle, and Catalyst prunes
         both it and the property reads when the final projection never
-        touches them."""
+        touches them.
+
+        Documented divergence (carry mode only): the 'both'
+        orientation dedups over (src, dst, properties) — reciprocal
+        edges with DISTINCT props stay distinct paths, matching the
+        single-hop `_edge_df` semantics — while the prop-free pair
+        walk collapses them (its narrow scan never sees props, the
+        reference's own collapse). Binding a path variable can
+        therefore surface reciprocal-edge paths the plain pattern
+        folds together."""
         carry = bool(getattr(rel, "carry_props", False))
         if carry:
             sch = rel.schema

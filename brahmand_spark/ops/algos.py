@@ -252,7 +252,6 @@ def connected_components(
 def _cc_two_phase(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     max_iterations: int = 20, checkpoint: bool | str = True,
-    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, int]:
     """Large-star/small-star connected components (Kiveris et al.,
     SoCC'14). Returns (labels, rounds_run).

@@ -477,7 +477,8 @@ def dedup_index_compact(spark, name: str, store) -> dict:
     else:
         for path in (params["sigs_path"], params["buckets_path"]):
             compact_parquet_to_batch(spark, path, dp, "id")
-        _fold_stats(spark, params)  # deltas merge, then exact rebuild
+        # stats rebuild EXACTLY from the compacted live buckets (no
+        # delta fold first — its output would be overwritten here)
         sp = params["stats_path"]
         stats = (spark.read.parquet(params["buckets_path"])
                  .groupBy("band", "bucket")

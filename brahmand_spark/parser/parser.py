@@ -223,10 +223,19 @@ class Parser:
             elif tok.kind == "KEYWORD" and depth == 0 and tok.value == "DELETE":
                 return True
             elif (tok.kind == "IDENT" and depth == 0
-                  and tok.value.upper() == "TRANSACTIONS"):
-                # CALL { <writes> } IN TRANSACTIONS: the write
-                # keywords hide at brace depth 1, but the trailing
-                # TRANSACTIONS marker sits at depth 0
+                  and tok.value.upper() == "TRANSACTIONS"
+                  and j >= 2
+                  and self.tokens[j - 1].kind == "KEYWORD"
+                  and self.tokens[j - 1].value == "IN"
+                  and self.tokens[j - 2].kind == "OP"
+                  and self.tokens[j - 2].value == "}"):
+                # `} IN TRANSACTIONS` tail of CALL { <writes> } IN
+                # TRANSACTIONS: the write keywords hide at brace
+                # depth 1, but this marker sits at depth 0. The full
+                # three-token context is required — a bare identifier
+                # `transactions` (a column, an alias, a list variable
+                # in `x IN transactions`) must NOT reroute a read
+                # query into the write parser (r9 review).
                 return True
         return False
 

@@ -54,7 +54,11 @@ def apply_write(session, wq: ast.WriteQuery, params=None,
         df, scope = compiler._compile_part(None, Scope(), part)
         if anchor_ids is not None:
             alias, ids_df = anchor_ids
-            key = scope.get(alias).id_pcol
+            b = scope.get(alias)
+            # same key rule as the batch assignment: node -> id,
+            # relationship -> src endpoint (RelBinding has no id_pcol
+            # — r9 review: a rel-anchored batch crashed here)
+            key = b.id_pcol if isinstance(b, NodeBinding) else b.src_pcol
             df = df.join(
                 F.broadcast(ids_df.select(F.col("id").alias(key))),
                 key, "leftsemi")
@@ -113,8 +117,10 @@ def apply_call_in_transactions(
     ``batch`` + the usual write counters) plus semantic parity with
     the equivalent one-shot write.
 
-    Scale notes: the batch assignment sorts the (narrow) id column
-    once (row_number window) and pins it with a localCheckpoint; the
+    Scale notes: the batch assignment range-sorts the (narrow) id
+    column once — range repartition + in-partition sort +
+    zipWithIndex, so the numbering is distributed (no single-task
+    global window) — and pins it with a localCheckpoint; the
     per-batch id set is ≤ ``batch_rows`` and broadcast into a
     semi-join, so each batch's plan touches only its own slice.
     Batching is by distinct anchor id — openCypher batches rows;
@@ -123,8 +129,6 @@ def apply_call_in_transactions(
     lakehouse-overwrite posture); a failure mid-sequence leaves
     earlier batches committed, exactly openCypher's documented
     IN TRANSACTIONS behavior."""
-    from pyspark.sql.window import Window
-
     if not session.allow_writes:
         raise UnsupportedError(
             "CALL { } IN TRANSACTIONS is a write statement — pass "
@@ -137,7 +141,18 @@ def apply_call_in_transactions(
         raise PlanError(
             "CALL { } IN TRANSACTIONS needs a preceding MATCH to "
             "batch over")
-    part = ast.QueryPart(matches=cit.match_clauses, where=cit.where)
+    # the block body's OWN matches and WHERE refine which rows the
+    # writes touch (r9 review: they were silently dropped — a WHERE
+    # inside the block then mutated every outer row); they merge into
+    # one match part with the outer clauses, exactly as apply_write
+    # compiles them below per batch
+    all_matches = list(cit.match_clauses) + list(
+        cit.body.match_clauses or [])
+    where = cit.where
+    if cit.body.where is not None:
+        where = (cit.body.where if where is None
+                 else ast.Binary("AND", where, cit.body.where))
+    part = ast.QueryPart(matches=all_matches, where=where)
     df, scope = compiler._compile_part(None, Scope(), part)
     for a in cit.imports:
         if not isinstance(scope.get(a), (NodeBinding, RelBinding)):
@@ -147,16 +162,30 @@ def apply_call_in_transactions(
     anchor = cit.imports[0]
     b = scope.get(anchor)
     key = b.id_pcol if isinstance(b, NodeBinding) else b.src_pcol
-    ids = (
+    # id-range batch assignment WITHOUT a single-task global window
+    # (r9 review: row_number over an unpartitioned Window funnels
+    # every id through one task — the opposite of this feature's
+    # million-row purpose): range-repartition + in-partition sort
+    # gives a global order across partitions, and zipWithIndex
+    # numbers it distributedly (one count pass + per-partition
+    # offsets). The ids frame is narrow (one column) by design.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    k_rows = int(cit.batch_rows)
+    sorted_ids = (
         df.select(F.col(key).alias("id")).distinct()
-        .withColumn("_b", F.floor(
-            (F.row_number().over(Window.orderBy("id")) - 1)
-            / int(cit.batch_rows)))
-        .localCheckpoint()
+        .repartitionByRange("id").sortWithinPartitions("id")
     )
+    schema = StructType([sorted_ids.schema.fields[0],
+                         StructField("_b", LongType())])
+    ids = session.spark.createDataFrame(
+        sorted_ids.rdd.zipWithIndex().map(
+            lambda t: (t[0][0], t[1] // k_rows)),
+        schema,
+    ).localCheckpoint()
     n_batches = (ids.agg(F.max("_b").alias("m")).first()["m"] or 0) + 1
     wq = ast.WriteQuery(
-        match_clauses=cit.match_clauses, where=cit.where,
+        match_clauses=all_matches, where=where,
         merges=cit.body.merges, create=cit.body.create,
         set_clause=cit.body.set_clause, remove=cit.body.remove,
         delete=cit.body.delete, foreachs=cit.body.foreachs,

@@ -1578,3 +1578,26 @@ class TestOptionalCallStandalone:
             "OPTIONAL CALL { MATCH (n:Nation) WHERE n.n_nationkey < 2 "
             "RETURN n.n_name AS nm } RETURN nm").collect())
         assert a == ["NATION_0", "NATION_1"]
+
+
+class TestCallCarryReviewFindings:
+    """r9 review regressions: carried multi-type rels keep their
+    per-row type column; RETURN * omits path variables."""
+
+    def test_carried_multitype_rel_keeps_type(self, tpch):
+        rows = tpch.execute(
+            "MATCH (a:Customer) WHERE a.c_custkey = 10 "
+            "CALL { WITH a MATCH (a)-[r:NEXT_CUST|PREV_CUST]->"
+            "(b:Customer) RETURN r, b.c_custkey AS bk } "
+            "RETURN type(r) AS t, bk ORDER BY t").collect()
+        assert [(r["t"], r["bk"]) for r in rows] == \
+            [("NEXT_CUST", 11), ("PREV_CUST", 9)]
+
+    def test_return_star_omits_path_vars(self, tpch):
+        rows = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+            "CALL { WITH c MATCH p = (c)-[:NEXT_CUST*1..2]->"
+            "(b:Customer) RETURN * } "
+            "RETURN c.c_custkey AS ck, b.c_custkey AS bk "
+            "ORDER BY bk").collect()
+        assert [(r["ck"], r["bk"]) for r in rows] == [(1, 2), (1, 3)]

@@ -641,3 +641,56 @@ class TestCallInTransactions:
         with pytest.raises(ParseError, match="DELETE"):
             wsession.execute(
                 "MATCH (p:Person) CALL { WITH p DELETE p } IN BATCHES")
+
+    def test_transactions_identifier_stays_read(self, wsession):
+        """r9 review: a column/alias/list variable named
+        'transactions' must NOT reroute a read query into the write
+        parser — only the `} IN TRANSACTIONS` tail does."""
+        self._people(wsession, n=3)
+        out = wsession.execute(
+            "MATCH (p:Person) WITH p.id AS transactions "
+            "RETURN transactions ORDER BY transactions").collect()
+        assert [r["transactions"] for r in out] == [0, 1, 2]
+        out2 = wsession.execute(
+            "UNWIND [1, 2] AS x WITH collect(x) AS transactions "
+            "RETURN 2 IN transactions AS hit").collect()
+        assert out2[0]["hit"] is True
+
+    def test_inner_where_and_match_respected(self, spark):
+        """r9 review: the block body's own WHERE (and MATCH) must
+        refine which rows the writes touch — previously they were
+        silently dropped and the write hit every outer row."""
+        s = GraphSession(spark, allow_writes=True)
+        s.execute("CREATE NODE TABLE Person (id Int64, age Int64, "
+                  "PRIMARY KEY(id), NODE ID(id))")
+        for i in range(10):
+            s.execute(f"CREATE (p:Person {{id: {i}, age: {20 + i}}})")
+        s.execute(
+            "MATCH (p:Person) "
+            "CALL { WITH p WHERE p.age >= 25 SET p.age = 0 } "
+            "IN TRANSACTIONS OF 3 ROWS").collect()
+        got = rows(s, "MATCH (p:Person) RETURN p.id AS i, p.age AS a")
+        assert got == {(i, 20 + i if 20 + i < 25 else 0)
+                       for i in range(10)}
+
+    def test_rel_anchored_batches(self, spark):
+        """r9 review: a relationship import batches by its src
+        endpoint and must not crash on the (id_pcol-less) RelBinding."""
+        s = GraphSession(spark, allow_writes=True)
+        s.execute("CREATE NODE TABLE Person (id Int64, "
+                  "PRIMARY KEY(id), NODE ID(id))")
+        s.execute("CREATE REL TABLE KNOWS FROM Person TO Person "
+                  "(w Int64)")
+        for i in range(8):
+            s.execute(f"CREATE (p:Person {{id: {i}}})")
+        s.execute("MATCH (a:Person) MATCH (b:Person) "
+                  "WHERE b.id = a.id + 1 "
+                  "CREATE (a)-[:KNOWS {w: 1}]->(b)")
+        out = s.execute(
+            "MATCH (a:Person)-[r:KNOWS]->(b:Person) "
+            "CALL { WITH r SET r.w = 9 } "
+            "IN TRANSACTIONS OF 3 ROWS").collect()
+        assert len(out) == 3  # 7 src ids in batches of 3
+        got = rows(s, "MATCH (a:Person)-[r:KNOWS]->(b:Person) "
+                      "RETURN DISTINCT r.w AS w")
+        assert got == {(9,)}

@@ -2410,11 +2410,15 @@ class QueryCompiler:
         if in_df is not None:
             components.append((in_df, set(scope.bindings.keys())))
 
-        # r9: a variable-length rel that rides a PATH VARIABLE and
-        # whose type declares properties carries per-hop rel structs,
-        # so relationships(p) can expose them downstream (shortest
-        # segments materialize only the min distance — never carried;
-        # multi-type unions have no single property surface to walk)
+        # r9: a variable-length rel that rides a PATH VARIABLE
+        # carries per-hop rel structs, so relationships(p) /
+        # nodes(p) work downstream — always when its type declares
+        # properties, and for prop-less types too unless the rel is
+        # adjacency-indexed (the grouped-table fast path is worth
+        # more than introspection there: drop the path var or the
+        # index to introspect). Shortest segments materialize only
+        # the min distance — never carried; multi-type unions have
+        # no single property surface to walk.
         path_rel_aliases = {
             ra for _, rels in pattern.path_vars.values() for ra in rels}
         for r in pattern.rels:
@@ -2426,7 +2430,9 @@ class QueryCompiler:
                     c for c in (r.schema.column_names or raw_cols)
                     if c not in (r.schema.from_column, r.schema.to_column)
                     and c in raw_cols)
-                if props:
+                adj_backed = (self.load_adjacency is not None
+                              and r.schema.adj_index)
+                if props or not adj_backed:
                     r.carry_props = True
                     r.carry_prop_names = props
 

@@ -212,25 +212,44 @@ class ExprCompiler:
     # -- path introspection (extension: reference has no path vars) ----
     def _path_nodes(self, b: PathBinding) -> Column:
         """nodes(p): ordered array of the path's node identities (ids —
-        the relational rendering of Cypher node objects). Rejected when
-        a segment is variable-length/shortest: intermediate nodes are
-        not materialized, and an endpoints-only array would be silently
-        wrong."""
-        if any(h is not None for h in b.rel_hops):
-            raise PlanError(
-                "nodes() on a path with a variable-length segment is "
-                "not supported (intermediate nodes are not materialized)"
-            )
-        ids = []
-        for a in b.node_aliases:
+        the relational rendering of Cypher node objects). Variable-
+        length segments contribute their intermediate nodes from the
+        carried per-hop structs (r9 — the first hop's src is the
+        segment's entry node, already emitted by the previous
+        segment, so each hop appends its dst); segments without
+        carried structs (shortest paths; adjacency-indexed prop-less
+        rels) still reject — an endpoints-only array would be
+        silently wrong."""
+        def node_id(a: str) -> Column:
             nb = self.scope.get(a)
             if not isinstance(nb, NodeBinding):
                 raise PlanError(
                     f"path variable '{b.alias}' references unbound "
                     f"node alias '{a}'"
                 )
-            ids.append(F.col(nb.id_pcol))
-        return F.array(*ids)
+            return F.col(nb.id_pcol)
+
+        rel_structs = b.rel_structs or [None] * len(b.rel_aliases)
+        if not b.rel_aliases:
+            return F.array(node_id(b.node_aliases[0]))
+        parts = [F.array(node_id(b.node_aliases[0]))]
+        for a, hops, st, nxt in zip(
+                b.rel_aliases, b.rel_hops, rel_structs,
+                b.node_aliases[1:]):
+            if hops is None:
+                parts.append(F.array(node_id(nxt)))
+                continue
+            if st is None or not st[0]:
+                raise PlanError(
+                    "nodes() on this variable-length/shortest segment "
+                    "is not supported (intermediate nodes are not "
+                    "materialized for shortest paths or "
+                    "adjacency-indexed relationships)"
+                )
+            parts.append(F.transform(F.col(st[0]), lambda x: x["dst"]))
+        if len(parts) == 1:
+            return parts[0]
+        return F.concat(*parts)
 
     def _path_rels(self, b: PathBinding) -> Column:
         """relationships(p): ordered array of per-relationship structs
@@ -253,9 +272,9 @@ class ExprCompiler:
                 raise PlanError(
                     "relationships() on this variable-length/shortest "
                     "segment is not supported (per-hop structs are "
-                    "carried only for variable-length relationships "
-                    "whose type declares properties; use length(p) "
-                    "for hop counts)"
+                    "not materialized for shortest paths or "
+                    "adjacency-indexed prop-less relationships; use "
+                    "length(p) for hop counts)"
                 )
             rb = self.scope.get(a)
             prop_sets.append(

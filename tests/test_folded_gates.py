@@ -328,6 +328,29 @@ FOLDED_CYPHER = {
            UNION ALL
            SELECT e1.s, e2.d FROM e e1 JOIN e e2 ON e2.s = e1.d""",
     ),
+    # r9: nodes(p) across a var-length segment — intermediate nodes
+    # come from the carried per-hop structs (entry node + each hop's
+    # dst); the NEXT_CUST chain is contiguous, so the oracle is a
+    # range list
+    "varlen_nodes": (
+        """MATCH p = (a:Customer)-[:NEXT_CUST*1..3]->(b:Customer)
+           WHERE a.c_custkey <= 40
+           RETURN a.c_custkey AS ak, b.c_custkey AS bk,
+                  nodes(p) AS ns""",
+        """WITH c AS (SELECT c_custkey AS k FROM customer),
+                e AS (SELECT c1.k AS s, c1.k + 1 AS d
+                      FROM c c1 JOIN c c2 ON c2.k = c1.k + 1)
+           SELECT ak, bk, range(ak, bk + 1) AS ns FROM (
+               SELECT s AS ak, d AS bk FROM e
+               UNION ALL
+               SELECT e1.s, e2.d FROM e e1
+               JOIN e e2 ON e2.s = e1.d
+               UNION ALL
+               SELECT e1.s, e3.d FROM e e1
+               JOIN e e2 ON e2.s = e1.d
+               JOIN e e3 ON e3.s = e2.d) q
+           WHERE ak <= 40""",
+    ),
     # r9: multi-type hop with PER-ARM property access — the union
     # carries the union of arm property columns (NULL where the
     # matched type lacks one) and type(r) resolves per row

@@ -678,3 +678,42 @@ class TestHopPruning:
             for q, w in zip(queries, want):
                 got = sorted(map(tuple, s.execute(q).collect()))
                 assert got == w, (mode, q[:60])
+
+
+class TestVarLengthCarryVsAdjacency:
+    """r9: prop-less var-length rels in a path variable carry per-hop
+    structs (nodes()/relationships() work) UNLESS adjacency-indexed —
+    there the grouped-table fast path wins and introspection rejects
+    with guidance."""
+
+    def test_propless_path_var_carries(self, tpch):
+        rows = tpch.execute(
+            "MATCH p = (a:Customer)-[:PREV_CUST*2..2]->(b:Customer) "
+            "WHERE a.c_custkey = 5 "
+            "RETURN nodes(p) AS ns, size(relationships(p)) AS nr"
+        ).collect()
+        assert [(list(r["ns"]), r["nr"]) for r in rows] == \
+            [([5, 4, 3], 2)]
+
+    def test_adjacency_indexed_propless_rejects_introspection(
+            self, spark):
+        from brahmand_spark.errors import PlanError
+        from brahmand_spark.graphs.tpch import build_session
+
+        from .conftest import SF_SMOKE
+
+        s = build_session(spark, SF_SMOKE)
+        s.build_adj_index("PREV_CUST")
+        # the pair walk keeps the adjacency fast path...
+        df = s.execute(
+            "MATCH (a:Customer)-[:PREV_CUST*2..2]->(b:Customer) "
+            "WHERE a.c_custkey = 5 RETURN b.c_custkey AS bk")
+        assert [r["bk"] for r in df.collect()] == [3]
+        # ...and path introspection points at the trade
+        import pytest
+
+        with pytest.raises(PlanError, match="adjacency-indexed"):
+            s.execute(
+                "MATCH p = (a:Customer)-[:PREV_CUST*2..2]->"
+                "(b:Customer) WHERE a.c_custkey = 5 "
+                "RETURN nodes(p) AS ns").collect()

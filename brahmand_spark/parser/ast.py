@@ -443,6 +443,11 @@ class CallInTransactions:
     imports: list = field(default_factory=list)
     body: Optional["WriteQuery"] = None
     batch_rows: int = 1000  # openCypher default
+    # ON ERROR mode: 'fail' (default — first failing batch raises,
+    # earlier batches stay committed), 'continue' (skip the failing
+    # batch, keep going), 'break' (stop after the failing batch);
+    # every mode reports per-batch status in the output frame
+    on_error: str = "fail"
 
 
 @dataclass

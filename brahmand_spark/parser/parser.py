@@ -1047,9 +1047,10 @@ class Parser:
     # -- write queries (parse-only parity) ----------------------------------
     def _parse_call_in_transactions(self, wq: "ast.WriteQuery"):
         """``CALL { WITH <imports> <write clauses> } IN TRANSACTIONS
-        [OF <k> ROWS]`` — the openCypher batched-commit write form
-        (r9). ``wq`` holds the already-parsed outer MATCH/WHERE.
-        TRANSACTIONS/OF/ROWS are soft words (plain identifiers), so
+        [OF <k> ROWS] [ON ERROR CONTINUE|BREAK|FAIL]`` — the
+        openCypher batched-commit write form (r9). ``wq`` holds the
+        already-parsed outer MATCH/WHERE. TRANSACTIONS/OF/ROWS/ERROR
+        and the error modes are soft words (plain identifiers), so
         columns by those names stay usable."""
         self.next()  # CALL
         self.eat_op("{")
@@ -1080,6 +1081,21 @@ class Parser:
             if not (rows.kind in ("IDENT", "KEYWORD")
                     and rows.value.upper() == "ROWS"):
                 self.error("expected ROWS after the batch size")
+        on_error = "fail"
+        if self.at_kw("ON"):
+            self.next()
+            err = self.next()
+            if not (err.kind == "IDENT"
+                    and err.value.upper() == "ERROR"):
+                self.error("expected ERROR after ON")
+            mode = self.next()
+            modes = {"CONTINUE": "continue", "BREAK": "break",
+                     "FAIL": "fail"}
+            if not (mode.kind in ("IDENT", "KEYWORD")
+                    and mode.value.upper() in modes):
+                self.error(
+                    "expected CONTINUE, BREAK or FAIL after ON ERROR")
+            on_error = modes[mode.value.upper()]
         if body.return_clause is not None:
             self.error(
                 "RETURN inside CALL { } IN TRANSACTIONS is not "
@@ -1091,7 +1107,8 @@ class Parser:
                 "clause (SET/REMOVE/DELETE/CREATE/MERGE/FOREACH)")
         return ast.CallInTransactions(
             match_clauses=wq.match_clauses, where=wq.where,
-            imports=imports, body=body, batch_rows=batch_rows)
+            imports=imports, body=body, batch_rows=batch_rows,
+            on_error=on_error)
 
     def parse_write_query(self) -> ast.WriteQuery:
         wq = ast.WriteQuery()

@@ -113,9 +113,11 @@ def apply_call_in_transactions(
     block's write clauses once per batch — each batch is its own
     commit (every mutated table snapshots per batch via ``_store``),
     so a million-row mutation neither builds one giant plan nor
-    holds one giant undo. Returns one stats row PER BATCH (column
-    ``batch`` + the usual write counters) plus semantic parity with
-    the equivalent one-shot write.
+    holds one giant undo. Returns one status row PER BATCH
+    (``batch``, ``committed``, ``error`` + the usual write counters)
+    with semantic parity with the equivalent one-shot write; ``ON
+    ERROR CONTINUE|BREAK|FAIL`` governs what a failing batch does
+    (see the loop below).
 
     Scale notes: the batch assignment range-sorts the (narrow) id
     column once — range repartition + in-partition sort +
@@ -190,15 +192,35 @@ def apply_call_in_transactions(
         set_clause=cit.body.set_clause, remove=cit.body.remove,
         delete=cit.body.delete, foreachs=cit.body.foreachs,
     )
+    # ON ERROR semantics (openCypher 9): 'fail' (default) re-raises
+    # on the first failing batch — earlier batches STAY COMMITTED,
+    # the documented IN TRANSACTIONS behavior; 'continue' skips the
+    # failing batch and keeps going; 'break' stops issuing batches
+    # after a failure. Every mode reports per-batch status columns
+    # (committed, error) alongside the write counters.
+    stat_keys = ["nodes_created", "relationships_created",
+                 "properties_set", "nodes_deleted",
+                 "relationships_deleted"]
     out_rows = []
     for bi in range(int(n_batches)):
         batch_ids = ids.filter(F.col("_b") == bi).select("id")
-        stats = apply_write(session, wq, params,
-                            anchor_ids=(anchor, batch_ids)).first()
-        out_rows.append((bi,) + tuple(stats))
-    cols = ["batch"] + list(stats.asDict().keys())
-    return session.spark.createDataFrame(
-        out_rows, ", ".join(f"{c} bigint" for c in cols))
+        try:
+            stats = apply_write(session, wq, params,
+                                anchor_ids=(anchor, batch_ids)).first()
+        except Exception as exc:
+            if cit.on_error == "fail":
+                raise
+            out_rows.append(
+                (bi, False, f"{type(exc).__name__}: {exc}"[:500])
+                + (0,) * len(stat_keys))
+            if cit.on_error == "break":
+                break
+            continue
+        stat_keys = list(stats.asDict().keys())
+        out_rows.append((bi, True, None) + tuple(stats))
+    cols = (["batch bigint", "committed boolean", "error string"]
+            + [f"{c} bigint" for c in stat_keys])
+    return session.spark.createDataFrame(out_rows, ", ".join(cols))
 
 
 def _store(session, table_name: str, df: DataFrame) -> DataFrame:

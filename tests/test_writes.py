@@ -694,3 +694,35 @@ class TestCallInTransactions:
         got = rows(s, "MATCH (a:Person)-[r:KNOWS]->(b:Person) "
                       "RETURN DISTINCT r.w AS w")
         assert got == {(9,)}
+
+    def test_on_error_modes(self, spark):
+        """ON ERROR CONTINUE skips failing batches (status rows say
+        so), BREAK stops after the first failure, FAIL (default)
+        re-raises — earlier batches stay committed either way."""
+        def build():
+            s = GraphSession(spark, allow_writes=True)
+            s.execute("CREATE NODE TABLE Person (id Int64, age Int64, "
+                      "PRIMARY KEY(id), NODE ID(id))")
+            for i in range(6):
+                s.execute(f"CREATE (p:Person {{id: {i}, age: {i}}})")
+            return s
+
+        # SET on the key column fails per batch (KeyColumnGuards)
+        bad = ("MATCH (p:Person) CALL { WITH p SET p.id = 0 } "
+               "IN TRANSACTIONS OF 2 ROWS")
+        s = build()
+        out = s.execute(bad + " ON ERROR CONTINUE").collect()
+        assert len(out) == 3
+        assert all(r["committed"] is False and r["error"]
+                   for r in out)
+        out2 = build().execute(bad + " ON ERROR BREAK").collect()
+        assert len(out2) == 1 and out2[0]["committed"] is False
+        with pytest.raises(Exception):
+            build().execute(bad).collect()  # default FAIL
+        # happy path carries the status columns too
+        ok = build().execute(
+            "MATCH (p:Person) CALL { WITH p SET p.age = 0 } "
+            "IN TRANSACTIONS OF 4 ROWS ON ERROR CONTINUE").collect()
+        assert [(r["batch"], r["committed"], r["error"],
+                 r["properties_set"]) for r in ok] == \
+            [(0, True, None, 4), (1, True, None, 2)]

@@ -695,7 +695,13 @@ def build_ann_index(
     if codes_path is None:
         codes_path = os.path.join(store.path, f"{name}.codes")
     index = pq_index_frame(corpus, centroids, codebooks, id_col, vec_col)
-    index.write.mode("overwrite").partitionBy("cell").parquet(codes_path)
+    # (cell, batch) partitioning (r9): searches prune on cell exactly
+    # as before; the batch level is what makes streaming ingest
+    # replay-idempotent — a re-run ann_add(batch_key=K) dynamically
+    # overwrites only its own (cell, batch=K) partitions
+    index.withColumn("batch", F.lit("base")) \
+        .write.mode("overwrite").partitionBy("cell", "batch") \
+        .parquet(codes_path)
     n_vectors = corpus.sparkSession.read.parquet(codes_path).count()
     params = {
         "id_col": id_col, "vec_col": vec_col, "dim": dim,
@@ -703,7 +709,7 @@ def build_ann_index(
         "sample_size": sample_size, "iters": iters,
         "codes_path": codes_path,
         "source_paths": [source_path] if source_path else [],
-        "n_vectors": n_vectors,
+        "n_vectors": n_vectors, "batch_counts": {},
     }
     store.save(name, "ann_index",
                {"centroids": centroids, "codebooks": codebooks}, params)
@@ -718,10 +724,25 @@ def _source_paths(params: dict) -> list[str]:
     return [params["source_path"]] if params.get("source_path") else []
 
 
+def _read_sources(spark, paths: list[str]) -> DataFrame:
+    """Union the recorded source tables, each read SEPARATELY: the
+    list can mix partition layouts — a flat build corpus beside a
+    ``batch_id=N``-partitioned streaming accepted root (r9,
+    ann_ingest_stream) — which a single multi-path read rejects with
+    CONFLICTING_DIRECTORY_STRUCTURES. Discovered partition columns
+    null-fill on the layouts that lack them; consumers project the
+    id/vector columns anyway."""
+    dfs = [spark.read.parquet(p) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
 def ann_add(
     spark, name: str, new_vectors: DataFrame, store,
     id_col: str | None = None, vec_col: str | None = None,
-    source_path: str | None = None,
+    source_path: str | None = None, batch_key: str | None = None,
 ) -> dict:
     """Append a new vector batch to a persisted index WITHOUT
     refitting: encode with the STORED centroids/codebooks (the fits
@@ -742,9 +763,36 @@ def ann_add(
     sources accumulate as a list and searches union them) or search
     with an explicit ``corpus=`` covering every added row. Label-
     recorded sources (``CALL vector.build_index``) are maintained by
-    ``CALL vector.add``. Returns the updated params."""
+    ``CALL vector.add``. Returns the updated params.
+
+    ``batch_key`` (r9, ``[A-Za-z0-9_.-]+``, not ``base``) makes the
+    add REPLAY-IDEMPOTENT: the codes land under their cells'
+    ``batch=<key>`` partitions via dynamic partition overwrite, so
+    re-running the same (batch, key) — a crashed streaming
+    micro-batch — rewrites identical partitions and corrects
+    ``n_vectors`` instead of duplicating rows (the encode is
+    deterministic, so the partition set is identical across
+    attempts). Without a key the add appends under an anonymous
+    batch (plain append semantics). A recorded ``source_path``
+    joins the source list only ONCE — streaming ingest passes the
+    same accepted-rows root every batch."""
+    import re as _re
+    import uuid as _uuid
+
     doc = store.load(name, "ann_index")
     params = doc["params"]
+    legacy = "batch_counts" not in params  # pre-r9 cell-only layout
+    if batch_key is not None:
+        if legacy:
+            raise ValueError(
+                f"index '{name}' predates the (cell, batch) "
+                f"partition layout; rebuild it (build_ann_index) to "
+                f"use batch_key replay semantics")
+        if batch_key == "base" or not _re.fullmatch(
+                r"[A-Za-z0-9_.\-]+", batch_key):
+            raise ValueError(
+                f"batch_key must match [A-Za-z0-9_.-]+ and not be "
+                f"'base' (got {batch_key!r})")
     vcol = vec_col or params["vec_col"]
     bad = new_vectors.filter(
         F.size(F.col(vcol)) != int(params["dim"])).limit(1).count()
@@ -777,10 +825,34 @@ def ann_add(
     # undoing ann_remove's decrement (r8 review)
     index = index.localCheckpoint()
     n_new = index.count()
-    index.write.mode("append").partitionBy("cell").parquet(
-        params["codes_path"])
-    params["n_vectors"] = int(params["n_vectors"]) + n_new
-    if source_path is not None:
+    if legacy:
+        index.write.mode("append").partitionBy("cell").parquet(
+            params["codes_path"])
+        params["n_vectors"] = int(params["n_vectors"]) + n_new
+    else:
+        key = (batch_key if batch_key is not None
+               else f"a-{_uuid.uuid4().hex}")
+        writer = (index.withColumn("batch", F.lit(key))
+                  .write.partitionBy("cell", "batch"))
+        if batch_key is not None:
+            # dynamic overwrite touches ONLY the (cell, batch=key)
+            # partitions present in this batch — the replay device
+            writer = writer.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic")
+        else:
+            writer = writer.mode("append")
+        writer.parquet(params["codes_path"])
+        bc = dict(params.get("batch_counts", {}))
+        prev = bc.get(key)
+        params["n_vectors"] = (int(params["n_vectors"]) + n_new
+                               - int(prev or 0))
+        if batch_key is not None:
+            bc[key] = n_new
+            while len(bc) > 100:  # replay only revisits recent keys
+                del bc[next(iter(bc))]
+        params["batch_counts"] = bc
+    if source_path is not None and \
+            source_path not in _source_paths(params):
         params["source_paths"] = _source_paths(params) + [source_path]
         params.pop("source_path", None)
     store.save(name, "ann_index", doc["payload"], params)
@@ -831,8 +903,10 @@ def ann_compact(spark, name: str, store) -> dict:
     dp = _ann_deletes_path(params)
     if not path_exists(spark, dp):
         return params
-    compact_parquet(spark, params["codes_path"], dp, "corpus_id",
-                    partition_by="cell")
+    compact_parquet(
+        spark, params["codes_path"], dp, "corpus_id",
+        partition_by=("cell" if "batch_counts" not in params
+                      else ["cell", "batch"]))
     delete_path(spark, dp)
     params["n_vectors"] = spark.read.parquet(
         params["codes_path"]).count()
@@ -907,7 +981,7 @@ def ann_reindex(
             raise ValueError(
                 f"index '{name}' has no recorded source_path; pass "
                 f"corpus= with the original vectors to reindex")
-        corpus = spark.read.parquet(*paths)
+        corpus = _read_sources(spark, paths)
     n_cells = int(n_cells if n_cells is not None else params["n_cells"])
     m = int(m if m is not None else params["m"])
     n_codes = int(n_codes if n_codes is not None else params["n_codes"])
@@ -930,12 +1004,14 @@ def ann_reindex(
     index = pq_index_frame(live, centroids, codebooks, id_col, vec_col)
     tmp = params["codes_path"] + ".reindex"
     delete_path(spark, tmp)
-    index.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    index.withColumn("batch", F.lit("base")) \
+        .write.mode("overwrite").partitionBy("cell", "batch") \
+        .parquet(tmp)
     replace_dir(spark, tmp, params["codes_path"])
     delete_path(spark, dp)
     params.update({"n_cells": n_cells, "m": m, "n_codes": n_codes,
                    "sample_size": sample_size, "iters": iters,
-                   "seed": seed})
+                   "seed": seed, "batch_counts": {}})
     params["n_vectors"] = spark.read.parquet(
         params["codes_path"]).count()
     store.save(name, "ann_index",
@@ -994,7 +1070,7 @@ def ann_search(
             raise ValueError(
                 f"index '{name}' has no recorded source_path; pass "
                 f"corpus= for the exact re-rank")
-        corpus = spark.read.parquet(*paths)
+        corpus = _read_sources(spark, paths)
     if queries.isStreaming:
         raise ValueError(
             "ann_search takes a BATCH query frame (the probe-cell "

@@ -91,7 +91,7 @@ def reject_tombstoned(spark, ids_df: DataFrame, key: str,
 
 def compact_parquet(
     spark, table_path: str, deletes_path: str, key: str,
-    partition_by: str | None = None,
+    partition_by: "str | list[str] | None" = None,
 ) -> None:
     """Rewrite one index table without its tombstoned rows:
     write-new-then-swap (never in-place — Spark cannot overwrite its
@@ -111,7 +111,9 @@ def compact_parquet(
     tmp = table_path + ".compact"
     w = kept.write.mode("overwrite")
     if partition_by:
-        w = w.partitionBy(partition_by)
+        cols = ([partition_by] if isinstance(partition_by, str)
+                else list(partition_by))
+        w = w.partitionBy(*cols)
     w.parquet(tmp)
     replace_dir(spark, tmp, table_path)
 

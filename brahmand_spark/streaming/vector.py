@@ -30,7 +30,7 @@ def ann_search_stream(
     :func:`ann_search` returns. Returns the ``DataStreamWriter`` —
     call ``.start()`` (optionally after ``.trigger(...)``/
     ``.option("checkpointLocation", ...)``)."""
-    from ..ops.similarity import _source_paths, ann_search
+    from ..ops.similarity import _read_sources, _source_paths, ann_search
 
     # per-stream constants resolve ONCE, not per micro-batch: the
     # re-rank corpus handle (store.load + parquet open would otherwise
@@ -42,7 +42,7 @@ def ann_search_stream(
             raise ValueError(
                 f"index '{name}' has no recorded source_path; pass "
                 f"corpus= for the exact re-rank")
-        corpus = spark.read.parquet(*paths)
+        corpus = _read_sources(spark, paths)
 
     def handle(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -53,3 +53,57 @@ def ann_search_stream(
             batch_id)
 
     return query_stream.writeStream.foreachBatch(handle)
+
+
+def _ingest_batch(spark, name: str, batch_df, batch_id: int, store,
+                  accepted_path: str) -> None:
+    """One idempotent micro-batch of :func:`ann_ingest_stream`:
+
+    1. persist the batch's RAW vectors under their own
+       ``batch_id=N`` partition of ``accepted_path`` (overwrite —
+       a replay rewrites identical content), so the index's exact
+       re-rank can read them forever;
+    2. encode + add the codes under ``batch_key=str(batch_id)`` —
+       :func:`~brahmand_spark.ops.similarity.ann_add` dynamically
+       overwrites only this batch's (cell, batch) partitions, so a
+       crash-replayed micro-batch corrects ``n_vectors`` instead of
+       duplicating rows.
+
+    ``accepted_path`` joins the index's recorded sources ONCE (the
+    root is partition-discovered, so every later batch is visible to
+    recorded-source searches without re-recording)."""
+    from ..ops.similarity import ann_add
+
+    if batch_df.isEmpty():
+        return
+    sub = f"{accepted_path}/batch_id={batch_id}"
+    batch_df.write.mode("overwrite").parquet(sub)
+    # ann_add records accepted_path on the first batch and ignores
+    # the (already-listed) repeat on every later one
+    ann_add(spark, name, spark.read.parquet(sub), store,
+            batch_key=str(batch_id), source_path=accepted_path)
+
+
+def ann_ingest_stream(
+    spark, name: str, vec_stream, store, accepted_path: str,
+):
+    """Grow a persisted ANN index from a VECTOR STREAM — the ingest
+    half of the serving loop (``ann_search_stream`` is the query
+    half): per micro-batch, the raw vectors land replay-idempotently
+    under ``accepted_path/batch_id=N`` and their codes join the
+    index under the same batch key, so recovery after a crash
+    between the two writes (or before the checkpoint commit) cannot
+    duplicate either side. The index must have been built with the
+    r9 (cell, batch) layout (any fresh ``build_ann_index``).
+
+    Returns the ``DataStreamWriter`` — call ``.start()`` with a
+    durable ``checkpointLocation``. Fit drift under long-running
+    ingest is the ``ann_stats`` / ``ann_reindex`` maintenance story
+    (the reindex rewrites what this loop appended — pause the stream
+    across it, like dedup compaction)."""
+
+    def handle(batch_df, batch_id: int) -> None:
+        _ingest_batch(spark, name, batch_df, batch_id, store,
+                      accepted_path)
+
+    return vec_stream.writeStream.foreachBatch(handle)

@@ -652,3 +652,103 @@ class TestReindexAndStats:
         out = s.execute("CALL vector.reindex('vidx')").collect()
         assert out[0]["n_vectors"] == n0
         assert out[0]["n_cells"] == 8
+
+
+class TestIngestStream:
+    """r9: the streaming ingest half of the serving loop — raw
+    vectors land under accepted_path/batch_id=N, codes join the index
+    under batch=N via dynamic partition overwrite, so micro-batch
+    replay is idempotent end to end."""
+
+    def test_add_with_batch_key_replays_idempotently(
+            self, spark, tmp_path):
+        from brahmand_spark.ops.similarity import ann_add
+
+        emb = _emb(spark).select("vec_id", "embedding")
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        extra = emb.filter(F.col("vec_id") % 2 == 1)
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(base, "idx", st, **PARAMS)
+        p1 = ann_add(spark, "idx", extra, st, batch_key="7")
+        n1 = p1["n_vectors"]
+        rows1 = spark.read.parquet(p1["codes_path"]).count()
+        # replay (simulated crash before checkpoint commit)
+        p2 = ann_add(spark, "idx", extra, st, batch_key="7")
+        assert p2["n_vectors"] == n1
+        assert spark.read.parquet(p2["codes_path"]).count() == rows1
+        # search equals one-shot build over the union (frozen fits
+        # aside, the row SET must be identical — no dup candidates)
+        q = emb.limit(4)
+        got = ann_search(spark, "idx", q, st, k=5,
+                         nprobe=PARAMS["n_cells"], corpus=emb)
+        assert got.groupBy("query_id", "corpus_id").count() \
+            .filter(F.col("count") > 1).count() == 0
+
+    def test_batch_key_validation(self, spark, tmp_path):
+        from brahmand_spark.ops.similarity import ann_add
+
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(_emb(spark).limit(20), "idx", st, **PARAMS)
+        one = _emb(spark).filter(F.col("vec_id") == 450)
+        for bad in ("base", "a/b", ""):
+            with pytest.raises(ValueError, match="batch_key"):
+                ann_add(spark, "idx", one, st, batch_key=bad)
+
+    def test_ingest_stream_grows_index_and_replays(
+            self, spark, tmp_path):
+        from brahmand_spark.streaming.vector import _ingest_batch
+
+        emb = _emb(spark).select("vec_id", "embedding")
+        base = emb.filter(F.col("vec_id") < 250)
+        bp = str(tmp_path / "base.pq")
+        base.write.parquet(bp)
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(spark.read.parquet(bp), "six", st,
+                        source_path=bp, **PARAMS)
+        n0 = st.load("six", "ann_index")["params"]["n_vectors"]
+        acc = str(tmp_path / "accepted")
+        wave = emb.filter((F.col("vec_id") >= 250)
+                          & (F.col("vec_id") < 300))
+        _ingest_batch(spark, "six", wave, 0, st, acc)
+        params = st.load("six", "ann_index")["params"]
+        assert params["n_vectors"] == n0 + 50
+        assert acc in params["source_paths"]
+        # replay: same batch, same id — nothing changes
+        _ingest_batch(spark, "six", wave, 0, st, acc)
+        params = st.load("six", "ann_index")["params"]
+        assert params["n_vectors"] == n0 + 50
+        assert params["source_paths"].count(acc) == 1
+        assert spark.read.parquet(acc).count() == 50
+        # a later batch stacks; the ingested vectors are SEARCHABLE
+        # through the recorded sources (no corpus= needed)
+        wave2 = emb.filter(F.col("vec_id") >= 300)
+        _ingest_batch(spark, "six", wave2, 1, st, acc)
+        q = emb.filter(F.col("vec_id") == 260)
+        got = ann_search(spark, "six", q, st, k=3,
+                         nprobe=PARAMS["n_cells"],
+                         exclude_self=False).collect()
+        assert [r["corpus_id"] for r in got if r["rank"] == 1] == [260]
+
+    def test_ingest_stream_real_stream(self, spark, tmp_path):
+        from brahmand_spark.streaming import ann_ingest_stream
+
+        emb = _emb(spark).select("vec_id", "embedding")
+        base = emb.filter(F.col("vec_id") < 400)
+        bp = str(tmp_path / "base.pq")
+        base.write.parquet(bp)
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(spark.read.parquet(bp), "rix", st,
+                        source_path=bp, **PARAMS)
+        n0 = st.load("rix", "ann_index")["params"]["n_vectors"]
+        src = str(tmp_path / "vstream")
+        emb.filter(F.col("vec_id") >= 400).write.parquet(src)
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>").parquet(src)
+        q = ann_ingest_stream(spark, "rix", stream, st,
+                              str(tmp_path / "acc")) \
+            .option("checkpointLocation", str(tmp_path / "ck")) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(180)
+        params = st.load("rix", "ann_index")["params"]
+        assert params["n_vectors"] == n0 + emb.filter(
+            F.col("vec_id") >= 400).count()

@@ -2430,8 +2430,18 @@ class QueryCompiler:
                     c for c in (r.schema.column_names or raw_cols)
                     if c not in (r.schema.from_column, r.schema.to_column)
                     and c in raw_cols)
-                adj_backed = (self.load_adjacency is not None
-                              and r.schema.adj_index)
+                # "backed" means the grouped tables actually EXIST —
+                # a write invalidates them while schema.adj_index
+                # stays True, and then the walk uses the edge list
+                # anyway, so the structs are free to carry (r9
+                # review: introspection errored for no benefit there)
+                adj_backed = (
+                    self.load_adjacency is not None
+                    and r.schema.adj_index
+                    and self.load_adjacency(
+                        f"{r.schema.type_name}_outgoing") is not None
+                    and self.load_adjacency(
+                        f"{r.schema.type_name}_incoming") is not None)
                 if props or not adj_backed:
                     r.carry_props = True
                     r.carry_prop_names = props

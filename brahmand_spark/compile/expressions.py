@@ -247,8 +247,6 @@ class ExprCompiler:
                     "adjacency-indexed relationships)"
                 )
             parts.append(F.transform(F.col(st[0]), lambda x: x["dst"]))
-        if len(parts) == 1:
-            return parts[0]
         return F.concat(*parts)
 
     def _path_rels(self, b: PathBinding) -> Column:

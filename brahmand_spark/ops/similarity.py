@@ -893,8 +893,13 @@ def ann_compact(spark, name: str, store) -> dict:
     table without removed vectors (write-new-then-swap, partitioning
     preserved; refuses to compact to empty — a zero-row partitioned
     write has no schema-bearing files and would brick the table) and
-    clear the deletes. Run without concurrent searches, or on
-    snapshot-isolating storage."""
+    clear the deletes. Run without concurrent searches OR a live
+    ingest stream — a crash-replayed micro-batch from before the
+    compact rewrites its whole (cell, batch) partitions, resurrecting
+    rows the compact removed with no tombstone left to hide them
+    (the dedup-index compact carries the same caveat). Per-batch
+    replay bookkeeping resets (a replayed pre-compact batch is
+    already folded in)."""
     from .fs import delete_path, path_exists
     from .tombstones import compact_parquet
 
@@ -910,6 +915,8 @@ def ann_compact(spark, name: str, store) -> dict:
     delete_path(spark, dp)
     params["n_vectors"] = spark.read.parquet(
         params["codes_path"]).count()
+    if "batch_counts" in params:
+        params["batch_counts"] = {}
     store.save(name, "ann_index", doc["payload"], params)
     return params
 

@@ -165,6 +165,7 @@ def dedup_against_stream(
     sink, threshold: float = 0.5,
     include_exact: bool = True, exclude_self: bool = False,
     hot_bucket_cap: "int | None" = None, add_clean: bool = False,
+    run_id: "str | None" = None,
 ):
     """Dedup a STREAM of document batches against a NAMED persisted
     dedup index (ops/dedup_index) — the crawl-ingest loop when the
@@ -196,12 +197,19 @@ def dedup_against_stream(
     SAME micro-batch both count as clean (run
     minhash_lsh_candidates within the batch first if that matters).
     Requires an index built with the r9 batch-partitioned layout
-    (any fresh ``build_dedup_index``). Returns the
-    ``DataStreamWriter`` — call ``.start()``."""
+    (any fresh ``build_dedup_index``). ``run_id`` scopes the batch
+    keys (``<run_id>-<batch_id>``): REQUIRED to be a stable,
+    per-stream-unique string whenever more than one ingest stream
+    grows the SAME index — without it, two streams' checkpoints both
+    number batches from 0 and a later stream's add would overwrite
+    an earlier one's partitions. A restart on the same checkpoint
+    must reuse the same run_id (that's the replay idempotence).
+    Returns the ``DataStreamWriter`` — call ``.start()``."""
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         _against_batch(
             spark, name, batch_df, batch_id, store, sink, threshold,
-            include_exact, exclude_self, hot_bucket_cap, add_clean)
+            include_exact, exclude_self, hot_bucket_cap, add_clean,
+            run_id)
 
     return doc_stream.writeStream.foreachBatch(handle)
 
@@ -210,6 +218,7 @@ def _against_batch(
     spark, name: str, batch_df: DataFrame, batch_id: int, store,
     sink, threshold: float, include_exact: bool, exclude_self: bool,
     hot_bucket_cap: "int | None", add_clean: bool,
+    run_id: "str | None" = None,
 ) -> None:
     """One idempotent micro-batch of :func:`dedup_against_stream`:
     probe excluding this batch's own index partitions, sink the
@@ -221,7 +230,7 @@ def _against_batch(
 
     if batch_df.isEmpty():
         return
-    key = str(batch_id)
+    key = f"{run_id}-{batch_id}" if run_id else str(batch_id)
     pairs = dedup_against(
         spark, name, batch_df, store, threshold=threshold,
         include_exact=include_exact, exclude_self=exclude_self,

@@ -71,17 +71,32 @@ def _ingest_batch(spark, name: str, batch_df, batch_id: int, store,
 
     ``accepted_path`` joins the index's recorded sources ONCE (the
     root is partition-discovered, so every later batch is visible to
-    recorded-source searches without re-recording)."""
-    from ..ops.similarity import ann_add
+    recorded-source searches without re-recording). The batch key is
+    scoped by a hash of ``accepted_path`` — a restart on the SAME
+    checkpoint replays the same keys (idempotence), while a second
+    ingest stream with its own accepted root can never overwrite
+    this one's batches (r9 review)."""
+    import hashlib
+
+    from ..ops.similarity import _source_paths, ann_add
 
     if batch_df.isEmpty():
         return
+    params = store.load(name, "ann_index")["params"]
+    if not _source_paths(params):
+        raise ValueError(
+            f"index '{name}' records no source paths — streaming "
+            f"ingest would make accepted_path the ONLY source and "
+            f"recorded-source searches would silently drop every "
+            f"base-corpus result (the re-rank join needs the raw "
+            f"vectors); rebuild with source_path= (r9 review)")
     sub = f"{accepted_path}/batch_id={batch_id}"
     batch_df.write.mode("overwrite").parquet(sub)
+    run = hashlib.md5(accepted_path.encode()).hexdigest()[:8]
     # ann_add records accepted_path on the first batch and ignores
     # the (already-listed) repeat on every later one
     ann_add(spark, name, spark.read.parquet(sub), store,
-            batch_key=str(batch_id), source_path=accepted_path)
+            batch_key=f"{run}-{batch_id}", source_path=accepted_path)
 
 
 def ann_ingest_stream(

@@ -36,6 +36,13 @@ from .compile.scope import NodeBinding, RelBinding, Scope, pcol
 from .errors import PlanError, UnsupportedError
 from .parser import ast
 
+#: write counters, in output order — one source of truth for
+#: apply_write's stats row and the IN TRANSACTIONS status rows
+WRITE_STAT_KEYS = (
+    "nodes_created", "relationships_created", "properties_set",
+    "nodes_deleted", "relationships_deleted",
+)
+
 
 def apply_write(session, wq: ast.WriteQuery, params=None,
                 anchor_ids=None) -> DataFrame:
@@ -65,10 +72,7 @@ def apply_write(session, wq: ast.WriteQuery, params=None,
     if wq.return_clause is not None:
         raise UnsupportedError("RETURN after a write is not supported")
 
-    stats = {
-        "nodes_created": 0, "relationships_created": 0,
-        "properties_set": 0, "nodes_deleted": 0, "relationships_deleted": 0,
-    }
+    stats = {k: 0 for k in WRITE_STAT_KEYS}
     for mc in wq.merges:
         _apply_merge(session, df, scope, mc, params, stats)
     if wq.create is not None:
@@ -196,30 +200,35 @@ def apply_call_in_transactions(
     # on the first failing batch — earlier batches STAY COMMITTED,
     # the documented IN TRANSACTIONS behavior; 'continue' skips the
     # failing batch and keeps going; 'break' stops issuing batches
-    # after a failure. Every mode reports per-batch status columns
-    # (committed, error) alongside the write counters.
-    stat_keys = ["nodes_created", "relationships_created",
-                 "properties_set", "nodes_deleted",
-                 "relationships_deleted"]
+    # after a failure. A FAILING batch rolls back completely: the
+    # session's table registry is snapshotted before each batch and
+    # restored on error, so clauses that ran before the failing one
+    # leave no trace (our store is snapshot-valued — mutations build
+    # NEW checkpointed frames, so restoring the dict restores the
+    # data; r9 review: a multi-clause body previously half-committed
+    # while its status row claimed nothing happened). Every row
+    # reports (committed, error) alongside the write counters.
     out_rows = []
     for bi in range(int(n_batches)):
         batch_ids = ids.filter(F.col("_b") == bi).select("id")
+        snapshot = dict(session.tables)
         try:
             stats = apply_write(session, wq, params,
                                 anchor_ids=(anchor, batch_ids)).first()
         except Exception as exc:
+            session.tables.clear()
+            session.tables.update(snapshot)
             if cit.on_error == "fail":
                 raise
             out_rows.append(
                 (bi, False, f"{type(exc).__name__}: {exc}"[:500])
-                + (0,) * len(stat_keys))
+                + (0,) * len(WRITE_STAT_KEYS))
             if cit.on_error == "break":
                 break
             continue
-        stat_keys = list(stats.asDict().keys())
         out_rows.append((bi, True, None) + tuple(stats))
     cols = (["batch bigint", "committed boolean", "error string"]
-            + [f"{c} bigint" for c in stat_keys])
+            + [f"{c} bigint" for c in WRITE_STAT_KEYS])
     return session.spark.createDataFrame(out_rows, ", ".join(cols))
 
 

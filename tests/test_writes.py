@@ -726,3 +726,28 @@ class TestCallInTransactions:
         assert [(r["batch"], r["committed"], r["error"],
                  r["properties_set"]) for r in ok] == \
             [(0, True, None, 4), (1, True, None, 2)]
+
+    def test_failed_batch_rolls_back_partial_clauses(self, spark):
+        """r9 review: a multi-clause body whose LATER clause fails
+        must leave no trace of the earlier clauses — the session
+        table registry snapshots per batch and restores on error, so
+        the committed=false status row tells the truth."""
+        s = GraphSession(spark, allow_writes=True)
+        s.execute("CREATE NODE TABLE Person (id Int64, age Int64, "
+                  "PRIMARY KEY(id), NODE ID(id))")
+        s.execute("CREATE NODE TABLE Log (id Int64, "
+                  "PRIMARY KEY(id), NODE ID(id))")
+        for i in range(4):
+            s.execute(f"CREATE (p:Person {{id: {i}, age: {i}}})")
+        n_logs0 = s.execute(
+            "MATCH (l:Log) RETURN count(*) AS n").collect()[0]["n"]
+        out = s.execute(
+            "MATCH (p:Person) "
+            "CALL { WITH p CREATE (l:Log {id: p.id}) SET p.id = 0 } "
+            "IN TRANSACTIONS OF 2 ROWS ON ERROR CONTINUE").collect()
+        assert all(r["committed"] is False for r in out)
+        # the CREATE that ran before the failing SET left nothing
+        assert s.execute("MATCH (l:Log) RETURN count(*) AS n"
+                         ).collect()[0]["n"] == n_logs0
+        assert rows(s, "MATCH (p:Person) RETURN p.id AS i") == \
+            {(i,) for i in range(4)}

@@ -90,9 +90,12 @@ class RelEntity:
     orientation: Optional[str] = None  # 'fwd' (src=from), 'rev', 'both', 'invalid'
     alt_resolved: list = field(default_factory=list)  # [(schema, orientation)]
     # filled by _assemble (r9): var-length segment rides a path var
-    # and its type declares properties -> carry per-hop rel structs
+    # and its type declares properties -> carry per-hop rel structs;
+    # carry_has_type marks a multi-type carry whose struct leads with
+    # a 'type' field (the matched arm's name)
     carry_props: bool = False
     carry_prop_names: tuple = ()
+    carry_has_type: bool = False
 
 
 @dataclass
@@ -2262,7 +2265,64 @@ class QueryCompiler:
         therefore surface reciprocal-edge paths the plain pattern
         folds together."""
         carry = bool(getattr(rel, "carry_props", False))
-        if carry:
+        if carry and rel.alt_resolved:
+            # multi-type carry (r9): each arm contributes (src, dst,
+            # rt) pairs plus a per-hop struct holding the arm's TYPE
+            # and the UNION of arm property columns (NULL where the
+            # matched type lacks one — the _edge_df single-hop rule);
+            # the rt tag also keys relationship-uniqueness below
+            prop_cols = list(getattr(rel, "carry_prop_names", ()))
+            arm_schemas = []
+            if rel.orientation != "invalid":
+                arm_schemas.append((rel.schema, rel.orientation))
+            arm_schemas += list(rel.alt_resolved)
+            arms = []
+            for sch_a, orient_a in arm_schemas:
+                raw_a = self.load_table(sch_a.type_name)
+                if rel.properties:
+                    if any(k not in raw_a.columns
+                           for k in rel.properties):
+                        continue  # this arm can never satisfy the map
+                    raw_a = self._inline_prop_filter(rel, raw_a)
+                have = set(raw_a.columns)
+
+                def sel(src_c, dst_c, raw_x=raw_a,
+                        t=sch_a.type_name, have=have):
+                    cols = [F.col(src_c).alias("src"),
+                            F.col(dst_c).alias("dst"),
+                            F.lit(t).alias("rt")]
+                    cols += [(F.col(c) if c in have else F.lit(None))
+                             .alias(c) for c in prop_cols]
+                    return raw_x.select(*cols)
+
+                if orient_a == "fwd":
+                    arms.append(sel(sch_a.from_column, sch_a.to_column))
+                elif orient_a == "rev":
+                    arms.append(sel(sch_a.to_column, sch_a.from_column))
+                else:
+                    arms.append(
+                        sel(sch_a.from_column, sch_a.to_column).union(
+                            sel(sch_a.to_column, sch_a.from_column)
+                        ).distinct())
+            if arms:
+                base = arms[0]
+                for a2 in arms[1:]:
+                    base = base.unionByName(a2)
+            else:
+                base = self.load_table(rel.schema.type_name).select(
+                    F.col(rel.schema.from_column).alias("src"),
+                    F.col(rel.schema.to_column).alias("dst"),
+                    F.lit(rel.schema.type_name).alias("rt"),
+                    *[F.lit(None).alias(c) for c in prop_cols],
+                ).filter(F.lit(False))
+            base = base.select(
+                "src", "dst", "rt",
+                F.struct(
+                    F.col("src").alias("src"), F.col("dst").alias("dst"),
+                    F.col("rt").alias("type"),
+                    *[F.col(c).alias(c) for c in prop_cols],
+                ).alias("rs"))
+        elif carry:
             sch = rel.schema
             raw = self._inline_prop_filter(
                 rel, self.load_table(sch.type_name))
@@ -2422,9 +2482,28 @@ class QueryCompiler:
         path_rel_aliases = {
             ra for _, rels in pattern.path_vars.values() for ra in rels}
         for r in pattern.rels:
-            if (r.max_hops > 1 and not r.shortest and not r.alt_resolved
+            if (r.max_hops > 1 and not r.shortest
                     and r.alias in path_rel_aliases
                     and r.schema is not None):
+                if r.alt_resolved:
+                    # multi-type (r9): carry the UNION of arm property
+                    # surfaces (first-appearance order) plus a 'type'
+                    # struct field — never adjacency-backed
+                    props_l: list[str] = []
+                    for sch_a, _ in ([(r.schema, None)]
+                                     + list(r.alt_resolved)):
+                        raw_cols = self.load_table(
+                            sch_a.type_name).columns
+                        for c in (sch_a.column_names or raw_cols):
+                            if (c not in (sch_a.from_column,
+                                          sch_a.to_column)
+                                    and c in raw_cols
+                                    and c not in props_l):
+                                props_l.append(c)
+                    r.carry_props = True
+                    r.carry_prop_names = tuple(props_l)
+                    r.carry_has_type = True
+                    continue
                 raw_cols = self.load_table(r.schema.type_name).columns
                 props = tuple(
                     c for c in (r.schema.column_names or raw_cols)
@@ -3056,8 +3135,11 @@ def _bind_path_vars(pattern, scope: Scope) -> None:
             if r.alias in rels:
                 if r.max_hops > 1:
                     hops.append(pcol(r.alias, "hops"))
+                    fields = tuple(r.carry_prop_names)
+                    if r.carry_has_type:
+                        fields = ("type",) + fields
                     structs.append(
-                        (pcol(r.alias, "rels"), tuple(r.carry_prop_names))
+                        (pcol(r.alias, "rels"), fields)
                         if r.carry_props else ("", ()))
                 else:
                     hops.append(None)

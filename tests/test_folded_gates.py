@@ -388,6 +388,31 @@ FOLDED_CYPHER = {
            WHERE e1.s <= 30
              AND NOT (e1.t = e2.t AND e1.s = e2.s AND e1.d = e2.d)""",
     ),
+    # r9: relationships(p) on a MULTI-TYPE var-length segment — each
+    # per-hop struct carries the matched arm's type plus the union
+    # property surface (hop_w NULL on PREV arms); uniqueness is
+    # type-tagged, so a +1/-1 round trip is a legal path
+    "multitype_varlen_props": (
+        """MATCH p = (a:Customer)-[:NEXT_CUST|PREV_CUST*2..2]->(b:Customer)
+           WHERE a.c_custkey <= 25
+           RETURN a.c_custkey AS ak, b.c_custkey AS bk,
+                  [x IN relationships(p) | x.type] AS ts,
+                  reduce(t = 0, x IN relationships(p) |
+                         t + coalesce(x.hop_w, 0)) AS w""",
+        """WITH c AS (SELECT c_custkey AS k FROM customer),
+                e AS (
+                    SELECT 'NEXT_CUST' AS t, c1.k AS s, c1.k + 1 AS d,
+                           c1.k % 7 + 1 AS w
+                    FROM c c1 JOIN c c2 ON c2.k = c1.k + 1
+                    UNION ALL
+                    SELECT 'PREV_CUST', c1.k, c1.k - 1, NULL
+                    FROM c c1 JOIN c c2 ON c2.k = c1.k - 1)
+           SELECT e1.s AS ak, e2.d AS bk, [e1.t, e2.t] AS ts,
+                  coalesce(e1.w, 0) + coalesce(e2.w, 0) AS w
+           FROM e e1 JOIN e e2 ON e2.s = e1.d
+           WHERE e1.s <= 25
+             AND NOT (e1.t = e2.t AND e1.s = e2.s AND e1.d = e2.d)""",
+    ),
     # NULL anchors (r9 advice fix): an import bound by OPTIONAL MATCH
     # is NULL for customers with no qualifying order; all-aggregate
     # UNION arms must still emit their completed count-0 rows for

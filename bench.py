@@ -93,6 +93,12 @@ BENCH_QUERIES = [
     "events_sessionize",
 ]
 
+# Optional subset override (comma-separated gate names) — used by the
+# sf1 scale soak to time only the most expensive gates at 10x data.
+_subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
+if _subset:
+    BENCH_QUERIES = [q.strip() for q in _subset.split(",") if q.strip()]
+
 
 def _load_previous() -> tuple[str | None, dict[str, float]]:
     """Latest BENCH_r{N}.json's per-query mins (fall back to medians

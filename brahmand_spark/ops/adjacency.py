@@ -151,6 +151,12 @@ def write_adjacency_bucketed(
     )
 
 
+def _pairs_sidecar(path: str) -> str:
+    """Per-batch pair-count provenance table backing the streamed
+    adjacency — ``(src, dst, cnt)`` partitioned by ``(bucket, batch)``."""
+    return path.rstrip("/") + "__pairs"
+
+
 def maintain_adjacency_stream(
     edges_stream: DataFrame, path: str, src_col: str, dst_col: str,
     checkpoint_dir: str, num_buckets: int = 64,
@@ -159,56 +165,118 @@ def maintain_adjacency_stream(
     Spark analogue of the reference's materialized views
     (mv_{rel}_outgoing -> AggregatingMergeTree, ddl_query.rs:304-310).
 
-    Each microbatch: (1) find the buckets its sources hash into,
-    (2) read ONLY those bucket partitions of the existing table,
-    (3) merge old neighbor lists with the batch's new edges,
-    (4) dynamic-partition-overwrite just those buckets. Work per batch is
-    proportional to touched buckets, not table size. (With Delta/Iceberg
-    this becomes a MERGE; plain parquet needs the bucket layout.)
+    Cross-batch multiplicity-EXACT (r10, closes the r9 ``weak``): each
+    microbatch's per-(src, dst) counts land in a provenance sidecar
+    ``{path}__pairs`` under ``(bucket=b, batch=<id>)`` partitions via
+    dynamic partition overwrite — a replayed batch (same id, same
+    deterministic content) rewrites its own partitions instead of
+    double-counting. The served grouped table is then rebuilt for the
+    touched buckets ONLY, by summing the sidecar across batches, so
+    parallel edges split across micro-batches sum exactly like the
+    batch builder (``build_adjacency``). Readers are unchanged — the
+    main table stays the single read surface.
+
+    Each microbatch: (1) count the batch's (src, dst) pairs, (2)
+    dynamic-overwrite those counts into the sidecar under this batch's
+    partitions, (3) re-sum the sidecar for the touched buckets, (4)
+    dynamic-overwrite just those buckets of the grouped table. Work per
+    batch is proportional to the touched buckets' sidecar rows, not
+    table size. (With Delta/Iceberg steps 2-4 collapse into a MERGE.)
+
+    A pre-existing grouped table at ``path`` (built by
+    ``build_adjacency``/``write_adjacency_bucketed``) is seeded into the
+    sidecar once, as ``batch=base``, before the first micro-batch
+    merges. The sidecar gains one partition per touched bucket per
+    batch; fold them with ``compact_adjacency_pairs`` while the stream
+    is stopped.
 
     Returns the StreamingQuery (caller awaits/stops it).
     """
-    spark = edges_stream.sparkSession
-
     def upsert(batch_df, batch_id: int) -> None:
-        new_pairs = batch_df.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        _adjacency_upsert(batch_df, batch_id, path=path, src_col=src_col,
+                          dst_col=dst_col, num_buckets=num_buckets)
+
+    return (
+        edges_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _seed_pairs_sidecar_if_needed(spark, path: str, pairs_path: str,
+                                  num_buckets: int) -> None:
+    """One-time migration: existing grouped table, no sidecar yet.
+    Full-table re-count (bounded, once) written as batch=base for ALL
+    buckets so later batches can rebuild any bucket from the sidecar
+    alone. mode=overwrite on the whole sidecar path makes a crashed/
+    replayed seed idempotent."""
+    try:
+        spark.read.parquet(pairs_path)
+        return  # sidecar already exists
+    except Exception:
+        pass
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        return  # fresh start: no table, no sidecar
+    (
+        expand_pairs(existing.select("src", "neighbors", "counts"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "bucket",
+            F.pmod(F.col("src"), F.lit(num_buckets)).cast("int"),
         )
-        if new_pairs.isEmpty():
-            return
-        new_pairs = new_pairs.withColumn(
-            "bucket", F.pmod(F.col("src"), F.lit(num_buckets)).cast("int")
+        .withColumn("batch", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("bucket", "batch")
+        .parquet(pairs_path)
+    )
+
+
+def _adjacency_upsert(batch_df, batch_id: int, *, path: str, src_col: str,
+                      dst_col: str, num_buckets: int) -> None:
+    """One micro-batch of the maintenance stream (module-level so tests
+    can replay a (batch_df, batch_id) pair directly, like
+    dedup_stream._process_batch)."""
+    spark = batch_df.sparkSession
+    pairs_path = _pairs_sidecar(path)
+    new_pairs = batch_df.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if new_pairs.isEmpty():
+        return
+    _seed_pairs_sidecar_if_needed(spark, path, pairs_path, num_buckets)
+    batch_counts = (
+        new_pairs.withColumn(
+            "bucket",
+            F.pmod(F.col("src"), F.lit(num_buckets)).cast("int"),
         )
-        buckets = [r.bucket for r in
-                   new_pairs.select("bucket").distinct().collect()]
-        # Per-(src, dst) multiplicity within THIS batch. Replay-safe:
-        # a replayed batch has identical content, so re-counting it and
-        # merging with max() below rewrites the same rows. Caveat
-        # (documented): parallel edges split ACROSS batches collapse to
-        # the max per-batch count — exact cross-batch multiplicity
-        # needs per-batch provenance (Delta MERGE or dedup_stream's
-        # batch_id layout); the batch builder (build_adjacency) is
-        # exact.
-        batch_counts = new_pairs.groupBy("src", "dst", "bucket").agg(
-            F.count(F.lit(1)).alias("cnt")
+        .groupBy("src", "dst", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    buckets = [r.bucket for r in
+               batch_counts.select("bucket").distinct().collect()]
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # (2) provenance write — replay rewrites batch=<id> in place
+        (
+            batch_counts.withColumn("batch", F.lit(f"b{batch_id}"))
+            .write.mode("overwrite")
+            .partitionBy("bucket", "batch")
+            .parquet(pairs_path)
         )
-        try:
-            existing = expand_pairs(
-                spark.read.parquet(path).filter(
-                    F.col("bucket").isin(buckets)
-                ).select("src", "neighbors", "counts")
-            ).groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt")) \
-                .withColumn(
-                    "bucket",
-                    F.pmod(F.col("src"), F.lit(num_buckets)).cast("int"),
-                )
-            all_counts = (
-                existing.unionByName(batch_counts)
-                .groupBy("src", "dst", "bucket")
-                .agg(F.max("cnt").alias("cnt"))
-            )
-        except Exception:  # first batch: nothing materialized yet
-            all_counts = batch_counts
+        # (3) exact cross-batch sum for the touched buckets only
+        # (partition-pruned sidecar scan)
+        all_counts = (
+            spark.read.parquet(pairs_path)
+            .filter(F.col("bucket").isin(buckets))
+            .groupBy("src", "dst", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
         merged = (
             all_counts.groupBy("src", "bucket")
             .agg(F.collect_list(F.struct("dst", "cnt")).alias("nc"))
@@ -220,23 +288,44 @@ def maintain_adjacency_stream(
             .withColumn(
                 "degree",
                 F.aggregate(
-                    "counts", F.lit(0).cast("bigint"), lambda a, x: a + x
+                    "counts", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x,
                 ),
             )
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # (4) serve: rebuild just the touched buckets
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    return (
-        edges_stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+
+def compact_adjacency_pairs(spark, path: str) -> None:
+    """Fold the streamed-adjacency provenance sidecar's per-batch
+    partitions into a single ``batch=base`` per bucket (sum of counts).
+    Run while the maintenance stream is STOPPED: a replay of the last
+    un-committed micro-batch after compaction would double-count its
+    edges (its ``batch=<id>`` partition was folded into base and the
+    replay re-adds it). Write-new-then-swap via a rename-aside, same
+    pattern as the dedup/ANN index compactors."""
+    import os
+    import shutil
+
+    pairs_path = _pairs_sidecar(path)
+    folded = (
+        spark.read.parquet(pairs_path)
+        .groupBy("src", "dst", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("batch", F.lit("base"))
     )
+    tmp = pairs_path + ".compact_tmp"
+    folded.write.mode("overwrite").partitionBy("bucket", "batch") \
+        .parquet(tmp)
+    old = pairs_path + ".compact_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(pairs_path, old)
+    os.rename(tmp, pairs_path)
+    shutil.rmtree(old)
 
 
 def degree_stats(adj: DataFrame) -> DataFrame:

@@ -415,7 +415,9 @@ class QueryCompiler:
                 df = spark.range(1).select(F.explode(arr).alias(part.unwind.alias))
             else:
                 df = df.select("*", F.explode(arr).alias(part.unwind.alias))
-            scope.bind(ScalarBinding(part.unwind.alias))
+            scope.bind(ScalarBinding(
+                part.unwind.alias,
+                dtype=dict(df.dtypes).get(part.unwind.alias)))
         if part.where is not None:
             if df is None:
                 raise PlanError("WHERE without a preceding MATCH/WITH")
@@ -645,12 +647,13 @@ class QueryCompiler:
                 df, scope, csub.query, imports,
                 optional=csub.optional)
         sub = self._fresh().compile(csub.query)
+        sub_dtypes = dict(sub.dtypes)
         for name in sub.columns:
             if scope.get(name) is not None:
                 raise PlanError(
                     f"CALL {{ }} subquery returns '{name}', which is "
                     f"already bound in the enclosing query")
-            scope.bind(ScalarBinding(name))
+            scope.bind(ScalarBinding(name, dtype=sub_dtypes.get(name)))
         if df is None:
             if csub.optional:
                 # openCypher: a query starts with one implicit row, so
@@ -751,8 +754,9 @@ class QueryCompiler:
                         name, F.coalesce(F.col(name), empty_fill))
         for carry_b, _ in carries:
             scope.bind(carry_b)
+        out_dtypes = dict(out.dtypes)
         for name in names:
-            scope.bind(ScalarBinding(name))
+            scope.bind(ScalarBinding(name, dtype=out_dtypes.get(name)))
         return out
 
     def _correlated_arm_frame(
@@ -1113,8 +1117,9 @@ class QueryCompiler:
         out = df.join(
             union_out, cond, "left" if optional else "inner"
         ).drop(*[f"__ck_{a}" for a in ref_anchors])
+        out_dtypes = dict(out.dtypes)
         for name in ref_names:
-            scope.bind(ScalarBinding(name))
+            scope.bind(ScalarBinding(name, dtype=out_dtypes.get(name)))
         return out
 
     def _finish_call_part(self, sub_df, sub_scope, part, optionals,
@@ -1145,7 +1150,9 @@ class QueryCompiler:
             arr = ec.compile(part.unwind.expr)
             sub_df = sub_df.select(
                 "*", F.explode(arr).alias(part.unwind.alias))
-            sub_scope.bind(ScalarBinding(part.unwind.alias))
+            sub_scope.bind(ScalarBinding(
+                part.unwind.alias,
+                dtype=dict(sub_df.dtypes).get(part.unwind.alias)))
         if part.where is not None:
             residual, pattern_preds = _split_pattern_predicates(
                 part.where)
@@ -3020,6 +3027,13 @@ class QueryCompiler:
         out = self._order_page(
             out, scope, sel, order_by, skip, limit, group_mode or distinct
         )
+        # Backfill scalar dtypes now that the projected frame exists —
+        # temporal accessors (d.year) dispatch on them (r10).
+        if not final:
+            dtypes = dict(out.dtypes)
+            for b in new_scope.bindings.values():
+                if isinstance(b, ScalarBinding) and b.dtype is None:
+                    b.dtype = dtypes.get(b.alias)
         return out, new_scope
 
     def _output_name(self, e: ast.Expr, final: bool) -> str:

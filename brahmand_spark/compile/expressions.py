@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..errors import PlanError
 from ..parser import ast
 from . import functions as fns
+from . import temporal
 from .scope import (
     NodeBinding, PathBinding, RelBinding, ScalarBinding, Scope, pcol,
 )
@@ -50,7 +51,13 @@ class ExprCompiler:
             # resolve to their prefixed property columns as before.
             if e.alias in self._lambda_vars:
                 return self._lambda_vars[e.alias][e.key]
-            if isinstance(self.scope.get(e.alias), ScalarBinding):
+            b = self.scope.get(e.alias)
+            if isinstance(b, ScalarBinding):
+                # temporal component access (d.year, dur.days — r10)
+                # when the binding site captured a temporal dtype;
+                # struct-field access otherwise (map projections etc.)
+                if b.dtype and temporal.is_temporal_dtype(b.dtype):
+                    return temporal.accessor(F.col(e.alias), e.key, b.dtype)
                 return F.col(e.alias)[e.key]
             return F.col(self.resolve_property(e.alias, e.key))
         if isinstance(e, ast.ListLiteral):
@@ -398,6 +405,40 @@ class ExprCompiler:
 
     def _fn_call(self, e: ast.FnCall) -> Column:
         name = e.name.lower()
+        # Temporal constructors whose arguments must be read from the
+        # AST (literal components become compile-time interval
+        # constants; truncation units pick the Spark builder) — r10.
+        if name == "duration" and len(e.args) == 1:
+            a = e.args[0]
+            if isinstance(a, ast.Literal) and isinstance(a.value, str):
+                return temporal.duration_column(
+                    temporal.parse_iso_duration(a.value))
+            if isinstance(a, ast.MapLiteral):
+                parts = {}
+                for k, v in a.items:
+                    if (not isinstance(v, ast.Literal)
+                            or isinstance(v.value, bool)
+                            or not isinstance(v.value, (int, float))):
+                        raise PlanError(
+                            "duration({...}) components must be "
+                            "numeric literals")
+                    parts[k.lower()] = v.value
+                return temporal.duration_column(parts)
+            raise PlanError(
+                "duration() takes an ISO-8601 string literal "
+                "('P30D', 'PT3H30M') or a map literal "
+                "({days: 3, hours: 12})")
+        if name in ("date.truncate", "datetime.truncate",
+                    "localdatetime.truncate"):
+            if len(e.args) != 2 or not (
+                    isinstance(e.args[0], ast.Literal)
+                    and isinstance(e.args[0].value, str)):
+                raise PlanError(
+                    f"{name}(unit, temporal) needs a string-literal "
+                    "unit and one temporal argument")
+            kind = "date" if name.startswith("date.") else "datetime"
+            return temporal.truncate(
+                kind, e.args[0].value, self.compile(e.args[1]))
         # Graph-introspection functions need the scope, not just columns.
         if name == "id" and len(e.args) == 1 and isinstance(e.args[0], ast.Variable):
             return self._variable(e.args[0].name)

@@ -144,6 +144,19 @@ SCALAR_FNS = {
     "month": lambda a: F.month(a[0]),
     "day": lambda a: F.dayofmonth(a[0]),
     "todate": lambda a: a[0].cast("date"),
+    # openCypher temporal constructors (r10; duration()/`x.truncate`
+    # are AST-level special cases in ExprCompiler._fn_call). The
+    # engine is zone-naive (see compile/temporal.py), so datetime and
+    # localdatetime coincide on TIMESTAMP_NTZ.
+    "date": lambda a: F.to_date(a[0]) if a else F.current_date(),
+    "datetime": lambda a: (F.to_timestamp_ntz(a[0]) if a
+                           else F.localtimestamp()),
+    "localdatetime": lambda a: (F.to_timestamp_ntz(a[0]) if a
+                                else F.localtimestamp()),
+    # duration.between(a, b): day-time interval from a to b (dates
+    # and/or timestamps; Cypher semantics b - a)
+    "duration.between": lambda a: (a[1].cast("timestamp_ntz")
+                                   - a[0].cast("timestamp_ntz")),
 }
 
 

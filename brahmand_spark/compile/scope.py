@@ -55,9 +55,14 @@ class RelBinding:
 
 @dataclass
 class ScalarBinding:
-    """A plain output column introduced by WITH/UNWIND (named by itself)."""
+    """A plain output column introduced by WITH/UNWIND (named by itself).
+
+    ``dtype`` is the column's Spark dtype string when the binding site
+    had the DataFrame at hand (r10) — temporal accessors (``d.year``)
+    dispatch on it; None keeps the legacy struct-field-access behavior."""
 
     alias: str
+    dtype: Optional[str] = None
 
 
 @dataclass

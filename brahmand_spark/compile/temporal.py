@@ -1,0 +1,157 @@
+"""openCypher temporal surface: typed literals, duration arithmetic,
+accessors, truncation.
+
+The reference has NO temporal literal (ref: open_cypher_parser/ast.rs:197-204
+— literal kinds are string/int/float/bool/null only); users of both engines
+previously had to spell Spark/ClickHouse functions directly. This module is
+the extension frontier VERDICT r9 ranked #2: everything compiles to Spark's
+NATIVE date/interval expressions — no UDFs, so Catalyst still folds
+constants and pushes temporal predicates into parquet scans.
+
+Design choices (documented subset):
+
+* ``datetime()``/``localdatetime()`` both build TIMESTAMP_NTZ — the engine
+  is zone-naive end to end (the testdata's events.ts is NTZ, ClickHouse
+  DateTime is naive, DuckDB TIMESTAMP is naive), so zoned ``datetime`` and
+  ``localdatetime`` coincide.
+* ``duration('P30D')`` / ``duration({days: 3, hours: 12})`` compile to a
+  DAY-TIME interval when no year/month component is present (comparable,
+  sortable), else to a calendar interval via ``make_interval`` (add-only).
+  Components must be literals — an interval is a compile-time constant in
+  every realistic query; non-literal durations raise a clear error.
+* Accessors (``d.year``...) resolve on WITH/UNWIND-bound scalar columns
+  whose captured dtype is temporal (scope.ScalarBinding.dtype); chained
+  access on a raw node property (``n.ts.year``) is not parsed — project
+  the property through WITH first (or use ``year(n.ts)``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..errors import PlanError
+
+# dtype strings as produced by DataFrame.dtypes
+_DATE = "date"
+_TS = ("timestamp", "timestamp_ntz")
+_DT_INTERVAL_RE = re.compile(r"^interval day| second|^interval hour|^interval minute")
+
+
+def is_temporal_dtype(dtype: str) -> bool:
+    d = dtype.lower()
+    return d == _DATE or d in _TS or d.startswith("interval")
+
+
+_ISO_DURATION_RE = re.compile(
+    r"^P(?:(?P<years>\d+)Y)?(?:(?P<months>\d+)M)?(?:(?P<weeks>\d+)W)?"
+    r"(?:(?P<days>\d+)D)?"
+    r"(?:T(?:(?P<hours>\d+)H)?(?:(?P<minutes>\d+)M)?"
+    r"(?:(?P<seconds>\d+(?:\.\d+)?)S)?)?$"
+)
+
+_DURATION_KEYS = ("years", "months", "weeks", "days", "hours", "minutes",
+                  "seconds", "milliseconds")
+
+
+def parse_iso_duration(s: str) -> dict:
+    """``P[nY][nM][nW][nD][T[nH][nM][n(.n)S]]`` -> component dict."""
+    m = _ISO_DURATION_RE.match(s.strip())
+    if not m or s.strip() == "P":
+        raise PlanError(
+            f"invalid ISO-8601 duration literal '{s}' "
+            "(expected e.g. 'P30D', 'P1Y2M', 'PT3H30M', 'P1DT12H')")
+    parts = {k: float(v) for k, v in m.groupdict().items() if v is not None}
+    if not parts:
+        raise PlanError(f"empty duration literal '{s}'")
+    return parts
+
+
+def duration_column(parts: dict) -> Column:
+    """Component dict -> interval Column (see module docstring for the
+    day-time vs calendar choice)."""
+    unknown = set(parts) - set(_DURATION_KEYS)
+    if unknown:
+        raise PlanError(
+            f"unknown duration component(s) {sorted(unknown)} "
+            f"(supported: {', '.join(_DURATION_KEYS)})")
+    g = {k: float(parts.get(k, 0)) for k in _DURATION_KEYS}
+    days = g["weeks"] * 7 + g["days"]
+    secs = g["seconds"] + g["milliseconds"] / 1000.0
+    if g["years"] == 0 and g["months"] == 0:
+        return F.make_dt_interval(
+            F.lit(int(days)), F.lit(int(g["hours"])),
+            F.lit(int(g["minutes"])), F.lit(secs))
+    return F.make_interval(
+        F.lit(int(g["years"])), F.lit(int(g["months"])), F.lit(0),
+        F.lit(int(days)), F.lit(int(g["hours"])),
+        F.lit(int(g["minutes"])), F.lit(secs))
+
+
+# openCypher accessor -> builder over a date/timestamp column.
+# Cypher dayOfWeek is ISO (Monday=1..Sunday=7); Spark dayofweek is
+# Sunday=1..Saturday=7, hence the rotation.
+_ACCESSORS = {
+    "year": F.year,
+    "quarter": F.quarter,
+    "month": F.month,
+    "week": F.weekofyear,
+    "day": F.dayofmonth,
+    "ordinalday": F.dayofyear,
+    "dayofweek": lambda c: (F.dayofweek(c) + F.lit(5)) % F.lit(7) + F.lit(1),
+    "weekday": lambda c: (F.dayofweek(c) + F.lit(5)) % F.lit(7) + F.lit(1),
+    "hour": F.hour,
+    "minute": F.minute,
+    "second": F.second,
+    "millisecond": lambda c: F.date_format(c, "SSS").cast("int"),
+    "epochseconds": lambda c: c.cast("timestamp").cast("long"),
+    "epochmillis": lambda c: F.unix_millis(c.cast("timestamp")),
+}
+
+# Accessors on interval (duration) columns -> extract() field names.
+_INTERVAL_ACCESSORS = {
+    "years": "YEAR", "months": "MONTH", "days": "DAY", "hours": "HOUR",
+    "minutes": "MINUTE", "seconds": "SECOND",
+}
+
+
+def accessor(col: Column, key: str, dtype: str) -> Column:
+    """``d.year``-style component access on a temporal-typed scalar."""
+    k = key.lower()
+    d = dtype.lower()
+    if d.startswith("interval"):
+        if k not in _INTERVAL_ACCESSORS:
+            raise PlanError(
+                f"unknown duration accessor '.{key}' "
+                f"(supported: {', '.join(sorted(_INTERVAL_ACCESSORS))})")
+        return F.date_part(F.lit(_INTERVAL_ACCESSORS[k]), col)
+    if k not in _ACCESSORS:
+        raise PlanError(
+            f"unknown temporal accessor '.{key}' on a {dtype} value "
+            f"(supported: {', '.join(sorted(_ACCESSORS))})")
+    return _ACCESSORS[k](col)
+
+
+_TRUNC_DATE_UNITS = {"year", "quarter", "month", "week"}
+_TRUNC_TS_UNITS = _TRUNC_DATE_UNITS | {"day", "hour", "minute", "second"}
+
+
+def truncate(kind: str, unit: str, col: Column) -> Column:
+    """``date.truncate('month', d)`` / ``datetime.truncate('hour', t)``.
+    The qualifier decides the result type (date vs timestamp), exactly
+    like openCypher's ``date.truncate``/``datetime.truncate``."""
+    u = unit.lower()
+    if kind == "date":
+        if u not in _TRUNC_DATE_UNITS:
+            raise PlanError(
+                f"date.truncate unit '{unit}' not supported "
+                f"(use one of: {', '.join(sorted(_TRUNC_DATE_UNITS))})")
+        return F.trunc(col, u)
+    if u not in _TRUNC_TS_UNITS:
+        raise PlanError(
+            f"datetime.truncate unit '{unit}' not supported "
+            f"(use one of: {', '.join(sorted(_TRUNC_TS_UNITS))})")
+    # date_trunc returns TIMESTAMP; keep the engine's zone-naive type
+    return F.date_trunc(u, col).cast("timestamp_ntz")

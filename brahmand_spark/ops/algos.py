@@ -44,14 +44,22 @@ from pyspark.sql import functions as F
 def _ckpt(df: DataFrame, mode) -> DataFrame:
     """Per-round lineage truncation. ``mode``: False → none;
     True/'local' → localCheckpoint (executor blocks — fast, lost
-    with an executor); 'reliable' → DataFrame.checkpoint to the
+    with an executor); 'local_disk' → localCheckpoint with DISK_ONLY
+    storage (bounded heap — the right mode when the per-round frame
+    is a large fraction of executor memory, e.g. 10^8+ rows on a
+    single JVM); 'reliable' → DataFrame.checkpoint to the
     SparkContext checkpoint dir (survives executor loss; see module
     docstring). Results are mode-independent — only failure-recovery
-    behavior differs."""
+    and memory behavior differ."""
     if not mode:
         return df
     if mode is True or mode == "local":
         return df.localCheckpoint(eager=True)
+    if mode == "local_disk":
+        from pyspark import StorageLevel
+
+        return df.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY)
     if mode == "reliable":
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
@@ -61,15 +69,25 @@ def _ckpt(df: DataFrame, mode) -> DataFrame:
                 "SparkContext.setCheckpointDir first)")
         return df.checkpoint(eager=True)
     raise ValueError(
-        f"checkpoint must be False, True, 'local' or 'reliable' "
-        f"(got {mode!r})")
+        f"checkpoint must be False, True, 'local', 'local_disk' or "
+        f"'reliable' (got {mode!r})")
 
 
 def _prepare_ckpt(df: DataFrame, checkpoint, checkpoint_dir):
     """Entry-point half of the checkpoint option: install
     ``checkpoint_dir`` on the SparkContext when given (and upgrade
     the default mode to 'reliable' — naming a durable dir means you
-    want it used). Returns the effective mode for `_ckpt`."""
+    want it used). The BRAHMAND_CHECKPOINT env var overrides the
+    DEFAULT mode only (checkpoint=True) — how the scale soak flips
+    every iterative gate to 'local_disk' without touching call
+    sites; an explicit argument always wins. Returns the effective
+    mode for `_ckpt`."""
+    if checkpoint is True:
+        import os
+
+        env = os.environ.get("BRAHMAND_CHECKPOINT", "").strip()
+        if env:
+            checkpoint = env
     if checkpoint_dir is not None:
         df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
         if checkpoint is True:

@@ -728,6 +728,20 @@ class Parser:
             tok.kind == "KEYWORD" and tok.value in {"END", "ALL", "KEY"}
         ):
             name = self.ident()
+            if (self.at_op(".")
+                    and name.lower() in ("date", "datetime",
+                                         "localdatetime", "duration")
+                    and self.peek(1).kind == "IDENT"
+                    and self.peek(2).kind == "OP"
+                    and self.peek(2).value == "("):
+                # qualified temporal function (r10): date.truncate(...),
+                # datetime.truncate(...), duration.between(...). Only
+                # fires on the full `ns.method(` shape, so a variable
+                # that happens to be named `date` keeps plain property
+                # access (`date.year` stays a PropertyAccess).
+                self.next()  # .
+                method = self.ident()
+                return self.parse_fn_call(f"{name.lower()}.{method.lower()}")
             if self.at_op("("):
                 low = name.lower()
                 if low in ("any", "all", "none", "single") and (

@@ -857,8 +857,9 @@ def run_call(session, stmt: ast.CallProcedure,
             cols.append(F.col(name).alias(item.alias or name))
         df = df.select(*cols)
     scope = Scope()
+    df_dtypes = dict(df.dtypes)
     for c in df.columns:
-        scope.bind(ScalarBinding(alias=c))
+        scope.bind(ScalarBinding(alias=c, dtype=df_dtypes.get(c)))
     ec = ExprCompiler(scope, params)
     if stmt.where is not None:
         df = df.filter(ec.compile(stmt.where))

@@ -16,6 +16,29 @@ from .conftest import SF_SMOKE
 from .helpers import assert_same
 
 FOLDED_CYPHER = {
+    # r10: openCypher temporal surface (typed literals, duration
+    # arithmetic, accessors, truncation — compile/temporal.py) over the
+    # events stream table; DuckDB's native temporals are the oracle
+    # (isodow matches Cypher's ISO dayOfWeek numbering)
+    "temporal_arithmetic": (
+        """MATCH (e:Event)
+           WITH e.ts AS t, e.event_type AS et
+           WHERE t >= datetime('2024-01-08')
+             AND t < datetime('2024-01-08') + duration('P7D')
+           WITH datetime.truncate('day', t) AS d, t, et
+           RETURN d, et, count(*) AS cnt, min(t.dayOfWeek) AS dw,
+                  max(t.hour) AS h_max, min(t.ordinalDay) AS od
+           ORDER BY d, et""",
+        """SELECT date_trunc('day', ts) AS d, event_type AS et,
+                  count(*) AS cnt,
+                  CAST(min(isodow(ts)) AS INT) AS dw,
+                  CAST(max(hour(ts)) AS INT) AS h_max,
+                  CAST(min(dayofyear(ts)) AS INT) AS od
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-08'
+             AND ts < TIMESTAMP '2024-01-08' + INTERVAL 7 DAY
+           GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
     # folded r9 (slot went to dedup_index_probe): inline property
     # maps are equality filters — the same scan+filter+join shape
     # match_filter_project and shared_alias_patterns keep registered

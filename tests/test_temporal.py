@@ -1,123 +1,160 @@
-"""AS-OF join (ops/temporal): DuckDB ASOF JOIN parity, tie/direction/
-tolerance semantics, plan shape."""
+"""openCypher temporal surface (r10): typed literals, duration
+arithmetic, accessors, truncation — compiled to native Spark date/
+interval expressions and checked against DuckDB's native temporals.
 
-from __future__ import annotations
-
-from datetime import datetime
+The reference has no temporal literals (ref: ast.rs:197-204), so this
+whole file is extension surface; correctness is defined by the DuckDB
+oracle and by pinned known dates (1995-01-01 was a Sunday).
+"""
 
 import pytest
-from pyspark.sql import functions as F
 
-from brahmand_spark.ops.temporal import as_of_join
-
-from .conftest import SF_SMOKE
-from .helpers import assert_same
+from brahmand_spark.errors import PlanError
+from tests.helpers import assert_same
 
 
-def _ts(m):
-    return datetime(2024, 1, 1, 0, m)
+class TestDurationParse:
+    def test_iso_components(self):
+        from brahmand_spark.compile.temporal import parse_iso_duration
+
+        assert parse_iso_duration("P30D") == {"days": 30.0}
+        assert parse_iso_duration("P1Y2M3W4D") == {
+            "years": 1.0, "months": 2.0, "weeks": 3.0, "days": 4.0}
+        assert parse_iso_duration("PT3H30M1.5S") == {
+            "hours": 3.0, "minutes": 30.0, "seconds": 1.5}
+        assert parse_iso_duration("P1DT12H") == {"days": 1.0, "hours": 12.0}
+
+    @pytest.mark.parametrize("bad", ["P", "30D", "PT", "P30X", "garbage"])
+    def test_invalid_iso_raises(self, bad):
+        from brahmand_spark.compile.temporal import parse_iso_duration
+
+        with pytest.raises(PlanError):
+            parse_iso_duration(bad)
 
 
-@pytest.fixture()
-def trades(spark):
-    return spark.createDataFrame(
-        [(1, _ts(10), 100.0), (1, _ts(20), 200.0), (2, _ts(5), 50.0)],
-        "k long, ts timestamp, px double",
-    )
+class TestTemporalParser:
+    def test_qualified_call_parses(self):
+        from brahmand_spark.parser import parse
+
+        q = parse(
+            "MATCH (o:Order) RETURN date.truncate('month', o.d) AS m")
+        item = q.return_clause.items[0]
+        assert item.expr.name == "date.truncate"
+
+    def test_variable_named_date_keeps_property_access(self):
+        from brahmand_spark.parser import ast, parse
+
+        q = parse("MATCH (date:Order) RETURN date.year AS y")
+        item = q.return_clause.items[0]
+        assert isinstance(item.expr, ast.PropertyAccess)
+        assert item.expr.alias == "date"
 
 
-@pytest.fixture()
-def quotes(spark):
-    return spark.createDataFrame(
-        [(1, _ts(9), 1.0), (1, _ts(10), 2.0), (1, _ts(19), 3.0),
-         (2, _ts(6), 9.0)],
-        "k long, ts timestamp, q double",
-    )
+class TestTemporalQueries:
+    def test_accessors_pinned_dates(self, tpch):
+        got = tpch.execute(
+            "UNWIND [date('1995-01-01'), date('1995-01-02')] AS d "
+            "RETURN d, d.year AS y, d.quarter AS q, d.month AS m, "
+            "d.day AS dom, d.dayOfWeek AS dw, d.ordinalDay AS od"
+        ).collect()
+        sun, mon = sorted(got, key=lambda r: r.d.isoformat())
+        assert (sun.y, sun.q, sun.m, sun.dom, sun.dw, sun.od) == (
+            1995, 1, 1, 1, 7, 1)   # ISO: Sunday = 7
+        assert (mon.dw, mon.od) == (1, 2)  # Monday = 1
+
+    def test_literal_arithmetic_truncate_vs_duckdb(self, tpch, duck):
+        spark_df = tpch.execute("""
+            MATCH (o:Order)
+            WITH o.o_orderdate AS t
+            WHERE t >= datetime('1995-01-01')
+              AND t < datetime('1995-01-01') + duration('P90D')
+            WITH date.truncate('month', date(t)) AS m, t
+            RETURN toString(m) AS m, count(*) AS cnt, min(t.year) AS y,
+                   max(t.ordinalDay) AS od
+            ORDER BY m
+        """)
+        # pandas maps DuckDB DATE to datetime64 but Spark DATE to
+        # datetime.date — compare the ISO strings instead
+        oracle = duck.sql("""
+            SELECT strftime(date_trunc('month', CAST(t AS DATE)),
+                            '%Y-%m-%d') AS m,
+                   count(*) AS cnt,
+                   CAST(min(year(t)) AS INT) AS y,
+                   CAST(max(dayofyear(t)) AS INT) AS od
+            FROM (SELECT o_orderdate AS t FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                    AND o_orderdate < TIMESTAMP '1995-01-01'
+                        + INTERVAL 90 DAY)
+            GROUP BY 1 ORDER BY 1
+        """)
+        assert_same(spark_df, oracle)
+
+    def test_duration_map_and_between(self, tpch):
+        row = tpch.execute("""
+            MATCH (o:Order) WITH o.o_orderdate AS t
+            ORDER BY t LIMIT 1
+            WITH t, t + duration({days: 3, hours: 12}) AS t2
+            RETURN duration.between(t, t2) AS dur,
+                   (t2 - duration('PT12H')) AS back
+        """).collect()[0]
+        # day-time interval: 3 days 12 hours
+        assert row.dur.days == 3 and row.dur.seconds == 12 * 3600
+        assert row.back.hour == 0  # t + 3d12h - 12h lands on midnight
+
+    def test_datetime_truncate_units(self, tpch):
+        row = tpch.execute(
+            "UNWIND [datetime('1997-03-15 13:45:57')] AS t "
+            "RETURN datetime.truncate('hour', t) AS h, "
+            "       datetime.truncate('day', t) AS d, "
+            "       date.truncate('year', t) AS y"
+        ).collect()[0]
+        assert row.h.isoformat() == "1997-03-15T13:00:00"
+        assert row.d.isoformat() == "1997-03-15T00:00:00"
+        assert row.y.isoformat() == "1997-01-01"
+
+    def test_duration_ordering_and_interval_accessors(self, tpch):
+        rows = tpch.execute("""
+            UNWIND [duration('P2D'), duration('PT36H')] AS dur
+            WITH dur ORDER BY dur DESC
+            RETURN dur.days AS dd, dur.hours AS hh
+        """).collect()
+        assert [(r.dd, r.hh) for r in rows] == [(2, 0), (1, 12)]
+
+    def test_epoch_accessors(self, tpch):
+        row = tpch.execute(
+            "UNWIND [datetime('1970-01-02 00:00:00')] AS t "
+            "RETURN t.epochSeconds AS es, t.epochMillis AS em"
+        ).collect()[0]
+        assert row.es == 86400 and row.em == 86400000
+
+    def test_unwind_scalar_rebind_keeps_struct_access(self, tpch):
+        # non-temporal scalars keep legacy struct-field access
+        row = tpch.execute(
+            "UNWIND [{a: 1, b: 'x'}] AS m RETURN m.a AS a, m.b AS b"
+        ).collect()[0]
+        assert (row.a, row.b) == (1, "x")
 
 
-def test_gate_oracle_parity(spark, duck):
-    import __spark_entry__ as entry
+class TestTemporalErrors:
+    def test_nonliteral_duration_rejected(self, tpch):
+        with pytest.raises(PlanError, match="duration"):
+            tpch.execute(
+                "MATCH (o:Order) RETURN duration(o.o_orderpriority) AS d")
 
-    fn = entry.queries()["events_asof_join"]
-    sql = entry.oracle_sql()["events_asof_join"]
-    assert_same(fn(spark, SF_SMOKE), duck.sql(sql))
+    def test_unknown_accessor_rejected(self, tpch):
+        with pytest.raises(PlanError, match="accessor"):
+            tpch.execute(
+                "UNWIND [date('1995-01-01')] AS d RETURN d.fortnight AS x")
 
+    def test_bad_truncate_unit_rejected(self, tpch):
+        with pytest.raises(PlanError, match="truncate unit"):
+            tpch.execute(
+                "UNWIND [date('1995-01-01')] AS d "
+                "RETURN date.truncate('hour', d) AS x")
 
-def test_backward_ties_match_and_left_join(trades, quotes):
-    got = {
-        (r["k"], r["ts"]): (r["ts_right"], r["q_right"])
-        for r in as_of_join(trades, quotes, "k").collect()
-    }
-    # t=10 matches the quote AT 10 (tie), not 9
-    assert got[(1, _ts(10))] == (_ts(10), 2.0)
-    assert got[(1, _ts(20))] == (_ts(19), 3.0)
-    # key 2: quote at 6 is AFTER the trade at 5 -> NULL match
-    assert got[(2, _ts(5))] == (None, None)
-
-
-def test_forward_direction(trades, quotes):
-    got = {
-        (r["k"], r["ts"]): (r["ts_right"], r["q_right"])
-        for r in as_of_join(
-            trades, quotes, "k", direction="forward").collect()
-    }
-    assert got[(1, _ts(10))] == (_ts(10), 2.0)  # tie still matches
-    assert got[(1, _ts(20))] == (None, None)    # nothing after
-    assert got[(2, _ts(5))] == (_ts(6), 9.0)
-
-
-def test_tolerance_nulls_stale_matches(trades, quotes):
-    got = {
-        (r["k"], r["ts"]): r["q_right"]
-        for r in as_of_join(
-            trades, quotes, "k", tolerance="1 minute").collect()
-    }
-    assert got[(1, _ts(10))] == 2.0   # exact-ts match, within 1 min
-    assert got[(1, _ts(20))] == 3.0   # 19 -> 20 is 1 min, inclusive
-    assert got[(2, _ts(5))] is None
-
-
-def test_tolerance_excludes_beyond(spark, trades, quotes):
-    got = {
-        (r["k"], r["ts"]): r["q_right"]
-        for r in as_of_join(
-            trades, quotes, "k", tolerance="30 seconds").collect()
-    }
-    assert got[(1, _ts(20))] is None  # 1 min gap > 30 s
-
-
-def test_rejects_bad_direction(trades, quotes):
-    with pytest.raises(ValueError):
-        as_of_join(trades, quotes, "k", direction="sideways")
-
-
-def test_single_shuffle_plan(spark):
-    """The union-and-carry shape must shuffle ONCE (the keyed window);
-    a range-join formulation would show a join node."""
-    from brahmand_spark.io import read_parquet
-
-    ev = read_parquet(spark, f"{SF_SMOKE}/events.parquet")
-    left = ev.filter(F.col("event_type") == "purchase") \
-        .select("user_id", "ts", "value")
-    right = ev.filter(F.col("event_type") == "click") \
-        .select("user_id", "ts", "value")
-    plan = as_of_join(left, right, "user_id")._jdf.queryExecution() \
-        .executedPlan().toString()
-    assert plan.count("Exchange") == 1
-    assert "Join" not in plan
-
-
-def test_multi_key_join(spark):
-    left = spark.createDataFrame(
-        [(1, "a", _ts(10)), (1, "b", _ts(10))],
-        "k long, g string, ts timestamp",
-    )
-    right = spark.createDataFrame(
-        [(1, "a", _ts(9), 7.0), (1, "b", _ts(8), 8.0)],
-        "k long, g string, ts timestamp, v double",
-    )
-    got = {
-        (r["k"], r["g"]): r["v_right"]
-        for r in as_of_join(left, right, ["k", "g"]).collect()
-    }
-    assert got == {(1, "a"): 7.0, (1, "b"): 8.0}
+    def test_truncate_needs_literal_unit(self, tpch):
+        with pytest.raises(PlanError, match="string-literal"):
+            tpch.execute(
+                "MATCH (o:Order) "
+                "RETURN date.truncate(o.o_orderpriority, o.o_orderdate) "
+                "AS x")

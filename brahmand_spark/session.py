@@ -80,6 +80,11 @@ class GraphSession:
         # anchor against an edge table too big to broadcast.
         self.prune_hops = prune_hops
         self.prune_bloom_bits = 1 << 20
+        # label/type -> row count, captured by collect_table_stats()
+        # (one metadata-cheap count per table, amortized across every
+        # query of the session). Presence flips anchor selection to
+        # cost-based (compile/compiler.py _cost_anchor).
+        self.table_stats: dict[str, int] = {}
 
     @property
     def model_store(self):
@@ -158,6 +163,29 @@ class GraphSession:
             ).first().asDict()
             for direction in ("outgoing", "incoming")
         }
+        # Edge-count capture rides along for free (n_edges is already
+        # in the degree summary) — seeds the cost-based anchor.
+        self.table_stats[type_name] = int(
+            self.degree_stats[type_name]["outgoing"]["n_edges"])
+
+    def collect_table_stats(
+        self, labels: Optional[list[str]] = None, refresh: bool = False,
+    ) -> dict[str, int]:
+        """Capture row counts for the schema's node labels and
+        relationship types (or just ``labels``) into
+        ``self.table_stats`` — one ``count()`` per table, amortized
+        into the catalog like the reference's ClickHouse table stats.
+        Presence of complete stats flips anchor selection to
+        cost-based (estimated post-filter cardinality instead of the
+        raw filter-count heuristic); stats-free sessions keep
+        reference behavior. Parquet counts are metadata-cheap
+        (row-group counts, no data pages)."""
+        names = labels if labels is not None else (
+            list(self.schema.nodes) + list(self.schema.relationships))
+        for name in names:
+            if refresh or name not in self.table_stats:
+                self.table_stats[name] = self._load_for_label(name).count()
+        return dict(self.table_stats)
 
     def drop_adj_index(self, type_name: str) -> None:
         """Release a relationship's adjacency index: unpersist the
@@ -214,6 +242,8 @@ class GraphSession:
                 assume_referential_integrity=(
                     self.assume_referential_integrity),
                 degree_stats=self.degree_stats.get,
+                table_stats=(self.table_stats.get
+                             if self.table_stats else None),
                 skew_degree_threshold=self.skew_degree_threshold,
                 skew_salt_factor=self.skew_salt_factor,
                 prune_hops=self.prune_hops,

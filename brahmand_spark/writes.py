@@ -123,15 +123,25 @@ def apply_call_in_transactions(
     ERROR CONTINUE|BREAK|FAIL`` governs what a failing batch does
     (see the loop below).
 
-    Scale notes: the batch assignment range-sorts the (narrow) id
-    column once — range repartition + in-partition sort +
-    zipWithIndex, so the numbering is distributed (no single-task
-    global window) — and pins it with a localCheckpoint; the
-    per-batch id set is ≤ ``batch_rows`` and broadcast into a
+    Scale notes: the batch assignment range-sorts the (narrow)
+    per-id row counts once — range repartition + in-partition sort +
+    a two-pass distributed cumulative sum (per-partition totals to
+    the driver, P numbers, then per-partition prefix + offset; no
+    single-task global window) — and pins the assignment with a
+    localCheckpoint; the per-batch id set is broadcast into a
     semi-join, so each batch's plan touches only its own slice.
-    Batching is by distinct anchor id — openCypher batches rows;
-    the two coincide for the canonical MATCH (n) form. No rollback
-    isolation beyond the per-batch snapshot (matching the module's
+
+    ``OF k ROWS`` counts ROWS of the outer match (openCypher), not
+    distinct anchor ids (r10 — ids and rows coincide only for the
+    canonical ``MATCH (n) CALL { WITH n ... }``): each distinct
+    anchor id is weighted by its outer-row count and ids pack into
+    batches by cumulative row count. One documented divergence
+    remains: all rows of the SAME anchor id stay in one batch
+    (per-anchor atomicity — splitting an anchor's rows across
+    commits would let a failing second half roll back while the
+    first half stays committed), so a batch exceeds k rows only
+    when a single anchor id alone does. No rollback isolation
+    beyond the per-batch snapshot (matching the module's
     lakehouse-overwrite posture); a failure mid-sequence leaves
     earlier batches committed, exactly openCypher's documented
     IN TRANSACTIONS behavior."""
@@ -168,28 +178,47 @@ def apply_call_in_transactions(
     anchor = cit.imports[0]
     b = scope.get(anchor)
     key = b.id_pcol if isinstance(b, NodeBinding) else b.src_pcol
-    # id-range batch assignment WITHOUT a single-task global window
-    # (r9 review: row_number over an unpartitioned Window funnels
-    # every id through one task — the opposite of this feature's
-    # million-row purpose): range-repartition + in-partition sort
-    # gives a global order across partitions, and zipWithIndex
-    # numbers it distributedly (one count pass + per-partition
-    # offsets). The ids frame is narrow (one column) by design.
+    # Row-weighted batch assignment WITHOUT a single-task global
+    # window (r9 review: row_number over an unpartitioned Window
+    # funnels every id through one task — the opposite of this
+    # feature's million-row purpose): per-id row counts are
+    # range-sorted (range partitioner = ordered non-overlapping
+    # ranges by partition index), per-partition row totals come back
+    # to the driver (P numbers, metadata-sized), and each partition
+    # assigns batches from its prefix offset — a distributed
+    # cumulative sum. ``_b = floor(rows_before_this_id / k)``.
     from pyspark.sql.types import LongType, StructField, StructType
 
     k_rows = int(cit.batch_rows)
-    sorted_ids = (
-        df.select(F.col(key).alias("id")).distinct()
+    sorted_counts = (
+        df.groupBy(F.col(key).alias("id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .repartitionByRange("id").sortWithinPartitions("id")
     )
-    schema = StructType([sorted_ids.schema.fields[0],
+    count_rdd = sorted_counts.rdd.map(lambda r: (r["id"], r["cnt"]))
+    part_totals = dict(count_rdd.mapPartitionsWithIndex(
+        lambda i, it: [(i, sum(c for _, c in it))]).collect())
+    offsets, running = {}, 0
+    for i in sorted(part_totals):
+        offsets[i] = running
+        running += part_totals[i]
+
+    def _assign(i, it, _offsets=offsets, _k=k_rows):
+        cum = _offsets.get(i, 0)
+        for id_, c in it:
+            yield (id_, cum // _k)
+            cum += c
+
+    schema = StructType([sorted_counts.schema.fields[0],
                          StructField("_b", LongType())])
     ids = session.spark.createDataFrame(
-        sorted_ids.rdd.zipWithIndex().map(
-            lambda t: (t[0][0], t[1] // k_rows)),
-        schema,
+        count_rdd.mapPartitionsWithIndex(_assign), schema,
     ).localCheckpoint()
-    n_batches = (ids.agg(F.max("_b").alias("m")).first()["m"] or 0) + 1
+    # dense batch sequence: a single anchor id heavier than k leaves a
+    # gap in the floor(cum/k) numbering — iterate the batches that
+    # actually exist (one driver-side value per batch, ~rows/k ints)
+    batch_vals = [r["_b"] for r in
+                  ids.select("_b").distinct().sort("_b").collect()]
     wq = ast.WriteQuery(
         match_clauses=all_matches, where=where,
         merges=cit.body.merges, create=cit.body.create,
@@ -209,8 +238,8 @@ def apply_call_in_transactions(
     # while its status row claimed nothing happened). Every row
     # reports (committed, error) alongside the write counters.
     out_rows = []
-    for bi in range(int(n_batches)):
-        batch_ids = ids.filter(F.col("_b") == bi).select("id")
+    for bi, bval in enumerate(batch_vals):
+        batch_ids = ids.filter(F.col("_b") == bval).select("id")
         snapshot = dict(session.tables)
         try:
             stats = apply_write(session, wq, params,

@@ -322,6 +322,91 @@ class TestAnchorSelection:
             RETURN a.c_name AS n""") is None
 
 
+class TestCostBasedAnchor:
+    """r10 (VERDICT r9 Missing #3): with catalog row counts the anchor
+    is the smallest ESTIMATED post-filter cardinality; without stats
+    (or with incomplete stats) the reference's filter-count heuristic
+    decides, unchanged."""
+
+    def _anchor(self, tpch, cypher, stats):
+        from brahmand_spark.compile.compiler import QueryCompiler
+        from brahmand_spark.compile.scope import Scope
+        from brahmand_spark.parser.parser import parse
+
+        query = parse(cypher)
+        part = query.parts[0]
+        compiler = QueryCompiler(
+            tpch.schema, tpch._load_for_label,
+            table_stats=stats.get if stats is not None else None)
+        pattern = compiler._build_pattern(part.matches, Scope())
+        compiler._infer(pattern)
+        return compiler._select_anchor(pattern, part)
+
+    Q_ONE_FILTER_EACH = """
+        MATCH (a:Customer)-[:PLACED]->(b:Order)
+        WHERE a.c_acctbal > 0 AND b.o_totalprice > 5
+        RETURN a.c_name AS n"""
+
+    def test_stats_flip_anchor_to_small_table(self, tpch):
+        # filter-count ties -> heuristic picks 'a'; stats say the
+        # filtered Order side is 50 rows vs a billion customers
+        stats = {"Customer": 1_000_000_000, "Order": 50, "PLACED": 10**9}
+        assert self._anchor(tpch, self.Q_ONE_FILTER_EACH, stats) == "b"
+
+    def test_small_dimension_beats_more_filters(self, tpch):
+        # two filters on the fact side still lose to a 10-row dim:
+        # 1e9 * 0.1^2 = 1e7 >> 10 * 0.1 = 1
+        q = """
+            MATCH (a:Customer)-[:PLACED]->(b:Order)
+            WHERE a.c_acctbal > 0
+              AND b.o_totalprice > 5 AND b.o_orderstatus = 'F'
+            RETURN a.c_name AS n"""
+        stats = {"Customer": 10, "Order": 1_000_000_000, "PLACED": 10**9}
+        assert self._anchor(tpch, q, stats) == "a"
+
+    def test_missing_stats_fall_back_to_heuristic(self, tpch):
+        # Order has no stats entry -> wholesale fallback (tie -> 'a')
+        stats = {"Customer": 1_000_000_000, "PLACED": 10**9}
+        assert self._anchor(tpch, self.Q_ONE_FILTER_EACH, stats) == "a"
+
+    def test_no_stats_keeps_reference_behavior(self, tpch):
+        assert self._anchor(tpch, self.Q_ONE_FILTER_EACH, None) == "a"
+
+    def test_unfiltered_pattern_still_none(self, tpch):
+        stats = {"Customer": 10, "Order": 10, "PLACED": 10}
+        assert self._anchor(tpch, """
+            MATCH (a:Customer)-[:PLACED]->(b:Order)
+            RETURN a.c_name AS n""", stats) is None
+
+    def test_or_penalty_breaks_even_estimates(self, tpch):
+        # same rows + same filter count, but 'b' carries an OR -> 'a'
+        q = """
+            MATCH (a:Customer)-[:PLACED]->(b:Order)
+            WHERE a.c_acctbal > 0
+              AND (b.o_totalprice > 5 OR b.o_orderstatus = 'F')
+            RETURN a.c_name AS n"""
+        stats = {"Customer": 1000, "Order": 1000, "PLACED": 10**6}
+        assert self._anchor(tpch, q, stats) == "a"
+
+    def test_session_stats_keep_results_identical(self, spark):
+        """Pure physical choice: the same query returns identical rows
+        with and without collect_table_stats()."""
+        from brahmand_spark.graphs.tpch import build_session
+
+        from .conftest import SF_SMOKE
+
+        q = ("MATCH (a:Customer)-[:PLACED]->(b:Order) "
+             "WHERE a.c_acctbal > 5000 AND b.o_orderstatus = 'F' "
+             "RETURN a.c_name AS n, b.o_orderkey AS k")
+        s1 = build_session(spark, SF_SMOKE)
+        before = sorted(map(tuple, s1.execute(q).collect()))
+        s2 = build_session(spark, SF_SMOKE)
+        stats = s2.collect_table_stats()
+        assert stats["Customer"] > 0 and stats["PLACED"] > 0
+        after = sorted(map(tuple, s2.execute(q).collect()))
+        assert before == after
+
+
 class TestVarLengthCostGuard:
     def test_deep_walk_refused_with_clear_error(self, tpch):
         import pytest

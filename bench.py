@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "aggregates_five",
     "order_skip_limit",
     "with_having",
-    "with_rebind_match",
+    "temporal_arithmetic",
     "shared_alias_patterns",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -16,28 +16,22 @@ from .conftest import SF_SMOKE
 from .helpers import assert_same
 
 FOLDED_CYPHER = {
-    # r10: openCypher temporal surface (typed literals, duration
-    # arithmetic, accessors, truncation — compile/temporal.py) over the
-    # events stream table; DuckDB's native temporals are the oracle
-    # (isodow matches Cypher's ISO dayOfWeek numbering)
-    "temporal_arithmetic": (
-        """MATCH (e:Event)
-           WITH e.ts AS t, e.event_type AS et
-           WHERE t >= datetime('2024-01-08')
-             AND t < datetime('2024-01-08') + duration('P7D')
-           WITH datetime.truncate('day', t) AS d, t, et
-           RETURN d, et, count(*) AS cnt, min(t.dayOfWeek) AS dw,
-                  max(t.hour) AS h_max, min(t.ordinalDay) AS od
-           ORDER BY d, et""",
-        """SELECT date_trunc('day', ts) AS d, event_type AS et,
-                  count(*) AS cnt,
-                  CAST(min(isodow(ts)) AS INT) AS dw,
-                  CAST(max(hour(ts)) AS INT) AS h_max,
-                  CAST(min(dayofyear(ts)) AS INT) AS od
-           FROM events
-           WHERE ts >= TIMESTAMP '2024-01-08'
-             AND ts < TIMESTAMP '2024-01-08' + INTERVAL 7 DAY
-           GROUP BY 1, 2 ORDER BY 1, 2""",
+    # folded r10 (slot went to temporal_arithmetic): WITH-boundary
+    # rebinding — a DISTINCT WITH carrying a node that a later MATCH
+    # extends; the same carry-and-rematch machinery rides with_having
+    # and every correlated-CALL gate
+    "with_rebind_match": (
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+           WHERE o.o_totalprice > 300000
+           WITH DISTINCT c
+           MATCH (c)-[:CUST_IN]->(n:Nation)
+           RETURN n.n_name AS nation, count(*) AS big_spenders""",
+        """SELECT n.n_name AS nation, count(*) AS big_spenders
+           FROM (SELECT DISTINCT c.* FROM customer c
+                 JOIN orders o ON o.o_custkey = c.c_custkey
+                 WHERE o.o_totalprice > 300000) c
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY n.n_name""",
     ),
     # folded r9 (slot went to dedup_index_probe): inline property
     # maps are equality filters — the same scan+filter+join shape

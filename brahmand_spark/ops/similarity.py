@@ -743,6 +743,7 @@ def ann_add(
     spark, name: str, new_vectors: DataFrame, store,
     id_col: str | None = None, vec_col: str | None = None,
     source_path: str | None = None, batch_key: str | None = None,
+    reindex_skew: float | None = None,
 ) -> dict:
     """Append a new vector batch to a persisted index WITHOUT
     refitting: encode with the STORED centroids/codebooks (the fits
@@ -775,12 +776,33 @@ def ann_add(
     attempts). Without a key the add appends under an anonymous
     batch (plain append semantics). A recorded ``source_path``
     joins the source list only ONCE — streaming ingest passes the
-    same accepted-rows root every batch."""
+    same accepted-rows root every batch.
+
+    ``reindex_skew`` (r10 — the maintenance auto-trigger): after the
+    add, compute the cell-occupancy skew (max/mean live rows per
+    cell, the :func:`ann_stats` drift signal) and when it exceeds the
+    threshold run :func:`ann_reindex` in place from the index's
+    recorded sources. Requires recorded sources — checked UP FRONT so
+    a mis-configured trigger fails before anything is written. A
+    reasonable threshold is 3-5; the returned params carry
+    ``last_skew`` and ``reindexed`` so ingest loops can log the
+    decision."""
     import re as _re
     import uuid as _uuid
 
     doc = store.load(name, "ann_index")
     params = doc["params"]
+    if reindex_skew is not None:
+        if reindex_skew <= 1.0:
+            raise ValueError(
+                f"reindex_skew must exceed 1.0 (a perfectly uniform "
+                f"index has skew 1.0); got {reindex_skew}")
+        if not _source_paths(params):
+            raise ValueError(
+                f"reindex_skew needs index '{name}' to record source "
+                f"paths (ann_reindex refits from them); pass "
+                f"source_path= on every add or trigger ann_reindex "
+                f"manually with corpus=")
     legacy = "batch_counts" not in params  # pre-r9 cell-only layout
     if batch_key is not None:
         if legacy:
@@ -856,6 +878,28 @@ def ann_add(
         params["source_paths"] = _source_paths(params) + [source_path]
         params.pop("source_path", None)
     store.save(name, "ann_index", doc["payload"], params)
+    if reindex_skew is not None:
+        occ = (spark.read.parquet(params["codes_path"])
+               .select("corpus_id", "cell"))
+        from .fs import path_exists
+
+        dp = _ann_deletes_path(params)
+        if path_exists(spark, dp):
+            occ = occ.join(spark.read.parquet(dp),
+                           "corpus_id", "left_anti")
+        row = occ.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")).agg(
+            F.max("n").alias("mx"), F.avg("n").alias("av")).first()
+        skew = (float(row["mx"]) / float(row["av"])
+                if row and row["av"] else 1.0)
+        params["last_skew"] = round(skew, 3)
+        params["reindexed"] = skew > reindex_skew
+        if params["reindexed"]:
+            params = ann_reindex(spark, name, store)
+            params["last_skew"] = round(skew, 3)
+            params["reindexed"] = True
+        store.save(name, "ann_index",
+                   store.load(name, "ann_index")["payload"], params)
     return params
 
 

@@ -448,6 +448,13 @@ class CallInTransactions:
     # batch, keep going), 'break' (stop after the failing batch);
     # every mode reports per-batch status in the output frame
     on_error: str = "fail"
+    # REPORT STATUS AS <var> [RETURN <items over var>] (r10,
+    # openCypher 9): the per-batch status rows surface as ONE struct
+    # column named report_var; report_items (when present) project
+    # expressions over it — e.g. RETURN s.batch AS b, s.committed.
+    # None = the r9 flat status columns, unchanged.
+    report_var: Optional[str] = None
+    report_items: Optional[list] = None
 
 
 @dataclass

@@ -1110,6 +1110,22 @@ class Parser:
                 self.error(
                     "expected CONTINUE, BREAK or FAIL after ON ERROR")
             on_error = modes[mode.value.upper()]
+        # REPORT STATUS AS <var> [RETURN <items>] (r10, openCypher 9's
+        # post-CALL status consumption; REPORT/STATUS are soft words)
+        report_var, report_items = None, None
+        nxt = self.peek()
+        if nxt.kind == "IDENT" and nxt.value.upper() == "REPORT":
+            self.next()
+            st = self.next()
+            if not (st.kind in ("IDENT", "KEYWORD")
+                    and st.value.upper() == "STATUS"):
+                self.error("expected STATUS after REPORT")
+            if not self.try_kw("AS"):
+                self.error("expected AS <variable> after REPORT STATUS")
+            report_var = self.ident()
+            if self.at_kw("RETURN"):
+                self.next()
+                report_items = self.parse_return_items()
         if body.return_clause is not None:
             self.error(
                 "RETURN inside CALL { } IN TRANSACTIONS is not "
@@ -1122,7 +1138,8 @@ class Parser:
         return ast.CallInTransactions(
             match_clauses=wq.match_clauses, where=wq.where,
             imports=imports, body=body, batch_rows=batch_rows,
-            on_error=on_error)
+            on_error=on_error, report_var=report_var,
+            report_items=report_items)
 
     def parse_write_query(self) -> ast.WriteQuery:
         wq = ast.WriteQuery()

@@ -638,13 +638,20 @@ def _p_vector_build_index(session, label, name, n_cells=16, m=4,
         "m int, n_codes int, codes_path string")
 
 
-def _p_vector_add(session, name, label, id_col=None, vec_col=None):
+def _p_vector_add(session, name, label, id_col=None, vec_col=None,
+                  reindex_skew=None):
     """Append a catalog embedding table's rows to a persisted index
     without refitting (ops/similarity.ann_add): encode with the
     stored artifacts, partitioned append of the codes. The LABEL
     joins the index's recorded source labels, so vector.search's
-    exact re-rank covers the added rows too (r7 review)."""
-    from .ops.similarity import ann_add
+    exact re-rank covers the added rows too (r7 review).
+
+    ``reindex_skew`` (r10 — the maintenance auto-trigger): after the
+    add, when the cell-occupancy skew (max/mean live per cell, the
+    vector.stats signal) exceeds the threshold, refit in place from
+    the recorded source labels (vector.reindex's corpus assembly).
+    The returned row carries (last_skew, reindexed)."""
+    from .ops.similarity import ann_add, ann_reindex, ann_stats
 
     store = session.model_store
     params = ann_add(session.spark, name,
@@ -653,12 +660,33 @@ def _p_vector_add(session, name, label, id_col=None, vec_col=None):
     doc = store.load(name, "ann_index")
     labels = _source_labels(doc["params"])
     if label not in labels:
-        doc["params"]["source_labels"] = labels + [label]
+        labels = labels + [label]
+        doc["params"]["source_labels"] = labels
         doc["params"].pop("source_label", None)
         store.save(name, "ann_index", doc["payload"], doc["params"])
+    skew, reindexed = None, False
+    if reindex_skew is not None:
+        thr = float(reindex_skew)
+        if thr <= 1.0:
+            raise PlanError(
+                f"reindex_skew must exceed 1.0, got {reindex_skew}")
+        occ = ann_stats(session.spark, name, store).agg(
+            F.max("n_live").alias("mx"),
+            F.avg("n_live").alias("av")).first()
+        skew = (round(float(occ["mx"]) / float(occ["av"]), 3)
+                if occ and occ["av"] else 1.0)
+        if skew > thr:
+            corpus = None
+            for lbl in labels:
+                t = session._load_for_label(lbl)
+                corpus = t if corpus is None else corpus.unionByName(t)
+            params = ann_reindex(session.spark, name, store,
+                                 corpus=corpus)
+            reindexed = True
     return session.spark.createDataFrame(
-        [(name, label, int(params["n_vectors"]))],
-        "name string, label string, n_vectors long")
+        [(name, label, int(params["n_vectors"]), skew, reindexed)],
+        "name string, label string, n_vectors long, "
+        "last_skew double, reindexed boolean")
 
 
 def _source_labels(params: dict) -> list:

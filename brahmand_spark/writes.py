@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 
 from .compile.compiler import QueryCompiler
 from .compile.expressions import ExprCompiler, collect_aliases
-from .compile.scope import NodeBinding, RelBinding, Scope, pcol
+from .compile.scope import (
+    NodeBinding, RelBinding, ScalarBinding, Scope, pcol,
+)
 from .errors import PlanError, UnsupportedError
 from .parser import ast
 
@@ -258,7 +260,40 @@ def apply_call_in_transactions(
         out_rows.append((bi, True, None) + tuple(stats))
     cols = (["batch bigint", "committed boolean", "error string"]
             + [f"{c} bigint" for c in WRITE_STAT_KEYS])
-    return session.spark.createDataFrame(out_rows, ", ".join(cols))
+    out = session.spark.createDataFrame(out_rows, ", ".join(cols))
+    if cit.report_var is None:
+        return out
+    # REPORT STATUS AS <var> (r10): one struct column per batch;
+    # the optional trailing RETURN projects expressions over it
+    # (plain struct-field access through the expression compiler)
+    out = out.select(F.struct(
+        "batch", "committed", "error", *WRITE_STAT_KEYS
+    ).alias(cit.report_var))
+    if not cit.report_items:
+        return out
+    scope = Scope()
+    scope.bind(ScalarBinding(
+        cit.report_var, dtype=dict(out.dtypes)[cit.report_var]))
+    ec = ExprCompiler(scope, params)
+    sel = []
+    for it in cit.report_items:
+        if isinstance(it.expr, ast.Star):
+            raise PlanError(
+                "RETURN * after REPORT STATUS — project named fields "
+                f"(e.g. {cit.report_var}.batch, "
+                f"{cit.report_var}.committed)")
+        if it.alias is not None:
+            name = it.alias
+        elif isinstance(it.expr, ast.Variable):
+            name = it.expr.name
+        elif isinstance(it.expr, ast.PropertyAccess):
+            name = it.expr.key
+        else:
+            raise PlanError(
+                "alias every computed RETURN item after REPORT "
+                "STATUS (... AS name)")
+        sel.append(ec.compile(it.expr).alias(name))
+    return out.select(*sel)
 
 
 def _store(session, table_name: str, df: DataFrame) -> DataFrame:

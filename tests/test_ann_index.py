@@ -752,3 +752,86 @@ class TestIngestStream:
         params = st.load("rix", "ann_index")["params"]
         assert params["n_vectors"] == n0 + emb.filter(
             F.col("vec_id") >= 400).count()
+
+
+class TestAutoReindexTrigger:
+    """r10: ann_add(reindex_skew=) — the maintenance auto-trigger.
+    After the add, the cell-occupancy skew (max/mean live per cell)
+    is measured; past the threshold the index refits in place from
+    its recorded sources."""
+
+    def _split(self, spark, tmp_path):
+        return TestReindexAndStats._split(self, spark, tmp_path)
+
+    def test_below_threshold_records_skew_only(self, spark, tmp_path):
+        from brahmand_spark.ops.similarity import ann_add
+
+        bp, dp = self._split(spark, tmp_path)
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(spark.read.parquet(bp), "idx", st,
+                        source_path=bp, n_cells=8, m=8, n_codes=16)
+        fits0 = st.load("idx", "ann_index")["payload"]
+        params = ann_add(spark, "idx", spark.read.parquet(dp), st,
+                         source_path=dp, reindex_skew=1000.0)
+        assert params["reindexed"] is False
+        assert params["last_skew"] > 1.0
+        # fits untouched below the threshold
+        assert st.load("idx", "ann_index")["payload"] == fits0
+
+    def test_skewed_add_triggers_inplace_reindex(self, spark, tmp_path):
+        from brahmand_spark.ops.similarity import ann_add, ann_stats
+
+        bp, dp = self._split(spark, tmp_path)
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(spark.read.parquet(bp), "idx", st,
+                        source_path=bp, n_cells=8, m=8, n_codes=16)
+        fits0 = st.load("idx", "ann_index")["payload"]
+        params = ann_add(spark, "idx", spark.read.parquet(dp), st,
+                         source_path=dp, reindex_skew=2.0)
+        assert params["reindexed"] is True
+        assert params["last_skew"] > 2.0
+        doc = st.load("idx", "ann_index")
+        assert doc["payload"] != fits0          # refit happened
+        assert doc["params"]["batch_counts"] == {}  # folded to base
+        hist = {r["cell"]: r["n_live"]
+                for r in ann_stats(spark, "idx", st).collect()}
+        mean = sum(hist.values()) / len(hist)
+        assert max(hist.values()) < 2 * mean     # healthy again
+        # search keeps working against the reindexed table
+        q = spark.read.parquet(dp).limit(3)
+        assert ann_search(spark, "idx", q, st, k=3, nprobe=4).count() > 0
+
+    def test_trigger_without_sources_fails_fast(self, spark, tmp_path):
+        from brahmand_spark.ops.similarity import ann_add
+
+        st = ModelStore(str(tmp_path / "m"))
+        params0 = build_ann_index(_emb(spark), "idx", st, **PARAMS)
+        batch = _emb(spark).select(
+            (F.col("vec_id") + 50_000).alias("vec_id"), "embedding")
+        with pytest.raises(ValueError, match="record source"):
+            ann_add(spark, "idx", batch, st, reindex_skew=3.0)
+        # failed BEFORE any write
+        assert st.load("idx", "ann_index")["params"]["n_vectors"] == \
+            params0["n_vectors"]
+        with pytest.raises(ValueError, match="exceed 1.0"):
+            ann_add(spark, "idx", batch, st, reindex_skew=0.5)
+
+    def test_call_surface_trigger(self, spark, tmp_path):
+        """CALL vector.add(..., reindex_skew) assembles the reindex
+        corpus from the recorded source LABELS."""
+        from brahmand_spark import GraphSession
+
+        bp, dp = self._split(spark, tmp_path)
+        s = GraphSession(spark, models_path=str(tmp_path / "vm"))
+        for lbl, path in (("Base", bp), ("Drift", dp)):
+            s.execute(f"CREATE NODE TABLE {lbl} (vec_id Int64, "
+                      "NODE ID (vec_id))")
+            s.register_table(lbl, spark.read.parquet(path))
+        s.execute("CALL vector.build_index('Base', 'vidx', 8, 8, 16)")
+        out = s.execute(
+            "CALL vector.add('vidx', 'Drift', 'vec_id', 'embedding', "
+            "2.0)").collect()[0]
+        assert out["reindexed"] is True and out["last_skew"] > 2.0
+        hits = s.execute(
+            "CALL vector.search('vidx', 'Drift', 3, 4)").count()
+        assert hits > 0

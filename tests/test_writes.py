@@ -809,3 +809,57 @@ class TestCallInTransactions:
                          ).collect()[0]["n"] == n_logs0
         assert rows(s, "MATCH (p:Person) RETURN p.id AS i") == \
             {(i,) for i in range(4)}
+
+
+class TestReportStatus:
+    """REPORT STATUS AS <var> [RETURN <items>] (r10 — openCypher 9's
+    post-CALL status consumption)."""
+
+    def _seed(self, spark, n=7):
+        s = GraphSession(spark, allow_writes=True)
+        s.execute("CREATE NODE TABLE Person (id Int64, age Int64, "
+                  "PRIMARY KEY(id), NODE ID(id))")
+        for i in range(n):
+            s.execute(f"CREATE (p:Person {{id: {i}, age: 0}})")
+        return s
+
+    def test_status_struct_column(self, spark):
+        s = self._seed(spark)
+        out = s.execute(
+            "MATCH (p:Person) CALL { WITH p SET p.age = 1 } "
+            "IN TRANSACTIONS OF 3 ROWS REPORT STATUS AS st").collect()
+        assert [r["st"]["batch"] for r in out] == [0, 1, 2]
+        assert all(r["st"]["committed"] for r in out)
+        assert [r["st"]["properties_set"] for r in out] == [3, 3, 1]
+
+    def test_status_projection(self, spark):
+        s = self._seed(spark)
+        out = s.execute(
+            "MATCH (p:Person) CALL { WITH p SET p.age = 1 } "
+            "IN TRANSACTIONS OF 4 ROWS REPORT STATUS AS st "
+            "RETURN st.batch AS b, st.committed, "
+            "st.properties_set + 0 AS nset").collect()
+        assert sorted((r["b"], r["committed"], r["nset"]) for r in out) \
+            == [(0, True, 4), (1, True, 3)]
+
+    def test_on_error_continue_reports_failure(self, spark):
+        s = self._seed(spark, n=4)
+        out = s.execute(
+            "MATCH (p:Person) "
+            "CALL { WITH p SET p.age = 1 / (p.id - 1) } "
+            "IN TRANSACTIONS OF 1 ROWS ON ERROR CONTINUE "
+            "REPORT STATUS AS st "
+            "RETURN st.batch AS b, st.committed AS ok, "
+            "st.error AS err").collect()
+        by_batch = {r["b"]: (r["ok"], r["err"]) for r in out}
+        assert len(by_batch) == 4
+        bad = [b for b, (ok, _) in by_batch.items() if not ok]
+        assert len(bad) == 1  # the p.id = 1 batch divides by zero
+        assert by_batch[bad[0]][1] is not None
+
+    def test_star_and_unaliased_expr_rejected(self, spark):
+        s = self._seed(spark, n=2)
+        with pytest.raises(PlanError, match="named fields"):
+            s.execute(
+                "MATCH (p:Person) CALL { WITH p SET p.age = 1 } "
+                "IN TRANSACTIONS REPORT STATUS AS st RETURN *")

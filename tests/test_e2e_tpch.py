@@ -815,25 +815,38 @@ class TestCorrelatedCallSubquery:
                 "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
                 "WITH o.o_orderkey AS k ORDER BY o.o_totalprice "
                 "LIMIT 2 RETURN count(*) AS n } RETURN n LIMIT 1")
-        # nested UNCORRELATED CALL is supported since r9; only
-        # correlated-inside-correlated stays rejected
-        with pytest.raises(UnsupportedError,
-                           match="correlated CALL"):
+        # nested correlated CALL compiles since r10 (one recursion
+        # into the same machinery) — see test_nested_correlated_call
+        # and the folded gate call_nested_correlated for correctness;
+        # entity outputs from UNION arms are allowed since r10 when
+        # every arm returns the SAME shape — MISMATCHED shapes (Order
+        # arm vs Nation arm) still reject with a clear error
+        with pytest.raises(UnsupportedError, match="different shapes"):
             tpch.execute(
                 "MATCH (c:Customer) "
                 "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
-                "CALL { WITH o MATCH (o)-[:HAS_LINE]->(l:Lineitem) "
-                "RETURN count(*) AS nl } "
-                "RETURN count(*) AS n } RETURN n LIMIT 1")
-        # RETURN * of node/rel outputs is single-arm only
-        with pytest.raises(UnsupportedError, match="UNION arms"):
-            tpch.execute(
-                "MATCH (c:Customer) "
-                "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
-                "RETURN * "
+                "RETURN o AS x "
                 "UNION ALL "
-                "WITH c MATCH (c)-[:PLACED]->(o:Order) "
-                "RETURN * } RETURN o.o_orderkey AS k LIMIT 1")
+                "WITH c MATCH (c)-[:CUST_IN]->(n:Nation) "
+                "RETURN n AS x } RETURN c.c_custkey AS k LIMIT 1")
+
+    def test_nested_correlated_call(self, tpch):
+        """r10: correlated CALL inside correlated CALL — the inner
+        block anchors on a block-local node; result equals the flat
+        two-join aggregate."""
+        got = sorted(map(tuple, tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 5 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "CALL { WITH o MATCH (o)-[:HAS_LINE]->(l:Lineitem) "
+            "RETURN count(*) AS nl } "
+            "RETURN sum(nl) AS total } "
+            "RETURN c.c_custkey AS ck, total ORDER BY ck").collect()))
+        want = sorted(map(tuple, tpch.execute(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order)"
+            "-[:HAS_LINE]->(l:Lineitem) WHERE c.c_custkey <= 5 "
+            "RETURN c.c_custkey AS ck, count(*) AS total "
+            "ORDER BY ck").collect()))
+        assert got == want and len(got) > 0
 
     def test_nested_uncorrelated_and_return_star(self, tpch):
         """r9 residuals: one level of nested uncorrelated CALL cross-

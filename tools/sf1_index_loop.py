@@ -94,7 +94,8 @@ def main() -> None:
          lambda: dedup_index_compact(spark, "dix", store))
 
     # ---------- ANN index over embeddings ----------
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding")
     vec_corpus = emb.filter(F.col("vec_id") % 10 != 0)
     vec_batch = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100_000_000).alias("vec_id"), "embedding")

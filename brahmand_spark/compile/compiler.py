@@ -708,10 +708,10 @@ class QueryCompiler:
         arms compile independently and union per invocation (r8,
         `_apply_correlated_call_union`); RETURN * expands to the
         block's LOCAL variables — node/relationship outputs carry
-        their whole binding into the enclosing scope (r9); one level
-        of nested UNCORRELATED CALL { } cross-joins inside the block
-        (r9). Still unsupported: correlated CALL nested inside a
-        correlated CALL.
+        their whole binding into the enclosing scope (r9); nested
+        UNCORRELATED CALL { } cross-joins inside the block (r9);
+        nested CORRELATED CALL recurses into this same machinery
+        against the block's frame and scope (r10).
         Known divergence (documented, FOLDED_CYPHER
         call_correlated_agg_with): an invocation whose row count is
         made non-zero only by an intermediate aggregating WITH (e.g.

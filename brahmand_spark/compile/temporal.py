@@ -37,7 +37,6 @@ from ..errors import PlanError
 # dtype strings as produced by DataFrame.dtypes
 _DATE = "date"
 _TS = ("timestamp", "timestamp_ntz")
-_DT_INTERVAL_RE = re.compile(r"^interval day| second|^interval hour|^interval minute")
 
 
 def is_temporal_dtype(dtype: str) -> bool:
@@ -71,23 +70,36 @@ def parse_iso_duration(s: str) -> dict:
 
 def duration_column(parts: dict) -> Column:
     """Component dict -> interval Column (see module docstring for the
-    day-time vs calendar choice)."""
+    day-time vs calendar choice). Fractional weeks/days/hours/minutes
+    fold EXACTLY into the seconds term (openCypher: a fraction spills
+    into the smaller units — r10 review: int() previously truncated
+    duration({hours: 1.5}) to one hour); fractional years/months have
+    no exact conversion (calendar months vary) and raise."""
     unknown = set(parts) - set(_DURATION_KEYS)
     if unknown:
         raise PlanError(
             f"unknown duration component(s) {sorted(unknown)} "
             f"(supported: {', '.join(_DURATION_KEYS)})")
     g = {k: float(parts.get(k, 0)) for k in _DURATION_KEYS}
-    days = g["weeks"] * 7 + g["days"]
-    secs = g["seconds"] + g["milliseconds"] / 1000.0
+    for k in ("years", "months"):
+        if g[k] != int(g[k]):
+            raise PlanError(
+                f"fractional {k} have no exact length — spell the "
+                f"duration in days/hours instead (got {k}={g[k]})")
+    days_f = g["weeks"] * 7 + g["days"]
+    days = int(days_f)
+    hours_f = g["hours"] + (days_f - days) * 24
+    hours = int(hours_f)
+    mins_f = g["minutes"] + (hours_f - hours) * 60
+    mins = int(mins_f)
+    secs = g["seconds"] + g["milliseconds"] / 1000.0 \
+        + (mins_f - mins) * 60
     if g["years"] == 0 and g["months"] == 0:
         return F.make_dt_interval(
-            F.lit(int(days)), F.lit(int(g["hours"])),
-            F.lit(int(g["minutes"])), F.lit(secs))
+            F.lit(days), F.lit(hours), F.lit(mins), F.lit(secs))
     return F.make_interval(
         F.lit(int(g["years"])), F.lit(int(g["months"])), F.lit(0),
-        F.lit(int(days)), F.lit(int(g["hours"])),
-        F.lit(int(g["minutes"])), F.lit(secs))
+        F.lit(days), F.lit(hours), F.lit(mins), F.lit(secs))
 
 
 # openCypher accessor -> builder over a date/timestamp column.

@@ -80,18 +80,20 @@ def _prepare_ckpt(df: DataFrame, checkpoint, checkpoint_dir):
     want it used). The BRAHMAND_CHECKPOINT env var overrides the
     DEFAULT mode only (checkpoint=True) — how the scale soak flips
     every iterative gate to 'local_disk' without touching call
-    sites; an explicit argument always wins. Returns the effective
-    mode for `_ckpt`."""
+    sites; an explicit argument always wins, and so does an explicit
+    ``checkpoint_dir`` (naming a durable dir means you want reliable
+    checkpoints -- the env must not silently downgrade that; review
+    r10). Returns the effective mode for `_ckpt`."""
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        if checkpoint is True:
+            checkpoint = "reliable"
     if checkpoint is True:
         import os
 
         env = os.environ.get("BRAHMAND_CHECKPOINT", "").strip()
         if env:
             checkpoint = env
-    if checkpoint_dir is not None:
-        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        if checkpoint is True:
-            checkpoint = "reliable"
     return checkpoint
 
 

@@ -879,24 +879,12 @@ def ann_add(
         params.pop("source_path", None)
     store.save(name, "ann_index", doc["payload"], params)
     if reindex_skew is not None:
-        occ = (spark.read.parquet(params["codes_path"])
-               .select("corpus_id", "cell"))
-        from .fs import path_exists
-
-        dp = _ann_deletes_path(params)
-        if path_exists(spark, dp):
-            occ = occ.join(spark.read.parquet(dp),
-                           "corpus_id", "left_anti")
-        row = occ.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("n")).agg(
-            F.max("n").alias("mx"), F.avg("n").alias("av")).first()
-        skew = (float(row["mx"]) / float(row["av"])
-                if row and row["av"] else 1.0)
-        params["last_skew"] = round(skew, 3)
+        skew = ann_skew(spark, name, store)
+        params["last_skew"] = skew
         params["reindexed"] = skew > reindex_skew
         if params["reindexed"]:
             params = ann_reindex(spark, name, store)
-            params["last_skew"] = round(skew, 3)
+            params["last_skew"] = skew
             params["reindexed"] = True
         store.save(name, "ann_index",
                    store.load(name, "ann_index")["payload"], params)
@@ -991,6 +979,20 @@ def ann_stats(spark, name: str, store) -> DataFrame:
     return (codes.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n_live"))
             .orderBy("cell"))
+
+
+def ann_skew(spark, name: str, store) -> float:
+    """Cell-occupancy skew — max/mean live rows per cell, the single
+    drift number behind :func:`ann_stats`'s histogram. 1.0 is
+    perfectly uniform; several x means the frozen fits no longer match
+    the corpus (run :func:`ann_reindex`). One narrow aggregate; shared
+    by the ann_add/vector.add auto-trigger and CALL db.indexes()."""
+    row = ann_stats(spark, name, store).agg(
+        F.max("n_live").alias("mx"), F.avg("n_live").alias("av")
+    ).first()
+    if not row or not row["av"]:
+        return 1.0
+    return round(float(row["mx"]) / float(row["av"]), 3)
 
 
 def ann_reindex(

@@ -651,9 +651,16 @@ def _p_vector_add(session, name, label, id_col=None, vec_col=None,
     vector.stats signal) exceeds the threshold, refit in place from
     the recorded source labels (vector.reindex's corpus assembly).
     The returned row carries (last_skew, reindexed)."""
-    from .ops.similarity import ann_add, ann_reindex, ann_stats
+    from .ops.similarity import ann_add, ann_reindex, ann_skew
 
     store = session.model_store
+    # validate the trigger BEFORE anything is written — the same
+    # fail-fast contract ann_add's own reindex_skew enforces (review
+    # r10: a bad threshold previously raised after the append, leaving
+    # a half-applied add behind an error that implied none happened)
+    if reindex_skew is not None and float(reindex_skew) <= 1.0:
+        raise PlanError(
+            f"reindex_skew must exceed 1.0, got {reindex_skew}")
     params = ann_add(session.spark, name,
                      session._load_for_label(label), store,
                      id_col=id_col, vec_col=vec_col)
@@ -666,16 +673,8 @@ def _p_vector_add(session, name, label, id_col=None, vec_col=None,
         store.save(name, "ann_index", doc["payload"], doc["params"])
     skew, reindexed = None, False
     if reindex_skew is not None:
-        thr = float(reindex_skew)
-        if thr <= 1.0:
-            raise PlanError(
-                f"reindex_skew must exceed 1.0, got {reindex_skew}")
-        occ = ann_stats(session.spark, name, store).agg(
-            F.max("n_live").alias("mx"),
-            F.avg("n_live").alias("av")).first()
-        skew = (round(float(occ["mx"]) / float(occ["av"]), 3)
-                if occ and occ["av"] else 1.0)
-        if skew > thr:
+        skew = ann_skew(session.spark, name, store)
+        if skew > float(reindex_skew):
             corpus = None
             for lbl in labels:
                 t = session._load_for_label(lbl)
@@ -786,7 +785,7 @@ def _p_db_indexes(session):
     metadata from the model document."""
     from .ops.dedup_index import _deletes_path
     from .ops.fs import path_exists
-    from .ops.similarity import _ann_deletes_path, ann_stats
+    from .ops.similarity import _ann_deletes_path, ann_skew
 
     spark = session.spark
     store = session.model_store
@@ -797,9 +796,11 @@ def _p_db_indexes(session):
         return spark.read.parquet(path).count()
 
     rows = []
+    # list_models already parsed every document's params — no
+    # per-index store.load re-reads (review r10)
     for m in store.list_models():
+        p = m["params"]
         if m["kind"] == "dedup_index":
-            p = store.load(m["name"], "dedup_index")["params"]
             cfg = {k: p[k] for k in ("n", "num_hashes", "bands")
                    if k in p}
             rows.append((
@@ -809,18 +810,13 @@ def _p_db_indexes(session):
                 tomb_count(_deletes_path(p)), None,
                 _json.dumps(cfg, sort_keys=True)))
         elif m["kind"] == "ann_index":
-            p = store.load(m["name"], "ann_index")["params"]
             cfg = {k: p[k] for k in ("n_cells", "m", "n_codes", "dim")
                    if k in p}
-            occ = ann_stats(spark, m["name"], store).agg(
-                F.max("n_live").alias("mx"),
-                F.avg("n_live").alias("av")).first()
-            skew = (round(occ["mx"] / occ["av"], 3)
-                    if occ and occ["av"] else None)
             rows.append((
                 m["name"], "ann_index", int(p.get("n_vectors", 0)),
                 len(p.get("batch_counts", {})), None,
-                tomb_count(_ann_deletes_path(p)), skew,
+                tomb_count(_ann_deletes_path(p)),
+                ann_skew(spark, m["name"], store),
                 _json.dumps(cfg, sort_keys=True)))
     return spark.createDataFrame(
         rows, "name string, kind string, n_live bigint, "

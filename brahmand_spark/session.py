@@ -164,9 +164,12 @@ class GraphSession:
             for direction in ("outgoing", "incoming")
         }
         # Edge-count capture rides along for free (n_edges is already
-        # in the degree summary) — seeds the cost-based anchor.
-        self.table_stats[type_name] = int(
-            self.degree_stats[type_name]["outgoing"]["n_edges"])
+        # in the degree summary) — seeds the cost-based anchor. An
+        # EMPTY edge table has n_edges NULL (sum over no rows), not 0
+        # — skip it rather than crash the index build (review r10).
+        n_edges = self.degree_stats[type_name]["outgoing"]["n_edges"]
+        if n_edges is not None:
+            self.table_stats[type_name] = int(n_edges)
 
     def collect_table_stats(
         self, labels: Optional[list[str]] = None, refresh: bool = False,

@@ -1051,3 +1051,20 @@ class TestReliableCheckpoint:
         with pytest.raises(ValueError, match="checkpoint"):
             pagerank(edges_df(spark, self.PAIRS), iterations=2,
                      checkpoint="nope").collect()
+
+
+class TestCheckpointEnvPrecedence:
+    def test_env_does_not_downgrade_explicit_dir(
+            self, spark, tmp_path, monkeypatch):
+        """BRAHMAND_CHECKPOINT overrides the DEFAULT mode only — an
+        explicit checkpoint_dir still means reliable (review r10)."""
+        from brahmand_spark.ops.algos import _prepare_ckpt
+
+        df = spark.range(1)
+        monkeypatch.setenv("BRAHMAND_CHECKPOINT", "local_disk")
+        assert _prepare_ckpt(df, True, str(tmp_path / "ck")) \
+            == "reliable"
+        assert _prepare_ckpt(df, True, None) == "local_disk"
+        assert _prepare_ckpt(df, "local", None) == "local"
+        monkeypatch.delenv("BRAHMAND_CHECKPOINT")
+        assert _prepare_ckpt(df, True, None) is True

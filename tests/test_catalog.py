@@ -125,3 +125,19 @@ class TestFileSources:
         ).collect()
         assert [(r.src, r.dst) for r in rows] == [("ada", "bob"),
                                                   ("bob", "cyd")]
+
+
+class TestEmptyRelAdjIndex:
+    def test_build_adj_index_on_empty_edges(self, spark):
+        """r10 review: the edge-count stats capture must not crash on
+        an EMPTY relationship table (sum(degree) over no rows is NULL,
+        not 0)."""
+        from brahmand_spark.session import GraphSession
+
+        s = GraphSession(spark, allow_writes=True)
+        s.execute("CREATE NODE TABLE Person (id Int64, "
+                  "PRIMARY KEY(id), NODE ID(id))")
+        s.execute("CREATE REL TABLE KNOWS FROM Person TO Person ()")
+        s.build_adj_index("KNOWS")  # no edges yet — must not raise
+        assert "KNOWS" not in s.table_stats  # nothing to record
+        assert s.schema.relationship("KNOWS").adj_index is True

@@ -158,3 +158,18 @@ class TestTemporalErrors:
                 "MATCH (o:Order) "
                 "RETURN date.truncate(o.o_orderpriority, o.o_orderdate) "
                 "AS x")
+
+
+class TestFractionalDurations:
+    def test_fractional_hours_spill_into_minutes(self, tpch):
+        row = tpch.execute(
+            "UNWIND [datetime('2024-01-01 00:00:00')] AS t "
+            "RETURN t + duration({hours: 1.5}) AS t2, "
+            "       t + duration({days: 0.5}) AS t3").collect()[0]
+        assert row.t2.isoformat() == "2024-01-01T01:30:00"
+        assert row.t3.isoformat() == "2024-01-01T12:00:00"
+
+    def test_fractional_months_rejected(self, tpch):
+        with pytest.raises(PlanError, match="fractional months"):
+            tpch.execute(
+                "UNWIND [1] AS x RETURN duration({months: 1.5}) AS d")

@@ -141,8 +141,11 @@ def apply_call_in_transactions(
     remains: all rows of the SAME anchor id stay in one batch
     (per-anchor atomicity — splitting an anchor's rows across
     commits would let a failing second half roll back while the
-    first half stays committed), so a batch exceeds k rows only
-    when a single anchor id alone does. No rollback isolation
+    first half stays committed). Consequently a batch can exceed k
+    by up to one anchor's rows minus one: an anchor whose rows
+    straddle a k-boundary lands whole in the earlier batch (the
+    floor(cumulative/k) rule), so batch size is bounded by
+    k - 1 + max(rows per anchor), not by k. No rollback isolation
     beyond the per-batch snapshot (matching the module's
     lakehouse-overwrite posture); a failure mid-sequence leaves
     earlier batches committed, exactly openCypher's documented

@@ -173,3 +173,15 @@ class TestFractionalDurations:
         with pytest.raises(PlanError, match="fractional months"):
             tpch.execute(
                 "UNWIND [1] AS x RETURN duration({months: 1.5}) AS d")
+
+    def test_duration_scalar_multiply_divide(self, tpch):
+        # interval * int and interval / int ride Spark's native
+        # interval arithmetic through the ordinary Binary compile —
+        # no temporal-specific code path needed; pinned here so a
+        # compile-layer change can't silently drop it
+        row = tpch.execute(
+            "UNWIND [datetime('2024-01-01 00:00:00')] AS t "
+            "RETURN t + duration('PT1H') * 3 AS a, "
+            "       t + duration('P2D') / 4 AS b").collect()[0]
+        assert row.a.isoformat() == "2024-01-01T03:00:00"
+        assert row.b.isoformat() == "2024-01-01T12:00:00"

@@ -416,13 +416,22 @@ class ExprCompiler:
             if isinstance(a, ast.MapLiteral):
                 parts = {}
                 for k, v in a.items:
+                    # the parser wraps negatives in Unary('-') — unwrap
+                    # so duration({days: -3}) works (openCypher allows
+                    # negative durations; r10 advice)
+                    sign = 1
+                    while (isinstance(v, ast.Unary)
+                           and v.op in ("-", "+")):
+                        if v.op == "-":
+                            sign = -sign
+                        v = v.operand
                     if (not isinstance(v, ast.Literal)
                             or isinstance(v.value, bool)
                             or not isinstance(v.value, (int, float))):
                         raise PlanError(
                             "duration({...}) components must be "
                             "numeric literals")
-                    parts[k.lower()] = v.value
+                    parts[k.lower()] = sign * v.value
                 return temporal.duration_column(parts)
             raise PlanError(
                 "duration() takes an ISO-8601 string literal "

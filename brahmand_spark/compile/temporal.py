@@ -56,13 +56,20 @@ _DURATION_KEYS = ("years", "months", "weeks", "days", "hours", "minutes",
 
 
 def parse_iso_duration(s: str) -> dict:
-    """``P[nY][nM][nW][nD][T[nH][nM][n(.n)S]]`` -> component dict."""
-    m = _ISO_DURATION_RE.match(s.strip())
-    if not m or s.strip() == "P":
+    """``[-]P[nY][nM][nW][nD][T[nH][nM][n(.n)S]]`` -> component dict.
+    A leading ``-`` negates every component — openCypher's negative
+    duration form ``duration('-P1D')`` (r10 advice)."""
+    body = s.strip()
+    sign = 1
+    if body.startswith("-"):
+        sign, body = -1, body[1:]
+    m = _ISO_DURATION_RE.match(body)
+    if not m or body == "P":
         raise PlanError(
             f"invalid ISO-8601 duration literal '{s}' "
-            "(expected e.g. 'P30D', 'P1Y2M', 'PT3H30M', 'P1DT12H')")
-    parts = {k: float(v) for k, v in m.groupdict().items() if v is not None}
+            "(expected e.g. 'P30D', 'P1Y2M', 'PT3H30M', '-P1DT12H')")
+    parts = {k: sign * float(v)
+             for k, v in m.groupdict().items() if v is not None}
     if not parts:
         raise PlanError(f"empty duration literal '{s}'")
     return parts

@@ -305,10 +305,12 @@ def compact_adjacency_pairs(spark, path: str) -> None:
     Run while the maintenance stream is STOPPED: a replay of the last
     un-committed micro-batch after compaction would double-count its
     edges (its ``batch=<id>`` partition was folded into base and the
-    replay re-adds it). Write-new-then-swap via a rename-aside, same
-    pattern as the dedup/ANN index compactors."""
-    import os
-    import shutil
+    replay re-adds it). Write-new-then-swap via the Hadoop-FS
+    rename-aside (ops.fs.replace_dir), the same crash-safe pattern as
+    the dedup/ANN index compactors — os.rename would silently fail on
+    HDFS/object-store paths while every other maintenance writer here
+    supports them (r10 advice)."""
+    from .fs import replace_dir
 
     pairs_path = _pairs_sidecar(path)
     folded = (
@@ -320,12 +322,7 @@ def compact_adjacency_pairs(spark, path: str) -> None:
     tmp = pairs_path + ".compact_tmp"
     folded.write.mode("overwrite").partitionBy("bucket", "batch") \
         .parquet(tmp)
-    old = pairs_path + ".compact_old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(pairs_path, old)
-    os.rename(tmp, pairs_path)
-    shutil.rmtree(old)
+    replace_dir(spark, tmp, pairs_path)
 
 
 def degree_stats(adj: DataFrame) -> DataFrame:

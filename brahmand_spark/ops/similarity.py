@@ -710,6 +710,12 @@ def build_ann_index(
         "codes_path": codes_path,
         "source_paths": [source_path] if source_path else [],
         "n_vectors": n_vectors, "batch_counts": {},
+        # True iff EVERY row in the codes table is covered by a
+        # recorded source path — the precondition for ann_reindex
+        # (which refits from recorded sources only). An anonymous
+        # build or any add without source_path flips this off forever
+        # (r10 advice: auto-reindex must not silently drop such rows).
+        "fully_sourced": source_path is not None,
     }
     store.save(name, "ann_index",
                {"centroids": centroids, "codebooks": codebooks}, params)
@@ -803,6 +809,19 @@ def ann_add(
                 f"paths (ann_reindex refits from them); pass "
                 f"source_path= on every add or trigger ann_reindex "
                 f"manually with corpus=")
+        if source_path is None:
+            raise ValueError(
+                f"reindex_skew requires source_path= on this add: if "
+                f"the skew trigger fires, ann_reindex rebuilds index "
+                f"'{name}' from recorded sources only and this batch "
+                f"would be silently dropped")
+        if not params.get("fully_sourced"):
+            raise ValueError(
+                f"index '{name}' contains rows not covered by a "
+                f"recorded source path (built or added without "
+                f"source_path=); an auto-reindex would silently drop "
+                f"them — trigger ann_reindex manually with corpus= "
+                f"covering every row, or rebuild with source_path=")
     legacy = "batch_counts" not in params  # pre-r9 cell-only layout
     if batch_key is not None:
         if legacy:
@@ -877,6 +896,10 @@ def ann_add(
             source_path not in _source_paths(params):
         params["source_paths"] = _source_paths(params) + [source_path]
         params.pop("source_path", None)
+    if source_path is None:
+        # this batch is not covered by any recorded source — a future
+        # auto-reindex from recorded sources would drop it (r10 advice)
+        params["fully_sourced"] = False
     store.save(name, "ann_index", doc["payload"], params)
     if reindex_skew is not None:
         skew = ann_skew(spark, name, store)
@@ -1028,6 +1051,7 @@ def ann_reindex(
     doc = store.load(name, "ann_index")
     params = doc["params"]
     id_col, vec_col = params["id_col"], params["vec_col"]
+    rebuilt_from_sources = corpus is None
     if corpus is None:
         paths = _source_paths(params)
         if not paths:
@@ -1065,6 +1089,11 @@ def ann_reindex(
     params.update({"n_cells": n_cells, "m": m, "n_codes": n_codes,
                    "sample_size": sample_size, "iters": iters,
                    "seed": seed, "batch_counts": {}})
+    # rebuilt from recorded sources → every row is covered by them
+    # again, by construction; an explicit corpus= rebuild may contain
+    # rows outside the recorded sources, so coverage is only claimed
+    # when we read the sources ourselves
+    params["fully_sourced"] = rebuilt_from_sources
     params["n_vectors"] = spark.read.parquet(
         params["codes_path"]).count()
     store.save(name, "ann_index",

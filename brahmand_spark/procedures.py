@@ -675,9 +675,14 @@ def _p_vector_add(session, name, label, id_col=None, vec_col=None,
     if reindex_skew is not None:
         skew = ann_skew(session.spark, name, store)
         if skew > float(reindex_skew):
+            # select only (id, vec) per label: the reindex needs
+            # nothing else, and labels with differing extra columns
+            # would otherwise break the union (r10 advice)
+            icol = doc["params"]["id_col"]
+            vcol = doc["params"]["vec_col"]
             corpus = None
             for lbl in labels:
-                t = session._load_for_label(lbl)
+                t = session._load_for_label(lbl).select(icol, vcol)
                 corpus = t if corpus is None else corpus.unionByName(t)
             params = ann_reindex(session.spark, name, store,
                                  corpus=corpus)

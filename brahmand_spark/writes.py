@@ -199,6 +199,12 @@ def apply_call_in_transactions(
         df.groupBy(F.col(key).alias("id"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .repartitionByRange("id").sortWithinPartitions("id")
+        # pin the range partitioning ONCE: the rdd below feeds two
+        # separate jobs (partition totals, then the offset-based
+        # assignment) and a recomputed map stage could re-sample the
+        # range boundaries differently, misaligning the offsets
+        # (r10 advice)
+        .localCheckpoint()
     )
     count_rdd = sorted_counts.rdd.map(lambda r: (r["id"], r["cnt"]))
     part_totals = dict(count_rdd.mapPartitionsWithIndex(

@@ -816,6 +816,52 @@ class TestAutoReindexTrigger:
         with pytest.raises(ValueError, match="exceed 1.0"):
             ann_add(spark, "idx", batch, st, reindex_skew=0.5)
 
+    def test_trigger_requires_source_path_on_call(self, spark, tmp_path):
+        """r11 (r10 advice): with reindex_skew set, the CURRENT add
+        must carry source_path — if the trigger fires, ann_reindex
+        rebuilds from recorded sources only and an unsourced batch
+        would be silently dropped (while the add reported success)."""
+        from brahmand_spark.ops.similarity import ann_add
+
+        bp, dp = self._split(spark, tmp_path)
+        st = ModelStore(str(tmp_path / "m"))
+        params0 = build_ann_index(spark.read.parquet(bp), "idx", st,
+                                  source_path=bp, n_cells=8, m=8,
+                                  n_codes=16)
+        with pytest.raises(ValueError, match="requires source_path"):
+            ann_add(spark, "idx", spark.read.parquet(dp), st,
+                    reindex_skew=2.0)
+        # failed BEFORE any write
+        assert st.load("idx", "ann_index")["params"]["n_vectors"] == \
+            params0["n_vectors"]
+
+    def test_trigger_rejects_unsourced_history(self, spark, tmp_path):
+        """r11 (r10 advice): an index holding rows NOT covered by any
+        recorded source (built anonymously, then a later add recorded
+        a path) refuses the auto-trigger — a reindex would drop the
+        anonymous rows."""
+        from brahmand_spark.ops.similarity import ann_add
+
+        bp, dp = self._split(spark, tmp_path)
+        st = ModelStore(str(tmp_path / "m"))
+        build_ann_index(spark.read.parquet(bp), "idx", st,
+                        n_cells=8, m=8, n_codes=16)  # no source_path
+        # a sourced add joins the source list, but the base rows stay
+        # uncovered: fully_sourced must remain False
+        ann_add(spark, "idx", spark.read.parquet(dp), st, source_path=dp)
+        assert st.load("idx", "ann_index")["params"]["fully_sourced"] \
+            is False
+        with pytest.raises(ValueError, match="not covered"):
+            ann_add(spark, "idx", spark.read.parquet(dp), st,
+                    source_path=dp, reindex_skew=2.0)
+        # an explicit full reindex from recorded sources restores the
+        # covered state, re-enabling the trigger
+        from brahmand_spark.ops.similarity import ann_reindex
+
+        ann_reindex(spark, "idx", st)
+        assert st.load("idx", "ann_index")["params"]["fully_sourced"] \
+            is True
+
     def test_call_surface_trigger(self, spark, tmp_path):
         """CALL vector.add(..., reindex_skew) assembles the reindex
         corpus from the recorded source LABELS."""

@@ -127,6 +127,26 @@ class TestTemporalQueries:
         ).collect()[0]
         assert row.es == 86400 and row.em == 86400000
 
+    def test_negative_durations(self, tpch):
+        """openCypher negative durations (r11): map components may be
+        negative (the parser's unary-minus wrap is unwrapped) and an
+        ISO literal takes a leading '-' negating every component."""
+        row = tpch.execute(
+            "UNWIND [datetime('1997-03-15 12:00:00')] AS t "
+            "RETURN t + duration({days: -3}) AS back, "
+            "       t + duration('-P1DT6H') AS back2, "
+            "       t + duration({days: -1, hours: 6}) AS mixed"
+        ).collect()[0]
+        assert row.back.isoformat() == "1997-03-12T12:00:00"
+        assert row.back2.isoformat() == "1997-03-14T06:00:00"
+        assert row.mixed.isoformat() == "1997-03-14T18:00:00"
+
+    def test_negative_iso_parse(self):
+        from brahmand_spark.compile.temporal import parse_iso_duration
+
+        assert parse_iso_duration("-P1DT6H") == {
+            "days": -1.0, "hours": -6.0}
+
     def test_unwind_scalar_rebind_keeps_struct_access(self, tpch):
         # non-temporal scalars keep legacy struct-field access
         row = tpch.execute(

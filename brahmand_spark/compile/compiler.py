@@ -126,6 +126,7 @@ class QueryCompiler:
         prune_hops: Optional[str] = None,
         prune_bloom_bits: int = 1 << 20,
         table_stats: Optional[Callable[[str], Optional[int]]] = None,
+        column_stats: Optional[Callable[[str], Optional[dict]]] = None,
     ):
         self.catalog = catalog
         self.load_table = load_table
@@ -195,6 +196,15 @@ class QueryCompiler:
         # reference heuristic stays the fallback when any candidate
         # lacks stats.
         self.table_stats = table_stats
+        # Optional label/type -> {column -> {"ndv","min","max"}}
+        # resolver (collect_table_stats(columns=True)). Upgrades the
+        # cost model's per-filter selectivity from the fixed
+        # _ANCHOR_SELECTIVITY constant to real estimates: an equality
+        # keeps ~1/ndv of the rows, a range predicate the min-max
+        # interpolated fraction (r11, VERDICT r10 next #2). Absent
+        # column stats the constant-based model is byte-identical to
+        # r10.
+        self.column_stats = column_stats
         self._hop_scores: dict[str, int] = {}
         # alias -> single-alias WHERE conjuncts (set per _assemble):
         # re-applied inside the prefilter's frontier-keys subtree —
@@ -2513,7 +2523,8 @@ class QueryCompiler:
             return None
         # pattern order: nodes in appearance order, then rels
         ordered = list(pattern.nodes) + [r.alias for r in pattern.rels]
-        cost_pick = self._cost_anchor(pattern, ordered, score, has_or)
+        cost_pick = self._cost_anchor(pattern, ordered, score, has_or,
+                                      part)
         if cost_pick is not None:
             return cost_pick
         candidates = [a for a in ordered if score.get(a) == best]
@@ -2531,37 +2542,332 @@ class QueryCompiler:
     _ANCHOR_SELECTIVITY = 0.1
     _ANCHOR_OR_PENALTY = 5.0
 
-    def _cost_anchor(self, pattern, ordered, score, has_or):
+    def _cost_anchor(self, pattern, ordered, score, has_or, part):
         """Cost-based anchor (r10): smallest ESTIMATED post-filter
-        cardinality wins — ``rows(label) * selectivity^n_filters``
-        (x an OR penalty). Requires catalog row counts
-        (GraphSession.collect_table_stats) for EVERY filtered alias;
-        if any is missing, returns None and the reference's
-        filter-count heuristic decides (stats-free sessions behave
-        exactly as before — this is a pure physical choice, results
-        are join-order independent). Ties (same estimate) keep
-        pattern order, so equal-stat patterns reproduce the
-        reference's pick."""
+        cardinality wins — ``rows(label) * selectivity``. Requires
+        catalog row counts (GraphSession.collect_table_stats) for
+        EVERY filtered alias; if any is missing, returns None and the
+        reference's filter-count heuristic decides (stats-free
+        sessions behave exactly as before — this is a pure physical
+        choice, results are join-order independent). Ties (same
+        estimate) keep pattern order, so equal-stat patterns
+        reproduce the reference's pick.
+
+        Selectivity (r11): with column stats
+        (collect_table_stats(columns=True)) the per-alias fraction
+        comes from real estimates via _alias_sel_map (1/ndv
+        equalities, min-max range interpolation); without, the r10
+        constant model ``selectivity^n_filters * OR penalty``."""
         if self.table_stats is None:
             return None
         filtered = [a for a in ordered if score.get(a, 0) > 0]
+        sel = self._alias_sel_map(pattern, part, score, has_or)
         ests = []
-        rel_types = {r.alias: r.type_name for r in pattern.rels}
         for a in filtered:
-            if a in pattern.nodes:
-                label = pattern.nodes[a].label
-            else:
-                label = rel_types.get(a)
-            rows = self.table_stats(label) if label else None
+            rows = self._alias_rows(pattern, a)
             if rows is None:
                 return None  # incomplete stats: fall back wholesale
-            est = float(rows) * (self._ANCHOR_SELECTIVITY ** score[a])
-            if has_or.get(a):
-                est *= self._ANCHOR_OR_PENALTY
-            ests.append((max(est, 1.0), a))
+            ests.append((max(float(rows) * sel.get(a, 1.0), 1.0), a))
         if not ests:
             return None
         return min(ests, key=lambda t: t[0])[1]
+
+    def _alias_rows(self, pattern, a) -> Optional[float]:
+        """Catalog row count for an alias's label/type; None when the
+        alias is unlabeled or uncounted (→ cost model falls back)."""
+        if a in pattern.nodes:
+            label = pattern.nodes[a].label
+        else:
+            label = next((r.type_name for r in pattern.rels
+                          if r.alias == a), None)
+        if not label:
+            return None
+        rows = self.table_stats(label)
+        return None if rows is None else float(rows)
+
+    def _alias_sel_map(self, pattern, part, score, has_or) -> dict:
+        """alias -> estimated post-filter FRACTION of its table kept
+        by that alias's own filters (inline property maps +
+        single-alias WHERE conjuncts). With column stats for the
+        alias's label, per-predicate estimates (_pred_sel); otherwise
+        the r10 constant model, byte-identical to the pre-r11
+        behavior: ``_ANCHOR_SELECTIVITY ** n_filters`` times the OR
+        penalty."""
+        labels = {a: n.label for a, n in pattern.nodes.items()}
+        props = {a: n.properties for a, n in pattern.nodes.items()}
+        for r in pattern.rels:
+            labels[r.alias] = r.type_name
+            props[r.alias] = r.properties
+        conjs: dict[str, list] = {}
+
+        def visit(e: ast.Expr):
+            if isinstance(e, ast.Binary) and e.op == "AND":
+                visit(e.left)
+                visit(e.right)
+                return
+            aliases: set[str] = set()
+            collect_aliases(e, aliases)
+            if len(aliases) == 1:
+                a = next(iter(aliases))
+                if a in score:
+                    conjs.setdefault(a, []).append(e)
+
+        if part is not None and part.where is not None:
+            visit(part.where)
+        out = {}
+        for a in score:
+            label = labels.get(a)
+            cst = (self.column_stats(label)
+                   if (self.column_stats is not None and label) else None)
+            if not cst:
+                f = self._ANCHOR_SELECTIVITY ** score.get(a, 0)
+                if has_or.get(a):
+                    f *= self._ANCHOR_OR_PENALTY
+                out[a] = f
+                continue
+            f = 1.0
+            for k in props.get(a, {}):
+                f *= self._eq_sel(cst, k)
+            for e in conjs.get(a, []):
+                f *= self._pred_sel(cst, e)
+            out[a] = max(min(f, 1.0), 1e-12)
+        return out
+
+    def _eq_sel(self, cst: dict, col: str) -> float:
+        """Equality keeps ~1/ndv of the rows (uniformity assumption —
+        the standard System-R estimate)."""
+        st = cst.get(col)
+        if not st or not st.get("ndv"):
+            return self._ANCHOR_SELECTIVITY
+        return 1.0 / max(st["ndv"], 1)
+
+    @staticmethod
+    def _stat_literal(e, params):
+        """Literal value of a predicate operand, as a comparable
+        number: numeric literals as-is, $params resolved, unary minus
+        unwrapped, date('...')/datetime('...') literals to their
+        ordinal/epoch so range interpolation works against date/
+        timestamp column min-max. None when not statically known."""
+        import datetime as _dt
+
+        sign = 1
+        while isinstance(e, ast.Unary) and e.op in ("-", "+"):
+            if e.op == "-":
+                sign = -sign
+            e = e.operand
+        v = None
+        if isinstance(e, ast.Literal):
+            v = e.value
+        elif isinstance(e, ast.Parameter):
+            v = params.get(e.name)
+        elif (isinstance(e, ast.FnCall)
+              and e.name.lower() in ("date", "datetime", "localdatetime")
+              and len(e.args) == 1 and isinstance(e.args[0], ast.Literal)
+              and isinstance(e.args[0].value, str)):
+            s = e.args[0].value.replace("T", " ")
+            try:
+                if e.name.lower() == "date":
+                    v = _dt.date.fromisoformat(s)
+                else:
+                    v = _dt.datetime.fromisoformat(s)
+            except ValueError:
+                return None
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float)):
+            return sign * v
+        if isinstance(v, _dt.datetime):
+            return v.timestamp()
+        if isinstance(v, _dt.date):
+            return v.toordinal()
+        return None
+
+    @staticmethod
+    def _stat_bound(v):
+        """Column min/max as a comparable number (same scale as
+        _stat_literal)."""
+        import datetime as _dt
+
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float)):
+            return float(v)
+        if isinstance(v, _dt.datetime):
+            return v.timestamp()
+        if isinstance(v, _dt.date):
+            return v.toordinal()
+        return None
+
+    def _pred_sel(self, cst: dict, e) -> float:
+        """Estimated fraction of rows a single-alias predicate keeps,
+        from the column stats: 1/ndv equalities, min-max interpolation
+        for ranges, |list|/ndv for IN; AND multiplies, OR caps the
+        sum, unknowable shapes fall back to the 0.1 constant."""
+        default = self._ANCHOR_SELECTIVITY
+        if isinstance(e, ast.IsNull):
+            return 0.9 if e.negated else 0.1
+        if isinstance(e, ast.Unary) and e.op == "NOT":
+            return max(1.0 - self._pred_sel(cst, e.operand), 0.05)
+        if not isinstance(e, ast.Binary):
+            return default
+        op = e.op
+        if op == "AND":
+            return self._pred_sel(cst, e.left) * self._pred_sel(cst, e.right)
+        if op == "OR":
+            return min(self._pred_sel(cst, e.left)
+                       + self._pred_sel(cst, e.right), 1.0)
+        # orient to column <op> literal
+        left, right, flipped = e.left, e.right, False
+        if not isinstance(left, ast.PropertyAccess):
+            left, right, flipped = right, left, True
+        if not isinstance(left, ast.PropertyAccess):
+            return default
+        st = cst.get(left.key)
+        if not st:
+            return default
+        ndv = max(st.get("ndv") or 0, 1)
+        if op == "=":
+            return 1.0 / ndv
+        if op == "<>":
+            return max(1.0 - 1.0 / ndv, 0.05)
+        if op in ("IN", "NOT_IN") and isinstance(right, ast.ListLiteral):
+            f = min(len(right.items) / ndv, 1.0)
+            return f if op == "IN" else max(1.0 - f, 0.05)
+        if op in ("<", "<=", ">", ">="):
+            lit = self._stat_literal(right, self.params)
+            lo = self._stat_bound(st.get("min"))
+            hi = self._stat_bound(st.get("max"))
+            if lit is None or lo is None or hi is None:
+                return 1.0 / 3.0  # the classic unknown-range guess
+            if hi <= lo:
+                return 0.5  # single-valued column: all or nothing
+            frac = min(max((lit - lo) / (hi - lo), 0.0), 1.0)
+            keeps_low = op in ("<", "<=")
+            if flipped:  # literal <op> column reverses direction
+                keeps_low = not keeps_low
+            return max(frac if keeps_low else 1.0 - frac, 1e-6)
+        return default
+
+    def _order_hops_by_cost(self, pattern, pending, part, score,
+                            has_or, initial_bound: set) -> Optional[list]:
+        """Greedy cost-based hop JOIN ORDERING (r11, VERDICT r10 next
+        #1): simulate the fold, at each step applying the pending hop
+        that minimizes the SUM of the estimated component
+        cardinalities afterwards — smallest intermediates first, the
+        classic greedy join-order heuristic. Estimates come from
+        catalog row counts (edge fanout = edge rows / source label
+        rows) times the per-alias selectivity fractions of
+        _alias_sel_map (column-stats-aware when collected). At 100x
+        scale a 3-hop chain that joins the billion-row edge second
+        instead of last dominates wall time — this orders it last.
+
+        Returns the reordered pending list, or None to keep the r10
+        static order (anchor-touching first, then most-filtered
+        endpoint) whenever ANY needed stat is missing — stats-free
+        sessions are byte-identical to r10. Results are join-order
+        independent (inner equi-join fold), so this is a pure
+        physical choice; the fuzz parity suites pin that.
+
+        The reference has no counterpart (ClickHouse orders the SQL
+        it emits, ref: README.md:20-21) — this is our Catalyst-side
+        upgrade, mirroring what a CBO would do with the same stats."""
+        if self.table_stats is None or len(pending) < 2:
+            return None
+        sel = self._alias_sel_map(pattern, part, score, has_or)
+
+        def node_rows(a):
+            return self._alias_rows(pattern, a)
+
+        def eff_edge(r):
+            """Estimated edge rows entering the hop join: catalog
+            rows over every resolved arm, doubled for either-
+            direction unions, rel-alias filters applied, var-length
+            spans amplified by the fanout per extra hop."""
+            names = []
+            if r.schema is not None:
+                names.append(r.schema.type_name)
+            elif r.type_name:
+                names.append(r.type_name)
+            else:
+                return None
+            names += [sch.type_name for sch, _ in (r.alt_resolved or [])]
+            total = 0.0
+            for t in names:
+                n = self.table_stats(t)
+                if n is None:
+                    return None
+                total += float(n)
+            if r.orientation == "both":
+                total *= 2.0
+            total *= sel.get(r.alias, 1.0)
+            if r.max_hops > 1:
+                base = node_rows(r.src) or node_rows(r.dst)
+                if base:
+                    deg = max(total / max(base, 1.0), 1.0)
+                    total *= min(deg ** (r.max_hops - 1), 1e12)
+                else:
+                    total *= float(r.max_hops)
+            return max(total, 1e-6)
+
+        # every estimate must be computable, else fall back wholesale
+        er = {}
+        for r in pending:
+            e = eff_edge(r)
+            if e is None or node_rows(r.src) is None \
+                    or node_rows(r.dst) is None:
+                return None
+            er[id(r)] = e
+
+        def step_est(r, comps):
+            """(new component est, indexes consumed) after applying
+            hop r against the simulated components."""
+            ci = next((i for i, (b, _) in enumerate(comps)
+                       if r.src in b), None)
+            cj = next((i for i, (b, _) in enumerate(comps)
+                       if r.dst in b), None)
+            e = er[id(r)]
+            nr_s = max(node_rows(r.src), 1.0)
+            nr_d = max(node_rows(r.dst), 1.0)
+            if ci is not None and cj is not None:
+                if ci == cj:  # closure join on both endpoint keys
+                    est = comps[ci][1] * e / (nr_s * nr_d)
+                    return max(est, 1e-9), (ci,)
+                est = comps[ci][1] * comps[cj][1] * e / (nr_s * nr_d)
+                return max(est, 1e-9), (ci, cj)
+            if ci is not None:  # extend from src: fanout x dst filter
+                est = comps[ci][1] * (e / nr_s) * sel.get(r.dst, 1.0)
+                return max(est, 1e-9), (ci,)
+            if cj is not None:
+                est = comps[cj][1] * (e / nr_d) * sel.get(r.src, 1.0)
+                return max(est, 1e-9), (cj,)
+            # detached start: the hop's own post-filter size
+            est = e * sel.get(r.src, 1.0) * sel.get(r.dst, 1.0)
+            return max(est, 1e-9), ()
+
+        comps: list[tuple[set, float]] = []
+        if initial_bound:
+            # a WITH-carried frontier: size unknown at plan time, use
+            # a modest constant (it scales every candidate equally
+            # for hops touching it)
+            comps.append((set(initial_bound), 1000.0))
+        order, rem = [], list(pending)
+        while rem:
+            best = None
+            for r in rem:
+                est, consumed = step_est(r, comps)
+                total = est + sum(c[1] for i, c in enumerate(comps)
+                                  if i not in consumed)
+                if best is None or total < best[0]:
+                    best = (total, r, est, consumed)
+            _, r, est, consumed = best
+            merged = {r.src, r.dst, r.alias}
+            for i in consumed:
+                merged |= comps[i][0]
+            comps = [c for i, c in enumerate(comps) if i not in consumed]
+            comps.append((merged, min(est, 1e30)))
+            order.append(r)
+            rem.remove(r)
+        return order
 
     def _assemble(
         self, in_df: Optional[DataFrame], scope: Scope,
@@ -2627,7 +2933,7 @@ class QueryCompiler:
                     r.carry_props = True
                     r.carry_prop_names = props
 
-        score, _ = self._filter_score(pattern, part)
+        score, has_or = self._filter_score(pattern, part)
         self._hop_scores = score
         self._alias_conjuncts = {}
         if self.prune_hops is not None and part.where is not None:
@@ -2667,6 +2973,20 @@ class QueryCompiler:
                 if alias in bound:
                     return idx
             return None
+
+        # Cost-based hop ordering (r11): with complete catalog stats
+        # the greedy smallest-intermediate order replaces the static
+        # sort — consumed strictly in order (the greedy already
+        # decided when a detached start beats extending the frontier,
+        # so the connectivity deferral below must not re-sort it).
+        cost_order = self._order_hops_by_cost(
+            pattern, pending, part, score, has_or,
+            set(scope.bindings.keys()) if in_df is not None else set())
+        if cost_order is not None:
+            for rel in cost_order:
+                self._apply_hop(rel, pattern, components, scope,
+                                find_component)
+            pending = []
 
         progress = True
         while pending and progress:

@@ -85,6 +85,12 @@ class GraphSession:
         # query of the session). Presence flips anchor selection to
         # cost-based (compile/compiler.py _cost_anchor).
         self.table_stats: dict[str, int] = {}
+        # label/type -> {column -> {"ndv", "min", "max"}}, captured by
+        # collect_table_stats(columns=True) — one aggregate pass per
+        # table. Presence upgrades the cost model's per-filter
+        # selectivity from the fixed 0.1 constant to rows/ndv for
+        # equalities and min-max interpolation for ranges (r11).
+        self.column_stats: dict[str, dict] = {}
 
     @property
     def model_store(self):
@@ -173,21 +179,62 @@ class GraphSession:
 
     def collect_table_stats(
         self, labels: Optional[list[str]] = None, refresh: bool = False,
+        columns: bool = False,
     ) -> dict[str, int]:
         """Capture row counts for the schema's node labels and
         relationship types (or just ``labels``) into
         ``self.table_stats`` — one ``count()`` per table, amortized
         into the catalog like the reference's ClickHouse table stats.
-        Presence of complete stats flips anchor selection to
-        cost-based (estimated post-filter cardinality instead of the
-        raw filter-count heuristic); stats-free sessions keep
+        Presence of complete stats flips anchor selection AND hop
+        join ordering to cost-based (estimated cardinalities instead
+        of the raw filter-count heuristic); stats-free sessions keep
         reference behavior. Parquet counts are metadata-cheap
-        (row-group counts, no data pages)."""
+        (row-group counts, no data pages).
+
+        ``columns=True`` (r11) additionally captures per-column
+        ndv (approx_count_distinct) + min/max into
+        ``self.column_stats`` — ONE extra aggregate pass per table,
+        map-side combinable. With column stats present the cost
+        model's per-filter selectivity upgrades from the fixed 0.1
+        constant to rows/ndv for equalities and min-max
+        interpolation for range predicates."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            AtomicType, DateType, NumericType, TimestampNTZType,
+            TimestampType,
+        )
+
         names = labels if labels is not None else (
             list(self.schema.nodes) + list(self.schema.relationships))
         for name in names:
             if refresh or name not in self.table_stats:
                 self.table_stats[name] = self._load_for_label(name).count()
+            if columns and (refresh or name not in self.column_stats):
+                df = self._load_for_label(name)
+                aggs, cols = [], []
+                for f in df.schema.fields:
+                    if not isinstance(f.dataType, AtomicType):
+                        continue  # arrays/structs/maps: no useful ndv
+                    cols.append((f.name, isinstance(
+                        f.dataType, (NumericType, DateType,
+                                     TimestampType, TimestampNTZType))))
+                    aggs.append(F.approx_count_distinct(f.name)
+                                .alias(f"__ndv_{f.name}"))
+                    aggs.append(F.min(f.name).alias(f"__min_{f.name}"))
+                    aggs.append(F.max(f.name).alias(f"__max_{f.name}"))
+                if not aggs:
+                    self.column_stats[name] = {}
+                    continue
+                row = df.agg(*aggs).first()
+                self.column_stats[name] = {
+                    c: {"ndv": int(row[f"__ndv_{c}"] or 0),
+                        # min/max retained only where range
+                        # interpolation is meaningful (orderable
+                        # numerics/temporals)
+                        "min": row[f"__min_{c}"] if ordered else None,
+                        "max": row[f"__max_{c}"] if ordered else None}
+                    for c, ordered in cols
+                }
         return dict(self.table_stats)
 
     def drop_adj_index(self, type_name: str) -> None:
@@ -247,6 +294,8 @@ class GraphSession:
                 degree_stats=self.degree_stats.get,
                 table_stats=(self.table_stats.get
                              if self.table_stats else None),
+                column_stats=(self.column_stats.get
+                              if self.column_stats else None),
                 skew_degree_threshold=self.skew_degree_threshold,
                 skew_salt_factor=self.skew_salt_factor,
                 prune_hops=self.prune_hops,

@@ -230,6 +230,42 @@ def test_fuzz_hop_parity_pruned(spark, duck):
     assert not failures, "\n".join(failures[:3]) + f"\n({len(failures)} total)"
 
 
+def test_fuzz_hop_parity_stats(spark, duck):
+    """Same random hop queries PLUS random 2-hop chains on a session
+    with full table+column stats collected — the cost-based anchor
+    AND the r11 greedy hop ordering drive the physical plans; results
+    must stay row-for-row equal to DuckDB (join order independence)."""
+    from brahmand_spark.graphs.tpch import build_session
+
+    from .conftest import SF_SMOKE
+
+    s = build_session(spark, SF_SMOKE)
+    s.collect_table_stats(columns=True)
+    rnd = random.Random(477001)  # same seed as the plain hop fuzz
+    failures = []
+    for i in range(N_QUERIES):
+        if i % 3 == 2:  # 2-hop chain: ordering has real choices
+            c_cy, c_sq = _predicate(rnd)
+            o_cy, o_sq = _o_predicate(rnd)
+            cy = (f"MATCH (c:Customer)-[:PLACED]->(o:Order)"
+                  f"-[:HAS_LINE]->(l:Lineitem) "
+                  f"WHERE ({c_cy}) AND ({o_cy}) "
+                  f"RETURN c.c_mktsegment AS seg, count(*) AS n, "
+                  f"round(sum(l.l_quantity), 2) AS qty")
+            sq = (f"SELECT c_mktsegment AS seg, count(*) AS n, "
+                  f"round(sum(l_quantity), 2) AS qty FROM customer c "
+                  f"JOIN orders o ON o.o_custkey = c.c_custkey "
+                  f"JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+                  f"WHERE ({c_sq}) AND ({o_sq}) GROUP BY c_mktsegment")
+        else:
+            cy, sq = _hop_query(rnd)
+        try:
+            assert_same(s.execute(cy), duck.sql(sq))
+        except AssertionError as exc:
+            failures.append(f"[{i}] {cy}\n  vs {sq}\n  {exc}")
+    assert not failures, "\n".join(failures[:3]) + f"\n({len(failures)} total)"
+
+
 def _subquery_query(rnd: random.Random) -> tuple[str, str]:
     """EXISTS { } / COUNT { } subqueries with random inner predicates
     rendered to both Cypher and correlated-subquery SQL."""

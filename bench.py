@@ -121,6 +121,11 @@ def _load_previous() -> tuple[str | None, dict[str, float]]:
             m = re.search(r"sf([0-9.]+)", SF_DIR)
             want_sf = float(m.group(1)) if m else None
             for rec in reversed(lines):
+                if rec.get("isolated"):
+                    # isolated runs have fresh-JVM cost structure —
+                    # comparing an interleaved run's mins against them
+                    # (or vice versa) flags phantom regressions
+                    continue
                 if want_sf is None or rec.get("sf") == want_sf:
                     return (f"BENCH_HISTORY.jsonl (run {rec.get('ts')})",
                             {k: float(v)
@@ -162,7 +167,7 @@ def _load_previous() -> tuple[str | None, dict[str, float]]:
         return os.path.basename(best), {}
 
 
-def main() -> None:
+def _make_spark():
     from pyspark.sql import SparkSession
 
     spark = (
@@ -175,6 +180,93 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _one_gate(name: str) -> None:
+    """--gate NAME child mode (r11, VERDICT r10 next #3): time ONE
+    gate in this fresh process — 1 warmup + PASSES timed passes +
+    spread-adaptive extras, exactly the main loop's methodology minus
+    cross-gate interleaving (isolation replaces interleaving: nothing
+    else ran in this JVM, so there is no long-lived-JVM inflation to
+    interleave away). Prints one JSON line for the --isolate parent."""
+    spark = _make_spark()
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries(fresh=True)
+    if name not in qs:
+        print(json.dumps({"name": name, "missing": True}))
+        return
+
+    def run_once() -> tuple[float, float]:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        t1 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return round(t1 - t0, 3), round(time.time() - t1, 3)
+
+    c, e = run_once()
+    cold = round(c + e, 3)
+    detail = [run_once() for _ in range(PASSES)]
+
+    def spread(ts):
+        totals = [c + e for c, e in ts]
+        return max(totals) / max(min(totals), 1e-9)
+
+    while (len(detail) < MAX_PASSES
+           and max(c + e for c, e in detail) > SPREAD_FLOOR
+           and spread(detail) > SPREAD_LIMIT):
+        detail.append(run_once())
+    print(json.dumps({"name": name, "cold": cold,
+                      "detail": [[c, e] for c, e in detail]}))
+
+
+def _isolated_details(names: list[str]) -> tuple[dict, dict]:
+    """--isolate parent: fork one fresh interpreter+JVM per gate (the
+    child runs --gate NAME) so no gate's numbers carry another gate's
+    JVM history — code-cache/heap growth, broadcast cleanup backlogs,
+    shuffle-file accumulation (the r10 sf1 sweep's
+    dedup_ngram_jaccard read 58 s in a 40-gate-old JVM vs 6.6–8.3 s
+    fresh). Returns (cold, detail) keyed like the in-process path."""
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    cold: dict[str, float] = {}
+    detail: dict[str, list[tuple[float, float]]] = {}
+    for name in names:
+        out = subprocess.run(
+            [sys.executable, here, "--gate", name],
+            capture_output=True, text=True)
+        line = next((ln for ln in out.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if out.returncode != 0 or line is None:
+            print(f"# WARNING: isolated gate {name} failed:\n"
+                  f"{out.stderr[-2000:]}", file=sys.stderr)
+            continue
+        rec = json.loads(line)
+        if rec.get("missing"):
+            print(f"# WARNING: not in queries(), skipped: {name}",
+                  file=sys.stderr)
+            continue
+        cold[name] = rec["cold"]
+        detail[name] = [(c, e) for c, e in rec["detail"]]
+        totals = [round(c + e, 3) for c, e in detail[name]]
+        print(f"# isolated {name}: cold {rec['cold']}s, "
+              f"passes {totals}", file=sys.stderr)
+    return cold, detail
+
+
+def main() -> None:
+    isolate = "--isolate" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_BENCH_ISOLATE") == "1"
+
+    if isolate:
+        cold, detail = _isolated_details(BENCH_QUERIES)
+        bench_queries = list(detail)
+        _report(bench_queries, cold, detail, isolated=True)
+        return
+
+    spark = _make_spark()
 
     import __spark_entry__ as entrymod
 
@@ -249,6 +341,11 @@ def main() -> None:
                   f"(spread {round(spread(detail[name]), 2)}x)",
                   file=sys.stderr)
 
+    _report(bench_queries, cold, detail, isolated=False)
+
+
+def _report(bench_queries: list[str], cold: dict,
+            detail: dict, isolated: bool) -> None:
     samples = {n: [round(c + e, 3) for c, e in ts]
                for n, ts in detail.items()}
     med = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
@@ -263,7 +360,9 @@ def main() -> None:
     # Loud min-vs-min comparison against the latest recorded round: a
     # min regression survives contention (every pass was slower); a
     # median regression may just be noise.
-    prev_name, prev = _load_previous()
+    # Isolated runs carry fresh-JVM cost structure; min-vs-min against
+    # the interleaved round history would flag phantom regressions.
+    prev_name, prev = (None, {}) if isolated else _load_previous()
     comparison: dict[str, dict] = {}
     flagged: list[str] = []
     if prev:
@@ -303,6 +402,7 @@ def main() -> None:
                 "sf": sf, "queries_min": mins, "queries_median": med,
                 "min_total": round(sum(mins.values()), 3),
                 "median_total": round(sum(med.values()), 3),
+                "isolated": isolated,
             }) + "\n")
     except Exception as exc:
         print(f"# WARNING: could not append history: {exc}",
@@ -319,8 +419,13 @@ def main() -> None:
         "queries_passes_detail": {
             n: [[c, e] for c, e in ts] for n, ts in detail.items()},
         "sf": sf,
+        "isolated": isolated,
         "methodology": (
-            f"1 warmup + {PASSES} interleaved timed passes per query "
+            ("ISOLATED (--isolate): one fresh interpreter+JVM per gate, "
+             if isolated else "")
+            + f"1 warmup + {PASSES} "
+            + ("back-to-back" if isolated else "interleaved")
+            + " timed passes per query "
             f"(queries with pass spread > {SPREAD_LIMIT}x get extra "
             f"passes, {MAX_PASSES} max); 'queries'/'value' are per-query "
             "medians of construct+execute, 'queries_min' the per-query "
@@ -340,4 +445,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--gate" in sys.argv:
+        _one_gate(sys.argv[sys.argv.index("--gate") + 1])
+    else:
+        main()

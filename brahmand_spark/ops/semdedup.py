@@ -46,6 +46,27 @@ from pyspark.sql import functions as F
 from .clustering import kmeans_assign, kmeans_fit
 from .similarity import _as_double, dot, ivf_cell, norm
 
+# auto-k bounds: k >= K_MIN keeps tiny corpora from degenerating to
+# one cluster; k <= K_MAX bounds the driver-side centroid matrix
+# (K_MAX x dim floats — 64k x 768 doubles = ~400 MB, the practical
+# ceiling for broadcast centroid literals).
+K_MIN = 8
+K_MAX = 65_536
+
+
+def _auto_k(df: DataFrame, id_col: str) -> int:
+    """k ≈ ceil(sqrt(N)) (clamped to [K_MIN, K_MAX]) — the sizing the
+    SemDeDup contract needs: expected cluster size ~sqrt(N), so total
+    within-cluster pair work is k * (N/k)^2 = N^1.5 instead of the
+    N^2/k of a FIXED k as the corpus grows (r10 sf1 soak measured
+    exactly that: 0.99x per unit of quadratic workload with k pinned
+    while everything else amortized). One count() — the same pass a
+    caller sizing k by hand would run."""
+    import math
+
+    n = df.select(id_col).count()
+    return min(max(K_MIN, math.ceil(math.sqrt(max(n, 1)))), K_MAX)
+
 
 def semdedup_pairs(
     df: DataFrame, centroids: list[list[float]],
@@ -67,7 +88,7 @@ def semdedup_pairs(
 
 
 def semdedup_labels(
-    df: DataFrame, k: int = 8, iters: int = 3,
+    df: DataFrame, k: int | None = None, iters: int = 3,
     id_col: str = "vec_id", vec_col: str = "embedding",
     max_cluster_size: int = 10_000, max_depth: int = 3,
     _prefix: str = "", _depth: int = 0,
@@ -86,7 +107,10 @@ def semdedup_labels(
     centroid refreshes of the fits. Deterministic: lowest-id k-means
     init, and membership subsets are pure functions of the data. At
     100 TB, localCheckpoint the input per level if lineage depth ever
-    bites; the recursion itself only ever scans the hot subset."""
+    bites; the recursion itself only ever scans the hot subset.
+    ``k=None`` auto-sizes ceil(sqrt(N)) exactly like :func:`semdedup`."""
+    if k is None:
+        k = _auto_k(df, id_col)
     sub_k = min(k, max(2, max_cluster_size))
     centroids = kmeans_fit(df, sub_k, iters, id_col, vec_col)
     assigned = kmeans_assign(df, centroids, id_col, vec_col) \
@@ -138,7 +162,7 @@ def _pairs_from_labeled(
 
 
 def semdedup(
-    df: DataFrame, k: int = 8, iters: int = 3,
+    df: DataFrame, k: int | None = None, iters: int = 3,
     threshold: float = 0.95, id_col: str = "vec_id",
     vec_col: str = "embedding", dim: int | None = None,
     max_cluster_size: int | None = None, max_depth: int = 3,
@@ -149,12 +173,20 @@ def semdedup(
     and re-run the decision incrementally on arriving data with
     ``semdedup_pairs`` against the stored centroids.
 
+    ``k=None`` (the r11 default) auto-sizes ``k = clamp(ceil(sqrt(N)),
+    8, 65536)`` so cluster sizes — and with them the within-cluster
+    quadratic pair work — stay ~sqrt(N) as the corpus grows instead
+    of growing linearly under a fixed k; pass an explicit k to pin it
+    (reproducibility against a stored decision).
+
     ``max_cluster_size`` switches on the recursive hot-cluster split
     (``semdedup_labels``): clusters over the cap are re-clustered
     within themselves up to ``max_depth`` levels, so the per-cluster
     quadratic pair join stays bounded under embedding skew. The
     cluster column is then a dotted hierarchical STRING label instead
     of an int."""
+    if k is None:
+        k = _auto_k(df, id_col)
     if max_cluster_size is not None:
         labels = semdedup_labels(df, k, iters, id_col, vec_col,
                                  max_cluster_size, max_depth)

@@ -279,10 +279,12 @@ def _p_corpus_dedup_groups(session, label, threshold=0.7,
 def _p_corpus_semdedup(session, label, threshold=0.95, k=8,
                        id_col="vec_id", vec_col="embedding"):
     """SemDeDup decision per vector of a catalog embedding table
-    (ops/semdedup.semdedup): (id, cluster, keep)."""
+    (ops/semdedup.semdedup): (id, cluster, keep). ``k <= 0`` (r11)
+    auto-sizes k = ceil(sqrt(N)) — the scaling default."""
     from .ops.semdedup import semdedup
 
-    return semdedup(session._load_for_label(label), k=int(k),
+    return semdedup(session._load_for_label(label),
+                    k=int(k) if int(k) > 0 else None,
                     threshold=float(threshold), id_col=id_col,
                     vec_col=vec_col)
 

@@ -53,6 +53,25 @@ class TestSemDeDup:
         assert any(not kp for _, kp in got.values())
         assert any(kp for _, kp in got.values())
 
+    def test_auto_k_matches_explicit_sqrt_n(self, spark):
+        """r11: k=None auto-sizes ceil(sqrt(N)) clamped to [8, 65536]
+        and decides identically to passing that k explicitly."""
+        import math
+
+        from brahmand_spark.ops.semdedup import K_MAX, K_MIN, _auto_k
+
+        X = self._blobs(seed=15)
+        df = _vec_df(spark, X)
+        n = len(X)
+        want_k = min(max(K_MIN, math.ceil(math.sqrt(n))), K_MAX)
+        assert _auto_k(df, "vec_id") == want_k
+        auto = sorted(map(tuple, semdedup(df, threshold=0.95).collect()))
+        pinned = sorted(map(tuple, semdedup(
+            df, k=want_k, threshold=0.95).collect()))
+        assert auto == pinned
+        # tiny corpora clamp to K_MIN
+        assert _auto_k(df.limit(5), "vec_id") == K_MIN
+
     def test_pairs_consistent_with_decision(self, spark):
         X = self._blobs(seed=12)
         df = _vec_df(spark, X)

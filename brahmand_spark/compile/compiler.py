@@ -733,18 +733,35 @@ class QueryCompiler:
                 "correlated CALL { WITH ... } needs a preceding "
                 "MATCH/WITH to import from")
         for a in imports:
-            if not isinstance(scope.get(a), NodeBinding):
+            if not isinstance(scope.get(a), (NodeBinding, RelBinding)):
                 raise UnsupportedError(
                     f"correlated CALL {{ }} imports must be bound "
-                    f"node variables; '{a}' is not one")
+                    f"node or relationship variables; '{a}' is not one")
+        # r11 (VERDICT r10 next #5): REL variables import too — the
+        # rel's (src, dst[, type], props) columns ride from the outer
+        # frame into the block (joined in on the anchor ids) and join
+        # back as extra, null-safe correlation keys, so invocations
+        # with the same anchors but different rels stay distinct. A
+        # node anchor must still drive the re-scan.
+        if not any(isinstance(scope.get(a), NodeBinding)
+                   for a in imports):
+            raise UnsupportedError(
+                "correlated CALL { } needs at least one imported NODE "
+                "variable to anchor the block; relationship imports "
+                "ride alongside a node anchor")
         if inner.unions:
             return self._apply_correlated_call_union(
                 df, scope, inner, imports, optional)
-        sub_out, anchors, names, compiled, carries = \
+        sub_out, anchors, names, compiled, carries, rel_keys = \
             self._correlated_arm_frame(df, scope, inner, imports)
         join_conds = [
             F.col(scope.get(a).id_pcol) == F.col(f"__ck_{a}")
             for a in anchors]
+        # rel-import keys: null-safe (a null property must match its
+        # own block row, not annihilate the invocation)
+        join_conds += [
+            F.col(outer_pc).eqNullSafe(F.col(ck))
+            for ck, outer_pc in rel_keys]
         cond = join_conds[0]
         for c in join_conds[1:]:
             cond = cond & c
@@ -767,7 +784,8 @@ class QueryCompiler:
         out = df.join(
             sub_out, cond,
             "left" if (all_agg or optional) else "inner"
-        ).drop(*[f"__ck_{a}" for a in anchors])
+        ).drop(*[f"__ck_{a}" for a in anchors],
+               *[ck for ck, _ in rel_keys])
         if all_agg:
             for name, _, _, empty_fill in compiled:
                 if empty_fill is not None:
@@ -800,27 +818,42 @@ class QueryCompiler:
         # anchors re-scan block-locally and join back on their ids,
         # exactly like at top level). Uncorrelated inner blocks keep
         # the r9 cross-join path.
-        if not body or not any(
-                not m.optional for m in body[0].matches):
+        if not body or not body[0].matches:
             raise UnsupportedError(
-                "correlated CALL { } must start with a (non-OPTIONAL) "
-                "MATCH after the import WITH")
+                "correlated CALL { } must start with a MATCH after "
+                "the import WITH")
         first = body[0]
         rest = body[1:]
         multipart = bool(rest) or first.with_clause is not None
         rc = inner.return_clause
+        node_imports = [a for a in imports
+                        if isinstance(scope.get(a), NodeBinding)]
+        rel_imports = [a for a in imports
+                       if isinstance(scope.get(a), RelBinding)]
         # openCypher visibility: ONLY imported variables reach the
         # block — compile the pattern against a scope holding just
         # those bindings, so a non-imported outer name is fresh.
-        imp_scope = Scope({a: scope.bindings[a] for a in imports})
+        imp_scope = Scope({a: scope.bindings[a] for a in node_imports})
         required = [m for m in first.matches if not m.optional]
         optionals = [m for m in first.matches if m.optional]
-        pattern = self._build_pattern(required, imp_scope)
-        anchors = [a for a in pattern.nodes if a in imports]
-        if not anchors:
-            raise PlanError(
-                "correlated CALL { } block must use at least one "
-                "imported variable in its MATCH pattern")
+        if required:
+            pattern = self._build_pattern(required, imp_scope)
+            anchors = [a for a in pattern.nodes if a in node_imports]
+            if not anchors:
+                raise PlanError(
+                    "correlated CALL { } block must use at least one "
+                    "imported variable in its MATCH pattern")
+        else:
+            # r11 (VERDICT r10 next #5): the block LEADS with OPTIONAL
+            # MATCH — the base frame is the imported anchors' own node
+            # scans (per-invocation key space), and the optionals
+            # left-join onto it below, so a no-match invocation keeps
+            # one NULL-filled row: openCypher's OPTIONAL MATCH row
+            # semantics per invocation.
+            anchors = list(node_imports)
+            pattern = Pattern(nodes={
+                a: NodeEntity(alias=a, label=scope.get(a).label)
+                for a in anchors})
         for node in pattern.nodes.values():
             node.prebound = False  # anchors re-scan inside the block
         self._infer(pattern)
@@ -852,8 +885,49 @@ class QueryCompiler:
         finally:
             self._elide_override = prev_override
         _bind_path_vars(pattern, sub_scope)
+        # r11: imported REL variables — their (src, dst[, type],
+        # props) columns already exist in the OUTER frame; a distinct
+        # (anchor ids x rel columns) slice of it joins into the block
+        # frame on the anchor ids (the block re-scan binds the same
+        # pcol names: same alias, same label), making r.prop legal in
+        # the block's WHERE/RETURN. Each rel column then joins BACK as
+        # an extra null-safe correlation key, so two outer rows with
+        # the same anchors but different rels stay distinct
+        # invocations. (A multi-type rel's per-row type column rides
+        # too, though an intermediate WITH re-carry drops it — same
+        # limitation as any WITH rel carry.)
+        rel_keys: list[tuple[str, str]] = []
+        if rel_imports:
+            anchor_outer = [scope.get(a).id_pcol for a in anchors]
+            rel_pcols: list[str] = []
+            for r in rel_imports:
+                rb = scope.get(r)
+                cols = [rb.src_pcol, rb.dst_pcol]
+                if rb.type_pcol:
+                    if multipart:
+                        raise UnsupportedError(
+                            f"multi-type relationship import '{r}' is "
+                            f"not supported in a multi-part CALL {{ }} "
+                            f"block (the per-row type column does not "
+                            f"survive an intermediate WITH re-carry)")
+                    cols.append(rb.type_pcol)
+                cols += [pcol(r, c) for c in rb.columns]
+                for c in cols:
+                    if c not in rel_pcols:
+                        rel_pcols.append(c)
+            slice_df = df.select(*anchor_outer, *rel_pcols).distinct()
+            sub_anchor = [sub_scope.get(a).id_pcol for a in anchors]
+            for bn, on in zip(sub_anchor, anchor_outer):
+                if bn != on:  # defensive: pcol is alias-derived, equal
+                    slice_df = slice_df.withColumnRenamed(on, bn)
+            sub_df = sub_df.join(slice_df, on=sub_anchor, how="inner")
+            for r in rel_imports:
+                sub_scope.bind(scope.get(r))
+            rel_keys = [(f"__ck_r{i}", c)
+                        for i, c in enumerate(rel_pcols)]
+        carry_vars = anchors + rel_imports
         sub_df, sub_scope = self._finish_call_part(
-            sub_df, sub_scope, first, optionals, anchors)
+            sub_df, sub_scope, first, optionals, carry_vars)
         for p in rest:
             p_required = [m for m in p.matches if not m.optional]
             p_optionals = [m for m in p.matches if m.optional]
@@ -863,13 +937,17 @@ class QueryCompiler:
                 sub_df = self._assemble(sub_df, sub_scope, p_pattern, p)
                 _bind_path_vars(p_pattern, sub_scope)
             sub_df, sub_scope = self._finish_call_part(
-                sub_df, sub_scope, p, p_optionals, anchors)
+                sub_df, sub_scope, p, p_optionals, carry_vars)
         ec = ExprCompiler(sub_scope, self.params)
         # block projection: anchor id keys + the RETURN items;
         # aggregate items group by (anchor ids + non-aggregate items)
         key_cols = []
         for a in anchors:
             key_cols.append((f"__ck_{a}", sub_scope.get(a).id_pcol))
+        # rel-import correlation keys ride the frame under their outer
+        # pcol names (group keys for aggregates, window partition keys
+        # for per-invocation top-N, join-back keys for the caller)
+        key_cols += rel_keys
         # RETURN * expands to the block's LOCAL variables, in binding
         # order: imports are excluded (they are already bound in the
         # enclosing query — openCypher subquery RETURN * exports only
@@ -1028,7 +1106,7 @@ class QueryCompiler:
             if hi is not None:
                 cond = cond & (F.col("__crn") <= hi)
             sub_out = sub_out.filter(cond).drop("__crn")
-        return sub_out, anchors, names, compiled, carries
+        return sub_out, anchors, names, compiled, carries, rel_keys
 
     def _apply_correlated_call_union(
         self, df: DataFrame, scope: Scope,
@@ -1098,8 +1176,9 @@ class QueryCompiler:
                                 cb.type_pcol is not None))
             return sorted(sig)
 
+        ref_rel_keys: list[tuple[str, str]] = []
         for i, arm in enumerate(arms):
-            sub_out, anchors, names, compiled, carries = \
+            sub_out, anchors, names, compiled, carries, rel_keys = \
                 self._correlated_arm_frame(df, scope, arm, imports)
             if i == 0:
                 ref_anchors, ref_names = anchors, names
@@ -1107,6 +1186,9 @@ class QueryCompiler:
                 ref_carry_sig = carry_sig(carries)
                 ref_carry_cols = [dst for _, cols in carries
                                   for dst, _ in cols]
+                # rel-import keys are a pure function of the (shared)
+                # import list, so every arm produces the same list
+                ref_rel_keys = rel_keys
             else:
                 if set(anchors) != set(ref_anchors):
                     raise UnsupportedError(
@@ -1137,12 +1219,17 @@ class QueryCompiler:
             if all_agg:
                 # complete the arm against the outer invocations so
                 # zero-match invocations still contribute their
-                # aggregate-on-empty row (count -> 0, collect -> [])
-                anchor_rows = df.select(*[
-                    F.col(scope.get(a).id_pcol).alias(f"__ck_{a}")
-                    for a in ref_anchors]).distinct()
+                # aggregate-on-empty row (count -> 0, collect -> []);
+                # rel-import keys are part of the invocation identity
+                anchor_rows = df.select(
+                    *[F.col(scope.get(a).id_pcol).alias(f"__ck_{a}")
+                      for a in ref_anchors],
+                    *[F.col(pc).alias(ck)
+                      for ck, pc in ref_rel_keys]).distinct()
                 completed = anchor_rows.join(
-                    sub_out, [f"__ck_{a}" for a in ref_anchors],
+                    sub_out,
+                    [f"__ck_{a}" for a in ref_anchors]
+                    + [ck for ck, _ in ref_rel_keys],
                     "left")
                 for name, _, _, empty_fill in compiled:
                     if empty_fill is not None:
@@ -1150,16 +1237,21 @@ class QueryCompiler:
                             name, F.coalesce(F.col(name), empty_fill))
                 sub_out = completed
             frames.append(sub_out.select(
-                *[f"__ck_{a}" for a in ref_anchors], *ref_names,
+                *[f"__ck_{a}" for a in ref_anchors],
+                *[ck for ck, _ in ref_rel_keys], *ref_names,
                 *ref_carry_cols))
         union_out = frames[0]
         for f in frames[1:]:
             union_out = union_out.unionByName(f)
         if not union_all:
             union_out = union_out.dropDuplicates(
-                [f"__ck_{a}" for a in ref_anchors] + ref_names
+                [f"__ck_{a}" for a in ref_anchors]
+                + [ck for ck, _ in ref_rel_keys] + ref_names
                 + ref_carry_cols)
         cond = None
+        for ck, pc in ref_rel_keys:
+            c = F.col(pc).eqNullSafe(F.col(ck))
+            cond = c if cond is None else cond & c
         for a in ref_anchors:
             # NULL-SAFE keys (r9 advice): an import bound by OPTIONAL
             # MATCH is NULL for some outer rows; the all-aggregate
@@ -1176,7 +1268,8 @@ class QueryCompiler:
         # per invocation, so inner join already keeps every outer row
         out = df.join(
             union_out, cond, "left" if optional else "inner"
-        ).drop(*[f"__ck_{a}" for a in ref_anchors])
+        ).drop(*[f"__ck_{a}" for a in ref_anchors],
+               *[ck for ck, _ in ref_rel_keys])
         for carry_b, _ in ref_carries:
             scope.bind(carry_b)
         out_dtypes = dict(out.dtypes)
@@ -1280,9 +1373,16 @@ class QueryCompiler:
             order_cols.append(c.asc() if ob.ascending else c.desc())
         order_cols += [F.col(n).asc() for n in sorted(scalar_names)]
         order_cols += [F.col(c).asc() for c in sorted(node_ids)]
-        w = Window.partitionBy(
-            *[F.col(sub_scope.get(a).id_pcol) for a in anchors]
-        ).orderBy(*order_cols)
+        part_cols = []
+        for a in anchors:
+            b = sub_scope.get(a)
+            if isinstance(b, RelBinding):
+                # rel-import invocation keys (r11): endpoints + props
+                part_cols += [F.col(b.src_pcol), F.col(b.dst_pcol)]
+                part_cols += [F.col(pcol(a, c)) for c in b.columns]
+            else:
+                part_cols.append(F.col(b.id_pcol))
+        w = Window.partitionBy(*part_cols).orderBy(*order_cols)
         lo = part.skip or 0
         hi = lo + part.limit if part.limit is not None else None
         sub_df = sub_df.withColumn("__cwrn", F.row_number().over(w))

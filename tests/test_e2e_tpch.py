@@ -1593,6 +1593,101 @@ class TestOptionalCallStandalone:
         assert a == ["NATION_0", "NATION_1"]
 
 
+class TestCallRelImportAndOptionalFirst:
+    """r11 (VERDICT r10 next #5): relationship-variable imports and
+    OPTIONAL MATCH leading a correlated CALL { } block. Fuzzed against
+    DuckDB in test_fuzz_parity (_correlated_call_query kinds 8/9);
+    these pin the deterministic shapes and the remaining rejections."""
+
+    def test_rel_import_property_in_block(self, tpch, duck):
+        assert_same(
+            tpch.execute(
+                "MATCH (o:Order)-[r:HAS_LINE]->(l:Lineitem) "
+                "WHERE o.o_orderkey < 40 "
+                "CALL { WITH o, r MATCH (o)-[r2:HAS_LINE]->"
+                "(l2:Lineitem) WHERE r2.l_linenumber > r.l_linenumber "
+                "RETURN count(*) AS later } "
+                "RETURN o.o_orderkey AS ok, r.l_linenumber AS ln, "
+                "later ORDER BY ok, ln"),
+            duck.sql(
+                "SELECT o.o_orderkey AS ok, l.l_linenumber AS ln, "
+                "(SELECT count(*) FROM lineitem l2 WHERE "
+                "l2.l_orderkey = o.o_orderkey AND l2.l_linenumber > "
+                "l.l_linenumber) AS later FROM orders o JOIN lineitem "
+                "l ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey "
+                "< 40 ORDER BY ok, ln"))
+
+    def test_rel_import_with_topn_window(self, tpch, duck):
+        # per-(anchor, rel) invocation top-1: the rel keys partition
+        # the window, so each lineitem row keeps its own best match
+        assert_same(
+            tpch.execute(
+                "MATCH (o:Order)-[r:HAS_LINE]->(l:Lineitem) "
+                "WHERE o.o_orderkey < 25 "
+                "CALL { WITH o, r MATCH (o)-[r2:HAS_LINE]->"
+                "(l2:Lineitem) WHERE r2.l_linenumber <> "
+                "r.l_linenumber RETURN r2.l_linenumber AS other "
+                "ORDER BY other LIMIT 1 } "
+                "RETURN o.o_orderkey AS ok, r.l_linenumber AS ln, "
+                "other ORDER BY ok, ln"),
+            duck.sql(
+                "SELECT o.o_orderkey AS ok, l.l_linenumber AS ln, "
+                "(SELECT min(l2.l_linenumber) FROM lineitem l2 WHERE "
+                "l2.l_orderkey = o.o_orderkey AND l2.l_linenumber <> "
+                "l.l_linenumber) AS other FROM orders o JOIN lineitem "
+                "l ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey "
+                "< 25 AND EXISTS (SELECT 1 FROM lineitem l3 WHERE "
+                "l3.l_orderkey = o.o_orderkey AND l3.l_linenumber <> "
+                "l.l_linenumber) ORDER BY ok, ln"))
+
+    def test_optional_match_first_row_form(self, tpch, duck):
+        assert_same(
+            tpch.execute(
+                "MATCH (c:Customer) WHERE c.c_custkey < 20 "
+                "CALL { WITH c OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+                "WHERE o.o_totalprice > 150000 "
+                "RETURN o.o_orderkey AS ok } "
+                "RETURN c.c_custkey AS ck, ok ORDER BY ck, ok"),
+            duck.sql(
+                "SELECT c.c_custkey AS ck, o.o_orderkey AS ok FROM "
+                "customer c LEFT JOIN orders o ON o.o_custkey = "
+                "c.c_custkey AND o.o_totalprice > 150000 WHERE "
+                "c.c_custkey < 20 ORDER BY ck, ok"))
+
+    def test_optional_match_first_aggregate(self, tpch, duck):
+        assert_same(
+            tpch.execute(
+                "MATCH (c:Customer) WHERE c.c_custkey < 20 "
+                "CALL { WITH c OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+                "WHERE o.o_totalprice > 150000 "
+                "RETURN count(o.o_orderkey) AS n } "
+                "RETURN c.c_custkey AS ck, n ORDER BY ck"),
+            duck.sql(
+                "SELECT c_custkey AS ck, (SELECT count(*) FROM orders "
+                "o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice "
+                "> 150000) AS n FROM customer c WHERE c.c_custkey "
+                "< 20 ORDER BY ck"))
+
+    def test_rel_only_import_rejected(self, tpch):
+        from brahmand_spark.errors import UnsupportedError
+
+        with pytest.raises(UnsupportedError, match="node"):
+            tpch.execute(
+                "MATCH (o:Order)-[r:HAS_LINE]->(l:Lineitem) "
+                "CALL { WITH r MATCH (x:Order)-[r2:HAS_LINE]->"
+                "(y:Lineitem) RETURN count(*) AS n } "
+                "RETURN n LIMIT 1")
+
+    def test_scalar_import_still_rejected(self, tpch):
+        from brahmand_spark.errors import UnsupportedError
+
+        with pytest.raises(UnsupportedError, match="node or relation"):
+            tpch.execute(
+                "MATCH (c:Customer) WITH c, c.c_acctbal AS bal "
+                "CALL { WITH bal MATCH (o:Order) RETURN count(*) AS n }"
+                " RETURN n LIMIT 1")
+
+
 class TestCallCarryReviewFindings:
     """r9 review regressions: carried multi-type rels keep their
     per-row type column; RETURN * omits path variables."""

@@ -330,7 +330,44 @@ def _correlated_call_query(rnd: random.Random) -> tuple[str, str]:
     DISTINCT / top-N window), rendered to both Cypher and SQL."""
     inner_cy, inner_sq = _o_predicate(rnd)
     outer_cy, outer_sq = _predicate(rnd)
-    kind = rnd.randrange(8)
+    kind = rnd.randrange(10)
+    if kind == 8:  # r11: REL variable import — r.prop inside the block
+        cy = (f"MATCH (o:Order)-[r:HAS_LINE]->(l:Lineitem) "
+              f"WHERE {inner_cy} "
+              f"CALL {{ WITH o, r MATCH (o)-[r2:HAS_LINE]->"
+              f"(l2:Lineitem) WHERE r2.l_linenumber > r.l_linenumber "
+              f"RETURN count(*) AS later }} "
+              f"RETURN o.o_orderkey AS ok, r.l_linenumber AS ln, "
+              f"later ORDER BY ok, ln")
+        sq = (f"SELECT o.o_orderkey AS ok, l.l_linenumber AS ln, "
+              f"(SELECT count(*) FROM lineitem l2 WHERE l2.l_orderkey "
+              f"= o.o_orderkey AND l2.l_linenumber > l.l_linenumber) "
+              f"AS later FROM orders o JOIN lineitem l ON "
+              f"l.l_orderkey = o.o_orderkey WHERE {inner_sq} "
+              f"ORDER BY ok, ln")
+        return cy, sq
+    if kind == 9:  # r11: OPTIONAL MATCH leading the block
+        if rnd.random() < 0.5:  # all-aggregate: count-0 per invocation
+            cy = (f"MATCH (c:Customer) WHERE {outer_cy} "
+                  f"CALL {{ WITH c OPTIONAL MATCH (c)-[:PLACED]->"
+                  f"(o:Order) WHERE {inner_cy} "
+                  f"RETURN count(o.o_orderkey) AS n }} "
+                  f"RETURN c.c_custkey AS ck, n ORDER BY ck")
+            sq = (f"SELECT c_custkey AS ck, (SELECT count(*) FROM "
+                  f"orders o WHERE o.o_custkey = c.c_custkey AND "
+                  f"({inner_sq})) AS n FROM customer c "
+                  f"WHERE {outer_sq} ORDER BY ck")
+        else:  # row form: no-match invocation keeps one NULL row
+            cy = (f"MATCH (c:Customer) WHERE {outer_cy} "
+                  f"CALL {{ WITH c OPTIONAL MATCH (c)-[:PLACED]->"
+                  f"(o:Order) WHERE {inner_cy} "
+                  f"RETURN o.o_orderkey AS ok }} "
+                  f"RETURN c.c_custkey AS ck, ok ORDER BY ck, ok")
+            sq = (f"SELECT c.c_custkey AS ck, o.o_orderkey AS ok "
+                  f"FROM customer c LEFT JOIN orders o ON "
+                  f"o.o_custkey = c.c_custkey AND ({inner_sq}) "
+                  f"WHERE {outer_sq} ORDER BY ck, ok")
+        return cy, sq
     if kind == 5:  # r10: relationship output aliased out of the block
         cy = (f"MATCH (c:Customer) WHERE {outer_cy} "
               f"CALL {{ WITH c MATCH (c)-[r:PLACED]->(o:Order) "

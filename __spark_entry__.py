@@ -150,13 +150,18 @@ _CYPHER: dict[str, str] = {
     # rebinding machinery also ridden by with_having and every
     # correlated-CALL gate; still oracle-checked in
     # tests/test_folded_gates.py FOLDED_CYPHER)
+    # r11 additions: OFFSET-bearing literals (+02:00 / -05:00 both
+    # normalize to the same 2024-01-08 00:00 UTC instant at plan time,
+    # still PushedFilters) and a CHAINED accessor on the raw node
+    # property (e.ts.year — catalog-typed, no WITH hop needed)
     "temporal_arithmetic": """
         MATCH (e:Event)
-        WITH e.ts AS t, e.event_type AS et
-        WHERE t >= datetime('2024-01-08')
-          AND t < datetime('2024-01-08') + duration('P7D')
-        WITH datetime.truncate('day', t) AS d, t, et
-        RETURN d, et, count(*) AS cnt, min(t.dayOfWeek) AS dw,
+        WHERE e.ts >= datetime('2024-01-08T02:00:00+02:00')
+          AND e.ts < datetime('2024-01-07T19:00:00-05:00')
+                     + duration('P7D')
+        WITH datetime.truncate('day', e.ts) AS d, e.ts AS t,
+             e.event_type AS et, e.ts.year AS y
+        RETURN d, et, y, count(*) AS cnt, min(t.dayOfWeek) AS dw,
                max(t.hour) AS h_max, min(t.ordinalDay) AS od
         ORDER BY d, et""",
     # OPTIONAL MATCH (extension; the reference has only a TODO)
@@ -248,6 +253,7 @@ _CYPHER_ORACLES: dict[str, str] = {
         GROUP BY c.c_name HAVING count(*) >= 12""",
     "temporal_arithmetic": """
         SELECT date_trunc('day', ts) AS d, event_type AS et,
+               CAST(year(ts) AS INT) AS y,
                count(*) AS cnt,
                CAST(min(isodow(ts)) AS INT) AS dw,
                CAST(max(hour(ts)) AS INT) AS h_max,
@@ -255,7 +261,7 @@ _CYPHER_ORACLES: dict[str, str] = {
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-08'
           AND ts < TIMESTAMP '2024-01-08' + INTERVAL 7 DAY
-        GROUP BY 1, 2 ORDER BY 1, 2""",
+        GROUP BY 1, 2, 3 ORDER BY 1, 2""",
     "optional_match": """
         SELECT c.c_name AS name, count(o.o_orderkey) AS n_big
         FROM customer c

@@ -225,6 +225,27 @@ class QueryCompiler:
         self._elide_override: set[str] = set()
         self._anon_counter = 0  # deterministic anonymous aliases
         # (the reference uses random a<uuid10>, logical_plan/mod.rs:36-43)
+        # label/type -> {column -> dtype} from the table schemas,
+        # resolved lazily for chained temporal accessors (r11)
+        self._dtype_cache: dict[str, dict] = {}
+
+    def _prop_dtype(self, binding, key: str) -> Optional[str]:
+        """dtype of a node/rel property from its label's TABLE schema
+        (lazy, cached per label) — the catalog typing that lets a
+        chained accessor (``n.ts.year``) resolve as temporal component
+        access without a WITH projection (r11, VERDICT r10 next #6).
+        Unknown labels/columns return None (-> struct-field access)."""
+        label = (binding.label if isinstance(binding, NodeBinding)
+                 else getattr(binding, "type_name", None))
+        if not label:
+            return None
+        if label not in self._dtype_cache:
+            try:
+                self._dtype_cache[label] = dict(
+                    self.load_table(label).dtypes)
+            except Exception:
+                self._dtype_cache[label] = {}
+        return self._dtype_cache[label].get(key)
 
     # ------------------------------------------------------------------
     def compile(self, query: ast.ReadQuery) -> DataFrame:
@@ -427,7 +448,7 @@ class QueryCompiler:
         for csub in part.calls:
             df = self._apply_call_subquery(df, scope, csub)
         if part.unwind is not None:
-            ec = ExprCompiler(scope, self.params)
+            ec = ExprCompiler(scope, self.params, self._prop_dtype)
             arr = ec.compile(part.unwind.expr)
             if df is None:
                 # UNWIND as the first clause: single-row seed.
@@ -448,7 +469,7 @@ class QueryCompiler:
             if residual is not None:
                 df, residual = self._rewrite_count_subqueries(
                     df, scope, residual)
-                ec = ExprCompiler(scope, self.params)
+                ec = ExprCompiler(scope, self.params, self._prop_dtype)
                 df = df.filter(ec.compile(residual))
         if part.with_clause is not None:
             if df is None:
@@ -494,7 +515,7 @@ class QueryCompiler:
         sub_part = ast.QueryPart()
         sub_df = self._assemble(None, sub_scope, pattern, sub_part)
         if mc.where is not None:
-            ec = ExprCompiler(sub_scope, self.params)
+            ec = ExprCompiler(sub_scope, self.params, self._prop_dtype)
             sub_df = sub_df.filter(ec.compile(mc.where))
 
         key_cols = []
@@ -583,7 +604,7 @@ class QueryCompiler:
                 raise PlanError(
                     f"subquery WHERE references {sorted(unknown)} not "
                     "bound inside the block")
-            ec = ExprCompiler(sub_scope, self.params)
+            ec = ExprCompiler(sub_scope, self.params, self._prop_dtype)
             sub_df = sub_df.filter(ec.compile(where))
         return sub_df, sub_scope, anchors
 
@@ -938,7 +959,7 @@ class QueryCompiler:
                 _bind_path_vars(p_pattern, sub_scope)
             sub_df, sub_scope = self._finish_call_part(
                 sub_df, sub_scope, p, p_optionals, carry_vars)
-        ec = ExprCompiler(sub_scope, self.params)
+        ec = ExprCompiler(sub_scope, self.params, self._prop_dtype)
         # block projection: anchor id keys + the RETURN items;
         # aggregate items group by (anchor ids + non-aggregate items)
         key_cols = []
@@ -1302,7 +1323,7 @@ class QueryCompiler:
             # later WITHs must carry them.
             sub_df = self._apply_call_subquery(sub_df, sub_scope, csub)
         if part.unwind is not None:
-            ec = ExprCompiler(sub_scope, self.params)
+            ec = ExprCompiler(sub_scope, self.params, self._prop_dtype)
             arr = ec.compile(part.unwind.expr)
             sub_df = sub_df.select(
                 "*", F.explode(arr).alias(part.unwind.alias))
@@ -1318,7 +1339,7 @@ class QueryCompiler:
             if residual is not None:
                 sub_df, residual = self._rewrite_count_subqueries(
                     sub_df, sub_scope, residual)
-                ec = ExprCompiler(sub_scope, self.params)
+                ec = ExprCompiler(sub_scope, self.params, self._prop_dtype)
                 sub_df = sub_df.filter(ec.compile(residual))
         if part.with_clause is not None:
             items = list(part.with_clause.items)
@@ -1436,7 +1457,7 @@ class QueryCompiler:
                         f"COUNT {{ }} RETURN DISTINCT expression "
                         f"references {sorted(unknown)} not bound "
                         f"inside the pattern")
-                val = ExprCompiler(sub_scope, self.params).compile(dexpr)
+                val = ExprCompiler(sub_scope, self.params, self._prop_dtype).compile(dexpr)
                 sub = sub_df.select(*key_cols, val.alias(f"{name}_v"))
                 grouped = sub.groupBy(*keys).agg(
                     (F.count_distinct(F.col(f"{name}_v"))
@@ -1477,7 +1498,7 @@ class QueryCompiler:
             self._anon_counter += 1
             name = f"__csq{self._anon_counter}"
             keys = [f"{name}_k{i}" for i in range(len(anchors))]
-            ec = ExprCompiler(sub_scope, self.params)
+            ec = ExprCompiler(sub_scope, self.params, self._prop_dtype)
             val = ec.compile(e.map)
             sub = sub_df.select(
                 *[F.col(sub_scope.get(a).id_pcol).alias(k)
@@ -1775,7 +1796,7 @@ class QueryCompiler:
             columns=sch.column_names or raw_cols,
         ))
         if node.properties:
-            ec = ExprCompiler(scope, self.params)
+            ec = ExprCompiler(scope, self.params, self._prop_dtype)
             for key, expr in node.properties.items():
                 # Inline {k: v} props are per-table equality filters
                 # (logical_plan/match_clause.rs:26-57).
@@ -1963,7 +1984,7 @@ class QueryCompiler:
             src_pcol=pcol(a, "from_id"), dst_pcol=pcol(a, "to_id"),
         ))
         if rel.properties:
-            ec = ExprCompiler(scope, self.params)
+            ec = ExprCompiler(scope, self.params, self._prop_dtype)
             for key, expr in rel.properties.items():
                 df = df.filter(
                     F.col(pcol(fused_alias, key)) == ec.compile(expr)
@@ -2039,7 +2060,7 @@ class QueryCompiler:
             src_pcol=pcol(a, "from_id"), dst_pcol=pcol(a, "to_id"),
         ))
         if rel.properties:
-            ec = ExprCompiler(scope, self.params)
+            ec = ExprCompiler(scope, self.params, self._prop_dtype)
             for key, expr in rel.properties.items():
                 df = df.filter(
                     F.col(pcol(backing_alias, key)) == ec.compile(expr)
@@ -2147,7 +2168,7 @@ class QueryCompiler:
                 # inline {k: v} on a multi-type pattern: an arm whose
                 # type lacks the key contributes nothing (NULL never
                 # equals) — the openCypher reading
-                ec = ExprCompiler(scope, self.params)
+                ec = ExprCompiler(scope, self.params, self._prop_dtype)
                 for key, expr in rel.properties.items():
                     if key not in all_props:
                         raise PlanError(
@@ -2182,7 +2203,7 @@ class QueryCompiler:
             .get(rel.orientation),
         ))
         if rel.properties:
-            ec = ExprCompiler(scope, self.params)
+            ec = ExprCompiler(scope, self.params, self._prop_dtype)
             for key, expr in rel.properties.items():
                 df = df.filter(F.col(pcol(a, key)) == ec.compile(expr))
         return df
@@ -2242,7 +2263,7 @@ class QueryCompiler:
             if rel.orientation != "invalid":
                 arm_schemas.append((sch, rel.orientation))
             arm_schemas += list(rel.alt_resolved)
-            ec = ExprCompiler(Scope(), self.params) if rel.properties \
+            ec = ExprCompiler(Scope(), self.params, self._prop_dtype) if rel.properties \
                 else None
             for sch_a, orient_a in arm_schemas:
                 raw_a = self.load_table(sch_a.type_name)
@@ -2332,7 +2353,7 @@ class QueryCompiler:
         every k-fold join smaller."""
         if not rel.properties:
             return raw
-        ec = ExprCompiler(Scope(), self.params)
+        ec = ExprCompiler(Scope(), self.params, self._prop_dtype)
         for key, expr in rel.properties.items():
             if key not in raw.columns:
                 raise PlanError(
@@ -3257,7 +3278,7 @@ class QueryCompiler:
             return edge
         if not any(self._hop_scores.get(a, 0) > 0 for a in bound):
             return edge
-        ec = ExprCompiler(scope, self.params)
+        ec = ExprCompiler(scope, self.params, self._prop_dtype)
         for a in bound:
             for conj in self._alias_conjuncts.get(a, []):
                 try:
@@ -3441,7 +3462,7 @@ class QueryCompiler:
                 rewritten_ob.append(ob)
             order_by = rewritten_ob
 
-        ec = ExprCompiler(scope, self.params)
+        ec = ExprCompiler(scope, self.params, self._prop_dtype)
 
         # RETURN * expansion (analyzer/projection_tagging.rs:31-68).
         # Hidden internal bindings (COUNT{} subquery columns, "__csq*")
@@ -3586,7 +3607,7 @@ class QueryCompiler:
                     # the prefixed columns are gone, so only output names
                     # resolve; this handles e.g. ORDER BY count(*) when
                     # count(*) was returned under an alias).
-                    ec = ExprCompiler(in_scope, self.params)
+                    ec = ExprCompiler(in_scope, self.params, self._prop_dtype)
                     c = ec.compile(e)
                 # NULLS LAST in both directions — ClickHouse's (and
                 # DuckDB's) default; Spark's asc() would put them first.

@@ -24,9 +24,17 @@ from .scope import (
 
 
 class ExprCompiler:
-    def __init__(self, scope: Scope, params: Optional[dict] = None):
+    def __init__(self, scope: Scope, params: Optional[dict] = None,
+                 prop_dtype=None):
         self.scope = scope
         self.params = params or {}
+        # Optional (binding, key) -> dtype-string resolver from the
+        # catalog's table schemas (QueryCompiler._prop_dtype) — lets
+        # chained accessors on raw node/rel properties (``n.ts.year``)
+        # resolve as temporal component access without a WITH hop
+        # (r11, VERDICT r10 next #6). Absent, chained access falls
+        # back to struct-field semantics.
+        self.prop_dtype = prop_dtype
         # Lambda variables of list comprehensions / quantifiers / reduce
         # currently in scope (innermost shadows).
         self._lambda_vars: dict[str, Column] = {}
@@ -388,6 +396,37 @@ class ExprCompiler:
             return l.rlike(r)
         raise PlanError(f"unknown binary op {op}")
 
+    def _static_dtype(self, e: ast.Expr) -> Optional[str]:
+        """Best-effort compile-time dtype of an expression, for the
+        chained-accessor dispatch: catalog-typed node/rel properties
+        (via prop_dtype), temporal-typed scalar bindings, and the
+        temporal constructor calls. None means unknown (-> struct
+        access)."""
+        if isinstance(e, ast.PropertyAccess):
+            b = self.scope.get(e.alias)
+            if isinstance(b, ScalarBinding):
+                return None  # struct access already handles scalars
+            if b is not None and self.prop_dtype is not None:
+                return self.prop_dtype(b, e.key)
+            return None
+        if isinstance(e, ast.Variable):
+            b = self.scope.get(e.name)
+            if isinstance(b, ScalarBinding):
+                return b.dtype
+            return None
+        if isinstance(e, ast.FnCall):
+            n = e.name.lower()
+            if n == "date":
+                return "date"
+            if n in ("datetime", "localdatetime", "datetime.truncate",
+                     "localdatetime.truncate"):
+                return "timestamp_ntz"
+            if n == "date.truncate":
+                return "date"
+            if n in ("duration", "duration.between"):
+                return "interval"
+        return None
+
     def _case(self, e: ast.CaseExpr) -> Column:
         col = None
         operand = self.compile(e.operand) if e.operand is not None else None
@@ -405,6 +444,29 @@ class ExprCompiler:
 
     def _fn_call(self, e: ast.FnCall) -> Column:
         name = e.name.lower()
+        # Chained field access `base.key` (r11): a temporal accessor
+        # when the base's dtype is known temporal (catalog-typed node
+        # property, WITH-bound temporal scalar, or a temporal
+        # constructor call), struct-field access otherwise.
+        if name == "__field" and len(e.args) == 2:
+            base_ast, key_lit = e.args
+            key = key_lit.value
+            base = self.compile(base_ast)
+            dt = self._static_dtype(base_ast)
+            if dt and temporal.is_temporal_dtype(dt):
+                return temporal.accessor(base, key, dt)
+            return base[key]
+        # Offset-bearing datetime literal (r11):
+        # datetime('2024-01-08T10:00:00+02:00') normalizes to the
+        # engine's zone-naive TIMESTAMP_NTZ at PLAN time (the UTC
+        # instant, 08:00 here) — a constant, so it still folds into
+        # PushedFilters. Named zones ([Europe/Paris]) stay rejected.
+        if (name in ("datetime", "localdatetime") and len(e.args) == 1
+                and isinstance(e.args[0], ast.Literal)
+                and isinstance(e.args[0].value, str)):
+            normalized = temporal.normalize_zoned_literal(e.args[0].value)
+            if normalized is not None:
+                return F.to_timestamp_ntz(F.lit(normalized))
         # Temporal constructors whose arguments must be read from the
         # AST (literal components become compile-time interval
         # constants; truncation units pick the Spark builder) — r10.

@@ -44,6 +44,44 @@ def is_temporal_dtype(dtype: str) -> bool:
     return d == _DATE or d in _TS or d.startswith("interval")
 
 
+_OFFSET_RE = re.compile(r"(Z|[+-]\d{2}(:?\d{2})?)$")
+_NAMED_ZONE_RE = re.compile(r"\[[^\]]+\]$")
+
+
+def normalize_zoned_literal(s: str) -> str | None:
+    """Offset-bearing datetime literal -> the equivalent UTC instant
+    as a zone-naive string (r11, VERDICT r10 next #6): the engine is
+    NTZ end to end with treat-as-UTC epoch semantics
+    (``t.epochSeconds`` casts through the session zone, which the
+    bench/test harness pins to UTC), so ``datetime('...+02:00')``
+    lands two hours earlier — the same instant. Returns None for a
+    plain zone-free literal (callers keep the to_timestamp_ntz path)
+    and raises for named zones (``[Europe/Paris]``), which need a tz
+    database lookup the zone-naive subset deliberately excludes."""
+    import datetime as _dt
+
+    body = s.strip()
+    if _NAMED_ZONE_RE.search(body):
+        raise PlanError(
+            f"named time zones are not supported ({body!r}): the "
+            f"engine is zone-naive (TIMESTAMP_NTZ); use a numeric "
+            f"offset ('+02:00') or a zone-free local datetime")
+    if "T" not in body and " " not in body:
+        return None  # date-only: no offset grammar to normalize
+    if not _OFFSET_RE.search(body):
+        return None
+    try:
+        dt = _dt.datetime.fromisoformat(body.replace(" ", "T"))
+    except ValueError:
+        raise PlanError(
+            f"invalid offset datetime literal {body!r} (expected "
+            f"ISO-8601, e.g. '2024-01-08T10:00:00+02:00')") from None
+    if dt.tzinfo is None:  # defensive: regex matched a bare time part
+        return None
+    utc = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return utc.isoformat(sep=" ")
+
+
 _ISO_DURATION_RE = re.compile(
     r"^P(?:(?P<years>\d+)Y)?(?:(?P<months>\d+)M)?(?:(?P<weeks>\d+)W)?"
     r"(?:(?P<days>\d+)D)?"

@@ -582,7 +582,11 @@ class Parser:
                 if isinstance(expr, ast.Variable):
                     expr = ast.PropertyAccess(alias=expr.name, key=key)
                 else:
-                    self.error("property access requires a variable base")
+                    # chained access (r11): `n.ts.year` / `m.a.b` —
+                    # field access on an arbitrary base expression;
+                    # resolved at compile time as a temporal accessor
+                    # (catalog-typed property) or struct field
+                    expr = ast.FnCall("__field", (expr, ast.Literal(key)))
             elif self.at_op("["):
                 # list index: desugar to element_at(list, idx+1) later
                 self.next()

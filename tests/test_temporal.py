@@ -147,6 +147,58 @@ class TestTemporalQueries:
         assert parse_iso_duration("-P1DT6H") == {
             "days": -1.0, "hours": -6.0}
 
+    def test_offset_literals_normalize_to_utc(self, tpch):
+        """r11: offset-bearing datetime literals normalize to the UTC
+        instant at plan time; Z and zone-free agree; epochSeconds is
+        instant-true."""
+        row = tpch.execute(
+            "UNWIND [1] AS x RETURN "
+            "datetime('2024-01-08T10:00:00+02:00') AS a, "
+            "datetime('2024-01-08T10:00:00Z') AS b, "
+            "datetime('2024-01-08 10:00:00-05:30') AS c, "
+            "datetime('2024-01-08T10:00:00+02:00').epochSeconds AS es"
+        ).collect()[0]
+        assert row.a.isoformat() == "2024-01-08T08:00:00"
+        assert row.b.isoformat() == "2024-01-08T10:00:00"
+        assert row.c.isoformat() == "2024-01-08T15:30:00"
+        assert row.es == 1704700800  # 2024-01-08T08:00:00Z
+
+    def test_named_zone_rejected(self, tpch):
+        with pytest.raises(PlanError, match="zone-naive"):
+            tpch.execute(
+                "UNWIND [1] AS x RETURN "
+                "datetime('2024-01-08T10:00:00+01:00[Europe/Paris]') "
+                "AS a")
+
+    def test_chained_accessor_on_node_property(self, tpch, duck):
+        """r11: n.ts.year-style chained access resolves from the
+        catalog table schema — no WITH projection needed."""
+        from tests.helpers import assert_same
+
+        assert_same(
+            tpch.execute(
+                "MATCH (o:Order) WHERE o.o_orderdate.year = 1997 "
+                "AND o.o_orderdate.month <= 2 "
+                "RETURN o.o_orderkey AS k, o.o_orderdate.quarter AS q "
+                "ORDER BY k"),
+            duck.sql(
+                "SELECT o_orderkey AS k, CAST(quarter(o_orderdate) "
+                "AS INT) AS q FROM orders WHERE year(o_orderdate) = "
+                "1997 AND month(o_orderdate) <= 2 ORDER BY k"))
+
+    def test_chained_struct_access_still_works(self, tpch):
+        row = tpch.execute(
+            "UNWIND [{a: {b: 42, c: 'x'}}] AS m "
+            "RETURN m.a.b AS v, m.a.c AS s").collect()[0]
+        assert (row.v, row.s) == (42, "x")
+
+    def test_constructor_chain(self, tpch):
+        row = tpch.execute(
+            "UNWIND [1] AS x RETURN date('1995-03-15').year AS y, "
+            "datetime('1995-03-15 13:10:11').hour AS h, "
+            "duration('P2DT3H').days AS dd").collect()[0]
+        assert (row.y, row.h, row.dd) == (1995, 13, 2)
+
     def test_unwind_scalar_rebind_keeps_struct_access(self, tpch):
         # non-temporal scalars keep legacy struct-field access
         row = tpch.execute(

@@ -455,6 +455,12 @@ class CallInTransactions:
     # None = the r9 flat status columns, unchanged.
     report_var: Optional[str] = None
     report_items: Optional[list] = None
+    # IN [<n>] CONCURRENT TRANSACTIONS (r11, openCypher 25): None =
+    # serial (the r9 path); 0 = concurrent with the runtime default
+    # worker count; n >= 1 = exactly n workers. Batch completion ORDER
+    # is not guaranteed (matching the spec); status rows come back
+    # sorted by batch index.
+    concurrency: Optional[int] = None
 
 
 @dataclass

@@ -224,20 +224,33 @@ class Parser:
                 return True
             elif (tok.kind == "IDENT" and depth == 0
                   and tok.value.upper() == "TRANSACTIONS"
-                  and j >= 2
-                  and self.tokens[j - 1].kind == "KEYWORD"
-                  and self.tokens[j - 1].value == "IN"
-                  and self.tokens[j - 2].kind == "OP"
-                  and self.tokens[j - 2].value == "}"):
-                # `} IN TRANSACTIONS` tail of CALL { <writes> } IN
-                # TRANSACTIONS: the write keywords hide at brace
-                # depth 1, but this marker sits at depth 0. The full
-                # three-token context is required — a bare identifier
-                # `transactions` (a column, an alias, a list variable
-                # in `x IN transactions`) must NOT reroute a read
-                # query into the write parser (r9 review).
+                  and self._brace_in_precedes(j)):
+                # `} IN [<n>] [CONCURRENT] TRANSACTIONS` tail of
+                # CALL { <writes> } IN TRANSACTIONS: the write
+                # keywords hide at brace depth 1, but this marker sits
+                # at depth 0. The full context back to `} IN` is
+                # required — a bare identifier `transactions` (a
+                # column, an alias, a list variable in `x IN
+                # transactions`) must NOT reroute a read query into
+                # the write parser (r9 review).
                 return True
         return False
+
+    def _brace_in_precedes(self, j: int) -> bool:
+        """True when tokens[j] (TRANSACTIONS) is preceded by
+        ``} IN`` with optionally ``<n>`` and/or ``CONCURRENT`` in
+        between — the r11 concurrent grammar."""
+        k = j - 1
+        if (k >= 0 and self.tokens[k].kind == "IDENT"
+                and self.tokens[k].value.upper() == "CONCURRENT"):
+            k -= 1
+        if k >= 0 and self.tokens[k].kind == "INT":
+            k -= 1
+        return (k >= 1
+                and self.tokens[k].kind == "KEYWORD"
+                and self.tokens[k].value == "IN"
+                and self.tokens[k - 1].kind == "OP"
+                and self.tokens[k - 1].value == "}")
 
     # -- read query --------------------------------------------------------
     def parse_read_query(self) -> ast.ReadQuery:
@@ -1081,7 +1094,23 @@ class Parser:
             self.error("nested CALL { } IN TRANSACTIONS")
         self.eat_op("}")
         self.eat_kw("IN")
+        # openCypher 25: IN [<n>] CONCURRENT TRANSACTIONS (r11) —
+        # batches dispatch over <n> workers (default picked at run
+        # time); CONCURRENT is a soft word
+        concurrency = None
         tok = self.next()
+        if tok.kind == "INT":
+            concurrency = int(tok.value)
+            if concurrency < 1:
+                self.error("IN <n> CONCURRENT TRANSACTIONS needs n >= 1")
+            tok = self.next()
+        if (tok.kind in ("IDENT", "KEYWORD")
+                and tok.value.upper() == "CONCURRENT"):
+            if concurrency is None:
+                concurrency = 0  # 0 = runtime default worker count
+            tok = self.next()
+        elif concurrency is not None:
+            self.error("expected CONCURRENT after IN <n>")
         if not (tok.kind in ("IDENT", "KEYWORD")
                 and tok.value.upper() == "TRANSACTIONS"):
             self.error("expected TRANSACTIONS after CALL { ... } IN")
@@ -1143,7 +1172,7 @@ class Parser:
             match_clauses=wq.match_clauses, where=wq.where,
             imports=imports, body=body, batch_rows=batch_rows,
             on_error=on_error, report_var=report_var,
-            report_items=report_items)
+            report_items=report_items, concurrency=concurrency)
 
     def parse_write_query(self) -> ast.WriteQuery:
         wq = ast.WriteQuery()

@@ -249,24 +249,29 @@ def apply_call_in_transactions(
     # while its status row claimed nothing happened). Every row
     # reports (committed, error) alongside the write counters.
     out_rows = []
-    for bi, bval in enumerate(batch_vals):
-        batch_ids = ids.filter(F.col("_b") == bval).select("id")
-        snapshot = dict(session.tables)
-        try:
-            stats = apply_write(session, wq, params,
-                                anchor_ids=(anchor, batch_ids)).first()
-        except Exception as exc:
-            session.tables.clear()
-            session.tables.update(snapshot)
-            if cit.on_error == "fail":
-                raise
-            out_rows.append(
-                (bi, False, f"{type(exc).__name__}: {exc}"[:500])
-                + (0,) * len(WRITE_STAT_KEYS))
-            if cit.on_error == "break":
-                break
-            continue
-        out_rows.append((bi, True, None) + tuple(stats))
+    if cit.concurrency is not None:
+        out_rows = _run_concurrent_batches(
+            session, cit, wq, params, ids, batch_vals, anchor)
+    else:
+        for bi, bval in enumerate(batch_vals):
+            batch_ids = ids.filter(F.col("_b") == bval).select("id")
+            snapshot = dict(session.tables)
+            try:
+                stats = apply_write(
+                    session, wq, params,
+                    anchor_ids=(anchor, batch_ids)).first()
+            except Exception as exc:
+                session.tables.clear()
+                session.tables.update(snapshot)
+                if cit.on_error == "fail":
+                    raise
+                out_rows.append(
+                    (bi, False, f"{type(exc).__name__}: {exc}"[:500])
+                    + (0,) * len(WRITE_STAT_KEYS))
+                if cit.on_error == "break":
+                    break
+                continue
+            out_rows.append((bi, True, None) + tuple(stats))
     cols = (["batch bigint", "committed boolean", "error string"]
             + [f"{c} bigint" for c in WRITE_STAT_KEYS])
     out = session.spark.createDataFrame(out_rows, ", ".join(cols))
@@ -303,6 +308,133 @@ def apply_call_in_transactions(
                 "STATUS (... AS name)")
         sel.append(ec.compile(it.expr).alias(name))
     return out.select(*sel)
+
+
+def _run_concurrent_batches(session, cit, wq, params, ids, batch_vals,
+                            anchor) -> list:
+    """``IN [n] CONCURRENT TRANSACTIONS`` (r11, openCypher 25):
+    batches execute on a thread pool, each against an ISOLATED
+    shallow clone of the session whose table registry is a copy of
+    the statement-start snapshot — so concurrent batches never race
+    the shared registry (a direct thread-pool over the serial path
+    would lose updates: every write rewrites the WHOLE table frame,
+    and two interleaved read-modify-writes of the same table keep
+    only the later one). Completed batches then MERGE serially:
+
+      final(T) = T0 exceptAll (∪ per-batch removed rows)
+                    unionAll (∪ per-batch added rows)
+
+    where removed_i = T0 exceptAll T_i and added_i = T_i exceptAll T0
+    — multiset semantics, exact when concurrent batches write
+    DISJOINT rows (the spec's own contract: concurrent inner
+    transactions must not conflict). Node-table id conflicts (two
+    batches adding/updating the same id) are detected and raise;
+    parallelism comes from the per-batch Spark jobs (plan + eager
+    checkpoint) running concurrently in the shared JVM.
+
+    ON ERROR semantics: a failing batch's clone is discarded
+    (nothing to roll back); 'continue' keeps dispatching, 'break'
+    stops STARTING new batches after the first observed failure
+    (in-flight batches finish and commit; never-started ones emit no
+    status row, like the serial early-exit), 'fail' merges the
+    batches that completed (they stay committed — openCypher's
+    documented behavior) and then re-raises. Batch completion ORDER
+    is not guaranteed (matching the spec); status rows are returned
+    sorted by batch index."""
+    import copy
+    import os
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = cit.concurrency or min(8, os.cpu_count() or 8)
+    workers = max(1, min(workers, max(len(batch_vals), 1)))
+    snapshot = dict(session.tables)
+    stop = threading.Event()
+
+    def run_batch(bi, bval):
+        if stop.is_set():
+            return (bi, "skipped", None, None)
+        clone = copy.copy(session)
+        clone.tables = dict(snapshot)
+        clone._n_commits = 0
+        batch_ids = ids.filter(F.col("_b") == bval).select("id")
+        try:
+            stats = apply_write(clone, wq, params,
+                                anchor_ids=(anchor, batch_ids)).first()
+        except Exception as exc:  # noqa: BLE001 — reported per batch
+            if cit.on_error in ("fail", "break"):
+                stop.set()
+            return (bi, "failed", exc, None)
+        return (bi, "ok", tuple(stats), clone.tables)
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futures = [pool.submit(run_batch, bi, bval)
+                   for bi, bval in enumerate(batch_vals)]
+        results = [f.result() for f in futures]
+
+    ok = [(bi, stats, tables) for bi, st, stats, tables in results
+          if st == "ok"]
+    _merge_snapshot_isolated(session, snapshot,
+                             [tables for _, _, tables in ok])
+    first_err = next((err for _, st, err, _ in results
+                      if st == "failed"), None)
+    if cit.on_error == "fail" and first_err is not None:
+        raise first_err
+    out_rows = []
+    for bi, st, payload, _ in sorted(results, key=lambda t: t[0]):
+        if st == "ok":
+            out_rows.append((bi, True, None) + payload)
+        elif st == "failed":
+            out_rows.append(
+                (bi, False,
+                 f"{type(payload).__name__}: {payload}"[:500])
+                + (0,) * len(WRITE_STAT_KEYS))
+        # 'skipped' (never started after a break/fail): no status row,
+        # matching the serial path's early exit
+    return out_rows
+
+
+def _merge_snapshot_isolated(session, snapshot: dict,
+                             table_sets: list) -> None:
+    """Fold the per-batch isolated registries back into the session:
+    single-writer tables swap in directly; multi-writer tables merge
+    by multiset difference against the snapshot (see
+    _run_concurrent_batches). Raises on node-table id conflicts —
+    the spec's must-not-conflict contract, surfaced instead of
+    silently duplicating a node."""
+    per_table: dict[str, list] = {}
+    for tabs in table_sets:
+        for name, ti in tabs.items():
+            if snapshot.get(name) is not ti:
+                per_table.setdefault(name, []).append(ti)
+    for name, tis in per_table.items():
+        t0 = snapshot.get(name)
+        if t0 is None or len(tis) == 1:
+            if t0 is None and len(tis) > 1:
+                raise PlanError(
+                    f"concurrent batches each created table '{name}' "
+                    f"— conflicting writes")
+            _store(session, name, tis[0])
+            continue
+        removed = added = None
+        for ti in tis:
+            r, a = t0.exceptAll(ti), ti.exceptAll(t0)
+            removed = r if removed is None else removed.unionAll(r)
+            added = a if added is None else added.unionAll(a)
+        id_col = next(
+            (n.node_id for n in session.schema.nodes.values()
+             if name in (n.label, n.table_name)), None)
+        if id_col is not None and id_col in t0.columns:
+            dup = (added.groupBy(id_col)
+                   .agg(F.count(F.lit(1)).alias("c"))
+                   .filter(F.col("c") > 1).limit(1).count())
+            if dup:
+                raise PlanError(
+                    f"concurrent batches wrote the SAME '{name}' "
+                    f"node id — concurrent inner transactions must "
+                    f"touch disjoint rows (openCypher conflict)")
+        _store(session, name,
+               t0.exceptAll(removed).unionAll(added))
 
 
 def _store(session, table_name: str, df: DataFrame) -> DataFrame:

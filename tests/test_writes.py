@@ -811,6 +811,118 @@ class TestCallInTransactions:
             {(i,) for i in range(4)}
 
 
+class TestConcurrentTransactions:
+    """IN [n] CONCURRENT TRANSACTIONS (r11, openCypher 25): batches
+    run on a thread pool against snapshot-isolated session clones and
+    merge by multiset difference — exact for disjoint-row writes;
+    conflicts raise. Completion ORDER is not guaranteed (spec), but
+    status rows come back sorted by batch index."""
+
+    def _people(self, wsession, n=30):
+        for i in range(n):
+            wsession.execute(
+                f"CREATE (p:Person {{id: {i}, name: 'P{i}', "
+                f"age: {20 + i}}})")
+        return wsession
+
+    def test_concurrent_set_equals_serial(self, spark):
+        def build():
+            s = GraphSession(spark, allow_writes=True)
+            s.execute("CREATE NODE TABLE Person (id Int64, age Int64, "
+                      "PRIMARY KEY(id), NODE ID(id))")
+            for i in range(20):
+                s.execute(f"CREATE (p:Person {{id: {i}, age: {i}}})")
+            return s
+
+        q = ("MATCH (p:Person) WHERE p.id < 16 "
+             "CALL { WITH p SET p.age = p.age + 100 } "
+             "IN @MODE@TRANSACTIONS OF 4 ROWS")
+        s1 = build()
+        ser = [(r["batch"], r["committed"], r["properties_set"])
+               for r in s1.execute(q.replace("@MODE@", "")).collect()]
+        s2 = build()
+        con = [(r["batch"], r["committed"], r["properties_set"])
+               for r in s2.execute(
+                   q.replace("@MODE@", "4 CONCURRENT ")).collect()]
+        assert ser == con  # status rows sorted by batch index
+        assert rows(s1, "MATCH (p:Person) RETURN p.id AS i, p.age AS a") \
+            == rows(s2, "MATCH (p:Person) RETURN p.id AS i, p.age AS a")
+
+    def test_concurrent_create_merges_appends(self, wsession):
+        s = self._people(wsession, n=12)
+        out = s.execute(
+            "MATCH (p:Person) WHERE p.id < 12 "
+            "CALL { WITH p CREATE (c:City {id: p.id + 100, "
+            "name: 'C'}) } IN 3 CONCURRENT TRANSACTIONS OF 4 ROWS"
+        ).collect()
+        assert [(r["batch"], r["nodes_created"]) for r in out] == \
+            [(0, 4), (1, 4), (2, 4)]
+        assert rows(s, "MATCH (c:City) RETURN c.id AS i") == \
+            {(100 + i,) for i in range(12)}
+
+    def test_concurrent_delete_merges_removals(self, wsession):
+        s = self._people(wsession, n=12)
+        s.execute("MATCH (p:Person) WHERE p.id % 2 = 0 "
+                  "CALL { WITH p DELETE p } "
+                  "IN 3 CONCURRENT TRANSACTIONS OF 2 ROWS")
+        assert rows(s, "MATCH (p:Person) RETURN p.id AS i") == \
+            {(i,) for i in range(12) if i % 2}
+
+    def test_concurrent_on_error_continue(self, spark):
+        def build():
+            s = GraphSession(spark, allow_writes=True)
+            s.execute("CREATE NODE TABLE Person (id Int64, age Int64, "
+                      "PRIMARY KEY(id), NODE ID(id))")
+            for i in range(6):
+                s.execute(f"CREATE (p:Person {{id: {i}, age: {i}}})")
+            return s
+
+        # SET on the key column fails per batch (KeyColumnGuards)
+        out = build().execute(
+            "MATCH (p:Person) CALL { WITH p SET p.id = 0 } "
+            "IN 2 CONCURRENT TRANSACTIONS OF 2 ROWS "
+            "ON ERROR CONTINUE").collect()
+        assert len(out) == 3
+        assert all(r["committed"] is False and r["error"] for r in out)
+        with pytest.raises(Exception):  # default FAIL still raises
+            build().execute(
+                "MATCH (p:Person) CALL { WITH p SET p.id = 0 } "
+                "IN 2 CONCURRENT TRANSACTIONS OF 2 ROWS").collect()
+
+    def test_concurrent_conflict_detected(self, spark):
+        """Two batches CREATE the same City id — the merge detects
+        the duplicate node id and raises instead of corrupting."""
+        from brahmand_spark.errors import PlanError
+
+        s = GraphSession(spark, allow_writes=True)
+        s.execute("CREATE NODE TABLE Person (id Int64, "
+                  "PRIMARY KEY(id), NODE ID(id))")
+        s.execute("CREATE NODE TABLE City (id Int64, "
+                  "PRIMARY KEY(id), NODE ID(id))")
+        for i in range(4):
+            s.execute(f"CREATE (p:Person {{id: {i}}})")
+        with pytest.raises(PlanError, match="disjoint"):
+            # every batch creates City id = p.id % 2 -> collisions
+            # across batches of 1 row each
+            s.execute(
+                "MATCH (p:Person) CALL { WITH p CREATE (c:City "
+                "{id: p.id % 2}) } "
+                "IN 4 CONCURRENT TRANSACTIONS OF 1 ROWS").collect()
+
+    def test_parse_shapes(self, wsession):
+        from brahmand_spark.errors import ParseError
+
+        s = self._people(wsession, n=4)
+        # bare CONCURRENT (runtime default workers)
+        out = s.execute(
+            "MATCH (p:Person) CALL { WITH p SET p.age = 1 } "
+            "IN CONCURRENT TRANSACTIONS OF 2 ROWS").collect()
+        assert [r["batch"] for r in out] == [0, 1]
+        with pytest.raises(ParseError, match="CONCURRENT"):
+            s.execute("MATCH (p:Person) CALL { WITH p SET p.age = 1 } "
+                      "IN 3 TRANSACTIONS")
+
+
 class TestReportStatus:
     """REPORT STATUS AS <var> [RETURN <items>] (r10 — openCypher 9's
     post-CALL status consumption)."""

@@ -188,12 +188,22 @@ _CYPHER: dict[str, str] = {
         WHERE a.c_custkey <= 50
         RETURN a.c_custkey AS src, b.c_custkey AS dst, length(p) AS dist""",
     # Cypher-level UNION / UNION ALL (extension)
-    # Pattern predicates (extension): WHERE (a)-[:T]->(b) -> leftsemi,
-    # NOT ... -> leftanti; anchors reduce to id semi-join keys.
-    "pattern_predicate_exists": """
-        MATCH (c:Customer)
-        WHERE (c)-[:PLACED]->({o_orderstatus: 'F'}) AND c.c_acctbal > 9000
-        RETURN c.c_name AS name""",
+    # Correlated CALL with a RELATIONSHIP import (r11 flagship —
+    # replaces the folded pattern_predicate_exists gate, whose
+    # leftsemi machinery also rides the folded pattern_comprehension
+    # / collect_subquery / count_subquery cases; still oracle-checked
+    # in tests/test_folded_gates.py): the imported rel's properties
+    # ride into the block and back out as null-safe correlation keys,
+    # so each (order, lineitem-edge) invocation aggregates its own
+    # later-lines count.
+    "call_rel_import": """
+        MATCH (o:Order)-[r:HAS_LINE]->(l:Lineitem)
+        WHERE o.o_orderkey < 2000
+        CALL { WITH o, r MATCH (o)-[r2:HAS_LINE]->(l2:Lineitem)
+               WHERE r2.l_linenumber > r.l_linenumber
+               RETURN count(*) AS later }
+        RETURN o.o_orderkey AS ok, r.l_linenumber AS ln, later
+        ORDER BY ok, ln""",
     # List reduce / quantifiers (extension) — all JVM-side higher-order
     # functions (filter/transform/exists/forall/aggregate), no Python
     # in the row path. (list_comprehension folded r4 to
@@ -285,12 +295,14 @@ _CYPHER_ORACLES: dict[str, str] = {
         FROM customer a JOIN customer b
           ON b.c_custkey - a.c_custkey IN (1, 2, 3)
         WHERE a.c_custkey <= 50""",
-    "pattern_predicate_exists": """
-        SELECT c.c_name AS name FROM customer c
-        WHERE EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderstatus = 'F')
-          AND c.c_acctbal > 9000""",
+    "call_rel_import": """
+        SELECT o.o_orderkey AS ok, l.l_linenumber AS ln,
+               (SELECT count(*) FROM lineitem l2
+                WHERE l2.l_orderkey = o.o_orderkey
+                  AND l2.l_linenumber > l.l_linenumber) AS later
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey < 2000
+        ORDER BY ok, ln""",
     "list_reduce_quantifiers": """
         SELECT n.n_name AS nation,
                sum(c.c_custkey)::BIGINT AS total,

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "order_skip_limit",
     "with_having",
     "temporal_arithmetic",
+    "call_rel_import",
     "shared_alias_patterns",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -16,6 +16,20 @@ from .conftest import SF_SMOKE
 from .helpers import assert_same
 
 FOLDED_CYPHER = {
+    # folded r11 (slot went to call_rel_import): pattern-predicate
+    # EXISTS — the leftsemi/leftanti rewrite machinery also rides the
+    # folded pattern_comprehension / collect_subquery /
+    # count_subquery cases and the EXISTS fuzz shapes
+    "pattern_predicate_exists": (
+        """MATCH (c:Customer)
+           WHERE (c)-[:PLACED]->({o_orderstatus: 'F'}) AND c.c_acctbal > 9000
+           RETURN c.c_name AS name""",
+        """SELECT c.c_name AS name FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'F')
+             AND c.c_acctbal > 9000""",
+    ),
     # folded r10 (slot went to temporal_arithmetic): WITH-boundary
     # rebinding — a DISTINCT WITH carrying a node that a later MATCH
     # extends; the same carry-and-rematch machinery rides with_having

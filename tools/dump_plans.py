@@ -93,22 +93,25 @@ SHOWCASES = [
         "o_totalprice at the scan, below the distinct).",
     ),
     (
-        "Temporal literals + duration arithmetic + truncation (r10)",
+        "Temporal literals + duration arithmetic + truncation "
+        "(r10; r11: offset literal + chained accessor)",
         """MATCH (e:Event)
-           WITH e.ts AS t, e.event_type AS et
-           WHERE t >= datetime('2024-01-08')
-             AND t < datetime('2024-01-08') + duration('P7D')
-           RETURN datetime.truncate('day', t) AS d, et,
+           WHERE e.ts >= datetime('2024-01-08T02:00:00+02:00')
+             AND e.ts < datetime('2024-01-08') + duration('P7D')
+           WITH e.ts AS t, e.event_type AS et, e.ts.year AS y
+           RETURN datetime.truncate('day', t) AS d, et, y,
                   count(*) AS cnt, min(t.dayOfWeek) AS dw""",
         "duration('P7D') folds to an interval CONSTANT at plan time "
         "(compile/temporal.py — no UDFs anywhere in the temporal "
-        "surface), so `datetime('2024-01-08') + duration(...)` is "
-        "constant-folded by Catalyst and BOTH window bounds reach the "
-        "events parquet scan as PushedFilters on ts; the accessors "
-        "and date_trunc are native JVM expressions inside "
-        "WholeStageCodegen. A year of 100 TB events prunes to the "
-        "probed window at the scan, which is the entire game for "
-        "event-time queries.",
+        "surface), and the OFFSET-bearing literal (r11) normalizes to "
+        "its UTC instant at compile time (+02:00 at 02:00 -> the same "
+        "2024-01-08 00:00 bound), so BOTH window bounds reach the "
+        "events parquet scan as PushedFilters on ts; the chained "
+        "accessor on the raw node property (e.ts.year, r11 — typed "
+        "from the table schema, no WITH hop) and date_trunc are native "
+        "JVM expressions inside WholeStageCodegen. A year of 100 TB "
+        "events prunes to the probed window at the scan, which is the "
+        "entire game for event-time queries.",
     ),
 ]
 
@@ -226,6 +229,28 @@ def main() -> None:
         "README for the measured crossover); the win case is an edge "
         "table too large to broadcast against a still-selective "
         "frontier, where pruned rows never enter the edge Exchange.",
+    )
+
+    # Session with full table + column stats collected (r11): the
+    # cost-based anchor AND greedy hop ordering drive the fold.
+    stats_session = build_session(spark, SF_DIR)
+    stats_session.collect_table_stats(columns=True)
+    stats_showcase = (
+        "Cost-ordered hop fold (catalog row counts + column ndv/min-max)",
+        """MATCH (s:Supplier)-[:SUPP_IN]->(n:Nation)-[:IN_REGION]->(r:Region)
+           WHERE r.r_name = 'ASIA' AND s.s_acctbal > 0
+           RETURN s.s_name AS name, n.n_name AS nation""",
+        "With collect_table_stats(columns=True) the compiler estimates "
+        "every hop's output (edge fanout from row counts x per-filter "
+        "selectivity from ndv/min-max — 1/5 for the region equality, "
+        "min-max interpolation for the acctbal range) and greedily "
+        "folds smallest-intermediate-first: the 5-row filtered REGION "
+        "end starts the chain and the supplier join lands LAST, where "
+        "the r10 static order always started at the most-filtered "
+        "anchor and dragged the big side early. At 100x the difference "
+        "is the whole traversal cost; results are join-order "
+        "independent (inner equi-join fold), pinned by the stats-on "
+        "fuzz suite.",
     )
 
     # Extension-operator showcases (DataFrame API, not Cypher).
@@ -507,9 +532,11 @@ def main() -> None:
     ]
     specials = {len(SHOWCASES): adj_session,
                 len(SHOWCASES) + 1: skew_session,
-                len(SHOWCASES) + 2: prune_session}
+                len(SHOWCASES) + 2: prune_session,
+                len(SHOWCASES) + 3: stats_session}
     for i, (title, cypher, commentary) in enumerate(
-            SHOWCASES + [adj_showcase, skew_showcase, prune_showcase]):
+            SHOWCASES + [adj_showcase, skew_showcase, prune_showcase,
+                         stats_showcase]):
         sess = specials.get(i, session)
         df = sess.execute(cypher)
         plan = df._sc._jvm.PythonSQLUtils.explainString(

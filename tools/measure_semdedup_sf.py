@@ -34,6 +34,7 @@ def run_one(sf_dir: str, mode: str) -> None:
     from pyspark.sql import SparkSession
 
     from brahmand_spark.io import read_parquet
+    from brahmand_spark.ops.dedup import _spread
     from brahmand_spark.ops.semdedup import semdedup
 
     spark = (SparkSession.builder.master("local[32]")
@@ -42,7 +43,11 @@ def run_one(sf_dir: str, mode: str) -> None:
              .config("spark.driver.memory", "16g")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+    # _spread matches the dedup_semantic gate's input shape: the tiny
+    # parquet arrives as 1-2 splits, which would serialize the cosine
+    # compute on 1-2 cores and time the scheduler, not the operator
+    emb = _spread(read_parquet(
+        spark, os.path.join(sf_dir, "embeddings.parquet")))
     n = emb.count()
     k = None if mode == "auto" else 8
     # warmup pass absorbs codegen/session costs, timed pass is fresh

@@ -901,8 +901,32 @@ class QueryCompiler:
         self._elide_override = prev_override | {
             a for a in anchors if a not in refs}
         try:
-            sub_df = self._assemble(
-                None, sub_scope, pattern, ast.QueryPart())
+            if not required and df is not None and len(anchors) >= 2:
+                # r12 (ADVICE r11): a leading-OPTIONAL block with 2+
+                # imported anchors assembled fresh FULL label scans as
+                # isolated components, which cross-join — O(|A|x|B|)
+                # intermediate rows before the join-back pruned them.
+                # Seed the base from the OUTER frame's distinct
+                # anchor-id combinations instead and equi-join each
+                # anchor's (block-local, possibly id-elided) scan on
+                # its id: the block only materializes combinations the
+                # outer query actually invokes, linear in the outer
+                # frame at any scale.
+                seed_cols = [scope.get(a).id_pcol for a in anchors]
+                sub_df = df.select(*seed_cols).distinct()
+                for a in anchors:
+                    single = Pattern(nodes={a: pattern.nodes[a]})
+                    frame = self._assemble(
+                        None, sub_scope, single, ast.QueryPart())
+                    key = sub_scope.get(a).id_pcol
+                    outer_key = scope.get(a).id_pcol
+                    if key != outer_key:  # defensive: pcol is
+                        sub_df = sub_df.withColumnRenamed(  # alias-
+                            outer_key, key)                 # derived
+                    sub_df = sub_df.join(frame, on=key, how="inner")
+            else:
+                sub_df = self._assemble(
+                    None, sub_scope, pattern, ast.QueryPart())
         finally:
             self._elide_override = prev_override
         _bind_path_vars(pattern, sub_scope)
@@ -2662,6 +2686,11 @@ class QueryCompiler:
     # reference's tie-break encodes, anchor_node_selection.rs:60-70).
     _ANCHOR_SELECTIVITY = 0.1
     _ANCHOR_OR_PENALTY = 5.0
+    # Straggler weight for skew-aware hop ordering (r12): rows a
+    # supernode concentrates into ONE shuffle task cost ~this many
+    # uniformly-spread rows of wall-clock (the parallelism a default
+    # 32-partition shuffle loses when one task holds the hot key).
+    _SKEW_STRAGGLER_WEIGHT = 32.0
 
     def _cost_anchor(self, pattern, ordered, score, has_or, part):
         """Cost-based anchor (r10): smallest ESTIMATED post-filter
@@ -2889,6 +2918,15 @@ class QueryCompiler:
         independent (inner equi-join fold), so this is a pure
         physical choice; the fuzz parity suites pin that.
 
+        Skew-aware (r12, VERDICT r11 next #1): when adjacency-build
+        degree stats exist for a hop's edge type, its selection cost
+        carries a straggler penalty — P(hot key in frontier) x
+        heavy-hitter excess x _SKEW_STRAGGLER_WEIGHT — so a power-law
+        edge sorts late even when its AVERAGE fanout is small (the
+        r11 model assumed uniformity and ordered a max-degree-10M
+        hop early whenever its mean looked cheap). The penalty only
+        biases selection; carried cardinalities stay expectations.
+
         The reference has no counterpart (ClickHouse orders the SQL
         it emits, ref: README.md:20-21) — this is our Catalyst-side
         upgrade, mirroring what a CBO would do with the same stats."""
@@ -2939,9 +2977,45 @@ class QueryCompiler:
                 return None
             er[id(r)] = e
 
+        def hop_excess(r):
+            """Heavy-hitter EXCESS degree (max_degree - avg_degree,
+            worst across both directions and all arms) of the hop's
+            edge type, from the adjacency-build degree stats (r12,
+            VERDICT r11 next #1): the uniform fanout e/nr is an
+            EXPECTATION and says nothing about concentration — on a
+            power-law graph a hop whose average fanout is 3 but whose
+            hottest key holds 10M edges explodes one shuffle task if
+            it joins while the frontier is still wide. 0.0 when no
+            degree stats exist (ordering byte-identical to r11)."""
+            if self.degree_stats is None:
+                return 0.0
+            names = []
+            if r.schema is not None:
+                names.append(r.schema.type_name)
+            elif r.type_name:
+                names.append(r.type_name)
+            names += [sch.type_name
+                      for sch, _ in (r.alt_resolved or [])]
+            worst = 0.0
+            for t in names:
+                st = self.degree_stats(t) or {}
+                for d in ("outgoing", "incoming"):
+                    s = st.get(d) or {}
+                    mx, av = s.get("max_degree"), s.get("avg_degree")
+                    if mx is not None and av is not None:
+                        worst = max(worst, float(mx) - float(av))
+            return worst
+
+        ex = {id(r): hop_excess(r) for r in pending}
+
         def step_est(r, comps):
-            """(new component est, indexes consumed) after applying
-            hop r against the simulated components."""
+            """(new component est, straggler penalty, indexes
+            consumed) after applying hop r against the simulated
+            components. ``est`` is the expected-cardinality carry;
+            ``penalty`` prices the hot key's concentrated mass —
+            P(hot key in frontier) x excess rows x the straggler
+            weight (those rows land in ONE task) — and counts toward
+            hop SELECTION only, never toward the carried size."""
             ci = next((i for i, (b, _) in enumerate(comps)
                        if r.src in b), None)
             cj = next((i for i, (b, _) in enumerate(comps)
@@ -2949,21 +3023,31 @@ class QueryCompiler:
             e = er[id(r)]
             nr_s = max(node_rows(r.src), 1.0)
             nr_d = max(node_rows(r.dst), 1.0)
+
+            def straggle(frontier_est, nr, other_sel):
+                hit = min(frontier_est / nr, 1.0)
+                return (hit * ex[id(r)] * other_sel
+                        * self._SKEW_STRAGGLER_WEIGHT)
+
             if ci is not None and cj is not None:
                 if ci == cj:  # closure join on both endpoint keys
                     est = comps[ci][1] * e / (nr_s * nr_d)
-                    return max(est, 1e-9), (ci,)
+                    return max(est, 1e-9), 0.0, (ci,)
                 est = comps[ci][1] * comps[cj][1] * e / (nr_s * nr_d)
-                return max(est, 1e-9), (ci, cj)
+                return max(est, 1e-9), 0.0, (ci, cj)
             if ci is not None:  # extend from src: fanout x dst filter
-                est = comps[ci][1] * (e / nr_s) * sel.get(r.dst, 1.0)
-                return max(est, 1e-9), (ci,)
+                d_sel = sel.get(r.dst, 1.0)
+                est = comps[ci][1] * (e / nr_s) * d_sel
+                pen = straggle(comps[ci][1], nr_s, d_sel)
+                return max(est, 1e-9), pen, (ci,)
             if cj is not None:
-                est = comps[cj][1] * (e / nr_d) * sel.get(r.src, 1.0)
-                return max(est, 1e-9), (cj,)
+                s_sel = sel.get(r.src, 1.0)
+                est = comps[cj][1] * (e / nr_d) * s_sel
+                pen = straggle(comps[cj][1], nr_d, s_sel)
+                return max(est, 1e-9), pen, (cj,)
             # detached start: the hop's own post-filter size
             est = e * sel.get(r.src, 1.0) * sel.get(r.dst, 1.0)
-            return max(est, 1e-9), ()
+            return max(est, 1e-9), 0.0, ()
 
         comps: list[tuple[set, float]] = []
         if initial_bound:
@@ -2975,9 +3059,10 @@ class QueryCompiler:
         while rem:
             best = None
             for r in rem:
-                est, consumed = step_est(r, comps)
-                total = est + sum(c[1] for i, c in enumerate(comps)
-                                  if i not in consumed)
+                est, pen, consumed = step_est(r, comps)
+                total = est + pen + sum(
+                    c[1] for i, c in enumerate(comps)
+                    if i not in consumed)
                 if best is None or total < best[0]:
                     best = (total, r, est, consumed)
             _, r, est, consumed = best

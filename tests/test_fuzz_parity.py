@@ -330,7 +330,48 @@ def _correlated_call_query(rnd: random.Random) -> tuple[str, str]:
     DISTINCT / top-N window), rendered to both Cypher and SQL."""
     inner_cy, inner_sq = _o_predicate(rnd)
     outer_cy, outer_sq = _predicate(rnd)
-    kind = rnd.randrange(10)
+    kind = rnd.randrange(12)
+    if kind == 10:  # r12: multi-type rel import in a MULTIPART block
+        cy = (f"MATCH (c:Customer)-[r:NEXT_CUST|PREV_CUST]->"
+              f"(b:Customer) WHERE {outer_cy} "
+              f"CALL {{ WITH c, r MATCH (c)-[:PLACED]->(o:Order) "
+              f"WHERE {inner_cy} "
+              f"WITH c, r, count(*) AS n RETURN n, type(r) AS rt }} "
+              f"RETURN c.c_custkey AS ck, b.c_custkey AS bk, rt, n "
+              f"ORDER BY ck, bk, rt")
+        sq = (f"WITH anchors AS "
+              f"(SELECT * FROM customer c WHERE {outer_sq}), "
+              f"pairs AS ("
+              f"SELECT c.c_custkey AS ck, b.c_custkey AS bk, "
+              f"'NEXT_CUST' AS rt FROM anchors c JOIN customer b "
+              f"ON b.c_custkey = c.c_custkey + 1 "
+              f"UNION ALL "
+              f"SELECT c.c_custkey, b.c_custkey, 'PREV_CUST' "
+              f"FROM anchors c JOIN customer b "
+              f"ON b.c_custkey = c.c_custkey - 1) "
+              # the keyed WITH-aggregate has GROUP KEYS (c, r): a
+              # zero-order invocation yields no group, dropping the
+              # outer row — openCypher semantics, same as kind 3
+              f"SELECT p.ck, p.bk, p.rt, t.n FROM pairs p JOIN "
+              f"(SELECT o_custkey, count(*) AS n FROM orders o "
+              f"WHERE {inner_sq} GROUP BY o_custkey) t "
+              f"ON t.o_custkey = p.ck ORDER BY ck, bk, rt")
+        return cy, sq
+    if kind == 11:  # r12: leading-OPTIONAL block with TWO anchors
+        qty = rnd.randrange(35, 50)
+        cy = (f"MATCH (c:Customer)-[:PLACED]->(o:Order) "
+              f"WHERE {outer_cy} "
+              f"CALL {{ WITH c, o OPTIONAL MATCH (o)-[:HAS_LINE]->"
+              f"(l:Lineitem) WHERE l.l_quantity > {qty} "
+              f"RETURN count(l.l_linenumber) AS nl }} "
+              f"RETURN c.c_custkey AS ck, o.o_orderkey AS ok, nl "
+              f"ORDER BY ck, ok")
+        sq = (f"SELECT c.c_custkey AS ck, o.o_orderkey AS ok, "
+              f"(SELECT count(*) FROM lineitem l WHERE l.l_orderkey "
+              f"= o.o_orderkey AND l.l_quantity > {qty}) AS nl "
+              f"FROM customer c JOIN orders o ON o.o_custkey = "
+              f"c.c_custkey WHERE {outer_sq} ORDER BY ck, ok")
+        return cy, sq
     if kind == 8:  # r11: REL variable import — r.prop inside the block
         cy = (f"MATCH (o:Order)-[r:HAS_LINE]->(l:Lineitem) "
               f"WHERE {inner_cy} "
@@ -357,7 +398,7 @@ def _correlated_call_query(rnd: random.Random) -> tuple[str, str]:
                   f"orders o WHERE o.o_custkey = c.c_custkey AND "
                   f"({inner_sq})) AS n FROM customer c "
                   f"WHERE {outer_sq} ORDER BY ck")
-        else:  # row form: no-match invocation keeps one NULL row
+        elif rnd.random() < 0.5:  # row form: no-match keeps NULL row
             cy = (f"MATCH (c:Customer) WHERE {outer_cy} "
                   f"CALL {{ WITH c OPTIONAL MATCH (c)-[:PLACED]->"
                   f"(o:Order) WHERE {inner_cy} "
@@ -365,6 +406,17 @@ def _correlated_call_query(rnd: random.Random) -> tuple[str, str]:
                   f"RETURN c.c_custkey AS ck, ok ORDER BY ck, ok")
             sq = (f"SELECT c.c_custkey AS ck, o.o_orderkey AS ok "
                   f"FROM customer c LEFT JOIN orders o ON "
+                  f"o.o_custkey = c.c_custkey AND ({inner_sq}) "
+                  f"WHERE {outer_sq} ORDER BY ck, ok")
+        else:  # r12: PATH VARIABLE on the optional — length(p) NULL
+            cy = (f"MATCH (c:Customer) WHERE {outer_cy} "
+                  f"OPTIONAL MATCH p = (c)-[:PLACED]->(o:Order) "
+                  f"WHERE {inner_cy} "
+                  f"RETURN c.c_custkey AS ck, o.o_orderkey AS ok, "
+                  f"length(p) AS lp ORDER BY ck, ok")
+            sq = (f"SELECT c.c_custkey AS ck, o.o_orderkey AS ok, "
+                  f"CASE WHEN o.o_orderkey IS NULL THEN NULL ELSE 1 "
+                  f"END AS lp FROM customer c LEFT JOIN orders o ON "
                   f"o.o_custkey = c.c_custkey AND ({inner_sq}) "
                   f"WHERE {outer_sq} ORDER BY ck, ok")
         return cy, sq

@@ -115,9 +115,16 @@ class GraphSession:
         catalog's base source."""
         for name in sorted(os.listdir(self.write_path)):
             p = os.path.join(self.write_path, name)
-            if os.path.isdir(p):
+            if not os.path.isdir(p):
+                continue
+            try:
                 self.tables[name] = (
                     self.spark.read.format(self.write_format).load(p))
+            except Exception as exc:
+                raise CatalogError(
+                    f"could not reload durable table '{name}' from "
+                    f"{p} as {self.write_format!r} — was it written "
+                    f"with a different write_format?: {exc}") from exc
 
     @property
     def model_store(self):

@@ -423,14 +423,23 @@ class ExprCompiler:
             if isinstance(b, ScalarBinding):
                 return b.dtype
             return None
+        if isinstance(e, ast.Literal):
+            if isinstance(e.value, str):
+                return "string"
+            return None
         if isinstance(e, ast.FnCall):
             n = e.name.lower()
             if n == "date":
                 return "date"
             if n in ("datetime", "localdatetime", "datetime.truncate",
-                     "localdatetime.truncate"):
+                     "localdatetime.truncate", "datetime.statement",
+                     "datetime.transaction", "datetime.realtime",
+                     "localdatetime.statement",
+                     "localdatetime.transaction",
+                     "localdatetime.realtime"):
                 return "timestamp_ntz"
-            if n == "date.truncate":
+            if n in ("date.truncate", "date.statement",
+                     "date.transaction", "date.realtime"):
                 return "date"
             if n in ("duration", "duration.between"):
                 return "interval"
@@ -486,6 +495,20 @@ class ExprCompiler:
             raise PlanError(
                 f"a calendar date takes no time zone "
                 f"({e.args[0].value!r})")
+        # size()/isEmpty() are type-polymorphic in Cypher (r12):
+        # string -> character length, list/map -> element count. The
+        # static dtype decides at compile time; unknown stays F.size
+        # (the list case — by far the most common on untyped scalars).
+        if name in ("size", "isempty") and len(e.args) == 1:
+            col = self.compile(e.args[0])
+            dt = (self._static_dtype(e.args[0]) or "").lower()
+            n_elems = F.length(col) if dt == "string" else F.size(col)
+            return n_elems == 0 if name == "isempty" else n_elems
+        # legacy Cypher exists(n.prop) = the property IS NOT NULL
+        # (r12; EXISTS { pattern } subqueries are a separate AST node)
+        if (name == "exists" and len(e.args) == 1
+                and isinstance(e.args[0], ast.PropertyAccess)):
+            return self.compile(e.args[0]).isNotNull()
         # Map-form temporal constructors (r12): date({year, month,
         # day}) / datetime({year, ..., timezone: 'Europe/Paris'}) /
         # localdatetime({...}) from literal components — compile-time

@@ -23,7 +23,9 @@ AGGREGATE_FNS = {
     "count", "min", "max", "avg", "sum",
     # extensions (not in the reference)
     "collect", "collect_list", "collect_set", "stddev", "stddev_pop",
-    "variance", "var_pop", "percentilecont", "percentile_approx",
+    "stdev", "stdevp",  # Cypher spellings (stDev/stDevP)
+    "variance", "var_pop", "percentilecont", "percentiledisc",
+    "percentile_approx",
     "first", "last_agg", "any_value", "count_if", "median",
     # sketch / statistical aggregates (classified here so they group;
     # compiled via the call_function fallback — JVM-side, mergeable
@@ -73,6 +75,16 @@ def compile_aggregate(name: str, args: list[Column], distinct: bool) -> Column:
         "var_pop": F.var_pop, "first": F.first, "any_value": F.any_value,
         "count_if": F.count_if, "median": F.median,
         "percentile_approx": lambda c: F.percentile_approx(c, 0.5),
+        # Cypher aggregate spellings (r12): stDev is the SAMPLE
+        # stddev, stDevP the population one (openCypher semantics)
+        "stdev": F.stddev_samp, "stdevp": F.stddev_pop,
+        # percentileCont = exact interpolated percentile (Spark's
+        # `percentile`); percentileDisc = smallest actual value whose
+        # cumulative fraction >= p, which is EXACTLY what
+        # percentile_approx computes at maximum accuracy
+        "percentilecont": lambda c, p: F.percentile(c, p),
+        "percentiledisc": lambda c, p: F.percentile_approx(
+            c, p, F.lit(2147483647)),
     }
     if n in builders:
         return builders[n](*args) if n != "percentile_approx" else builders[n](args[0])
@@ -129,6 +141,7 @@ SCALAR_FNS = {
     "power": lambda a: F.pow(a[0], a[1]),
     "pi": lambda a: F.lit(3.141592653589793),
     "rand": lambda a: F.rand(),
+    "randomuuid": lambda a: F.call_function("uuid"),
     # null handling / conditionals
     "coalesce": lambda a: F.coalesce(*a),
     "nullif": lambda a: F.nullif(a[0], a[1]),
@@ -136,6 +149,8 @@ SCALAR_FNS = {
     # lists
     "head": lambda a: F.element_at(a[0], 1),
     "last": lambda a: F.element_at(a[0], -1),
+    "tail": lambda a: F.slice(
+        a[0], 2, F.greatest(F.size(a[0]) - 1, F.lit(0))),
     "range": lambda a: F.sequence(*a),
     "__index": lambda a: F.element_at(a[0], a[1] + F.lit(1)),  # 0-based [i]
     # temporal (ClickHouse-ish spellings)
@@ -153,6 +168,19 @@ SCALAR_FNS = {
                            else F.localtimestamp()),
     "localdatetime": lambda a: (F.to_timestamp_ntz(a[0]) if a
                                 else F.localtimestamp()),
+    # openCypher clock variants (r12): the engine evaluates a whole
+    # statement against one snapshot, so statement/transaction/
+    # realtime clocks coincide (Spark's localtimestamp/current_date
+    # are already fixed per query)
+    "datetime.statement": lambda a: F.localtimestamp(),
+    "datetime.transaction": lambda a: F.localtimestamp(),
+    "datetime.realtime": lambda a: F.localtimestamp(),
+    "localdatetime.statement": lambda a: F.localtimestamp(),
+    "localdatetime.transaction": lambda a: F.localtimestamp(),
+    "localdatetime.realtime": lambda a: F.localtimestamp(),
+    "date.statement": lambda a: F.current_date(),
+    "date.transaction": lambda a: F.current_date(),
+    "date.realtime": lambda a: F.current_date(),
     # duration.between(a, b): day-time interval from a to b (dates
     # and/or timestamps; Cypher semantics b - a)
     "duration.between": lambda a: (a[1].cast("timestamp_ntz")

@@ -328,3 +328,72 @@ class TestFractionalDurations:
             "       t + duration('P2D') / 4 AS b").collect()[0]
         assert row.a.isoformat() == "2024-01-01T03:00:00"
         assert row.b.isoformat() == "2024-01-01T12:00:00"
+
+
+class TestCypherSurfaceFunctions:
+    """r12: openCypher spellings a reference/Neo4j user expects —
+    type-polymorphic size()/isEmpty(), tail(), legacy exists(prop),
+    stDev/stDevP, percentileCont/percentileDisc, clock variants —
+    DuckDB-oracle-checked where deterministic."""
+
+    def test_size_and_isempty_polymorphic(self, tpch):
+        row = tpch.execute(
+            "UNWIND [1] AS x RETURN size('abcd') AS ls, "
+            "size([1, 2, 3]) AS ll, isEmpty('') AS es, "
+            "isEmpty('a') AS ns, isEmpty([]) AS el, "
+            "isEmpty([1]) AS nl, tail([1, 2, 3]) AS tl, "
+            "tail([7]) AS t1").collect()[0]
+        assert (row.ls, row.ll) == (4, 3)
+        assert (row.es, row.ns, row.el, row.nl) == (
+            True, False, True, False)
+        assert row.tl == [2, 3] and row.t1 == []
+
+    def test_size_on_string_property(self, tpch, duck):
+        from tests.helpers import assert_same
+
+        assert_same(
+            tpch.execute(
+                "MATCH (c:Customer) WHERE c.c_custkey < 20 "
+                "RETURN c.c_custkey AS ck, size(c.c_name) AS n "
+                "ORDER BY ck"),
+            duck.sql(
+                "SELECT c_custkey AS ck, CAST(length(c_name) AS INT) "
+                "AS n FROM customer WHERE c_custkey < 20 ORDER BY ck"))
+
+    def test_legacy_exists_property(self, tpch, duck):
+        from tests.helpers import assert_same
+
+        assert_same(
+            tpch.execute(
+                "MATCH (c:Customer) WHERE exists(c.c_name) "
+                "AND c.c_custkey < 30 "
+                "RETURN count(*) AS n"),
+            duck.sql(
+                "SELECT count(*) AS n FROM customer WHERE c_name IS "
+                "NOT NULL AND c_custkey < 30"))
+
+    def test_stdev_and_percentiles_vs_duckdb(self, tpch, duck):
+        from tests.helpers import assert_same
+
+        assert_same(
+            tpch.execute(
+                "MATCH (l:Lineitem) WHERE l.l_orderkey < 1000 "
+                "RETURN round(stDev(l.l_quantity), 6) AS sd, "
+                "round(stDevP(l.l_quantity), 6) AS sdp, "
+                "percentileCont(l.l_quantity, 0.5) AS pc, "
+                "percentileDisc(l.l_quantity, 0.33) AS pd"),
+            duck.sql(
+                "SELECT round(stddev_samp(l_quantity), 6) AS sd, "
+                "round(stddev_pop(l_quantity), 6) AS sdp, "
+                "quantile_cont(l_quantity, 0.5) AS pc, "
+                "CAST(quantile_disc(l_quantity, 0.33) AS DOUBLE) "
+                "AS pd FROM lineitem WHERE l_orderkey < 1000"))
+
+    def test_clock_variants_and_uuid(self, tpch):
+        row = tpch.execute(
+            "UNWIND [1] AS x RETURN datetime.statement() AS s, "
+            "datetime.transaction() AS t, date.realtime() AS d, "
+            "randomUUID() AS u").collect()[0]
+        assert row.s is not None and row.t is not None
+        assert row.d is not None
+        assert len(row.u) == 36 and row.u.count("-") == 4

@@ -248,7 +248,8 @@ class QueryCompiler:
         return self._dtype_cache[label].get(key)
 
     # ------------------------------------------------------------------
-    def compile(self, query: ast.ReadQuery) -> DataFrame:
+    def compile(self, query: ast.ReadQuery,
+                initial=None) -> DataFrame:
         # parser-provided fast path: no COUNT { } anywhere in this
         # query -> skip every per-item rewrite tree walk (save/restore
         # around union-arm recursion; default True stays safe for
@@ -256,15 +257,18 @@ class QueryCompiler:
         prev_csq = getattr(self, "_maybe_csq", True)
         self._maybe_csq = getattr(query, "has_count_subquery", True)
         try:
-            return self._compile_query(query)
+            return self._compile_query(query, initial)
         finally:
             self._maybe_csq = prev_csq
 
-    def _compile_query(self, query: ast.ReadQuery) -> DataFrame:
+    def _compile_query(self, query: ast.ReadQuery,
+                       initial=None) -> DataFrame:
         self._bare_refs, self._prop_refs = self._collect_refs(query)
         self._referenced = self._bare_refs | set(self._prop_refs)
-        df: Optional[DataFrame] = None
-        scope = Scope()
+        # LOAD CSV (r12): the statement starts from a pre-bound frame
+        # (one column per bound variable, e.g. the csv `row`)
+        df: Optional[DataFrame] = initial[0] if initial else None
+        scope = initial[1].copy() if initial else Scope()
         for i, part in enumerate(query.parts):
             is_final = i == len(query.parts) - 1
             df, scope = self._compile_part(df, scope, part)

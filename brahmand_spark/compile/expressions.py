@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..errors import PlanError
 from ..parser import ast
 from . import functions as fns
-from . import temporal
+from . import spatial, temporal
 from .scope import (
     NodeBinding, PathBinding, RelBinding, ScalarBinding, Scope, pcol,
 )
@@ -66,6 +66,15 @@ class ExprCompiler:
                 # struct-field access otherwise (map projections etc.)
                 if b.dtype and temporal.is_temporal_dtype(b.dtype):
                     return temporal.accessor(F.col(e.alias), e.key, b.dtype)
+                if b.dtype == spatial.POINT_DTYPE:
+                    k = {"longitude": "x", "latitude": "y"}.get(
+                        e.key.lower(), e.key.lower())
+                    if k not in ("x", "y", "crs"):
+                        raise PlanError(
+                            f"unknown point accessor '.{e.key}' "
+                            f"(supported: x, y, longitude, latitude, "
+                            f"crs)")
+                    return F.col(e.alias)[k]
                 return F.col(e.alias)[e.key]
             return F.col(self.resolve_property(e.alias, e.key))
         if isinstance(e, ast.ListLiteral):
@@ -443,6 +452,8 @@ class ExprCompiler:
                 return "date"
             if n in ("duration", "duration.between"):
                 return "interval"
+            if n == "point":
+                return spatial.POINT_DTYPE
         return None
 
     def _case(self, e: ast.CaseExpr) -> Column:
@@ -473,6 +484,14 @@ class ExprCompiler:
             dt = self._static_dtype(base_ast)
             if dt and temporal.is_temporal_dtype(dt):
                 return temporal.accessor(base, key, dt)
+            if dt == spatial.POINT_DTYPE:
+                k = {"longitude": "x", "latitude": "y"}.get(
+                    key.lower(), key.lower())
+                if k not in ("x", "y", "crs"):
+                    raise PlanError(
+                        f"unknown point accessor '.{key}' (supported: "
+                        f"x, y, longitude, latitude, crs)")
+                return base[k]
             return base[key]
         # Offset-bearing (r11) or named-zone (r12, VERDICT r11
         # missing #1) datetime literal:
@@ -495,6 +514,19 @@ class ExprCompiler:
             raise PlanError(
                 f"a calendar date takes no time zone "
                 f"({e.args[0].value!r})")
+        # spatial subset (r12, compile/spatial.py): point() structs,
+        # distance, bbox — all native JVM column math
+        if (name == "point" and len(e.args) == 1
+                and isinstance(e.args[0], ast.MapLiteral)):
+            return spatial.point_column(
+                [k.lower() for k, _ in e.args[0].items],
+                [self.compile(v) for _, v in e.args[0].items])
+        if name in ("point.distance", "distance") and len(e.args) == 2:
+            return spatial.distance(self.compile(e.args[0]),
+                                    self.compile(e.args[1]))
+        if name == "point.withinbbox" and len(e.args) == 3:
+            return spatial.within_bbox(
+                *[self.compile(a) for a in e.args])
         # size()/isEmpty() are type-polymorphic in Cypher (r12):
         # string -> character length, list/map -> element count. The
         # static dtype decides at compile time; unknown stays F.size

@@ -508,5 +508,21 @@ class ExplainQuery:
     profile: bool = False
 
 
+@dataclass
+class LoadCsv:
+    """``LOAD CSV [WITH HEADERS] FROM '<path>' AS var
+    [FIELDTERMINATOR '<c>'] <statement>`` (r12 extension — Neo4j's
+    bulk-ingest clause; the reference ingests via ClickHouse instead).
+    Every field arrives as a STRING, exactly Neo4j semantics: with
+    headers ``var`` is a map/struct keyed by header, without it a
+    list indexed ``var[0]``; cast with toInteger()/toFloat()."""
+
+    path: str
+    var: str
+    with_headers: bool = False
+    sep: Optional[str] = None
+    statement: "Statement" = None
+
+
 Statement = Union[ReadQuery, CreateNodeTable, CreateRelTable, WriteQuery,
-                  CallProcedure, ExplainQuery]
+                  CallProcedure, ExplainQuery, LoadCsv]

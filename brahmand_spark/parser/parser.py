@@ -132,6 +132,11 @@ class Parser:
             return self.parse_call()
         if self.at_kw("FOREACH"):
             self._reject_foreach()
+        tok = self.peek()
+        if (tok.kind == "IDENT" and tok.value.upper() == "LOAD"
+                and self.peek(1).kind == "IDENT"
+                and self.peek(1).value.upper() == "CSV"):
+            return self.parse_load_csv()
         if self.at_kw("MATCH", "OPTIONAL", "UNWIND", "WITH", "RETURN"):
             # Peek ahead: a MATCH followed by SET/DELETE/REMOVE/CREATE is a
             # write query (query_planner/mod.rs:21-31 classification).
@@ -139,6 +144,45 @@ class Parser:
                 return self.parse_write_query()
             return self.parse_read_query()
         self.error("expected MATCH, UNWIND, WITH, RETURN, CALL, or CREATE")
+
+    def parse_load_csv(self) -> "ast.LoadCsv":
+        """``LOAD CSV [WITH HEADERS] FROM '<path>' AS var
+        [FIELDTERMINATOR '<c>'] <statement>`` (r12 extension). LOAD/
+        CSV/HEADERS/FIELDTERMINATOR stay soft (plain identifiers
+        elsewhere); the trailing statement is any read or write
+        query, with ``var`` pre-bound per csv row."""
+        self.next()  # LOAD
+        self.next()  # CSV
+        with_headers = False
+        if self.at_kw("WITH"):
+            self.next()
+            nxt = self.next()
+            if nxt.value.upper() != "HEADERS":
+                self.error("expected HEADERS after LOAD CSV WITH")
+            with_headers = True
+        self.eat_kw("FROM")
+        tok = self.peek()
+        if tok.kind != "STRING":
+            self.error("LOAD CSV FROM needs a quoted file path")
+        path = self.next().value
+        self.eat_kw("AS")
+        var = self.ident()
+        sep = None
+        nxt = self.peek()
+        if (nxt.kind == "IDENT"
+                and nxt.value.upper() == "FIELDTERMINATOR"):
+            self.next()
+            t = self.peek()
+            if t.kind != "STRING":
+                self.error("FIELDTERMINATOR needs a quoted character")
+            sep = self.next().value
+        inner = self._parse_statement_inner()
+        if not isinstance(inner, (ast.ReadQuery, ast.WriteQuery)):
+            self.error(
+                "LOAD CSV must be followed by a read or write query")
+        return ast.LoadCsv(path=path, var=var,
+                           with_headers=with_headers, sep=sep,
+                           statement=inner)
 
     def parse_explain(self) -> ast.ExplainQuery:
         """``EXPLAIN [COST|FORMATTED|EXTENDED|CODEGEN] <stmt>`` or
@@ -747,12 +791,14 @@ class Parser:
             name = self.ident()
             if (self.at_op(".")
                     and name.lower() in ("date", "datetime",
-                                         "localdatetime", "duration")
+                                         "localdatetime", "duration",
+                                         "point")
                     and self.peek(1).kind == "IDENT"
                     and self.peek(2).kind == "OP"
                     and self.peek(2).value == "("):
-                # qualified temporal function (r10): date.truncate(...),
-                # datetime.truncate(...), duration.between(...). Only
+                # qualified temporal/spatial function (r10; point r12):
+                # date.truncate(...), datetime.truncate(...),
+                # duration.between(...), point.distance(...). Only
                 # fires on the full `ns.method(` shape, so a variable
                 # that happens to be named `date` keeps plain property
                 # access (`date.year` stays a PropertyAccess).

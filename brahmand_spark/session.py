@@ -341,6 +341,8 @@ class GraphSession:
             from .procedures import run_call
 
             return run_call(self, stmt, params)
+        if isinstance(stmt, ast.LoadCsv):
+            return self._execute_load_csv(stmt, params)
         if isinstance(stmt, (ast.CreateNodeTable, ast.CreateRelTable)):
             return ddl.apply(self, stmt)
         if isinstance(stmt, ast.CallInTransactions):
@@ -361,6 +363,73 @@ class GraphSession:
                 "GraphSession(allow_writes=True) to enable the write path"
             )
         raise UnsupportedError(f"unsupported statement {type(stmt).__name__}")
+
+    def _execute_load_csv(
+        self, stmt: ast.LoadCsv, params: Optional[dict]
+    ) -> DataFrame:
+        """``LOAD CSV`` (r12 extension — Neo4j's bulk-ingest clause;
+        the reference ingests via ClickHouse, §2.7): the file reads
+        as ALL-STRING columns (Neo4j semantics — cast with
+        toInteger()/toFloat()), each row binds ``var`` (struct keyed
+        by header, or a string list without headers), and the
+        trailing statement compiles against that pre-bound frame —
+        distributed end to end: the csv scan is a normal Spark
+        source, writes fan out per partition, nothing collects."""
+        from pyspark.sql import functions as F
+
+        from .compile.scope import ScalarBinding, Scope
+
+        path = stmt.path
+        for prefix in ("file://", "file:"):
+            if path.startswith(prefix):
+                path = path[len(prefix):]
+                break
+        if path.startswith(("http://", "https://")):
+            raise UnsupportedError(
+                "LOAD CSV FROM a URL is not supported — download the "
+                "file and use a local/file:// path")
+        raw = self.spark.read.csv(
+            path, header=stmt.with_headers, sep=stmt.sep or ",",
+            inferSchema=False)
+        if stmt.with_headers:
+            col = F.struct(*[F.col(c).alias(c) for c in raw.columns])
+        else:
+            col = F.array(*[F.col(c) for c in raw.columns])
+        frame = raw.select(col.alias(stmt.var))
+        scope = Scope()
+        scope.bind(ScalarBinding(
+            stmt.var, dtype=dict(frame.dtypes)[stmt.var]))
+        initial = (frame, scope)
+        if isinstance(stmt.statement, ast.WriteQuery):
+            if not self.allow_writes:
+                raise UnsupportedError(
+                    "LOAD CSV ... CREATE/SET/DELETE is a write — pass "
+                    "GraphSession(allow_writes=True)")
+            from .writes import apply_write
+
+            return apply_write(self, stmt.statement, params,
+                               initial=initial)
+        kwargs = {}
+        if self.max_var_hops is not None:
+            kwargs["max_var_hops"] = self.max_var_hops
+        compiler = QueryCompiler(
+            self.schema, self._load_for_label,
+            broadcast_labels=self.broadcast_labels, params=params,
+            load_adjacency=self.tables.get,
+            assume_referential_integrity=(
+                self.assume_referential_integrity),
+            degree_stats=self.degree_stats.get,
+            table_stats=(self.table_stats.get
+                         if self.table_stats else None),
+            column_stats=(self.column_stats.get
+                          if self.column_stats else None),
+            skew_degree_threshold=self.skew_degree_threshold,
+            skew_salt_factor=self.skew_salt_factor,
+            prune_hops=self.prune_hops,
+            prune_bloom_bits=self.prune_bloom_bits,
+            **kwargs,
+        )
+        return compiler.compile(stmt.statement, initial=initial)
 
     def _explain_stmt(
         self, stmt: ast.ExplainQuery, params: Optional[dict]

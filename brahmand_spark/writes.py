@@ -19,10 +19,14 @@ executor memory — the join/anti-join plans are identical.
 
 Divergences from Neo4j, documented: plain DELETE does not verify the
 node has no incident relationships (use DETACH DELETE); RETURN after a
-write is not supported; SET values may reference only the target alias;
-clauses execute in a FIXED order per statement (MERGE, CREATE, SET,
-REMOVE, DELETE, FOREACH) rather than textual order — split a
-write that needs a later clause to run first into two statements.
+write is not supported; a SET value referencing OTHER bound variables
+(r12: ``SET p.age = toInteger(row.age)``, ``SET a.x = b.y``) reduces
+to ONE value per target id by max() — deterministic under any
+partitioning where Neo4j's per-row sequential last-write is
+row-order-defined; clauses execute in a FIXED order per statement
+(MERGE, CREATE, SET, REMOVE, DELETE, FOREACH) rather than textual
+order — split a write that needs a later clause to run first into two
+statements.
 """
 
 from __future__ import annotations
@@ -49,20 +53,22 @@ WRITE_STAT_KEYS = (
 
 
 def apply_write(session, wq: ast.WriteQuery, params=None,
-                anchor_ids=None) -> DataFrame:
+                anchor_ids=None, initial=None) -> DataFrame:
     """Execute one write statement. ``anchor_ids`` (internal — the
     CALL { } IN TRANSACTIONS batching hook): an ``(alias, ids_df)``
     pair restricting the matched rows to the batch's ids via a
-    broadcast semi-join before any mutation."""
+    broadcast semi-join before any mutation. ``initial`` (r12, the
+    LOAD CSV hook): a pre-bound ``(frame, scope)`` the statement
+    starts from — each csv row drives the writes once."""
     compiler = QueryCompiler(
         session.schema, session._load_for_label,
         broadcast_labels=session.broadcast_labels, params=params,
     )
-    df = None
-    scope = Scope()
+    df = initial[0] if initial else None
+    scope = initial[1].copy() if initial else Scope()
     if wq.match_clauses:
         part = ast.QueryPart(matches=wq.match_clauses, where=wq.where)
-        df, scope = compiler._compile_part(None, Scope(), part)
+        df, scope = compiler._compile_part(df, scope, part)
         if anchor_ids is not None:
             alias, ids_df = anchor_ids
             b = scope.get(alias)
@@ -1017,16 +1023,20 @@ def _apply_set_group(session, df, scope, triples, params,
     if df is None:
         raise PlanError("SET/REMOVE requires a MATCH")
     a = triples[0][0].alias
+    external = False
     for target, value, _removing in triples:
         refs: set[str] = set()
         collect_aliases(value, refs)
         if refs - {a}:
-            raise UnsupportedError(
-                "SET value may only reference the target alias "
-                f"(found {sorted(refs - {a})})")
+            # r12 (LOAD CSV / cross-alias SET): values referencing
+            # OTHER bound variables compute against the matched frame
+            # instead of the target table re-scan — see the external
+            # branch below
+            external = True
     b = scope.get(a)
     if isinstance(b, RelBinding):
-        _apply_set_rel_group(session, df, b, triples, params, stats)
+        _apply_set_rel_group(session, df, b, triples, params, stats,
+                             external=external, frame_scope=scope)
         return
     if not isinstance(b, NodeBinding):
         raise UnsupportedError(
@@ -1044,9 +1054,30 @@ def _apply_set_group(session, df, scope, triples, params,
     prefixed = table.select(
         *[F.col(c).alias(pcol(a, c)) for c in table.columns]
     )
-    joined = prefixed.join(
-        matched, F.col(pcol(a, sch.node_id)) == F.col("__wid"), "left",
-    )
+    if external:
+        # r12: values reference other bound variables (LOAD CSV's
+        # row, a joined node's property) — compute them against the
+        # MATCHED FRAME (pre-state: df precedes any mutation of this
+        # statement), reduce to one value per target id (max() —
+        # deterministic under any partitioning; Neo4j's per-row
+        # sequential last-write is order-defined there and not here,
+        # the same documented divergence as FOREACH bound-alias SET),
+        # and join that in place of the table re-scan.
+        ec_df = ExprCompiler(scope, params)
+        val_cols = [ec_df.compile(v).alias(f"__wv{i}")
+                    for i, (_t, v, _r) in enumerate(triples)]
+        vals = (df.select(F.col(b.id_pcol).alias("__wid"), *val_cols)
+                .groupBy("__wid")
+                .agg(*[F.max(f"__wv{i}").alias(f"__wv{i}")
+                       for i in range(len(triples))]))
+        joined = prefixed.join(
+            vals, F.col(pcol(a, sch.node_id)) == F.col("__wid"),
+            "left")
+    else:
+        joined = prefixed.join(
+            matched, F.col(pcol(a, sch.node_id)) == F.col("__wid"),
+            "left",
+        )
     sub = Scope()
     sub.bind(NodeBinding(
         alias=a, label=b.label, id_column=sch.node_id,
@@ -1055,15 +1086,17 @@ def _apply_set_group(session, df, scope, triples, params,
     ec = ExprCompiler(sub, params)
     updates: dict[str, "F.Column"] = {}
     new_keys: list[str] = []
-    for target, value, removing in triples:
+    for i, (target, value, removing) in enumerate(triples):
         is_new = (target.key not in table.columns
                   and target.key not in new_keys)
         if is_new:
             new_keys.append(target.key)
         old = (F.lit(None) if target.key not in table.columns
                else F.col(pcol(a, target.key)))
+        new_val = (F.col(f"__wv{i}") if external
+                   else ec.compile(value))
         updates[target.key] = F.when(
-            F.col("__wid").isNotNull(), ec.compile(value)
+            F.col("__wid").isNotNull(), new_val
         ).otherwise(old)
         if is_new and not removing:
             sch.column_names = list(sch.column_names) + [target.key]
@@ -1118,7 +1151,8 @@ def _rel_pair_keys(b, rsch, pairs, src="__wsrc", dst="__wdst"):
 
 
 def _apply_set_rel_group(session, df, b, triples, params,
-                         stats) -> None:
+                         stats, external: bool = False,
+                         frame_scope=None) -> None:
     """Batched SET/REMOVE on relationship properties (r7 — closed the
     'not yet' gap): matched (src, dst) pairs join the edge table
     ORIENTATION-AWARE (see :func:`_rel_pair_cond`) and every value
@@ -1126,7 +1160,9 @@ def _apply_set_rel_group(session, df, b, triples, params,
     node path). Updates EVERY parallel edge sharing a matched
     endpoint pair — the edge-list model has no edge identity (same
     documented divergence as relationship DELETE). Values may
-    reference the relationship's own properties."""
+    reference the relationship's own properties, and — r12, same
+    machinery as the node path — other bound variables, reduced to
+    one value per endpoint pair (max)."""
     rsch = session.schema.relationship(b.type_name)
     for target, _v, _r in triples:
         if target.key in (rsch.from_column, rsch.to_column):
@@ -1143,6 +1179,16 @@ def _apply_set_rel_group(session, df, b, triples, params,
     edges = session._load_for_label(b.type_name)
     prefixed = edges.select(
         *[F.col(c).alias(pcol(a, c)) for c in edges.columns])
+    if external:
+        ec_df = ExprCompiler(frame_scope, params)
+        val_cols = [ec_df.compile(v).alias(f"__wv{i}")
+                    for i, (_t, v, _r) in enumerate(triples)]
+        pairs = (df.select(F.col(b.src_pcol).alias("__wsrc"),
+                           F.col(b.dst_pcol).alias("__wdst"),
+                           *val_cols)
+                 .groupBy("__wsrc", "__wdst")
+                 .agg(*[F.max(f"__wv{i}").alias(f"__wv{i}")
+                        for i in range(len(triples))]))
     joined = prefixed.join(
         pairs,
         _rel_pair_cond(
@@ -1163,15 +1209,17 @@ def _apply_set_rel_group(session, df, b, triples, params,
     ec = ExprCompiler(sub, params)
     updates: dict[str, "F.Column"] = {}
     new_keys: list[str] = []
-    for target, value, removing in triples:
+    for i, (target, value, removing) in enumerate(triples):
         is_new = (target.key not in edges.columns
                   and target.key not in new_keys)
         if is_new:
             new_keys.append(target.key)
         old = (F.lit(None) if target.key not in edges.columns
                else F.col(pcol(a, target.key)))
+        new_val = (F.col(f"__wv{i}") if external
+                   else ec.compile(value))
         updates[target.key] = F.when(
-            F.col("__wsrc").isNotNull(), ec.compile(value)
+            F.col("__wsrc").isNotNull(), new_val
         ).otherwise(old)
         if is_new and not removing:
             rsch.column_names = list(rsch.column_names) + [target.key]

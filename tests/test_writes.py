@@ -151,12 +151,18 @@ class TestSetRemoveDelete:
             "MATCH (p:Person) RETURN count(*) AS n"
         ).collect()[0]["n"] == 3
 
-    def test_set_cross_alias_value_errors(self, wsession):
-        with pytest.raises(UnsupportedError, match="target alias"):
-            wsession.execute(
-                """MATCH (p:Person) MATCH (c:City)
-                   WHERE c.id = 100 SET p.age = c.id"""
-            )
+    def test_set_cross_alias_value_works(self, wsession):
+        # supported since r12 (TestCrossAliasSet pins the semantics);
+        # this pins that the old rejection is gone: the cartesian
+        # (p, c) frame reduces to one value per p (max — here unique)
+        wsession.execute("CREATE (p:Person {id: 1, name: 'x', age: 0})")
+        wsession.execute("CREATE (c:City {id: 100, name: 'C'})")
+        wsession.execute(
+            """MATCH (p:Person) MATCH (c:City)
+               WHERE c.id = 100 SET p.age = c.id"""
+        )
+        assert rows(wsession,
+                    "MATCH (p:Person) RETURN p.age AS a") == {(100,)}
 
 
 class TestWriteGating:
@@ -407,12 +413,18 @@ class TestRelPropertySet:
                    "RETURN r.verified AS v")
         assert got == {(None,)}
 
-    def test_value_restricted_to_target_alias(self, wsession, spark):
+    def test_value_from_other_alias_works(self, wsession, spark):
+        # supported since r12: values referencing other bound
+        # variables compute against the matched frame (max per
+        # endpoint pair — TestCrossAliasSet pins the node side)
         self._graph(wsession, spark)
-        with pytest.raises(UnsupportedError, match="target alias"):
-            wsession.execute(
-                "MATCH (p:Person)-[r:LIVES_IN]->(c:City) "
-                "SET r.since = p.age")
+        wsession.execute(
+            "MATCH (p:Person)-[r:LIVES_IN]->(c:City) "
+            "SET r.since = p.age")
+        got = rows(wsession,
+                   "MATCH (p:Person)-[r:LIVES_IN]->(c:City) "
+                   "RETURN p.age AS a, r.since AS s")
+        assert got and all(a == s for a, s in got)
 
 
 class TestKeyColumnGuards:
@@ -1215,3 +1227,40 @@ class TestStatsInvalidation:
         assert "Person" not in s.table_stats  # stale count dropped
         assert "Person" not in s.column_stats
         assert s.table_stats.get("City") == 1  # untouched table kept
+
+
+class TestCrossAliasSet:
+    """r12 (rode the LOAD CSV work): SET values may reference OTHER
+    bound variables — computed against the matched frame, one value
+    per target id (max(), the FOREACH determinism divergence)."""
+
+    def test_set_from_joined_node(self, wsession):
+        for i in range(4):
+            wsession.execute(
+                f"CREATE (p:Person {{id: {i}, name: 'P{i}', "
+                f"age: 0}})-[:LIVES_IN {{since: 2000}}]->"
+                f"(c:City {{id: {100 + i}, name: 'C{i}'}})")
+        wsession.execute(
+            "MATCH (p:Person)-[:LIVES_IN]->(c:City) "
+            "SET p.name = c.name")
+        assert rows(wsession,
+                    "MATCH (p:Person) RETURN p.id AS i, p.name AS n") \
+            == {(i, f"C{i}") for i in range(4)}
+
+    def test_swap_still_snapshot(self, wsession):
+        wsession.execute("CREATE (p:Person {id: 1, name: 'x', age: 7})")
+        wsession.execute(
+            "MATCH (p:Person)-[r:KNOWS]->(q:Person) SET p.age = q.age")
+        # no KNOWS rows: nothing matched, nothing changed
+        assert rows(wsession,
+                    "MATCH (p:Person) RETURN p.age AS a") == {(7,)}
+
+    def test_mixed_self_and_external(self, wsession):
+        wsession.execute(
+            "CREATE (p:Person {id: 1, name: 'a', age: 10})"
+            "-[:LIVES_IN {since: 3}]->(c:City {id: 9, name: 'C'})")
+        wsession.execute(
+            "MATCH (p:Person)-[r:LIVES_IN]->(c:City) "
+            "SET p.age = p.age + r.since")
+        assert rows(wsession,
+                    "MATCH (p:Person) RETURN p.age AS a") == {(13,)}

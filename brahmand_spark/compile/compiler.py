@@ -716,6 +716,24 @@ class QueryCompiler:
         joins back on the anchor ids (inner join — openCypher drops
         outer rows whose block returns nothing)."""
         imports = _call_import_aliases(csub.query)
+        if imports is None and getattr(csub, "scope_all", False):
+            # openCypher 25 `CALL (*) { }` (r12): import every
+            # in-scope graph variable — expand here (the parser has
+            # no scope) by prepending the equivalent import WITH;
+            # empty scope degrades to the uncorrelated form
+            import dataclasses
+
+            all_vars = [n for n, b in scope.bindings.items()
+                        if isinstance(b, (NodeBinding, RelBinding))
+                        and not n.startswith("__")]
+            if all_vars:
+                imp = ast.QueryPart(with_clause=ast.WithClause(
+                    items=[ast.ReturnItem(ast.Variable(n))
+                           for n in all_vars]))
+                q2 = dataclasses.replace(
+                    csub.query, parts=[imp] + list(csub.query.parts))
+                return self._apply_correlated_call(
+                    df, scope, q2, all_vars, optional=csub.optional)
         if imports is not None:
             return self._apply_correlated_call(
                 df, scope, csub.query, imports,

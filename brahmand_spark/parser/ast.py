@@ -311,6 +311,10 @@ class CallSubquery:
 
     query: object  # ReadQuery
     optional: bool = False
+    # openCypher 25 `CALL (*) { }` (r12): import EVERY in-scope graph
+    # variable — expanded at compile time (the parser cannot know the
+    # enclosing scope); explicit lists desugar to the import WITH.
+    scope_all: bool = False
 
 
 @dataclass
@@ -461,6 +465,10 @@ class CallInTransactions:
     # is not guaranteed (matching the spec); status rows come back
     # sorted by batch index.
     concurrency: Optional[int] = None
+    # ON ERROR RETRY [<n>] [THEN CONTINUE|BREAK|FAIL] (r12, openCypher
+    # 25): a failing batch rolls back and re-runs up to n more times
+    # (default 3 when RETRY is given bare) before on_error applies.
+    retries: int = 0
 
 
 @dataclass

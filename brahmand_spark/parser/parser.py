@@ -127,7 +127,8 @@ class Parser:
             # `CALL { ... }` is a subquery inside a read query;
             # `CALL name(...)` is a procedure invocation.
             nxt = self.peek(1)
-            if nxt.kind == "OP" and nxt.value == "{":
+            if nxt.kind == "OP" and nxt.value in ("{", "("):
+                # `CALL { }` / `CALL (scope) { }` subquery head
                 return self.parse_read_query()
             return self.parse_call()
         if self.at_kw("FOREACH"):
@@ -317,27 +318,50 @@ class Parser:
                 self.eat_kw("AS")
                 cur.unwind = ast.UnwindClause(expr=expr, alias=self.ident())
             elif (self.at_kw("CALL") and self.peek(1).kind == "OP"
-                  and self.peek(1).value == "{") or (
+                  and self.peek(1).value in ("{", "(")) or (
                       self.at_kw("OPTIONAL")
                       and self.peek(1).kind == "KEYWORD"
                       and self.peek(1).value == "CALL"
                       and self.peek(2).kind == "OP"
-                      and self.peek(2).value == "{"):
-                # [OPTIONAL] CALL { <read query> } subquery (extension;
-                # the reference has no CALL at all, ast.rs:5-20).
-                # Uncorrelated form: the inner query references no
-                # outer variables, its RETURN columns join per-row
-                # (cartesian). OPTIONAL (openCypher 5) preserves
-                # match-less outer rows NULL-filled.
+                      and self.peek(2).value in ("{", "(")):
+                # [OPTIONAL] CALL [(scope)] { <read query> } subquery
+                # (extension; the reference has no CALL at all,
+                # ast.rs:5-20). Uncorrelated form: the inner query
+                # references no outer variables, its RETURN columns
+                # join per-row (cartesian). OPTIONAL (openCypher 5)
+                # preserves match-less outer rows NULL-filled. The
+                # VARIABLE SCOPE CLAUSE (openCypher 25, r12) —
+                # `CALL (a, b) { }` / `CALL (*) { }` / `CALL () { }` —
+                # desugars to the import-WITH form: an explicit list
+                # prepends `WITH a, b`, `(*)` marks the subquery to
+                # import every in-scope graph variable at compile
+                # time, `()` imports nothing (uncorrelated).
                 optional = self.try_kw("OPTIONAL")
                 self.next()  # CALL
+                scope_all = False
+                scope_vars: list[str] = []
+                if self.try_op("("):
+                    if self.try_op("*"):
+                        scope_all = True
+                    elif not self.at_op(")"):
+                        while True:
+                            scope_vars.append(self.ident())
+                            if not self.try_op(","):
+                                break
+                    self.eat_op(")")
                 self.eat_op("{")
                 inner = self.parse_read_query()
                 self.eat_op("}")
                 if inner.return_clause is None:
                     self.error("CALL { } subquery must end with RETURN")
+                if scope_vars:
+                    inner.parts.insert(0, ast.QueryPart(
+                        with_clause=ast.WithClause(items=[
+                            ast.ReturnItem(ast.Variable(v))
+                            for v in scope_vars])))
                 cur.calls.append(
-                    ast.CallSubquery(inner, optional=optional))
+                    ast.CallSubquery(inner, optional=optional,
+                                     scope_all=scope_all))
             elif self.at_kw("FOREACH"):
                 self._reject_foreach()
             elif self.at_kw("WHERE"):
@@ -1130,11 +1154,34 @@ class Parser:
         and the error modes are soft words (plain identifiers), so
         columns by those names stay usable."""
         self.next()  # CALL
+        # openCypher 25 variable scope clause (r12): CALL (n) { ... }
+        # replaces the import WITH; (*) / () have no single batch
+        # anchor, so they get guided rejections here
+        scope_vars = None
+        if self.try_op("("):
+            if self.try_op("*"):
+                self.error(
+                    "CALL (*) with IN TRANSACTIONS is ambiguous — "
+                    "name the batch variable(s), e.g. CALL (n) { ... }")
+            scope_vars = []
+            if not self.at_op(")"):
+                while True:
+                    scope_vars.append(self.ident())
+                    if not self.try_op(","):
+                        break
+            if not scope_vars:
+                self.error(
+                    "CALL () { } IN TRANSACTIONS imports nothing — "
+                    "the batching needs at least one variable")
+            self.eat_op(")")
         self.eat_op("{")
-        self.eat_kw("WITH")
-        imports = [self.ident()]
-        while self.try_op(","):
-            imports.append(self.ident())
+        if scope_vars is None:
+            self.eat_kw("WITH")
+            imports = [self.ident()]
+            while self.try_op(","):
+                imports.append(self.ident())
+        else:
+            imports = scope_vars
         body = self.parse_write_query()
         if not isinstance(body, ast.WriteQuery):
             self.error("nested CALL { } IN TRANSACTIONS")
@@ -1175,20 +1222,43 @@ class Parser:
                     and rows.value.upper() == "ROWS"):
                 self.error("expected ROWS after the batch size")
         on_error = "fail"
+        retries = 0
         if self.at_kw("ON"):
             self.next()
             err = self.next()
             if not (err.kind == "IDENT"
                     and err.value.upper() == "ERROR"):
                 self.error("expected ERROR after ON")
-            mode = self.next()
             modes = {"CONTINUE": "continue", "BREAK": "break",
                      "FAIL": "fail"}
-            if not (mode.kind in ("IDENT", "KEYWORD")
+            mode = self.next()
+            if (mode.kind in ("IDENT", "KEYWORD")
+                    and mode.value.upper() == "RETRY"):
+                # openCypher 25 (r12): ON ERROR RETRY [<n>]
+                # [THEN CONTINUE|BREAK|FAIL] — a failing batch rolls
+                # back and re-runs up to n more times (bare RETRY =
+                # 3), then the THEN mode (default FAIL) applies
+                retries = 3
+                if self.peek().kind == "INT":
+                    retries = int(self.next().value)
+                    if retries < 1:
+                        self.error("ON ERROR RETRY <n> needs n >= 1")
+                nxt = self.peek()
+                if (nxt.kind in ("IDENT", "KEYWORD")
+                        and nxt.value.upper() == "THEN"):
+                    self.next()
+                    mode = self.next()
+                    if not (mode.kind in ("IDENT", "KEYWORD")
+                            and mode.value.upper() in modes):
+                        self.error("expected CONTINUE, BREAK or FAIL "
+                                   "after ON ERROR RETRY ... THEN")
+                    on_error = modes[mode.value.upper()]
+            elif (mode.kind in ("IDENT", "KEYWORD")
                     and mode.value.upper() in modes):
-                self.error(
-                    "expected CONTINUE, BREAK or FAIL after ON ERROR")
-            on_error = modes[mode.value.upper()]
+                on_error = modes[mode.value.upper()]
+            else:
+                self.error("expected CONTINUE, BREAK, FAIL or RETRY "
+                           "after ON ERROR")
         # REPORT STATUS AS <var> [RETURN <items>] (r10, openCypher 9's
         # post-CALL status consumption; REPORT/STATUS are soft words)
         report_var, report_items = None, None
@@ -1218,7 +1288,8 @@ class Parser:
             match_clauses=wq.match_clauses, where=wq.where,
             imports=imports, body=body, batch_rows=batch_rows,
             on_error=on_error, report_var=report_var,
-            report_items=report_items, concurrency=concurrency)
+            report_items=report_items, concurrency=concurrency,
+            retries=retries)
 
     def parse_write_query(self) -> ast.WriteQuery:
         wq = ast.WriteQuery()
@@ -1233,7 +1304,7 @@ class Parser:
                 self.next()
                 wq.where = self.parse_expr()
             elif (self.at_kw("CALL") and self.peek(1).kind == "OP"
-                  and self.peek(1).value == "{"):
+                  and self.peek(1).value in ("{", "(")):
                 return self._parse_call_in_transactions(wq)
             elif self.at_kw("WITH"):
                 # parsed for parity (the whole write query is rejected at

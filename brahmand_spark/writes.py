@@ -264,18 +264,26 @@ def apply_call_in_transactions(
         for bi, bval in enumerate(batch_vals):
             batch_ids = ids.filter(F.col("_b") == bval).select("id")
             snapshot = dict(session.tables)
-            try:
-                stats = apply_write(
-                    session, wq, params,
-                    anchor_ids=(anchor, batch_ids)).first()
-            except Exception as exc:
-                dirty = [n for n, ti in session.tables.items()
-                         if snapshot.get(n) is not ti]
-                session.tables.clear()
-                session.tables.update(snapshot)
-                _durable_rollback(session, snapshot, dirty)
+            # ON ERROR RETRY <n> (r12, openCypher 25): each attempt
+            # rolls back fully before the next; attempt 1 + n retries
+            stats = exc = None
+            for _attempt in range(1 + max(cit.retries, 0)):
+                try:
+                    stats = apply_write(
+                        session, wq, params,
+                        anchor_ids=(anchor, batch_ids)).first()
+                    exc = None
+                    break
+                except Exception as e:  # noqa: BLE001 — per batch
+                    exc = e
+                    dirty = [n for n, ti in session.tables.items()
+                             if snapshot.get(n) is not ti]
+                    session.tables.clear()
+                    session.tables.update(snapshot)
+                    _durable_rollback(session, snapshot, dirty)
+            if exc is not None:
                 if cit.on_error == "fail":
-                    raise
+                    raise exc
                 out_rows.append(
                     (bi, False, f"{type(exc).__name__}: {exc}"[:500])
                     + (0,) * len(WRITE_STAT_KEYS))
@@ -365,20 +373,26 @@ def _run_concurrent_batches(session, cit, wq, params, ids, batch_vals,
     def run_batch(bi, bval):
         if stop.is_set():
             return (bi, "skipped", None, None)
-        clone = copy.copy(session)
-        clone.tables = dict(snapshot)
-        clone._n_commits = 0
-        clone._write_touched = {}  # table -> [key_df, ...] | "taint"
         batch_ids = ids.filter(F.col("_b") == bval).select("id")
-        try:
-            stats = apply_write(clone, wq, params,
-                                anchor_ids=(anchor, batch_ids)).first()
-        except Exception as exc:  # noqa: BLE001 — reported per batch
-            if cit.on_error in ("fail", "break"):
-                stop.set()
-            return (bi, "failed", exc, None)
-        return (bi, "ok", tuple(stats),
-                (clone.tables, clone._write_touched))
+        # ON ERROR RETRY <n> (r12): a fresh snapshot-seeded clone per
+        # attempt — a failed attempt's clone is simply discarded
+        exc = None
+        for _attempt in range(1 + max(cit.retries, 0)):
+            clone = copy.copy(session)
+            clone.tables = dict(snapshot)
+            clone._n_commits = 0
+            clone._write_touched = {}  # table -> [key_df, ...]|"taint"
+            try:
+                stats = apply_write(
+                    clone, wq, params,
+                    anchor_ids=(anchor, batch_ids)).first()
+                return (bi, "ok", tuple(stats),
+                        (clone.tables, clone._write_touched))
+            except Exception as e:  # noqa: BLE001 — reported per batch
+                exc = e
+        if cit.on_error in ("fail", "break"):
+            stop.set()
+        return (bi, "failed", exc, None)
 
     with ThreadPoolExecutor(max_workers=workers) as pool:
         futures = [pool.submit(run_batch, bi, bval)

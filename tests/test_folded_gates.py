@@ -16,6 +16,18 @@ from .conftest import SF_SMOKE
 from .helpers import assert_same
 
 FOLDED_CYPHER = {
+    # folded r13 (slot went to qpp_var_length, the quantified-path-
+    # pattern spelling that desugars to the SAME *m..n machinery):
+    # variable-length 2..3 hops over a self-relationship
+    "var_length_multi": (
+        """MATCH (a:Customer)-[:NEXT_CUST*2..3]->(b:Customer)
+           WHERE a.c_custkey <= 100
+           RETURN a.c_custkey AS src, b.c_custkey AS dst""",
+        """SELECT a.c_custkey AS src, b.c_custkey AS dst
+           FROM customer a JOIN customer b
+             ON b.c_custkey - a.c_custkey IN (2, 3)
+           WHERE a.c_custkey <= 100""",
+    ),
     # r13 (VERDICT r12 missing #2): openCypher list slicing
     # xs[f..t] — 0-based end-exclusive with open ends and negative
     # bounds, desugared to a clamped F.slice (functions._slice_list);

@@ -609,3 +609,125 @@ def test_fuzz_varlen_props_parity(tpch, duck):
         except AssertionError as exc:
             failures.append(f"[{i}] {cy}\n  vs {sq}\n  {exc}")
     assert not failures, "\n".join(failures[:3]) + f"\n({len(failures)} total)"
+
+
+def _qpp_query(rnd: random.Random) -> tuple[str, str]:
+    """Quantified path patterns (r13): ((x)-[:NEXT_CUST]->(y)){m,n}
+    against the same k-fold DuckDB joins as the *m..n generator —
+    the desugar must be observationally identical to var-length.
+    Shapes: plain {m,n}, exact {k}, a per-hop WHERE equality fold,
+    and a reversed-direction group."""
+    lo = rnd.randrange(1, 3)
+    hi = rnd.randrange(lo, 4)
+    cap = rnd.choice([40, 60, 80])
+    mode = rnd.randrange(4)
+    scaffold = (
+        "WITH c AS (SELECT c_custkey AS k FROM customer), "
+        "e AS (SELECT c1.k AS s, c1.k + 1 AS d, c1.k % 7 + 1 AS w "
+        "FROM c c1 JOIN c c2 ON c2.k = c1.k + 1) ")
+
+    def arm(k, cond=""):
+        joins = "e e1"
+        for s in range(2, k + 1):
+            joins += f" JOIN e e{s} ON e{s}.s = e{s - 1}.d"
+        return (f"SELECT e1.s AS ak, e{k}.d AS bk FROM {joins}"
+                + (f" WHERE {cond(k)}" if cond else ""))
+
+    if mode == 0:  # plain range
+        sq = (scaffold + "SELECT * FROM ("
+              + " UNION ALL ".join(arm(k) for k in range(lo, hi + 1))
+              + f") q WHERE ak <= {cap}")
+        cy = (f"MATCH (a:Customer) ((x)-[:NEXT_CUST]->(y)){{{lo},{hi}}} "
+              f"(b:Customer) WHERE a.c_custkey <= {cap} "
+              "RETURN a.c_custkey AS ak, b.c_custkey AS bk")
+    elif mode == 1:  # exact
+        sq = (scaffold + f"SELECT * FROM ({arm(hi)}) q "
+              f"WHERE ak <= {cap}")
+        cy = (f"MATCH (a:Customer) (()-[:NEXT_CUST]->()){{{hi}}} "
+              f"(b:Customer) WHERE a.c_custkey <= {cap} "
+              "RETURN a.c_custkey AS ak, b.c_custkey AS bk")
+    elif mode == 2:  # per-hop WHERE equality fold on hop_w
+        thr = rnd.randrange(1, 8)
+
+        def cond(k):
+            return " AND ".join(f"e{s}.w = {thr}" for s in range(1, k + 1))
+
+        sq = (scaffold + "SELECT * FROM ("
+              + " UNION ALL ".join(
+                  arm(k, cond) for k in range(lo, hi + 1))
+              + f") q WHERE ak <= {cap}")
+        cy = (f"MATCH (a:Customer) ((x)-[h:NEXT_CUST]->(y) "
+              f"WHERE h.hop_w = {thr}){{{lo},{hi}}} (b:Customer) "
+              f"WHERE a.c_custkey <= {cap} "
+              "RETURN a.c_custkey AS ak, b.c_custkey AS bk")
+    else:  # reversed direction: (a) (()<-[:R]-()){m,n} (b) == b->a walk
+        sq = (scaffold + "SELECT * FROM ("
+              + " UNION ALL ".join(
+                  f"SELECT q.bk AS ak, q.ak AS bk FROM ({arm(k)}) q"
+                  for k in range(lo, hi + 1))
+              + f") q2 WHERE ak <= {cap}")
+        cy = (f"MATCH (a:Customer) (()<-[:NEXT_CUST]-()){{{lo},{hi}}} "
+              f"(b:Customer) WHERE a.c_custkey <= {cap} "
+              "RETURN a.c_custkey AS ak, b.c_custkey AS bk")
+    return cy, sq
+
+
+def test_fuzz_qpp_parity(tpch, duck):
+    rnd = random.Random(131175)
+    failures = []
+    for i in range(15):
+        cy, sq = _qpp_query(rnd)
+        try:
+            assert_same(tpch.execute(cy), duck.sql(sq))
+        except AssertionError as exc:
+            failures.append(f"[{i}] {cy}\n  vs {sq}\n  {exc}")
+    assert not failures, "\n".join(failures[:3]) + f"\n({len(failures)} total)"
+
+
+def _slice_expr_query(rnd: random.Random) -> tuple[str, str]:
+    """List slicing / indexing expression shapes (r13): random
+    bounds (incl. negative, open, clamping, reversed) over a per-row
+    split() list; DuckDB's 1-based-inclusive [b:e] is the oracle."""
+    cap = rnd.choice([100, 200])
+    f = rnd.randrange(-3, 4)
+    t = rnd.randrange(-3, 5)
+    form = rnd.randrange(4)
+    # openCypher 0-based end-exclusive -> DuckDB 1-based inclusive:
+    # begin = f+1 for f >= 0 else f (negatives align), end = t for
+    # t > 0, t-1 for t < 0; t == 0 (empty) -> use begin > end
+    db = f + 1 if f >= 0 else f
+
+    def d_end(tt):
+        return tt if tt > 0 else (tt - 1 if tt < 0 else 0)
+
+    if form == 0:
+        cy_ix, sq_ix = f"[{f}..{t}]", f"[{db}:{d_end(t)}]"
+        if t == 0:  # 0-exclusive end = empty list; DuckDB: b>e empty
+            sq_ix = "[2:1]"
+    elif form == 1:
+        cy_ix, sq_ix = f"[{f}..]", f"[{db}:]"
+    elif form == 2:
+        cy_ix, sq_ix = f"[..{t}]", f"[:{d_end(t)}]"
+        if t == 0:
+            sq_ix = "[2:1]"
+    else:
+        cy_ix, sq_ix = f"[..]", "[:]"
+    cy = (f"MATCH (c:Customer) WHERE c.c_custkey <= {cap} "
+          f"RETURN c.c_custkey AS k, "
+          f"split(c.c_name, '0'){cy_ix} AS part")
+    sq = (f"SELECT c_custkey AS k, "
+          f"string_split(c_name, '0'){sq_ix} AS part "
+          f"FROM customer WHERE c_custkey <= {cap}")
+    return cy, sq
+
+
+def test_fuzz_slice_parity(tpch, duck):
+    rnd = random.Random(424213)
+    failures = []
+    for i in range(20):
+        cy, sq = _slice_expr_query(rnd)
+        try:
+            assert_same(tpch.execute(cy), duck.sql(sq))
+        except AssertionError as exc:
+            failures.append(f"[{i}] {cy}\n  vs {sq}\n  {exc}")
+    assert not failures, "\n".join(failures[:3]) + f"\n({len(failures)} total)"

@@ -525,3 +525,63 @@ class TestSubqueryBlockErrorLocality:
             stmt = parse(f"MATCH ({name}:Customer) "
                          f"RETURN {name} {{.c_name}} AS m")
             assert stmt.return_clause is not None
+
+
+class TestQppParsing:
+    """Quantified path patterns (r13): parse-time desugar to the
+    var-length RelPattern; genuinely new shapes reject loudly."""
+
+    def _rel(self, text):
+        from brahmand_spark.parser.parser import parse
+
+        return parse(text).parts[0].matches[0].paths[0].rels[0]
+
+    def test_desugars_to_var_length(self):
+        r = self._rel("MATCH (a:Customer) ((x)-[:NEXT_CUST]->(y)){1,3}"
+                      " (b:Customer) RETURN a")
+        assert (r.type_name, r.min_hops, r.max_hops) == \
+            ("NEXT_CUST", 1, 3)
+
+    def test_exact_open_and_plus_quantifiers(self):
+        r = self._rel("MATCH (a) (()-[:R]->()){2} (b) RETURN a")
+        assert (r.min_hops, r.max_hops) == (2, 2)
+        r = self._rel("MATCH (a) (()-[:R]->()){2,} (b) RETURN a")
+        assert (r.min_hops, r.max_hops) == (2, None)
+        r = self._rel("MATCH (a) (()-[:R]->())+ (b) RETURN a")
+        assert (r.min_hops, r.max_hops) == (1, None)
+
+    def test_direction_and_where_fold(self):
+        from brahmand_spark.parser import ast
+
+        r = self._rel("MATCH (a) (()<-[h:R]-() WHERE h.k = 5){1,2} "
+                      "(b) RETURN a")
+        assert r.direction == "in"
+        assert r.properties == {"k": ast.Literal(5)}
+
+    def test_rejections_are_loud(self):
+        import pytest
+
+        from brahmand_spark.parser.parser import parse
+
+        for text, frag in [
+            ("MATCH (a) ((x)-[:R]->(y)-[:S]->(z)){1,2} (b) RETURN a",
+             "exactly one"),
+            ("MATCH (a) ((x)-[:R]->(y:L)){1,2} (b) RETURN a",
+             "inner node labels"),
+            ("MATCH (a) ((x {k: 1})-[:R]->(y)){1,2} (b) RETURN a",
+             "inner node labels"),
+            ("MATCH (a) ((x)-[:R]->(y)){0,2} (b) RETURN a",
+             "zero-length"),
+            ("MATCH (a) ((x)-[:R]->(y))* (b) RETURN a", "zero-length"),
+            ("MATCH (a) ((x)-[:R]->(y)){,2} (b) RETURN a",
+             "zero-length"),
+            ("MATCH (a) ((x)-[:R*1..2]->(y)){1,2} (b) RETURN a",
+             "nested quantifier"),
+            ("MATCH (a) ((x)-[:R]->(y)) (b) RETURN a", "quantifier"),
+            ("MATCH (a) ((x)-[h:R]->(y) WHERE x.v > 0){1,2} (b) "
+             "RETURN a", "equalit"),
+            ("MATCH (a) ((x)-[h:R]->(y) WHERE h.v > 0){1,2} (b) "
+             "RETURN a", "equalit"),
+        ]:
+            with pytest.raises(ParseError, match=frag):
+                parse(text)

@@ -52,6 +52,8 @@ def main() -> None:
         ("subquery", gen._subquery_query),
         ("correlated_call", gen._correlated_call_query),
         ("varlen_props", gen._varlen_props_query),
+        ("qpp", gen._qpp_query),
+        ("slice_expr", gen._slice_expr_query),
     ]
     total, failures = 0, []
     for name, g in generators:

@@ -445,7 +445,14 @@ class ExprCompiler:
                      "datetime.transaction", "datetime.realtime",
                      "localdatetime.statement",
                      "localdatetime.transaction",
-                     "localdatetime.realtime"):
+                     "localdatetime.realtime",
+                     # time-of-day = TIMESTAMP_NTZ on the epoch day
+                     # (r13, compile/temporal.py)
+                     "time", "localtime", "time.truncate",
+                     "localtime.truncate", "time.statement",
+                     "time.transaction", "time.realtime",
+                     "localtime.statement", "localtime.transaction",
+                     "localtime.realtime"):
                 return "timestamp_ntz"
             if n in ("date.truncate", "date.statement",
                      "date.transaction", "date.realtime"):
@@ -527,6 +534,15 @@ class ExprCompiler:
             normalized = temporal.normalize_zoned_literal(e.args[0].value)
             if normalized is not None:
                 return F.to_timestamp_ntz(F.lit(normalized))
+        # TIME / LOCALTIME literals (r13, VERDICT r12 missing #3):
+        # time('12:31:14+02:00') -> TIMESTAMP_NTZ on the epoch day
+        # (compile/temporal.py normalize_time_literal) — a constant,
+        # so time-range predicates stay PushedFilters.
+        if (name in ("time", "localtime") and len(e.args) == 1
+                and isinstance(e.args[0], ast.Literal)
+                and isinstance(e.args[0].value, str)):
+            return F.to_timestamp_ntz(F.lit(
+                temporal.normalize_time_literal(e.args[0].value)))
         if (name == "date" and len(e.args) == 1
                 and isinstance(e.args[0], ast.Literal)
                 and isinstance(e.args[0].value, str)
@@ -590,6 +606,18 @@ class ExprCompiler:
             if name == "date":
                 return F.to_date(F.lit(s))
             return F.to_timestamp_ntz(F.lit(s))
+        # time({hour, minute, second, millisecond, timezone}) (r13)
+        if (name in ("time", "localtime") and len(e.args) == 1
+                and isinstance(e.args[0], ast.MapLiteral)):
+            parts = {}
+            for k, v in e.args[0].items:
+                if not isinstance(v, ast.Literal):
+                    raise PlanError(
+                        f"{name}({{...}}) components must be "
+                        f"literals (component '{k}' is not)")
+                parts[k.lower()] = v.value
+            return F.to_timestamp_ntz(
+                F.lit(temporal.time_from_map(parts)))
         # Temporal constructors whose arguments must be read from the
         # AST (literal components become compile-time interval
         # constants; truncation units pick the Spark builder) — r10.
@@ -623,14 +651,17 @@ class ExprCompiler:
                 "('P30D', 'PT3H30M') or a map literal "
                 "({days: 3, hours: 12})")
         if name in ("date.truncate", "datetime.truncate",
-                    "localdatetime.truncate"):
+                    "localdatetime.truncate", "time.truncate",
+                    "localtime.truncate"):
             if len(e.args) != 2 or not (
                     isinstance(e.args[0], ast.Literal)
                     and isinstance(e.args[0].value, str)):
                 raise PlanError(
                     f"{name}(unit, temporal) needs a string-literal "
                     "unit and one temporal argument")
-            kind = "date" if name.startswith("date.") else "datetime"
+            kind = ("date" if name.startswith("date.")
+                    else "time" if name.startswith(("time.", "localtime."))
+                    else "datetime")
             return temporal.truncate(
                 kind, e.args[0].value, self.compile(e.args[1]))
         # Graph-introspection functions need the scope, not just columns.

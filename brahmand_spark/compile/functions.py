@@ -100,6 +100,30 @@ def _substring(args: list[Column]) -> Column:
 
 
 # Cypher / ClickHouse spelling -> Column builder.
+def _time_of_day(c: Column) -> Column:
+    """Project a time-of-day string or timestamp column onto the
+    epoch day (r13 TIME representation, compile/temporal.py): the
+    HH:mm:ss.SSSSSS part re-anchored at 1970-01-01. Bare clock
+    strings ('12:30', '12:30:05.1') anchor directly; anything else
+    ('2024-05-01 12:30:05', a timestamp/date column) parses as a
+    timestamp and keeps only its clock part."""
+    s = c.cast("string")
+    anchored = (F.when(s.rlike(r"^\d{1,2}:"),
+                       F.concat(F.lit("1970-01-01 "), s))
+                .otherwise(s))
+    ts = F.to_timestamp_ntz(anchored)
+    return F.to_timestamp_ntz(F.concat(
+        F.lit("1970-01-01 "),
+        F.date_format(ts, "HH:mm:ss.SSSSSS")))
+
+
+def _time_now() -> Column:
+    """Current statement-clock time-of-day on the epoch day."""
+    return F.to_timestamp_ntz(F.concat(
+        F.lit("1970-01-01 "),
+        F.date_format(F.localtimestamp(), "HH:mm:ss.SSSSSS")))
+
+
 def _slice_list(xs: Column, f: Column, t: Column) -> Column:
     """openCypher list slice ``xs[f..t]`` (r13): 0-based,
     end-exclusive, negative bounds count from the end, out-of-range
@@ -211,6 +235,18 @@ SCALAR_FNS = {
     "date.statement": lambda a: F.current_date(),
     "date.transaction": lambda a: F.current_date(),
     "date.realtime": lambda a: F.current_date(),
+    # TIME / LOCALTIME (r13): a time-of-day is TIMESTAMP_NTZ on the
+    # epoch day (compile/temporal.py). These are the generic forms
+    # (column args / no-arg clocks); string LITERALS take the
+    # offset-normalizing special case in expressions._fn_call.
+    "time": lambda a: (_time_of_day(a[0]) if a else _time_now()),
+    "localtime": lambda a: (_time_of_day(a[0]) if a else _time_now()),
+    "time.statement": lambda a: _time_now(),
+    "time.transaction": lambda a: _time_now(),
+    "time.realtime": lambda a: _time_now(),
+    "localtime.statement": lambda a: _time_now(),
+    "localtime.transaction": lambda a: _time_now(),
+    "localtime.realtime": lambda a: _time_now(),
     # duration.between(a, b): day-time interval from a to b (dates
     # and/or timestamps; Cypher semantics b - a)
     "duration.between": lambda a: (a[1].cast("timestamp_ntz")

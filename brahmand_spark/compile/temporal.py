@@ -179,6 +179,90 @@ def temporal_from_map(kind: str, parts: dict) -> str:
     return dt.isoformat(sep=" ")
 
 
+# -- TIME / LOCALTIME (r13, VERDICT r12 missing #3) ------------------
+# Spark has no TIME type; a time-of-day is represented as
+# TIMESTAMP_NTZ on the EPOCH DAY (1970-01-01), so comparisons,
+# duration arithmetic, accessors (.hour/.minute/...), truncation and
+# the DuckDB oracle all ride the existing timestamp machinery with no
+# UDFs. Documented divergences: (a) arithmetic crossing midnight
+# lands on 1970-01-02 instead of wrapping (component accessors still
+# agree; compare via accessors or truncate back); (b) named zones are
+# rejected on time literals — a time-of-day has no date to resolve
+# DST, openCypher itself resolves them against the statement clock.
+TIME_EPOCH = "1970-01-01"
+
+
+def normalize_time_literal(s: str) -> str:
+    """``'12:31:14(.123)?(+02:00|Z)?'`` -> ``'1970-01-01 HH:MM:SS[.ffffff]'``
+    (the UTC time-of-day, wrapped modulo 24h, when an offset is
+    given). Accepts openCypher's 'HH', 'HH:MM' short forms."""
+    import datetime as _dt
+
+    body = s.strip()
+    if _NAMED_ZONE_RE.search(body):
+        raise PlanError(
+            f"time literal {s!r} carries a NAMED zone — a time-of-day "
+            "has no date to resolve DST against; use a numeric offset "
+            "('+02:00') or a zoned datetime()")
+    m = _OFFSET_RE.search(body)
+    off, clock = (m.group(0), body[:m.start()]) if m else (None, body)
+    if re.fullmatch(r"\d{2}", clock):
+        clock += ":00"
+    try:
+        t = _dt.time.fromisoformat(clock)
+    except ValueError as exc:
+        raise PlanError(
+            f"invalid time literal {s!r} (expected "
+            "'HH[:MM[:SS[.fff]]]' with an optional '+HH:MM'/'Z' "
+            f"offset): {exc}") from None
+    secs = (t.hour * 3600 + t.minute * 60 + t.second
+            + t.microsecond / 1e6)
+    if off is not None:
+        o = _dt.datetime.fromisoformat(
+            "2000-01-01T00:00:00"
+            + ("+00:00" if off == "Z" else off)).utcoffset()
+        secs = (secs - o.total_seconds()) % 86400
+    whole = int(secs)
+    frac = round((secs - whole) * 1e6)
+    hh, mm, ss = whole // 3600, (whole % 3600) // 60, whole % 60
+    out = f"{TIME_EPOCH} {hh:02d}:{mm:02d}:{ss:02d}"
+    if frac:
+        out += f".{frac:06d}"
+    return out
+
+
+def time_from_map(parts: dict) -> str:
+    """``time({hour, minute, second, millisecond, timezone})`` from
+    literal components -> the epoch-day ISO string (UTC time-of-day
+    when a numeric-offset timezone is given)."""
+    tz = parts.pop("timezone", None)
+    allowed = ("hour", "minute", "second", "millisecond")
+    unknown = set(parts) - set(allowed)
+    if unknown:
+        raise PlanError(
+            f"unknown time({{...}}) component(s) {sorted(unknown)} "
+            f"(supported: {', '.join(allowed)} + timezone)")
+    if "hour" not in parts:
+        raise PlanError("time({...}) requires an 'hour' component")
+    for k, v in parts.items():
+        if not isinstance(v, int) or isinstance(v, bool):
+            raise PlanError(
+                f"time({{...}}) component '{k}' must be an integer "
+                f"literal (got {v!r})")
+    lit = (f"{parts['hour']:02d}:{parts.get('minute', 0):02d}"
+           f":{parts.get('second', 0):02d}")
+    ms = parts.get("millisecond", 0)
+    if ms:
+        lit += f".{ms:03d}"
+    if tz is not None:
+        if not isinstance(tz, str):
+            raise PlanError(
+                "time({...}) timezone must be a numeric-offset "
+                "string literal ('+02:00')")
+        lit += tz.strip()
+    return normalize_time_literal(lit)
+
+
 _ISO_DURATION_RE = re.compile(
     r"^P(?:(?P<years>\d+)Y)?(?:(?P<months>\d+)M)?(?:(?P<weeks>\d+)W)?"
     r"(?:(?P<days>\d+)D)?"
@@ -303,6 +387,12 @@ def truncate(kind: str, unit: str, col: Column) -> Column:
                 f"date.truncate unit '{unit}' not supported "
                 f"(use one of: {', '.join(sorted(_TRUNC_DATE_UNITS))})")
         return F.trunc(col, u)
+    if kind == "time":
+        if u not in ("hour", "minute", "second"):
+            raise PlanError(
+                f"time.truncate unit '{unit}' not supported "
+                "(use one of: hour, minute, second)")
+        return F.date_trunc(u, col).cast("timestamp_ntz")
     if u not in _TRUNC_TS_UNITS:
         raise PlanError(
             f"datetime.truncate unit '{unit}' not supported "

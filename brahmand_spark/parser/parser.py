@@ -979,7 +979,7 @@ class Parser:
             if (self.at_op(".")
                     and name.lower() in ("date", "datetime",
                                          "localdatetime", "duration",
-                                         "point")
+                                         "point", "time", "localtime")
                     and self.peek(1).kind == "IDENT"
                     and self.peek(2).kind == "OP"
                     and self.peek(2).value == "("):

@@ -28,6 +28,27 @@ FOLDED_CYPHER = {
              ON b.c_custkey - a.c_custkey IN (2, 3)
            WHERE a.c_custkey <= 100""",
     ),
+    # r13 (VERDICT r12 missing #3): TIME / LOCALTIME — time-of-day as
+    # TIMESTAMP_NTZ on the epoch day (compile/temporal.py); DuckDB's
+    # native TIME type (DATE '1970-01-01' + t re-anchors) is the
+    # oracle. Exercises the literal (offset-normalized), the generic
+    # column form time(ts), comparisons, and min/max aggregation.
+    "time_of_day": (
+        """MATCH (e:Event)
+           WITH time(e.ts) AS tod, e.event_type AS et
+           WHERE tod >= time('06:00')
+             AND tod < time('14:00+02:00')
+           RETURN et, count(*) AS n,
+                  min(tod) AS first_t, max(tod) AS last_t
+           ORDER BY et""",
+        """SELECT event_type AS et, count(*) AS n,
+                  DATE '1970-01-01' + min(ts::TIME) AS first_t,
+                  DATE '1970-01-01' + max(ts::TIME) AS last_t
+           FROM events
+           WHERE ts::TIME >= TIME '06:00:00'
+             AND ts::TIME < TIME '12:00:00'
+           GROUP BY 1 ORDER BY 1""",
+    ),
     # r13 (VERDICT r12 missing #2): openCypher list slicing
     # xs[f..t] — 0-based end-exclusive with open ends and negative
     # bounds, desugared to a clamped F.slice (functions._slice_list);

@@ -397,3 +397,81 @@ class TestCypherSurfaceFunctions:
         assert row.s is not None and row.t is not None
         assert row.d is not None
         assert len(row.u) == 36 and row.u.count("-") == 4
+
+
+class TestTimeOfDay:
+    """TIME / LOCALTIME (r13, VERDICT r12 missing #3): time-of-day as
+    TIMESTAMP_NTZ on the epoch day (compile/temporal.py TIME_EPOCH) —
+    literals with numeric offsets, map constructors, accessors,
+    truncation, comparisons, duration arithmetic, statement clocks.
+    The DuckDB-oracle comparison lives in
+    tests/test_folded_gates.py::time_of_day."""
+
+    def test_literal_forms(self, tpch):
+        import datetime as dt
+
+        row = tpch.execute(
+            "RETURN time('12:31:14') AS a, localtime('12:31') AS b, "
+            "time('12') AS c, time('12:31:14.5+02:00') AS d, "
+            "time('01:00+02:00') AS e").collect()[0]
+        ep = dt.date(1970, 1, 1)
+        assert row["a"] == dt.datetime(1970, 1, 1, 12, 31, 14)
+        assert row["b"] == dt.datetime(1970, 1, 1, 12, 31)
+        assert row["c"] == dt.datetime(1970, 1, 1, 12)
+        # offset normalizes to the UTC time-of-day
+        assert row["d"] == dt.datetime(1970, 1, 1, 10, 31, 14, 500000)
+        # wraps modulo 24h, stays on the epoch day
+        assert row["e"].date() == ep and row["e"].hour == 23
+
+    def test_map_form_and_accessors(self, tpch):
+        row = tpch.execute(
+            "RETURN time({hour: 12, minute: 31, second: 14}).minute "
+            "AS m, time('09:05:07').hour AS h, "
+            "localtime('09:05:07').second AS s").collect()[0]
+        assert (row["m"], row["h"], row["s"]) == (31, 9, 7)
+
+    def test_truncate_compare_arithmetic(self, tpch):
+        import datetime as dt
+
+        row = tpch.execute(
+            "UNWIND [1] AS one WITH time('12:31:44') AS t "
+            "RETURN time.truncate('minute', t) AS tm, "
+            "t < time('13:00') AS lt, "
+            "t + duration('PT2H') AS plus2, "
+            "duration.between(time('10:00'), t).hours AS dh"
+        ).collect()[0]
+        assert row["tm"] == dt.datetime(1970, 1, 1, 12, 31)
+        assert row["lt"] is True
+        assert row["plus2"] == dt.datetime(1970, 1, 1, 14, 31, 44)
+        assert row["dh"] == 2
+
+    def test_generic_column_form(self, tpch):
+        """time(ts) over the events table keeps the clock part and
+        re-anchors at the epoch day."""
+        rows = tpch.execute(
+            "MATCH (e:Event) WITH e.ts AS ts ORDER BY ts LIMIT 5 "
+            "RETURN time(ts) AS tod, ts AS orig").collect()
+        for r in rows:
+            assert r["tod"].date().isoformat() == "1970-01-01"
+            assert (r["tod"].hour, r["tod"].minute, r["tod"].second) \
+                == (r["orig"].hour, r["orig"].minute, r["orig"].second)
+
+    def test_statement_clocks_on_epoch_day(self, tpch):
+        row = tpch.execute(
+            "RETURN time() AS a, time.statement() AS b, "
+            "localtime.realtime() AS c").collect()[0]
+        for k in "abc":
+            assert row[k].date().isoformat() == "1970-01-01"
+
+    def test_named_zone_rejected(self, tpch):
+        with pytest.raises(PlanError, match="NAMED zone"):
+            tpch.execute("RETURN time('12:00[Europe/Paris]') AS x")
+
+    def test_bad_literal_rejected(self, tpch):
+        with pytest.raises(PlanError, match="invalid time literal"):
+            tpch.execute("RETURN time('25:99') AS x")
+
+    def test_time_truncate_unit_guard(self, tpch):
+        with pytest.raises(PlanError, match="time.truncate unit"):
+            tpch.execute("RETURN time.truncate('month', "
+                         "time('12:00')) AS x")

@@ -44,6 +44,13 @@ MAX_PASSES = max(PASSES, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES",
 SPREAD_LIMIT = 1.5     # max/min pass ratio that triggers extra passes
 SPREAD_FLOOR = 0.4     # seconds — don't chase spread on trivial queries
 REGRESSION_LIMIT = 1.5  # min-vs-previous-round ratio that gets flagged
+# Noise floor for the regression flag (r13, VERDICT r12 #5: the r12
+# artifact flagged 5 sub-second phantom regressions from pure host
+# jitter). A min-vs-min slowdown only flags when it is BOTH >
+# REGRESSION_LIMIT in ratio AND > max(ABS_DELTA_FLOOR, 3x this run's
+# own pass spread) in absolute seconds — the full table still prints
+# every ratio.
+ABS_DELTA_FLOOR = 0.3  # seconds
 
 # Headline set: graph traversals + aggregates + pipeline extensions,
 # plus (round 4) the iterative / loop-shaped operators so the most
@@ -396,12 +403,21 @@ def _report(bench_queries: list[str], cold: dict,
             if name not in prev or prev[name] <= 0:
                 continue
             ratio = round(mins[name] / prev[name], 2)
+            delta = round(mins[name] - prev[name], 3)
+            # this run's own pass spread in SECONDS: jitter the host
+            # demonstrably produced on this gate right now
+            spread_s = round(max(samples[name]) - min(samples[name]), 3)
+            floor = round(max(ABS_DELTA_FLOOR, 3 * spread_s), 3)
             comparison[name] = {"prev_min": prev[name],
-                                "min": mins[name], "ratio": ratio}
+                                "min": mins[name], "ratio": ratio,
+                                "delta": delta, "noise_floor": floor}
             mark = ""
-            if ratio > REGRESSION_LIMIT and mins[name] > SPREAD_FLOOR:
+            if ratio > REGRESSION_LIMIT and delta > floor:
                 mark = "  <<< REGRESSION"
                 flagged.append(name)
+            elif ratio > REGRESSION_LIMIT:
+                mark = (f"  (ratio x{ratio} but delta {delta}s under "
+                        f"noise floor {floor}s)")
             elif ratio < 1 / REGRESSION_LIMIT:
                 mark = "  (faster)"
             print(f"# {name:28s} {prev[name]:7.3f} -> {mins[name]:7.3f} "

@@ -374,6 +374,65 @@ class GraphSession:
             )
         raise UnsupportedError(f"unsupported statement {type(stmt).__name__}")
 
+    def _fetch_url_csv(self, url: str) -> str:
+        """``LOAD CSV FROM 'http(s)://…'`` (r13, VERDICT r12 missing
+        #5): driver-side fetch into a session temp file, then the
+        existing distributed csv scan reads it like any local path.
+        SIZE-CAPPED loudly (default 256 MiB, override
+        ``SPARK_GRAFT_LOAD_CSV_URL_CAP`` bytes): a URL fetch is
+        inherently single-stream driver I/O — beyond the cap, land
+        the file on shared storage the executors can scan in
+        parallel. Fetches are cached per (session, url) so re-running
+        the statement doesn't re-download."""
+        import tempfile
+        import urllib.request
+
+        cache = getattr(self, "_url_csv_cache", None)
+        if cache is None:
+            cache = self._url_csv_cache = {}
+        if url in cache:
+            return cache[url]
+        cap = int(os.environ.get(
+            "SPARK_GRAFT_LOAD_CSV_URL_CAP", 256 << 20))
+
+        def too_big(n):
+            return UnsupportedError(
+                f"LOAD CSV FROM URL: {url} exceeds the "
+                f"{cap / (1 << 20):.0f} MiB driver-fetch cap "
+                f"({n} bytes) — a URL fetch is single-stream driver "
+                "I/O; land the file on storage the executors can "
+                "scan in parallel (or raise "
+                "SPARK_GRAFT_LOAD_CSV_URL_CAP)")
+
+        try:
+            resp = urllib.request.urlopen(url, timeout=60)
+        except Exception as exc:
+            raise UnsupportedError(
+                f"LOAD CSV FROM URL: could not fetch {url}: "
+                f"{exc}") from exc
+        with resp:
+            declared = resp.headers.get("Content-Length")
+            if declared and int(declared) > cap:
+                raise too_big(declared)
+            fd, tmp = tempfile.mkstemp(
+                prefix="brahmand_load_csv_", suffix=".csv")
+            n = 0
+            try:
+                with os.fdopen(fd, "wb") as out:
+                    while True:
+                        chunk = resp.read(1 << 20)
+                        if not chunk:
+                            break
+                        n += len(chunk)
+                        if n > cap:
+                            raise too_big(f">{n}")
+                        out.write(chunk)
+            except BaseException:
+                os.unlink(tmp)
+                raise
+        cache[url] = tmp
+        return tmp
+
     def _execute_load_csv(
         self, stmt: ast.LoadCsv, params: Optional[dict]
     ) -> DataFrame:
@@ -395,9 +454,9 @@ class GraphSession:
                 path = path[len(prefix):]
                 break
         if path.startswith(("http://", "https://")):
-            raise UnsupportedError(
-                "LOAD CSV FROM a URL is not supported — download the "
-                "file and use a local/file:// path")
+            # r13 (VERDICT r12 missing #5): Neo4j LOAD CSV scripts
+            # routinely point at http(s) URLs
+            path = self._fetch_url_csv(path)
         raw = self.spark.read.csv(
             path, header=stmt.with_headers, sep=stmt.sep or ",",
             inferSchema=False)

@@ -72,6 +72,14 @@ class NodeEntity:
     in_path_var: bool = False  # member of a p = (...) pattern
 
 
+def _is_var(rel) -> bool:
+    """Variable-length rel: any hop range other than exactly one hop
+    — max > 1, or a ZERO-LENGTH lower bound (r13: ``*0..n`` zero-hop
+    rows bind both endpoints to the SAME node, openCypher semantics —
+    previously min 0 silently planned as min 1)."""
+    return rel.max_hops > 1 or rel.min_hops == 0
+
+
 @dataclass
 class RelEntity:
     alias: str
@@ -548,7 +556,7 @@ class QueryCompiler:
         # missed (the existing null-row carry; no new machinery).
         if pattern.path_vars:
             for r in pattern.rels:
-                if r.max_hops > 1:
+                if _is_var(r):
                     for extra in (pcol(r.alias, "hops"),
                                   pcol(r.alias, "rels")):
                         if extra in sub_df.columns \
@@ -1910,7 +1918,7 @@ class QueryCompiler:
             or rel.orientation == "invalid"
             or rel.properties
             or rel.alt_resolved or rel.alt_types
-            or rel.max_hops > 1 or rel.shortest or rel.in_path_var
+            or _is_var(rel) or rel.shortest or rel.in_path_var
             or rel.alias in self._referenced
             or "*" in self._referenced
         ):
@@ -1989,7 +1997,7 @@ class QueryCompiler:
         single-hop, directed hop whose alias is never referenced as a
         bare variable (bare rel refs expand all rel columns)."""
         sch = rel.schema
-        if (rel.alt_resolved or rel.alt_types or rel.max_hops > 1
+        if (rel.alt_resolved or rel.alt_types or _is_var(rel)
                 or rel.shortest
                 or rel.orientation not in ("fwd", "rev")
                 or rel.alias in self._bare_refs
@@ -2073,7 +2081,7 @@ class QueryCompiler:
         (bound backing alias, other endpoint alias, fk column) or
         None."""
         sch = rel.schema
-        if (rel.alt_resolved or rel.alt_types or rel.max_hops > 1
+        if (rel.alt_resolved or rel.alt_types or _is_var(rel)
                 or rel.shortest
                 or rel.orientation not in ("fwd", "rev")
                 or rel.alias in self._bare_refs
@@ -2434,6 +2442,33 @@ class QueryCompiler:
             raw = raw.filter(F.col(key) == ec.compile(expr))
         return raw
 
+    def _zero_hop_rows(self, rel: RelEntity) -> DataFrame:
+        """``(id, id, 0)`` identity rows for a zero-length lower bound
+        ``*0..n`` (r13): every node of the walk's SHARED endpoint
+        label is a zero-length path to itself. When the oriented
+        endpoint labels differ, no single node can satisfy both — the
+        arm is a constant-empty frame (same rule as the reference's
+        invalid-direction plans). Catalyst prunes the node scan to
+        the id column; no shuffle."""
+        sch = rel.schema or (rel.alt_resolved[0][0]
+                             if rel.alt_resolved else None)
+        if sch is None:
+            raise PlanError(
+                f"zero-length walk on unresolvable relationship "
+                f"'{rel.alias}'")
+        if rel.orientation == "rev":
+            lsrc, ldst = sch.to_node, sch.from_node
+        else:
+            lsrc, ldst = sch.from_node, sch.to_node
+        node_sch = self.catalog.node(lsrc)
+        ids = self.load_table(lsrc).select(
+            F.col(node_sch.node_id).alias("src"),
+            F.col(node_sch.node_id).alias("dst"),
+            F.lit(0).alias("hops"))
+        if lsrc != ldst:
+            ids = ids.filter(F.lit(False))
+        return ids
+
     def _shortest_path_df(self, rel: RelEntity) -> DataFrame:
         """(src, dst, hops) pairs where hops is the SHORTEST directed
         distance <= max_hops — frontier BFS as iterative join-antijoin
@@ -2493,10 +2528,18 @@ class QueryCompiler:
         # is the zero-length one (outside min_hops >= 1), while any
         # hops >= 2 self-walk found by BFS reuses an edge back-and-forth
         # — illegal under Cypher relationship-uniqueness.
-        return reached.filter(
+        res = reached.filter(
             (F.col("hops") >= F.lit(rel.min_hops))
             & (F.col("root") != F.col("node"))
-        ).select(
+        )
+        if rel.min_hops == 0:
+            # *0..k: the a==b pair's shortest path is the zero-length
+            # one — identity rows over the shared endpoint label (r13)
+            res = res.unionByName(
+                self._zero_hop_rows(rel).select(
+                    F.col("src").alias("root"),
+                    F.col("dst").alias("node"), "hops"))
+        return res.select(
             F.col("root").alias(pcol(rel.alias, "from_id")),
             F.col("node").alias(pcol(rel.alias, "to_id")),
             F.col("hops").alias(pcol(rel.alias, "hops")),
@@ -2617,7 +2660,10 @@ class QueryCompiler:
             base = self._oriented_pairs(rel)
         tagged = "rt" in base.columns  # multi-type: per-edge type tag
         out: Optional[DataFrame] = None
-        for k in range(max(rel.min_hops, 1), rel.max_hops + 1):
+        # Degenerate `*0`: build the k=1 frame anyway (harvesting its
+        # exact schema, incl. the carry struct type) and constant-fold
+        # it away below — only the zero-hop identity rows survive.
+        for k in range(max(rel.min_hops, 1), max(rel.max_hops, 1) + 1):
             step_cols = [
                 F.col("src").alias("e1_src"), F.col("dst").alias("e1_dst")]
             if carry:
@@ -2658,6 +2704,18 @@ class QueryCompiler:
             df_k = df_k.select(*out_cols)
             out = df_k if out is None else out.unionByName(df_k)
         assert out is not None
+        if rel.max_hops == 0:
+            out = out.filter(F.lit(False))  # degenerate *0: schema only
+        if rel.min_hops == 0:
+            # zero-length arm (r13): (id, id, 0) for every node of the
+            # shared endpoint label — traverses no edges, so inline
+            # property maps are vacuously true and uniqueness is moot;
+            # relationships(p) on the zero-length row is []
+            ident = self._zero_hop_rows(rel)
+            if carry:
+                ident = ident.withColumn("rels", F.expr(
+                    f"CAST(array() AS {dict(out.dtypes)['rels']})"))
+            out = out.unionByName(ident.select(*out.columns))
         final = [
             F.col("src").alias(pcol(rel.alias, "from_id")),
             F.col("dst").alias(pcol(rel.alias, "to_id")),
@@ -3014,6 +3072,10 @@ class QueryCompiler:
                     total *= min(deg ** (r.max_hops - 1), 1e12)
                 else:
                     total *= float(r.max_hops)
+            elif r.min_hops == 0:
+                # zero-length arm adds the node-table identity rows
+                total += float(node_rows(r.src)
+                               or node_rows(r.dst) or 0)
             return max(total, 1e-6)
 
         # every estimate must be computable, else fall back wholesale
@@ -3144,7 +3206,7 @@ class QueryCompiler:
         path_rel_aliases = {
             ra for _, rels in pattern.path_vars.values() for ra in rels}
         for r in pattern.rels:
-            if (r.max_hops > 1 and not r.shortest
+            if (_is_var(r) and not r.shortest
                     and r.alias in path_rel_aliases
                     and r.schema is not None):
                 if r.alt_resolved:
@@ -3429,9 +3491,9 @@ class QueryCompiler:
 
     def _apply_hop(self, rel, pattern: Pattern, components, scope, find_component):
         fused: Optional[str] = None
-        if rel.shortest and rel.max_hops > 1:
+        if rel.shortest and _is_var(rel):
             edge = self._shortest_path_df(rel)
-        elif rel.max_hops > 1:
+        elif _is_var(rel):
             edge = self._var_length_df(rel)
             # Bind the alias so RETURN * ignores it gracefully? No: a
             # var-length rel alias binds to a path list in Cypher, which we
@@ -3827,7 +3889,7 @@ def _bind_path_vars(pattern, scope: Scope,
         structs = []
         for r in pattern.rels:
             if r.alias in rels:
-                if r.max_hops > 1:
+                if _is_var(r):
                     hops.append(pcol(r.alias, "hops"))
                     fields = tuple(r.carry_prop_names)
                     if r.carry_has_type:

@@ -507,20 +507,21 @@ class Parser:
     def parse_qpp_group(self) -> ast.RelPattern:
         """Quantified path pattern (r13, openCypher 25 / GQL):
         ``((x)-[r:T {k:v}]->(y) [WHERE pred]){m,n}`` — also ``{n}``,
-        ``{m,}`` and ``+``. Desugared at parse time to the engine's
-        var-length relationship ``-[r:T*m..n]->``: single-rel groups
-        repeat one edge traversal, which is exactly what *m..n
-        compiles to (compile/compiler.py _var_length_df), so the
-        quantified form inherits per-hop property-map filtering,
-        relationship-uniqueness, multi-type arms and the cost guard.
+        ``{m,}``, ``{,n}``, ``*`` and ``+``. Desugared at parse time
+        to the engine's var-length relationship ``-[r:T*m..n]->``:
+        single-rel groups repeat one edge traversal, which is exactly
+        what *m..n compiles to (compile/compiler.py _var_length_df),
+        so the quantified form inherits per-hop property-map
+        filtering, relationship-uniqueness, multi-type arms, the cost
+        guard, and zero-length lower bounds (``*`` / ``{0,n}`` —
+        identity rows over the shared endpoint label, r13).
 
         Loudly rejected (genuinely new shapes the var-length
         machinery cannot express): multi-relationship groups, nested
         quantifiers, inner node labels/property maps (group nodes are
         every INTERMEDIATE node of the walk — put predicates on the
-        outer endpoints), zero-length quantifiers ({0,n} / *), and
-        WHERE predicates that are not per-hop relationship property
-        equalities."""
+        outer endpoints), and WHERE predicates that are not per-hop
+        relationship property equalities."""
         self.eat_op("(")
         inner_nodes = [self.parse_node_pattern()]
         inner_rels: list[ast.RelPattern] = []
@@ -547,35 +548,28 @@ class Parser:
                     "the walk's intermediate nodes) — put the "
                     "predicate on the outer endpoints: "
                     "(a:L) ((x)-[:R]->(y)){1,3} (b:L)")
-        # quantifier
+        # quantifier ( * / + / {n} / {m,n} / {m,} / {,n} — zero-length
+        # lower bounds desugar to *0..n, r13 compile/compiler.py
+        # _zero_hop_rows)
         if self.try_op("+"):
             mn, mx = 1, None
-        elif self.at_op("*"):
-            self.error(
-                "zero-length quantified path patterns (*) are not "
-                "supported — the engine's variable-length walks "
-                "start at one hop; use + or {1,n}")
+        elif self.try_op("*"):
+            mn, mx = 0, None
         elif self.try_op("{"):
-            if self.at_op(","):
-                self.error(
-                    "zero-length quantified path patterns ({,n}) are "
-                    "not supported — use {1,n}")
-            mn = self.int_literal()
-            if self.try_op(","):
-                mx = (self.int_literal()
-                      if self.peek().kind == "INT" else None)
+            if self.try_op(","):  # {,n} = 0..n
+                mn, mx = 0, self.int_literal()
             else:
-                mx = mn
+                mn = self.int_literal()
+                if self.try_op(","):
+                    mx = (self.int_literal()
+                          if self.peek().kind == "INT" else None)
+                else:
+                    mx = mn
             self.eat_op("}")
         else:
             self.error(
                 "a parenthesized path pattern needs a quantifier: "
-                "((x)-[:R]->(y)){m,n} / {n} / +")
-        if mn == 0:
-            self.error(
-                "zero-length quantified path patterns ({0,n}) are "
-                "not supported — the engine's variable-length walks "
-                "start at one hop; use {1,n}")
+                "((x)-[:R]->(y)){m,n} / {n} / * / +")
         props = dict(rel.properties)
         if where is not None:
             for pred in self._flatten_and(where):

@@ -338,6 +338,57 @@ class TestQuantifiedPathPatterns:
                           AND l.l_linenumber = 1"""),
         )
 
+    def test_zero_length_walks(self, tpch, duck):
+        """*0..n / QPP {0,n} (r13): zero-hop rows bind both endpoints
+        to the SAME node (identity over the shared endpoint label);
+        cross-label zero-length is unsatisfiable; length(p) = 0 and
+        relationships(p) = [] on the zero rows."""
+        assert_same(
+            q(tpch, """MATCH (a:Customer)-[:NEXT_CUST*0..2]->(b:Customer)
+                       WHERE a.c_custkey <= 100
+                       RETURN a.c_custkey AS src, b.c_custkey AS dst"""),
+            duck.sql("""SELECT a.c_custkey AS src, b.c_custkey AS dst
+                        FROM customer a JOIN customer b
+                          ON b.c_custkey - a.c_custkey IN (0, 1, 2)
+                        WHERE a.c_custkey <= 100"""),
+        )
+        # QPP spelling is observationally identical
+        assert_same(
+            q(tpch, """MATCH (a:Customer) (()-[:NEXT_CUST]->()){,2} (b:Customer)
+                       WHERE a.c_custkey <= 100
+                       RETURN a.c_custkey AS src, b.c_custkey AS dst"""),
+            duck.sql("""SELECT a.c_custkey AS src, b.c_custkey AS dst
+                        FROM customer a JOIN customer b
+                          ON b.c_custkey - a.c_custkey IN (0, 1, 2)
+                        WHERE a.c_custkey <= 100"""),
+        )
+        # cross-label zero arm is empty: *0..1 == the plain 1-hop
+        assert_same(
+            q(tpch, """MATCH (c:Customer)-[:PLACED*0..1]->(o:Order)
+                       WHERE c.c_custkey <= 50
+                       RETURN c.c_custkey AS ck, o.o_orderkey AS ok"""),
+            duck.sql("""SELECT o_custkey AS ck, o_orderkey AS ok
+                        FROM orders WHERE o_custkey <= 50"""),
+        )
+        rows = q(tpch, """
+            MATCH p = (a:Customer)-[:NEXT_CUST*0..1]->(b:Customer)
+            WHERE a.c_custkey = 7
+            RETURN length(p) AS l, size(relationships(p)) AS nr
+            ORDER BY l""").collect()
+        assert [(r["l"], r["nr"]) for r in rows] == [(0, 0), (1, 1)]
+
+    def test_zero_length_shortest_path(self, tpch):
+        """shortestPath with *0..k includes the zero-length a==b
+        path (previously excluded by the min>=1 contract)."""
+        rows = q(tpch, """
+            MATCH p = shortestPath((a:Customer)-[:NEXT_CUST*0..2]->(b:Customer))
+            WHERE a.c_custkey <= 3
+            RETURN a.c_custkey AS s, b.c_custkey AS d, length(p) AS l
+            """).collect()
+        got = {(r["s"], r["d"], r["l"]) for r in rows}
+        assert {(s, s, 0) for s in range(4)} <= got
+        assert {(s, s + 2, 2) for s in range(4)} <= got
+
     def test_leading_and_trailing_anonymous_endpoints(self, tpch, duck):
         assert_same(
             q(tpch, """MATCH ((x)-[:NEXT_CUST]->(y)){2} (b:Customer)

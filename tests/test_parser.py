@@ -550,6 +550,16 @@ class TestQppParsing:
         r = self._rel("MATCH (a) (()-[:R]->())+ (b) RETURN a")
         assert (r.min_hops, r.max_hops) == (1, None)
 
+    def test_zero_length_quantifiers(self):
+        """* / {,n} / {0,n} desugar to a zero lower bound (r13 —
+        zero-hop identity rows, compile/compiler._zero_hop_rows)."""
+        r = self._rel("MATCH (a) (()-[:R]->())* (b) RETURN a")
+        assert (r.min_hops, r.max_hops) == (0, None)
+        r = self._rel("MATCH (a) (()-[:R]->()){,3} (b) RETURN a")
+        assert (r.min_hops, r.max_hops) == (0, 3)
+        r = self._rel("MATCH (a) (()-[:R]->()){0,2} (b) RETURN a")
+        assert (r.min_hops, r.max_hops) == (0, 2)
+
     def test_direction_and_where_fold(self):
         from brahmand_spark.parser import ast
 
@@ -570,11 +580,6 @@ class TestQppParsing:
              "inner node labels"),
             ("MATCH (a) ((x {k: 1})-[:R]->(y)){1,2} (b) RETURN a",
              "inner node labels"),
-            ("MATCH (a) ((x)-[:R]->(y)){0,2} (b) RETURN a",
-             "zero-length"),
-            ("MATCH (a) ((x)-[:R]->(y))* (b) RETURN a", "zero-length"),
-            ("MATCH (a) ((x)-[:R]->(y)){,2} (b) RETURN a",
-             "zero-length"),
             ("MATCH (a) ((x)-[:R*1..2]->(y)){1,2} (b) RETURN a",
              "nested quantifier"),
             ("MATCH (a) ((x)-[:R]->(y)) (b) RETURN a", "quantifier"),

@@ -66,10 +66,14 @@ class ExprCompiler:
                 # struct-field access otherwise (map projections etc.)
                 if b.dtype and temporal.is_temporal_dtype(b.dtype):
                     return temporal.accessor(F.col(e.alias), e.key, b.dtype)
-                if b.dtype == spatial.POINT_DTYPE:
-                    k = {"longitude": "x", "latitude": "y"}.get(
+                if spatial.is_point_dtype(b.dtype):
+                    k = {"longitude": "x", "latitude": "y",
+                         "height": "z"}.get(
                         e.key.lower(), e.key.lower())
-                    if k not in ("x", "y", "crs"):
+                    ok = (("x", "y", "z", "crs")
+                          if b.dtype == spatial.POINT3D_DTYPE
+                          else ("x", "y", "crs"))
+                    if k not in ok:
                         raise PlanError(
                             f"unknown point accessor '.{e.key}' "
                             f"(supported: x, y, longitude, latitude, "
@@ -460,6 +464,11 @@ class ExprCompiler:
             if n in ("duration", "duration.between"):
                 return "interval"
             if n == "point":
+                if (len(e.args) == 1
+                        and isinstance(e.args[0], ast.MapLiteral)
+                        and any(k.lower() in ("z", "height")
+                                for k, _ in e.args[0].items)):
+                    return spatial.POINT3D_DTYPE
                 return spatial.POINT_DTYPE
         return None
 
@@ -491,13 +500,17 @@ class ExprCompiler:
             dt = self._static_dtype(base_ast)
             if dt and temporal.is_temporal_dtype(dt):
                 return temporal.accessor(base, key, dt)
-            if dt == spatial.POINT_DTYPE:
-                k = {"longitude": "x", "latitude": "y"}.get(
-                    key.lower(), key.lower())
-                if k not in ("x", "y", "crs"):
+            if spatial.is_point_dtype(dt):
+                k = {"longitude": "x", "latitude": "y",
+                     "height": "z"}.get(key.lower(), key.lower())
+                ok = (("x", "y", "z", "crs")
+                      if dt == spatial.POINT3D_DTYPE
+                      else ("x", "y", "crs"))
+                if k not in ok:
                     raise PlanError(
                         f"unknown point accessor '.{key}' (supported: "
-                        f"x, y, longitude, latitude, crs)")
+                        f"x, y, longitude, latitude, crs"
+                        f"{', z, height' if len(ok) == 4 else ''})")
                 return base[k]
             return base[key]
         # `xs[i]` / `m['key']` (r13 — rode the slice work, fixing the
@@ -558,8 +571,10 @@ class ExprCompiler:
                 [k.lower() for k, _ in e.args[0].items],
                 [self.compile(v) for _, v in e.args[0].items])
         if name in ("point.distance", "distance") and len(e.args) == 2:
-            return spatial.distance(self.compile(e.args[0]),
-                                    self.compile(e.args[1]))
+            return spatial.distance(
+                self.compile(e.args[0]), self.compile(e.args[1]),
+                self._static_dtype(e.args[0]),
+                self._static_dtype(e.args[1]))
         if name == "point.withinbbox" and len(e.args) == 3:
             return spatial.within_bbox(
                 *[self.compile(a) for a in e.args])

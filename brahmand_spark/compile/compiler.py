@@ -485,7 +485,15 @@ class QueryCompiler:
                 df = df.filter(ec.compile(residual))
         if part.with_clause is not None:
             if df is None:
-                raise PlanError("WITH without input rows")
+                # Leading WITH (r13): openCypher lets a query OPEN
+                # with WITH over literal/parameter expressions
+                # (`WITH time('12:00') AS t RETURN t.hour`) — seed
+                # the same single-row frame a standalone RETURN uses;
+                # unbound variable references still error naturally
+                # in the expression compiler.
+                from pyspark.sql import SparkSession
+
+                df = SparkSession.getActiveSession().range(1).drop("id")
             df, scope = self._project(
                 df, scope, part.with_clause.items,
                 distinct=part.with_clause.distinct,

@@ -870,3 +870,33 @@ class TestVarLengthLowerBoundGuard:
             "MATCH (a:Customer)-[:NEXT_CUST*9..]->(b:Customer) "
             "WHERE a.c_custkey = 1 RETURN count(*) AS n")
         assert df.collect()[0][0] == 1
+
+
+class TestLeadingWith:
+    """Leading WITH (r13): a query may OPEN with WITH over literal /
+    parameter expressions — seeded from the same single-row frame as
+    a standalone RETURN; later clauses read the bindings."""
+
+    def test_literals_and_exprs(self, tpch, duck):
+        assert_same(
+            tpch.execute("WITH 1 + 2 AS x, 'hi' AS y RETURN x, y"),
+            duck.sql("SELECT 3 AS x, 'hi' AS y"),
+        )
+
+    def test_binding_feeds_later_match(self, tpch, duck):
+        assert_same(
+            tpch.execute("""
+                WITH 10 AS cap
+                MATCH (c:Customer) WHERE c.c_custkey < cap
+                RETURN count(*) AS n"""),
+            duck.sql("SELECT count(*) AS n FROM customer "
+                     "WHERE c_custkey < 10"),
+        )
+
+    def test_unbound_reference_errors(self, tpch):
+        import pytest
+
+        from brahmand_spark.errors import PlanError
+
+        with pytest.raises(PlanError, match="unknown alias"):
+            tpch.execute("WITH q.x AS v RETURN v")

@@ -158,12 +158,22 @@ def pagerank(
     # -> n/|S| on sources (both normalized so ranks sum to n)
     pref_scale = 1.0 if sources is None else float(n) / n_src
     pref = F.col("_pref") * F.lit(pref_scale)
+    # r14 optimization (guide §2.4): the out-degree attaches to the
+    # EDGE set once up front (e2 = e ⋈ out_deg, checkpointed) and the
+    # dangling-vertex set is precomputed once, so each iteration is
+    # one ranks ⋈ e2 join + one aggregate + the vertex update instead
+    # of re-running the out_deg join and the dangling anti-join every
+    # round. contrib values (rank / out_deg) are unchanged.
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e2 = _ckpt(e.join(out_deg, "src"), checkpoint)
+    dang_v = _ckpt(
+        vertices.join(out_deg.withColumnRenamed("src", "id"), "id",
+                      "left_anti").select("id"),
+        checkpoint)
     ranks = vertices.select("id", "_pref", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
         contribs = (
-            ranks.join(out_deg, ranks["id"] == out_deg["src"], "inner")
-            .join(e, "src")
+            ranks.join(e2, ranks["id"] == e2["src"], "inner")
             .select(
                 F.col("dst").alias("id"),
                 (F.col("rank") / F.col("out_deg")).alias("contrib"),
@@ -175,7 +185,7 @@ def pagerank(
         # distribution — kept as a 1-row aggregate and broadcast into
         # the update (no driver fetch)
         dangling = (
-            ranks.join(out_deg, ranks["id"] == out_deg["src"], "left_anti")
+            ranks.join(dang_v, "id", "leftsemi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
         ranks = (
@@ -412,7 +422,15 @@ def sssp_weighted(
     at O(touched edges) per round instead of O(E). Weights must be
     non-negative (no negative-cycle detection). Integer weights sum
     exactly; the whole loop is shuffled on vertex ids and
-    localCheckpoint-truncated per round like the other loops here."""
+    localCheckpoint-truncated per round like the other loops here.
+
+    r14 optimization (guide §2.4): each round is ONE materialization —
+    the relaxation candidates full-outer-merge into the distance table
+    with an ``imp`` flag riding the row, so the next frontier and the
+    convergence probe both read the already-materialized result
+    instead of the r13 shape's two checkpoints (improved, then the
+    merged table) per round. Same distances — the merge arithmetic is
+    unchanged, only the materialization schedule moved."""
     checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
@@ -433,21 +451,25 @@ def sssp_weighted(
             .groupBy("id")
             .agg(F.min("cand").alias("cand"))
         )
-        improved = (
-            cand.join(dist, "id", "left")
-            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
-            .select("id", F.col("cand").alias("dist"))
+        better = F.coalesce(
+            F.col("old").isNull() | (F.col("cand") < F.col("old")),
+            F.lit(False),
         )
-        improved = _ckpt(improved, checkpoint)
-        if improved.isEmpty():
-            break
-        dist = (
+        merged = _ckpt(
             dist.withColumnRenamed("dist", "old")
-            .join(improved, "id", "full_outer")
-            .select("id", F.coalesce("dist", "old").alias("dist"))
+            .join(cand, "id", "full_outer")
+            .select(
+                "id",
+                F.when(better, F.col("cand")).otherwise(F.col("old"))
+                .alias("dist"),
+                better.alias("imp"),
+            ),
+            checkpoint,
         )
-        dist = _ckpt(dist, checkpoint)
-        frontier = improved
+        dist = merged.drop("imp")
+        frontier = merged.filter("imp").drop("imp")
+        if frontier.isEmpty():
+            break
     return dist
 
 
@@ -1020,6 +1042,18 @@ def strongly_connected_components(
     shrinks every round; lineage is localCheckpoint-truncated
     throughout. Raises if ``max_rounds`` outer rounds don't drain the
     graph.
+
+    r14 optimization (guide §2.4 — remove shuffles outright): the trim
+    keep-set comes from ONE doubled-edge aggregate instead of two
+    distincts + two vertex semi-joins, and each coloring superstep is a
+    union-then-single-aggregate (self color rows unioned with
+    edge-propagated color rows, one min aggregate keyed by vertex)
+    instead of join -> aggregate -> join-back — one exchange per
+    superstep where the r13 shape had two, with identical colors
+    (min over {self} ∪ {in-neighbor colors} either way). An unrolled
+    multi-step-per-barrier variant was measured SLOWER (12.6 s vs
+    9.4 s same-JVM: per-barrier plan complexity, not barrier count,
+    dominates) and rejected.
     """
     checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     pairs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -1037,12 +1071,21 @@ def strongly_connected_components(
     for _ in range(max_rounds):
         if live_v.isEmpty():
             break
-        # 0) trim trivial SCCs in bulk until stable
+        # 0) trim trivial SCCs in bulk until stable: the keep set
+        # (vertices with BOTH a live in- and out-edge) from ONE
+        # doubled-edge aggregate (guide §2.4)
         while True:
-            has_out = e_live.select(F.col("u").alias("id")).distinct()
-            has_in = e_live.select(F.col("v").alias("id")).distinct()
-            keep = live_v.join(has_out, "id", "leftsemi") \
-                .join(has_in, "id", "leftsemi")
+            keep = (
+                e_live.select(F.col("u").alias("id"),
+                              F.lit(1).alias("o"), F.lit(0).alias("i"))
+                .union(e_live.select(F.col("v").alias("id"),
+                                     F.lit(0).alias("o"),
+                                     F.lit(1).alias("i")))
+                .groupBy("id")
+                .agg(F.max("o").alias("has_o"), F.max("i").alias("has_i"))
+                .filter((F.col("has_o") == 1) & (F.col("has_i") == 1))
+                .select("id")
+            )
             keep = _ckpt(keep, checkpoint)
             trimmed = live_v.join(keep, "id", "left_anti")
             if trimmed.isEmpty():
@@ -1059,25 +1102,29 @@ def strongly_connected_components(
                 checkpoint)
         if live_v.isEmpty():
             break
-        # 1) forward min-coloring to fixpoint
+        # 1) forward min-coloring to fixpoint: per superstep, the new
+        # color is min over {own color} ∪ {in-neighbor colors},
+        # computed as a UNION of self rows and edge-propagated rows
+        # into one min aggregate — a single exchange, no join-back
+        # (the old color rides along for the chg flag; exactly one
+        # self row per live vertex, so max(own) is it)
         colors = live_v.select("id", F.col("id").alias("color"))
         colors = _ckpt(colors, checkpoint)
         while True:
-            best_in = (
+            own = colors.select(
+                "id", F.col("color"), F.col("color").alias("old"))
+            prop = (
                 colors.join(e_live, colors["id"] == e_live["u"])
-                .groupBy(F.col("v").alias("id"))
-                .agg(F.min("color").alias("in_min"))
+                .select(F.col("v").alias("id"), "color",
+                        F.lit(None).cast("long").alias("old"))
             )
             new_colors = (
-                colors.join(best_in, "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        "color", F.coalesce("in_min", "color")
-                    ).alias("color"),
-                    (F.coalesce("in_min", "color") < F.col("color"))
-                    .alias("chg"),
-                )
+                own.union(prop)
+                .groupBy("id")
+                .agg(F.min("color").alias("color"),
+                     F.max("old").alias("old"))
+                .select("id", "color",
+                        (F.col("color") < F.col("old")).alias("chg"))
             )
             new_colors = _ckpt(new_colors, checkpoint)
             changed = not new_colors.filter("chg").isEmpty()

@@ -128,6 +128,7 @@ def random_walks(
     starts: DataFrame | None = None, checkpoint: bool | str = True,
     checkpoint_dir: str | None = None,
     max_degree: int | None = None, n_buckets: int = 32,
+    ckpt_interval: int = 4,
 ) -> DataFrame:
     """Generate ``n_walks`` walks of up to ``walk_length`` steps from
     every vertex (or from ``starts``' ``id`` column). Returns
@@ -145,10 +146,21 @@ def random_walks(
     Vertex ids must be integral: walk_id is derived as
     ``start * n_walks + walk_index``, which is meaningless (silently
     NULL) on string ids — those fail loudly here instead (hash
-    string ids to bigints upstream, e.g. via ``xxhash64``)."""
+    string ids to bigints upstream, e.g. via ``xxhash64``).
+
+    r14 optimization (guide §2.4/§5): each step references the state
+    ONCE — dead walks ride through the step's left join unmatched
+    instead of being filtered out and unioned back — so lineage grows
+    by one join per step and a checkpoint every ``ckpt_interval``
+    steps (instead of every step) truncates it; intermediate steps
+    are no longer materialized. Same walks (the join/filter/project
+    arithmetic is unchanged), 1/interval of the per-step barrier
+    jobs."""
     checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     if n_walks < 1 or walk_length < 1:
         raise ValueError("n_walks and walk_length must be >= 1")
+    if ckpt_interval < 1:
+        raise ValueError("ckpt_interval must be >= 1")
     # validate BEFORE the eager adjacency checkpoint: the loud type
     # failure must not cost a full ranked-adjacency job first
     starts = _walk_starts(edges, starts, src, dst, "random_walks")
@@ -166,15 +178,28 @@ def random_walks(
         F.lit(True).alias("live"),
     )
     state = _ckpt(state, checkpoint)
+    since = 0
     for t in range(1, walk_length):
         h = md5_hash60(F.concat(
             F.lit(f"w:{seed}:"), F.col("walk_id").cast("string"),
             F.lit(":"), F.lit(t).cast("string")))
-        stepped = _uniform_step(state.filter("live"), adj, h,
-                                with_prev=False)
-        state = _ckpt(
-            stepped.unionByName(state.filter(~F.col("live"))),
-            checkpoint)
+        state = (
+            state.join(adj, state["live"] & (state["cur"] == adj["u"]),
+                       "left")
+            .filter(F.col("u").isNull()
+                    | (F.col("rank") == F.pmod(h, F.col("degree"))))
+            .select(
+                F.col("walk_id"), F.col("start"),
+                F.when(F.col("v").isNull(), F.col("walk"))
+                .otherwise(F.concat("walk", F.array("v"))).alias("walk"),
+                F.coalesce("v", "cur").alias("cur"),
+                F.col("v").isNotNull().alias("live"),
+            )
+        )
+        since += 1
+        if since >= ckpt_interval and t < walk_length - 1:
+            state = _ckpt(state, checkpoint)
+            since = 0
     return state.select("walk_id", "start", "walk")
 
 

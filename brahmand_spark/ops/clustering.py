@@ -51,16 +51,19 @@ def kmeans_fit(
         assigned = base.select(
             ivf_cell(F.col("v"), centroids).alias("cell"), "v"
         ).select("cell", F.posexplode("v").alias("pos", "x"))
-        means = (
-            assigned.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
-                 .alias("pm"))
-            .select("cell", F.col("pm.m").alias("c"))
-            .collect()
-        )
-        updated = {int(r["cell"]): list(r["c"]) for r in means}
-        centroids = [updated.get(i, c) for i, c in enumerate(centroids)]
+        # ONE aggregate, (cell, pos, mean) rows collected directly —
+        # k x dim rows, assembled into the centroid matrix driver-side
+        # (r14: the second per-cell collect_list aggregate bought
+        # nothing over doing the k*dim-row pivot in Python).
+        rows = assigned.groupBy("cell", "pos").agg(
+            F.avg("x").alias("m")).collect()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = r["m"]
+        centroids = [
+            [by_cell[i][p] for p in range(len(c))] if i in by_cell else c
+            for i, c in enumerate(centroids)
+        ]
     return centroids
 
 

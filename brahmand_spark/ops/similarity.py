@@ -168,6 +168,25 @@ def train_ivf_centroids(
     return _kmeans(X, n_cells, iters, seed)
 
 
+def _cents_lit(centroids: list[list[float]]) -> Column:
+    """The centroid matrix as a literal array of (plane, half-norm)
+    structs, built from ONE parsed SQL string instead of cells*dim
+    nested ``F.lit``/``F.array`` calls — each of those is a py4j
+    round-trip, and at k=8 x dim=64 the Column-based construction
+    alone cost ~0.5 s per plan (measured r14; the k-means loop builds
+    this 1 + iters times per fit). ``repr`` doubles round-trip
+    exactly through Spark's SQL double literal, so the values are
+    bit-identical to the ``F.lit`` form."""
+    rows = ", ".join(
+        "named_struct('c', array(%s), 'h', %s)" % (
+            ", ".join(f"{float(x)!r}D" for x in c),
+            f"{sum(float(x) * float(x) for x in c) / 2.0!r}D",
+        )
+        for c in centroids
+    )
+    return F.expr(f"array({rows})")
+
+
 def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
     """Per-centroid nearness scores (v.c - ||c||^2/2; argmax of this is
     argmin of ||v-c||^2). The centroid matrix rides along as a literal
@@ -175,13 +194,7 @@ def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
     functions — unrolling cells*dim multiply-adds into expressions
     would blow up janino codegen; this is a narrow per-row projection
     where interpreted evaluation is cheap."""
-    cents = F.array(*[
-        F.struct(
-            F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-            F.lit(sum(x * x for x in c) / 2.0).alias("h"),
-        )
-        for c in centroids
-    ])
+    cents = _cents_lit(centroids)
     return F.transform(
         cents,
         lambda s: F.aggregate(

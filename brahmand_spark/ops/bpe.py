@@ -17,10 +17,10 @@ word-frequency table: word TYPES grow ~sqrt(corpus) (Heaps' law), so
      bounded by the pair-type count,
    - the argmax pair is a ONE-ROW driver touch (count desc, then
      lexicographic (a, b) — fully deterministic),
-   - the merge applies as a narrow JVM left-fold over each symbol
-     array (``F.aggregate``; greedy left-to-right, non-overlapping —
+   - the merge applies as ONE codegen'd string replace over the
+     delimited symbol string (greedy left-to-right, non-overlapping —
      "aaa" + (a,a) -> [aa, a]), localCheckpoint-ed so iteration i+1
-     never recomputes folds 1..i.
+     never recomputes merges 1..i.
 
 ``merges_per_round > 1`` is the wall-clock lever for the thousands of
 merges a real vocabulary needs: each round takes the top-k
@@ -34,7 +34,7 @@ nearly always).
 
 Application never loops over the corpus either: the trained merge list
 re-segments the (much smaller) word-type table of the target corpus —
-chunked JVM fold passes, no Python — and documents join their words'
+chunked JVM replace passes, no Python — and documents join their words'
 segmentations back by word. OOV words cannot exist when applying to
 the training corpus; on a NEW corpus its own word table is
 re-segmented the same way, so there is no OOV path at all.
@@ -49,6 +49,64 @@ from .algos import _ckpt
 
 WORD_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 END = "</w>"
+
+# r14: symbol sequences ride as DELIMITED STRINGS ("\x01sym\x02" per
+# symbol) so a merge is ONE codegen'd string replace
+# (\x01a\x02\x01b\x02 -> \x01ab\x02) instead of an interpreted
+# higher-order F.aggregate fold per rule — the exact equivalence the
+# DuckDB oracle replay has always relied on (greedy left-to-right
+# non-overlapping replace == the per-symbol fold, because the \x01/\x02
+# wrapping leaves adjacent matches no shared boundary characters).
+# Corpus bytes that collide with the delimiters are escaped
+# (\x00 -> \x00z, \x01 -> \x00a, \x02 -> \x00b — prefix escape, an
+# injective concat-homomorphism), so the encoding is total: no guard
+# pass, no fallback path. Pair counting decodes AFTER the pair-type
+# aggregate, so ordering/argmax see raw symbols and the learned rule
+# list is byte-identical to the r13 fold trainer's.
+_S1, _S2 = "\x01", "\x02"
+
+
+def _esc_py(s: str) -> str:
+    return (s.replace("\x00", "\x00z")
+            .replace("\x01", "\x00a").replace("\x02", "\x00b"))
+
+
+def _encode_word(word: Column) -> Column:
+    """word -> "\x01c1\x02\x01c2\x02...\x01</w>\x02" with per-char
+    symbols (escape units stay whole) and the end-of-word marker."""
+    esc = F.replace(
+        F.replace(
+            F.replace(word, F.lit("\x00"), F.lit("\x00z")),
+            F.lit("\x01"), F.lit("\x00a")),
+        F.lit("\x02"), F.lit("\x00b"))
+    wrapped = F.regexp_replace(
+        esc, "(?s)(\x00.|.)", "\x01$1\x02")
+    return F.concat(wrapped, F.lit(_S1 + END + _S2))
+
+
+def _decode_sym(s: Column) -> Column:
+    return F.replace(
+        F.replace(
+            F.replace(s, F.lit("\x00a"), F.lit("\x01")),
+            F.lit("\x00b"), F.lit("\x02")),
+        F.lit("\x00z"), F.lit("\x00"))
+
+
+def _split_syms(s: Column) -> Column:
+    """Inverse of the wrapping for a non-empty symbol string: strip the
+    outer delimiters, split on the inner ones (still escaped)."""
+    return F.split(
+        F.substring(s, 2, F.length(s) - 2), _S2 + _S1)
+
+
+def _replace_chain(col: Column, rules: list[tuple[str, str]]) -> Column:
+    """Apply ``rules`` in order as delimited-string replaces."""
+    for a, b in rules:
+        ea, eb = _esc_py(a), _esc_py(b)
+        col = F.replace(
+            col, F.lit(_S1 + ea + _S2 + _S1 + eb + _S2),
+            F.lit(_S1 + ea + eb + _S2))
+    return col
 
 
 def word_counts(df: DataFrame, text_col: str = "text",
@@ -65,55 +123,25 @@ def word_counts(df: DataFrame, text_col: str = "text",
     return w
 
 
-def _initial_symbols(word: Column) -> Column:
-    """Character symbols + the end-of-word marker as its own symbol."""
-    return F.concat(
-        F.array_remove(F.split(word, ""), ""),
-        F.array(F.lit(END)),
-    )
-
-
-def _apply_merge(syms: Column, a: str, b: str) -> Column:
-    """Greedy left-to-right merge of adjacent (a, b) -> a||b as a JVM
-    left fold: acc = (out, pend); each symbol either completes a merge
-    with the pending one, or flushes it."""
-    merged = a + b
-    init = F.struct(
-        F.array().cast("array<string>").alias("out"),
-        F.lit(None).cast("string").alias("pend"),
-    )
-
-    def step(acc, s):
-        hit = (acc["pend"] == a) & (s == b)
-        return F.struct(
-            F.when(hit, F.concat(acc["out"], F.array(F.lit(merged))))
-            .otherwise(F.when(acc["pend"].isNull(), acc["out"])
-                       .otherwise(F.concat(acc["out"],
-                                           F.array(acc["pend"]))))
-            .alias("out"),
-            F.when(hit, F.lit(None).cast("string")).otherwise(s)
-            .alias("pend"),
-        )
-
-    return F.aggregate(
-        syms, init, step,
-        lambda acc: F.when(acc["pend"].isNull(), acc["out"])
-        .otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
-    )
-
-
 def _pair_counts(words: DataFrame) -> DataFrame:
     """Adjacent-pair counts weighted by word count: narrow zip_with +
-    one map-side-combined shuffle (reduce side = pair types)."""
+    one map-side-combined shuffle (reduce side = pair types). Input
+    carries the delimited symbol string ``s``; the pair columns come
+    back DECODED (raw symbols) — decoding after the aggregate touches
+    pair-type rows only, and the escape is injective so groups map
+    1:1."""
+    syms = _split_syms(F.col("s"))
     pairs = F.zip_with(
-        F.slice(F.col("syms"), 1, F.size("syms") - 1),
-        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+        F.slice(syms, 1, F.size(syms) - 1),
+        F.slice(syms, 2, F.size(syms) - 1),
         lambda x, y: F.struct(x.alias("a"), y.alias("b")),
     )
     return (
         words.select(F.explode(pairs).alias("p"), "cnt")
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.sum("cnt").alias("n"))
+        .select(_decode_sym(F.col("a")).alias("a"),
+                _decode_sym(F.col("b")).alias("b"), "n")
     )
 
 
@@ -126,7 +154,7 @@ def train_bpe(
     ordered rule list [(a, b), ...]; driver state is the rule list and
     one argmax row per round — never the word table."""
     words = word_counts(df, text_col, min_count).select(
-        _initial_symbols(F.col("word")).alias("syms"), "cnt"
+        _encode_word(F.col("word")).alias("s"), "cnt"
     )
     words = _ckpt(words, checkpoint)
     merges: list[tuple[str, str]] = []
@@ -157,34 +185,38 @@ def train_bpe(
             used.update((a, b, a + b))
         if not chosen:
             break
-        col = F.col("syms")
-        for a, b in chosen:
-            col = _apply_merge(col, a, b)
-        words = _ckpt(words.select(col.alias("syms"), "cnt"), checkpoint)
+        words = _ckpt(
+            words.select(
+                _replace_chain(F.col("s"), chosen).alias("s"), "cnt"),
+            checkpoint)
         merges.extend(chosen)
     return merges
 
 
 def segment_words(
     words: DataFrame, merges: list[tuple[str, str]],
-    word_col: str = "word", chunk: int = 16, checkpoint: bool = True,
+    word_col: str = "word", chunk: int = 128, checkpoint: bool = True,
 ) -> DataFrame:
-    """Re-segment a word table under a trained merge list: chunked
-    narrow JVM fold passes (``chunk`` merges per projection keeps
-    expression depth out of janino's way), checkpointed between
-    chunks. Output: (word_col, tokens array<string>)."""
+    """Re-segment a word table under a trained merge list: chained
+    delimited-string replaces (one codegen'd ``replace`` per rule —
+    r14, previously an interpreted F.aggregate fold per rule),
+    ``chunk`` rules per projection with a checkpoint between chunks
+    (string replaces are shallow expressions, so the chunk is large).
+    Output: (word_col, tokens array<string>)."""
     out = words.select(
-        F.col(word_col),
-        _initial_symbols(F.col(word_col)).alias("tokens"),
+        F.col(word_col), _encode_word(F.col(word_col)).alias("s"),
     )
     for i in range(0, len(merges), chunk):
-        col = F.col("tokens")
-        for a, b in merges[i:i + chunk]:
-            col = _apply_merge(col, a, b)
-        out = out.select(word_col, col.alias("tokens"))
+        out = out.select(
+            word_col,
+            _replace_chain(F.col("s"), merges[i:i + chunk]).alias("s"),
+        )
         if i + chunk < len(merges):
             out = _ckpt(out, checkpoint)
-    return out
+    return out.select(
+        word_col,
+        F.transform(_split_syms(F.col("s")), _decode_sym).alias("tokens"),
+    )
 
 
 def bpe_segment(

@@ -214,7 +214,7 @@ def build_dedup_index(
         sigs_path = os.path.join(store.path, f"{name}.dedup.sigs")
     if buckets_path is None:
         buckets_path = os.path.join(store.path, f"{name}.dedup.buckets")
-    sigs, buckets = dedup_index_frames(
+    sigs, _ = dedup_index_frames(
         df, perms, id_col, text_col, n, num_hashes, bands, hash_fn)
     stats_path = buckets_path + ".stats"
     # clear the whole table dirs first: a rebuild must not leave a
@@ -222,6 +222,17 @@ def build_dedup_index(
     for p in (sigs_path, buckets_path, stats_path):
         delete_path(spark, p)
     sigs.write.mode("overwrite").parquet(f"{sigs_path}/batch=base")
+    # Bands derive from the JUST-WRITTEN narrow signatures, not from
+    # the in-memory frame: the sigs and buckets writes are separate
+    # jobs, and a lazy ``buckets`` would re-run the corpus-sized
+    # shingle + MinHash aggregation a second time (r14; the corpus is
+    # now hashed exactly once, as the module docstring promises).
+    # Identical rows — banding is a pure function of the signatures.
+    buckets = band_buckets(
+        spark.read.parquet(f"{sigs_path}/batch=base")
+        .filter(F.col("signature").isNotNull())
+        .select("id", "signature"),
+        num_hashes, bands, hash_fn)
     buckets.write.mode("overwrite").parquet(
         f"{buckets_path}/batch=base")
     (spark.read.parquet(buckets_path)
@@ -349,12 +360,12 @@ def dedup_index_add(
                     f"this is intentional")
         else:  # skip
             new_docs = new_docs.join(existing_ids, icol, "left_anti")
-    sigs, buckets = dedup_index_frames(
+    sigs, _ = dedup_index_frames(
         new_docs, perms,
         icol, text_col or params["text_col"],
         params["n"], params["num_hashes"], params["bands"],
         params["hash_fn"])
-    # Materialize BOTH frames with lineage CUT before touching the
+    # Materialize the signatures with lineage CUT before touching the
     # index files: the caller's new_docs plan may itself READ this
     # index (dedup_against_stream's add_clean anti-joins the probe
     # result), and Spark recaches/re-evaluates any plan over a path
@@ -363,9 +374,15 @@ def dedup_index_add(
     # buckets append then writes rows for the WRONG doc set and the
     # doc count reads 0). localCheckpoint pins the pre-append
     # snapshot as plain RDD blocks no recache can re-derive;
-    # batch-sized by contract.
+    # batch-sized by contract. Bands derive from the CHECKPOINTED
+    # signatures (r14) — the batch is hashed once, and the derived
+    # frame can't see the half-updated index either, so it needs no
+    # checkpoint of its own.
     sigs = sigs.localCheckpoint()
-    buckets = buckets.localCheckpoint()
+    buckets = band_buckets(
+        sigs.filter(F.col("signature").isNotNull())
+        .select("id", "signature"),
+        params["num_hashes"], params["bands"], params["hash_fn"])
     # count the BATCH, not the whole table — re-counting the index
     # after every append would make per-add cost grow with corpus
     # size, against the module's per-batch-cost contract (one sigs

@@ -1087,12 +1087,13 @@ def strongly_connected_components(
                 .select("id")
             )
             keep = _ckpt(keep, checkpoint)
+            # trimmed is an anti-join of two checkpointed frames —
+            # cheap to (re)derive, so it is NOT separately
+            # materialized (r14: one fewer job per peel round)
             trimmed = live_v.join(keep, "id", "left_anti")
             if trimmed.isEmpty():
                 break
-            done_parts.append(
-                _ckpt(trimmed.select("id", F.col("id").alias("scc")),
-                      checkpoint))
+            done_parts.append(trimmed.select("id", F.col("id").alias("scc")))
             live_v = keep
             e_live = _ckpt(
                 e_live.join(keep.withColumnRenamed("id", "u"), "u",
@@ -1150,7 +1151,11 @@ def strongly_connected_components(
             grow = _ckpt(grow, checkpoint)
             if grow.isEmpty():
                 break
-            marked = _ckpt(marked.unionByName(grow), checkpoint)
+            # marked stays a lazy union of CHECKPOINTED grows — the
+            # per-round anti-join reads cached blocks either way, so
+            # materializing the union bought nothing (r14: one fewer
+            # job per sweep round)
+            marked = marked.unionByName(grow)
             frontier = grow
         done_parts.append(marked.select("id", F.col("color").alias("scc")))
         # 3) shrink the live subgraph

@@ -2458,24 +2458,49 @@ class QueryCompiler:
         arm is a constant-empty frame (same rule as the reference's
         invalid-direction plans). Catalyst prunes the node scan to
         the id column; no shuffle."""
-        sch = rel.schema or (rel.alt_resolved[0][0]
-                             if rel.alt_resolved else None)
-        if sch is None:
+        arms: list[tuple] = []
+        if rel.schema is not None:
+            arms.append((rel.schema, rel.orientation))
+        arms += list(rel.alt_resolved or [])
+        if not arms:
             raise PlanError(
                 f"zero-length walk on unresolvable relationship "
                 f"'{rel.alias}'")
-        if rel.orientation == "rev":
-            lsrc, ldst = sch.to_node, sch.from_node
-        else:
-            lsrc, ldst = sch.from_node, sch.to_node
-        node_sch = self.catalog.node(lsrc)
-        ids = self.load_table(lsrc).select(
-            F.col(node_sch.node_id).alias("src"),
-            F.col(node_sch.node_id).alias("dst"),
-            F.lit(0).alias("hops"))
-        if lsrc != ldst:
-            ids = ids.filter(F.lit(False))
-        return ids
+        # Zero-length paths traverse no edges, so EVERY arm whose
+        # oriented endpoint labels coincide contributes that label's
+        # identity rows — not just the first arm's (ADVICE r13: a
+        # multi-type rel whose first arm had differing labels silently
+        # dropped the other arms' valid zero-hop matches). Each arm
+        # uses its OWN orientation; duplicate labels collapse here, so
+        # the common single-label case stays one pruned scan.
+        labels: list[str] = []
+        for sch, orient in arms:
+            lsrc, ldst = ((sch.to_node, sch.from_node)
+                          if orient == "rev"
+                          else (sch.from_node, sch.to_node))
+            if lsrc == ldst and lsrc not in labels:
+                labels.append(lsrc)
+
+        def ident(label: str) -> DataFrame:
+            node_sch = self.catalog.node(label)
+            return self.load_table(label).select(
+                F.col(node_sch.node_id).alias("src"),
+                F.col(node_sch.node_id).alias("dst"),
+                F.lit(0).alias("hops"))
+
+        if not labels:
+            sch0, orient0 = arms[0]
+            lbl = (sch0.to_node if orient0 == "rev"
+                   else sch0.from_node)
+            return ident(lbl).filter(F.lit(False))
+        out = ident(labels[0])
+        for label in labels[1:]:
+            out = out.unionByName(ident(label))
+        if len(labels) > 1:
+            # distinct arms may share an id space; a node must appear
+            # as a zero-length path once
+            out = out.dropDuplicates(["src"])
+        return out
 
     def _shortest_path_df(self, rel: RelEntity) -> DataFrame:
         """(src, dst, hops) pairs where hops is the SHORTEST directed

@@ -527,6 +527,13 @@ class ExprCompiler:
                 # getItem: works for map keys AND struct fields (map
                 # literals compile to structs, compile/expressions)
                 return base[ix.value]
+            # r14 (ADVICE r13): a DYNAMIC subscript whose static type
+            # is string is map-key access — element_at resolves it
+            # against native-key maps (and fails loudly at analysis on
+            # struct-backed map literals, instead of the silent NULL
+            # the int cast used to produce for every row).
+            if self._static_dtype(ix) == "string":
+                return F.element_at(base, self.compile(ix))
             i = self.compile(ix).cast("int")
             # try_element_at: out-of-range -> NULL (openCypher), not
             # the ANSI INVALID_ARRAY_INDEX error; the sign routing

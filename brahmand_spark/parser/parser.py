@@ -483,9 +483,16 @@ class Parser:
         while self.at_op("-", "<") or self._at_qpp_group():
             if self._at_qpp_group():
                 rels.append(self.parse_qpp_group())
-                # juxtaposed node after the group, or an anonymous
-                # endpoint when the group ends the pattern
-                if self.at_op("("):
+                # juxtaposed node after the group, an anonymous JOINT
+                # node when the NEXT group follows immediately (r14,
+                # ADVICE r13: chained groups — the rewrite the
+                # multi-relationship error message recommends — used
+                # to die in parse_node_pattern on the next '(('), or
+                # an anonymous endpoint when the group ends the
+                # pattern
+                if self._at_qpp_group():
+                    nodes.append(ast.NodePattern(alias=None, label=None))
+                elif self.at_op("("):
                     nodes.append(self.parse_node_pattern())
                 else:
                     nodes.append(ast.NodePattern(alias=None, label=None))

@@ -707,7 +707,13 @@ def _durable_persist(session, table_name: str, df: DataFrame,
     cols = getattr(session, "_durable_cols", None)
     if cols is None:
         cols = session._durable_cols = {}
-    if (touched is not None and fmt in ("delta", "iceberg")
+    # r14 (ADVICE r13 low): the merge route is gated to 'delta' only —
+    # merge_commit addresses the table as delta.`<path>` / a path-based
+    # save, which Delta supports out of the box, while 'iceberg' would
+    # need a catalog with path identifiers that format_available never
+    # verifies (an iceberg session without one failed every keyed
+    # commit). Iceberg keeps the always-correct snapshot write.
+    if (touched is not None and fmt == "delta"
             and cols.get(table_name) == list(df.columns)
             and lakehouse.format_available(session.spark, fmt)):
         lakehouse.merge_commit(session.spark, path, df, touched,

@@ -377,6 +377,39 @@ class TestQuantifiedPathPatterns:
             ORDER BY l""").collect()
         assert [(r["l"], r["nr"]) for r in rows] == [(0, 0), (1, 1)]
 
+    def test_zero_length_multi_type(self, tpch, duck):
+        """-[:A|B*0..1]-> (r14, ADVICE r13): zero-length identity rows
+        derive from ALL arms' shared endpoint labels, not only the
+        first arm's schema."""
+        assert_same(
+            q(tpch, """MATCH (a:Customer)
+                             -[:NEXT_CUST|PREV_CUST*0..1]->(b:Customer)
+                       WHERE a.c_custkey <= 20
+                       RETURN a.c_custkey AS src, b.c_custkey AS dst"""),
+            duck.sql("""SELECT a.c_custkey AS src, b.c_custkey AS dst
+                        FROM customer a JOIN customer b
+                          ON b.c_custkey - a.c_custkey IN (-1, 0, 1)
+                        WHERE a.c_custkey <= 20"""),
+        )
+
+    def test_chained_qpp_groups(self, tpch, duck):
+        """Consecutive quantified groups (r14, ADVICE r13): the joint
+        node between two groups is anonymous; the chain composes the
+        quantifier ranges with path-decomposition multiplicity
+        (total length 3 = 1+2 or 2+1 -> two rows)."""
+        assert_same(
+            q(tpch, """MATCH (a:Customer) ((x)-[:NEXT_CUST]->(y)){1,2}
+                             ((x2)-[:NEXT_CUST]->(y2)){1,2} (b:Customer)
+                       WHERE a.c_custkey <= 20
+                       RETURN a.c_custkey AS src, b.c_custkey AS dst"""),
+            duck.sql("""SELECT a.c_custkey AS src, b.c_custkey AS dst
+                        FROM customer a
+                        JOIN (VALUES (2), (3), (3), (4)) d(diff) ON true
+                        JOIN customer b
+                          ON b.c_custkey - a.c_custkey = d.diff
+                        WHERE a.c_custkey <= 20"""),
+        )
+
     def test_zero_length_shortest_path(self, tpch):
         """shortestPath with *0..k includes the zero-length a==b
         path (previously excluded by the min>=1 contract)."""
@@ -1538,6 +1571,18 @@ class TestMapExpressions:
             "RETURN properties(n) AS m").collect()[0]["m"]
         assert a.asDict() == b.asDict()
         assert a["n_name"] == "NATION_1"
+
+    def test_dynamic_string_key_is_loud(self, tpch):
+        """m[k] with a non-literal string key (r14, ADVICE r13): maps
+        compile to structs, which cannot be subscripted by a runtime
+        key — the compile must fail LOUDLY instead of the silent
+        every-row NULL the int-cast route used to produce."""
+        import pytest
+
+        with pytest.raises(Exception):
+            tpch.execute(
+                "WITH {a: 1, b: 2} AS m, 'a' AS k "
+                "RETURN m[k] AS v").collect()
 
     def test_struct_field_access_downstream(self, tpch):
         rows = tpch.execute(

@@ -763,13 +763,15 @@ def embedding_near_dup_pairs(
         # janino codegen (OOM compiling thousands of nested Adds), and
         # this is a narrow per-row corpus projection where interpreted
         # evaluation is cheap.
-        tables_lit = F.array(*[
-            F.array(*[
-                F.array(*[F.lit(float(x)) for x in plane])
-                for plane in _hyperplanes(probe_dim, n_planes, seed + t)
-            ])
+        # One parsed SQL literal instead of tables*planes*dim nested
+        # F.lit/F.array py4j calls (r14 — same device as
+        # similarity._cents_lit; repr doubles round-trip exactly).
+        tables_lit = F.expr("array(%s)" % ", ".join(
+            "array(%s)" % ", ".join(
+                "array(%s)" % ", ".join(f"{float(x)!r}D" for x in plane)
+                for plane in _hyperplanes(probe_dim, n_planes, seed + t))
             for t in range(n_tables)
-        ])
+        ))
 
         def _plane_dot(plane):
             return F.aggregate(

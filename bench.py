@@ -199,6 +199,30 @@ def _load_previous() -> tuple[str | None, dict[str, float]]:
         return os.path.basename(best), {}
 
 
+def _load_previous_canary() -> float | None:
+    """Latest interleaved BENCH_HISTORY record's host-canary seconds
+    (None before r14 records exist)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist = os.path.join(here, "BENCH_HISTORY.jsonl")
+    if not os.path.exists(hist):
+        return None
+    try:
+        best = None
+        for ln in open(hist):
+            if not ln.strip():
+                continue
+            try:
+                rec = json.loads(ln)
+            except Exception:
+                continue
+            if rec.get("isolated") or not rec.get("canary"):
+                continue
+            best = float(rec["canary"])
+        return best
+    except Exception:
+        return None
+
+
 def _make_spark():
     from pyspark.sql import SparkSession
 
@@ -213,6 +237,27 @@ def _make_spark():
     )
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def _host_canary(spark) -> float:
+    """Fixed pure-Spark probe (r14, VERDICT r13 next #5): a seeded
+    10M-row shuffle+aggregate with NO engine code, timed at bench
+    start so a uniform host slowdown self-identifies — this host's
+    history spans 37.9–96.6 s on unchanged code. Run twice, report
+    the second (steady-state) pass so JVM warmup doesn't pollute it."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.time()
+        (spark.range(10_000_000)
+         .select((F.col("id") % 997).alias("k"), "id")
+         .groupBy("k").agg(F.sum("id").alias("s"),
+                           F.count(F.lit(1)).alias("n"))
+         .write.format("noop").mode("overwrite").save())
+        return round(time.time() - t0, 3)
+
+    once()
+    return once()
 
 
 def _one_gate(name: str) -> None:
@@ -299,6 +344,9 @@ def main() -> None:
         return
 
     spark = _make_spark()
+    canary = _host_canary(spark)
+    print(f"# host canary (10M-row shuffle+agg, steady pass): "
+          f"{canary}s", file=sys.stderr)
 
     import __spark_entry__ as entrymod
 
@@ -373,11 +421,13 @@ def main() -> None:
                   f"(spread {round(spread(detail[name]), 2)}x)",
                   file=sys.stderr)
 
-    _report(bench_queries, cold, detail, isolated=False)
+    _report(bench_queries, cold, detail, isolated=False,
+            canary=canary)
 
 
 def _report(bench_queries: list[str], cold: dict,
-            detail: dict, isolated: bool) -> None:
+            detail: dict, isolated: bool,
+            canary: float | None = None) -> None:
     samples = {n: [round(c + e, 3) for c, e in ts]
                for n, ts in detail.items()}
     med = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
@@ -395,10 +445,16 @@ def _report(bench_queries: list[str], cold: dict,
     # Isolated runs carry fresh-JVM cost structure; min-vs-min against
     # the interleaved round history would flag phantom regressions.
     prev_name, prev = (None, {}) if isolated else _load_previous()
+    prev_canary = None if isolated else _load_previous_canary()
     comparison: dict[str, dict] = {}
     flagged: list[str] = []
     if prev:
         print(f"# --- min vs {prev_name} ---", file=sys.stderr)
+        if canary is not None and prev_canary:
+            print(f"# host canary: prev {prev_canary}s -> {canary}s "
+                  f"(x{round(canary / prev_canary, 2)}) — a uniform "
+                  "gate-ratio shift near this factor is host speed, "
+                  "not code", file=sys.stderr)
         for name in bench_queries:
             if name not in prev or prev[name] <= 0:
                 continue
@@ -452,6 +508,7 @@ def _report(bench_queries: list[str], cold: dict,
                 "min_total": round(sum(mins.values()), 3),
                 "median_total": round(sum(med.values()), 3),
                 "isolated": isolated,
+                "canary": canary,
             }) + "\n")
     except Exception as exc:
         print(f"# WARNING: could not append history: {exc}",
@@ -469,6 +526,7 @@ def _report(bench_queries: list[str], cold: dict,
             n: [[c, e] for c, e in ts] for n, ts in detail.items()},
         "sf": sf,
         "isolated": isolated,
+        "canary": canary,
         "methodology": (
             ("ISOLATED (--isolate): one fresh interpreter+JVM per gate, "
              if isolated else "")

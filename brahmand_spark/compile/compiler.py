@@ -2531,14 +2531,23 @@ class QueryCompiler:
         base = self._adjacency_pairs(rel)
         base = (base if base is not None
                 else self._oriented_pairs(rel)).persist()
+        # each level's frontier size rides its localCheckpoint job as an
+        # observed metric (r14, guide §2.4) — the per-level isEmpty
+        # probe job is gone
+        from pyspark.sql import Observation
+
+        obs = Observation()
         frontier = base.select(
             F.col("src").alias("root"), F.col("dst").alias("node"),
             F.lit(1).alias("hops"),
-        ).dropDuplicates(["root", "node"]).localCheckpoint()
+        ).dropDuplicates(["root", "node"]) \
+            .observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+        n_frontier = obs.get["n"]
         reached = frontier
         for k in range(2, rel.max_hops + 1):
-            if frontier.isEmpty():
+            if n_frontier == 0:
                 break
+            obs = Observation()
             frontier = (
                 frontier.join(
                     base, frontier["node"] == base["src"], "inner"
@@ -2550,8 +2559,10 @@ class QueryCompiler:
                 .dropDuplicates(["root", "node"])
                 .join(reached.select("root", "node"),
                       ["root", "node"], "left_anti")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint()
             )
+            n_frontier = obs.get["n"]
             reached = reached.unionByName(frontier)
         # Every level is eagerly localCheckpoint-ed, so nothing still
         # reads `base` after the loop — release its cached blocks now

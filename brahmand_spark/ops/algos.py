@@ -191,6 +191,10 @@ def pagerank(
     # one ranks ⋈ e2 join + one aggregate + the vertex update instead
     # of re-running the out_deg join and the dangling anti-join every
     # round. contrib values (rank / out_deg) are unchanged.
+    # (An LPA-style adjacency-compacted edge state was MEASURED SLOWER
+    # here back-to-back at sf0.1 — 3.37 s vs 2.72 s min — the extra
+    # collect_list prep aggregate isn't paid back when ranks is tiny
+    # enough to broadcast into the contrib join; see OPTIMIZATION_r14.)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     e2 = _ckpt(e.join(out_deg, "src"), checkpoint)
     dang_v = _ckpt(
@@ -668,7 +672,7 @@ def label_propagation(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     max_iterations: int = 5, checkpoint: bool | str = True,
     checkpoint_dir: str | None = None,
-    symmetrized: bool = False,
+    symmetrized: bool = False, adj_chunk: int = 1 << 16,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (the GraphX
     LabelPropagation parity algorithm): every vertex starts in its own
@@ -676,33 +680,59 @@ def label_propagation(
     neighbors, ties broken by the SMALLEST label — fully deterministic,
     unlike the randomized classic. Returns (id, community).
 
-    Shape per superstep: one join (labels onto edges) + one two-key
-    count aggregate + one argmax via the struct-max trick — two
-    shuffles, lineage truncated per iteration. Note synchronous LPA can
-    oscillate on bipartite structures; ``max_iterations`` bounds it
-    (GraphX ships the same caveat).
+    Shape per superstep: one vertex-sized join (labels onto chunked
+    adjacency lists) + one two-key count aggregate fed by the explode
+    + one argmax via the struct-max trick — the only edge-sized shuffle
+    is the map-side-combined vote exchange, lineage truncated per
+    iteration. Note synchronous LPA can oscillate on bipartite
+    structures; ``max_iterations`` bounds it (GraphX ships the same
+    caveat).
 
     ``symmetrized=True``: the caller guarantees ``edges`` already holds
     both orientations of every undirected edge with no duplicate rows
     (e.g. a relational self-join with ``a != b``). Skips the
     explode-both-directions pass AND the dedup aggregate over the
     doubled edge set — at sf0.1 the clique gate's 9M-row dedup was
-    ~40% of total wall time."""
-    # One prep shuffle (repartition then in-place dedup, see
-    # connected_components); shuffle_hash below avoids re-sorting the
-    # edge set for a sort-merge join every superstep.
+    ~40% of total wall time.
+
+    r14 representation: the symmetric edge set persists as CHUNKED
+    ADJACENCY LISTS ``(a, _nbrs)`` instead of edge pairs (guide §2.3 —
+    shuffle/cache fewer bytes). Each vote round is then a VERTEX-sized
+    label join whose edge-sized explode feeds the partial aggregate
+    inside one codegen stage, the checkpointed state halves (one ``a``
+    per list, not per edge), and round 1's min-neighbor collapses to a
+    per-row ``array_min``. ``adj_chunk`` caps neighbors per row so a
+    supernode cannot build an unbounded array (its list splits into
+    ceil(degree/adj_chunk) hash-bucketed rows; vote counts are
+    unchanged because every edge still explodes exactly once)."""
     checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
+    # One prep shuffle: repartition by `a`, then dedup, degree,
+    # chunked collect_list and the identity-labels distinct are ALL
+    # co-partitioned on `a` (subset rule) — no further exchange.
     if symmetrized:
-        und = _ckpt(
-            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .repartition(F.col("a")), checkpoint
-        )
+        base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+            .repartition(F.col("a"))
     else:
-        und = _ckpt(
-            _symmetrize(edges, src, dst)
-            .repartition(F.col("a")).dropDuplicates(["a", "b"]),
-            checkpoint,
-        )
+        base = _symmetrize(edges, src, dst) \
+            .repartition(F.col("a")).dropDuplicates(["a", "b"])
+    # shuffle_hash on the vertex-sized degree side: both sides are
+    # already a-partitioned, and a sort-merge join would SORT the
+    # edge-sized probe side just to attach one small int
+    deg = base.groupBy("a").agg(F.count(F.lit(1)).alias("_d")) \
+        .hint("shuffle_hash")
+    adj = (
+        base.join(deg, "a")
+        .groupBy(
+            "a",
+            F.pmod(
+                F.xxhash64("b"),
+                F.greatest(F.ceil(F.col("_d") / F.lit(adj_chunk)),
+                           F.lit(1)),
+            ).alias("_bk"))
+        .agg(F.collect_list("b").alias("_nbrs"))
+        .select("a", "_nbrs")
+    )
+    und = _ckpt(adj, checkpoint)
     labels = und.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("community")
     )
@@ -712,21 +742,26 @@ def label_propagation(
             # Identity-label fast path: in round 1 every neighbor
             # holds a DISTINCT label (its own id), so every vote count
             # is 1 and "most frequent, smallest wins" collapses to
-            # min(neighbor id) — one edge-keyed aggregate instead of
-            # a label join + two-key count + argmax (the heaviest
-            # round, since no labels have merged yet).
-            best = und.groupBy(F.col("b").alias("id")).agg(
-                F.min("a").alias("new_community")
+            # min(neighbor id) — on the symmetric adjacency that is a
+            # per-row array_min folded over a vertex's chunk rows
+            # (co-partitioned: zero exchanges in the heaviest round,
+            # where no labels have merged yet).
+            best = (
+                und.select(F.col("a").alias("id"),
+                           F.array_min("_nbrs").alias("_m"))
+                .groupBy("id").agg(F.min("_m").alias("new_community"))
             )
         else:
-            # Rounds 2+: keep the straight two-key count — labels have
-            # started merging, so the MAP-SIDE partial aggregate
-            # compresses the edge-sized join output to near vertex
-            # cardinality before the exchange (a repartition-first
-            # variant was measured slower here: it ships raw edge rows).
+            # Rounds 2+: VERTEX-sized label join onto the adjacency
+            # (shuffle_hash: only labels move — the checkpointed
+            # adjacency keeps its partitioning), then the edge-sized
+            # explode feeds the MAP-SIDE partial aggregate in the same
+            # codegen stage, compressing to near vertex cardinality
+            # before the exchange.
             votes = (
                 labels.hint("shuffle_hash")
                 .join(und, labels["id"] == und["a"], "inner")
+                .select("community", F.explode("_nbrs").alias("b"))
                 .groupBy(F.col("b").alias("id"), F.col("community"))
                 .agg(F.count(F.lit(1)).alias("n"))
             )

@@ -223,6 +223,33 @@ class TestLabelPropagation:
                 d2, max_iterations=8, symmetrized=True).collect())
         assert r1 == r2
 
+    def test_adjacency_chunking_matches_unchunked(self, spark):
+        """r14 internals: the symmetric edge set rides as chunked
+        adjacency lists. Forcing tiny chunks (every vertex's list split
+        across many rows) must not change any community — vote counts
+        are per exploded edge, so chunk boundaries are invisible."""
+        import itertools
+
+        from brahmand_spark.ops.algos import label_propagation
+
+        c1, c2 = [0, 1, 2, 3, 4], [10, 11, 12, 13]
+        edges = (list(itertools.combinations(c1, 2))
+                 + list(itertools.combinations(c2, 2))
+                 + [(4, 10), (0, 13)])
+        df = spark.createDataFrame(edges, "src long, dst long")
+        big = sorted(
+            (r.id, r.community)
+            for r in label_propagation(df, max_iterations=8).collect())
+        tiny = sorted(
+            (r.id, r.community)
+            for r in label_propagation(
+                df, max_iterations=8, adj_chunk=2).collect())
+        assert big == tiny
+        # and the chunked rows really exist: degree 4-5 at chunk 2
+        # means (on average) >= 2 rows per vertex in the grouped state
+        # — sanity-check via the public result only (internals free to
+        # change); the equality above is the contract.
+
 
 class TestDegreesAndKCore:
     def test_degrees(self, spark):

@@ -1089,6 +1089,16 @@ def betweenness_centrality(
     )
 
 
+# SCC coloring superstep index (1-based) from which the pointer-jump
+# branch joins the min aggregate: shallow fixpoints (< _JUMP_AFTER
+# rounds) never pay the extra vertex-sized self-join; deeper ones
+# switch to doubling and finish in _JUMP_AFTER + O(log d) barriers
+# instead of O(d). Results are threshold-independent (the jump only
+# adds ancestor-or-self candidates to a min whose fixpoint is the min
+# ancestor id) — pinned by test_scc_long_cycle_jump_equals_plain.
+_JUMP_AFTER = 4
+
+
 def strongly_connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     max_rounds: int = 20, checkpoint: bool | str = True,
@@ -1141,6 +1151,29 @@ def strongly_connected_components(
     multi-step-per-barrier variant was measured SLOWER (12.6 s vs
     9.4 s same-JVM: per-barrier plan complexity, not barrier count,
     dominates) and rejected.
+
+    r14 (second pass) — CONDITIONAL POINTER JUMPING on the coloring
+    fixpoint (guide §2.2/§2.6: each superstep barrier is a
+    straggler sync at cluster scale, and plain min-propagation is
+    bounded by the longest ancestor path — a linear-depth loop):
+    from superstep ``_JUMP_AFTER`` on, each superstep additionally
+    propagates ``color(color(v))`` — one extra VERTEX-sized
+    self-join feeding the same min aggregate, which doubles the
+    covered ancestor distance per round (O(log) total barriers).
+    color(v) is always an ancestor-or-self of v and ancestors of an
+    ancestor are ancestors, so the jump preserves the invariant and
+    the fixpoint (min ancestor id) is unchanged. The threshold keeps
+    shallow graphs (the common case — fixture converges in 6-7
+    rounds) on the cheaper plain superstep: always-on jumping
+    measured a same-JVM wash at sf0.1 (rounds 13 -> 10 but wall
+    10.6 vs 10.6 avg) because the jump join is comparatively
+    expensive when E ~ V; on deep graphs (long cycles/chains) the
+    barrier count is the whole cost and jumping caps it at
+    ``_JUMP_AFTER + O(log d)``. Also attempted and REJECTED on
+    measurement: re-expressing the backward sweep as the symmetric
+    min-reachability fixpoint with jumping — its V-sized rounds ran
+    ~18% slower than the frontier-BFS whose per-round work shrinks
+    with the frontier.
     """
     checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     pairs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -1202,11 +1235,18 @@ def strongly_connected_components(
         # color is min over {own color} ∪ {in-neighbor colors},
         # computed as a UNION of self rows and edge-propagated rows
         # into one min aggregate — a single exchange, no join-back
-        # (the old color rides along for the chg flag; exactly one
-        # self row per live vertex, so max(own) is it)
+        # (the old color rides the self row for the chg flag; exactly
+        # one self row per live vertex, so max(own) is it). From
+        # superstep _JUMP_AFTER on, a POINTER-JUMP branch
+        # (color(color(v)) via one vertex-sized self-join) joins the
+        # union: it doubles the covered ancestor distance per round,
+        # capping a diameter-bounded loop at O(log) barriers while
+        # costing shallow graphs nothing (see docstring).
         colors = live_v.select("id", F.col("id").alias("color"))
         colors = _ckpt(colors, checkpoint)
+        superstep = 0
         while True:
+            superstep += 1
             own = colors.select(
                 "id", F.col("color"), F.col("color").alias("old"))
             prop = (
@@ -1214,8 +1254,18 @@ def strongly_connected_components(
                 .select(F.col("v").alias("id"), "color",
                         F.lit(None).cast("long").alias("old"))
             )
+            cand = own.union(prop)
+            if superstep >= _JUMP_AFTER:
+                c2 = colors.select(F.col("id").alias("_jid"),
+                                   F.col("color").alias("_jc"))
+                jump = (
+                    colors.join(c2, colors["color"] == c2["_jid"])
+                    .select("id", F.col("_jc").alias("color"),
+                            F.lit(None).cast("long").alias("old"))
+                )
+                cand = cand.union(jump)
             new_colors = (
-                own.union(prop)
+                cand
                 .groupBy("id")
                 .agg(F.min("color").alias("color"),
                      F.max("old").alias("old"))

@@ -730,6 +730,23 @@ class TestStronglyConnectedComponents:
     def test_all_self_loops(self, spark):
         self._check(spark, [(3, 3), (4, 4)])
 
+    def test_scc_long_cycle_jump_equals_plain(self, spark, monkeypatch):
+        """A 12-cycle with a 5-deep ancestor tail: the coloring
+        fixpoint needs ~12 plain supersteps, so the pointer-jump
+        branch (active from _JUMP_AFTER on) carries most of the
+        convergence. Results must equal Tarjan AND the jump-disabled
+        run — the threshold is a performance knob, never a semantic
+        one."""
+        import brahmand_spark.ops.algos as algos
+
+        n = 12
+        pairs = [(i, (i + 1) % n) for i in range(n)]
+        pairs += [(100 + i, 99 + i) for i in range(1, 6)]  # tail chain
+        pairs += [(100, 0)]  # tail feeds the cycle
+        self._check(spark, pairs)  # jump active (default threshold)
+        monkeypatch.setattr(algos, "_JUMP_AFTER", 10 ** 9)
+        self._check(spark, pairs)  # plain path, same labels
+
 
 class TestBetweennessCentrality:
     def _py_brandes_micro(self, pairs, directed, max_hops=10,

@@ -144,6 +144,28 @@ def normalize_url(url: Column, tracking_re: str | None = None) -> Column:
     return F.when((scheme != "") & (host != ""), norm)
 
 
+def url_is_valid(url: Column) -> Column:
+    """Cheap equivalent of ``normalize_url(url).isNotNull()`` —
+    exactly normalize_url's own validity condition (non-empty scheme
+    and non-empty www-stripped host) WITHOUT the full normalization
+    expression. Filters built on this push a two-regex-chain
+    predicate to the scan instead of inlining the entire ~25-step
+    normalization chain into the scan filter (which then re-runs per
+    row on top of the projection's copy — guide §7.2 duplicated
+    subtrees)."""
+    return (url_scheme(url) != "") & (
+        F.regexp_replace(url_host(url), r"^www\.", "") != "")
+
+
+# Above this many (deduplicated) suffixes the registered-domain
+# lookup falls back to broadcast joins: a literal map of the full
+# Mozilla PSL (~9k entries) would bloat every plan that embeds it,
+# while the common curated lists (tens to hundreds of entries) are
+# far cheaper as ONE in-expression map lookup than as three
+# broadcast-hash-join builds (guide §2.4 — remove joins outright).
+_SUFFIX_MAP_MAX = 1024
+
+
 def public_suffix_table(spark, suffixes: list[str] | None = None):
     """(suffix, n_labels) DataFrame for registered-domain matching —
     broadcast-sized (the full Mozilla PSL is ~9k rows). Pass the real
@@ -156,6 +178,20 @@ def public_suffix_table(spark, suffixes: list[str] | None = None):
     return spark.createDataFrame(rows, "suffix string, n_labels int")
 
 
+def _suffix_map_expr(suffixes: list[str]) -> Column:
+    """The suffix list as ONE parsed literal ``map<string,int>``
+    (suffix -> label count): a lookup beats a broadcast join for
+    list-sized tables — zero join nodes, zero broadcast builds, and
+    the whole registered-domain derivation stays inside one
+    projection. Built as a single SQL string parsed by one F.expr
+    call (the _cents_lit device — avoids 2×N py4j Column calls)."""
+    pairs = []
+    for s in dict.fromkeys(suffixes):
+        esc = s.replace("\\", "\\\\").replace("'", "\\'")
+        pairs.append(f"'{esc}', {s.count('.') + 1}")
+    return F.expr(f"map({', '.join(pairs)})")
+
+
 def with_url_parts(
     df: DataFrame, url_col: str = "url",
     suffixes: list[str] | None = None,
@@ -164,39 +200,59 @@ def with_url_parts(
     """Add ``url_norm``, ``host``, and ``registered_domain`` columns.
 
     Registered domain = one label + the LONGEST matching public
-    suffix (eTLD+1). Matching is three LEFT broadcast-hash joins
-    (3-, 2-, 1-label candidate suffixes against the broadcast suffix
-    table) — no shuffle, no UDF; hosts that are themselves a public
-    suffix (or match nothing) fall back to the full host."""
+    suffix (eTLD+1); hosts that are themselves a public suffix (or
+    match nothing) fall back to the full host. For list-sized suffix
+    sets (<= _SUFFIX_MAP_MAX after dedup — every curated list) the
+    3-/2-/1-label candidates probe ONE literal suffix->n_labels map
+    inside the projection: no joins, no broadcast builds, no UDF.
+    Larger sets (the full PSL) keep the three LEFT broadcast-hash
+    joins — same results, the threshold is a plan-size/perf knob
+    only (a k-label candidate matches the filtered k-label join
+    table exactly when the map holds it with value k)."""
     spark = df.sparkSession
-    suf = public_suffix_table(spark, suffixes)
     url = F.col(url_col)
     host = F.regexp_replace(url_host(url), r"^www\.", "")
     out = df.withColumn("url_norm", normalize_url(url, tracking_re)) \
         .withColumn("host", F.when(host != "", host)) \
         .withColumn("_labels", F.split(F.col("host"), r"\."))
     n = F.size("_labels")
-    for k in (3, 2, 1):
-        cand = F.when(
+
+    def cand(k: int) -> Column:
+        return F.when(
             n >= k, F.array_join(F.slice("_labels", n - k + 1, k), "."))
-        sk = F.broadcast(
-            suf.filter(F.col("n_labels") == k)
-            .select(F.col("suffix").alias(f"_sfx{k}")))
-        out = out.withColumn(f"_cand{k}", cand)
-        out = out.join(
-            sk, F.col(f"_cand{k}") == F.col(f"_sfx{k}"), "left")
+
+    sfx_list = list(dict.fromkeys(
+        suffixes if suffixes is not None else COMMON_SUFFIXES))
+    if len(sfx_list) <= _SUFFIX_MAP_MAX:
+        smap = _suffix_map_expr(sfx_list)
+        matched = {
+            k: F.try_element_at(smap, cand(k)) == F.lit(k)
+            for k in (3, 2, 1)
+        }
+    else:
+        suf = public_suffix_table(spark, sfx_list)
+        for k in (3, 2, 1):
+            sk = F.broadcast(
+                suf.filter(F.col("n_labels") == k)
+                .select(F.col("suffix").alias(f"_sfx{k}")))
+            out = out.withColumn(f"_cand{k}", cand(k))
+            out = out.join(
+                sk, F.col(f"_cand{k}") == F.col(f"_sfx{k}"), "left")
+        matched = {k: F.col(f"_sfx{k}").isNotNull() for k in (3, 2, 1)}
     reg = (
-        F.when((F.col("_sfx3").isNotNull()) & (n > 3),
+        F.when(matched[3] & (n > 3),
                F.array_join(F.slice("_labels", n - 3, 4), "."))
-        .when((F.col("_sfx2").isNotNull()) & (n > 2),
+        .when(matched[2] & (n > 2),
               F.array_join(F.slice("_labels", n - 2, 3), "."))
-        .when((F.col("_sfx1").isNotNull()) & (n > 1),
+        .when(matched[1] & (n > 1),
               F.array_join(F.slice("_labels", n - 1, 2), "."))
         .otherwise(F.col("host"))
     )
-    return out.withColumn("registered_domain", reg).drop(
-        "_labels", "_cand3", "_cand2", "_cand1",
-        "_sfx3", "_sfx2", "_sfx1")
+    out = out.withColumn("registered_domain", reg)
+    drop = ["_labels"]
+    if len(sfx_list) > _SUFFIX_MAP_MAX:
+        drop += ["_cand3", "_cand2", "_cand1", "_sfx3", "_sfx2", "_sfx1"]
+    return out.drop(*drop)
 
 
 def url_exact_dedup(
@@ -207,20 +263,36 @@ def url_exact_dedup(
     (deterministic under any partitioning). Rows whose URL fails to
     normalize are dropped by default (``keep_invalid=True`` passes
     them all through untouched — they have no identity to dedup on).
-    One min-aggregate shuffle on the normalized URL; no windows.
-    Pass ``norm_col`` to reuse an already-computed normalization
-    (e.g. with_url_parts' ``url_norm``) instead of paying the regexp
-    chain a second time."""
+    Pass ``norm_col`` to reuse an already-computed normalization of
+    ``url_col`` (e.g. with_url_parts' ``url_norm``) instead of paying
+    the regexp chain a second time; ``url_col`` must still name the
+    source column (the validity pre-filter reads it).
+
+    Shape (r14, guide §2.4): one min-window over the normalized URL
+    — a single full-row exchange — instead of the previous
+    min-aggregate + semi-join-back, which shuffled the key aggregate
+    AND re-attached it to the corpus (a second corpus-wide shuffle
+    once the keep set outgrows a broadcast). The validity pre-filter
+    uses ``url_is_valid`` — equivalent to ``url_norm IS NOT NULL``
+    but ~10x smaller as a pushed-down scan predicate (the filter
+    otherwise inlines the ENTIRE normalization expression above the
+    scan and the projection recomputes it — guide §7.2). It also
+    keeps NULL keys out of the window: at web scale the invalid rows
+    would otherwise pile into one hot partition."""
     if norm_col is not None:
         withn = df.withColumn("_un", F.col(norm_col))
     else:
         withn = df.withColumn("_un", normalize_url(F.col(url_col)))
-    valid = withn.filter(F.col("_un").isNotNull())
-    keep = valid.groupBy("_un").agg(F.min(id_col).alias(id_col))
-    kept = valid.join(keep, ["_un", id_col], "leftsemi").drop("_un")
+    ok = F.coalesce(url_is_valid(F.col(url_col)), F.lit(False))
+    valid = withn.filter(ok)
+    w = Window.partitionBy("_un")
+    kept = (
+        valid.withColumn("_mid", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_mid"))
+        .drop("_un", "_mid")
+    )
     if keep_invalid:
-        return kept.unionByName(
-            withn.filter(F.col("_un").isNull()).drop("_un"))
+        return kept.unionByName(withn.filter(~ok).drop("_un"))
     return kept
 
 

@@ -167,15 +167,31 @@ class TestRegisteredDomain:
         r = with_url_parts(df, suffixes=["internal"]).first()
         assert r["registered_domain"] == "b.internal"
 
-    def test_broadcast_join_plan(self, spark):
-        """Suffix matching must stay broadcast-joined: no Exchange
-        other than the scan side's own partitioning."""
+    def test_suffix_lookup_plan(self, spark):
+        """List-sized suffix sets resolve via the literal-map lookup:
+        ZERO join nodes in the plan. Oversized sets (> _SUFFIX_MAP_MAX)
+        keep the left broadcast-hash joins — and both paths agree."""
+        import brahmand_spark.ops.urls as urls
+
         df = spark.createDataFrame(
-            [(1, "https://a.example.com/x")], "id long, url string")
+            [(1, "https://a.example.com/x"),
+             (2, "https://news.example.co.uk/y"),
+             (3, "https://co.uk/"), (4, "http://localhost/z")],
+            "id long, url string")
         plan = with_url_parts(df)._jdf.queryExecution() \
             .executedPlan().toString()
-        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" \
-            not in plan  # left broadcast-hash joins only
+        assert "Join" not in plan  # pure projection, no broadcast build
+        small = sorted(map(tuple, with_url_parts(df).collect()))
+        try:
+            orig = urls._SUFFIX_MAP_MAX
+            urls._SUFFIX_MAP_MAX = 0  # force the join path
+            joined_plan = with_url_parts(df)._jdf.queryExecution() \
+                .executedPlan().toString()
+            assert "BroadcastHashJoin" in joined_plan
+            big = sorted(map(tuple, with_url_parts(df).collect()))
+        finally:
+            urls._SUFFIX_MAP_MAX = orig
+        assert small == big
 
 
 class TestUrlDedup:

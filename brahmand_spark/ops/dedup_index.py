@@ -221,7 +221,16 @@ def build_dedup_index(
     # previous index's batch=<key> partitions beside the new base
     for p in (sigs_path, buckets_path, stats_path):
         delete_path(spark, p)
-    sigs.write.mode("overwrite").parquet(f"{sigs_path}/batch=base")
+    # n_docs rides the sigs write as an observed metric (one job
+    # instead of write + a separate count-scan job; guide §2.4 — at
+    # build time batch=base is the whole table, so the metric equals
+    # the old re-read count exactly)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (sigs.observe(obs, F.count(F.lit(1)).alias("n"))
+     .write.mode("overwrite").parquet(f"{sigs_path}/batch=base"))
+    n_docs = int(obs.get["n"])
     # Bands derive from the JUST-WRITTEN narrow signatures, not from
     # the in-memory frame: the sigs and buckets writes are separate
     # jobs, and a lazy ``buckets`` would re-run the corpus-sized
@@ -238,7 +247,6 @@ def build_dedup_index(
     (spark.read.parquet(buckets_path)
      .groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
      .write.mode("overwrite").parquet(f"{stats_path}/batch=base"))
-    n_docs = spark.read.parquet(sigs_path).count()
     params = {
         "id_col": id_col, "text_col": text_col, "n": n,
         "num_hashes": num_hashes, "bands": bands, "seed": seed,

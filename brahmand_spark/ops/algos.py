@@ -99,6 +99,72 @@ def _ckpt_obs(df: DataFrame, mode, *aggs):
     return out, obs.get
 
 
+# Target shuffle-input rows per reduce partition for superstep loops.
+# ~250k narrow rows is a few MB — small enough that one task stays
+# cache-friendly, large enough that a loop over millions of rows keeps
+# full parallelism (9M-edge LPA at sf0.1 still computes >= 32).
+_PART_TARGET_ROWS = 250_000
+
+
+class _adaptive_parts:
+    """Scale the loop's ``spark.sql.shuffle.partitions`` to its data:
+    ``min(session setting, ceil(rows / _PART_TARGET_ROWS))`` for the
+    duration of a superstep loop, restored on exit.
+
+    Why (guide §2.2): every superstep materializes through a
+    checkpoint, whose RDD-path execution AQE coalescing does NOT
+    reach — so per-round reduce-task count rides the static session
+    setting no matter how small the live state is, and measured
+    ~0.85 s/barrier at 32 partitions vs ~0.37 s at 8 on a
+    fixture-sized coloring superstep. The count only ever SHRINKS
+    below the session value (at real scale rows/target exceeds any
+    configured setting, making this a no-op), and it derives from
+    observed loop-state sizes, not from the local core count.
+    ``update(rows)`` re-derives mid-loop as the live state shrinks or
+    a better size signal (e.g. touched-edge counts) arrives. Results
+    are partition-count-independent — every loop here is built from
+    deterministic joins/aggregates (pinned by the repartition-
+    invariance tests). Note the setting is session-global while the
+    loop runs, like ``setJobDescription``."""
+
+    def __init__(self, spark, rows):
+        self._conf = spark.conf
+        try:
+            self._orig = int(self._conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            self._orig = None
+        self._rows = max(int(rows), 1)
+
+    def _want(self) -> int:
+        import math
+
+        return min(self._orig,
+                   max(1, math.ceil(self._rows / _PART_TARGET_ROWS)))
+
+    def __enter__(self):
+        if self._orig is not None and self._want() < self._orig:
+            self._conf.set("spark.sql.shuffle.partitions",
+                           str(self._want()))
+        return self
+
+    def update(self, rows) -> None:
+        """Feed a fresher size signal (max of whatever is known)."""
+        if self._orig is None:
+            return
+        rows = max(int(rows), 1)
+        if rows == self._rows:
+            return
+        self._rows = rows
+        self._conf.set("spark.sql.shuffle.partitions",
+                       str(self._want()))
+
+    def __exit__(self, *exc):
+        if self._orig is not None:
+            self._conf.set("spark.sql.shuffle.partitions",
+                           str(self._orig))
+        return False
+
+
 def _prepare_ckpt(df: DataFrame, checkpoint, checkpoint_dir):
     """Entry-point half of the checkpoint option: install
     ``checkpoint_dir`` on the SparkContext when given (and upgrade
@@ -478,37 +544,49 @@ def sssp_weighted(
     ).distinct()
     dist = _ckpt(dist, checkpoint)
     frontier = dist
-    for _ in range(max_iterations):
-        cand = (
-            frontier.join(e, frontier["id"] == e["src"], "inner")
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("dist") + F.col("w")).alias("cand"),
+    # round 1 runs at the session's shuffle-partition setting (no size
+    # signal yet); each round then observes its own shuffle inputs —
+    # reached-vertex rows AND touched-edge rows (the relaxation join
+    # output, so a supernode frontier can never under-partition the
+    # next round) — and scales the partition count to the max of both
+    from pyspark.sql import Observation
+
+    with _adaptive_parts(edges.sparkSession, 10 ** 12) as ap:
+        for _ in range(max_iterations):
+            touched = Observation()
+            cand = (
+                frontier.join(e, frontier["id"] == e["src"], "inner")
+                .observe(touched, F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("dist") + F.col("w")).alias("cand"),
+                )
+                .groupBy("id")
+                .agg(F.min("cand").alias("cand"))
             )
-            .groupBy("id")
-            .agg(F.min("cand").alias("cand"))
-        )
-        better = F.coalesce(
-            F.col("old").isNull() | (F.col("cand") < F.col("old")),
-            F.lit(False),
-        )
-        # improved-count rides the checkpoint job — no separate probe
-        merged, m = _ckpt_obs(
-            dist.withColumnRenamed("dist", "old")
-            .join(cand, "id", "full_outer")
-            .select(
-                "id",
-                F.when(better, F.col("cand")).otherwise(F.col("old"))
-                .alias("dist"),
-                better.alias("imp"),
-            ),
-            checkpoint,
-            F.count(F.when(F.col("imp"), True)).alias("imp"),
-        )
-        dist = merged.drop("imp")
-        frontier = merged.filter("imp").drop("imp")
-        if m["imp"] == 0:
-            break
+            better = F.coalesce(
+                F.col("old").isNull() | (F.col("cand") < F.col("old")),
+                F.lit(False),
+            )
+            # improved-count rides the checkpoint job — no separate probe
+            merged, m = _ckpt_obs(
+                dist.withColumnRenamed("dist", "old")
+                .join(cand, "id", "full_outer")
+                .select(
+                    "id",
+                    F.when(better, F.col("cand")).otherwise(F.col("old"))
+                    .alias("dist"),
+                    better.alias("imp"),
+                ),
+                checkpoint,
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("imp"), True)).alias("imp"),
+            )
+            dist = merged.drop("imp")
+            frontier = merged.filter("imp").drop("imp")
+            if m["imp"] == 0:
+                break
+            ap.update(max(m["n"], touched.get["n"]))
     return dist
 
 
@@ -833,20 +911,24 @@ def k_core(
         F.count(F.lit(1)).alias("n"),
     )
     und_count = m["n"]
-    for _ in range(max_iterations):
-        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= k).select("a")
-        pruned = (
-            und.join(keep, "a", "leftsemi")
-            .join(keep.withColumnRenamed("a", "b"), "b", "leftsemi")
-        )
-        pruned, m = _ckpt_obs(
-            pruned.select("a", "b"), checkpoint,
-            F.count(F.lit(1)).alias("n"))
-        pruned_count = m["n"]
-        if pruned_count == und_count:
-            break
-        und, und_count = pruned, pruned_count
+    # each peel round shuffles at most |E_live| rows; scale the
+    # reduce-partition count to the observed (shrinking) edge count
+    with _adaptive_parts(edges.sparkSession, und_count) as ap:
+        for _ in range(max_iterations):
+            deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+            keep = deg.filter(F.col("d") >= k).select("a")
+            pruned = (
+                und.join(keep, "a", "leftsemi")
+                .join(keep.withColumnRenamed("a", "b"), "b", "leftsemi")
+            )
+            pruned, m = _ckpt_obs(
+                pruned.select("a", "b"), checkpoint,
+                F.count(F.lit(1)).alias("n"))
+            pruned_count = m["n"]
+            if pruned_count == und_count:
+                break
+            und, und_count = pruned, pruned_count
+            ap.update(und_count)
     return (
         und.groupBy(F.col("a").alias("id"))
         .agg(F.count(F.lit(1)).alias("degree"))
@@ -1188,138 +1270,147 @@ def strongly_connected_components(
         .union(pairs.select(F.col("v").alias("id"))).distinct(),
         checkpoint, F.count(F.lit(1)).alias("n"))
     n_live = m["n"]
-    e_all = _ckpt(
-        pairs.filter(F.col("u") != F.col("v")).distinct(), checkpoint)
-    e_live = e_all
+    e_live, m = _ckpt_obs(
+        pairs.filter(F.col("u") != F.col("v")).distinct(), checkpoint,
+        F.count(F.lit(1)).alias("n"))
+    n_edges = m["n"]
     done_parts: list[DataFrame] = []
-    for _ in range(max_rounds):
-        if n_live == 0:
-            break
-        # 0) trim trivial SCCs in bulk until stable: the keep set
-        # (vertices with BOTH a live in- and out-edge) from ONE
-        # doubled-edge aggregate (guide §2.4)
-        while True:
-            keep = (
-                e_live.select(F.col("u").alias("id"),
-                              F.lit(1).alias("o"), F.lit(0).alias("i"))
-                .union(e_live.select(F.col("v").alias("id"),
-                                     F.lit(0).alias("o"),
-                                     F.lit(1).alias("i")))
-                .groupBy("id")
-                .agg(F.max("o").alias("has_o"), F.max("i").alias("has_i"))
-                .filter((F.col("has_o") == 1) & (F.col("has_i") == 1))
-                .select("id")
-            )
-            keep, m = _ckpt_obs(keep, checkpoint,
-                                F.count(F.lit(1)).alias("n"))
-            # keep ⊆ live_v, so the trim fixpoint test is a count
-            # compare riding keep's checkpoint job — the per-peel
-            # anti-join probe job is gone entirely (r14, guide §2.4);
-            # trimmed itself stays lazy (re-derived from two
-            # checkpointed frames only when a peel really happened)
-            if m["n"] == n_live:
+    # every superstep below shuffles at most max(|E_live|, |V_live|)
+    # rows; scale the loop's reduce-partition count to that (the edge
+    # counts keep riding the e_live checkpoints)
+    with _adaptive_parts(edges.sparkSession, max(n_live, n_edges)) as ap:
+        for _ in range(max_rounds):
+            if n_live == 0:
                 break
-            trimmed = live_v.join(keep, "id", "left_anti")
-            done_parts.append(trimmed.select("id", F.col("id").alias("scc")))
-            live_v = keep
-            n_live = m["n"]
-            e_live = _ckpt(
-                e_live.join(keep.withColumnRenamed("id", "u"), "u",
-                            "leftsemi")
-                .join(keep.withColumnRenamed("id", "v"), "v", "leftsemi")
-                .select("u", "v"),
-                checkpoint)
-        if n_live == 0:
-            break
-        # 1) forward min-coloring to fixpoint: per superstep, the new
-        # color is min over {own color} ∪ {in-neighbor colors},
-        # computed as a UNION of self rows and edge-propagated rows
-        # into one min aggregate — a single exchange, no join-back
-        # (the old color rides the self row for the chg flag; exactly
-        # one self row per live vertex, so max(own) is it). From
-        # superstep _JUMP_AFTER on, a POINTER-JUMP branch
-        # (color(color(v)) via one vertex-sized self-join) joins the
-        # union: it doubles the covered ancestor distance per round,
-        # capping a diameter-bounded loop at O(log) barriers while
-        # costing shallow graphs nothing (see docstring).
-        colors = live_v.select("id", F.col("id").alias("color"))
-        colors = _ckpt(colors, checkpoint)
-        superstep = 0
-        while True:
-            superstep += 1
-            own = colors.select(
-                "id", F.col("color"), F.col("color").alias("old"))
-            prop = (
-                colors.join(e_live, colors["id"] == e_live["u"])
-                .select(F.col("v").alias("id"), "color",
-                        F.lit(None).cast("long").alias("old"))
-            )
-            cand = own.union(prop)
-            if superstep >= _JUMP_AFTER:
-                c2 = colors.select(F.col("id").alias("_jid"),
-                                   F.col("color").alias("_jc"))
-                jump = (
-                    colors.join(c2, colors["color"] == c2["_jid"])
-                    .select("id", F.col("_jc").alias("color"),
+            # 0) trim trivial SCCs in bulk until stable: the keep set
+            # (vertices with BOTH a live in- and out-edge) from ONE
+            # doubled-edge aggregate (guide §2.4)
+            while True:
+                keep = (
+                    e_live.select(F.col("u").alias("id"),
+                                  F.lit(1).alias("o"), F.lit(0).alias("i"))
+                    .union(e_live.select(F.col("v").alias("id"),
+                                         F.lit(0).alias("o"),
+                                         F.lit(1).alias("i")))
+                    .groupBy("id")
+                    .agg(F.max("o").alias("has_o"), F.max("i").alias("has_i"))
+                    .filter((F.col("has_o") == 1) & (F.col("has_i") == 1))
+                    .select("id")
+                )
+                keep, m = _ckpt_obs(keep, checkpoint,
+                                    F.count(F.lit(1)).alias("n"))
+                # keep ⊆ live_v, so the trim fixpoint test is a count
+                # compare riding keep's checkpoint job — the per-peel
+                # anti-join probe job is gone entirely (r14, guide §2.4);
+                # trimmed itself stays lazy (re-derived from two
+                # checkpointed frames only when a peel really happened)
+                if m["n"] == n_live:
+                    break
+                trimmed = live_v.join(keep, "id", "left_anti")
+                done_parts.append(trimmed.select("id", F.col("id").alias("scc")))
+                live_v = keep
+                n_live = m["n"]
+                e_live, m = _ckpt_obs(
+                    e_live.join(keep.withColumnRenamed("id", "u"), "u",
+                                "leftsemi")
+                    .join(keep.withColumnRenamed("id", "v"), "v", "leftsemi")
+                    .select("u", "v"),
+                    checkpoint, F.count(F.lit(1)).alias("n"))
+                n_edges = m["n"]
+                ap.update(max(n_live, n_edges))
+            if n_live == 0:
+                break
+            # 1) forward min-coloring to fixpoint: per superstep, the new
+            # color is min over {own color} ∪ {in-neighbor colors},
+            # computed as a UNION of self rows and edge-propagated rows
+            # into one min aggregate — a single exchange, no join-back
+            # (the old color rides the self row for the chg flag; exactly
+            # one self row per live vertex, so max(own) is it). From
+            # superstep _JUMP_AFTER on, a POINTER-JUMP branch
+            # (color(color(v)) via one vertex-sized self-join) joins the
+            # union: it doubles the covered ancestor distance per round,
+            # capping a diameter-bounded loop at O(log) barriers while
+            # costing shallow graphs nothing (see docstring).
+            colors = live_v.select("id", F.col("id").alias("color"))
+            colors = _ckpt(colors, checkpoint)
+            superstep = 0
+            while True:
+                superstep += 1
+                own = colors.select(
+                    "id", F.col("color"), F.col("color").alias("old"))
+                prop = (
+                    colors.join(e_live, colors["id"] == e_live["u"])
+                    .select(F.col("v").alias("id"), "color",
                             F.lit(None).cast("long").alias("old"))
                 )
-                cand = cand.union(jump)
-            new_colors = (
-                cand
-                .groupBy("id")
-                .agg(F.min("color").alias("color"),
-                     F.max("old").alias("old"))
-                .select("id", "color",
-                        (F.col("color") < F.col("old")).alias("chg"))
-            )
-            new_colors, m = _ckpt_obs(
-                new_colors, checkpoint,
-                F.count(F.when(F.col("chg"), True)).alias("chg"))
-            colors = new_colors.drop("chg")
-            if m["chg"] == 0:
-                break
-        # 2) backward sweep from the roots within each color class
-        marked = colors.filter(F.col("id") == F.col("color"))
-        marked = _ckpt(marked, checkpoint)
-        frontier = marked
-        while True:
-            preds = (
-                frontier.join(e_live, frontier["id"] == e_live["v"])
-                .select(F.col("u").alias("id"), "color")
-                .distinct()
-            )
-            grow = (
-                preds.join(colors.withColumnRenamed("color", "c2"), "id")
-                .filter(F.col("color") == F.col("c2"))
-                .select("id", "color")
-                .join(marked, "id", "left_anti")
-            )
-            grow, m = _ckpt_obs(grow, checkpoint,
-                                F.count(F.lit(1)).alias("n"))
-            if m["n"] == 0:
-                break
-            # marked stays a lazy union of CHECKPOINTED grows — the
-            # per-round anti-join reads cached blocks either way, so
-            # materializing the union bought nothing (r14: one fewer
-            # job per sweep round)
-            marked = marked.unionByName(grow)
-            frontier = grow
-        done_parts.append(marked.select("id", F.col("color").alias("scc")))
-        # 3) shrink the live subgraph
-        live_v, m = _ckpt_obs(live_v.join(marked, "id", "left_anti"),
-                              checkpoint, F.count(F.lit(1)).alias("n"))
-        n_live = m["n"]
-        e_live = _ckpt(
-            e_live.join(marked.select(F.col("id").alias("u")), "u",
-                        "left_anti")
-            .join(marked.select(F.col("id").alias("v")), "v", "left_anti")
-            .select("u", "v"),
-            checkpoint)
-    else:
-        if n_live > 0:
-            raise ValueError(
-                f"SCC did not converge in {max_rounds} outer rounds; "
-                "raise max_rounds")
+                cand = own.union(prop)
+                if superstep >= _JUMP_AFTER:
+                    c2 = colors.select(F.col("id").alias("_jid"),
+                                       F.col("color").alias("_jc"))
+                    jump = (
+                        colors.join(c2, colors["color"] == c2["_jid"])
+                        .select("id", F.col("_jc").alias("color"),
+                                F.lit(None).cast("long").alias("old"))
+                    )
+                    cand = cand.union(jump)
+                new_colors = (
+                    cand
+                    .groupBy("id")
+                    .agg(F.min("color").alias("color"),
+                         F.max("old").alias("old"))
+                    .select("id", "color",
+                            (F.col("color") < F.col("old")).alias("chg"))
+                )
+                new_colors, m = _ckpt_obs(
+                    new_colors, checkpoint,
+                    F.count(F.when(F.col("chg"), True)).alias("chg"))
+                colors = new_colors.drop("chg")
+                if m["chg"] == 0:
+                    break
+            # 2) backward sweep from the roots within each color class
+            marked = colors.filter(F.col("id") == F.col("color"))
+            marked = _ckpt(marked, checkpoint)
+            frontier = marked
+            while True:
+                preds = (
+                    frontier.join(e_live, frontier["id"] == e_live["v"])
+                    .select(F.col("u").alias("id"), "color")
+                    .distinct()
+                )
+                grow = (
+                    preds.join(colors.withColumnRenamed("color", "c2"), "id")
+                    .filter(F.col("color") == F.col("c2"))
+                    .select("id", "color")
+                    .join(marked, "id", "left_anti")
+                )
+                grow, m = _ckpt_obs(grow, checkpoint,
+                                    F.count(F.lit(1)).alias("n"))
+                if m["n"] == 0:
+                    break
+                # marked stays a lazy union of CHECKPOINTED grows — the
+                # per-round anti-join reads cached blocks either way, so
+                # materializing the union bought nothing (r14: one fewer
+                # job per sweep round)
+                marked = marked.unionByName(grow)
+                frontier = grow
+            done_parts.append(marked.select("id", F.col("color").alias("scc")))
+            # 3) shrink the live subgraph
+            live_v, m = _ckpt_obs(live_v.join(marked, "id", "left_anti"),
+                                  checkpoint, F.count(F.lit(1)).alias("n"))
+            n_live = m["n"]
+            e_live, m = _ckpt_obs(
+                e_live.join(marked.select(F.col("id").alias("u")), "u",
+                            "left_anti")
+                .join(marked.select(F.col("id").alias("v")), "v", "left_anti")
+                .select("u", "v"),
+                checkpoint, F.count(F.lit(1)).alias("n"))
+            n_edges = m["n"]
+            ap.update(max(n_live, n_edges))
+        else:
+            if n_live > 0:
+                raise ValueError(
+                    f"SCC did not converge in {max_rounds} outer rounds; "
+                    "raise max_rounds")
     if not done_parts:
         return live_v.select(
             "id", F.col("id").alias("scc")).filter(F.lit(False))

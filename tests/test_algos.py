@@ -1116,6 +1116,73 @@ class TestCheckpointEnvPrecedence:
         assert _prepare_ckpt(df, True, None) is True
 
 
+class TestAdaptiveParts:
+    """`_adaptive_parts`: loop shuffle partitions scale to observed
+    state size, never above the session setting, always restored —
+    and the count is a perf knob only (identical results)."""
+
+    def test_shrinks_and_restores(self, spark):
+        from brahmand_spark.ops.algos import _adaptive_parts
+
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        with _adaptive_parts(spark, 10) as ap:
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+            ap.update(10 ** 12)  # huge state: clamped at the original
+            assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+            ap.update(5)
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+
+    def test_noop_when_rows_large(self, spark):
+        from brahmand_spark.ops.algos import _adaptive_parts
+
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        with _adaptive_parts(spark, 10 ** 12):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+
+    def test_results_identical_and_restored_after_loops(
+            self, spark, monkeypatch):
+        """Force every adaptive loop to 1 partition (huge target) and
+        compare SCC/SSSP/k-core outputs against the unshrunk runs;
+        the session setting must be restored either way."""
+        import brahmand_spark.ops.algos as algos
+
+        pairs = [(0, 1), (1, 2), (2, 0), (2, 10), (10, 11), (11, 10),
+                 (11, 20), (20, 21), (21, 22)]
+        edges = edges_df(spark, pairs)
+        srcs = spark.createDataFrame([(0,)], "id long")
+        wedges = edges.withColumn("weight", F.lit(1))
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+
+        def all_results():
+            return (
+                sorted(map(tuple, algos.strongly_connected_components(
+                    edges).collect())),
+                sorted(map(tuple, algos.sssp_weighted(
+                    wedges, srcs).collect())),
+                sorted(map(tuple, algos.k_core(edges, 2).collect())),
+            )
+
+        base = all_results()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+        monkeypatch.setattr(algos, "_PART_TARGET_ROWS", 10 ** 9)
+        assert all_results() == base
+        assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+
+    def test_restored_on_raise(self, spark):
+        """The non-convergence raise exits through the adaptive-parts
+        scope — the session setting must not leak shrunk."""
+        import pytest
+
+        from brahmand_spark.ops.algos import strongly_connected_components
+
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        edges = edges_df(spark, [(0, 1), (1, 0), (1, 2), (2, 1)])
+        with pytest.raises(ValueError, match="did not converge"):
+            strongly_connected_components(edges, max_rounds=0).collect()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+
+
 class TestCkptObs:
     """`_ckpt_obs`: the convergence-probe metric must ride the
     checkpoint job (no separate action) and agree with a plain

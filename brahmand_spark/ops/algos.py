@@ -262,42 +262,48 @@ def pagerank(
     # collect_list prep aggregate isn't paid back when ranks is tiny
     # enough to broadcast into the contrib join; see OPTIMIZATION_r14.)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    e2 = _ckpt(e.join(out_deg, "src"), checkpoint)
+    e2, _m = _ckpt_obs(e.join(out_deg, "src"), checkpoint,
+                       F.count(F.lit(1)).alias("n"))
+    n_edges = _m["n"]
     dang_v = _ckpt(
         vertices.join(out_deg.withColumnRenamed("src", "id"), "id",
                       "left_anti").select("id"),
         checkpoint)
     ranks = vertices.select("id", "_pref", F.lit(1.0).alias("rank"))
-    for _ in range(iterations):
-        contribs = (
-            ranks.join(e2, ranks["id"] == e2["src"], "inner")
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+    # every iteration shuffles at most max(|E|, |V|) rows (contrib
+    # aggregate / vertex update); scale the reduce-partition count
+    with _adaptive_parts(edges.sparkSession, max(n, n_edges)):
+        for _ in range(iterations):
+            contribs = (
+                ranks.join(e2, ranks["id"] == e2["src"], "inner")
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("out_deg")).alias("contrib"),
+                )
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("recv"))
             )
-            .groupBy("id")
-            .agg(F.sum("contrib").alias("recv"))
-        )
-        # mass of dangling vertices, redistributed over the teleport
-        # distribution — kept as a 1-row aggregate and broadcast into
-        # the update (no driver fetch)
-        dangling = (
-            ranks.join(dang_v, "id", "leftsemi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
-        )
-        ranks = (
-            vertices.join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id", "_pref",
-                (F.lit(1.0 - damping) * pref
-                 + F.lit(damping)
-                 * (F.coalesce(F.col("recv"), F.lit(0.0))
-                    + F.col("_dangling") * pref / F.lit(float(n)))
-                 ).alias("rank"),
+            # mass of dangling vertices, redistributed over the teleport
+            # distribution — kept as a 1-row aggregate and broadcast into
+            # the update (no driver fetch)
+            dangling = (
+                ranks.join(dang_v, "id", "leftsemi")
+                .agg(F.coalesce(F.sum("rank"),
+                                F.lit(0.0)).alias("_dangling"))
             )
-        )
-        ranks = _ckpt(ranks, checkpoint)
+            ranks = (
+                vertices.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "id", "_pref",
+                    (F.lit(1.0 - damping) * pref
+                     + F.lit(damping)
+                     * (F.coalesce(F.col("recv"), F.lit(0.0))
+                        + F.col("_dangling") * pref / F.lit(float(n)))
+                     ).alias("rank"),
+                )
+            )
+            ranks = _ckpt(ranks, checkpoint)
     return ranks.select("id", "rank")
 
 
@@ -335,45 +341,50 @@ def connected_components(
     # One prep shuffle, not two: repartition("a") then dropDuplicates —
     # hashpartitioning(a) already clusters (a, b), so the dedup
     # aggregate runs in place with no second exchange.
-    und = _ckpt(
+    und, _m = _ckpt_obs(
         _symmetrize(edges, src, dst)
-        .repartition(F.col("a")).dropDuplicates(["a", "b"]), checkpoint
+        .repartition(F.col("a")).dropDuplicates(["a", "b"]), checkpoint,
+        F.count(F.lit(1)).alias("n"),
     )
     labels = und.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("component")
     )
     labels = _ckpt(labels, checkpoint)
-    for _ in range(max_iterations):
-        # shuffle_hash on the label side: build the per-task hash map
-        # on labels (vertex-sized) instead of sorting the edge side;
-        # scale-safe — no broadcast assumption.
-        neighbor_min = (
-            labels.hint("shuffle_hash")
-            .join(und, labels["id"] == und["a"], "inner")
-            .select(F.col("b").alias("id"), "component")
-            .groupBy("id")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        # changed-flag rides the row (nbr_min < component iff the label
-        # moves), and the changed COUNT rides the checkpoint job itself
-        # — no per-round compare-join + probe job (guide §2.4)
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
-                (F.col("nbr_min") < F.col("component")).alias("chg"),
+    # every superstep shuffles at most |E_sym| rows (the vote
+    # aggregate); scale the reduce-partition count to that
+    with _adaptive_parts(edges.sparkSession, _m["n"]):
+        for _ in range(max_iterations):
+            # shuffle_hash on the label side: build the per-task hash
+            # map on labels (vertex-sized) instead of sorting the edge
+            # side; scale-safe — no broadcast assumption.
+            neighbor_min = (
+                labels.hint("shuffle_hash")
+                .join(und, labels["id"] == und["a"], "inner")
+                .select(F.col("b").alias("id"), "component")
+                .groupBy("id")
+                .agg(F.min("component").alias("nbr_min"))
             )
-        )
-        new_labels, m = _ckpt_obs(
-            new_labels, checkpoint,
-            F.count(F.when(F.col("chg"), True)).alias("chg"))
-        labels = new_labels.drop("chg")
-        if m["chg"] == 0:
-            break
+            # changed-flag rides the row (nbr_min < component iff the
+            # label moves), and the changed COUNT rides the checkpoint
+            # job itself — no per-round compare-join + probe job
+            # (guide §2.4)
+            new_labels = (
+                labels.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_min"), F.col("component")),
+                    ).alias("component"),
+                    (F.col("nbr_min") < F.col("component")).alias("chg"),
+                )
+            )
+            new_labels, m = _ckpt_obs(
+                new_labels, checkpoint,
+                F.count(F.when(F.col("chg"), True)).alias("chg"))
+            labels = new_labels.drop("chg")
+            if m["chg"] == 0:
+                break
     return labels
 
 
@@ -412,54 +423,57 @@ def _cc_two_phase(
     vertices = _ckpt(vertices, checkpoint)
     # child > parent orientation; self-loops drop (they never affect
     # membership; singleton vertices rejoin via the anti-join below)
-    pairs = (
+    pairs, _m = _ckpt_obs(
         e.filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        .distinct()
+        .distinct(), checkpoint, F.count(F.lit(1)).alias("n"),
     )
-    pairs = _ckpt(pairs, checkpoint)
     prev_sig = None
     rounds = 0
-    for _ in range(max_iterations):
-        rounds += 1
-        # -- large-star over the symmetric neighborhood
-        sym = pairs.union(
-            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        mins = (
-            sym.groupBy("u").agg(F.min("v").alias("m"))
-            .select("u", F.least("u", "m").alias("m"))
-        )
-        large = (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
-        )
-        # -- small-star (input already child > parent)
-        mins2 = (
-            large.groupBy("u").agg(F.min("v").alias("m"))
-        )
-        small = (
-            large.join(mins2, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins2.select("u", F.col("m").alias("v")))
-            .distinct()
-        )
-        # the 1-row signature rides the checkpoint job (guide §2.4:
-        # one job per round, not two)
-        pairs, m = _ckpt_obs(
-            small, checkpoint,
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("x"),
-        )
-        sig = (m["n"], m["x"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    # every round shuffles at most 2x the (shrinking) pair count (the
+    # symmetric large-star aggregate); scale reduce partitions to it
+    with _adaptive_parts(edges.sparkSession, 2 * _m["n"]) as ap:
+        for _ in range(max_iterations):
+            rounds += 1
+            # -- large-star over the symmetric neighborhood
+            sym = pairs.union(
+                pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = (
+                sym.groupBy("u").agg(F.min("v").alias("m"))
+                .select("u", F.least("u", "m").alias("m"))
+            )
+            large = (
+                sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct()
+            )
+            # -- small-star (input already child > parent)
+            mins2 = (
+                large.groupBy("u").agg(F.min("v").alias("m"))
+            )
+            small = (
+                large.join(mins2, "u")
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(mins2.select("u", F.col("m").alias("v")))
+                .distinct()
+            )
+            # the 1-row signature rides the checkpoint job (guide §2.4:
+            # one job per round, not two)
+            pairs, m = _ckpt_obs(
+                small, checkpoint,
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+            )
+            sig = (m["n"], m["x"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+            ap.update(2 * m["n"])
     labels = pairs.select(
         F.col("u").alias("id"), F.col("v").alias("component")
     )
@@ -488,23 +502,35 @@ def bfs_distances(
     ).distinct()
     visited = _ckpt(visited, checkpoint)
     frontier = visited
-    for hop in range(1, max_hops + 1):
-        neighbors = (
-            frontier.join(e, frontier["id"] == e["src"], "inner")
-            .select(F.col("dst").alias("id"))
-            .distinct()
-        )
-        new_frontier = (
-            neighbors.join(visited, "id", "left_anti")
-            .select("id", F.lit(hop).alias("distance"))
-        )
-        # frontier size rides the checkpoint job — no separate probe
-        new_frontier, m = _ckpt_obs(
-            new_frontier, checkpoint, F.count(F.lit(1)).alias("n"))
-        if m["n"] == 0:
-            break
-        visited = _ckpt(visited.unionByName(new_frontier), checkpoint)
-        frontier = new_frontier
+    # hop 1 runs at the session setting (no size signal yet); each hop
+    # then observes its own touched-edge rows (the expansion join
+    # output) and visited rows, and scales reduce partitions to the
+    # larger — a supernode frontier can never under-partition
+    from pyspark.sql import Observation
+
+    with _adaptive_parts(edges.sparkSession, 10 ** 12) as ap:
+        for hop in range(1, max_hops + 1):
+            touched = Observation()
+            neighbors = (
+                frontier.join(e, frontier["id"] == e["src"], "inner")
+                .observe(touched, F.count(F.lit(1)).alias("n"))
+                .select(F.col("dst").alias("id"))
+                .distinct()
+            )
+            new_frontier = (
+                neighbors.join(visited, "id", "left_anti")
+                .select("id", F.lit(hop).alias("distance"))
+            )
+            # frontier size rides the checkpoint job — no separate probe
+            new_frontier, m = _ckpt_obs(
+                new_frontier, checkpoint, F.count(F.lit(1)).alias("n"))
+            if m["n"] == 0:
+                break
+            visited, mv = _ckpt_obs(
+                visited.unionByName(new_frontier), checkpoint,
+                F.count(F.lit(1)).alias("n"))
+            frontier = new_frontier
+            ap.update(max(mv["n"], touched.get["n"]))
     return visited
 
 

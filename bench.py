@@ -513,41 +513,63 @@ def _report(bench_queries: list[str], cold: dict,
     except Exception as exc:
         print(f"# WARNING: could not append history: {exc}",
               file=sys.stderr)
+    # r15 (VERDICT r14 next #2): the headline line must stay SMALL —
+    # the driver records only the tail of stdout, and r13's record was
+    # never parsed because queries_all_passes/queries_passes_detail
+    # put tens of KB on the one line. Per-pass detail and the full
+    # vs_prev table now live in the BENCH_DETAIL.json sidecar; the
+    # printed line keeps metric/value/queries/queries_min/sf/canary
+    # and a slim vs_prev (round + regressions only). Methodology is
+    # unchanged from r5 (1 warmup + interleaved timed passes, fresh
+    # plans, noop sink) — only the REPORTING split moved.
+    methodology = (
+        ("ISOLATED (--isolate): one fresh interpreter+JVM per gate, "
+         if isolated else "")
+        + f"1 warmup + {PASSES} "
+        + ("back-to-back" if isolated else "interleaved")
+        + " timed passes per query "
+        f"(queries with pass spread > {SPREAD_LIMIT}x get extra "
+        f"passes, {MAX_PASSES} max); 'queries'/'value' are per-query "
+        "medians of construct+execute, 'queries_min' the per-query "
+        "min (contention-robust lower bound). Each pass builds a "
+        "FRESH plan (queries(fresh=True)) and materializes via the "
+        "noop sink. Per-pass construct/execute detail and the full "
+        "vs_prev table: BENCH_DETAIL.json sidecar."
+    )
+    detail_rec = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "sf": sf, "isolated": isolated, "canary": canary,
+        "queries_construct": med_construct,
+        "queries_execute": med_execute,
+        "queries_all_passes": samples,
+        "queries_passes_detail": {
+            n: [[c, e] for c, e in ts] for n, ts in detail.items()},
+        "vs_prev": {"round": prev_name, "comparison": comparison,
+                    "regressions": flagged},
+        "methodology": methodology,
+    }
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_DETAIL.json")
+        with open(sidecar, "w") as f:
+            json.dump(detail_rec, f, indent=1)
+    except Exception as exc:
+        print(f"# WARNING: could not write BENCH_DETAIL.json: {exc}",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(sum(med.values()), 3),
         "unit": "sec",
         "queries": med,
         "queries_min": mins,
-        "queries_construct": med_construct,
-        "queries_execute": med_execute,
-        "queries_all_passes": samples,
-        "queries_passes_detail": {
-            n: [[c, e] for c, e in ts] for n, ts in detail.items()},
         "sf": sf,
         "isolated": isolated,
         "canary": canary,
-        "methodology": (
-            ("ISOLATED (--isolate): one fresh interpreter+JVM per gate, "
-             if isolated else "")
-            + f"1 warmup + {PASSES} "
-            + ("back-to-back" if isolated else "interleaved")
-            + " timed passes per query "
-            f"(queries with pass spread > {SPREAD_LIMIT}x get extra "
-            f"passes, {MAX_PASSES} max); 'queries'/'value' are per-query "
-            "medians of construct+execute, 'queries_min' the per-query "
-            "min (contention-robust lower bound); 'queries_construct'/"
-            "'queries_execute' split fresh-plan DataFrame construction "
-            "(incl. iterative operators' eager supersteps — their real "
-            "work) from noop-sink execution. Each pass builds a FRESH "
-            "plan (queries(fresh=True)); r2/r3 timed memoized plans and "
-            "are not comparable. 'vs_prev' compares per-query min "
-            "against the latest BENCH_r{N}.json on disk."
-        ),
         "min_total": round(sum(mins.values()), 3),
         "cold_total": round(sum(cold.values()), 3),
-        "vs_prev": {"round": prev_name, "comparison": comparison,
-                    "regressions": flagged},
+        "methodology": methodology,
+        "vs_prev": {"round": prev_name, "regressions": flagged},
     }))
 
 

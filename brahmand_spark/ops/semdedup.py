@@ -13,16 +13,17 @@ so the quadratic work is confined WITHIN clusters:
 2. assign every vector its nearest centroid — a narrow JVM projection,
    no shuffle (``similarity.ivf_cell`` argmax against centroid
    literals);
-3. self-join ON the cluster id and keep pairs with exact cosine >=
-   threshold. Per-cluster work is O(n_c^2): the paper's contract is
-   that k grows with the corpus (they use k = 11,000 for LAION) so
-   clusters stay bounded; a skewed giant cluster means k is too small
-   (or run a second k-means level inside the hot cluster). The join
-   strategy is deliberately left to Catalyst + AQE: a corpus-sized
-   side blows past the broadcast threshold and shuffles on the
-   cluster key, while small inputs broadcast for free — hard-pinning
-   shuffle_hash here measured 3x slower at test scale for zero
-   benefit at 100 TB.
+3. within-cluster exact cosine >= threshold. Per-cluster work is
+   O(n_c^2): the paper's contract is that k grows with the corpus
+   (they use k = 11,000 for LAION) so clusters stay bounded; a skewed
+   giant cluster means k is too small (or run a second k-means level
+   inside the hot cluster). For the DECISION (:func:`semdedup`), the
+   quadratic stage runs as NumPy matmuls over grouped Arrow batches
+   with oversized clusters split into block pairs
+   (:func:`_dropped_ids_arrow` — r15, guide §4.2/§2.5); the
+   pair-producing API (:func:`semdedup_pairs`) keeps the JVM
+   cluster-keyed join, whose strategy is deliberately left to
+   Catalyst + AQE.
 4. drop every vector that has a LOWER-ID near-duplicate in its
    cluster ("keep first" greedy — deterministic, partition- and
    engine-independent). The paper keeps the item farthest from the
@@ -52,6 +53,17 @@ from .similarity import _as_double, dot, ivf_cell, norm
 # ceiling for broadcast centroid literals).
 K_MIN = 8
 K_MAX = 65_536
+
+# r15 (guide §2.5): rows per SIDE of a within-cluster pair block in
+# the Arrow drop path. A cluster larger than this splits into
+# ceil(n / cap) hash blocks and every unordered block pair becomes its
+# own task — a dense hot cell parallelizes into ~m^2/2 tasks instead
+# of serializing one quadratic straggler, at the cost of shipping each
+# row m times (m copies of ~0.5 KB vs an O(n) gram-matrix slab).
+_PAIR_BLOCK_ROWS = 2048
+# A-side rows per matmul slice inside a task — bounds the gram slab at
+# _MM_SLICE x (2 * _PAIR_BLOCK_ROWS) doubles (~64 MB peak incl. masks).
+_MM_SLICE = 1024
 
 
 def _auto_k(df: DataFrame, id_col: str) -> int:
@@ -138,6 +150,91 @@ def semdedup_labels(
     return out
 
 
+def _dropped_ids_arrow(
+    v: DataFrame, threshold: float,
+    block_rows: int = _PAIR_BLOCK_ROWS,
+) -> DataFrame:
+    """Distinct ids that have a LOWER-id near-duplicate in their
+    cluster — the only thing :func:`semdedup` needs from the pair
+    stage — computed per cluster with NumPy matmuls over grouped
+    Arrow batches instead of the per-pair interpreted HOF-dot join
+    (guide §4.2: hand whole batches to vectorized native code; the
+    r14 profile put ~23 s of the sf1 gate's 28 s in that join, on 8
+    join keys). One shuffle keyed by (cluster, block-pair) replaces
+    the join's two cluster-keyed shuffles; clusters over
+    ``block_rows`` rows split into hash blocks so a dense cell
+    parallelizes instead of serializing one quadratic task
+    (guide §2.5). Arithmetic parity with the JVM path: float64
+    matmul (sequential-fold differences land far below the
+    round-to-6 comparison), HALF_UP rounding like ``F.round``, and
+    NaN cosines (zero-norm pairs) qualify — matching the DuckDB
+    oracle's (and non-ANSI Spark's) NaN-above-every-double ordering;
+    under ANSI the JVM join path raises DIVIDE_BY_ZERO on such pairs,
+    so this path is defined where that one was not. Fixed-dim
+    vectors assumed (embeddings).
+    Input: (id, v, cluster); output: (_dropped_id), distinct."""
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        [StructField("_dropped_id", v.schema["id"].dataType)])
+    thr = float(threshold)
+    mm_slice = _MM_SLICE
+
+    def fn(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy()
+        X = np.array(pdf["v"].to_list(), dtype=np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
+        lo, hi = key[1], key[2]
+        if lo == hi:
+            sides = [(ids, X, nrm, ids, X, nrm)]
+        else:
+            a = (pdf["_blk"] == lo).to_numpy()
+            b = ~a
+            sides = [(ids[a], X[a], nrm[a], ids[b], X[b], nrm[b]),
+                     (ids[b], X[b], nrm[b], ids[a], X[a], nrm[a])]
+        dropped = []
+        for ia, Xa, na, ib, Xb, nb in sides:
+            if not len(ia) or not len(ib):
+                continue
+            hit = np.zeros(len(ib), dtype=bool)
+            for s in range(0, len(ia), mm_slice):
+                e = s + mm_slice
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    C = (Xa[s:e] @ Xb.T) / np.outer(na[s:e], nb)
+                # HALF_UP like F.round; NaN >= thr is TRUE in Spark
+                R = np.floor(C * 1e6 + 0.5) / 1e6
+                q = (R >= thr) | np.isnan(C)
+                hit |= (q & (ia[s:e, None] < ib[None, :])).any(axis=0)
+            dropped.append(ib[hit])
+        if not dropped:
+            return pd.DataFrame({"_dropped_id": []})
+        return pd.DataFrame({"_dropped_id": np.concatenate(dropped)})
+
+    counts = v.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
+    ex = (
+        v.join(F.broadcast(counts), "cluster")
+        .withColumn("_m", F.greatest(
+            F.ceil(F.col("_n") / F.lit(block_rows)), F.lit(1).cast("long")))
+        .withColumn("_blk", F.pmod(F.xxhash64("id"), F.col("_m")))
+        .select(
+            "cluster", "id", "v", "_blk",
+            F.explode(F.sequence(
+                F.lit(0).cast("long"), F.col("_m") - 1)).alias("_j"))
+        .select(
+            "cluster", "id", "v", "_blk",
+            F.least("_blk", "_j").alias("_lo"),
+            F.greatest("_blk", "_j").alias("_hi"))
+    )
+    return (
+        ex.groupBy("cluster", "_lo", "_hi")
+        .applyInPandas(fn, out_schema)
+        .distinct()
+    )
+
+
 def _pairs_from_labeled(
     v: DataFrame, threshold: float, dim: int | None,
 ) -> DataFrame:
@@ -194,11 +291,8 @@ def semdedup(
             F.col(id_col).alias("id"),
             _as_double(F.col(vec_col)).alias("v"),
         ).join(labels.withColumnRenamed(id_col, "id"), "id") \
-            .select("id", "v", "cluster", norm(F.col("v"), dim).alias("nrm"))
-        dropped = (
-            _pairs_from_labeled(v, threshold, dim)
-            .select(F.col("id_b").alias("_dropped_id")).distinct()
-        )
+            .select("id", "v", "cluster")
+        dropped = _dropped_ids_arrow(v, threshold)
         return (
             labels.join(
                 dropped, labels[id_col] == dropped["_dropped_id"], "left"
@@ -209,10 +303,13 @@ def semdedup(
             )
         )
     centroids = kmeans_fit(df, k, iters, id_col, vec_col)
-    dropped = (
-        semdedup_pairs(df, centroids, threshold, id_col, vec_col, dim)
-        .select(F.col("id_b").alias("_dropped_id")).distinct()
-    )
+    # drop decision via the grouped-Arrow matmul path (r15, guide
+    # §4.2/§2.5 — see _dropped_ids_arrow); semdedup_pairs stays the
+    # JVM join for callers that consume the pairs themselves
+    v = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).select("id", "v", ivf_cell(F.col("v"), centroids).alias("cluster"))
+    dropped = _dropped_ids_arrow(v, threshold)
     assigned = kmeans_assign(df, centroids, id_col, vec_col)
     return (
         assigned.join(

@@ -268,28 +268,41 @@ def url_exact_dedup(
     the regexp chain a second time; ``url_col`` must still name the
     source column (the validity pre-filter reads it).
 
-    Shape (r14, guide §2.4): one min-window over the normalized URL
-    — a single full-row exchange — instead of the previous
-    min-aggregate + semi-join-back, which shuffled the key aggregate
-    AND re-attached it to the corpus (a second corpus-wide shuffle
-    once the keep set outgrows a broadcast). The validity pre-filter
-    uses ``url_is_valid`` — equivalent to ``url_norm IS NOT NULL``
-    but ~10x smaller as a pushed-down scan predicate (the filter
-    otherwise inlines the ENTIRE normalization expression above the
-    scan and the projection recomputes it — guide §7.2). It also
-    keeps NULL keys out of the window: at web scale the invalid rows
-    would otherwise pile into one hot partition."""
+    Shape (r15, guide §2.5 — skew): ONE ``min_by(struct(row), id)``
+    aggregate keyed by the normalized URL. Like the r14 min-window
+    this is a single full-row exchange (vs the r13 min-aggregate +
+    semi-join-back, which re-shuffled the corpus to re-attach the
+    keep set), but unlike the window it gets MAP-SIDE PARTIAL
+    AGGREGATION: a hot key (millions of identical rows of one viral
+    URL — the exact workload URL dedup targets) collapses to one
+    candidate row per map task before the exchange, instead of
+    serializing the whole cluster into one window partition/task.
+    The validity pre-filter uses ``url_is_valid`` — equivalent to
+    ``url_norm IS NOT NULL`` but ~10x smaller as a pushed-down scan
+    predicate (the filter otherwise inlines the ENTIRE normalization
+    expression above the scan and the projection recomputes it —
+    guide §7.2). It also keeps NULL keys out of the aggregate.
+
+    Tie semantics: ``id_col`` is assumed unique (a duplicated id on
+    the same normalized URL previously yielded every tied row; the
+    aggregate keeps exactly one, which is what "one row per
+    normalized URL" documents)."""
     if norm_col is not None:
         withn = df.withColumn("_un", F.col(norm_col))
     else:
         withn = df.withColumn("_un", normalize_url(F.col(url_col)))
     ok = F.coalesce(url_is_valid(F.col(url_col)), F.lit(False))
     valid = withn.filter(ok)
-    w = Window.partitionBy("_un")
+    cols = df.columns
     kept = (
-        valid.withColumn("_mid", F.min(id_col).over(w))
-        .filter(F.col(id_col) == F.col("_mid"))
-        .drop("_un", "_mid")
+        # null ids could never win the old id == min(id) filter; keep
+        # them out so an all-null-id group can't emit a null row
+        valid.filter(F.col(id_col).isNotNull())
+        .groupBy("_un")
+        .agg(F.min_by(
+            F.struct(*[F.col(c) for c in cols]), F.col(id_col)
+        ).alias("_row"))
+        .select(*[F.col("_row").getField(c).alias(c) for c in cols])
     )
     if keep_invalid:
         return kept.unionByName(withn.filter(~ok).drop("_un"))

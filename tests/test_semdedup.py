@@ -186,3 +186,60 @@ class TestRecursiveSplit:
         labels = semdedup(_vec_df(spark, X), k=3, threshold=0.9,
                           max_cluster_size=40).collect()
         assert all("." not in r["cluster"] for r in labels)
+
+
+class TestArrowDropPath:
+    """r15: the drop decision runs as grouped-Arrow NumPy matmuls
+    (_dropped_ids_arrow) with oversized clusters split into block
+    pairs. Parity with the JVM pair join is the contract."""
+
+    def _df(self, spark, seed=21, n=240, dim=8):
+        rng = np.random.RandomState(seed)
+        X = rng.randn(n, dim)
+        X[3::4] = X[2::4] + rng.randn(len(X[3::4]), dim) * 1e-3
+        return _vec_df(spark, X)
+
+    def _labeled(self, spark, df, k=3):
+        from brahmand_spark.ops.similarity import _as_double, ivf_cell
+
+        cents = kmeans_fit(df, k=k, iters=2)
+        return cents, df.select(
+            F.col("vec_id").alias("id"),
+            _as_double(F.col("embedding")).alias("v"),
+        ).select("id", "v", ivf_cell(F.col("v"), cents).alias("cluster"))
+
+    def test_blocked_and_unblocked_match_jvm_pairs(self, spark):
+        from brahmand_spark.ops.semdedup import _dropped_ids_arrow
+
+        df = self._df(spark)
+        cents, v = self._labeled(spark, df)
+        want = {r["id_b"] for r in semdedup_pairs(
+            df, cents, threshold=0.95).collect()}
+        one_block = {r["_dropped_id"] for r in _dropped_ids_arrow(
+            v, 0.95, block_rows=10_000).collect()}
+        many_blocks = {r["_dropped_id"] for r in _dropped_ids_arrow(
+            v, 0.95, block_rows=16).collect()}
+        assert one_block == want
+        assert many_blocks == want
+        assert want  # fixture must exercise real drops
+
+    def test_zero_vectors_follow_oracle_nan_semantics(self, spark):
+        """cosine with a zero-norm vector is NaN; DuckDB (the oracle)
+        and non-ANSI Spark order NaN above every double, so NaN >=
+        threshold DROPS the higher id. The JVM join path cannot even
+        express this under ANSI (0/0 raises DIVIDE_BY_ZERO); the Arrow
+        path is defined and must drop the second zero vector."""
+        from brahmand_spark.ops.semdedup import _dropped_ids_arrow
+
+        X = np.vstack([np.zeros((2, 6)), np.eye(6) * 5.0])
+        df = _vec_df(spark, X)
+        cents, v = self._labeled(spark, df, k=2)
+        clusters = {r["id"]: r["cluster"] for r in
+                    v.select("id", "cluster").collect()}
+        got = {r["_dropped_id"] for r in _dropped_ids_arrow(
+            v, 0.95).collect()}
+        # the two zero vectors are ids 0 and 1; if they share a cell
+        # the higher one drops on the NaN pair
+        if clusters[0] == clusters[1]:
+            assert 1 in got
+        assert 0 not in got

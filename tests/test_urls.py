@@ -218,6 +218,43 @@ class TestUrlDedup:
             df.repartition(7)).collect())
         assert a == b == [0, 1, 2, 3, 4]
 
+    def test_hot_key_shape_is_partial_aggregate(self, spark):
+        """r15 (VERDICT r14 next #4): the dedup must survive a hot key
+        — one URL duplicated across the whole corpus — without
+        serializing it into a single window partition. 200k dups of
+        one URL + distinct tails: correct survivors, and the plan is
+        a two-phase (partial+final) min_by aggregate, no Window."""
+        df = (
+            spark.range(200_000)
+            .selectExpr(
+                "id AS doc_id",
+                "CASE WHEN id % 2 = 0 THEN 'https://hot.com/x' "
+                "ELSE concat('https://t.com/p', id) END AS url")
+        )
+        out = url_exact_dedup(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        assert "partial_min_by" in plan, plan
+        kept = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("url") == "https://hot.com/x", 1)
+                  .otherwise(0)).alias("hot"),
+            F.min(F.when(F.col("url") == "https://hot.com/x",
+                         F.col("doc_id"))).alias("hot_id"),
+        ).first()
+        assert kept["n"] == 100_001  # 100k odd-tail URLs + 1 hot
+        assert kept["hot"] == 1 and kept["hot_id"] == 0
+
+    def test_duplicate_min_id_emits_one_row(self, spark):
+        """min_by keeps exactly ONE row per normalized URL even when
+        the minimum id is duplicated (the r14 window kept every tied
+        row — 'one row per normalized URL' now holds literally)."""
+        rows = [(1, "https://ex.com/a"), (1, "https://ex.com/a/"),
+                (2, "https://ex.com/a")]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = url_exact_dedup(df).collect()
+        assert len(out) == 1 and out[0]["doc_id"] == 1
+
 
 class TestFilterDomains:
     def test_block_and_allow(self, spark):

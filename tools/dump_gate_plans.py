@@ -1,5 +1,5 @@
 """Dump .explain("formatted") for every benched gate to
-plans/r14/<gate>_<suffix>.txt (the optimization round's before/after
+plans/r15/<gate>_<suffix>.txt (the optimization round's before/after
 plan evidence). Usage:
 
     PYTHONPATH=/root/repo python3 tools/dump_gate_plans.py before [gate ...]
@@ -7,7 +7,7 @@ plan evidence). Usage:
 Iterative operators run their supersteps eagerly at construction; the
 dumped plan is the FINAL materialized plan (post-checkpoint), which is
 what the noop sink executes — per-superstep plans are the per-round
-join/aggregate shapes described in OPTIMIZATION_r14.md.
+join/aggregate shapes described in OPTIMIZATION_r15.md.
 """
 
 from __future__ import annotations
@@ -41,7 +41,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+        os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15"))
     os.makedirs(outdir, exist_ok=True)
 
     qs = entrymod.queries(fresh=True)

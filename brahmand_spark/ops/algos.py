@@ -38,8 +38,49 @@ graph algorithms at all — SURVEY.md §2.8).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+# Stats-estimate cap for checkpointed loop state, in BITS of the
+# estimated sizeInBytes (r15). Spark 3.4+ checkpoints PRESERVE the
+# origin plan's statistics (SPARK-39748: LogicalRDD carries
+# originStats), so a superstep loop that joins its own previous state
+# COMPOUNDS size estimates multiplicatively across rounds — a
+# self-joining round DOUBLES the estimate's bit length (measured:
+# 14 -> 26 -> 51 -> 100 -> 199 -> 396 bits over 5 rounds), and after
+# ~25-30 such rounds the BigInteger arithmetic inside plan-stats
+# estimation OOMs the driver or throws "BigInteger would overflow
+# supported range" (reproduced on a 24-cycle SCC sweep). Estimates
+# beyond 2^256 carry no planning information — every threshold
+# compare saturates — so once the stored estimate crosses the cap,
+# the checkpointed frame is rebuilt through the JVM row-RDD
+# constructor, whose LogicalRDD carries NO origin stats (falls back
+# to spark.sql.defaultSizeInBytes). Costs one extra per-row
+# InternalRow<->Row conversion on frames whose estimates were
+# already astronomical; never triggers on honest estimates.
+_STATS_BITS_CAP = 256
+
+
+def _reset_huge_stats(df: DataFrame) -> DataFrame:
+    """Rebuild a (checkpointed) frame from its JVM row RDD when its
+    stored sizeInBytes estimate exceeds ``_STATS_BITS_CAP`` bits —
+    breaking SPARK-39748 stats propagation before compounded
+    estimates overflow BigInteger (see _STATS_BITS_CAP). Purely a
+    metadata reset: same rows, same truncated lineage (the new plan's
+    RDD is derived from the checkpointed blocks)."""
+    try:
+        st = df._jdf.queryExecution().optimizedPlan().stats()
+        if int(st.sizeInBytes()).bit_length() <= _STATS_BITS_CAP:
+            return df
+        spark = df.sparkSession
+        jdf = spark._jsparkSession.createDataFrame(
+            df._jdf.javaRDD(), df._jdf.schema())
+        return type(df)(jdf, spark)
+    except Exception:
+        return df
 
 
 def _ckpt(df: DataFrame, mode) -> DataFrame:
@@ -51,16 +92,19 @@ def _ckpt(df: DataFrame, mode) -> DataFrame:
     single JVM); 'reliable' → DataFrame.checkpoint to the
     SparkContext checkpoint dir (survives executor loss; see module
     docstring). Results are mode-independent — only failure-recovery
-    and memory behavior differ."""
+    and memory behavior differ. Checkpointed state whose inherited
+    size ESTIMATE has gone astronomical is rebuilt without it
+    (_reset_huge_stats) so deep loops cannot overflow plan-stats
+    arithmetic."""
     if not mode:
         return df
     if mode is True or mode == "local":
-        return df.localCheckpoint(eager=True)
+        return _reset_huge_stats(df.localCheckpoint(eager=True))
     if mode == "local_disk":
         from pyspark import StorageLevel
 
-        return df.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        return _reset_huge_stats(df.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY))
     if mode == "reliable":
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
@@ -68,7 +112,7 @@ def _ckpt(df: DataFrame, mode) -> DataFrame:
                 "checkpoint='reliable' needs a checkpoint directory: "
                 "pass checkpoint_dir= (or call "
                 "SparkContext.setCheckpointDir first)")
-        return df.checkpoint(eager=True)
+        return _reset_huge_stats(df.checkpoint(eager=True))
     raise ValueError(
         f"checkpoint must be False, True, 'local', 'local_disk' or "
         f"'reliable' (got {mode!r})")
@@ -105,6 +149,19 @@ def _ckpt_obs(df: DataFrame, mode, *aggs):
 # full parallelism (9M-edge LPA at sf0.1 still computes >= 32).
 _PART_TARGET_ROWS = 250_000
 
+# Sessions with a live _adaptive_parts loop (keyed by the underlying
+# JVM session object id) + the lock that serializes enter/exit — see
+# _adaptive_parts: only the outermost loop per session may own the
+# shuffle.partitions override.
+_AP_LOCK = threading.Lock()
+_AP_ACTIVE: set[int] = set()
+
+# LPA switches a round to frontier-delta voting when fewer than
+# n_vertices / _LPA_DELTA_FRAC labels changed last round — small enough
+# that gathering votes for just the touched vertices beats re-scattering
+# every label (see label_propagation).
+_LPA_DELTA_FRAC = 8
+
 
 class _adaptive_parts:
     """Scale the loop's ``spark.sql.shuffle.partitions`` to its data:
@@ -125,14 +182,31 @@ class _adaptive_parts:
     are partition-count-independent — every loop here is built from
     deterministic joins/aggregates (pinned by the repartition-
     invariance tests). Note the setting is session-global while the
-    loop runs, like ``setJobDescription``."""
+    loop runs, like ``setJobDescription``.
+
+    Only the OUTERMOST instance per session is live (r15, ADVICE): a
+    nested or concurrent loop on the same SparkSession becomes a
+    no-op instead of capturing the outer loop's shrunken value as its
+    'orig' — two overlapping loops could otherwise race and leave the
+    session pinned at 1 partition after both exit. Guarded by a
+    module lock; the holder key is the session object."""
 
     def __init__(self, spark, rows):
         self._conf = spark.conf
-        try:
-            self._orig = int(self._conf.get("spark.sql.shuffle.partitions"))
-        except (TypeError, ValueError):
-            self._orig = None
+        self._key = id(spark._jsparkSession) \
+            if hasattr(spark, "_jsparkSession") else id(spark)
+        with _AP_LOCK:
+            if self._key in _AP_ACTIVE:
+                # another loop already owns this session's setting
+                self._orig = None
+                self._key = None
+            else:
+                _AP_ACTIVE.add(self._key)
+                try:
+                    self._orig = int(
+                        self._conf.get("spark.sql.shuffle.partitions"))
+                except (TypeError, ValueError):
+                    self._orig = None
         self._rows = max(int(rows), 1)
 
     def _want(self) -> int:
@@ -162,6 +236,9 @@ class _adaptive_parts:
         if self._orig is not None:
             self._conf.set("spark.sql.shuffle.partitions",
                            str(self._orig))
+        if self._key is not None:
+            with _AP_LOCK:
+                _AP_ACTIVE.discard(self._key)
         return False
 
 
@@ -805,10 +882,21 @@ def label_propagation(
     label join whose edge-sized explode feeds the partial aggregate
     inside one codegen stage, the checkpointed state halves (one ``a``
     per list, not per edge), and round 1's min-neighbor collapses to a
-    per-row ``array_min``. ``adj_chunk`` caps neighbors per row so a
-    supernode cannot build an unbounded array (its list splits into
-    ceil(degree/adj_chunk) hash-bucketed rows; vote counts are
-    unchanged because every edge still explodes exactly once)."""
+    per-row ``array_min``. ``adj_chunk`` bounds the EXPECTED neighbors
+    per row so a supernode does not build an unbounded array: its list
+    splits into ceil(degree/adj_chunk) hash-bucketed rows, so a bucket
+    holds ~adj_chunk neighbors in expectation (hash bucketing gives no
+    hard per-bucket cap, but deviations are tiny at these sizes); vote
+    counts are unchanged because every edge still explodes exactly
+    once.
+
+    r15 (VERDICT r14 #7): once fewer than n/``_LPA_DELTA_FRAC`` labels
+    changed in a round, the next round GATHERS votes only for vertices
+    with a changed neighbor (an unchanged vote multiset re-yields last
+    round's argmax, so everyone else provably keeps their label) —
+    per-round cost tracks the shrinking frontier instead of the full
+    edge set. Labels are identical either way; dense rounds keep the
+    scatter shape."""
     checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     # One prep shuffle: repartition by `a`, then dedup, degree,
     # chunked collect_list and the identity-labels distinct are ALL
@@ -840,8 +928,16 @@ def label_propagation(
     labels = und.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("community")
     )
-    labels = _ckpt(labels, checkpoint)
+    labels, m = _ckpt_obs(labels, checkpoint,
+                          F.count(F.lit(1)).alias("n"))
+    n_vertices = m["n"]
+    changed = None  # ids whose label changed last round (ckpt'd rows)
+    n_changed = n_vertices  # round 0 re-votes everyone
     for it in range(max_iterations):
+        delta_round = (
+            it > 0 and changed is not None
+            and n_changed * _LPA_DELTA_FRAC < n_vertices
+        )
         if it == 0:
             # Identity-label fast path: in round 1 every neighbor
             # holds a DISTINCT label (its own id), so every vote count
@@ -854,6 +950,40 @@ def label_propagation(
                 und.select(F.col("a").alias("id"),
                            F.array_min("_nbrs").alias("_m"))
                 .groupBy("id").agg(F.min("_m").alias("new_community"))
+            )
+        elif delta_round:
+            # FRONTIER-DELTA round (r15, VERDICT r14 #7): a vertex's
+            # vote multiset is unchanged unless >= 1 neighbor changed
+            # label last round, and an unchanged multiset re-yields
+            # last round's argmax — so only neighbors-of-changed need
+            # re-voting. When the changed set is small
+            # (< n/_LPA_DELTA_FRAC), GATHER votes for just those
+            # targets: explode only their adjacency rows and join
+            # labels onto the exploded neighbors. Per-round work is
+            # then frontier-edge-sized instead of corpus-edge-sized —
+            # the sparse/converging regime where full scatter re-votes
+            # everyone to change almost nothing. Dense rounds (clique
+            # fixtures, early supersteps) keep the scatter path below.
+            touched = (
+                changed.withColumnRenamed("id", "a")
+                .join(und, "a", "inner")
+                .select(F.explode("_nbrs").alias("a"))
+                .distinct()
+            )
+            votes = (
+                und.join(touched, "a", "leftsemi")
+                .select("a", F.explode("_nbrs").alias("b"))
+                .join(labels.hint("shuffle_hash")
+                      .select(F.col("id").alias("b"), "community"), "b")
+                .groupBy(F.col("a").alias("id"), F.col("community"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            best = (
+                votes.groupBy("id")
+                .agg(F.max(F.struct(
+                    F.col("n"), (-F.col("community")).alias("neg"),
+                )).alias("top"))
+                .select("id", (-F.col("top.neg")).alias("new_community"))
             )
         else:
             # Rounds 2+: VERTEX-sized label join onto the adjacency
@@ -893,8 +1023,11 @@ def label_propagation(
             new_labels, checkpoint,
             F.count(F.when(F.col("chg"), True)).alias("chg"))
         labels = new_labels.drop("chg")
-        if m["chg"] == 0:
+        n_changed = m["chg"]
+        if n_changed == 0:
             break
+        # changed ids read the just-checkpointed blocks — no extra job
+        changed = new_labels.filter(F.col("chg")).select("id")
     return labels
 
 
@@ -1206,6 +1339,20 @@ def betweenness_centrality(
 # ancestor id) — pinned by test_scc_long_cycle_jump_equals_plain.
 _JUMP_AFTER = 4
 
+# Backward-sweep BFS rounds before switching to the pointer-jump
+# min-reachability tail (r15, VERDICT r14 #6). Higher than
+# _JUMP_AFTER because the switch itself costs ~3 fixed checkpoint
+# jobs (same-color edge set, reach init, final marked join) plus
+# V+E-sized jump rounds where a BFS round is frontier-sized: the
+# tail only wins once the REMAINING depth exceeds ~3 + log2(d), i.e.
+# d >= ~7 — so sweeps that finish within 8 frontier rounds (the
+# common shallow case) never pay it, and genuinely deep components
+# (path-/cycle-heavy cores, depth 100s at web scale) cap at
+# 8 + O(log d) barriers instead of O(d). Threshold-independent
+# results pinned by test_scc_deep_cycle_sweep_jump_caps_barriers +
+# the Tarjan-parity suite.
+_SWEEP_JUMP_AFTER = 8
+
 
 def strongly_connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -1360,6 +1507,10 @@ def strongly_connected_components(
             colors = live_v.select("id", F.col("id").alias("color"))
             colors = _ckpt(colors, checkpoint)
             superstep = 0
+            # the union's null 'old' must carry the id column's ACTUAL
+            # dtype — hardcoding long breaks direct callers with string
+            # ids (analysis error under ANSI, silent widening otherwise)
+            id_type = colors.schema["color"].dataType
             while True:
                 superstep += 1
                 own = colors.select(
@@ -1367,7 +1518,7 @@ def strongly_connected_components(
                 prop = (
                     colors.join(e_live, colors["id"] == e_live["u"])
                     .select(F.col("v").alias("id"), "color",
-                            F.lit(None).cast("long").alias("old"))
+                            F.lit(None).cast(id_type).alias("old"))
                 )
                 cand = own.union(prop)
                 if superstep >= _JUMP_AFTER:
@@ -1376,7 +1527,7 @@ def strongly_connected_components(
                     jump = (
                         colors.join(c2, colors["color"] == c2["_jid"])
                         .select("id", F.col("_jc").alias("color"),
-                                F.lit(None).cast("long").alias("old"))
+                                F.lit(None).cast(id_type).alias("old"))
                     )
                     cand = cand.union(jump)
                 new_colors = (
@@ -1393,11 +1544,26 @@ def strongly_connected_components(
                 colors = new_colors.drop("chg")
                 if m["chg"] == 0:
                     break
-            # 2) backward sweep from the roots within each color class
+            # 2) backward sweep from the roots within each color class:
+            # frontier BFS while shallow — its per-round work shrinks
+            # with the frontier and each edge is touched at most once
+            # across the whole sweep. From _SWEEP_JUMP_AFTER rounds on
+            # (r15, VERDICT r14 #6 — same device as the coloring
+            # fixpoint), switch to a MIN-REACHABILITY pointer-jump
+            # fixpoint so a deep component costs O(log d) further
+            # barriers instead of O(d): within a color class the root
+            # c is the minimum id, so v is in c's SCC iff the smallest
+            # id reachable from v inside the class is c itself, and
+            # that min-over-descendants fixpoint admits the doubling
+            # step p(v) <- min(p(v), p(p(v))) (p(v) is always
+            # reachable-from-v within the class, and descendants of a
+            # descendant are descendants). Shallow sweeps — the common
+            # case — never pay the V-sized jump rounds.
             marked = colors.filter(F.col("id") == F.col("color"))
             marked = _ckpt(marked, checkpoint)
             frontier = marked
-            while True:
+            sweep_converged = False
+            for _sweep in range(_SWEEP_JUMP_AFTER):
                 preds = (
                     frontier.join(e_live, frontier["id"] == e_live["v"])
                     .select(F.col("u").alias("id"), "color")
@@ -1412,6 +1578,7 @@ def strongly_connected_components(
                 grow, m = _ckpt_obs(grow, checkpoint,
                                     F.count(F.lit(1)).alias("n"))
                 if m["n"] == 0:
+                    sweep_converged = True
                     break
                 # marked stays a lazy union of CHECKPOINTED grows — the
                 # per-round anti-join reads cached blocks either way, so
@@ -1419,6 +1586,92 @@ def strongly_connected_components(
                 # job per sweep round)
                 marked = marked.unionByName(grow)
                 frontier = grow
+            if not sweep_converged:
+                # Pointer-jump tail on HASH-PRIORITY pointers (r15).
+                # p(v) is a vertex known reachable from v within v's
+                # color class, chosen to minimize the key
+                # (is-marked-flag, xxhash64(p), p): with hash
+                # priorities roughly half of each path's pointers
+                # leave self in round 1, after which the p(p(v))
+                # branch doubles covered distance per round —
+                # randomized pointer jumping, expected O(log d)
+                # rounds INDEPENDENT of the id labeling. (Propagating
+                # the min reachable ID instead was built first and
+                # measured O(depth) on ascending-id paths: every
+                # pointer stays self until the wave arrives, and the
+                # self-join stats compound meanwhile — see
+                # _STATS_BITS_CAP.) At the fixpoint p(v) is the
+                # key-minimal reachable vertex, whose flag is 0 iff v
+                # reaches the BFS-marked set — i.e. iff v ~> root —
+                # so the RESULT is a graph property, independent of
+                # the hash. The class constraint folds into the edge
+                # set ONCE (colors is fixed for the whole sweep);
+                # each round keeps the coloring loop's union -> one
+                # aggregate shape, with a struct-min in place of min.
+                e_same = (
+                    e_live.join(colors.select(F.col("id").alias("u"),
+                                              F.col("color").alias("_cu")),
+                                "u")
+                    .join(colors.select(F.col("id").alias("v"),
+                                        F.col("color").alias("_cv")), "v")
+                    .filter(F.col("_cu") == F.col("_cv"))
+                    .select("u", "v")
+                )
+                e_same = _ckpt(e_same, checkpoint)
+                mk = marked.select("id", F.lit(0).alias("_mk"))
+                reach = _ckpt(
+                    colors.join(mk, "id", "left")
+                    .select("id", F.col("id").alias("p"),
+                            F.coalesce("_mk", F.lit(1)).alias("pf")),
+                    checkpoint)
+
+                def _key(p="p", pf="pf"):
+                    return F.struct(
+                        F.col(pf).alias("pf"),
+                        F.xxhash64(F.col(p)).alias("h"),
+                        F.col(p).alias("p"))
+
+                _null_key = F.lit(None).cast(
+                    f"struct<pf:int,h:bigint,p:{id_type.simpleString()}>")
+                while True:
+                    own = reach.select(
+                        "id", _key().alias("k"), _key().alias("old"))
+                    prop = (
+                        reach.join(e_same, reach["id"] == e_same["v"])
+                        .select(F.col("u").alias("id"),
+                                _key().alias("k"),
+                                _null_key.alias("old"))
+                    )
+                    j2 = reach.select(F.col("id").alias("_jid"),
+                                      _key().alias("_jk"))
+                    jump = (
+                        reach.join(j2, reach["p"] == j2["_jid"])
+                        .select("id", F.col("_jk").alias("k"),
+                                _null_key.alias("old"))
+                    )
+                    new_reach = (
+                        own.union(prop).union(jump)
+                        .groupBy("id")
+                        .agg(F.min("k").alias("k"),
+                             F.max("old").alias("old"))
+                        .select("id", F.col("k.p").alias("p"),
+                                F.col("k.pf").alias("pf"),
+                                (F.col("k") < F.col("old")).alias("chg"))
+                    )
+                    new_reach, m = _ckpt_obs(
+                        new_reach, checkpoint,
+                        F.count(F.when(F.col("chg"), True)).alias("chg"))
+                    reach = new_reach.drop("chg")
+                    if m["chg"] == 0:
+                        break
+                # marked feeds done_parts + three live-set anti-joins;
+                # checkpoint the filtered result once instead of
+                # replaying it per consumer
+                marked = _ckpt(
+                    reach.filter(F.col("pf") == 0)
+                    .join(colors, "id")
+                    .select("id", "color"),
+                    checkpoint)
             done_parts.append(marked.select("id", F.col("color").alias("scc")))
             # 3) shrink the live subgraph
             live_v, m = _ckpt_obs(live_v.join(marked, "id", "left_anti"),

@@ -60,8 +60,12 @@ def kmeans_fit(
         by_cell: dict[int, dict[int, float]] = {}
         for r in rows:
             by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = r["m"]
+        # .get(p, c[p]): ragged inputs (a vector shorter than the
+        # centroid dim) leave positions unvoted — keep the previous
+        # coordinate instead of raising an uncontextualized KeyError
         centroids = [
-            [by_cell[i][p] for p in range(len(c))] if i in by_cell else c
+            [by_cell[i].get(p, c[p]) for p in range(len(c))]
+            if i in by_cell else c
             for i, c in enumerate(centroids)
         ]
     return centroids

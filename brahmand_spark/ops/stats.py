@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _as_double, _hyperplanes, dot
+from .similarity import _as_double, _hyperplanes
 
 
 def group_quantiles(df: DataFrame, value_col: str,
@@ -85,15 +85,26 @@ def random_projection(df: DataFrame, out_dim: int,
         dim = probe["d"]
     planes = _hyperplanes(dim, out_dim, seed)
     scale = 1.0 / float(out_dim) ** 0.5
-    v = _as_double(F.col(vec_col))
-    comps = [
-        F.round(
-            dot(F.array(*[F.lit(float(x)) for x in plane]), v, dim=dim)
-            * F.lit(scale), 6,
+    # One parsed SQL expression per output coordinate instead of
+    # out_dim x dim F.lit py4j round-trips (r15 — the same device as
+    # pca_transform/_cents_lit): the left-associated multiply-add
+    # chain matches dot(dim=...) term for term and repr round-trips
+    # each double exactly, so projections are bit-identical.
+    comp_sqls = [
+        "round((%s) * %rD, 6)" % (
+            " + ".join(f"{float(x)!r}D * element_at(_v, {i + 1})"
+                       for i, x in enumerate(plane)),
+            float(scale),
         )
         for plane in planes
     ]
-    return df.select(F.col(id_col), F.array(*comps).alias("projected"))
+    return df.select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).selectExpr(
+        f"_id AS `{id_col}`",
+        f"array({', '.join(comp_sqls)}) AS projected",
+    )
 
 
 PCA_EXACT_MAX_DIM = 256
@@ -151,17 +162,29 @@ def pca_fit(
     if method == "gram":
         n, mean, cov = _gram_stats(df, vec_col, dim)
     else:
-        v = _as_double(F.col(vec_col))
-        x = [F.element_at(v, i + 1) for i in range(dim)]
+        # Aggregates as SQL expression STRINGS through ONE selectExpr
+        # call (r15, guide §1 driver-side plan cost — the same device
+        # as kmeans' _cents_lit and minhash's SQL-string aggregates):
+        # the previous nested-Column construction made ~5 py4j
+        # round-trips per aggregate x dim*(dim+3)/2 aggregates
+        # (dim=64: ~10k bridge calls, 20-40 s of pure driver time per
+        # fit). The parsed plan is identical — same element_at /
+        # multiply / cast(decimal) / sum tree — so fits are
+        # bit-for-bit unchanged (exact decimal arithmetic either way).
         dec = "decimal(38,18)"
-        aggs = [F.count(F.lit(1)).alias("_n")]
-        aggs += [F.sum(x[i].cast(dec)).alias(f"_s{i}")
-                 for i in range(dim)]
-        aggs += [
-            F.sum((x[i] * x[j]).cast(dec)).alias(f"_p{i}_{j}")
+        exprs = ["count(1) AS _n"]
+        exprs += [
+            f"sum(cast(element_at(_v, {i + 1}) as {dec})) AS _s{i}"
+            for i in range(dim)
+        ]
+        exprs += [
+            f"sum(cast(element_at(_v, {i + 1}) * element_at(_v, {j + 1})"
+            f" as {dec})) AS _p{i}_{j}"
             for i in range(dim) for j in range(i, dim)
         ]
-        row = df.agg(*aggs).first()
+        row = df.select(
+            _as_double(F.col(vec_col)).alias("_v")).selectExpr(
+            *exprs).first()
         n = row["_n"]
         if n < 2:
             raise ValueError("PCA needs at least 2 vectors")
@@ -245,16 +268,27 @@ def pca_transform(
     one literal-array dot — narrow, codegen'd, zero shuffles (the
     same plan shape as random_projection)."""
     dim = len(mean)
-    v = _as_double(F.col(vec_col))
-    comps = []
+    # One parsed SQL expression per output instead of k x dim F.lit
+    # py4j calls (r15, same device as pca_fit above): the unrolled
+    # left-associated multiply-add chain matches dot(dim=...) term for
+    # term, and repr round-trips each double exactly through Spark's
+    # SQL double literal, so projections are bit-identical.
+    comp_sqls = []
     for c in components:
         if len(c) != dim:
             raise ValueError("component/mean dimensionality mismatch")
-        offset = sum(ci * mi for ci, mi in zip(c, mean))
-        comps.append(F.round(
-            dot(F.array(*[F.lit(float(ci)) for ci in c]), v, dim=dim)
-            - F.lit(float(offset)), 6))
-    return df.select(F.col(id_col), F.array(*comps).alias("projected"))
+        offset = sum(float(ci) * float(mi) for ci, mi in zip(c, mean))
+        body = " + ".join(
+            f"{float(ci)!r}D * element_at(_v, {i + 1})"
+            for i, ci in enumerate(c))
+        comp_sqls.append(f"round(({body}) - {float(offset)!r}D, 6)")
+    return df.select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).selectExpr(
+        f"_id AS `{id_col}`",
+        f"array({', '.join(comp_sqls)}) AS projected",
+    )
 
 
 def pca(

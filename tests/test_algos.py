@@ -250,6 +250,38 @@ class TestLabelPropagation:
         # — sanity-check via the public result only (internals free to
         # change); the equality above is the contract.
 
+    def test_frontier_delta_rounds_match_full_scatter(
+            self, spark, monkeypatch):
+        """r15: forcing EVERY round (after the identity round) through
+        the frontier-delta gather path must give the identical labels
+        as forcing the full-scatter path — the delta shape is a perf
+        knob, never a semantic one. Fixture: a chain of small cliques
+        (sparse, converging frontier) plus an isolated clique."""
+        import itertools
+
+        import brahmand_spark.ops.algos as algos
+        from brahmand_spark.ops.algos import label_propagation
+
+        edges = []
+        for base in (0, 10, 20, 30):
+            edges += list(itertools.combinations(
+                range(base, base + 4), 2))
+        edges += [(3, 10), (13, 20), (23, 30)]  # bridges
+        edges += list(itertools.combinations(range(100, 104), 2))
+        df = spark.createDataFrame(edges, "src long, dst long")
+
+        def run():
+            return sorted(
+                (r.id, r.community)
+                for r in label_propagation(df, max_iterations=6)
+                .collect())
+
+        monkeypatch.setattr(algos, "_LPA_DELTA_FRAC", 10 ** 9)  # never
+        full = run()
+        monkeypatch.setattr(algos, "_LPA_DELTA_FRAC", 0)  # every round
+        delta = run()
+        assert full == delta
+
 
 class TestDegreesAndKCore:
     def test_degrees(self, spark):
@@ -747,6 +779,30 @@ class TestStronglyConnectedComponents:
         monkeypatch.setattr(algos, "_JUMP_AFTER", 10 ** 9)
         self._check(spark, pairs)  # plain path, same labels
 
+    def test_scc_deep_cycle_sweep_jump_caps_barriers(
+            self, spark, monkeypatch):
+        """r15 (VERDICT r14 #6): on a single 48-cycle the backward
+        sweep alone would need ~48 frontier rounds; the pointer-jump
+        tail must cap the WHOLE run (trim + coloring + sweep + live
+        shrink) well below one barrier per cycle vertex, with labels
+        still exact. The barrier probe counts _ckpt_obs calls — every
+        superstep of every inner loop takes exactly one."""
+        import brahmand_spark.ops.algos as algos
+
+        n = 48
+        pairs = [(i, (i + 1) % n) for i in range(n)]
+        calls = {"n": 0}
+        real = algos._ckpt_obs
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(algos, "_ckpt_obs", counting)
+        self._check(spark, pairs)
+        assert calls["n"] < n, (
+            f"hybrid sweep took {calls['n']} barriers on a {n}-cycle")
+
 
 class TestBetweennessCentrality:
     def _py_brandes_micro(self, pairs, directed, max_hops=10,
@@ -1139,6 +1195,30 @@ class TestAdaptiveParts:
         orig = spark.conf.get("spark.sql.shuffle.partitions")
         with _adaptive_parts(spark, 10 ** 12):
             assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+
+    def test_nested_loop_is_noop_and_restore_is_outermost(self, spark):
+        """r15 (ADVICE): a nested/concurrent loop on the same session
+        must NOT capture the outer loop's shrunken value as its 'orig'
+        — the inner one is a no-op, the outer restore wins."""
+        from brahmand_spark.ops.algos import _adaptive_parts
+
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        with _adaptive_parts(spark, 10):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+            with _adaptive_parts(spark, 10 ** 12) as inner:
+                # inner no-op: setting still the OUTER loop's choice
+                assert spark.conf.get(
+                    "spark.sql.shuffle.partitions") == "1"
+                inner.update(10 ** 12)  # must also be inert
+                assert spark.conf.get(
+                    "spark.sql.shuffle.partitions") == "1"
+            # inner exit must not restore anything
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+        # a fresh loop after both exited works again
+        with _adaptive_parts(spark, 10):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == orig
 
     def test_results_identical_and_restored_after_loops(
             self, spark, monkeypatch):

@@ -123,22 +123,34 @@ class TestRandomProjection:
             random_projection(emb, 0)
 
 
+@pytest.fixture(scope="module")
+def pca8(spark):
+    """ONE exact-path fit (k=8) shared by the TestPca assertions —
+    fits are deterministic and a k-truncation of the same
+    eigendecomposition, so every smaller-k check can read a slice of
+    this fit instead of paying the dim*(dim+3)/2-aggregate plan again
+    (r15 suite-time: 8 fits -> 4 across the module)."""
+    from brahmand_spark.ops.stats import pca_fit
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    return pca_fit(emb, k=8)
+
+
 class TestPca:
     def _emb(self, spark):
         return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
 
-    def test_fit_matches_numpy(self, spark):
+    def test_fit_matches_numpy(self, spark, pca8):
         """Mean/covariance/eigenvectors agree with a full-precision
         numpy PCA on the collected vectors."""
         import numpy as np
-
-        from brahmand_spark.ops.stats import pca_fit
 
         emb = self._emb(spark)
         X = np.vstack([
             np.array(r["embedding"], dtype="float64")
             for r in emb.orderBy("vec_id").collect()])
-        mean, comps, var = pca_fit(emb, k=6)
+        mean, comps, var = pca8
+        comps, var = comps[:6], var[:6]
         assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
         C = np.cov(X, rowvar=False, bias=True)
         evals, evecs = np.linalg.eigh(C)
@@ -151,24 +163,23 @@ class TestPca:
                 want = -want
             assert np.allclose(got, want, atol=1e-7)
 
-    def test_components_orthonormal_and_ordered(self, spark):
+    def test_components_orthonormal_and_ordered(self, pca8):
         import numpy as np
 
-        from brahmand_spark.ops.stats import pca_fit
-
-        _, comps, var = pca_fit(self._emb(spark), k=8)
+        _, comps, var = pca8
         M = np.array(comps)
         assert np.allclose(M @ M.T, np.eye(8), atol=1e-9)
         assert all(a >= b for a, b in zip(var, var[1:]))
         assert var[-1] > 0
 
-    def test_transform_matches_numpy_projection(self, spark):
+    def test_transform_matches_numpy_projection(self, spark, pca8):
         import numpy as np
 
-        from brahmand_spark.ops.stats import pca_fit, pca_transform
+        from brahmand_spark.ops.stats import pca_transform
 
         emb = self._emb(spark)
-        mean, comps, _ = pca_fit(emb, k=4)
+        mean, comps, _ = pca8
+        comps = comps[:4]
         got = {r["vec_id"]: list(r["projected"])
                for r in pca_transform(emb, mean, comps).collect()}
         rows = emb.orderBy("vec_id").collect()
@@ -180,21 +191,21 @@ class TestPca:
             assert np.allclose(got[r["vec_id"]], np.round(want, 6),
                                atol=2e-6)
 
-    def test_deterministic_under_repartition(self, spark):
+    def test_deterministic_under_repartition(self, spark, pca8):
         from brahmand_spark.ops.stats import pca_fit
 
         emb = self._emb(spark)
-        a = pca_fit(emb, k=5)
-        b = pca_fit(emb.repartition(13), k=5)
-        assert a == b
+        b = pca_fit(emb.repartition(13), k=8)
+        assert pca8 == b
 
-    def test_projection_matches_duckdb_replay(self, spark, duck):
+    def test_projection_matches_duckdb_replay(self, spark, duck, pca8):
         """Given the fitted literals, the projection replays in DuckDB
         (list_dot_product minus the folded mean offset)."""
-        from brahmand_spark.ops.stats import pca_fit, pca_transform
+        from brahmand_spark.ops.stats import pca_transform
 
         emb = self._emb(spark)
-        mean, comps, _ = pca_fit(emb, k=3)
+        mean, comps, _ = pca8
+        comps = comps[:3]
         got = pca_transform(emb, mean, comps).select(
             "vec_id", F.col("projected")[0].alias("p0"),
             F.col("projected")[1].alias("p1"),
@@ -210,12 +221,12 @@ class TestPca:
                f"{items[2]} AS p2 FROM embeddings")
         assert_same(got, duck.sql(sql))
 
-    def test_transform_plan_is_narrow(self, spark):
-        from brahmand_spark.ops.stats import pca_fit, pca_transform
+    def test_transform_plan_is_narrow(self, spark, pca8):
+        from brahmand_spark.ops.stats import pca_transform
 
         emb = self._emb(spark)
-        mean, comps, _ = pca_fit(emb, k=2)
-        plan = pca_transform(emb, mean, comps) \
+        mean, comps, _ = pca8
+        plan = pca_transform(emb, mean, comps[:2]) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
@@ -235,7 +246,7 @@ def test_pca_via_call(tpch):
 
 
 class TestPcaGramPath:
-    def test_gram_matches_exact(self, spark):
+    def test_gram_matches_exact(self, spark, pca8):
         """The BLAS mapInPandas Gram path agrees with the exact
         decimal path to float precision on the 64-dim embeddings."""
         import numpy as np
@@ -243,7 +254,7 @@ class TestPcaGramPath:
         from brahmand_spark.ops.stats import pca_fit
 
         emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-        m_e, c_e, v_e = pca_fit(emb, k=4, method="exact")
+        m_e, c_e, v_e = pca8[0], pca8[1][:4], pca8[2][:4]
         m_g, c_g, v_g = pca_fit(emb, k=4, method="gram")
         assert np.allclose(m_e, m_g, atol=1e-10)
         assert np.allclose(v_e, v_g, atol=1e-9)

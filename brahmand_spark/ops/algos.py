@@ -53,15 +53,19 @@ from pyspark.sql import functions as F
 # 14 -> 26 -> 51 -> 100 -> 199 -> 396 bits over 5 rounds), and after
 # ~25-30 such rounds the BigInteger arithmetic inside plan-stats
 # estimation OOMs the driver or throws "BigInteger would overflow
-# supported range" (reproduced on a 24-cycle SCC sweep). Estimates
-# beyond 2^256 carry no planning information — every threshold
-# compare saturates — so once the stored estimate crosses the cap,
-# the checkpointed frame is rebuilt through the JVM row-RDD
-# constructor, whose LogicalRDD carries NO origin stats (falls back
-# to spark.sql.defaultSizeInBytes). Costs one extra per-row
-# InternalRow<->Row conversion on frames whose estimates were
-# already astronomical; never triggers on honest estimates.
-_STATS_BITS_CAP = 256
+# supported range" (reproduced on a 24-cycle SCC sweep). Once the
+# stored estimate crosses the cap, the checkpointed frame is rebuilt
+# through the JVM row-RDD constructor, whose LogicalRDD carries NO
+# origin stats (falls back to spark.sql.defaultSizeInBytes), at the
+# cost of a per-row InternalRow<->Row conversion on downstream reads
+# of that state. The cap sits at 2^20 BITS: ordinary join-chain
+# estimates grow linearly (tens of bits per round — LPA/pagerank
+# rounds measured ~2x slower with a 256-bit cap because every round
+# paid the conversion), while the pathological self-join compounding
+# DOUBLES bits per round and blows past any linear budget in ~15
+# rounds; 2^20-bit BigIntegers still multiply in microseconds, so
+# the probe itself stays free.
+_STATS_BITS_CAP = 1 << 20
 
 
 def _reset_huge_stats(df: DataFrame) -> DataFrame:

@@ -477,7 +477,15 @@ def minhash_lsh_candidates(
     # The pair join shuffles ids only — the 64-element signatures
     # (512 B/row) are joined back onto the (far smaller) candidate set
     # afterwards instead of riding through the bucket shuffle twice.
-    banded = band_buckets(sigs, num_hashes, bands, hash_fn)
+    # shuffle_hash (r15, same fix as simhash_near_pairs): without it
+    # the planner broadcasts one banded side and exchange reuse cannot
+    # fire across the BroadcastExchange, re-running the shingle+minhash
+    # pipeline (measured sf0.1: 1.65-1.84 s broadcast vs 1.46-1.54 s
+    # shuffled, identical pairs); a corpus-sized broadcast is
+    # impossible at scale anyway, and AQE skew-split covers hot
+    # buckets.
+    banded = band_buckets(sigs, num_hashes, bands, hash_fn) \
+        .hint("shuffle_hash")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -662,10 +670,10 @@ def simhash_near_pairs(
     narrower chunks and fatter candidate sets — inherent to pigeonhole
     LSH, not an implementation limit."""
     # Fingerprints feed both sides of the chunk-equality self-join. No
-    # persist: the vote aggregation ends in a shuffle on id, and
-    # ReuseExchange serves every consumer from that one exchange — only
-    # the narrow bit-assembly projections replay per consumer, and no
-    # cached blocks accumulate across repeated calls.
+    # persist: both sides are forced through the SAME (chunk_pos,
+    # chunk_val) shuffle (the shuffle_hash hint below), so exchange
+    # reuse serves the whole tokenize -> hash -> packed-vote pipeline
+    # from one execution with zero persisted blocks.
     sh = simhash(
         df, id_col, text_col, n_chunks=max_hamming + 1, hash_fn=hash_fn
     )
@@ -679,10 +687,18 @@ def simhash_near_pairs(
     # max_hamming+1) through one dedup. The banded side carries
     # (max_hamming+1) bigints per row — linear in the corpus, the
     # right trade at every scale (measured ~2x at sf0.1).
+    # shuffle_hash (r15): the planner otherwise BROADCASTS one side,
+    # and exchange reuse does not fire across a BroadcastExchange —
+    # the fingerprint pipeline executed TWICE at runtime (measured
+    # sf0.1: fingerprints 0.8 s alone; pairs 2.3-2.5 s broadcast vs
+    # 1.8-1.9 s shuffled with a ReusedExchange in the final adaptive
+    # plan, identical 271k pairs). At 100 TB a corpus-sized broadcast
+    # is impossible anyway — the hint just makes local and cluster
+    # plans agree; AQE skew-split still applies to shuffled hash.
     banded = sh.select(
         "id", "simhash",
         F.posexplode("simhash").alias("chunk_pos", "chunk_val"),
-    )
+    ).hint("shuffle_hash")
     a = banded.alias("a")
     b = banded.alias("b")
     # statically-unrolled Hamming sum: chunk count is known, and the

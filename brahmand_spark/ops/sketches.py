@@ -230,8 +230,23 @@ def cms_heavy_hitters(df: DataFrame, value_col: str, k: int = 20,
     topk = exact.orderBy(
         F.col("exact_count").desc(), F.col(value_col).asc()
     ).limit(k)
+    # The sketch is built FROM the exact counts (r15, guide §2.3 —
+    # aggregate before you shuffle): a CMS cell's counter is the sum
+    # of the exact counts of the values hashing to it, so folding the
+    # already-aggregated (value, count) rows into cells is
+    # bit-identical to cms_table(df) while scanning the corpus ONCE
+    # (this function already pays the exact groupBy) and computing
+    # the depth md5 hashes per DISTINCT value instead of per row.
+    # Standalone sketch builds still use cms_table.
+    sketch = (
+        exact.select(cms_cell_rows(value_col, depth, width, seed),
+                     F.col("exact_count"))
+        .groupBy(F.col("rb.row").alias("row"),
+                 F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("exact_count").alias("c"))
+    )
     est = cms_estimate(
-        cms_table(df, value_col, depth, width, seed),
+        sketch,
         topk.select(value_col), value_col, depth, width, seed,
     )
     w = Window.orderBy(F.col("exact_count").desc(), F.col(value_col).asc())

@@ -160,11 +160,6 @@ _PART_TARGET_ROWS = 250_000
 _AP_LOCK = threading.Lock()
 _AP_ACTIVE: set[int] = set()
 
-# LPA switches a round to frontier-delta voting when fewer than
-# n_vertices / _LPA_DELTA_FRAC labels changed last round — small enough
-# that gathering votes for just the touched vertices beats re-scattering
-# every label (see label_propagation).
-_LPA_DELTA_FRAC = 8
 
 
 class _adaptive_parts:
@@ -894,13 +889,16 @@ def label_propagation(
     counts are unchanged because every edge still explodes exactly
     once.
 
-    r15 (VERDICT r14 #7): once fewer than n/``_LPA_DELTA_FRAC`` labels
-    changed in a round, the next round GATHERS votes only for vertices
-    with a changed neighbor (an unchanged vote multiset re-yields last
-    round's argmax, so everyone else provably keeps their label) —
-    per-round cost tracks the shrinking frontier instead of the full
-    edge set. Labels are identical either way; dense rounds keep the
-    scatter shape."""
+    r15: frontier-delta voting (gather votes only for vertices with a
+    changed neighbor once the changed set is small) was built and
+    MEASURED SLOWER than this scatter shape even on an engineered
+    sparse sf1 fixture (1.38M settled clique vertices + a 120k-vertex
+    path whose labels churn every round: scatter min 13.7 s vs delta
+    18.0 s over 3 interleaved passes, identical labels) — the scatter
+    round is one exchange with in-stage map-side vote aggregation,
+    while the gather needs a touched-set distinct, a second adjacency
+    scan and an extra exploded-edge exchange that cost more than the
+    full explode saves. Rejected on that evidence."""
     checkpoint = _prepare_ckpt(edges, checkpoint, checkpoint_dir)
     # One prep shuffle: repartition by `a`, then dedup, degree,
     # chunked collect_list and the identity-labels distinct are ALL
@@ -932,16 +930,8 @@ def label_propagation(
     labels = und.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("community")
     )
-    labels, m = _ckpt_obs(labels, checkpoint,
-                          F.count(F.lit(1)).alias("n"))
-    n_vertices = m["n"]
-    changed = None  # ids whose label changed last round (ckpt'd rows)
-    n_changed = n_vertices  # round 0 re-votes everyone
+    labels = _ckpt(labels, checkpoint)
     for it in range(max_iterations):
-        delta_round = (
-            it > 0 and changed is not None
-            and n_changed * _LPA_DELTA_FRAC < n_vertices
-        )
         if it == 0:
             # Identity-label fast path: in round 1 every neighbor
             # holds a DISTINCT label (its own id), so every vote count
@@ -954,40 +944,6 @@ def label_propagation(
                 und.select(F.col("a").alias("id"),
                            F.array_min("_nbrs").alias("_m"))
                 .groupBy("id").agg(F.min("_m").alias("new_community"))
-            )
-        elif delta_round:
-            # FRONTIER-DELTA round (r15, VERDICT r14 #7): a vertex's
-            # vote multiset is unchanged unless >= 1 neighbor changed
-            # label last round, and an unchanged multiset re-yields
-            # last round's argmax — so only neighbors-of-changed need
-            # re-voting. When the changed set is small
-            # (< n/_LPA_DELTA_FRAC), GATHER votes for just those
-            # targets: explode only their adjacency rows and join
-            # labels onto the exploded neighbors. Per-round work is
-            # then frontier-edge-sized instead of corpus-edge-sized —
-            # the sparse/converging regime where full scatter re-votes
-            # everyone to change almost nothing. Dense rounds (clique
-            # fixtures, early supersteps) keep the scatter path below.
-            touched = (
-                changed.withColumnRenamed("id", "a")
-                .join(und, "a", "inner")
-                .select(F.explode("_nbrs").alias("a"))
-                .distinct()
-            )
-            votes = (
-                und.join(touched, "a", "leftsemi")
-                .select("a", F.explode("_nbrs").alias("b"))
-                .join(labels.hint("shuffle_hash")
-                      .select(F.col("id").alias("b"), "community"), "b")
-                .groupBy(F.col("a").alias("id"), F.col("community"))
-                .agg(F.count(F.lit(1)).alias("n"))
-            )
-            best = (
-                votes.groupBy("id")
-                .agg(F.max(F.struct(
-                    F.col("n"), (-F.col("community")).alias("neg"),
-                )).alias("top"))
-                .select("id", (-F.col("top.neg")).alias("new_community"))
             )
         else:
             # Rounds 2+: VERTEX-sized label join onto the adjacency
@@ -1027,11 +983,8 @@ def label_propagation(
             new_labels, checkpoint,
             F.count(F.when(F.col("chg"), True)).alias("chg"))
         labels = new_labels.drop("chg")
-        n_changed = m["chg"]
-        if n_changed == 0:
+        if m["chg"] == 0:
             break
-        # changed ids read the just-checkpointed blocks — no extra job
-        changed = new_labels.filter(F.col("chg")).select("id")
     return labels
 
 

@@ -250,38 +250,6 @@ class TestLabelPropagation:
         # — sanity-check via the public result only (internals free to
         # change); the equality above is the contract.
 
-    def test_frontier_delta_rounds_match_full_scatter(
-            self, spark, monkeypatch):
-        """r15: forcing EVERY round (after the identity round) through
-        the frontier-delta gather path must give the identical labels
-        as forcing the full-scatter path — the delta shape is a perf
-        knob, never a semantic one. Fixture: a chain of small cliques
-        (sparse, converging frontier) plus an isolated clique."""
-        import itertools
-
-        import brahmand_spark.ops.algos as algos
-        from brahmand_spark.ops.algos import label_propagation
-
-        edges = []
-        for base in (0, 10, 20, 30):
-            edges += list(itertools.combinations(
-                range(base, base + 4), 2))
-        edges += [(3, 10), (13, 20), (23, 30)]  # bridges
-        edges += list(itertools.combinations(range(100, 104), 2))
-        df = spark.createDataFrame(edges, "src long, dst long")
-
-        def run():
-            return sorted(
-                (r.id, r.community)
-                for r in label_propagation(df, max_iterations=6)
-                .collect())
-
-        monkeypatch.setattr(algos, "_LPA_DELTA_FRAC", 10 ** 9)  # never
-        full = run()
-        monkeypatch.setattr(algos, "_LPA_DELTA_FRAC", 0)  # every round
-        delta = run()
-        assert full == delta
-
 
 class TestDegreesAndKCore:
     def test_degrees(self, spark):

@@ -44,41 +44,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-# Stats-estimate cap for checkpointed loop state, in BITS of the
-# estimated sizeInBytes (r15). Spark 3.4+ checkpoints PRESERVE the
-# origin plan's statistics (SPARK-39748: LogicalRDD carries
-# originStats), so a superstep loop that joins its own previous state
-# COMPOUNDS size estimates multiplicatively across rounds — a
-# self-joining round DOUBLES the estimate's bit length (measured:
-# 14 -> 26 -> 51 -> 100 -> 199 -> 396 bits over 5 rounds), and after
-# ~25-30 such rounds the BigInteger arithmetic inside plan-stats
-# estimation OOMs the driver or throws "BigInteger would overflow
-# supported range" (reproduced on a 24-cycle SCC sweep). Once the
-# stored estimate crosses the cap, the checkpointed frame is rebuilt
-# through the JVM row-RDD constructor, whose LogicalRDD carries NO
-# origin stats (falls back to spark.sql.defaultSizeInBytes), at the
-# cost of a per-row InternalRow<->Row conversion on downstream reads
-# of that state. The cap sits at 2^20 BITS: ordinary join-chain
-# estimates grow linearly (tens of bits per round — LPA/pagerank
-# rounds measured ~2x slower with a 256-bit cap because every round
-# paid the conversion), while the pathological self-join compounding
-# DOUBLES bits per round and blows past any linear budget in ~15
-# rounds; 2^20-bit BigIntegers still multiply in microseconds, so
-# the probe itself stays free.
-_STATS_BITS_CAP = 1 << 20
-
-
-def _reset_huge_stats(df: DataFrame) -> DataFrame:
-    """Rebuild a (checkpointed) frame from its JVM row RDD when its
-    stored sizeInBytes estimate exceeds ``_STATS_BITS_CAP`` bits —
-    breaking SPARK-39748 stats propagation before compounded
-    estimates overflow BigInteger (see _STATS_BITS_CAP). Purely a
-    metadata reset: same rows, same truncated lineage (the new plan's
-    RDD is derived from the checkpointed blocks)."""
+def _reset_stats(df: DataFrame) -> DataFrame:
+    """Rebuild a (checkpointed) frame from its JVM row RDD so its
+    LogicalRDD carries NO origin statistics (r15). Spark 3.4+
+    checkpoints PRESERVE the origin plan's statistics (SPARK-39748:
+    LogicalRDD carries originStats), so a superstep loop that joins
+    its own previous state COMPOUNDS size estimates multiplicatively
+    across rounds — a self-joining round DOUBLES the estimate's bit
+    length (measured: 14 -> 26 -> 51 -> 100 -> 199 -> 396 bits over 5
+    rounds), and after ~25-30 such rounds the BigInteger arithmetic
+    inside plan-stats estimation OOMs the driver or throws "BigInteger
+    would overflow supported range" (reproduced on a 24-cycle SCC
+    sweep; only SELF-join loops double — ordinary join chains grow
+    tens of bits per round and are harmless). The reset is requested
+    EXPLICITLY by those loops (``_ckpt(..., reset_stats=True)``)
+    rather than probed from the stored estimate: reading
+    ``stats().sizeInBytes()`` through py4j stringifies the BigInteger
+    (py4j ReturnObject -> BigInteger.toString, quadratic), which was
+    caught burning minutes per checkpoint once estimates grew large.
+    Purely a metadata reset: same rows, same truncated lineage (the
+    new plan's RDD is derived from the checkpointed blocks); the new
+    frame's estimate falls back to spark.sql.defaultSizeInBytes."""
     try:
-        st = df._jdf.queryExecution().optimizedPlan().stats()
-        if int(st.sizeInBytes()).bit_length() <= _STATS_BITS_CAP:
-            return df
         spark = df.sparkSession
         jdf = spark._jsparkSession.createDataFrame(
             df._jdf.javaRDD(), df._jdf.schema())
@@ -87,7 +74,7 @@ def _reset_huge_stats(df: DataFrame) -> DataFrame:
         return df
 
 
-def _ckpt(df: DataFrame, mode) -> DataFrame:
+def _ckpt(df: DataFrame, mode, reset_stats: bool = False) -> DataFrame:
     """Per-round lineage truncation. ``mode``: False → none;
     True/'local' → localCheckpoint (executor blocks — fast, lost
     with an executor); 'local_disk' → localCheckpoint with DISK_ONLY
@@ -96,18 +83,19 @@ def _ckpt(df: DataFrame, mode) -> DataFrame:
     single JVM); 'reliable' → DataFrame.checkpoint to the
     SparkContext checkpoint dir (survives executor loss; see module
     docstring). Results are mode-independent — only failure-recovery
-    and memory behavior differ. Checkpointed state whose inherited
-    size ESTIMATE has gone astronomical is rebuilt without it
-    (_reset_huge_stats) so deep loops cannot overflow plan-stats
-    arithmetic."""
+    and memory behavior differ. ``reset_stats=True`` additionally
+    strips the checkpoint's inherited size estimate (_reset_stats) —
+    required by SELF-JOINING loops, whose estimates otherwise double
+    per round until plan-stats arithmetic overflows."""
+    fix = _reset_stats if reset_stats else (lambda d: d)
     if not mode:
         return df
     if mode is True or mode == "local":
-        return _reset_huge_stats(df.localCheckpoint(eager=True))
+        return fix(df.localCheckpoint(eager=True))
     if mode == "local_disk":
         from pyspark import StorageLevel
 
-        return _reset_huge_stats(df.localCheckpoint(
+        return fix(df.localCheckpoint(
             eager=True, storageLevel=StorageLevel.DISK_ONLY))
     if mode == "reliable":
         sc = df.sparkSession.sparkContext
@@ -116,13 +104,13 @@ def _ckpt(df: DataFrame, mode) -> DataFrame:
                 "checkpoint='reliable' needs a checkpoint directory: "
                 "pass checkpoint_dir= (or call "
                 "SparkContext.setCheckpointDir first)")
-        return _reset_huge_stats(df.checkpoint(eager=True))
+        return fix(df.checkpoint(eager=True))
     raise ValueError(
         f"checkpoint must be False, True, 'local', 'local_disk' or "
         f"'reliable' (got {mode!r})")
 
 
-def _ckpt_obs(df: DataFrame, mode, *aggs):
+def _ckpt_obs(df: DataFrame, mode, *aggs, reset_stats: bool = False):
     """Checkpoint ``df`` AND collect named aggregate metrics over it in
     the same job (``Dataset.observe`` → a CollectMetrics node riding the
     checkpoint action), so a superstep's convergence probe needs no
@@ -143,7 +131,7 @@ def _ckpt_obs(df: DataFrame, mode, *aggs):
     if not mode:
         df.observe(obs, *aggs).count()
         return df, obs.get
-    out = _ckpt(df.observe(obs, *aggs), mode)
+    out = _ckpt(df.observe(obs, *aggs), mode, reset_stats=reset_stats)
     return out, obs.get
 
 
@@ -152,6 +140,16 @@ def _ckpt_obs(df: DataFrame, mode, *aggs):
 # cache-friendly, large enough that a loop over millions of rows keeps
 # full parallelism (9M-edge LPA at sf0.1 still computes >= 32).
 _PART_TARGET_ROWS = 250_000
+
+# Self-joining superstep loops strip the checkpoint's inherited size
+# estimate every N-th round (_ckpt(..., reset_stats=True)) — their
+# estimates double in bit length per round (see _reset_stats), so a
+# periodic reset caps the planner's BigInteger work at
+# initial_bits * 2^N while paying the row-conversion cost on at most
+# one round in N. Linear-growth loops never need it but fire it on
+# the same cadence for uniformity — the cost is one narrow
+# vertex-sized conversion.
+_RESET_STATS_EVERY = 6
 
 # Sessions with a live _adaptive_parts loop (keyed by the underlying
 # JVM session object id) + the lock that serializes enter/exit — see
@@ -429,7 +427,7 @@ def connected_components(
     # every superstep shuffles at most |E_sym| rows (the vote
     # aggregate); scale the reduce-partition count to that
     with _adaptive_parts(edges.sparkSession, _m["n"]):
-        for _ in range(max_iterations):
+        for _round in range(max_iterations):
             # shuffle_hash on the label side: build the per-task hash
             # map on labels (vertex-sized) instead of sorting the edge
             # side; scale-safe — no broadcast assumption.
@@ -457,7 +455,9 @@ def connected_components(
             )
             new_labels, m = _ckpt_obs(
                 new_labels, checkpoint,
-                F.count(F.when(F.col("chg"), True)).alias("chg"))
+                F.count(F.when(F.col("chg"), True)).alias("chg"),
+                reset_stats=(_round % _RESET_STATS_EVERY
+                             == _RESET_STATS_EVERY - 1))
             labels = new_labels.drop("chg")
             if m["chg"] == 0:
                 break
@@ -544,6 +544,7 @@ def _cc_two_phase(
                 small, checkpoint,
                 F.count(F.lit(1)).alias("n"),
                 F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+                reset_stats=(rounds % _RESET_STATS_EVERY == 0),
             )
             sig = (m["n"], m["x"])
             if sig == prev_sig:
@@ -654,7 +655,7 @@ def sssp_weighted(
     from pyspark.sql import Observation
 
     with _adaptive_parts(edges.sparkSession, 10 ** 12) as ap:
-        for _ in range(max_iterations):
+        for _round in range(max_iterations):
             touched = Observation()
             cand = (
                 frontier.join(e, frontier["id"] == e["src"], "inner")
@@ -683,6 +684,8 @@ def sssp_weighted(
                 checkpoint,
                 F.count(F.lit(1)).alias("n"),
                 F.count(F.when(F.col("imp"), True)).alias("imp"),
+                reset_stats=(_round % _RESET_STATS_EVERY
+                             == _RESET_STATS_EVERY - 1),
             )
             dist = merged.drop("imp")
             frontier = merged.filter("imp").drop("imp")
@@ -981,7 +984,9 @@ def label_propagation(
         )
         new_labels, m = _ckpt_obs(
             new_labels, checkpoint,
-            F.count(F.when(F.col("chg"), True)).alias("chg"))
+            F.count(F.when(F.col("chg"), True)).alias("chg"),
+            reset_stats=(it % _RESET_STATS_EVERY
+                         == _RESET_STATS_EVERY - 1))
         labels = new_labels.drop("chg")
         if m["chg"] == 0:
             break
@@ -1497,7 +1502,9 @@ def strongly_connected_components(
                 )
                 new_colors, m = _ckpt_obs(
                     new_colors, checkpoint,
-                    F.count(F.when(F.col("chg"), True)).alias("chg"))
+                    F.count(F.when(F.col("chg"), True)).alias("chg"),
+                    reset_stats=(
+                        superstep % _RESET_STATS_EVERY == 0))
                 colors = new_colors.drop("chg")
                 if m["chg"] == 0:
                     break
@@ -1590,7 +1597,9 @@ def strongly_connected_components(
 
                 _null_key = F.lit(None).cast(
                     f"struct<pf:int,h:bigint,p:{id_type.simpleString()}>")
+                jump_round = 0
                 while True:
+                    jump_round += 1
                     own = reach.select(
                         "id", _key().alias("k"), _key().alias("old"))
                     prop = (
@@ -1617,7 +1626,9 @@ def strongly_connected_components(
                     )
                     new_reach, m = _ckpt_obs(
                         new_reach, checkpoint,
-                        F.count(F.when(F.col("chg"), True)).alias("chg"))
+                        F.count(F.when(F.col("chg"), True)).alias("chg"),
+                        reset_stats=(
+                            jump_round % _RESET_STATS_EVERY == 0))
                     reach = new_reach.drop("chg")
                     if m["chg"] == 0:
                         break

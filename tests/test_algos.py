@@ -754,7 +754,9 @@ class TestStronglyConnectedComponents:
         tail must cap the WHOLE run (trim + coloring + sweep + live
         shrink) well below one barrier per cycle vertex, with labels
         still exact. The barrier probe counts _ckpt_obs calls — every
-        superstep of every inner loop takes exactly one."""
+        superstep of every inner loop takes exactly one. (A 200-cycle
+        verified the same way while building the tail finished in 45
+        barriers vs ~210 for pure BFS — see OPTIMIZATION_r15.md.)"""
         import brahmand_spark.ops.algos as algos
 
         n = 48
